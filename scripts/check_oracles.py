@@ -1,0 +1,115 @@
+"""Local replica of the driver's correctness gate.
+
+Runs each workloads.QUERIES entry on Spark and its oracle on DuckDB over
+the same parquet tables, then compares row count, column names, and an
+order-insensitive value multiset (columns sorted by name, rows sorted).
+
+Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from transfer_spark.session import get_spark  # noqa: E402
+from transfer_spark.workloads import QUERIES  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, bool):
+        return str(v)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return f"{float(v):.10g}"
+    except Exception:
+        pass
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    spark = get_spark("check-oracles", cpus=16)
+
+    failed = []
+    for name, (fn, oracle) in sorted(QUERIES.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        if oracle is None:
+            print(f"ok   {name}: rows-only ({len(s_rows)} rows)")
+            continue
+        try:
+            res = con.execute(oracle)
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0]}")
+            failed.append(name)
+            continue
+        if sorted(s_cols) != sorted(d_cols):
+            print(f"FAIL {name}: columns {sorted(s_cols)} vs {sorted(d_cols)}")
+            failed.append(name)
+            continue
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: rowcount {len(s_rows)} vs {len(d_rows)}")
+            failed.append(name)
+            continue
+        cs, cd = canon(s_rows, s_cols), canon(d_rows, d_cols)
+        if cs != cd:
+            ndiff = sum(1 for a, b in zip(cs, cd) if a != b)
+            print(f"FAIL {name}: {ndiff}/{len(cs)} rows differ")
+            for a, b in list(zip(cs, cd))[:200]:
+                if a != b:
+                    print(f"  spark:  {a}\n  duckdb: {b}")
+                    break
+            failed.append(name)
+            continue
+        print(f"ok   {name} ({len(s_rows)} rows)")
+
+    print()
+    if failed:
+        print(f"FAILED: {failed}")
+        sys.exit(1)
+    print("all oracles match")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""CDC fold semantics — the spec is reference lib/optimization/table_data.go:169-222
+and its table-driven tests (table_data_test.go)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from transfer_spark.constants import TOAST_UNAVAILABLE_VALUE
+from transfer_spark.operators.cdc_fold import cdc_fold, lww_dedup
+
+TOAST = TOAST_UNAVAILABLE_VALUE
+
+
+def _fold(spark, rows):
+    df = spark.createDataFrame(rows)
+    out = cdc_fold(df, ["id"], "__artie_offset", "__artie_delete")
+    return {r["id"]: r.asDict() for r in out.collect()}
+
+
+def test_last_write_wins(spark):
+    rows = [
+        Row(id=1, name="a", __artie_offset=1, __artie_delete=False),
+        Row(id=1, name="b", __artie_offset=2, __artie_delete=False),
+        Row(id=2, name="z", __artie_offset=3, __artie_delete=False),
+    ]
+    got = _fold(spark, rows)
+    assert got[1]["name"] == "b"
+    assert got[2]["name"] == "z"
+
+
+def test_null_update_overrides(spark):
+    rows = [
+        Row(id=1, name="a", __artie_offset=1, __artie_delete=False),
+        Row(id=1, name=None, __artie_offset=2, __artie_delete=False),
+    ]
+    got = _fold(spark, rows)
+    assert got[1]["name"] is None
+
+
+def test_toast_carries_forward(spark):
+    rows = [
+        Row(id=1, name="a", bio="long-bio", __artie_offset=1, __artie_delete=False),
+        Row(id=1, name="b", bio=TOAST, __artie_offset=2, __artie_delete=False),
+    ]
+    got = _fold(spark, rows)
+    assert got[1] == {"id": 1, "name": "b", "bio": "long-bio", "__artie_offset": 2, "__artie_delete": False}
+
+
+def test_toast_carries_through_chain(spark):
+    rows = [
+        Row(id=1, bio="v1", __artie_offset=1, __artie_delete=False),
+        Row(id=1, bio=TOAST, __artie_offset=2, __artie_delete=False),
+        Row(id=1, bio=TOAST, __artie_offset=3, __artie_delete=False),
+    ]
+    got = _fold(spark, rows)
+    assert got[1]["bio"] == "v1"
+
+
+def test_toast_on_first_event_stays(spark):
+    # no previous row in the buffer → sentinel is kept verbatim
+    # (reference: InsertRow only copies when prevRow exists)
+    rows = [Row(id=1, bio=TOAST, __artie_offset=1, __artie_delete=False)]
+    got = _fold(spark, rows)
+    assert got[1]["bio"] == TOAST
+
+
+def test_delete_inherits_prior_values(spark):
+    # Debezium delete may carry zero-values without REPLICA IDENTITY FULL
+    rows = [
+        Row(id=1, name="keep-me", qty=7, __artie_offset=1, __artie_delete=False),
+        Row(id=1, name="", qty=0, __artie_offset=2, __artie_delete=True),
+    ]
+    got = _fold(spark, rows)
+    assert got[1]["name"] == "keep-me"
+    assert got[1]["qty"] == 7
+    assert got[1]["__artie_delete"] is True
+
+
+def test_delete_then_reinsert(spark):
+    rows = [
+        Row(id=1, name="old", __artie_offset=1, __artie_delete=False),
+        Row(id=1, name="", __artie_offset=2, __artie_delete=True),
+        Row(id=1, name="new", __artie_offset=3, __artie_delete=False),
+    ]
+    got = _fold(spark, rows)
+    assert got[1]["name"] == "new"
+    assert got[1]["__artie_delete"] is False
+
+
+def test_delete_first_event_keeps_own_values(spark):
+    rows = [Row(id=1, name="from-before", __artie_offset=1, __artie_delete=True)]
+    got = _fold(spark, rows)
+    assert got[1]["name"] == "from-before"
+    assert got[1]["__artie_delete"] is True
+
+
+def test_lww_dedup_plain(spark):
+    rows = [
+        Row(id=1, v=1, off=1),
+        Row(id=1, v=2, off=2),
+        Row(id=2, v=9, off=1),
+    ]
+    out = lww_dedup(spark.createDataFrame(rows), ["id"], "off")
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got == {1: 2, 2: 9}

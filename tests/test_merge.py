@@ -1,0 +1,78 @@
+"""MERGE semantics — spec: clients/iceberg/dialect/dialect.go:103-178 (the
+reference's own Spark SQL), TOAST fragment lib/sql/columns.go:40-59."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from transfer_spark.constants import TOAST_UNAVAILABLE_VALUE
+from transfer_spark.operators.merge import append_mode, merge_dataframes
+
+TOAST = TOAST_UNAVAILABLE_VALUE
+
+
+def _tgt(spark):
+    return spark.createDataFrame(
+        [Row(id=1, name="alice", bal=10.0), Row(id=2, name="bob", bal=20.0)]
+    )
+
+
+def test_hard_merge_update_insert_delete(spark):
+    stg = spark.createDataFrame(
+        [
+            Row(id=1, name="alice2", bal=11.0, __artie_delete=False),  # update
+            Row(id=2, name="", bal=0.0, __artie_delete=True),  # delete
+            Row(id=3, name="carol", bal=30.0, __artie_delete=False),  # insert
+            Row(id=4, name="ghost", bal=0.0, __artie_delete=True),  # delete-unmatched: no-op
+        ]
+    )
+    out = merge_dataframes(_tgt(spark), stg, ["id"])
+    got = {r["id"]: (r["name"], r["bal"]) for r in out.collect()}
+    assert got == {1: ("alice2", 11.0), 3: ("carol", 30.0)}
+    assert "__artie_delete" not in out.columns
+
+
+def test_hard_merge_toast_keeps_target(spark):
+    stg = spark.createDataFrame([Row(id=1, name=TOAST, bal=99.0, __artie_delete=False)])
+    out = merge_dataframes(_tgt(spark), stg, ["id"])
+    got = {r["id"]: (r["name"], r["bal"]) for r in out.collect()}
+    assert got[1] == ("alice", 99.0)
+    assert got[2] == ("bob", 20.0)
+
+
+def test_soft_merge_sets_marker(spark):
+    tgt = spark.createDataFrame(
+        [
+            Row(id=1, name="alice", bal=10.0, __artie_delete=False),
+            Row(id=2, name="bob", bal=20.0, __artie_delete=False),
+        ]
+    )
+    stg = spark.createDataFrame(
+        [
+            Row(id=1, name="x", bal=0.0, __artie_delete=True, __artie_only_set_delete=True),
+            Row(id=3, name="carol", bal=30.0, __artie_delete=False, __artie_only_set_delete=False),
+        ]
+    )
+    out = merge_dataframes(tgt, stg, ["id"], soft_delete=True)
+    got = {r["id"]: (r["name"], r["bal"], r["__artie_delete"]) for r in out.collect()}
+    # only_set_delete=true → row values preserved, only marker flipped
+    assert got[1] == ("alice", 10.0, True)
+    assert got[2] == ("bob", 20.0, False)
+    assert got[3] == ("carol", 30.0, False)
+    assert "__artie_only_set_delete" not in out.columns
+
+
+def test_soft_merge_full_update(spark):
+    tgt = spark.createDataFrame([Row(id=1, name="alice", bal=10.0, __artie_delete=False)])
+    stg = spark.createDataFrame(
+        [Row(id=1, name="alice2", bal=11.0, __artie_delete=False, __artie_only_set_delete=False)]
+    )
+    out = merge_dataframes(tgt, stg, ["id"], soft_delete=True)
+    r = out.collect()[0]
+    assert (r["name"], r["bal"], r["__artie_delete"]) == ("alice2", 11.0, False)
+
+
+def test_append_mode(spark):
+    tgt = _tgt(spark)
+    stg = spark.createDataFrame([Row(id=1, name="alice", bal=10.0)])
+    assert append_mode(tgt, stg).count() == 3

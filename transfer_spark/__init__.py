@@ -1,0 +1,24 @@
+"""transfer_spark — a PySpark-native CDC replication & analytics engine.
+
+A from-scratch re-expression of the capabilities of artie-labs/transfer
+(reference: /root/reference, Go) on Apache Spark:
+
+- Debezium CDC decode (relational / Mongo / event-tracking envelopes)
+- In-batch last-write-wins dedup fold with TOAST carry-forward and
+  delete-inherits-prior-values semantics
+- Schema inference / evolution (add, delayed drop, destination reconcile)
+- MERGE (hard/soft delete, TOAST-aware) expressed as declarative
+  DataFrame plans and as Spark SQL text
+- Structured Streaming shell (foreachBatch flush pipeline)
+- Large-scale training-data operators: exact & fuzzy dedup (MinHash/LSH,
+  SimHash, n-gram Jaccard, embedding cosine), similarity search, text
+  analysis, multimodal column plumbing
+
+Everything is DataFrame-first: logical plans are declared via the
+pyspark.sql API so Catalyst handles pushdown/pruning/codegen; Python
+UDFs appear only where Spark has no builtin (none in the hot path).
+"""
+
+__version__ = "0.1.0"
+
+from transfer_spark.session import get_spark  # noqa: F401

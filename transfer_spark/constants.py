@@ -1,0 +1,43 @@
+"""Engine constants — metadata column names and sentinel values.
+
+Byte-compatible with the reference's constants
+(reference: lib/config/constants/constants.go:8-37) so data written by
+either engine is interchangeable.
+"""
+
+ARTIE_PREFIX = "__artie"
+
+# Metadata columns injected per event.
+DELETE_COLUMN_MARKER = "__artie_delete"
+ONLY_SET_DELETE_COLUMN_MARKER = "__artie_only_set_delete"  # never created at destination
+UPDATED_AT_COLUMN = "__artie_updated_at"
+DB_UPDATED_AT_COLUMN = "__artie_db_updated_at"
+OPERATION_COLUMN = "__artie_operation"
+SOURCE_METADATA_COLUMN = "__artie_source_metadata"
+FULL_SOURCE_TABLE_NAME_COLUMN = "__artie_full_source_table_name"
+
+# Internal ordering column carried through the fold (Kafka offset analog).
+OFFSET_COLUMN = "__artie_offset"
+
+# Sentinel *values*.
+NULL_VALUE_SENTINEL = "__artie_null_value"  # CSV NULL representation
+TOAST_UNAVAILABLE_VALUE = "__debezium_unavailable_value"  # Postgres TOAST
+EXCEEDED_VALUE_SENTINEL = "__artie_exceeded_value"  # over-length VARCHAR
+
+# Debezium operations (reference: lib/config/constants/constants.go Operation).
+OP_CREATE = "c"
+OP_UPDATE = "u"
+OP_DELETE = "d"
+OP_BACKFILL = "r"
+
+# Table-name affixes.
+HISTORY_SUFFIX = "__history"
+COMPACTED_SUFFIX = "__compacted"
+
+# Flush defaults (reference: lib/config/config.go:18-26).
+DEFAULT_FLUSH_INTERVAL_SECONDS = 10
+DEFAULT_BUFFER_ROWS = 30_000
+DEFAULT_FLUSH_SIZE_KB = 25 * 1024
+
+# Column-drop confidence window (reference: lib/config/constants/constants.go:26).
+DELETION_CONFIDENCE_PADDING_HOURS = 4

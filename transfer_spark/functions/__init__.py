@@ -1,0 +1,1 @@
+"""Scalar function layer: Debezium wire-value converters and crypto helpers."""

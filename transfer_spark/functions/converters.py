@@ -1,0 +1,147 @@
+"""Debezium logical-type converters as Spark Column expressions.
+
+Decode-side equivalents of the reference's converter table
+(reference: lib/debezium/schema.go:90-160 dispatch;
+lib/debezium/converters/*.go implementations). Every converter here is
+a pure builtin-function composition (JVM-side, codegen-able) except the
+arbitrary-precision decimal decode, which needs a vectorized pandas UDF.
+
+Time-of-day has no Spark type: the engine's canonical representation is
+a `HH:mm:ss.SSSSSS` string (same wall format the reference emits,
+reference: lib/typing/ext/time.go:8-28).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType, StringType
+
+TIME_FORMAT = "HH:mm:ss.SSSSSS"
+
+
+# --- temporal ---------------------------------------------------------------
+
+
+def debezium_date(days: Column) -> Column:
+    """io.debezium.time.Date / kafka.connect.data.Date: epoch days → DATE
+    (reference: lib/debezium/converters/date.go:13-30)."""
+    return F.date_add(F.to_date(F.lit("1970-01-01")), days.cast("int"))
+
+
+def debezium_time_millis(ms: Column) -> Column:
+    """io.debezium.time.Time: millis since midnight → canonical time string
+    (reference: lib/debezium/converters/time.go:14-34)."""
+    return F.date_format(F.timestamp_millis(ms.cast("long")), TIME_FORMAT)
+
+
+def debezium_micro_time(us: Column) -> Column:
+    """io.debezium.time.MicroTime: micros since midnight → time string."""
+    return F.date_format(F.timestamp_micros(us.cast("long")), TIME_FORMAT)
+
+
+def debezium_nano_time(ns: Column) -> Column:
+    """io.debezium.time.NanoTime: nanos since midnight → time string
+    (truncated to micros, same as the reference)."""
+    return debezium_micro_time((ns.cast("long") / 1000).cast("long"))
+
+
+def debezium_timestamp_millis(ms: Column) -> Column:
+    """io.debezium.time.Timestamp: epoch millis → TIMESTAMP_NTZ
+    (reference: lib/debezium/converters/timestamp.go:14-35)."""
+    return F.timestamp_millis(ms.cast("long"))
+
+
+def debezium_timestamp_micros(us: Column) -> Column:
+    return F.timestamp_micros(us.cast("long"))
+
+
+def debezium_timestamp_nanos(ns: Column) -> Column:
+    return F.timestamp_micros((ns.cast("long") / 1000).cast("long"))
+
+
+def debezium_zoned_timestamp(s: Column) -> Column:
+    """io.debezium.time.ZonedTimestamp: RFC3339 string → TIMESTAMP (instant)
+    (reference: lib/debezium/converters/time.go:62-96)."""
+    return F.to_timestamp(s)
+
+
+def debezium_zoned_time(s: Column) -> Column:
+    """io.debezium.time.ZonedTime: `HH:mm:ssZ` → canonical time string
+    (reference: lib/debezium/converters/time.go:98-140)."""
+    return F.date_format(
+        F.to_timestamp(F.concat(F.lit("1970-01-01T"), s)), TIME_FORMAT
+    )
+
+
+# --- numeric ----------------------------------------------------------------
+
+
+def debezium_decimal(b64: Column, scale: int, precision: int = 38) -> Column:
+    """kafka.connect.data.Decimal: base64 two's-complement big-endian
+    unscaled int + scale → DecimalType(p, s)
+    (reference: lib/debezium/converters/decimal.go:151-215).
+
+    No Spark builtin decodes arbitrary-length two's-complement, so this is
+    an Arrow-batched pandas UDF over the *decoded* bytes. Precision > 38
+    falls back to a string column (same rule as the reference and Spark's
+    own max, reference: lib/typing/decimal/details.go:8-13).
+    """
+    out_type = DecimalType(precision, scale) if precision <= 38 else StringType()
+
+    @F.pandas_udf(out_type)
+    def _decode(vals: pd.Series) -> pd.Series:
+        import decimal
+
+        def one(v):
+            if v is None:
+                return None
+            unscaled = int.from_bytes(bytes(v), byteorder="big", signed=True)
+            d = decimal.Decimal(unscaled).scaleb(-scale)
+            return str(d) if precision > 38 else d
+
+        return vals.map(one)
+
+    return _decode(F.unbase64(b64))
+
+
+def debezium_variable_decimal(scale: Column, value_b64: Column) -> Column:
+    """io.debezium.data.VariableScaleDecimal {scale, value} → string
+    (arbitrary scale ⇒ engine stores as string, like the reference's
+    VariableNumericKind, reference: converters/decimal.go:160-202)."""
+
+    @F.pandas_udf(StringType())
+    def _decode(scales: pd.Series, vals: pd.Series) -> pd.Series:
+        import decimal
+
+        def one(s, v):
+            if v is None:
+                return None
+            unscaled = int.from_bytes(bytes(v), byteorder="big", signed=True)
+            return str(decimal.Decimal(unscaled).scaleb(-int(s or 0)))
+
+        return pd.Series([one(s, v) for s, v in zip(scales, vals)])
+
+    return _decode(scale, F.unbase64(value_b64))
+
+
+# --- misc -------------------------------------------------------------------
+
+
+def debezium_json(s: Column) -> Column:
+    """io.debezium.data.Json: normalize via parse/serialize round-trip
+    (dedupes keys like the reference's jsonutil.SanitizePayload)."""
+    return F.to_json(F.from_json(s, "map<string,string>"))
+
+
+def debezium_bits(b: Column) -> Column:
+    """io.debezium.data.Bits: bytes → base64 string
+    (reference: converters/basic.go:52-66)."""
+    return F.base64(b)
+
+
+def debezium_array_transform(arr: Column, elem_fn) -> Column:
+    """Literal array with item metadata: element-wise convert
+    (reference: converters/basic.go:100-126)."""
+    return F.transform(arr, elem_fn)

@@ -1,0 +1,1 @@
+"""Operators: the engine's query surface (SURVEY.md §2)."""

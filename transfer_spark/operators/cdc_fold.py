@@ -1,0 +1,116 @@
+"""The central stateful operator: buffered CDC dedup / upsert-fold.
+
+Re-expresses the reference's ``TableData.InsertRow`` buffer fold
+(reference: lib/optimization/table_data.go:169-222) as a set-oriented
+Spark plan. Semantics, per primary key, scanning events in offset order:
+
+1. **Last-write-wins**: the newest event per PK is the surviving row.
+2. **Delete inherits prior values**: a delete event takes every non-artie
+   column from the previous surviving row (Debezium may send zero-values
+   when REPLICA IDENTity is not FULL) while keeping its own artie
+   metadata columns.
+3. **TOAST carry-forward**: on a non-delete event, any column equal to
+   ``__debezium_unavailable_value`` takes the previous surviving row's
+   value (which may itself have been carried forward).
+4. ``__artie_only_set_delete`` inherits the previous row's value on
+   delete events (idempotency).
+
+Unwinding that recursion gives a closed form per (pk, column):
+
+    effective(col) = raw value of the LATEST event that is neither a
+                     delete nor TOASTed in that column,
+                     falling back to the FIRST event's raw value.
+
+which is exactly one ``last(..., ignorenulls)`` window per column — a
+single hash-shuffle on the PK and one sort, no Python, whole-stage
+codegen throughout. This is the scale-critical property: the fold is
+the amplification reducer that runs on every micro-batch, so it must be
+a one-shuffle JVM-only plan.
+
+History mode (append-only, reference table_data.go:46-47) needs no fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from transfer_spark.constants import (
+    ARTIE_PREFIX,
+    DELETE_COLUMN_MARKER,
+    ONLY_SET_DELETE_COLUMN_MARKER,
+    TOAST_UNAVAILABLE_VALUE,
+)
+
+
+def lww_dedup(df: DataFrame, pk_cols: list[str], order_col: str) -> DataFrame:
+    """Plain last-write-wins dedup: newest row per PK (no inherit/TOAST).
+
+    The fast path when the stream carries full row images (e.g. REPLICA
+    IDENTITY FULL, or Mongo full documents). One shuffle, row_number()=1.
+    """
+    w = Window.partitionBy(*pk_cols).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _carried(col: str, keep: Column, w: Window, w_first: Window) -> Column:
+    """last raw value where `keep`, else first event's raw value.
+
+    The struct wrap makes ``last(ignorenulls)`` skip only non-keep rows
+    while preserving legitimate NULL values inside kept rows.
+    """
+    carried = F.last(F.when(keep, F.struct(F.col(col).alias("v"))), ignorenulls=True).over(w)
+    fallback = F.first(F.col(col)).over(w_first)
+    # branch on the struct (presence of a kept row), not the value — a kept
+    # row whose value is a legitimate NULL must still override the fallback
+    return F.when(carried.isNotNull(), carried["v"]).otherwise(fallback)
+
+
+def cdc_fold(
+    df: DataFrame,
+    pk_cols: list[str],
+    order_col: str,
+    delete_col: str = DELETE_COLUMN_MARKER,
+    toast_sentinel: str = TOAST_UNAVAILABLE_VALUE,
+) -> DataFrame:
+    """Fold a CDC micro-batch to one surviving row per PK.
+
+    ``df`` must contain ``pk_cols``, a total-order column ``order_col``
+    (Kafka offset analog), and a boolean ``delete_col``. All non-artie,
+    non-pk, non-order columns get delete-inherit + TOAST carry-forward;
+    artie metadata columns ride along from the surviving (last) event.
+    """
+    is_delete = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+
+    w = (
+        Window.partitionBy(*pk_cols)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_first = w  # first() over the same running frame = first event's value
+
+    special = set(pk_cols) | {order_col, delete_col}
+    projected = []
+    for name in df.columns:
+        if name in special:
+            projected.append(F.col(name))
+        elif name == ONLY_SET_DELETE_COLUMN_MARKER:
+            # inherits on deletes only; TOAST never applies to a bool marker
+            projected.append(_carried(name, ~is_delete, w, w_first).alias(name))
+        elif name.startswith(ARTIE_PREFIX):
+            projected.append(F.col(name))  # metadata rides with its own event
+        else:
+            keep = ~is_delete & (
+                F.col(name).cast("string").isNull()
+                | (F.col(name).cast("string") != F.lit(toast_sentinel))
+            )
+            # NULL-valued kept rows must still override → struct wrap in _carried;
+            # but `keep` itself must be TRUE when value is NULL on a non-delete row.
+            projected.append(_carried(name, keep, w, w_first).alias(name))
+
+    folded = df.select(*projected)
+    return lww_dedup(folded, pk_cols, order_col)

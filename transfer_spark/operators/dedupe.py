@@ -1,0 +1,171 @@
+"""Deduplication operators: exact and fuzzy, at training-data scale.
+
+- exact: hash-groupBy on content (one shuffle; at 100 TB group on a
+  64-bit content hash first so the shuffle keys are fixed-width).
+- MinHash + LSH: shingle → k minhashes → b bands → bucket join. The
+  candidate join is a self-equi-join on (band_idx, band_hash): Spark
+  shuffles both sides by the band key, so cost scales with bucket
+  sizes, never O(n²).
+- SimHash: 32-bit sign-aggregated fingerprint; near-dup = small hamming
+  distance (bucketable by prefix).
+- n-gram Jaccard: exact pairwise verifier, meant to run AFTER an LSH
+  prefilter at scale (the all-pairs form exists for small-n oracle checks).
+
+Every hash is md5-derived so the identical arithmetic runs in any SQL
+engine (the DuckDB oracles mirror it term for term). Generalizes the
+reference's exact-PK dedupe maintenance op
+(reference: clients/iceberg/dialect/dialect.go:61-101).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from transfer_spark.operators.text import tokens
+
+MINHASH_MOD = 2305843009213693951  # 2^61 - 1, fits int64
+
+
+def exact_dedupe(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per distinct content value; report group size.
+
+    groupBy on the content itself (Catalyst hashes internally); survivors
+    re-joined by id to carry full rows when needed.
+    """
+    return (
+        df.groupBy(content_col)
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dupes"))
+        .select(id_col, content_col, "n_dupes")
+    )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles (1-based slice; empty when fewer than k words).
+
+    Guarded because Spark's sequence(1, n) DESCENDS when n < 1.
+    """
+    toks = tokens(text)
+    n = F.size(toks) - (k - 1)
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _shingle_hash(seed: int, s: Column) -> Column:
+    """Per-seed 60-bit hash: first 15 hex chars of md5('{seed}:' || shingle)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), s)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
+    """Array of `num_hashes` min-hashes over the document's k-shingles."""
+    sh = shingles(text, k)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: _shingle_hash(i, s)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Array of (band_idx, band_hash) structs; band_hash = md5 of the
+    comma-joined band slice."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(",", *[sig[b * rows_per_band + r].cast("string") for r in range(rows_per_band)])
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) sharing ≥1 LSH band.
+
+    Plan shape: project → explode bands → self-equi-join on band key →
+    distinct. All shuffles are on fixed-width keys; no cross join.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
+    banded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(minhash_bands(sig, bands, rows_per_band)).alias("b"),
+    ).select("doc", "b.band", "b.band_hash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """Sign-aggregated `bits`-wide fingerprint over word hashes."""
+    toks = tokens(text)
+    hashes = F.transform(toks, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"))
+
+    def bit_sum(i: int) -> Column:
+        # closure factory: pyspark lambdas must have exactly 2 params
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_vals = [
+        F.when(bit_sum(i) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
+    ]
+    out = F.lit(0).cast("long")
+    for i, b in enumerate(bit_vals):
+        out = out + F.shiftleft(b, i)
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All-pairs exact k-gram Jaccard ≥ threshold (small-n verifier;
+    at scale run it only on LSH candidate pairs)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter / union
+    return (
+        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

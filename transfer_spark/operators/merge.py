@@ -1,0 +1,136 @@
+"""MERGE — the engine's join: staging batch upserted into a target table.
+
+Reference semantics (Spark-SQL dialect the reference itself generates via
+Livy, reference: clients/iceberg/dialect/dialect.go:103-178):
+
+Hard-delete mode (M6)::
+
+    MERGE INTO tgt USING stg ON <pk equality> [AND <partition predicates>]
+    WHEN MATCHED AND stg.__artie_delete THEN DELETE
+    WHEN MATCHED AND IFNULL(stg.__artie_delete, false) = false
+        THEN UPDATE SET <toast-aware per-column>
+    WHEN NOT MATCHED AND IFNULL(stg.__artie_delete, false) = false
+        THEN INSERT ...
+
+Soft-delete mode (M7)::
+
+    WHEN MATCHED AND IFNULL(stg.__artie_only_set_delete, false) = false
+        THEN UPDATE SET <all columns, toast-aware>
+    WHEN MATCHED AND IFNULL(stg.__artie_only_set_delete, false) = true
+        THEN UPDATE SET __artie_delete = stg.__artie_delete
+    WHEN NOT MATCHED THEN INSERT ...
+
+TOAST-aware update fragment (M8, reference: lib/sql/columns.go:40-59)::
+
+    c = CASE WHEN COALESCE(stg.c != '<toast>', true) THEN stg.c ELSE tgt.c END
+
+Two implementations:
+
+- :func:`merge_dataframes` — a pure DataFrame plan (full outer join on
+  the PKs + per-branch projection). Works against any storage (we test
+  on parquet) and is what the local engine executes. At scale this is a
+  PK-equi-join: the staging side is a micro-batch (≤ ~30k rows) so AQE
+  turns it into a broadcast join against the big target; with partition
+  predicates injected the target scan is pruned first.
+- :mod:`transfer_spark.plans.merge_sql` — the SQL-text builder emitting
+  the statement above for lakehouse catalogs (Delta/Iceberg) where
+  row-level MERGE is native; on a 100 TB table that path rewrites only
+  matched files instead of the full outer join.
+
+Staging input MUST be pre-folded (one row per PK) — see
+:func:`transfer_spark.operators.cdc_fold.cdc_fold`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from transfer_spark.constants import (
+    DELETE_COLUMN_MARKER,
+    ONLY_SET_DELETE_COLUMN_MARKER,
+    TOAST_UNAVAILABLE_VALUE,
+)
+
+
+def _toast_aware(stg_c: Column, tgt_c: Column) -> Column:
+    """stg value unless it is the TOAST sentinel, else keep target value."""
+    not_toasted = F.coalesce(stg_c.cast("string") != F.lit(TOAST_UNAVAILABLE_VALUE), F.lit(True))
+    return F.when(not_toasted, stg_c).otherwise(tgt_c)
+
+
+def merge_dataframes(
+    target: DataFrame,
+    staging: DataFrame,
+    pk_cols: list[str],
+    soft_delete: bool = False,
+    additional_predicates: list[Column] | None = None,
+) -> DataFrame:
+    """Return the post-merge state of ``target`` as a DataFrame.
+
+    Output columns = target's data columns (minus internal markers), in
+    target order, plus ``__artie_delete`` when ``soft_delete``.
+    """
+    value_cols = [c for c in target.columns if c not in pk_cols]
+    # markers never land at the destination in hard mode; only_set_delete never at all
+    out_value_cols = [
+        c
+        for c in value_cols
+        if c != ONLY_SET_DELETE_COLUMN_MARKER and (soft_delete or c != DELETE_COLUMN_MARKER)
+    ]
+
+    tgt = target.alias("tgt")
+    stg = staging.alias("stg")
+    on = [F.col(f"tgt.{k}").eqNullSafe(F.col(f"stg.{k}")) for k in pk_cols]
+    if additional_predicates:
+        on.extend(additional_predicates)
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+
+    joined = tgt.join(stg, cond, "full_outer")
+
+    matched = F.col(f"stg.{pk_cols[0]}").isNotNull() & F.col(f"tgt.{pk_cols[0]}").isNotNull()
+    stg_only = F.col(f"tgt.{pk_cols[0]}").isNull()
+    stg_delete = F.coalesce(F.col(f"stg.{DELETE_COLUMN_MARKER}").cast("boolean"), F.lit(False))
+
+    pk_out = [F.coalesce(F.col(f"tgt.{k}"), F.col(f"stg.{k}")).alias(k) for k in pk_cols]
+
+    if soft_delete:
+        only_set = F.coalesce(
+            F.col(f"stg.{ONLY_SET_DELETE_COLUMN_MARKER}").cast("boolean"), F.lit(False)
+        ) if ONLY_SET_DELETE_COLUMN_MARKER in staging.columns else F.lit(False)
+
+        def val(c: str) -> Column:
+            stg_c, tgt_c = F.col(f"stg.{c}"), F.col(f"tgt.{c}")
+            if c == DELETE_COLUMN_MARKER:
+                # updated in BOTH matched branches; inserted as-is
+                return F.when(matched | stg_only, stg_c).otherwise(tgt_c)
+            updated = _toast_aware(stg_c, tgt_c)
+            return (
+                F.when(matched & ~only_set, updated)
+                .when(matched & only_set, tgt_c)  # only the delete marker moves
+                .when(stg_only, stg_c)
+                .otherwise(tgt_c)
+            )
+
+        out = joined.select(*pk_out, *[val(c).alias(c) for c in out_value_cols])
+        return out
+
+    # hard-delete mode
+    def val(c: str) -> Column:
+        stg_c, tgt_c = F.col(f"stg.{c}"), F.col(f"tgt.{c}")
+        updated = _toast_aware(stg_c, tgt_c)
+        return (
+            F.when(matched & ~stg_delete, updated)
+            .when(stg_only & ~stg_delete, stg_c)
+            .otherwise(tgt_c)
+        )
+
+    keep = ~(matched & stg_delete) & ~(stg_only & stg_delete)
+    return joined.filter(keep).select(*pk_out, *[val(c).alias(c) for c in out_value_cols])
+
+
+def append_mode(target: DataFrame, staging: DataFrame) -> DataFrame:
+    """History / append-only mode (A2, M12): no dedup, schema-aligned union."""
+    return target.unionByName(staging.select(*target.columns), allowMissingColumns=False)

@@ -1,0 +1,103 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Column expressions (whole-stage codegen, no Python): tokenize,
+quality stats, language-ID heuristic, rolling-hash fingerprint. These are
+the beyond-reference operators a 100 TB document pipeline needs; they are
+defined so the exact same arithmetic is expressible in ANSI SQL (the
+DuckDB oracles replicate them term for term).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deterministic stopword sets shared by quality scoring and language-ID
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "por"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"],
+}
+
+FINGERPRINT_BASE = 31
+FINGERPRINT_MOD = 2147483647  # 2^31 - 1; keeps acc*31+v inside int64
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of the lowercased, trimmed text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-ish proxy: word-piece count = words + extra pieces for long
+    words (ceil(len/6) pieces per word) — a deterministic, closed-form
+    stand-in for subword tokenizers."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(6.0)).cast("long"),
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters in a fixed punctuation class."""
+    return F.length(F.regexp_replace(text, r"[^.,!?;:]", "")) / F.length(text)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(text)
+    return stopword_hits(toks, STOPWORDS[lang]) / F.size(toks)
+
+
+def stopword_hits(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def quality_score(text: Column) -> Column:
+    """Engine-defined quality heuristic in [0,1]: rewards mid-length docs,
+    low punctuation density, and normal stopword density."""
+    toks = tokens(text)
+    n = F.size(toks)
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    stop = stopword_hits(toks, STOPWORDS["en"]) / n
+    stop_score = F.least(stop * F.lit(4.0), F.lit(1.0))
+    punct_pen = F.least(punct_ratio(text) * F.lit(10.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * len_score + F.lit(0.5) * stop_score - F.lit(0.25) * punct_pen, 6
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-hit argmax over the language table; ties break by language
+    code order; no hits at all → 'und'."""
+    toks = tokens(text)
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for code in sorted(STOPWORDS):  # deterministic tie-break: first max wins
+        h = stopword_hits(toks, STOPWORDS[code])
+        is_better = h > best_hits
+        best_lang = F.when(is_better, F.lit(code)).otherwise(best_lang)
+        best_hits = F.when(is_better, h).otherwise(best_hits)
+    return best_lang
+
+
+def word_hash(w: Column, hex_chars: int = 7) -> Column:
+    """First `hex_chars` hex digits of md5 as an integer — the shared
+    cross-engine word hash (md5 is identical everywhere)."""
+    return F.conv(F.substring(F.md5(w), 1, hex_chars), 16, 10).cast("long")
+
+
+def fingerprint(text: Column) -> Column:
+    """Rolling polynomial hash over the token stream:
+    acc <- (acc*31 + md5_28bit(word)) mod (2^31-1)."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * FINGERPRINT_BASE + word_hash(w)) % FINGERPRINT_MOD,
+    )

@@ -1,0 +1,184 @@
+"""Projections / filters / row transforms (SURVEY §2.3, P1–P9).
+
+All pure Column-expression transforms — no UDFs, fully inside
+whole-stage codegen, so they cost nothing extra at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from transfer_spark.constants import (
+    ARTIE_PREFIX,
+    OPERATION_COLUMN,
+    TOAST_UNAVAILABLE_VALUE,
+)
+
+# ---------------------------------------------------------------------------
+# P1 — column-name sanitize (reference: lib/typing/columns/columns.go:18-42,
+# lib/stringutil/strings.go:31-34)
+# ---------------------------------------------------------------------------
+
+
+def escape_name(name: str, reserved: set[str] | None = None) -> str:
+    """lowercase; spaces → ``__``; leading digit → ``col_`` prefix;
+    ``#`` → ``__``; reserved word → ``col_`` prefix."""
+    if not name:
+        return name
+    name = name.lower().replace(" ", "__")
+    if name[0].isdigit():
+        name = "col_" + name
+    name = name.replace("#", "__")
+    if reserved and name in reserved:
+        name = "col_" + name
+    return name
+
+
+def sanitize_column_names(df: DataFrame, reserved: set[str] | None = None) -> DataFrame:
+    return df.toDF(*[escape_name(c, reserved) for c in df.columns])
+
+
+# ---------------------------------------------------------------------------
+# P2 — include / exclude projection (reference: models/event/event_util.go:49-94)
+# ---------------------------------------------------------------------------
+
+
+def include_columns(df: DataFrame, include: list[str]) -> DataFrame:
+    """Keep the include-list plus Artie metadata columns (always kept)."""
+    keep = [c for c in df.columns if c in include or c.startswith(ARTIE_PREFIX)]
+    return df.select(*keep)
+
+
+def exclude_columns(df: DataFrame, exclude: list[str]) -> DataFrame:
+    """Drop the exclude-list; Artie metadata columns are never droppable."""
+    drop = [c for c in exclude if not c.startswith(ARTIE_PREFIX) and c in df.columns]
+    return df.drop(*drop)
+
+
+# ---------------------------------------------------------------------------
+# P3 — column hashing (reference: models/event/event_util.go:146-150)
+# ---------------------------------------------------------------------------
+
+
+def hash_columns(df: DataFrame, cols: list[str], hmac_key: str | None = None) -> DataFrame:
+    """SHA-256 (or HMAC-SHA256 w/ key) of the named columns; type → string."""
+    out = df
+    for c in cols:
+        if hmac_key is None:
+            out = out.withColumn(c, F.sha2(F.col(c).cast("string"), 256))
+        else:
+            # HMAC(k, m) = H((k ^ opad) || H((k ^ ipad) || m)); Spark has no
+            # builtin HMAC — compose it from sha2 over hex, which is
+            # deterministic and key-dependent (engine-defined, not RFC2104
+            # byte-exact since we operate over utf8 strings).
+            out = out.withColumn(
+                c, F.sha2(F.concat(F.lit(hmac_key), F.sha2(F.concat(F.lit(hmac_key), F.col(c).cast("string")), 256)), 256)
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# P4 — column encryption (reference: models/event/event_util.go:152-184)
+# ---------------------------------------------------------------------------
+
+
+def encrypt_columns(df: DataFrame, cols: list[str], key: str) -> DataFrame:
+    """AES-encrypt value → base64 (ECB keeps it deterministic like the
+    reference's per-value encryption; GCM would salt per row)."""
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.base64(
+                F.expr(f"aes_encrypt(cast({c} as string), '{key}', 'ECB', 'PKCS')")
+            ),
+        )
+    return out
+
+
+def decrypt_columns(df: DataFrame, cols: list[str], key: str) -> DataFrame:
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.expr(f"cast(aes_decrypt(unbase64({c}), '{key}', 'ECB', 'PKCS') as string)"),
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# P5/P6 — static + metadata column injection
+# ---------------------------------------------------------------------------
+
+
+def add_static_columns(df: DataFrame, static: dict[str, object]) -> DataFrame:
+    """Config-supplied constant columns; collision is an error
+    (reference: models/event/event.go:136-143)."""
+    for name, value in static.items():
+        if name in df.columns:
+            raise ValueError(f"static column {name!r} collides with an event column")
+        df = df.withColumn(name, F.lit(value))
+    return df
+
+
+def add_operation_column(df: DataFrame, is_delete: Column) -> DataFrame:
+    """__artie_operation: 'd' for deletes else 'u' (simplified op map)."""
+    return df.withColumn(OPERATION_COLUMN, F.when(is_delete, "d").otherwise("u"))
+
+
+# ---------------------------------------------------------------------------
+# P7 — TOAST placeholder detect (reference: models/event/event.go:276-295)
+# ---------------------------------------------------------------------------
+
+
+def toast_mask(col: Column) -> Column:
+    """True when the value is the Debezium unavailable-value placeholder."""
+    return col.cast("string") == F.lit(TOAST_UNAVAILABLE_VALUE)
+
+
+def toasted_columns(df: DataFrame, candidate_cols: list[str]) -> DataFrame:
+    """Per-column any(toast) aggregate — the flush-trigger signal."""
+    return df.agg(
+        *[F.max(toast_mask(F.col(c)).cast("int")).cast("boolean").alias(c) for c in candidate_cols]
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 — PK string key (reference: models/event/event.go:225-237: sorted PK
+# names, `k=v` pairs concatenated with no separator)
+# ---------------------------------------------------------------------------
+
+
+def pk_string_key(pk_cols: list[str]) -> Column:
+    parts = []
+    for k in sorted(pk_cols):
+        parts.append(F.concat(F.lit(f"{k}="), F.col(k).cast("string")))
+    return F.concat(*parts)
+
+
+# ---------------------------------------------------------------------------
+# P9 — soft partition routing (reference: models/event/soft_partition.go:13-47)
+# ---------------------------------------------------------------------------
+
+
+def soft_partition_route(
+    df: DataFrame, table_name: str, time_col: str, granularity: str = "month"
+) -> DataFrame:
+    """Compute the suffixed target table per row (`name__YYYYMM`)."""
+    fmt = {"month": "yyyyMM", "day": "yyyyMMdd"}[granularity]
+    suffix = F.date_format(F.col(time_col), fmt)
+    return df.withColumn(
+        "__artie_target_table", F.concat(F.lit(f"{table_name}__"), suffix)
+    )
+
+
+# ---------------------------------------------------------------------------
+# S7 — skipped-operations filter (reference: processes/consumer/process.go:75-80)
+# ---------------------------------------------------------------------------
+
+
+def skip_operations(df: DataFrame, skipped: list[str], op_col: str = OPERATION_COLUMN) -> DataFrame:
+    return df.filter(~F.col(op_col).isin(skipped))

@@ -1,0 +1,26 @@
+"""Workload catalog: every implemented operator exposed as a (spark_fn, oracle_sql) pair.
+
+``QUERIES[name] = (fn, oracle)`` where ``fn(spark, sf_dir) -> DataFrame``
+and ``oracle`` is ANSI SQL DuckDB runs over the same parquet views
+(or ``None`` for non-SQL-expressible operators → rows-only check).
+
+The driver compares row-count + schema + order-insensitive value hash,
+sorting columns by name — so Spark aliases and SQL ``AS`` names must
+match exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from transfer_spark.workloads import cdc, text, transforms, vectors
+
+Entry = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
+
+QUERIES: dict[str, Entry] = {}
+QUERIES.update(cdc.QUERIES)
+QUERIES.update(transforms.QUERIES)
+QUERIES.update(text.QUERIES)
+QUERIES.update(vectors.QUERIES)

@@ -1,0 +1,256 @@
+"""CDC workload family: the reference's replication dataflow exercised on
+the synthetic ``events`` table.
+
+Derived change stream (identical definition on the Spark and oracle
+sides): PK = ``user_id``, Kafka-offset analog = ``event_id``,
+``event_type = 'error'`` plays the delete op, and ``event_type = 'view'``
+events carry a TOASTed payload column (the Postgres unavailable-value
+sentinel), so the fold's carry-forward and delete-inherit paths are both
+exercised on real data volume (~67 versions per PK at sf0.01).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transfer_spark.session import read_table
+
+from transfer_spark.constants import (
+    DELETE_COLUMN_MARKER,
+    OFFSET_COLUMN,
+    TOAST_UNAVAILABLE_VALUE,
+)
+from transfer_spark.operators.cdc_fold import cdc_fold, lww_dedup
+from transfer_spark.operators.merge import merge_dataframes
+
+TOAST = TOAST_UNAVAILABLE_VALUE
+DEL = DELETE_COLUMN_MARKER
+OFF = OFFSET_COLUMN
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events")
+
+
+def _stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → synthetic Debezium-shaped change stream."""
+    return _events(spark, sf_dir).select(
+        F.col("user_id").alias("id"),
+        F.col("event_id").alias(OFF),
+        (F.col("event_type") == "error").alias(DEL),
+        F.when(F.col("event_type") == "view", F.lit(TOAST))
+        .otherwise(F.col("event_type"))
+        .alias("etype"),
+        F.col("value").alias("val"),
+        F.col("ts"),
+    )
+
+
+# The same stream in DuckDB SQL.
+_STREAM_SQL = f"""
+  SELECT user_id AS id,
+         event_id AS off,
+         (event_type = 'error') AS is_delete,
+         CASE WHEN event_type = 'view' THEN '{TOAST}' ELSE event_type END AS etype,
+         "value" AS val,
+         ts
+  FROM events
+"""
+
+
+def _fold_sql(source_sql: str) -> str:
+    """DuckDB CTE computing the closed-form fold over a stream CTE.
+
+    Mirrors cdc_fold: per column, last raw value on a non-delete,
+    non-TOAST event; fallback = first event's value; survivor = max off.
+    """
+    keep_etype = f"(NOT is_delete AND (etype IS NULL OR etype != '{TOAST}'))"
+    keep_plain = "(NOT is_delete)"  # non-string cols can never equal the sentinel
+    return f"""
+    WITH stream AS ({source_sql}),
+    carried AS (
+      SELECT id, off, is_delete,
+        last_value(CASE WHEN {keep_etype} THEN {{'v': etype}} END IGNORE NULLS)
+          OVER w AS etype_c,
+        first_value(etype) OVER w AS etype_f,
+        last_value(CASE WHEN {keep_plain} THEN {{'v': val}} END IGNORE NULLS)
+          OVER w AS val_c,
+        first_value(val) OVER w AS val_f,
+        last_value(CASE WHEN {keep_plain} THEN {{'v': ts}} END IGNORE NULLS)
+          OVER w AS ts_c,
+        first_value(ts) OVER w AS ts_f
+      FROM stream
+      WINDOW w AS (PARTITION BY id ORDER BY off
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    folded AS (
+      SELECT id, off, is_delete,
+        CASE WHEN etype_c IS NOT NULL THEN etype_c.v ELSE etype_f END AS etype,
+        CASE WHEN val_c IS NOT NULL THEN val_c.v ELSE val_f END AS val,
+        CASE WHEN ts_c IS NOT NULL THEN ts_c.v ELSE ts_f END AS ts
+      FROM carried
+      QUALIFY row_number() OVER (PARTITION BY id ORDER BY off DESC) = 1
+    )
+    """
+
+
+def q_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 fast path: plain last-write-wins, newest event per PK."""
+    out = lww_dedup(_stream(spark, sf_dir), ["id"], OFF)
+    return out.select("id", "etype", "val", "ts")
+
+
+ORACLE_LWW = f"""
+WITH stream AS ({_STREAM_SQL})
+SELECT id, etype, val, ts
+FROM stream
+QUALIFY row_number() OVER (PARTITION BY id ORDER BY off DESC) = 1
+"""
+
+
+def q_cdc_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 full fold: LWW + TOAST carry-forward + delete-inherit."""
+    out = cdc_fold(_stream(spark, sf_dir), ["id"], OFF)
+    return out.select(
+        "id", "etype", "val", "ts", F.col(DEL).alias("is_deleted")
+    )
+
+
+ORACLE_CDC_FOLD = (
+    _fold_sql(_STREAM_SQL)
+    + "SELECT id, etype, val, ts, is_delete AS is_deleted FROM folded"
+)
+
+
+def _two_batches(spark: SparkSession, sf_dir: str, midpoint_frac: float = 0.5):
+    stream = _stream(spark, sf_dir)
+    # deterministic split point from the data itself (max offset * frac)
+    hi = stream.agg(F.max(OFF)).collect()[0][0]
+    mid = int(hi * midpoint_frac)
+    batch1 = stream.filter(F.col(OFF) <= mid)
+    batch2 = stream.filter(F.col(OFF) > mid)
+    return batch1, batch2, mid
+
+
+def q_cdc_merge_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: fold batch1 → target (hard-deleted rows dropped), fold batch2 →
+    staging, MERGE with delete/update/insert branches + TOAST CASE."""
+    batch1, batch2, _ = _two_batches(spark, sf_dir)
+    f1 = cdc_fold(batch1, ["id"], OFF)
+    target = f1.filter(~F.col(DEL)).select("id", "etype", "val", "ts")
+    staging = cdc_fold(batch2, ["id"], OFF).select("id", "etype", "val", "ts", DEL)
+    return merge_dataframes(target, staging, ["id"])
+
+
+def _oracle_merge(soft: bool) -> str:
+    mid = "(SELECT CAST(max(event_id) * 0.5 AS BIGINT) FROM events)"
+    b1 = _STREAM_SQL + f" WHERE event_id <= {mid}"
+    b2 = _STREAM_SQL + f" WHERE event_id > {mid}"
+    keep_etype = f"(NOT is_delete AND (etype IS NULL OR etype != '{TOAST}'))"
+    keep_plain = "(NOT is_delete)"
+
+    def fold_ctes(src: str, tag: str) -> str:
+        return f"""
+    stream_{tag} AS ({src}),
+    carried_{tag} AS (
+      SELECT id, off, is_delete,
+        last_value(CASE WHEN {keep_etype} THEN {{'v': etype}} END IGNORE NULLS)
+          OVER w AS etype_c,
+        first_value(etype) OVER w AS etype_f,
+        last_value(CASE WHEN {keep_plain} THEN {{'v': val}} END IGNORE NULLS)
+          OVER w AS val_c,
+        first_value(val) OVER w AS val_f,
+        last_value(CASE WHEN {keep_plain} THEN {{'v': ts}} END IGNORE NULLS)
+          OVER w AS ts_c,
+        first_value(ts) OVER w AS ts_f
+      FROM stream_{tag}
+      WINDOW w AS (PARTITION BY id ORDER BY off
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    folded_{tag} AS (
+      SELECT id, off, is_delete,
+        CASE WHEN etype_c IS NOT NULL THEN etype_c.v ELSE etype_f END AS etype,
+        CASE WHEN val_c IS NOT NULL THEN val_c.v ELSE val_f END AS val,
+        CASE WHEN ts_c IS NOT NULL THEN ts_c.v ELSE ts_f END AS ts
+      FROM carried_{tag}
+      QUALIFY row_number() OVER (PARTITION BY id ORDER BY off DESC) = 1
+    )"""
+
+    toast_case = (
+        f"CASE WHEN COALESCE(s.etype != '{TOAST}', TRUE) THEN s.etype ELSE t.etype END"
+    )
+
+    if not soft:
+        return f"""
+    WITH {fold_ctes(b1, 't0')},
+    {fold_ctes(b2, 's0')},
+    tgt AS (SELECT id, etype, val, ts FROM folded_t0 WHERE NOT is_delete),
+    stg AS (SELECT id, etype, val, ts, is_delete FROM folded_s0)
+    SELECT COALESCE(t.id, s.id) AS id,
+      CASE WHEN s.id IS NOT NULL AND NOT s.is_delete AND t.id IS NOT NULL THEN {toast_case}
+           WHEN s.id IS NOT NULL AND NOT s.is_delete AND t.id IS NULL THEN s.etype
+           ELSE t.etype END AS etype,
+      CASE WHEN s.id IS NOT NULL AND NOT s.is_delete THEN s.val ELSE t.val END AS val,
+      CASE WHEN s.id IS NOT NULL AND NOT s.is_delete THEN s.ts ELSE t.ts END AS ts
+    FROM tgt t FULL OUTER JOIN stg s ON t.id = s.id
+    WHERE s.id IS NULL OR NOT s.is_delete
+    """
+
+    return f"""
+    WITH {fold_ctes(b1, 't0')},
+    {fold_ctes(b2, 's0')},
+    tgt AS (SELECT id, etype, val, ts, is_delete AS artie_delete FROM folded_t0),
+    stg AS (SELECT id, etype, val, ts, is_delete AS artie_delete FROM folded_s0)
+    SELECT COALESCE(t.id, s.id) AS id,
+      CASE WHEN t.id IS NOT NULL AND s.id IS NOT NULL THEN {toast_case}
+           WHEN t.id IS NULL THEN s.etype
+           ELSE t.etype END AS etype,
+      CASE WHEN s.id IS NOT NULL THEN s.val ELSE t.val END AS val,
+      CASE WHEN s.id IS NOT NULL THEN s.ts ELSE t.ts END AS ts,
+      CASE WHEN s.id IS NOT NULL THEN s.artie_delete ELSE t.artie_delete END AS is_deleted
+    FROM tgt t FULL OUTER JOIN stg s ON t.id = s.id
+    """
+
+
+def q_cdc_merge_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: soft-delete merge — deleted rows stay with __artie_delete=true.
+
+    Batch2 staging rows here always carry full values (the fold inherited
+    them), so only_set_delete is false throughout; the marker-only branch
+    is covered by unit tests.
+    """
+    batch1, batch2, _ = _two_batches(spark, sf_dir)
+    target = cdc_fold(batch1, ["id"], OFF).select("id", "etype", "val", "ts", DEL)
+    staging = (
+        cdc_fold(batch2, ["id"], OFF)
+        .select("id", "etype", "val", "ts", DEL)
+        .withColumn("__artie_only_set_delete", F.lit(False))
+    )
+    out = merge_dataframes(target, staging, ["id"], soft_delete=True)
+    return out.withColumnRenamed(DEL, "is_deleted")
+
+
+def q_dedupe_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M16 standalone dedupe op (reference's own Spark SQL form,
+    clients/iceberg/dialect/dialect.go:61-101): ROW_NUMBER()=1 per dupe
+    key ordered by recency, INSERT OVERWRITE semantics."""
+    ev = _events(spark, sf_dir)
+    out = lww_dedup(ev, ["user_id", "event_type"], "event_id")
+    return out.select("user_id", "event_type", "event_id", "value")
+
+
+ORACLE_DEDUPE_MAINTENANCE = """
+SELECT user_id, event_type, event_id, "value"
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+"""
+
+
+QUERIES = {
+    "cdc_lww_dedup": (q_lww_dedup, ORACLE_LWW),
+    "cdc_fold": (q_cdc_fold, ORACLE_CDC_FOLD),
+    "cdc_merge_hard": (q_cdc_merge_hard, _oracle_merge(soft=False)),
+    "cdc_merge_soft": (q_cdc_merge_soft, _oracle_merge(soft=True)),
+    "dedupe_maintenance": (q_dedupe_maintenance, ORACLE_DEDUPE_MAINTENANCE),
+}

@@ -1,0 +1,224 @@
+"""Text-analysis + fuzzy-dedup workload family on the `documents` table.
+
+The oracle SQL mirrors the operators' md5-derived arithmetic term for
+term, so correctness is checked end-to-end (not just row counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transfer_spark.session import read_table
+
+from transfer_spark.operators import dedupe as D
+from transfer_spark.operators import text as T
+
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+def _stop_list(code: str) -> str:
+    return ", ".join(f"'{w}'" for w in T.STOPWORDS[code])
+
+
+def _hits_sql(toks: str, code: str) -> str:
+    return f"len(list_filter({toks}, t -> t IN ({_stop_list(code)})))"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality stats (whitespace + BPE-ish subword proxy)."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.bpe_ish_token_count(t).alias("n_subwords"),
+        F.length(t).alias("n_chars_actual"),
+        F.round(T.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio(t, "en"), 6).alias("stopword_ratio"),
+        T.quality_score(t).alias("quality"),
+    )
+
+
+ORACLE_TEXT_STATS = f"""
+WITH d AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+)
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  list_reduce(list_prepend(0::BIGINT, list_transform(toks, w -> CAST(ceil(length(w)/6.0) AS BIGINT))),
+              (acc, x) -> acc + x) AS n_subwords,
+  length(text) AS n_chars_actual,
+  round(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+  round({_hits_sql('toks', 'en')} / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+  round(0.5 * least(len(toks) / 100.0, 1.0)
+      + 0.5 * least(({_hits_sql('toks', 'en')} / CAST(len(toks) AS DOUBLE)) * 4.0, 1.0)
+      - 0.25 * least((length(regexp_replace(text, '[^.,!?;:]', '', 'g')) / CAST(length(text) AS DOUBLE)) * 10.0, 1.0),
+      6) AS quality
+FROM d
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic; compared against itself in
+    SQL (and informally against the dataset's `lang` column)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
+
+
+def _langid_sql() -> str:
+    # fold over language codes in sorted order, first strict max wins
+    cols = []
+    for code in sorted(T.STOPWORDS):
+        cols.append(f"{_hits_sql('toks', code)} AS h_{code}")
+    case = "CASE "
+    # replicate the sequential argmax: best starts at ('und', 0)
+    # de, en, es, fr in sorted order
+    codes = sorted(T.STOPWORDS)
+    # expand the sequential comparison as nested CASE via running best
+    # best = und/0; for c in codes: if h_c > best_h then c
+    # final lang = the LAST code that strictly beat all previous bests —
+    # equivalent to: the first code (in order) with h = max(h) IF max > 0.
+    # (strict > means later equal values do not replace earlier max.)
+    max_expr = "greatest(" + ", ".join(f"h_{c}" for c in codes) + ")"
+    case = f"CASE WHEN {max_expr} <= 0 THEN 'und' "
+    for c in codes:
+        case += f"WHEN h_{c} = {max_expr} THEN '{c}' "
+    case += "END"
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), h AS (
+  SELECT doc_id, {', '.join(cols)} FROM d
+)
+SELECT doc_id, {case} AS lang_guess FROM h
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+ORACLE_FINGERPRINT = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+)
+SELECT doc_id,
+  list_reduce(
+    list_prepend(0::BIGINT,
+      list_transform(toks, w -> ('0x' || substr(md5(w), 1, 7))::BIGINT)),
+    (acc, v) -> (acc * {T.FINGERPRINT_BASE} + v) % {T.FINGERPRINT_MOD}
+  ) AS fp
+FROM d
+"""
+
+
+def q_dedupe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: lowest doc_id survives per distinct text."""
+    return D.exact_dedupe(_docs(spark, sf_dir), "text", "doc_id").select(
+        "doc_id", "n_dupes"
+    )
+
+
+ORACLE_DEDUPE_EXACT = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
+FROM documents GROUP BY text
+"""
+
+_SHINGLES = (
+    f"list_transform(range(1, greatest(len({_TOKS}) - 1, 1)),"
+    f" i -> array_to_string(({_TOKS})[i:i+2], ' '))"
+)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate near-duplicate pairs (16 hashes, 4 bands)."""
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    sig_elems = ", ".join(
+        f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}:' || s), 1, 15))::BIGINT))"
+        for i in range(num_hashes)
+    )
+    band_structs = []
+    for b in range(bands):
+        parts = " || ',' || ".join(
+            f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+        )
+        band_structs.append(f"{{'band': {b}, 'band_hash': md5({parts})}}")
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM documents
+), sigs AS (
+  SELECT doc_id, [{sig_elems}] AS sig FROM d
+), banded AS (
+  SELECT doc_id, u.band AS band, u.band_hash AS band_hash
+  FROM sigs, UNNEST([{', '.join(band_structs)}]) AS t(u)
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs 3-gram Jaccard ≥ 0.5 (exact verifier)."""
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", 3, 0.5)
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH d AS (
+  SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  round(len(list_intersect(a.sh, b.sh)) /
+        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh)) /
+        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) >= 0.5
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", D.simhash(F.col("text"), 32).alias("simhash"))
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    bit_terms = []
+    for i in range(bits):
+        s = (
+            f"list_reduce(list_prepend(0::BIGINT, list_transform(hs, "
+            f"h -> CASE WHEN (h >> {i}) & 1 = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END)), "
+            f"(acc, x) -> acc + x)"
+        )
+        bit_terms.append(f"(CASE WHEN {s} > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {i})")
+    total = " + ".join(bit_terms)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    list_transform({_TOKS}, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hs
+  FROM documents
+)
+SELECT doc_id, {total} AS simhash FROM d
+"""
+
+
+QUERIES = {
+    "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
+    "lang_id": (q_lang_id, _langid_sql()),
+    "doc_fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
+    "dedupe_exact": (q_dedupe_exact, ORACLE_DEDUPE_EXACT),
+    "dedupe_minhash_lsh": (q_minhash_lsh_pairs, _minhash_sql()),
+    "dedupe_ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    "dedupe_simhash": (q_simhash, _simhash_sql()),
+}

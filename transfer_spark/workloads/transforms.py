@@ -1,0 +1,177 @@
+"""Row-transform workload family (SURVEY §2.3 P1–P9, §2.2 converters).
+
+Each query exercises one projection/transform operator from
+:mod:`transfer_spark.operators.transforms` or one scalar converter from
+:mod:`transfer_spark.functions.converters` on real table volume, with an
+exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transfer_spark.session import read_table
+
+from transfer_spark.functions import converters as C
+from transfer_spark.operators import transforms as T
+
+
+def q_column_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 column hashing: SHA-256 of a column, type forced to string
+    (reference: models/event/event_util.go:146-150)."""
+    cust = read_table(spark, sf_dir, "customer")
+    return T.hash_columns(cust, ["c_name"]).select(
+        "c_custkey", F.col("c_name").alias("c_name_hash")
+    )
+
+
+ORACLE_COLUMN_HASH = """
+SELECT c_custkey, sha256(c_name) AS c_name_hash FROM customer
+"""
+
+
+def q_projection_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 include-projection + P5 static column + P6 metadata columns."""
+    ev = read_table(spark, sf_dir, "events")
+    out = T.include_columns(ev, ["event_id", "user_id", "event_type"])
+    out = T.add_static_columns(out, {"source_env": "prod"})
+    out = T.add_operation_column(out, (F.col("event_type") == "error"))
+    return out.select("event_id", "user_id", "event_type", "source_env", "__artie_operation")
+
+
+ORACLE_PROJECTION_METADATA = """
+SELECT event_id, user_id, event_type,
+       'prod' AS source_env,
+       CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS __artie_operation
+FROM events
+"""
+
+
+def q_pk_string_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 PK string build: sorted PK names, k=v concat
+    (reference: models/event/event.go:150, event_util.go:27-47)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        T.pk_string_key(["l_orderkey", "l_linenumber"]).alias("pk_key"),
+        "l_quantity",
+    )
+
+
+ORACLE_PK_STRING_KEY = """
+SELECT 'l_linenumber=' || CAST(l_linenumber AS VARCHAR) ||
+       'l_orderkey=' || CAST(l_orderkey AS VARCHAR) AS pk_key,
+       l_quantity
+FROM lineitem
+"""
+
+
+def q_soft_partition_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 soft partition routing: route rows to a `name__YYYYMM` suffixed
+    table by a time column (reference: models/event/soft_partition.go:13-47);
+    returns per-partition routing counts."""
+    ev = read_table(spark, sf_dir, "events")
+    routed = T.soft_partition_route(ev, "events", "ts")
+    return routed.groupBy("__artie_target_table").agg(
+        F.count("*").alias("n_rows")
+    )
+
+
+ORACLE_SOFT_PARTITION = """
+SELECT 'events__' || strftime(ts, '%Y%m') AS __artie_target_table,
+       count(*) AS n_rows
+FROM events
+GROUP BY 1
+"""
+
+
+def q_sanitize_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 column-name sanitize applied to a deliberately hostile projection."""
+    r = read_table(spark, sf_dir, "region")
+    hostile = r.select(
+        F.col("r_regionkey").alias("Region Key"),
+        F.col("r_name").alias("1name"),
+        F.col("r_name").alias("r#name"),
+    )
+    return T.sanitize_column_names(hostile)
+
+
+ORACLE_SANITIZE = """
+SELECT r_regionkey AS region__key, r_name AS col_1name, r_name AS r__name
+FROM region
+"""
+
+
+def q_converter_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 temporal converters on synthetic Debezium wire values derived
+    from events: epoch-days → date, micros-since-midnight → TIME string,
+    epoch-millis → timestamp."""
+    ev = read_table(spark, sf_dir, "events")
+    wire = ev.select(
+        "event_id",
+        (F.col("event_id") % 20000).cast("int").alias("d_days"),
+        ((F.col("event_id") * 7919) % 86_400_000_000).alias("t_micros"),
+        (F.lit(1_700_000_000_000) + F.col("event_id") * 1000).alias("ts_ms"),
+    )
+    return wire.select(
+        "event_id",
+        C.debezium_date(F.col("d_days")).alias("as_date"),
+        C.debezium_micro_time(F.col("t_micros")).alias("as_time"),
+        C.debezium_timestamp_millis(F.col("ts_ms")).alias("as_ts"),
+    )
+
+
+ORACLE_CONVERTER_DATETIME = """
+SELECT event_id,
+       DATE '1970-01-01' + CAST(event_id % 20000 AS INT) AS as_date,
+       strftime(TIMESTAMP '1970-01-01' + to_microseconds((event_id * 7919) % 86400000000),
+                '%H:%M:%S.%f') AS as_time,
+       epoch_ms(1700000000000 + event_id * 1000) AS as_ts
+FROM events
+"""
+
+
+def q_event_tracking_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 event-tracking decode: analytics JSON payload → typed columns
+    (reference: lib/cdc/eventtracking/event.go:16-110)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("event_type").alias("event"),
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("prop_k"),
+    )
+
+
+ORACLE_EVENT_TRACKING = """
+SELECT event_id, event_type AS event,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+FROM events
+"""
+
+
+def q_skipped_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 skipped-operations filter: drop configured ops before buffering
+    (reference: processes/consumer/process.go:75-80)."""
+    ev = read_table(spark, sf_dir, "events")
+    op = F.when(F.col("event_type") == "error", "d").otherwise("u")
+    out = T.skip_operations(ev.withColumn("__artie_operation", op), skipped=["d"])
+    return out.select("event_id", "user_id", "event_type")
+
+
+ORACLE_SKIPPED_OPERATIONS = """
+SELECT event_id, user_id, event_type
+FROM events
+WHERE (CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END) NOT IN ('d')
+"""
+
+
+QUERIES = {
+    "column_hash": (q_column_hash, ORACLE_COLUMN_HASH),
+    "projection_metadata": (q_projection_metadata, ORACLE_PROJECTION_METADATA),
+    "pk_string_key": (q_pk_string_key, ORACLE_PK_STRING_KEY),
+    "soft_partition_routing": (q_soft_partition_routing, ORACLE_SOFT_PARTITION),
+    "sanitize_columns": (q_sanitize_columns, ORACLE_SANITIZE),
+    "converter_datetime": (q_converter_datetime, ORACLE_CONVERTER_DATETIME),
+    "event_tracking_decode": (q_event_tracking_decode, ORACLE_EVENT_TRACKING),
+    "skipped_operations": (q_skipped_operations, ORACLE_SKIPPED_OPERATIONS),
+}

@@ -1,0 +1,93 @@
+"""Similarity-search workload family on the `embeddings` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transfer_spark.session import read_table
+
+from transfer_spark.operators import similarity as S
+
+_DOT = "list_inner_product(a.v, b.v)"
+_COS = "list_cosine_similarity(a.v, b.v)"
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for the first 10 vectors."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ann_bruteforce_topk(emb, queries, k=5)
+
+
+ORACLE_ANN_BRUTEFORCE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.v, b.v) AS cos
+  FROM q a JOIN e b ON a.vec_id != b.vec_id
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (sign-random-projection, 4 planes)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ann_lsh_topk(emb, queries, k=5, n_planes=4, dim=64, seed=42)
+
+
+def _lsh_oracle(n_planes: int = 4, dim: int = 64, seed: int = 42, k: int = 5) -> str:
+    planes = S.hyperplanes(n_planes, dim, seed)
+    bits = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        bits.append(
+            f"(CASE WHEN list_inner_product(v, {lit}) > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {i})"
+        )
+    bucket = " + ".join(bits)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), bucketed AS (
+  SELECT vec_id, v, {bucket} AS bucket FROM e
+), q AS (SELECT * FROM bucketed WHERE vec_id < 10),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.v, b.v) AS cos
+  FROM q a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs embedding near-duplicates at cosine ≥ 0.4."""
+    return S.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+ORACLE_COSINE_NEARDUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+"""
+
+
+QUERIES = {
+    "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
+    "ann_lsh_topk": (q_ann_lsh, _lsh_oracle()),
+    "embedding_neardup": (q_cosine_neardup, ORACLE_COSINE_NEARDUP),
+}
