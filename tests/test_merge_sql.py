@@ -1,0 +1,118 @@
+"""SQL-text assertions for the lakehouse MERGE/DDL builders — the same
+test strategy the reference uses for its dialects
+(reference: clients/snowflake/dialect/dialect_test.go, ddl tests)."""
+
+from transfer_spark.plans import merge_sql as M
+
+
+def test_hard_delete_merge_three_branches():
+    (stmt,) = M.build_merge_queries(
+        "db.tbl",
+        "stg_view",
+        ["id"],
+        ["id", "name", "__artie_delete", "__artie_only_set_delete"],
+    )
+    assert stmt.startswith(
+        "MERGE INTO db.tbl AS tgt USING stg_view AS stg ON tgt.`id` = stg.`id`"
+    )
+    assert "WHEN MATCHED AND stg.`__artie_delete` THEN DELETE" in stmt
+    assert (
+        "WHEN MATCHED AND IFNULL(stg.`__artie_delete`, false) = false "
+        "THEN UPDATE SET `id`=stg.`id`,`name`=stg.`name`" in stmt
+    )
+    assert (
+        "WHEN NOT MATCHED AND IFNULL(stg.`__artie_delete`, false) = false "
+        "THEN INSERT (`id`,`name`) VALUES (stg.`id`,stg.`name`)" in stmt
+    )
+    # internal markers never land at the destination in hard mode
+    assert "INSERT (`id`,`name`)" in stmt
+    assert "__artie_only_set_delete`=" not in stmt
+
+
+def test_soft_delete_merge_marker_branch():
+    (stmt,) = M.build_merge_queries(
+        "db.tbl",
+        "stg_view",
+        ["id"],
+        ["id", "name", "__artie_delete", "__artie_only_set_delete"],
+        soft_delete=True,
+    )
+    assert (
+        "WHEN MATCHED AND IFNULL(stg.`__artie_only_set_delete`, false) = false "
+        "THEN UPDATE SET `id`=stg.`id`,`name`=stg.`name`,"
+        "`__artie_delete`=stg.`__artie_delete`" in stmt
+    )
+    assert (
+        "WHEN MATCHED AND IFNULL(stg.`__artie_only_set_delete`, false) = true "
+        "THEN UPDATE SET `__artie_delete`=stg.`__artie_delete`" in stmt
+    )
+    assert (
+        "WHEN NOT MATCHED THEN INSERT (`id`,`name`,`__artie_delete`) "
+        "VALUES (stg.`id`,stg.`name`,stg.`__artie_delete`)" in stmt
+    )
+
+
+def test_toast_case_fragment():
+    frag = M.build_columns_update_fragment(["a", "b"], toast_cols=["b"])
+    assert frag == (
+        "`a`=stg.`a`,`b`= CASE WHEN CAST(stg.`b` AS STRING) NOT LIKE "
+        "'%__debezium_unavailable_value%' THEN stg.`b` ELSE tgt.`b` END"
+    )
+
+
+def test_partition_predicates_in_on_clause():
+    (stmt,) = M.build_merge_queries(
+        "db.tbl",
+        "stg_view",
+        ["id"],
+        ["id", "v", "__artie_delete"],
+        additional_predicates=["tgt.`event_date` IN ('2026-01-01','2026-01-02')"],
+    )
+    assert (
+        "ON tgt.`id` = stg.`id` AND "
+        "tgt.`event_date` IN ('2026-01-01','2026-01-02')" in stmt
+    )
+
+
+def test_multi_step_staging_merge_has_no_delete_branch():
+    (stmt,) = M.build_merge_into_staging_table(
+        "db.tbl__stg", "SELECT * FROM v", ["id"], ["id", "v", "__artie_delete"]
+    )
+    assert "THEN DELETE" not in stmt
+    # deletes ride along as data into the staging table
+    assert "`__artie_delete`=stg.`__artie_delete`" in stmt
+    assert "WHEN MATCHED THEN UPDATE SET" in stmt
+    assert "WHEN NOT MATCHED THEN INSERT" in stmt
+
+
+def test_dedupe_queries_shape():
+    stmts = M.build_dedupe_queries("db.t", "db.t__dedupe_stg", ["id"], True)
+    assert len(stmts) == 3
+    assert stmts[0].startswith("CREATE OR REPLACE TABLE db.t__dedupe_stg AS SELECT *")
+    assert "PARTITION BY `id` ORDER BY `id` DESC, `__artie_updated_at` DESC" in stmts[0]
+    assert stmts[1] == "ALTER TABLE db.t__dedupe_stg DROP COLUMN __artie_rn"
+    assert stmts[2] == "INSERT OVERWRITE db.t TABLE db.t__dedupe_stg"
+
+
+def test_ddl_builders():
+    assert M.build_create_table_query("db.t", ["`id` BIGINT", "`v` STRING"]) == (
+        "CREATE TABLE IF NOT EXISTS db.t (`id` BIGINT, `v` STRING) "
+        "USING iceberg TBLPROPERTIES ('format-version'='2')"
+    )
+    assert (
+        M.build_create_table_query("db.t", ["`id` BIGINT"], table_format="delta")
+        == "CREATE TABLE IF NOT EXISTS db.t (`id` BIGINT) USING delta"
+    )
+    assert (
+        M.build_add_column_query("db.t", ["`c` STRING"])
+        == "ALTER TABLE db.t ADD COLUMNS (`c` STRING)"
+    )
+    assert M.build_drop_column_query("db.t", "c") == "ALTER TABLE db.t DROP COLUMN `c`"
+
+
+def test_csv_staging_view_and_append():
+    view = M.build_csv_temp_view("v", ["`id` BIGINT"], "s3://b/p.csv.gz")
+    assert "USING csv" in view and "nullValue '__artie_null_value'" in view
+    assert M.build_append_query("db.t", "v", ["id", "v2"]) == (
+        "INSERT INTO db.t (`id`, `v2`) SELECT `id`, `v2` FROM v"
+    )

@@ -1,0 +1,1 @@
+"""SQL-text plan builders for lakehouse catalogs (Delta/Iceberg)."""

@@ -1,0 +1,232 @@
+"""Spark-SQL statement builders: MERGE / DDL / dedupe, lakehouse-ready.
+
+These emit the exact statement shapes the reference generates for its own
+Spark execution path (reference: clients/iceberg/dialect/dialect.go —
+BuildMergeQueries :105-178, BuildDedupeQueries :61-101,
+BuildCreateTableQuery :194-204, BuildAddColumnQuery :180-183; update
+fragment semantics: lib/sql/columns.go:40-59; multi-step staging merge:
+clients/snowflake/dialect/dialect.go:119-143).
+
+On a 100 TB Delta/Iceberg target this path rewrites only the files that
+hold matched PKs (plus dynamic partition pruning from injected partition
+predicates), instead of the full-outer-join the pure-DataFrame fallback
+(:mod:`transfer_spark.operators.merge`) performs. The DataFrame fallback
+exists because vanilla parquet has no row-level MERGE; both implement the
+same three-branch semantics and are cross-checked in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from transfer_spark.constants import (
+    DELETE_COLUMN_MARKER,
+    NULL_VALUE_SENTINEL,
+    ONLY_SET_DELETE_COLUMN_MARKER,
+    TOAST_UNAVAILABLE_VALUE,
+)
+
+TARGET_ALIAS = "tgt"
+STAGING_ALIAS = "stg"
+ROW_NUMBER_MARKER = "__artie_rn"
+
+
+def quote_identifier(name: str) -> str:
+    """Spark backtick quoting (escape embedded backticks by doubling)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _alias_col(alias: str, name: str) -> str:
+    return f"{alias}.{quote_identifier(name)}"
+
+
+def is_not_toast_expr(alias: str, name: str) -> str:
+    """CAST(alias.`c` AS STRING) NOT LIKE '%<toast>%'
+    (reference: clients/iceberg/dialect/dialect.go:56-59)."""
+    return (
+        f"CAST({_alias_col(alias, name)} AS STRING) "
+        f"NOT LIKE '%{TOAST_UNAVAILABLE_VALUE}%'"
+    )
+
+
+def build_columns_update_fragment(
+    cols: Sequence[str], toast_cols: Sequence[str] = ()
+) -> str:
+    """`c`=stg.`c`,... with a TOAST CASE for flagged columns
+    (reference: lib/sql/columns.go:40-59)."""
+    toast = set(toast_cols)
+    parts = []
+    for c in cols:
+        if c in toast:
+            val = (
+                f" CASE WHEN {is_not_toast_expr(STAGING_ALIAS, c)} "
+                f"THEN {_alias_col(STAGING_ALIAS, c)} "
+                f"ELSE {_alias_col(TARGET_ALIAS, c)} END"
+            )
+        else:
+            val = _alias_col(STAGING_ALIAS, c)
+        parts.append(f"{quote_identifier(c)}={val}")
+    return ",".join(parts)
+
+
+def _on_clause(
+    primary_keys: Sequence[str], additional_predicates: Sequence[str] = ()
+) -> str:
+    eq = [
+        f"{_alias_col(TARGET_ALIAS, pk)} = {_alias_col(STAGING_ALIAS, pk)}"
+        for pk in primary_keys
+    ]
+    eq.extend(additional_predicates)
+    return " AND ".join(eq)
+
+
+def build_merge_queries(
+    table: str,
+    sub_query: str,
+    primary_keys: Sequence[str],
+    cols: Sequence[str],
+    soft_delete: bool = False,
+    toast_cols: Sequence[str] = (),
+    additional_predicates: Sequence[str] = (),
+) -> list[str]:
+    """The engine's join: three-branch MERGE INTO
+    (reference: clients/iceberg/dialect/dialect.go:105-178).
+
+    ``cols`` is the full staging column list; internal markers are removed
+    per mode exactly as the reference does
+    (lib/typing/columns: RemoveOnlySetDeleteColumnMarker /
+    RemoveDeleteColumnMarker).
+    """
+    base = (
+        f"MERGE INTO {table} AS {TARGET_ALIAS} "
+        f"USING {sub_query} AS {STAGING_ALIAS} "
+        f"ON {_on_clause(primary_keys, additional_predicates)}"
+    )
+    # only_set_delete never lands at the destination
+    cols = [c for c in cols if c != ONLY_SET_DELETE_COLUMN_MARKER]
+    delete_marker = _alias_col(STAGING_ALIAS, DELETE_COLUMN_MARKER)
+
+    if soft_delete:
+        only_set = _alias_col(STAGING_ALIAS, ONLY_SET_DELETE_COLUMN_MARKER)
+        update_all = build_columns_update_fragment(cols, toast_cols)
+        update_delete_only = build_columns_update_fragment([DELETE_COLUMN_MARKER])
+        insert_cols = ",".join(quote_identifier(c) for c in cols)
+        insert_vals = ",".join(_alias_col(STAGING_ALIAS, c) for c in cols)
+        return [
+            f"""{base}
+WHEN MATCHED AND IFNULL({only_set}, false) = false THEN UPDATE SET {update_all}
+WHEN MATCHED AND IFNULL({only_set}, false) = true THEN UPDATE SET {update_delete_only}
+WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"""
+        ]
+
+    # hard delete: the delete marker itself never lands either
+    cols = [c for c in cols if c != DELETE_COLUMN_MARKER]
+    update_all = build_columns_update_fragment(cols, toast_cols)
+    insert_cols = ",".join(quote_identifier(c) for c in cols)
+    insert_vals = ",".join(_alias_col(STAGING_ALIAS, c) for c in cols)
+    return [
+        f"""{base}
+WHEN MATCHED AND {delete_marker} THEN DELETE
+WHEN MATCHED AND IFNULL({delete_marker}, false) = false THEN UPDATE SET {update_all}
+WHEN NOT MATCHED AND IFNULL({delete_marker}, false) = false THEN INSERT ({insert_cols}) VALUES ({insert_vals})"""
+    ]
+
+
+def build_merge_into_staging_table(
+    table: str,
+    sub_query: str,
+    primary_keys: Sequence[str],
+    cols: Sequence[str],
+    toast_cols: Sequence[str] = (),
+    additional_predicates: Sequence[str] = (),
+) -> list[str]:
+    """Multi-step merge, step 1..N-1: cheap MERGE into a persistent staging
+    table with NO delete branch — deletes must survive to the final merge
+    (reference: clients/snowflake/dialect/dialect.go:119-143,
+    clients/shared/multi_step_merge.go:17-204)."""
+    base = (
+        f"MERGE INTO {table} AS {TARGET_ALIAS} "
+        f"USING ( {sub_query} ) AS {STAGING_ALIAS} "
+        f"ON {_on_clause(primary_keys, additional_predicates)}"
+    )
+    update_all = build_columns_update_fragment(cols, toast_cols)
+    insert_cols = ",".join(quote_identifier(c) for c in cols)
+    insert_vals = ",".join(_alias_col(STAGING_ALIAS, c) for c in cols)
+    return [
+        f"""{base}
+WHEN MATCHED THEN UPDATE SET {update_all}
+WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"""
+    ]
+
+
+def build_dedupe_queries(
+    table: str,
+    staging_table: str,
+    primary_keys: Sequence[str],
+    include_artie_updated_at: bool = False,
+) -> list[str]:
+    """Standalone dedupe maintenance op — the reference's own Spark SQL
+    (reference: clients/iceberg/dialect/dialect.go:61-101). Three
+    statements because Spark SQL has no QUALIFY / SELECT EXCEPT; INSERT
+    OVERWRITE is the atomic final step."""
+    pks = [quote_identifier(pk) for pk in primary_keys]
+    order_cols = list(pks)
+    if include_artie_updated_at:
+        order_cols.append(quote_identifier("__artie_updated_at"))
+    order_by = ", ".join(f"{c} DESC" for c in order_cols)
+    return [
+        (
+            f"CREATE OR REPLACE TABLE {staging_table} AS "
+            f"SELECT * FROM ( SELECT *, ROW_NUMBER() OVER "
+            f"( PARTITION BY {', '.join(pks)} ORDER BY {order_by} ) "
+            f"AS {ROW_NUMBER_MARKER} FROM {table} ) WHERE {ROW_NUMBER_MARKER} = 1"
+        ),
+        f"ALTER TABLE {staging_table} DROP COLUMN {ROW_NUMBER_MARKER}",
+        f"INSERT OVERWRITE {table} TABLE {staging_table}",
+    ]
+
+
+def build_create_table_query(
+    table: str,
+    col_sql_parts: Sequence[str],
+    table_format: str = "iceberg",
+) -> str:
+    """(reference: clients/iceberg/dialect/dialect.go:194-204)."""
+    props = " TBLPROPERTIES ('format-version'='2')" if table_format == "iceberg" else ""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {table} "
+        f"({', '.join(col_sql_parts)}) USING {table_format}{props}"
+    )
+
+
+def build_add_column_query(table: str, col_sql_parts: Sequence[str]) -> str:
+    """(reference: clients/iceberg/dialect/dialect.go:180-183)."""
+    return f"ALTER TABLE {table} ADD COLUMNS ({', '.join(col_sql_parts)})"
+
+
+def build_drop_column_query(table: str, col_name: str) -> str:
+    return f"ALTER TABLE {table} DROP COLUMN {quote_identifier(col_name)}"
+
+
+def build_describe_table_query(table: str) -> str:
+    return f"DESCRIBE TABLE {table}"
+
+
+def build_csv_temp_view(view_name: str, col_parts: Sequence[str], path: str) -> str:
+    """Staging CSV temp view, reference's exact option set
+    (reference: clients/iceberg/dialect/dialect.go:206-228)."""
+    opts = (
+        f"OPTIONS (path '{path}', sep '\\t', header 'false', "
+        f"compression 'gzip', nullValue '{NULL_VALUE_SENTINEL}', "
+        f"escape '\"', inferSchema 'false', multiLine 'true', lineSep '\\n')"
+    )
+    return (
+        f"CREATE OR REPLACE TEMPORARY VIEW {view_name} "
+        f"( {', '.join(col_parts)} ) USING csv {opts}"
+    )
+
+
+def build_append_query(table: str, view_name: str, cols: Sequence[str]) -> str:
+    """(reference: clients/iceberg/dialect/dialect.go:230-233)."""
+    col_list = ", ".join(quote_identifier(c) for c in cols)
+    return f"INSERT INTO {table} ({col_list}) SELECT {col_list} FROM {view_name}"
