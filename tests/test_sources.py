@@ -1,0 +1,104 @@
+"""Source-decoder unit tests: Mongo extended-JSON edge cases (pure
+Python, mirrors reference lib/typing/bson.go behaviors) and Kafka
+key-string parsing."""
+
+import base64
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from transfer_spark.sources.mongo import decode_ext_json_doc, decode_ext_json_value
+
+
+def test_ext_json_scalars():
+    doc = decode_ext_json_doc(
+        '{"_id": {"$oid": "65d4c8a9f1b2c3d4e5f6a7b8"},'
+        ' "n": {"$numberLong": "9007199254740993"},'
+        ' "i": {"$numberInt": "42"},'
+        ' "f": {"$numberDouble": "1.5"},'
+        ' "dec": {"$numberDecimal": "1234.567890123456789012345678901234"},'
+        ' "s": "plain", "b": true, "nil": null}'
+    )
+    assert doc["_id"] == "65d4c8a9f1b2c3d4e5f6a7b8"
+    assert doc["n"] == 9007199254740993
+    assert doc["i"] == 42
+    assert doc["f"] == 1.5
+    # decimal kept as precision-preserving string (bson.go:120+)
+    assert doc["dec"] == "1234.567890123456789012345678901234"
+    assert doc["s"] == "plain" and doc["b"] is True and doc["nil"] is None
+
+
+def test_ext_json_dates_and_nan():
+    doc = decode_ext_json_doc(
+        '{"d1": {"$date": 1700000000000},'
+        ' "d2": {"$date": {"$numberLong": "1700000000000"}},'
+        ' "nan": {"$numberDouble": "NaN"},'
+        ' "inf": {"$numberDouble": "Infinity"}}'
+    )
+    expect = datetime(2023, 11, 14, 22, 13, 20, tzinfo=timezone.utc)
+    assert doc["d1"] == expect and doc["d2"] == expect
+    # NaN/Infinity → null, like the reference's token escaping (bson.go:17-25)
+    assert doc["nan"] is None and doc["inf"] is None
+
+
+def test_ext_json_binary_uuid_and_nested():
+    u = uuid.uuid5(uuid.NAMESPACE_DNS, "transfer-spark")
+    b64 = base64.b64encode(u.bytes).decode()
+    v = decode_ext_json_value({"$binary": {"base64": b64, "subType": "04"}})
+    assert v == str(u)
+    # non-UUID binary stays as the ext-JSON map
+    raw = {"$binary": {"base64": "AAEC", "subType": "00"}}
+    assert decode_ext_json_value(raw) == raw
+    # nested docs and arrays recurse
+    nested = decode_ext_json_value(
+        {"a": [{"$numberLong": "1"}, 2], "b": {"c": {"$numberInt": "3"}}}
+    )
+    assert nested == {"a": [1, 2], "b": {"c": 3}}
+
+
+def test_parse_key_string(spark):
+    from transfer_spark.sources.debezium import parse_key_string
+
+    df = spark.createDataFrame(
+        [("Struct{id=5,name=a=b}",), ("garbage",)], ["k"]
+    )
+    parsed = df.select(parse_key_string(F.col("k"), ["id", "name"]).alias("p"))
+    rows = parsed.collect()
+    assert rows[0].p.id == "5"
+    # first `=` splits key from value; the rest belongs to the value
+    assert rows[0].p.name == "a=b"
+    assert rows[1].p is None
+
+
+def test_parse_key_json_both_shapes(spark):
+    from transfer_spark.sources.debezium import parse_key_json
+
+    df = spark.createDataFrame(
+        [('{"id": 7}',), ('{"schema": {}, "payload": {"id": 8}}',)], ["k"]
+    )
+    out = df.select(parse_key_json(F.col("k"), "struct<id: bigint>")["id"].alias("id"))
+    assert [r.id for r in out.collect()] == [7, 8]
+
+
+def test_decode_envelope_tombstone_and_delete(spark):
+    from transfer_spark.sources.debezium import decode_envelope
+
+    rows = [
+        (1, '{"before": null, "after": {"id": 1, "v": "x"}, '
+            '"source": {"db": "d", "schema": "s", "table": "t", "ts_ms": 1}, '
+            '"op": "c", "ts_ms": 1}'),
+        (2, '{"before": {"id": 1, "v": "old"}, "after": null, '
+            '"source": {"db": "d", "schema": "s", "table": "t", "ts_ms": 2}, '
+            '"op": "d", "ts_ms": 2}'),
+        (3, None),  # tombstone — dropped
+    ]
+    df = spark.createDataFrame(rows, ["off", "value"])
+    out = decode_envelope(df, "value", "struct<id: bigint, v: string>").orderBy("off")
+    got = out.collect()
+    assert len(got) == 2
+    assert got[0].v == "x" and got[0]["__artie_delete"] is False
+    # delete row reconstructed from before, both markers set
+    assert got[1].v == "old"
+    assert got[1]["__artie_delete"] is True
+    assert got[1]["__artie_only_set_delete"] is True

@@ -1,0 +1,2 @@
+"""Source decoders: Debezium relational envelopes, Kafka keys, Mongo
+extended JSON, event-tracking payloads."""

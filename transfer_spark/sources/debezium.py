@@ -1,0 +1,128 @@
+"""Debezium relational envelope + Kafka key decode, as Catalyst plans.
+
+Envelope decode (S3) re-expresses the reference's event parsing
+(reference: lib/cdc/relational/debezium.go:16-28 entry;
+lib/cdc/util/relational_event.go:123-165 GetData) as one ``from_json``
+plus per-field projection:
+
+- op ``d`` → row comes from ``before`` (PK always present even without
+  REPLICA IDENTITY FULL), ``__artie_delete=true``,
+  ``__artie_only_set_delete=true`` (the downstream fold fills prior
+  values in and clears it — cdc_fold's delete-inherit path).
+- op ``c``/``u``/``r`` → row from ``after``, both markers false.
+- metadata columns per topic flags
+  (reference: lib/cdc/util/relational_event.go:155-164,
+  models/event/event_util.go:217-232).
+
+Everything is built-in expressions — the decode runs inside whole-stage
+codegen, no Python in the hot path, so a 1000-executor cluster decodes
+at scan speed.
+
+Key decode (S6) covers both Kafka key wire formats
+(reference: lib/debezium/keys.go:50-58 JSON, :60-120 string).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from transfer_spark.constants import (
+    DB_UPDATED_AT_COLUMN,
+    DELETE_COLUMN_MARKER,
+    FULL_SOURCE_TABLE_NAME_COLUMN,
+    ONLY_SET_DELETE_COLUMN_MARKER,
+    OPERATION_COLUMN,
+    SOURCE_METADATA_COLUMN,
+)
+
+# Debezium source block fields we carry (subset; extend per connector).
+SOURCE_DDL = "struct<db: string, schema: string, table: string, ts_ms: bigint>"
+
+
+def envelope_ddl(row_ddl: str) -> str:
+    """Envelope schema for a topic whose row payload is ``row_ddl``
+    (e.g. ``"struct<id: bigint, name: string>"``)."""
+    return (
+        f"struct<before: {row_ddl}, after: {row_ddl}, "
+        f"source: {SOURCE_DDL}, op: string, ts_ms: bigint>"
+    )
+
+
+def decode_envelope(
+    df: DataFrame,
+    value_col: str,
+    row_ddl: str,
+    include_artie_operation: bool = True,
+    include_db_updated_at: bool = False,
+    include_source_metadata: bool = False,
+    include_full_source_table_name: bool = False,
+) -> DataFrame:
+    """Debezium JSON envelope → flat typed row + artie metadata columns.
+
+    Tombstones (NULL value) are dropped, matching the consumer's skip
+    (reference: processes/consumer/kafka.go:71-74).
+    """
+    env = F.from_json(F.col(value_col), envelope_ddl(row_ddl))
+    is_delete = env["op"] == "d"
+    row = F.when(is_delete, env["before"]).otherwise(env["after"])
+
+    out = df.filter(F.col(value_col).isNotNull()).select(
+        *[c for c in df.columns if c != value_col],
+        row.alias("__row"),
+        env["op"].alias("__op"),
+        env["source"].alias("__source"),
+    )
+    cols = [F.col(f"__row.{f}").alias(f) for f in _row_field_names(df, row_ddl)]
+    meta = [
+        (F.col("__op") == "d").alias(DELETE_COLUMN_MARKER),
+        (F.col("__op") == "d").alias(ONLY_SET_DELETE_COLUMN_MARKER),
+    ]
+    if include_artie_operation:
+        meta.append(F.col("__op").alias(OPERATION_COLUMN))
+    if include_db_updated_at:
+        meta.append(
+            F.timestamp_millis(F.col("__source.ts_ms")).alias(DB_UPDATED_AT_COLUMN)
+        )
+    if include_source_metadata:
+        meta.append(F.to_json(F.col("__source")).alias(SOURCE_METADATA_COLUMN))
+    if include_full_source_table_name:
+        meta.append(
+            F.concat_ws(
+                ".", F.col("__source.db"), F.col("__source.schema"), F.col("__source.table")
+            ).alias(FULL_SOURCE_TABLE_NAME_COLUMN)
+        )
+    passthrough = [c for c in df.columns if c != value_col]
+    return out.select(*passthrough, *cols, *meta)
+
+
+def _row_field_names(df: DataFrame, row_ddl: str) -> list[str]:
+    from pyspark.sql.types import StructType
+
+    return [f.name for f in StructType.fromDDL(row_ddl).fields]
+
+
+# --- Kafka key (PK) decode ----------------------------------------------------
+
+
+def parse_key_json(key: Column, pk_ddl: str) -> Column:
+    """JSON key format (org.apache.kafka.connect.json.JsonConverter):
+    either a bare object or {schema, payload} (reference:
+    lib/debezium/keys.go:96-125). Returns a struct column of the PKs."""
+    bare = F.from_json(key, pk_ddl)
+    wrapped = F.from_json(key, f"struct<payload: {pk_ddl}>")["payload"]
+    has_payload = F.get_json_object(key, "$.payload").isNotNull()
+    return F.when(has_payload, wrapped).otherwise(bare)
+
+
+def parse_key_string(key: Column, pk_names: list[str]) -> Column:
+    """Lossy `Struct{k=v,...}` string format (reference:
+    lib/debezium/keys.go:60-94). Values are strings; first `=` splits
+    key from value (regex takes everything to the next `,` or `}`)."""
+    fields = []
+    for name in pk_names:
+        # value = chars after `name=` up to the next top-level `,` or `}`
+        pat = rf"[{{,]{name}=([^,}}]*)"
+        fields.append(F.regexp_extract(key, pat, 1).alias(name))
+    valid = key.startswith("Struct{") & key.endswith("}")
+    return F.when(valid, F.struct(*fields))

@@ -15,12 +15,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from transfer_spark.workloads import cdc, text, transforms, vectors
+from transfer_spark.workloads import cdc, sources, text, transforms, vectors
 
 Entry = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
 
 QUERIES: dict[str, Entry] = {}
 QUERIES.update(cdc.QUERIES)
+QUERIES.update(sources.QUERIES)
 QUERIES.update(transforms.QUERIES)
 QUERIES.update(text.QUERIES)
 QUERIES.update(vectors.QUERIES)

@@ -1,0 +1,177 @@
+"""Source-decode workload family (S3/S4/S6).
+
+Each query round-trips: build the wire format (Debezium JSON envelope,
+Kafka key, Mongo extended JSON) from the ``events`` table on the Spark
+side, decode it with the engine's source decoders, and compare against a
+DuckDB oracle that computes the expected *output* directly from the
+table — so the decode semantics (not the encode) are what's checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from transfer_spark.session import read_table
+from transfer_spark.sources import debezium as DBZ
+from transfer_spark.sources import mongo as MONGO
+
+ROW_DDL = "struct<id: bigint, etype: string, val: double>"
+
+def _op_col():
+    """op: error→d, %10==0→c, %10==5→r, else u (same expression in SQL)."""
+    return (
+        F.when(F.col("event_type") == "error", "d")
+        .when(F.col("event_id") % 10 == 0, "c")
+        .when(F.col("event_id") % 10 == 5, "r")
+        .otherwise("u")
+    )
+
+_OP_SQL = """CASE WHEN event_type = 'error' THEN 'd'
+                  WHEN event_id % 10 = 0 THEN 'c'
+                  WHEN event_id % 10 = 5 THEN 'r'
+                  ELSE 'u' END"""
+
+
+def q_debezium_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: build a Debezium envelope per event, decode it back.
+
+    ``before`` carries val-1 so the delete path (row from *before*) is
+    distinguishable from the update path (row from *after*). Every ~97th
+    message is a tombstone (NULL value) and must be dropped.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    row_after = F.struct(
+        F.col("user_id").alias("id"),
+        F.col("event_type").alias("etype"),
+        F.col("value").alias("val"),
+    )
+    row_before = F.struct(
+        F.col("user_id").alias("id"),
+        F.col("event_type").alias("etype"),
+        (F.col("value") - 1).alias("val"),
+    )
+    op = _op_col()
+    envelope = F.to_json(
+        F.struct(
+            F.when(op == "d", row_before).alias("before"),
+            F.when(op != "d", row_after).alias("after"),
+            F.struct(
+                F.lit("testdb").alias("db"),
+                F.lit("public").alias("schema"),
+                F.lit("events").alias("table"),
+                (F.unix_micros(F.col("ts")) / 1000).cast("bigint").alias("ts_ms"),
+            ).alias("source"),
+            op.alias("op"),
+            (F.unix_micros(F.col("ts")) / 1000).cast("bigint").alias("ts_ms"),
+        )
+    )
+    wire = ev.select(
+        F.col("event_id").alias("offset"),
+        F.when(F.col("event_id") % 97 != 0, envelope).alias("value"),
+    )
+    decoded = DBZ.decode_envelope(
+        wire,
+        "value",
+        ROW_DDL,
+        include_artie_operation=True,
+        include_db_updated_at=True,
+        include_full_source_table_name=True,
+    )
+    return decoded.select(
+        "offset",
+        "id",
+        "etype",
+        "val",
+        F.col("__artie_delete").alias("is_deleted"),
+        F.col("__artie_only_set_delete").alias("only_set_delete"),
+        F.col("__artie_operation").alias("op"),
+        F.col("__artie_db_updated_at").alias("db_updated_at"),
+        F.col("__artie_full_source_table_name").alias("src_table"),
+    )
+
+
+ORACLE_DEBEZIUM_DECODE = f"""
+SELECT event_id AS offset,
+       user_id AS id,
+       event_type AS etype,
+       CASE WHEN ({_OP_SQL}) = 'd' THEN "value" - 1 ELSE "value" END AS val,
+       ({_OP_SQL}) = 'd' AS is_deleted,
+       ({_OP_SQL}) = 'd' AS only_set_delete,
+       {_OP_SQL} AS op,
+       epoch_ms(epoch_ms(ts)) AS db_updated_at,
+       'testdb.public.events' AS src_table
+FROM events
+WHERE event_id % 97 != 0
+"""
+
+
+def q_kafka_key_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: both Kafka key wire formats decoded side by side —
+    JSON (bare + schema-wrapped) and the lossy Struct{k=v} string."""
+    ev = read_table(spark, sf_dir, "events")
+    json_bare = F.to_json(F.struct(F.col("user_id").alias("uid")))
+    json_wrapped = F.to_json(
+        F.struct(F.struct(F.col("user_id").alias("uid")).alias("payload"))
+    )
+    # alternate formats per row, like a mixed-config deployment
+    json_key = F.when(F.col("event_id") % 2 == 0, json_bare).otherwise(json_wrapped)
+    string_key = F.format_string(
+        "Struct{uid=%d,etype=%s}", F.col("user_id"), F.col("event_type")
+    )
+    wire = ev.select(F.col("event_id"), json_key.alias("jk"), string_key.alias("sk"))
+    parsed_json = DBZ.parse_key_json(F.col("jk"), "struct<uid: bigint>")
+    parsed_str = DBZ.parse_key_string(F.col("sk"), ["uid", "etype"])
+    return wire.select(
+        "event_id",
+        parsed_json["uid"].alias("uid_json"),
+        parsed_str["uid"].cast("bigint").alias("uid_str"),
+        parsed_str["etype"].alias("etype_str"),
+    )
+
+
+ORACLE_KAFKA_KEY = """
+SELECT event_id, user_id AS uid_json, user_id AS uid_str, event_type AS etype_str
+FROM events
+"""
+
+
+_MONGO_DDL = (
+    "offset bigint, _id string, user bigint, amount string, ts timestamp, tag string"
+)
+
+
+def q_mongo_extjson_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: BSON extended-JSON documents decoded via the Arrow-batched
+    mapInPandas path ($oid, $numberLong, $numberDecimal, $date)."""
+    ev = read_table(spark, sf_dir, "events")
+    doc = F.format_string(
+        '{"_id": {"$oid": "%s"}, "user": {"$numberLong": "%d"}, '
+        '"amount": {"$numberDecimal": "%.4f"}, "ts": {"$date": %d}, "tag": "%s"}',
+        F.format_string("%024x", F.col("event_id")),
+        F.col("user_id"),
+        F.col("value"),
+        (F.unix_micros(F.col("ts")) / 1000).cast("bigint"),
+        F.col("event_type"),
+    )
+    wire = ev.select(F.col("event_id").alias("offset"), doc.alias("doc"))
+    return MONGO.decode_mongo_documents(wire, "doc", StructType.fromDDL(_MONGO_DDL))
+
+
+ORACLE_MONGO_EXTJSON = """
+SELECT event_id AS offset,
+       printf('%024x', event_id) AS _id,
+       user_id AS "user",
+       printf('%.4f', "value") AS amount,
+       epoch_ms(epoch_ms(ts)) AS ts,
+       event_type AS tag
+FROM events
+"""
+
+
+QUERIES = {
+    "debezium_envelope_decode": (q_debezium_decode, ORACLE_DEBEZIUM_DECODE),
+    "kafka_key_decode": (q_kafka_key_decode, ORACLE_KAFKA_KEY),
+    "mongo_extjson_decode": (q_mongo_extjson_decode, ORACLE_MONGO_EXTJSON),
+}
