@@ -1,0 +1,137 @@
+"""Typing + schema-evolution tests (reference behaviors:
+lib/typing/parse.go inference, decimal>38 rule, diff filtering,
+delayed-drop window, dest-wins reconciliation)."""
+
+from datetime import datetime, timedelta, timezone
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transfer_spark.schema.evolution import (
+    ColumnDropPolicy,
+    align_schemas,
+    backfill_default,
+    build_backfill_sql,
+    diff_schemas,
+    reconcile_to_target,
+)
+from transfer_spark.schema.kinds import (
+    Kind,
+    KindDetails,
+    infer_kind,
+    merge_kinds,
+    parse_time,
+    parse_timestamp,
+)
+
+
+def test_infer_kind_type_switch():
+    assert infer_kind(None).kind == Kind.INVALID
+    assert infer_kind(True).kind == Kind.BOOL  # bool before int
+    assert infer_kind(5).kind == Kind.INT
+    assert infer_kind(5.0).kind == Kind.FLOAT
+    assert infer_kind("plain").kind == Kind.STRING
+    assert infer_kind('{"a": 1}').kind == Kind.STRUCT  # embedded JSON
+    assert infer_kind("{not json").kind == Kind.STRING
+    assert infer_kind([1, 2]).kind == Kind.ARRAY
+    assert infer_kind({"a": 1}).kind == Kind.STRUCT
+    assert infer_kind(b"x").kind == Kind.BYTES
+    d = infer_kind(Decimal("123.45"))
+    assert (d.kind, d.precision, d.scale) == (Kind.DECIMAL, 5, 2)
+    aware = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    assert infer_kind(aware).kind == Kind.TIMESTAMP_TZ
+    assert infer_kind(datetime(2026, 1, 1)).kind == Kind.TIMESTAMP_NTZ
+    # optional (Debezium) schema wins over the value
+    assert infer_kind(5, KindDetails(Kind.FLOAT)).kind == Kind.FLOAT
+
+
+def test_spark_type_mapping_and_decimal_38_rule():
+    assert KindDetails(Kind.INT).to_spark() == T.LongType()
+    assert KindDetails(Kind.DECIMAL, precision=20, scale=4).to_spark() == T.DecimalType(20, 4)
+    # precision > 38 ⇒ string (decimal/details.go:8-13)
+    assert KindDetails(Kind.DECIMAL, precision=39, scale=4).to_spark() == T.StringType()
+    assert KindDetails(Kind.TIME).to_spark() == T.StringType()
+    assert KindDetails(Kind.STRUCT).to_spark() == T.StringType()
+    assert KindDetails(Kind.TIMESTAMP_NTZ).to_spark() == T.TimestampNTZType()
+    invalid = KindDetails(Kind.INVALID)
+    assert invalid.to_spark() == T.NullType() and not invalid.in_ddl
+
+
+def test_merge_kinds_invalid_upgrade():
+    inv, s = KindDetails(Kind.INVALID), KindDetails(Kind.STRING)
+    assert merge_kinds(inv, s).kind == Kind.STRING
+    assert merge_kinds(s, KindDetails(Kind.INT)).kind == Kind.STRING  # first wins
+
+
+def test_parse_timestamp_layouts_and_epoch():
+    assert parse_timestamp("2026-01-02T03:04:05Z") == datetime(
+        2026, 1, 2, 3, 4, 5, tzinfo=timezone.utc
+    )
+    assert parse_timestamp("2026-01-02T03:04:05.123456+00:00").microsecond == 123456
+    assert parse_timestamp("2026-01-02 03:04:05") == datetime(2026, 1, 2, 3, 4, 5)
+    # epoch millis with fractional-ms preservation
+    ts = parse_timestamp(1700000000123.5)
+    assert ts.microsecond == 123500
+    assert parse_timestamp("not a ts") is None
+    assert parse_time("03:04:05.1") == "03:04:05.100000"
+    assert parse_time("03:04:05") == "03:04:05.000000"
+
+
+def test_diff_filters_artie_columns():
+    src = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("new_col", T.StringType()),
+            T.StructField("__artie_delete", T.BooleanType()),
+            T.StructField("__artie_only_set_delete", T.BooleanType()),
+        ]
+    )
+    tgt = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("gone_col", T.StringType())]
+    )
+    d = diff_schemas(src, tgt, columns_to_keep=())
+    assert [f.name for f in d.target_missing] == ["new_col"]
+    assert [f.name for f in d.source_missing] == ["gone_col"]
+    # explicitly kept artie column is not filtered
+    d2 = diff_schemas(src, tgt, columns_to_keep=("__artie_delete",))
+    assert "__artie_delete" in [f.name for f in d2.target_missing]
+
+
+def test_delayed_drop_policy():
+    pol = ColumnDropPolicy()
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    assert pol.observe(["c"], t0) == []  # first sighting starts the clock
+    assert pol.observe(["c"], t0 + timedelta(hours=3)) == []
+    assert pol.observe(["c"], t0 + timedelta(hours=4)) == ["c"]
+    # reappearing resets
+    pol2 = ColumnDropPolicy()
+    pol2.observe(["c"], t0)
+    pol2.observe([], t0 + timedelta(hours=2))  # came back
+    assert pol2.observe(["c"], t0 + timedelta(hours=5)) == []  # clock restarted
+    # deletes-only batches never drop
+    pol3 = ColumnDropPolicy()
+    pol3.observe(["c"], t0)
+    assert pol3.observe(["c"], t0 + timedelta(hours=9), contains_only_deletes=True) == []
+
+
+def test_reconcile_and_align(spark):
+    target = spark.createDataFrame([(1, "a", 1.5)], ["id", "name", "score"])
+    staging = spark.createDataFrame([("2", "b", "x")], ["id", "name", "extra"])
+    stg2 = reconcile_to_target(staging, target.schema)
+    assert dict(stg2.dtypes)["id"] == "bigint"  # dest type wins
+    t2, s2 = align_schemas(target, staging)
+    assert t2.columns == s2.columns
+    assert "extra" in t2.columns and "score" in s2.columns
+    merged = t2.unionByName(s2)
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].extra is None and rows[2].score is None
+
+
+def test_backfill_default(spark):
+    df = spark.createDataFrame([(1, None), (2, "v")], ["id", "c"])
+    out = backfill_default(df, "c", "dflt")
+    assert {r.id: r.c for r in out.collect()} == {1: "dflt", 2: "v"}
+    assert build_backfill_sql("db.t", "c", "'dflt'") == (
+        "UPDATE db.t SET `c` = 'dflt' WHERE `c` IS NULL"
+    )

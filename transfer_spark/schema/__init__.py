@@ -1,0 +1,1 @@
+"""Logical type system + schema-evolution policy engine."""

@@ -1,0 +1,157 @@
+"""Schema evolution policy engine (SURVEY §2.5 D1–D8).
+
+The reference's sink-side schema lifecycle, re-expressed over Spark
+StructTypes and DataFrames:
+
+- D2 diff (reference: lib/typing/columns/diff.go:24-82): name-keyed set
+  diff, artie-internal columns filtered (``__artie_only_set_delete`` and
+  any ``__artie``-prefixed column not explicitly kept).
+- D4 add: ``ALTER TABLE ADD COLUMNS`` text via plans.merge_sql, or the
+  batch analog :func:`align_schemas` (union-null-fill).
+- D5 delayed drop (reference: clients/shared/table.go:130-162,
+  lib/destination/types/destination_table_config.go:103-129): a column
+  missing from source is dropped only after staying missing past a
+  4-hour confidence window, and never evaluated on a deletes-only batch.
+- D6 reconciliation (reference: lib/optimization/table_data.go:311-381):
+  destination schema wins — staging batch is cast to the target's types.
+- D7 default backfill (reference: clients/shared/merge.go:109-144).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transfer_spark.constants import (
+    ARTIE_PREFIX,
+    DELETION_CONFIDENCE_PADDING_HOURS,
+    ONLY_SET_DELETE_COLUMN_MARKER,
+)
+
+
+def should_skip_column(name: str, columns_to_keep: tuple[str, ...] = ()) -> bool:
+    """(reference: lib/typing/columns/diff.go:11-22)."""
+    if name in columns_to_keep:
+        return False
+    if name == ONLY_SET_DELETE_COLUMN_MARKER:
+        return True
+    return ARTIE_PREFIX in name
+
+
+@dataclass
+class DiffResults:
+    target_missing: list[T.StructField]  # in source, not in target → ADD
+    source_missing: list[T.StructField]  # in target, not in source → drop candidates
+
+
+def diff_schemas(
+    source: T.StructType,
+    target: T.StructType,
+    columns_to_keep: tuple[str, ...] = (),
+) -> DiffResults:
+    """Name-keyed diff with artie filtering (D2)."""
+    src = {f.name: f for f in source.fields}
+    tgt = {f.name: f for f in target.fields}
+    add = [
+        f
+        for n, f in src.items()
+        if n not in tgt and not should_skip_column(n, columns_to_keep)
+    ]
+    drop = [
+        f
+        for n, f in tgt.items()
+        if n not in src and not should_skip_column(n, columns_to_keep)
+    ]
+    return DiffResults(target_missing=add, source_missing=drop)
+
+
+@dataclass
+class ColumnDropPolicy:
+    """D5: delayed column drop with a confidence window.
+
+    ``observe`` is called once per flush with the drop candidates from
+    ``diff_schemas``; a column is only returned as safe-to-drop after it
+    has stayed missing for the full padding window. Columns that
+    reappear reset. Deletes-only batches are skipped entirely (delete
+    events carry no column set worth trusting).
+    """
+
+    padding: timedelta = timedelta(hours=DELETION_CONFIDENCE_PADDING_HOURS)
+    first_seen_missing: dict[str, datetime] = field(default_factory=dict)
+
+    def observe(
+        self,
+        missing_cols: list[str],
+        now: datetime,
+        contains_only_deletes: bool = False,
+    ) -> list[str]:
+        if contains_only_deletes:
+            return []
+        missing = set(missing_cols)
+        # reappeared columns reset their clock
+        for name in list(self.first_seen_missing):
+            if name not in missing:
+                del self.first_seen_missing[name]
+        ready = []
+        for name in missing_cols:
+            first = self.first_seen_missing.setdefault(name, now)
+            if now - first >= self.padding:
+                ready.append(name)
+        return ready
+
+    def mark_dropped(self, names: list[str]) -> None:
+        for n in names:
+            self.first_seen_missing.pop(n, None)
+
+
+def reconcile_to_target(staging: DataFrame, target_schema: T.StructType) -> DataFrame:
+    """D6: destination schema wins — cast every staging column that exists
+    at the target to the target's type; keep staging-only columns as-is
+    (they are the ADD set)."""
+    tgt = {f.name: f.dataType for f in target_schema.fields}
+    cols: list[Column] = []
+    for f in staging.schema.fields:
+        if f.name in tgt and f.dataType != tgt[f.name]:
+            cols.append(F.col(f.name).cast(tgt[f.name]).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return staging.select(*cols)
+
+
+def align_schemas(target: DataFrame, staging: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Batch analog of CREATE/ALTER ADD (D3/D4) + within-batch drift
+    (SURVEY §7 hard part 4): union of columns, null-fill the missing side,
+    staging cast to target types where both exist (D6)."""
+    staging = reconcile_to_target(staging, target.schema)
+    tgt_names = set(target.columns)
+    stg_fields = {f.name: f for f in staging.schema.fields}
+    for name, f in stg_fields.items():
+        if name not in tgt_names:
+            target = target.withColumn(name, F.lit(None).cast(f.dataType))
+    for f in target.schema.fields:
+        if f.name not in stg_fields:
+            staging = staging.withColumn(f.name, F.lit(None).cast(f.dataType))
+    # same column order on both sides
+    staging = staging.select(*target.columns)
+    return target, staging
+
+
+def backfill_default(
+    df: DataFrame, col_name: str, default_value: object
+) -> DataFrame:
+    """D7 batch analog: ``UPDATE t SET c = default WHERE c IS NULL``."""
+    return df.withColumn(
+        col_name, F.coalesce(F.col(col_name), F.lit(default_value))
+    )
+
+
+def build_backfill_sql(table: str, col_name: str, default_sql: str) -> str:
+    """D7 SQL form (reference: clients/shared/default_value.go)."""
+    return (
+        f"UPDATE {table} SET `{col_name}` = {default_sql} "
+        f"WHERE `{col_name}` IS NULL"
+    )

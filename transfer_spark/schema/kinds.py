@@ -1,0 +1,228 @@
+"""Logical kinds ⇔ Spark types + value inference + timestamp parsing.
+
+Mirrors the reference's type system (reference: lib/typing/typing.go:41-105
+KindDetails; lib/typing/parse.go:23-67 inference;
+lib/typing/parse_timestamp.go + lib/typing/variables.go:14-43 layouts;
+lib/typing/decimal/details.go:8-13 precision>38 → string).
+
+Engine representation decisions (SURVEY §1.2):
+- int → LongType (DDL width kept in metadata only)
+- decimal(p>38) → StringType (Spark's max precision is also 38)
+- struct/JSON documents → StringType holding JSON text (sink semantics)
+- time-of-day → StringType 'HH:mm:ss.SSSSSS' (Spark has no TIME type)
+- uuid / interval → StringType
+- invalid (all-NULL so far) → NullType placeholder, excluded from DDL
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass
+from datetime import date, datetime, time as dt_time
+from decimal import Decimal
+from enum import Enum
+from typing import Any
+
+from pyspark.sql import types as T
+
+MAX_DECIMAL_PRECISION = 38
+
+
+class Kind(str, Enum):
+    INVALID = "invalid"
+    INT = "int"
+    FLOAT = "float"
+    DECIMAL = "decimal"
+    BOOL = "bool"
+    ARRAY = "array"
+    STRUCT = "struct"
+    STRING = "string"
+    BYTES = "bytes"
+    DATE = "date"
+    TIME = "time"
+    TIMESTAMP_NTZ = "timestamp_ntz"
+    TIMESTAMP_TZ = "timestamp_tz"
+    UUID = "uuid"
+    INTERVAL = "interval"
+
+
+@dataclass(frozen=True)
+class KindDetails:
+    kind: Kind
+    # decimal
+    precision: int | None = None
+    scale: int | None = None
+    # string VARCHAR(n) (over-length ⇒ __artie_exceeded_value at sinks)
+    string_precision: int | None = None
+    # int width hint: "small" | "int" | "big" (DDL-only, metadata here)
+    int_width: str | None = None
+    # array element kind (Postgres only in the reference)
+    element: "KindDetails | None" = None
+
+    def to_spark(self) -> T.DataType:
+        k = self.kind
+        if k == Kind.INT:
+            return T.LongType()
+        if k == Kind.FLOAT:
+            return T.DoubleType()
+        if k == Kind.DECIMAL:
+            p = self.precision if self.precision is not None else 38
+            s = self.scale if self.scale is not None else 0
+            if p > MAX_DECIMAL_PRECISION:
+                return T.StringType()
+            return T.DecimalType(p, s)
+        if k == Kind.BOOL:
+            return T.BooleanType()
+        if k == Kind.ARRAY:
+            elem = self.element.to_spark() if self.element else T.StringType()
+            return T.ArrayType(elem)
+        if k in (Kind.STRUCT, Kind.STRING, Kind.TIME, Kind.UUID, Kind.INTERVAL):
+            return T.StringType()
+        if k == Kind.BYTES:
+            return T.BinaryType()
+        if k == Kind.DATE:
+            return T.DateType()
+        if k == Kind.TIMESTAMP_NTZ:
+            return T.TimestampNTZType()
+        if k == Kind.TIMESTAMP_TZ:
+            return T.TimestampType()
+        return T.NullType()  # INVALID: resolve before write
+
+    @property
+    def in_ddl(self) -> bool:
+        """invalid (all-NULL) columns are retained in memory but excluded
+        from DDL/merge until typed (reference: columns.go:258-278)."""
+        return self.kind != Kind.INVALID
+
+
+def _is_json(s: str) -> bool:
+    s = s.strip()
+    if not (s.startswith("{") and s.endswith("}")) and not (
+        s.startswith("[") and s.endswith("]")
+    ):
+        return False
+    try:
+        json.loads(s)
+        return True
+    except Exception:
+        return False
+
+
+_TIME_RE = re.compile(r"^\d{2}:\d{2}:\d{2}(\.\d+)?$")
+
+
+def infer_kind(value: Any, optional_schema: KindDetails | None = None) -> KindDetails:
+    """Per-value kind inference (reference: lib/typing/parse.go:23-67).
+    Schema-map lookup wins; else a type switch."""
+    if optional_schema is not None:
+        return optional_schema
+    if value is None:
+        return KindDetails(Kind.INVALID)
+    if isinstance(value, bool):  # before int: bool is an int subclass in Python
+        return KindDetails(Kind.BOOL)
+    if isinstance(value, int):
+        return KindDetails(Kind.INT)
+    if isinstance(value, float):
+        return KindDetails(Kind.FLOAT)
+    if isinstance(value, Decimal):
+        sign, digits, exp = value.as_tuple()
+        scale = max(-exp, 0) if isinstance(exp, int) else 0
+        precision = max(len(digits), scale)
+        return KindDetails(Kind.DECIMAL, precision=precision, scale=scale)
+    if isinstance(value, datetime):
+        return KindDetails(
+            Kind.TIMESTAMP_TZ if value.tzinfo is not None else Kind.TIMESTAMP_NTZ
+        )
+    if isinstance(value, date):
+        return KindDetails(Kind.DATE)
+    if isinstance(value, dt_time):
+        return KindDetails(Kind.TIME)
+    if isinstance(value, (bytes, bytearray)):
+        return KindDetails(Kind.BYTES)
+    if isinstance(value, str):
+        if _is_json(value):
+            return KindDetails(Kind.STRUCT)
+        return KindDetails(Kind.STRING)
+    if isinstance(value, (list, tuple)):
+        return KindDetails(Kind.ARRAY)
+    if isinstance(value, dict):
+        return KindDetails(Kind.STRUCT)
+    raise TypeError(f"unknown type: {type(value).__name__}, value: {value!r}")
+
+
+def merge_kinds(a: KindDetails, b: KindDetails) -> KindDetails:
+    """Schema accumulation across events: INVALID upgrades when the first
+    non-null is seen (reference: models/event/event.go:241-330,
+    columns.go:167-225); otherwise first-seen kind is kept."""
+    if a.kind == Kind.INVALID:
+        return b
+    return a
+
+
+# --- timestamp parsing --------------------------------------------------------
+# Layout-exhaustive, first-match-wins (reference: lib/typing/parse_timestamp.go
+# :10-23 over lib/typing/variables.go:14-43). Python strptime equivalents.
+
+_DATETIME_LAYOUTS = [
+    "%Y-%m-%dT%H:%M:%S.%f%z",  # RFC3339 fractional + offset
+    "%Y-%m-%dT%H:%M:%S%z",  # RFC3339
+    "%Y-%m-%dT%H:%M:%S.%f",  # no offset
+    "%Y-%m-%dT%H:%M:%S",
+    "%Y-%m-%d %H:%M:%S.%f%z",
+    "%Y-%m-%d %H:%M:%S%z",
+    "%Y-%m-%d %H:%M:%S.%f",
+    "%Y-%m-%d %H:%M:%S",
+    "%a %b %d %H:%M:%S %Y",  # ANSIC
+    "%a %b %d %H:%M:%S %Z %Y",  # UnixDate
+    "%a %b %d %H:%M:%S %z %Y",  # RubyDate
+    "%d %b %y %H:%M %Z",  # RFC822
+    "%d %b %y %H:%M %z",  # RFC822Z
+    "%A, %d-%b-%y %H:%M:%S %Z",  # RFC850
+    "%a, %d %b %Y %H:%M:%S %Z",  # RFC1123
+    "%a, %d %b %Y %H:%M:%S %z",  # RFC1123Z
+]
+_DATE_LAYOUTS = ["%Y-%m-%d"]
+_TIME_LAYOUTS = ["%H:%M:%S.%f%z", "%H:%M:%S%z", "%H:%M:%S.%f", "%H:%M:%S"]
+
+# 'Z' suffix: Python %z accepts it from 3.7+, keep as-is.
+
+
+def parse_timestamp(value: Any) -> datetime | None:
+    """Parse a wire timestamp: string layouts, or epoch millis as
+    int/float with fractional-ms preservation
+    (reference: parse_timestamp.go:83-118)."""
+    from datetime import timezone
+
+    if isinstance(value, bool):
+        return None
+    if isinstance(value, (int, float)):
+        return datetime.fromtimestamp(value / 1000.0, tz=timezone.utc)
+    if not isinstance(value, str):
+        return None
+    for layout in _DATETIME_LAYOUTS:
+        try:
+            return datetime.strptime(value, layout)
+        except ValueError:
+            continue
+    return None
+
+
+def parse_date(value: str) -> date | None:
+    for layout in _DATE_LAYOUTS:
+        try:
+            return datetime.strptime(value, layout).date()
+        except ValueError:
+            continue
+    return None
+
+
+def parse_time(value: str) -> str | None:
+    """→ canonical 'HH:MM:SS.ffffff' string (engine TIME representation)."""
+    for layout in _TIME_LAYOUTS:
+        try:
+            t = datetime.strptime(value, layout)
+            return t.strftime("%H:%M:%S.%f")
+        except ValueError:
+            continue
+    return None

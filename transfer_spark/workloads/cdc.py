@@ -144,7 +144,7 @@ def q_cdc_merge_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_merge(soft: bool) -> str:
-    mid = "(SELECT CAST(max(event_id) * 0.5 AS BIGINT) FROM events)"
+    mid = "(SELECT CAST(floor(max(event_id) * 0.5) AS BIGINT) FROM events)"
     b1 = _STREAM_SQL + f" WHERE event_id <= {mid}"
     b2 = _STREAM_SQL + f" WHERE event_id > {mid}"
     keep_etype = f"(NOT is_delete AND (etype IS NULL OR etype != '{TOAST}'))"
@@ -231,6 +231,51 @@ def q_cdc_merge_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed(DEL, "is_deleted")
 
 
+def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2–D6 end-to-end: the second batch arrives with a new column
+    (`extra`); the target evolves via align_schemas (ALTER ADD analog +
+    dest-type reconciliation), then the hard-delete MERGE runs. Rows that
+    only ever existed in batch1 carry NULL for the new column."""
+    from transfer_spark.schema.evolution import align_schemas
+
+    batch1, batch2, _ = _two_batches(spark, sf_dir)
+    target = (
+        lww_dedup(batch1, ["id"], OFF)
+        .filter(~F.col(DEL))
+        .select("id", "etype", "val")
+    )
+    staging = lww_dedup(
+        batch2.withColumn("extra", F.col("val") * 2), ["id"], OFF
+    ).select("id", "etype", "val", "extra", DEL)
+    target, staging = align_schemas(target, staging)
+    return merge_dataframes(target, staging, ["id"])
+
+
+ORACLE_SCHEMA_EVOLUTION = f"""
+WITH stream AS ({_STREAM_SQL}),
+mid AS (SELECT CAST(floor(max(event_id) * 0.5) AS BIGINT) AS m FROM events),
+t0 AS (
+  SELECT id, etype, val, is_delete FROM stream WHERE off <= (SELECT m FROM mid)
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY off DESC) = 1
+),
+tgt AS (SELECT id, etype, val FROM t0 WHERE NOT is_delete),
+s0 AS (
+  SELECT id, etype, val, val * 2 AS extra, is_delete
+  FROM stream WHERE off > (SELECT m FROM mid)
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY off DESC) = 1
+)
+SELECT COALESCE(t.id, s.id) AS id,
+  CASE WHEN t.id IS NOT NULL AND s.id IS NOT NULL AND NOT s.is_delete
+         THEN CASE WHEN COALESCE(s.etype != '{TOAST}', TRUE) THEN s.etype ELSE t.etype END
+       WHEN t.id IS NULL AND NOT s.is_delete THEN s.etype
+       ELSE t.etype END AS etype,
+  CASE WHEN s.id IS NOT NULL AND NOT s.is_delete THEN s.val ELSE t.val END AS val,
+  CASE WHEN s.id IS NOT NULL AND NOT s.is_delete THEN s.extra ELSE NULL END AS extra
+FROM tgt t FULL OUTER JOIN s0 s ON t.id = s.id
+WHERE s.id IS NULL OR NOT s.is_delete
+"""
+
+
 def q_dedupe_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M16 standalone dedupe op (reference's own Spark SQL form,
     clients/iceberg/dialect/dialect.go:61-101): ROW_NUMBER()=1 per dupe
@@ -252,5 +297,6 @@ QUERIES = {
     "cdc_fold": (q_cdc_fold, ORACLE_CDC_FOLD),
     "cdc_merge_hard": (q_cdc_merge_hard, _oracle_merge(soft=False)),
     "cdc_merge_soft": (q_cdc_merge_soft, _oracle_merge(soft=True)),
+    "schema_evolution_merge": (q_schema_evolution_merge, ORACLE_SCHEMA_EVOLUTION),
     "dedupe_maintenance": (q_dedupe_maintenance, ORACLE_DEDUPE_MAINTENANCE),
 }
