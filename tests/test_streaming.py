@@ -1,0 +1,136 @@
+"""End-state equivalence for the streaming shell (the reference's e2e
+strategy, SURVEY §5): apply a CDC event stream in micro-batches through
+foreachBatch, then compare the final table against the batch fold of the
+whole stream. Also checks checkpoint resume (second run processes only
+new files) and history mode."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from transfer_spark.constants import DELETE_COLUMN_MARKER, OFFSET_COLUMN
+from transfer_spark.operators.cdc_fold import cdc_fold
+from transfer_spark.streaming.pipeline import ReplicationPipeline
+
+WIRE_DDL = (
+    f"id bigint, {OFFSET_COLUMN} bigint, {DELETE_COLUMN_MARKER} boolean, "
+    "etype string, val double"
+)
+
+EVENTS = [
+    # (id, offset, is_delete, etype, val)
+    (1, 1, False, "signup", 1.0),
+    (2, 2, False, "click", 2.0),
+    (1, 3, False, "purchase", 3.0),
+    (3, 4, False, "view", 4.0),
+    (2, 5, True, None, None),  # delete: inherits prior values in the fold
+    (1, 6, False, "refund", 6.0),
+    (4, 7, False, "signup", 7.0),
+    (3, 8, True, None, None),
+    (3, 9, False, "signup", 9.0),  # re-insert after delete
+]
+
+
+def _write_batch(src_dir: str, rows, name: str) -> None:
+    os.makedirs(src_dir, exist_ok=True)
+    path = os.path.join(src_dir, f"{name}.json")
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(
+                json.dumps(
+                    {
+                        "id": r[0],
+                        OFFSET_COLUMN: r[1],
+                        DELETE_COLUMN_MARKER: r[2],
+                        "etype": r[3],
+                        "val": r[4],
+                    }
+                )
+                + "\n"
+            )
+
+
+def _expected_hard(spark):
+    df = spark.createDataFrame(
+        EVENTS, ["id", OFFSET_COLUMN, DELETE_COLUMN_MARKER, "etype", "val"]
+    )
+    folded = cdc_fold(df, ["id"], OFFSET_COLUMN)
+    return {
+        r.id: (r.etype, r.val)
+        for r in folded.filter(~F.col(DELETE_COLUMN_MARKER)).collect()
+    }
+
+
+@pytest.mark.parametrize("n_batches", [1, 3])
+def test_stream_end_state_matches_batch_fold(spark, tmp_path, n_batches):
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+    per = len(EVENTS) // n_batches
+
+    pipe = ReplicationPipeline(spark, tgt, ["id"], OFFSET_COLUMN)
+    for i in range(n_batches):
+        lo = i * per
+        hi = len(EVENTS) if i == n_batches - 1 else (i + 1) * per
+        _write_batch(src, EVENTS[lo:hi], f"b{i}")
+        q = pipe.start_json_file_stream(src, WIRE_DDL, ckpt, available_now=True)
+        q.awaitTermination(120)
+
+    final = pipe.table.read()
+    got = {r.id: (r.etype, r.val) for r in final.collect()}
+    assert got == _expected_hard(spark)
+    # delete for id=2 landed; id=3 re-inserted after delete
+    assert 2 not in got and got[3] == ("signup", 9.0)
+
+
+def test_stream_checkpoint_skips_processed_files(spark, tmp_path):
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+    pipe = ReplicationPipeline(spark, tgt, ["id"], OFFSET_COLUMN)
+
+    _write_batch(src, EVENTS[:4], "b0")
+    q = pipe.start_json_file_stream(src, WIRE_DDL, ckpt, available_now=True)
+    q.awaitTermination(120)
+    v1 = pipe.table.current_version()
+
+    # re-run with no new files: checkpoint means nothing to process
+    q = pipe.start_json_file_stream(src, WIRE_DDL, ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert pipe.table.current_version() == v1  # no new version written
+
+
+def test_history_mode_appends_everything(spark, tmp_path):
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+    pipe = ReplicationPipeline(
+        spark, tgt, ["id"], OFFSET_COLUMN, history_mode=True
+    )
+    _write_batch(src, EVENTS[:5], "b0")
+    q = pipe.start_json_file_stream(src, WIRE_DDL, ckpt, available_now=True)
+    q.awaitTermination(120)
+    _write_batch(src, EVENTS[5:], "b1")
+    q = pipe.start_json_file_stream(src, WIRE_DDL, ckpt, available_now=True)
+    q.awaitTermination(120)
+    # every event kept, including deletes
+    assert pipe.table.read().count() == len(EVENTS)
+
+
+def test_soft_delete_stream(spark, tmp_path):
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+    pipe = ReplicationPipeline(
+        spark, tgt, ["id"], OFFSET_COLUMN, soft_delete=True
+    )
+    _write_batch(src, EVENTS, "b0")
+    q = pipe.start_json_file_stream(src, WIRE_DDL, ckpt, available_now=True)
+    q.awaitTermination(120)
+    rows = {r.id: r for r in pipe.table.read().collect()}
+    # deleted row stays, flagged; values inherited from before the delete
+    assert rows[2][DELETE_COLUMN_MARKER] is True
+    assert rows[2].etype == "click" and rows[2].val == 2.0
+    assert rows[3][DELETE_COLUMN_MARKER] is False

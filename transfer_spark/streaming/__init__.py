@@ -1,0 +1,1 @@
+"""Structured Streaming shell: the replication dataflow as a stream."""

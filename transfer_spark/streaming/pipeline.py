@@ -1,0 +1,152 @@
+"""Streaming replication pipeline: source stream → foreachBatch flush.
+
+Maps the reference's consumer/flush loop onto Structured Streaming
+(SURVEY §3.1 lifecycle mapping; reference: processes/consumer/kafka.go:25-120
+consume loop, processes/consumer/flush.go:50-153 flush,
+lib/kafkalib/consumer.go:372-425 offset commit):
+
+- one streaming query per topic ≡ one consumer goroutine
+- ``trigger(processingTime=Ns)`` ≡ the flush-interval ticker (O3)
+- ``maxOffsetsPerTrigger`` / ``maxFilesPerTrigger`` ≡ bufferRows (A3)
+- ``foreachBatch`` body ≡ FlushSingleTopic: fold → schema-evolve →
+  merge → commit; the checkpoint barrier commits offsets only after the
+  whole batch flushed, which is strictly stronger than the reference's
+  at-least-once commit (duplicates absorbed by the idempotent merge).
+
+The local sink is a versioned parquet table (vNNNNNN directories with a
+_CURRENT pointer) because vanilla parquet has no row-level MERGE; on a
+lakehouse deployment ``process_batch`` swaps the read-merge-write for a
+single ``MERGE INTO`` built by :mod:`transfer_spark.plans.merge_sql`
+against Delta/Iceberg, and the Kafka source swaps in via
+``readStream.format("kafka")`` — the flush body is source/sink agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from transfer_spark.constants import (
+    DELETE_COLUMN_MARKER,
+    ONLY_SET_DELETE_COLUMN_MARKER,
+)
+from transfer_spark.operators.cdc_fold import cdc_fold
+from transfer_spark.operators.merge import merge_dataframes
+from transfer_spark.schema.evolution import align_schemas
+
+_CURRENT = "_CURRENT"
+
+
+class VersionedParquetTable:
+    """Tiny copy-on-write table: each flush writes a new vNNNNNN dir and
+    flips the _CURRENT pointer (the atomic step is the pointer write, so
+    a reader never sees a half-written version — same idea as the
+    reference's INSERT OVERWRITE dedupe finale)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def current_version(self) -> int | None:
+        ptr = os.path.join(self.path, _CURRENT)
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            return int(f.read().strip())
+
+    def read(self) -> DataFrame | None:
+        v = self.current_version()
+        if v is None:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, f"v{v:06d}"))
+
+    def write(self, df: DataFrame) -> None:
+        v = (self.current_version() or 0) + 1
+        df.write.mode("overwrite").parquet(os.path.join(self.path, f"v{v:06d}"))
+        tmp = os.path.join(self.path, _CURRENT + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(self.path, _CURRENT))
+
+
+class ReplicationPipeline:
+    """The flush body (O1/O4): fold the micro-batch, evolve the target,
+    merge (replication mode) or append (history mode)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        target_path: str,
+        pk_cols: list[str],
+        order_col: str,
+        soft_delete: bool = False,
+        history_mode: bool = False,
+    ):
+        self.spark = spark
+        self.table = VersionedParquetTable(spark, target_path)
+        self.pk_cols = pk_cols
+        self.order_col = order_col
+        self.soft_delete = soft_delete
+        self.history_mode = history_mode
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if self.history_mode:
+            # A2/M12: append-only audit; no dedup, no delete handling
+            target = self.table.read()
+            out = batch_df if target is None else target.unionByName(
+                batch_df, allowMissingColumns=True
+            )
+            self.table.write(out)
+            return
+
+        from pyspark.sql import functions as F
+
+        folded = cdc_fold(batch_df, self.pk_cols, self.order_col).drop(self.order_col)
+        target = self.table.read()
+        if target is None:
+            # create-table mode: first flush materializes the fold result
+            if self.soft_delete:
+                out = folded.drop(ONLY_SET_DELETE_COLUMN_MARKER)
+            else:
+                out = folded.filter(~F.col(DELETE_COLUMN_MARKER)).drop(
+                    DELETE_COLUMN_MARKER, ONLY_SET_DELETE_COLUMN_MARKER
+                )
+            self.table.write(out)
+            return
+        target, staging = align_schemas(target, folded)
+        merged = merge_dataframes(
+            target, staging, self.pk_cols, soft_delete=self.soft_delete
+        )
+        self.table.write(merged)
+
+    def start_json_file_stream(
+        self,
+        source_dir: str,
+        wire_ddl: str,
+        checkpoint_dir: str,
+        transform=None,
+        trigger_seconds: int | None = None,
+        available_now: bool = False,
+        max_files_per_trigger: int | None = None,
+    ):
+        """File-source shell used by tests; swap ``.format("kafka")`` for
+        production. ``transform`` maps the wire frame to the CDC frame
+        (e.g. sources.debezium.decode_envelope)."""
+        reader = self.spark.readStream.schema(wire_ddl)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.json(source_dir)
+        if transform is not None:
+            stream = transform(stream)
+        writer = stream.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_seconds:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        return writer.start()
