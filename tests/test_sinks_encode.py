@@ -1,0 +1,45 @@
+"""Hive-layout parquet sink + encode-side edge cases."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from transfer_spark.functions import encode as E
+from transfer_spark.operators.sinks import write_hive_parquet
+
+
+def test_hive_layout_and_readback(spark, tmp_path, sf_dir):
+    from transfer_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").limit(500)
+    root = write_hive_parquet(
+        ev, str(tmp_path), "db.public.events", date_value=F.col("ts")
+    )
+    parts = sorted(p for p in os.listdir(root) if p.startswith("date="))
+    assert parts and all(len(p) == len("date=2026-01-01") for p in parts)
+    back = spark.read.parquet(root)
+    assert back.count() == 500
+    # partition column is usable for pruning
+    one = back.filter(F.col("date") == parts[0].split("=", 1)[1])
+    assert one.count() > 0
+
+
+def test_encode_bit_and_exceeded(spark):
+    df = spark.createDataFrame([(True, "abcdef"), (False, "ab")], ["b", "s"])
+    out = df.select(
+        E.encode_bool(F.col("b"), as_bit=True).alias("bit"),
+        E.check_string_precision(F.col("s"), 3).alias("s3"),
+    ).collect()
+    assert [r.bit for r in out] == ["1", "0"]
+    assert out[0].s3 == "__artie_exceeded_value" and out[1].s3 == "ab"
+
+
+def test_encode_array_struct_binary(spark):
+    df = spark.createDataFrame([([1, 2], {"k": "v"}, bytearray(b"\x01\x02"))],
+                               "a array<int>, m map<string,string>, b binary")
+    row = df.select(
+        E.encode_value(F.col("a"), df.schema["a"].dataType).alias("a"),
+        E.encode_value(F.col("m"), df.schema["m"].dataType).alias("m"),
+        E.encode_value(F.col("b"), df.schema["b"].dataType).alias("b"),
+    ).collect()[0]
+    assert row.a == "[1,2]" and row.m == '{"k":"v"}' and row.b == "AQI="

@@ -1,0 +1,99 @@
+"""Encode-side value→string converters (staging/CSV path).
+
+Spark-expression equivalents of the reference's ``values.ToString``
+dispatch (reference: lib/typing/values/string.go:10-30 →
+lib/typing/converters/string_converter.go:33-407):
+
+- bool → 'true'/'false', or '1'/'0' when the destination types the column
+  as a bit (string_converter.go:72-90)
+- date → 'yyyy-MM-dd'; time stays the canonical 'HH:mm:ss.SSSSSS' string
+- timestamp_ntz → RFC3339 w/o zone; timestamp_tz → RFC3339
+- decimal → plain string with scale preserved (scale truncation happens
+  at the cast to the destination's DecimalType, matching
+  string_converter.go:358-389)
+- array / struct → JSON text (string_converter.go:233-251, 391-407)
+- NULL → ``__artie_null_value`` sentinel on the CSV path; string values
+  exceeding the destination precision → ``__artie_exceeded_value``
+  (clients/snowflake/staging.go:25-71)
+
+All built-in expressions — the encode path stays in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transfer_spark.constants import (
+    EXCEEDED_VALUE_SENTINEL,
+    NULL_VALUE_SENTINEL,
+)
+
+DATE_FMT = "yyyy-MM-dd"
+TS_NTZ_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+TS_TZ_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"
+
+
+def encode_bool(c: Column, as_bit: bool = False) -> Column:
+    if as_bit:
+        return F.when(c, "1").otherwise("0")
+    return F.when(c, "true").otherwise("false")
+
+
+def encode_date(c: Column) -> Column:
+    return F.date_format(c, DATE_FMT)
+
+
+def encode_timestamp_ntz(c: Column) -> Column:
+    return F.date_format(c, TS_NTZ_FMT)
+
+
+def encode_timestamp_tz(c: Column) -> Column:
+    return F.date_format(c, TS_TZ_FMT)
+
+
+def encode_array(c: Column) -> Column:
+    return F.to_json(c)
+
+
+def encode_struct(c: Column) -> Column:
+    return F.to_json(c)
+
+
+def check_string_precision(c: Column, precision: int | None) -> Column:
+    """Over-length VARCHAR ⇒ exceeded sentinel
+    (reference: clients/snowflake/staging.go:25-41)."""
+    if precision is None:
+        return c
+    return F.when(F.length(c) > precision, F.lit(EXCEEDED_VALUE_SENTINEL)).otherwise(c)
+
+
+def encode_value(c: Column, dtype: T.DataType, as_bit: bool = False) -> Column:
+    """Kind-dispatched encode (values.ToString analog)."""
+    if isinstance(dtype, T.BooleanType):
+        return encode_bool(c, as_bit)
+    if isinstance(dtype, T.DateType):
+        return encode_date(c)
+    if isinstance(dtype, T.TimestampNTZType):
+        return encode_timestamp_ntz(c)
+    if isinstance(dtype, T.TimestampType):
+        return encode_timestamp_tz(c)
+    if isinstance(dtype, (T.ArrayType, T.MapType, T.StructType)):
+        return F.to_json(c)
+    if isinstance(dtype, T.BinaryType):
+        return F.base64(c)
+    return c.cast("string")
+
+
+def encode_csv_row(df: DataFrame, sep: str = "\t") -> Column:
+    """One staging-CSV line per row: encoded values joined by ``sep``,
+    NULLs as the sentinel (reference: lib/csvwriter/gzip.go +
+    clients/shared/temp_table.go:80-160)."""
+    parts = [
+        F.coalesce(
+            encode_value(F.col(f.name), f.dataType), F.lit(NULL_VALUE_SENTINEL)
+        )
+        for f in df.schema.fields
+    ]
+    return F.concat_ws(sep, *parts)

@@ -134,3 +134,55 @@ def merge_dataframes(
 def append_mode(target: DataFrame, staging: DataFrame) -> DataFrame:
     """History / append-only mode (A2, M12): no dedup, schema-aligned union."""
     return target.unionByName(staging.select(*target.columns), allowMissingColumns=False)
+
+
+def merge_into_staging(
+    staging_table: DataFrame, batch: DataFrame, pk_cols: list[str]
+) -> DataFrame:
+    """Multi-step merge, steps 1..N-1 (M13): cheap merge into a persistent
+    staging table with NO delete branch — delete markers ride along as
+    data and only take effect at the final target merge
+    (reference: clients/shared/multi_step_merge.go:17-204,
+    clients/snowflake/dialect/dialect.go:119-143).
+
+    Scale rationale: the staging table holds only PKs touched since the
+    last target merge (≪ target), so k-1 of every k flushes join against
+    a small table; the expensive scan of the 100 TB target happens once
+    per cycle. Both inputs are micro-batch-sized ⇒ AQE broadcasts.
+    """
+    value_cols = [c for c in staging_table.columns if c not in pk_cols]
+    tgt = staging_table.alias("tgt")
+    stg = batch.alias("stg")
+    cond = F.lit(True)
+    for k in pk_cols:
+        cond = cond & F.col(f"tgt.{k}").eqNullSafe(F.col(f"stg.{k}"))
+    joined = tgt.join(stg, cond, "full_outer")
+    matched = (
+        F.col(f"stg.{pk_cols[0]}").isNotNull() & F.col(f"tgt.{pk_cols[0]}").isNotNull()
+    )
+    stg_only = F.col(f"tgt.{pk_cols[0]}").isNull()
+    pk_out = [F.coalesce(F.col(f"tgt.{k}"), F.col(f"stg.{k}")).alias(k) for k in pk_cols]
+
+    def val(c: str) -> Column:
+        stg_c, tgt_c = F.col(f"stg.{c}"), F.col(f"tgt.{c}")
+        return (
+            F.when(matched, _toast_aware(stg_c, tgt_c))
+            .when(stg_only, stg_c)
+            .otherwise(tgt_c)
+        )
+
+    return joined.select(*pk_out, *[val(c).alias(c) for c in value_cols])
+
+
+def multi_step_merge(
+    target: DataFrame,
+    batches: list[DataFrame],
+    pk_cols: list[str],
+    soft_delete: bool = False,
+) -> DataFrame:
+    """Full M13 cascade: fold each flush into the staging table, then one
+    final merge into the target (delete branch only here)."""
+    staging = batches[0]
+    for b in batches[1:]:
+        staging = merge_into_staging(staging, b, pk_cols)
+    return merge_dataframes(target, staging, pk_cols, soft_delete=soft_delete)

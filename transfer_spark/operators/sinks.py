@@ -1,0 +1,45 @@
+"""File sinks: Hive-layout parquet (M17).
+
+Reference writes gzip parquet under
+``{folder}/{db.schema.table}/date=YYYY-MM-DD/``
+(reference: clients/s3/s3.go:67-78 ObjectPrefix, lib/typing/parquet.go).
+
+Spark-first: ``partitionBy("date")`` produces the identical Hive layout
+and registers partition pruning for every downstream reader — a date
+filter on 100 TB of history touches only the matching directories.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_hive_parquet(
+    df: DataFrame,
+    base_path: str,
+    table_name: str,
+    date_value: "Column | str | None" = None,
+    compression: str = "gzip",
+    mode: str = "append",
+) -> str:
+    """Write ``df`` to ``{base_path}/{table_name}/date=YYYY-MM-DD/...``.
+
+    ``date_value``: a Column producing the partition date per row (e.g.
+    ``F.to_date("ts")``), a literal 'YYYY-MM-DD' string (the reference
+    stamps the flush date), or None for today. Returns the table root.
+    """
+    if date_value is None:
+        date_value = F.date_format(F.current_date(), "yyyy-MM-dd")
+    elif isinstance(date_value, str):
+        date_value = F.lit(date_value)
+    else:
+        date_value = F.date_format(date_value, "yyyy-MM-dd")
+    out = df.withColumn("date", date_value)
+    root = posixpath.join(base_path, table_name)
+    out.write.mode(mode).option("compression", compression).partitionBy(
+        "date"
+    ).parquet(root)
+    return root

@@ -143,15 +143,10 @@ def q_cdc_merge_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_dataframes(target, staging, ["id"])
 
 
-def _oracle_merge(soft: bool) -> str:
-    mid = "(SELECT CAST(floor(max(event_id) * 0.5) AS BIGINT) FROM events)"
-    b1 = _STREAM_SQL + f" WHERE event_id <= {mid}"
-    b2 = _STREAM_SQL + f" WHERE event_id > {mid}"
+def _fold_ctes(src: str, tag: str) -> str:
     keep_etype = f"(NOT is_delete AND (etype IS NULL OR etype != '{TOAST}'))"
     keep_plain = "(NOT is_delete)"
-
-    def fold_ctes(src: str, tag: str) -> str:
-        return f"""
+    return f"""
     stream_{tag} AS ({src}),
     carried_{tag} AS (
       SELECT id, off, is_delete,
@@ -176,6 +171,13 @@ def _oracle_merge(soft: bool) -> str:
       FROM carried_{tag}
       QUALIFY row_number() OVER (PARTITION BY id ORDER BY off DESC) = 1
     )"""
+
+
+def _oracle_merge(soft: bool) -> str:
+    mid = "(SELECT CAST(floor(max(event_id) * 0.5) AS BIGINT) FROM events)"
+    b1 = _STREAM_SQL + f" WHERE event_id <= {mid}"
+    b2 = _STREAM_SQL + f" WHERE event_id > {mid}"
+    fold_ctes = _fold_ctes
 
     toast_case = (
         f"CASE WHEN COALESCE(s.etype != '{TOAST}', TRUE) THEN s.etype ELSE t.etype END"
@@ -276,6 +278,63 @@ WHERE s.id IS NULL OR NOT s.is_delete
 """
 
 
+def q_multi_step_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13: three flushes — fold(b2) and fold(b3) cascade into a staging
+    table (no delete branch, deletes ride as data), then ONE final
+    hard-delete merge into the target built from b1."""
+    from transfer_spark.operators.merge import multi_step_merge
+
+    stream = _stream(spark, sf_dir)
+    hi = stream.agg(F.max(OFF)).collect()[0][0]
+    m1, m2 = hi // 3, (2 * hi) // 3
+    b1 = stream.filter(F.col(OFF) <= m1)
+    b2 = stream.filter((F.col(OFF) > m1) & (F.col(OFF) <= m2))
+    b3 = stream.filter(F.col(OFF) > m2)
+    target = (
+        cdc_fold(b1, ["id"], OFF)
+        .filter(~F.col(DEL))
+        .select("id", "etype", "val", "ts")
+    )
+    flushes = [
+        cdc_fold(b, ["id"], OFF).select("id", "etype", "val", "ts", DEL)
+        for b in (b2, b3)
+    ]
+    return multi_step_merge(target, flushes, ["id"])
+
+
+def _oracle_msm() -> str:
+    m1 = "(SELECT max(event_id) // 3 FROM events)"
+    m2 = "(SELECT (2 * max(event_id)) // 3 FROM events)"
+    b1 = _STREAM_SQL + f" WHERE event_id <= {m1}"
+    b2 = _STREAM_SQL + f" WHERE event_id > {m1} AND event_id <= {m2}"
+    b3 = _STREAM_SQL + f" WHERE event_id > {m2}"
+    toast_ab = f"CASE WHEN COALESCE(b.etype != '{TOAST}', TRUE) THEN b.etype ELSE a.etype END"
+    toast_ts = f"CASE WHEN COALESCE(s.etype != '{TOAST}', TRUE) THEN s.etype ELSE t.etype END"
+    return f"""
+    WITH {_fold_ctes(b1, 't0')},
+    {_fold_ctes(b2, 's2')},
+    {_fold_ctes(b3, 's3')},
+    tgt AS (SELECT id, etype, val, ts FROM folded_t0 WHERE NOT is_delete),
+    s23 AS (
+      SELECT COALESCE(a.id, b.id) AS id,
+        CASE WHEN a.id IS NOT NULL AND b.id IS NOT NULL THEN {toast_ab}
+             WHEN b.id IS NOT NULL THEN b.etype ELSE a.etype END AS etype,
+        CASE WHEN b.id IS NOT NULL THEN b.val ELSE a.val END AS val,
+        CASE WHEN b.id IS NOT NULL THEN b.ts ELSE a.ts END AS ts,
+        CASE WHEN b.id IS NOT NULL THEN b.is_delete ELSE a.is_delete END AS is_delete
+      FROM folded_s2 a FULL OUTER JOIN folded_s3 b ON a.id = b.id
+    )
+    SELECT COALESCE(t.id, s.id) AS id,
+      CASE WHEN s.id IS NOT NULL AND NOT s.is_delete AND t.id IS NOT NULL THEN {toast_ts}
+           WHEN s.id IS NOT NULL AND NOT s.is_delete AND t.id IS NULL THEN s.etype
+           ELSE t.etype END AS etype,
+      CASE WHEN s.id IS NOT NULL AND NOT s.is_delete THEN s.val ELSE t.val END AS val,
+      CASE WHEN s.id IS NOT NULL AND NOT s.is_delete THEN s.ts ELSE t.ts END AS ts
+    FROM tgt t FULL OUTER JOIN s23 s ON t.id = s.id
+    WHERE s.id IS NULL OR NOT s.is_delete
+    """
+
+
 def q_dedupe_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M16 standalone dedupe op (reference's own Spark SQL form,
     clients/iceberg/dialect/dialect.go:61-101): ROW_NUMBER()=1 per dupe
@@ -298,5 +357,6 @@ QUERIES = {
     "cdc_merge_hard": (q_cdc_merge_hard, _oracle_merge(soft=False)),
     "cdc_merge_soft": (q_cdc_merge_soft, _oracle_merge(soft=True)),
     "schema_evolution_merge": (q_schema_evolution_merge, ORACLE_SCHEMA_EVOLUTION),
+    "multi_step_merge": (q_multi_step_merge, _oracle_msm()),
     "dedupe_maintenance": (q_dedupe_maintenance, ORACLE_DEDUPE_MAINTENANCE),
 }

@@ -165,8 +165,56 @@ WHERE (CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END) NOT IN ('d')
 """
 
 
+def q_encode_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode-side values.ToString path (§2.2 encode): bool/date/
+    timestamp/null-sentinel encoding + the staging-CSV line builder."""
+    from transfer_spark.functions import encode as E
+
+    ev = read_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        (F.col("event_type") == "error").alias("is_err"),
+        F.to_date("ts").alias("d"),
+        F.col("ts").cast("timestamp_ntz").alias("tsn"),
+        F.when(
+            F.col("event_id") % 7 != 0, F.format_string("%.2f", F.col("value"))
+        ).alias("vs"),
+    )
+    return src.select(
+        "event_id",
+        E.encode_bool(F.col("is_err")).alias("b_str"),
+        E.encode_date(F.col("d")).alias("d_str"),
+        E.encode_timestamp_ntz(F.col("tsn")).alias("ts_str"),
+        E.encode_csv_row(src).alias("csv_line"),
+    )
+
+
+ORACLE_ENCODE_VALUES = """
+WITH src AS (
+  SELECT event_id,
+         event_type = 'error' AS is_err,
+         CAST(ts AS DATE) AS d,
+         ts,
+         CASE WHEN event_id % 7 != 0 THEN printf('%.2f', "value") END AS vs
+  FROM events
+)
+SELECT event_id,
+  CASE WHEN is_err THEN 'true' ELSE 'false' END AS b_str,
+  strftime(d, '%Y-%m-%d') AS d_str,
+  strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS ts_str,
+  concat_ws(chr(9),
+    CAST(event_id AS VARCHAR),
+    CASE WHEN is_err THEN 'true' ELSE 'false' END,
+    strftime(d, '%Y-%m-%d'),
+    strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'),
+    COALESCE(vs, '__artie_null_value')) AS csv_line
+FROM src
+"""
+
+
 QUERIES = {
     "column_hash": (q_column_hash, ORACLE_COLUMN_HASH),
+    "encode_values": (q_encode_values, ORACLE_ENCODE_VALUES),
     "projection_metadata": (q_projection_metadata, ORACLE_PROJECTION_METADATA),
     "pk_string_key": (q_pk_string_key, ORACLE_PK_STRING_KEY),
     "soft_partition_routing": (q_soft_partition_routing, ORACLE_SOFT_PARTITION),
