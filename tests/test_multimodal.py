@@ -1,0 +1,69 @@
+"""Multimodal plumbing tests: schema, batch shape, determinism, NULL
+handling, and the stub gate for codec-dependent ops."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from transfer_spark.operators import multimodal as MM
+
+
+def _media(spark):
+    rows = [(1, b"hello world"), (2, b"x" * 100), (3, None)]
+    return spark.createDataFrame(rows, "doc_id bigint, media binary")
+
+
+def test_image_metadata_schema_and_nulls(spark):
+    out = MM.decode_image_metadata(_media(spark), "media")
+    assert out.columns == ["doc_id", "media", "width", "height", "mime", "byte_size"]
+    got = {r.doc_id: r for r in out.collect()}
+    assert 1 <= got[1].width <= 1024 and 1 <= got[1].height <= 1024
+    assert got[2].byte_size == 100
+    assert got[3].width is None and got[3].byte_size is None
+    # deterministic: same bytes → same dims
+    again = {r.doc_id: r for r in MM.decode_image_metadata(_media(spark), "media").collect()}
+    assert (got[1].width, got[1].height) == (again[1].width, again[1].height)
+
+
+def test_feature_vector_shape(spark):
+    out = MM.extract_image_features(_media(spark), "media", "doc_id", dim=16)
+    got = {r.doc_id: r.features for r in out.collect()}
+    assert len(got[1]) == 16 and all(0.0 <= x < 1.0 for x in got[1])
+    assert got[3] is None
+
+
+def test_frame_sampling_explodes(spark):
+    out = MM.sample_video_frames(_media(spark), "media", "doc_id", max_frames=5)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # count = 1 + len % 5; NULL media emits nothing
+    assert len(by_doc[1]) == 1 + 11 % 5
+    assert len(by_doc[2]) == 1 + 100 % 5
+    assert 3 not in by_doc
+    assert all(len(r.frame) == 32 for r in rows)
+
+
+def test_audio_stats(spark):
+    out = MM.decode_audio_stats(_media(spark), "media", "doc_id")
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].duration_ms == 11 * 8
+    assert got[1].sample_rate in {8000, 16000, 24000, 32000, 40000, 48000}
+    assert 0.0 <= got[1].rms < 1.0
+
+
+def test_resize_raises_without_codec(spark):
+    if MM._HAS_PIL:
+        pytest.skip("PIL present; stub gate not applicable")
+    with pytest.raises(NotImplementedError):
+        MM.resize_images(_media(spark), "media", 256, 256)
+
+
+def test_metadata_only_projection_prunes_binary(spark, tmp_path):
+    """Column pruning: a metadata-only query over the media table must not
+    read the binary column (ReadSchema excludes it)."""
+    path = str(tmp_path / "media.parquet")
+    _media(spark).write.parquet(path)
+    df = spark.read.parquet(path).select("doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "media" not in plan

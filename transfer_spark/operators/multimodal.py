@@ -1,0 +1,183 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+Convention (SURVEY Phase 5 / training-data pipeline): media rides in a
+``binary`` column next to a metadata struct (mime, byte_size, …). The
+decode / feature-extract / resize / frame-sample operators run as
+Arrow-batched ``mapInPandas`` — schema, batch shape, and partitioning are
+production-real; only the *codec* is swappable.
+
+STUB NOTE: the image/audio codec libraries (PIL, torchaudio, …) are not
+in this container. Each operator tries the real library and otherwise
+uses ``_fake_*`` — a deterministic SHA-256-derived stand-in, clearly
+marked, so the Spark-side plumbing is fully testable (and oracle-checkable,
+since SHA-256 is computable in SQL too). Swap ``_fake_*`` for the real
+codec on a cluster that has the libs; nothing else changes.
+
+Scale notes: one UDF pass per partition, linear in bytes, no shuffle.
+For 100 TB of media the binary column should live in its own parquet
+files (columnar pruning keeps metadata-only queries from touching bytes);
+``spark.sql.files.maxPartitionBytes`` bounds executor memory per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except Exception:
+    _HAS_PIL = False
+
+
+def _sha(b: bytes) -> bytes:
+    return hashlib.sha256(b).digest()
+
+
+def _fake_image_meta(b: bytes) -> tuple[int, int, str]:
+    """Deterministic stand-in for image header decode: dims derived from
+    the content hash (width = 1 + first-2-bytes % 1024, height likewise)."""
+    h = _sha(b)
+    width = 1 + int.from_bytes(h[0:2], "big") % 1024
+    height = 1 + int.from_bytes(h[2:4], "big") % 1024
+    return width, height, "image/fake"
+
+
+IMAGE_META_DDL = "width int, height int, mime string, byte_size bigint"
+
+
+def decode_image_metadata(df: DataFrame, binary_col: str) -> DataFrame:
+    """binary → + (width, height, mime, byte_size). Real decode would read
+    the image header (PIL); the fake derives dims from SHA-256."""
+    out_schema = StructType.fromDDL(
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        + ", " + IMAGE_META_DDL
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = pdf[binary_col].map(
+                lambda b: _fake_image_meta(bytes(b)) if b is not None else (None,) * 3
+            )
+            pdf = pdf.copy()
+            pdf["width"] = metas.map(lambda m: m[0])
+            pdf["height"] = metas.map(lambda m: m[1])
+            pdf["mime"] = metas.map(lambda m: m[2])
+            pdf["byte_size"] = pdf[binary_col].map(
+                lambda b: len(b) if b is not None else None
+            )
+            yield pdf
+
+    return df.mapInPandas(_batches, out_schema)
+
+
+def extract_image_features(
+    df: DataFrame, binary_col: str, id_col: str, dim: int = 16
+) -> DataFrame:
+    """binary → fixed-size float feature vector (id, features).
+
+    Real implementation: a vision model over decoded pixels. Fake: bytes
+    of repeated SHA-256, scaled to [0, 1) — deterministic, unit-testable,
+    same schema/batch shape as the real thing.
+    """
+    out_schema = StructType.fromDDL(f"{id_col} bigint, features array<float>")
+
+    def _feat(b: bytes) -> list[float]:
+        out: list[float] = []
+        seed = _sha(b)
+        while len(out) < dim:
+            out.extend(x / 256.0 for x in seed)
+            seed = _sha(seed)
+        return out[:dim]
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "features": pdf[binary_col].map(
+                        lambda b: _feat(bytes(b)) if b is not None else None
+                    ),
+                }
+            )
+
+    return df.mapInPandas(_batches, out_schema)
+
+
+def resize_images(
+    df: DataFrame, binary_col: str, max_width: int, max_height: int
+) -> DataFrame:
+    """Resize pass-through. Real codec required for actual pixel work —
+    raises unless PIL is importable; the plumbing (schema preserved,
+    per-partition batching) is what this operator pins down."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "resize_images needs PIL; container has no image codec. "
+            "Plumbing is exercised via decode_image_metadata/extract_image_features."
+        )
+    return df  # pragma: no cover - real path needs PIL
+
+
+def sample_video_frames(
+    df: DataFrame, binary_col: str, id_col: str, max_frames: int = 5
+) -> DataFrame:
+    """binary video → one row per sampled frame (id, frame_idx, frame).
+
+    Real implementation: container demux + keyframe sample. Fake: frame
+    count = 1 + byte_size % max_frames; each 'frame' is the SHA-256 of
+    (content ++ ascii(idx)). Demonstrates the N-rows-out batch shape
+    (explode inside mapInPandas).
+    """
+    out_schema = StructType.fromDDL(
+        f"{id_col} bigint, frame_idx int, frame binary"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for _id, b in zip(pdf[id_col], pdf[binary_col]):
+                if b is None:
+                    continue
+                raw = bytes(b)
+                n = 1 + len(raw) % max_frames
+                for i in range(n):
+                    ids.append(_id)
+                    idxs.append(i)
+                    frames.append(_sha(raw + str(i).encode()))
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(_batches, out_schema)
+
+
+def decode_audio_stats(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """binary audio → (id, duration_ms, sample_rate, rms). Fake values are
+    hash/length-derived; real codec would demux + integrate samples."""
+    out_schema = StructType.fromDDL(
+        f"{id_col} bigint, duration_ms bigint, sample_rate int, rms double"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            raws = pdf[binary_col].map(lambda b: bytes(b) if b is not None else b"")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "duration_ms": raws.map(lambda r: len(r) * 8),
+                    "sample_rate": raws.map(
+                        lambda r: 8000 * (1 + _sha(r)[0] % 6) if r else None
+                    ),
+                    "rms": raws.map(
+                        lambda r: int.from_bytes(_sha(r)[1:3], "big") / 65536.0
+                        if r
+                        else None
+                    ),
+                }
+            )
+
+    return df.mapInPandas(_batches, out_schema)

@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from transfer_spark.workloads import cdc, sources, text, transforms, vectors
+from transfer_spark.workloads import cdc, multimodal, sources, text, transforms, vectors
 
 Entry = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
 
@@ -25,3 +25,4 @@ QUERIES.update(sources.QUERIES)
 QUERIES.update(transforms.QUERIES)
 QUERIES.update(text.QUERIES)
 QUERIES.update(vectors.QUERIES)
+QUERIES.update(multimodal.QUERIES)

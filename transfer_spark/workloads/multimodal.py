@@ -1,0 +1,78 @@
+"""Multimodal workload family: binary media columns on `documents`.
+
+The media bytes are stand-ins (document text as UTF-8), but the operators
+are the real plumbing. Because the stub codecs are SHA-256-derived, the
+image-metadata and frame-sampling queries are still fully oracle-checked
+in SQL; feature extraction is rows-only (float32 vectors don't round-trip
+through a SQL oracle cleanly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transfer_spark.operators import multimodal as MM
+from transfer_spark.session import read_table
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("media")
+    )
+
+
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = MM.decode_image_metadata(_media(spark, sf_dir), "media")
+    return out.select("doc_id", "width", "height", "mime", "byte_size")
+
+
+ORACLE_IMAGE_META = """
+SELECT doc_id,
+  CAST(1 + ('0x' || substr(sha256(text), 1, 4))::BIGINT % 1024 AS INT) AS width,
+  CAST(1 + ('0x' || substr(sha256(text), 5, 4))::BIGINT % 1024 AS INT) AS height,
+  'image/fake' AS mime,
+  octet_length(text::BLOB) AS byte_size
+FROM documents
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.sample_video_frames(_media(spark, sf_dir), "media", "doc_id", 5)
+
+
+ORACLE_FRAME_SAMPLE = """
+WITH f AS (
+  SELECT doc_id, text AS txt, octet_length(text::BLOB) AS n FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       unhex(sha256(txt || CAST(i AS VARCHAR))) AS frame
+FROM f, UNNEST(range(0, 1 + n % 5)) AS t(i)
+"""
+
+
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.decode_audio_stats(_media(spark, sf_dir), "media", "doc_id")
+
+
+ORACLE_AUDIO_STATS = """
+SELECT doc_id,
+  octet_length(text::BLOB) * 8 AS duration_ms,
+  CAST(8000 * (1 + ('0x' || substr(sha256(text), 1, 2))::BIGINT % 6) AS INT)
+    AS sample_rate,
+  ('0x' || substr(sha256(text), 3, 4))::BIGINT / 65536.0 AS rms
+FROM documents
+"""
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: float32 feature vectors (deterministic stub)."""
+    return MM.extract_image_features(_media(spark, sf_dir), "media", "doc_id", 16)
+
+
+QUERIES = {
+    "multimodal_image_meta": (q_image_meta, ORACLE_IMAGE_META),
+    "multimodal_frame_sample": (q_frame_sample, ORACLE_FRAME_SAMPLE),
+    "multimodal_audio_stats": (q_audio_stats, ORACLE_AUDIO_STATS),
+    "multimodal_image_features": (q_image_features, None),
+}
