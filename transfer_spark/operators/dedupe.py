@@ -104,7 +104,11 @@ def minhash_signature_df(
     partial aggregation, so the shuffle carries one row per (doc, lane)
     partial — the plan that survives 100× scale-up.
     """
-    ex = df.select(
+    # small parquet inputs arrive as one partition; spread docs BEFORE the
+    # ~200× explode so the hash work parallelizes (on a cluster this is the
+    # difference between 1 core and N×32 cores doing the md5s)
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    ex = df.repartition(nparts).select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("s"),
     )
@@ -152,7 +156,9 @@ def minhash_lsh_pairs(
 
 
 def simhash(text: Column, bits: int = 32) -> Column:
-    """Sign-aggregated `bits`-wide fingerprint over word hashes."""
+    """Sign-aggregated `bits`-wide fingerprint over word hashes
+    (per-row expression form — each bit re-scans the hash array; use
+    :func:`simhash_df` for volume work)."""
     toks = tokens(text)
     hashes = F.transform(toks, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"))
 
@@ -173,6 +179,45 @@ def simhash(text: Column, bits: int = 32) -> Column:
     for i, b in enumerate(bit_vals):
         out = out + F.shiftleft(b, i)
     return out
+
+
+def simhash_df(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """(id, simhash) via explode → hash once → per-bit ±1 sums → assemble.
+
+    The expression form evaluates the token-hash transform once PER BIT
+    (32× redundant md5 work) and runs on however few partitions the scan
+    produced. This shape hashes each token once, gets map-side partial
+    aggregation for the 32 bit-sums, and parallelizes the explode — the
+    plan that holds at 100× volume. Docs with no tokens get simhash 0
+    (same as the expression form).
+    """
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    ex = df.repartition(nparts).select(
+        F.col(id_col).alias("doc"),
+        F.explode_outer(tokens(F.col(text_col))).alias("w"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    contrib = [
+        F.when(F.col("w").isNull(), 0)
+        .when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+        .otherwise(-1)
+        .alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = ex.select("doc", *contrib).groupBy("doc").agg(
+        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)]
+    )
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.shiftleft(
+            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+            i,
+        )
+    return sums.select("doc", out.alias("simhash"))
 
 
 def ngram_jaccard_pairs(

@@ -134,16 +134,58 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.4,
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold (exact verifier; LSH-prefilter at scale)."""
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
-    a, b = v.alias("a"), v.alias("b")
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b")
+    """All-pairs exact cosine ≥ threshold.
+
+    Plan: broadcast the (normalized) build-side matrix, stream the probe
+    side through an Arrow-batched ``mapInPandas`` doing one numpy matmul
+    per batch — the same build/probe asymmetry as a broadcast hash join,
+    but for dense linear algebra, where numpy beats per-pair Catalyst
+    higher-order expressions by ~50×. Each probe partition works
+    independently (no shuffle); emitted pairs satisfy id_a < id_b.
+
+    Scale path: the broadcast side must fit in executor memory (a 1M×64
+    float32 matrix is 256 MB — fine). Beyond that, block the build side
+    into column strips and union one pass per strip, or prefilter with
+    :func:`lsh_bucket` and verify only candidates.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    pdf = v.toPandas()  # build side (broadcast analog)
+    ids = np.asarray(pdf["id"].values)
+    mat = np.vstack(pdf["v"].values).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    bmat = df.sparkSession.sparkContext.broadcast((ids, mat))
+
+    out_schema = StructType.fromDDL("id_a bigint, id_b bigint")
+
+    def _batches(it):
+        b_ids, b_mat = bmat.value
+        order = np.argsort(b_ids)
+        s_ids, s_mat = b_ids[order], b_mat[order]
+        for p in it:
+            if len(p) == 0:
+                continue
+            q_ids = np.asarray(p["id"].values)
+            q = np.vstack(p["v"].values).astype(np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0] = 1.0
+            q = q / qn[:, None]
+            sims = q @ s_mat.T  # |batch| × n
+            rows_a, rows_b = [], []
+            for qi, qid in enumerate(q_ids):
+                # only partners with larger id → each pair emitted once
+                start = np.searchsorted(s_ids, qid, side="right")
+                hits = np.nonzero(sims[qi, start:] >= threshold)[0]
+                for h in hits:
+                    rows_a.append(qid)
+                    rows_b.append(s_ids[start + h])
+            yield pd.DataFrame({"id_a": rows_a, "id_b": rows_b})
+
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    return v.repartition(nparts).mapInPandas(_batches, out_schema)

@@ -188,9 +188,9 @@ WHERE round(len(list_intersect(a.sh, b.sh)) /
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprint per document."""
+    """32-bit SimHash fingerprint per document (explode/agg plan shape)."""
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", D.simhash(F.col("text"), 32).alias("simhash"))
+    return D.simhash_df(d, "doc_id", "text", 32).withColumnRenamed("doc", "doc_id")
 
 
 def _simhash_sql(bits: int = 32) -> str:
