@@ -81,7 +81,10 @@ def merge_dataframes(
 
     tgt = target.alias("tgt")
     stg = staging.alias("stg")
-    on = [F.col(f"tgt.{k}").eqNullSafe(F.col(f"stg.{k}")) for k in pk_cols]
+    # plain equality like the reference's MERGE ON (PKs are non-null by
+    # definition); eqNullSafe would rewrite keys to coalesce(pk, 0) and
+    # break reuse of the upstream fold's hashpartitioning(pk) exchange
+    on = [F.col(f"tgt.{k}") == F.col(f"stg.{k}") for k in pk_cols]
     if additional_predicates:
         on.extend(additional_predicates)
     cond = on[0]
@@ -155,7 +158,7 @@ def merge_into_staging(
     stg = batch.alias("stg")
     cond = F.lit(True)
     for k in pk_cols:
-        cond = cond & F.col(f"tgt.{k}").eqNullSafe(F.col(f"stg.{k}"))
+        cond = cond & (F.col(f"tgt.{k}") == F.col(f"stg.{k}"))
     joined = tgt.join(stg, cond, "full_outer")
     matched = (
         F.col(f"stg.{pk_cols[0]}").isNotNull() & F.col(f"tgt.{pk_cols[0]}").isNotNull()
