@@ -1,0 +1,107 @@
+"""Crypto transforms, temp-table lifecycle, merge assertion, multi-table
+fan-out, external-sink encoding."""
+
+import hashlib
+import hmac as pyhmac
+
+import pytest
+from pyspark.sql import functions as F
+
+from transfer_spark.operators import crypto as CR
+from transfer_spark.operators import temp_tables as TT
+from transfer_spark.operators.external_sinks import (
+    _HAS_BOTO3,
+    _HAS_REDIS,
+    encode_kv_rows,
+    write_to_redis,
+    write_to_sqs,
+)
+
+
+def test_hmac_matches_python(spark):
+    df = spark.createDataFrame([(1, "alice"), (2, None)], ["id", "name"])
+    out = {r.id: r.name for r in CR.hash_columns(df, ["name"], salt="s3cr3t").collect()}
+    expect = pyhmac.new(b"s3cr3t", b"alice", hashlib.sha256).hexdigest()
+    assert out[1] == expect and out[2] is None
+
+
+def test_sha256_matches_python(spark):
+    df = spark.createDataFrame([(1, "alice")], ["id", "name"])
+    out = CR.hash_columns(df, ["name"]).collect()[0].name
+    assert out == hashlib.sha256(b"alice").hexdigest()
+
+
+def test_encrypt_roundtrip_and_nondeterminism(spark):
+    key = bytes(range(32))
+    df = spark.createDataFrame([(1, "secret-value")], ["id", "v"])
+    enc1 = CR.encrypt_columns(df, ["v"], key).collect()[0].v
+    enc2 = CR.encrypt_columns(df, ["v"], key).collect()[0].v
+    assert enc1 != enc2  # random GCM nonce per encryption
+    dec = CR.decrypt_columns(
+        CR.encrypt_columns(df, ["v"], key), ["v"], key
+    ).collect()[0].v
+    assert dec == "secret-value"
+    with pytest.raises(ValueError):
+        CR.encrypt_columns(df, ["v"], b"short")
+
+
+def test_temp_table_naming_and_sweep():
+    name = TT.temp_table_name("db.t", suffix="abcde", now_unix=1000, ttl_seconds=60)
+    assert name == "db.t___artie_abcde_1060"
+    assert not TT.should_delete_from_name(name, now_unix=1060)
+    assert TT.should_delete_from_name(name, now_unix=1061)
+    # msm staging tables are never swept
+    msm = TT.msm_staging_table_name("db.t")
+    assert not TT.should_delete_from_name(msm, now_unix=10**12)
+    # non-artie tables untouched
+    assert TT.sweep(["plain_table", name, msm], now_unix=2000) == [name]
+
+
+def test_merge_assertion(spark, tmp_path):
+    from transfer_spark.constants import DELETE_COLUMN_MARKER, OFFSET_COLUMN
+    from transfer_spark.streaming.pipeline import ReplicationPipeline
+
+    pipe = ReplicationPipeline(spark, str(tmp_path / "t"), ["id"], OFFSET_COLUMN)
+    batch = spark.createDataFrame(
+        [(1, 1, False, "a"), (2, 2, False, "b"), (1, 3, True, None)],
+        ["id", OFFSET_COLUMN, DELETE_COLUMN_MARKER, "v"],
+    )
+    pipe.process_batch(batch, 0)
+    staged = batch.filter(F.col(OFFSET_COLUMN) >= 2).drop(OFFSET_COLUMN)
+    pipe.assert_merge_applied(staged)  # id=2 live present, id=1 deleted absent
+    bogus = spark.createDataFrame([(99, False, "x")], ["id", DELETE_COLUMN_MARKER, "v"])
+    with pytest.raises(AssertionError):
+        pipe.assert_merge_applied(bogus)
+
+
+def test_multi_table_fanout(spark, tmp_path):
+    from transfer_spark.constants import DELETE_COLUMN_MARKER, OFFSET_COLUMN
+    from transfer_spark.streaming.pipeline import MultiTablePipeline
+
+    mt = MultiTablePipeline(
+        spark, str(tmp_path), "tbl", ["id"], OFFSET_COLUMN
+    )
+    batch = spark.createDataFrame(
+        [
+            ("orders", 1, 1, False, "o1"),
+            ("orders", 1, 2, False, "o2"),
+            ("items", 7, 3, False, "i1"),
+        ],
+        ["tbl", "id", OFFSET_COLUMN, DELETE_COLUMN_MARKER, "v"],
+    )
+    mt.process_batch(batch, 0)
+    orders = {r.id: r.v for r in mt.pipelines["orders"].table.read().collect()}
+    items = {r.id: r.v for r in mt.pipelines["items"].table.read().collect()}
+    assert orders == {1: "o2"} and items == {7: "i1"}
+
+
+def test_kv_encoding_and_sink_gates(spark):
+    df = spark.createDataFrame([(1, "US", "a"), (2, "DE", "b")], ["id", "cc", "v"])
+    kv = {r.key: r.value for r in encode_kv_rows(df, ["id", "cc"], "tbl").collect()}
+    assert kv["tbl:1:US"] == '{"id":1,"cc":"US","v":"a"}'
+    if not _HAS_REDIS:
+        with pytest.raises(NotImplementedError):
+            write_to_redis(df, ["id"], "localhost")
+    if not _HAS_BOTO3:
+        with pytest.raises(NotImplementedError):
+            write_to_sqs(df, ["id"], "http://q")

@@ -1,0 +1,84 @@
+"""Column hashing & encryption transforms (P3/P4).
+
+Reference semantics:
+- HashValue: SHA-256, or HMAC-SHA256 when a salt is configured; the
+  column type becomes string (reference: lib/cryptography/cryptography.go
+  :19-35, models/event/event_util.go:97-106,146-150).
+- Encrypt: AES-256-GCM, random nonce prepended, stored base64
+  (reference: lib/cryptography/aes256.go:50-90,
+  models/event/event_util.go:152-184). Spark's builtin ``aes_encrypt``
+  GCM mode produces exactly iv||ciphertext||tag, so encrypt stays
+  JVM-side; ``encryptJSONBColumns`` auto-targets document columns.
+
+HMAC has no Spark builtin, so it is an Arrow-batched pandas UDF — the
+only Python in this family, and only on salted-hash columns.
+"""
+
+from __future__ import annotations
+
+import base64 as _b64
+import hashlib
+import hmac as _hmac
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+
+def sha256_hash(c: Column) -> Column:
+    """Plain column hash (no salt)."""
+    return F.sha2(c.cast("string"), 256)
+
+
+def hmac_sha256(c: Column, salt: str) -> Column:
+    """HMAC-SHA256 with the salt as key (hex output, like the reference)."""
+    key = salt.encode()
+
+    @F.pandas_udf(StringType())
+    def _hmac_udf(vals: pd.Series) -> pd.Series:
+        return vals.map(
+            lambda v: _hmac.new(key, str(v).encode(), hashlib.sha256).hexdigest()
+            if v is not None
+            else None
+        )
+
+    return _hmac_udf(c.cast("string"))
+
+
+def hash_columns(df: DataFrame, cols: list[str], salt: str | None = None) -> DataFrame:
+    for name in cols:
+        h = hmac_sha256(F.col(name), salt) if salt else sha256_hash(F.col(name))
+        df = df.withColumn(name, h)
+    return df
+
+
+def encrypt_columns(df: DataFrame, cols: list[str], key32: bytes) -> DataFrame:
+    """AES-256-GCM encrypt → base64 string columns."""
+    if len(key32) != 32:
+        raise ValueError(f"key must be 32 bytes, got: {len(key32)}")
+    key = F.lit(key32)
+    for name in cols:
+        df = df.withColumn(
+            name,
+            F.base64(F.aes_encrypt(F.col(name).cast("string").cast("binary"), key, F.lit("GCM"))),
+        )
+    return df
+
+
+def decrypt_columns(df: DataFrame, cols: list[str], key32: bytes) -> DataFrame:
+    key = F.lit(key32)
+    for name in cols:
+        df = df.withColumn(
+            name,
+            F.aes_decrypt(F.unbase64(F.col(name)), key, F.lit("GCM")).cast("string"),
+        )
+    return df
+
+
+def decode_passphrase(passphrase_b64: str) -> bytes:
+    """base64 passphrase → raw 32-byte key (aes256.go:27-40)."""
+    key = _b64.b64decode(passphrase_b64)
+    if len(key) != 32:
+        raise ValueError(f"key must be 32 bytes, got: {len(key)}")
+    return key

@@ -1,0 +1,75 @@
+"""Key-value / queue sinks (M18 Redis, M19 SQS): foreachBatch writers.
+
+Reference: clients/redis/redis.go:52-130 (SET pk → row JSON),
+clients/sqs/sqs.go:59-144 (one queue message per row). Spark-side: the
+rows are encoded with built-in expressions (to_json over a struct), and
+the network write runs per-partition via ``foreachPartition`` inside the
+micro-batch — executors fan out, nothing funnels through the driver.
+
+The client libraries (redis, boto3) are not in this container; writers
+gate on import and raise NotImplementedError. The row→message encoding
+(the testable logic) is pure DataFrame code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover
+    import redis as _redis  # noqa: F401
+
+    _HAS_REDIS = True
+except Exception:
+    _HAS_REDIS = False
+
+try:  # pragma: no cover
+    import boto3 as _boto3  # noqa: F401
+
+    _HAS_BOTO3 = True
+except Exception:
+    _HAS_BOTO3 = False
+
+
+def encode_kv_rows(df: DataFrame, pk_cols: list[str], key_prefix: str = "") -> DataFrame:
+    """(key, value) frame: key = prefix + ':'-joined PKs, value = row JSON.
+    This is the whole transform; the Redis/SQS writers just ship it."""
+    value_cols = [c for c in df.columns]
+    key = F.concat_ws(
+        ":", F.lit(key_prefix), *[F.col(c).cast("string") for c in pk_cols]
+    )
+    return df.select(
+        key.alias("key"), F.to_json(F.struct(*value_cols)).alias("value")
+    )
+
+
+def write_to_redis(
+    df: DataFrame, pk_cols: list[str], host: str, port: int = 6379, key_prefix: str = ""
+) -> None:
+    if not _HAS_REDIS:
+        raise NotImplementedError(
+            "redis client library not installed in this container"
+        )
+    kv = encode_kv_rows(df, pk_cols, key_prefix)  # pragma: no cover
+
+    def _part(rows):  # pragma: no cover
+        client = _redis.Redis(host=host, port=port)
+        pipe = client.pipeline()
+        for r in rows:
+            pipe.set(r.key, r.value)
+        pipe.execute()
+
+    kv.foreachPartition(_part)  # pragma: no cover
+
+
+def write_to_sqs(df: DataFrame, pk_cols: list[str], queue_url: str) -> None:
+    if not _HAS_BOTO3:
+        raise NotImplementedError("boto3 not installed in this container")
+    kv = encode_kv_rows(df, pk_cols)  # pragma: no cover
+
+    def _part(rows):  # pragma: no cover
+        client = _boto3.client("sqs")
+        for r in rows:
+            client.send_message(QueueUrl=queue_url, MessageBody=r.value)
+
+    kv.foreachPartition(_part)  # pragma: no cover

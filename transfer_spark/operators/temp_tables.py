@@ -1,0 +1,62 @@
+"""Temp-table lifecycle (D8): TTL-stamped names + boot-time sweep.
+
+Reference: clients/shared/temp_table.go:20-43 (name format
+``{table}_{__artie}_{rand5}_{expiryUnix}``), lib/destination/ddl/
+expiry.go:12-35 (ShouldDeleteFromName), clients/shared/sweep.go +
+main.go:96-101 (sweep at boot). Multi-step-merge staging tables use the
+literal suffix ``msm`` instead of an expiry and are never swept.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+import time as _time
+
+from transfer_spark.constants import ARTIE_PREFIX
+
+TEMP_TABLE_TTL_SECONDS = 6 * 60 * 60  # constants.TemporaryTableTTL (6h)
+
+
+def temp_table_name(
+    table: str,
+    suffix: str | None = None,
+    now_unix: int | None = None,
+    ttl_seconds: int = TEMP_TABLE_TTL_SECONDS,
+) -> str:
+    if suffix is None:
+        suffix = "".join(random.choices(string.ascii_lowercase, k=5))
+    if now_unix is None:
+        now_unix = int(_time.time())
+    return f"{table}_{ARTIE_PREFIX}_{suffix}_{now_unix + ttl_seconds}"
+
+
+def msm_staging_table_name(table: str, suffix: str = "msm") -> str:
+    """Persistent multi-step-merge staging table — exempt from the sweep
+    (reference: expiry.go:24-26)."""
+    return f"{table}_{ARTIE_PREFIX}_{suffix}_msm"
+
+
+def should_delete_from_name(name: str, now_unix: int | None = None) -> bool:
+    """(reference: lib/destination/ddl/expiry.go:12-35)."""
+    if now_unix is None:
+        now_unix = int(_time.time())
+    parts = name.lower().split(ARTIE_PREFIX)
+    if len(parts) != 2:
+        return False
+    suffix_parts = parts[1].split("_")
+    if len(suffix_parts) != 3:
+        return False
+    last = suffix_parts[2]
+    if last == "msm":
+        return False
+    try:
+        expiry = int(last)
+    except ValueError:
+        return False
+    return now_unix > expiry
+
+
+def sweep(table_names: list[str], now_unix: int | None = None) -> list[str]:
+    """Names that are expired artie temp tables → DROP at boot."""
+    return [n for n in table_names if should_delete_from_name(n, now_unix)]

@@ -123,6 +123,31 @@ class ReplicationPipeline:
         )
         self.table.write(merged)
 
+    def assert_merge_applied(self, staging: DataFrame) -> None:
+        """M14 merge row-count assertion (reference:
+        clients/shared/merge.go:194-209): every non-deleted staged PK must
+        exist in the target after the flush; hard-deleted PKs must not."""
+        from pyspark.sql import functions as F
+
+        target = self.table.read()
+        if target is None:
+            raise AssertionError("merge assertion: target missing")
+        on = [staging[k] == target[k] for k in self.pk_cols]
+        cond = on[0]
+        for c in on[1:]:
+            cond = cond & c
+        live = staging.filter(~F.col(DELETE_COLUMN_MARKER))
+        missing = live.join(target, cond, "left_anti").count()
+        if missing:
+            raise AssertionError(f"merge assertion: {missing} staged rows not applied")
+        if not self.soft_delete:
+            dead = staging.filter(F.col(DELETE_COLUMN_MARKER))
+            lingering = dead.join(target, cond, "left_semi").count()
+            if lingering:
+                raise AssertionError(
+                    f"merge assertion: {lingering} hard-deleted rows still present"
+                )
+
     def start_json_file_stream(
         self,
         source_dir: str,
@@ -150,3 +175,57 @@ class ReplicationPipeline:
         elif trigger_seconds:
             writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
         return writer.start()
+
+
+class MultiTablePipeline:
+    """O1 flush fan-out: one topic carries several tables; each flush
+    routes rows by a table-name column and flushes every table,
+    all-or-nothing (reference: processes/consumer/flush.go:50-153 — an
+    exception aborts the batch, so the checkpoint 'offset commit' only
+    happens when every table landed, same coupling as the errgroup)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        table_col: str,
+        pk_cols: list[str],
+        order_col: str,
+        soft_delete: bool = False,
+    ):
+        self.spark = spark
+        self.base_path = base_path
+        self.table_col = table_col
+        self.pk_cols = pk_cols
+        self.order_col = order_col
+        self.soft_delete = soft_delete
+        self.pipelines: dict[str, ReplicationPipeline] = {}
+
+    def _pipeline_for(self, table: str) -> ReplicationPipeline:
+        if table not in self.pipelines:
+            self.pipelines[table] = ReplicationPipeline(
+                self.spark,
+                os.path.join(self.base_path, table),
+                self.pk_cols,
+                self.order_col,
+                soft_delete=self.soft_delete,
+            )
+        return self.pipelines[table]
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pyspark.sql import functions as F
+
+        batch_df = batch_df.cache()
+        try:
+            # distinct table list is per-batch metadata (tiny) — the row
+            # data itself never funnels through the driver
+            tables = [
+                r[0] for r in batch_df.select(self.table_col).distinct().collect()
+            ]
+            for t in sorted(tables):
+                sub = batch_df.filter(F.col(self.table_col) == t).drop(self.table_col)
+                self._pipeline_for(t).process_batch(sub, batch_id)
+        finally:
+            batch_df.unpersist()

@@ -212,8 +212,40 @@ FROM src
 """
 
 
+def q_column_encryption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 column encryption: AES-256-GCM encrypt → base64 → decrypt
+    round-trip (GCM nonces are random, so the verifiable invariant is
+    decrypt∘encrypt = id; the oracle is the plain column)."""
+    from transfer_spark.operators import crypto as CR
+
+    key = bytes(range(32))
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    enc = CR.encrypt_columns(cust, ["c_name"], key)
+    dec = CR.decrypt_columns(enc, ["c_name"], key)
+    return dec.select("c_custkey", F.col("c_name").alias("c_name_roundtrip"))
+
+
+ORACLE_COLUMN_ENCRYPTION = """
+SELECT c_custkey, c_name AS c_name_roundtrip FROM customer
+"""
+
+
+def q_column_hmac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 salted hash: HMAC-SHA256 (pandas UDF; no SQL oracle — DuckDB has
+    no HMAC builtin, so this is a rows-only check; exactness is pinned by
+    a unit test against Python's hmac)."""
+    from transfer_spark.operators import crypto as CR
+
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return CR.hash_columns(cust, ["c_name"], salt="pepper").select(
+        "c_custkey", F.col("c_name").alias("c_name_hmac")
+    )
+
+
 QUERIES = {
     "column_hash": (q_column_hash, ORACLE_COLUMN_HASH),
+    "column_encryption": (q_column_encryption, ORACLE_COLUMN_ENCRYPTION),
+    "column_hmac": (q_column_hmac, None),
     "encode_values": (q_encode_values, ORACLE_ENCODE_VALUES),
     "projection_metadata": (q_projection_metadata, ORACLE_PROJECTION_METADATA),
     "pk_string_key": (q_pk_string_key, ORACLE_PK_STRING_KEY),
