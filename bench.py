@@ -27,11 +27,17 @@ from transfer_spark.workloads import QUERIES  # noqa: E402
 HEADLINE = [
     "cdc_lww_dedup",
     "cdc_fold",
+    "cdc_fold_salted",
     "cdc_merge_hard",
     "cdc_merge_soft",
+    "multi_step_merge",
+    "schema_evolution_merge",
+    "debezium_envelope_decode",
+    "mongo_extjson_decode",
     "dedupe_maintenance",
     "dedupe_exact",
     "dedupe_minhash_lsh",
+    "dedupe_lsh_verified",
     "dedupe_simhash",
     "text_stats",
     "lang_id",
@@ -39,6 +45,8 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "embedding_neardup",
     "pk_string_key",
+    "encode_values",
+    "multimodal_image_meta",
 ]
 
 

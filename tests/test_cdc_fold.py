@@ -103,3 +103,57 @@ def test_lww_dedup_plain(spark):
     out = lww_dedup(spark.createDataFrame(rows), ["id"], "off")
     got = {r["id"]: r["v"] for r in out.collect()}
     assert got == {1: 2, 2: 9}
+
+
+def test_salted_fold_does_not_leak_delete_fallback(spark):
+    """Bucket = [delete(raw), toast]: the bucket survivor is a non-delete
+    whose column value is the FALLBACK (the delete's raw value). A naive
+    fold-of-survivors would treat it as kept; the component-carrying
+    salted fold must not."""
+    from transfer_spark.constants import DELETE_COLUMN_MARKER as DEL
+    from transfer_spark.constants import TOAST_UNAVAILABLE_VALUE as TOAST
+    from transfer_spark.operators.cdc_fold import cdc_fold, cdc_fold_salted
+
+    rows = [
+        # bucket 0 (offsets 0..4): a kept value
+        (1, 0, False, "good"),
+        # bucket 1 (offsets 5..9): delete w/ raw value, then a TOAST event
+        (1, 5, True, "from-delete"),
+        (1, 6, False, TOAST),
+    ]
+    df = spark.createDataFrame(rows, ["id", "off", DEL, "payload"])
+    plain = cdc_fold(df, ["id"], "off").collect()[0]
+    salted = cdc_fold_salted(df, ["id"], "off", n_buckets=2).collect()[0]
+    assert plain.payload == "good"
+    assert salted.payload == "good"  # NOT "from-delete"
+    assert salted[DEL] == plain[DEL] is False
+
+
+def test_salted_fold_equals_plain_on_random_streams(spark):
+    import random
+
+    from transfer_spark.constants import DELETE_COLUMN_MARKER as DEL
+    from transfer_spark.constants import TOAST_UNAVAILABLE_VALUE as TOAST
+    from transfer_spark.operators.cdc_fold import cdc_fold, cdc_fold_salted
+
+    rng = random.Random(7)
+    rows = []
+    for off in range(400):
+        pk = rng.randrange(12)
+        kind = rng.random()
+        if kind < 0.2:
+            rows.append((pk, off, True, f"del-{off}"))
+        elif kind < 0.45:
+            rows.append((pk, off, False, TOAST))
+        elif kind < 0.55:
+            rows.append((pk, off, False, None))
+        else:
+            rows.append((pk, off, False, f"v{off}"))
+    df = spark.createDataFrame(rows, ["id", "off", DEL, "payload"])
+    plain = {(r.id): (r.payload, r[DEL]) for r in cdc_fold(df, ["id"], "off").collect()}
+    for nb in (1, 3, 8):
+        salted = {
+            (r.id): (r.payload, r[DEL])
+            for r in cdc_fold_salted(df, ["id"], "off", n_buckets=nb).collect()
+        }
+        assert salted == plain, f"n_buckets={nb}"

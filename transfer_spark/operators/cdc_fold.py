@@ -114,3 +114,93 @@ def cdc_fold(
 
     folded = df.select(*projected)
     return lww_dedup(folded, pk_cols, order_col)
+
+
+def cdc_fold_salted(
+    df: DataFrame,
+    pk_cols: list[str],
+    order_col: str,
+    n_buckets: int = 8,
+    delete_col: str = DELETE_COLUMN_MARKER,
+    toast_sentinel: str = TOAST_UNAVAILABLE_VALUE,
+) -> DataFrame:
+    """Skew-resistant fold: per-(pk, contiguous offset-range bucket)
+    partial fold, then combine bucket summaries in bucket order.
+
+    A hot PK with millions of updates in one batch makes the plain fold's
+    window partition huge — and window partitions can't be split by AQE.
+    The fold's closed form per column is "last KEPT raw value, else the
+    FIRST event's raw value"; that decomposes exactly when each bucket
+    summary carries BOTH components per column:
+
+      kept(b₁‖…‖bₙ)  = last non-null of kept(bᵢ)
+      first(b₁‖…‖bₙ) = first(b₁)
+
+    (Naively re-folding bucket *survivor rows* is wrong: a bucket with no
+    kept value falls back to its first raw value, and the outer pass
+    could mistake that fallback — e.g. a delete event's raw column — for
+    a kept value.) Cost: two shuffles, each window seeing ≤ 1/n_buckets
+    of the hot key's rows. Equality with the single-pass fold is oracle-
+    checked (same DuckDB SQL as cdc_fold).
+    """
+    hi = df.agg(F.max(order_col)).collect()[0][0]
+    if hi is None:
+        return cdc_fold(df, pk_cols, order_col, delete_col, toast_sentinel)
+    width = max(int(hi) // n_buckets, 1) + 1
+    bucket = "__fold_bucket"
+    bucketed = df.withColumn(
+        bucket, (F.col(order_col).cast("long") / width).cast("long")
+    )
+
+    is_delete = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+    w_in = (
+        Window.partitionBy(*pk_cols, bucket)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    special = set(pk_cols) | {order_col, delete_col, bucket}
+    fold_cols: list[str] = []
+    inner_proj = [F.col(c) for c in pk_cols] + [
+        F.col(bucket),
+        F.col(order_col),
+        F.col(delete_col),
+    ]
+    for name in df.columns:
+        if name in special:
+            continue
+        if name == ONLY_SET_DELETE_COLUMN_MARKER:
+            keep = ~is_delete
+        elif name.startswith(ARTIE_PREFIX):
+            # metadata rides with the last event = "always kept"
+            keep = F.lit(True)
+        else:
+            keep = ~is_delete & (
+                F.col(name).cast("string").isNull()
+                | (F.col(name).cast("string") != F.lit(toast_sentinel))
+            )
+        fold_cols.append(name)
+        inner_proj.append(
+            F.last(F.when(keep, F.struct(F.col(name).alias("v"))), ignorenulls=True)
+            .over(w_in)
+            .alias(f"{name}__k")
+        )
+        inner_proj.append(F.first(F.col(name)).over(w_in).alias(f"{name}__f"))
+
+    summaries = lww_dedup(bucketed.select(*inner_proj), [*pk_cols, bucket], order_col)
+
+    w_out = (
+        Window.partitionBy(*pk_cols)
+        .orderBy(F.col(bucket).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    outer_proj = [F.col(c) for c in pk_cols] + [F.col(bucket), F.col(delete_col)]
+    for name in fold_cols:
+        kept = F.last(F.col(f"{name}__k"), ignorenulls=True).over(w_out)
+        first = F.first(F.col(f"{name}__f")).over(w_out)
+        outer_proj.append(
+            F.when(kept.isNotNull(), kept["v"]).otherwise(first).alias(name)
+        )
+    combined = lww_dedup(summaries.select(*outer_proj), pk_cols, bucket)
+    out_cols = [c for c in df.columns if c != order_col and c != bucket]
+    return combined.select(*out_cols)

@@ -155,6 +155,36 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production near-dup shape: LSH candidates → exact Jaccard
+    verify ONLY on candidates. All-pairs cost never materializes: the
+    verify join is an equi-join on doc id against the candidate list,
+    which is ≪ n² when bands/rows are tuned to the threshold."""
+    cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, shingle_k)
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    a = sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a")
+    b = sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b")
+    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = F.round(inter / union, 6)
+    return (
+        joined.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash(text: Column, bits: int = 32) -> Column:
     """Sign-aggregated `bits`-wide fingerprint over word hashes
     (per-row expression form — each bit re-scans the hash array; use

@@ -139,6 +139,40 @@ def append_mode(target: DataFrame, staging: DataFrame) -> DataFrame:
     return target.unionByName(staging.select(*target.columns), allowMissingColumns=False)
 
 
+def build_partition_predicates(
+    staging: DataFrame, partition_col: str, max_values: int = 64
+) -> tuple[list[Column], list[str]]:
+    """M15: collect the batch's DISTINCT partition dates and build
+    ``tgt.part IN (...)`` predicates for the MERGE ON clause
+    (reference: clients/bigquery/partition.go:15-34,
+    clients/bigquery/merge.go:19-57).
+
+    Returns (DataFrame-merge predicates, SQL fragments). The distinct list
+    is per-batch metadata (bounded by ``max_values``); with the predicate
+    in the ON clause, Delta/Iceberg prune files before the join — a merge
+    touching 2 dates of a 5-year table scans 2 partitions, not 1800.
+    Returns empty predicates when NULLs/overflow make pruning unsafe
+    (those rows land in the NULL partition, same bail-out as the
+    reference).
+    """
+    dates = [
+        r[0]
+        for r in staging.select(
+            F.to_date(F.col(partition_col)).alias("d")
+        )
+        .distinct()
+        .limit(max_values + 1)
+        .collect()
+    ]
+    if not dates or None in dates or len(dates) > max_values:
+        return [], []
+    date_strs = sorted(d.isoformat() for d in dates)
+    col_pred = F.to_date(F.col(f"tgt.{partition_col}")).isin(date_strs)
+    sql_list = ", ".join(f"DATE '{d}'" for d in date_strs)
+    sql_pred = f"CAST(tgt.`{partition_col}` AS DATE) IN ({sql_list})"
+    return [col_pred], [sql_pred]
+
+
 def merge_into_staging(
     staging_table: DataFrame, batch: DataFrame, pk_cols: list[str]
 ) -> DataFrame:

@@ -117,6 +117,15 @@ def q_cdc_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_fold_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 skew path: per-(pk, offset-bucket) pre-fold then bucket-order
+    fold. Must equal the single-pass fold exactly (same oracle)."""
+    from transfer_spark.operators.cdc_fold import cdc_fold_salted
+
+    out = cdc_fold_salted(_stream(spark, sf_dir), ["id"], OFF, n_buckets=8)
+    return out.select("id", "etype", "val", "ts", F.col(DEL).alias("is_deleted"))
+
+
 ORACLE_CDC_FOLD = (
     _fold_sql(_STREAM_SQL)
     + "SELECT id, etype, val, ts, is_delete AS is_deleted FROM folded"
@@ -354,6 +363,7 @@ QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DE
 QUERIES = {
     "cdc_lww_dedup": (q_lww_dedup, ORACLE_LWW),
     "cdc_fold": (q_cdc_fold, ORACLE_CDC_FOLD),
+    "cdc_fold_salted": (q_cdc_fold_salted, ORACLE_CDC_FOLD),
     "cdc_merge_hard": (q_cdc_merge_hard, _oracle_merge(soft=False)),
     "cdc_merge_soft": (q_cdc_merge_soft, _oracle_merge(soft=True)),
     "schema_evolution_merge": (q_schema_evolution_merge, ORACLE_SCHEMA_EVOLUTION),

@@ -213,8 +213,32 @@ SELECT doc_id, {total} AS simhash FROM d
 """
 
 
+def q_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates → exact Jaccard verify (the scale path: pairwise
+    work only on bucket-collision candidates)."""
+    return D.lsh_verified_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", 16, 4, 3, threshold=0.5
+    )
+
+
+def _lsh_verified_sql() -> str:
+    return f"""
+WITH cand AS ({_minhash_sql()}),
+d AS (
+  SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM documents
+)
+SELECT c.doc_a, c.doc_b,
+  round(len(list_intersect(a.sh, b.sh)) /
+        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
+FROM cand c JOIN d a ON c.doc_a = a.doc_id JOIN d b ON c.doc_b = b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh)) /
+        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) >= 0.5
+"""
+
+
 QUERIES = {
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
+    "dedupe_lsh_verified": (q_lsh_verified, _lsh_verified_sql()),
     "lang_id": (q_lang_id, _langid_sql()),
     "doc_fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
     "dedupe_exact": (q_dedupe_exact, ORACLE_DEDUPE_EXACT),
