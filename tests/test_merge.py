@@ -76,3 +76,32 @@ def test_append_mode(spark):
     tgt = _tgt(spark)
     stg = spark.createDataFrame([Row(id=1, name="alice", bal=10.0)])
     assert append_mode(tgt, stg).count() == 3
+
+
+def test_build_partition_predicates(spark):
+    from datetime import datetime
+
+    from transfer_spark.operators.merge import build_partition_predicates
+
+    df = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 5)), (2, datetime(2026, 1, 2, 6)),
+         (3, datetime(2026, 1, 1, 7))],
+        ["id", "ts"],
+    )
+    cols, sqls = build_partition_predicates(df, "ts")
+    assert sqls == ["CAST(tgt.`ts` AS DATE) IN (DATE '2026-01-01', DATE '2026-01-02')"]
+    assert len(cols) == 1
+    # NULL partition values disable pruning (reference bails out too)
+    df2 = spark.createDataFrame([(1, None)], "id bigint, ts timestamp")
+    assert build_partition_predicates(df2, "ts") == ([], [])
+
+
+def test_format_registry():
+    import pytest
+
+    from transfer_spark.sources import get_format_parser
+
+    assert get_format_parser("debezium.relational") is not None
+    assert get_format_parser("debezium.mongodb") is not None
+    with pytest.raises(ValueError):
+        get_format_parser("protobuf")

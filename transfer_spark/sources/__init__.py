@@ -1,2 +1,23 @@
 """Source decoders: Debezium relational envelopes, Kafka keys, Mongo
-extended JSON, event-tracking payloads."""
+extended JSON, event-tracking payloads.
+
+S2 format registry (reference: lib/cdc/format/format.go:1-28): maps a
+topic's configured cdcFormat to its decoder entry point.
+"""
+
+from __future__ import annotations
+
+
+def get_format_parser(cdc_format: str):
+    """Return the decode entry point for a topic's CDC format."""
+    from transfer_spark.sources import debezium, mongo
+
+    registry = {
+        "debezium.relational": debezium.decode_envelope,
+        "debezium.mongodb": mongo.decode_mongo_documents,
+    }
+    if cdc_format not in registry:
+        raise ValueError(
+            f"unsupported CDC format {cdc_format!r}; one of {sorted(registry)}"
+        )
+    return registry[cdc_format]
