@@ -1,0 +1,106 @@
+"""Debezium scalar-converter tests against hand-computed wire values
+(the reference's golden-fixture style, lib/debezium/types_test.go)."""
+
+import base64
+import struct
+from datetime import date, datetime
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from transfer_spark.functions import converters as C
+from transfer_spark.streaming.triggers import (
+    FlushConfig,
+    should_flush,
+    should_skip_time_flush,
+)
+
+
+def test_temporal_converters(spark):
+    df = spark.createDataFrame([(19723, 45296123456, 1700000000123)], ["d", "us", "ms"])
+    row = df.select(
+        C.debezium_date(F.col("d")).alias("d"),
+        C.debezium_micro_time(F.col("us")).alias("t"),
+        C.debezium_timestamp_millis(F.col("ms")).alias("ts"),
+    ).collect()[0]
+    assert row.d == date(2024, 1, 1)
+    assert row.t == "12:34:56.123456"
+    assert row.ts == datetime(2023, 11, 14, 22, 13, 20, 123000)
+
+
+def test_zoned_time_and_nano(spark):
+    df = spark.createDataFrame([("11:22:33Z", 45296123456789)], ["zt", "ns"])
+    row = df.select(
+        C.debezium_zoned_time(F.col("zt")).alias("zt"),
+        C.debezium_nano_time(F.col("ns")).alias("nt"),
+    ).collect()[0]
+    assert row.zt == "11:22:33.000000"
+    assert row.nt == "12:34:56.123456"  # truncated to micros
+
+
+def _b64_unscaled(d: Decimal, scale: int) -> str:
+    unscaled = int(d.scaleb(scale))
+    n = max((unscaled.bit_length() + 8) // 8, 1)
+    return base64.b64encode(unscaled.to_bytes(n, "big", signed=True)).decode()
+
+
+def test_decimal_decode(spark):
+    # kafka.connect.data.Decimal: base64 two's-complement + fixed scale
+    cases = [Decimal("1234.5678"), Decimal("-0.0042"), Decimal("0")]
+    df = spark.createDataFrame([(_b64_unscaled(d, 4),) for d in cases], ["b"])
+    out = [r.v for r in df.select(C.debezium_decimal(F.col("b"), 4, 20).alias("v")).collect()]
+    assert out == cases
+
+
+def test_variable_decimal_decode(spark):
+    d = Decimal("123.456")
+    df = spark.createDataFrame([(3, _b64_unscaled(d, 3))], ["s", "b"])
+    out = df.select(
+        C.debezium_variable_decimal(F.col("s"), F.col("b")).alias("v")
+    ).collect()[0].v
+    assert out == "123.456"  # string, precision-preserving
+
+
+def test_bits_and_json(spark):
+    df = spark.createDataFrame([(bytearray(b"\x05"), '{"b":2,"a":1}')], ["bits", "j"])
+    row = df.select(
+        C.debezium_bits(F.col("bits")).alias("bits"),
+        C.debezium_json(F.col("j")).alias("j"),
+    ).collect()[0]
+    assert row.bits == "BQ=="
+    assert row.j == '{"b":"2","a":"1"}'  # normalized round-trip
+
+
+def test_geometry_point(spark):
+    df = spark.createDataFrame([(2.5, -3.5)], ["x", "y"])
+    out = df.select(C.debezium_geometry_point(F.col("x"), F.col("y")).alias("g"))
+    assert out.collect()[0].g == (
+        '{"type":"Feature","geometry":{"type":"Point","coordinates":[2.5,-3.5]}}'
+    )
+
+
+def test_geometry_wkb_point(spark):
+    # little-endian 2D POINT (1.0, 2.0), plus an SRID (EWKB) variant
+    plain = struct.pack("<BIdd", 1, 1, 1.0, 2.0)
+    ewkb = struct.pack("<BIIdd", 1, 0x20000001, 4326, 1.0, 2.0)
+    rows = [
+        (base64.b64encode(plain).decode(),),
+        (base64.b64encode(ewkb).decode(),),
+        ("AAAA",),  # garbage → NULL, batch survives
+    ]
+    df = spark.createDataFrame(rows, ["wkb"])
+    got = [r.g for r in df.select(C.debezium_geometry_wkb(F.col("wkb")).alias("g")).collect()]
+    expect = '{"type":"Feature","geometry":{"type":"Point","coordinates":[1.0,2.0]}}'
+    assert got[0] == expect and got[1] == expect and got[2] is None
+
+
+def test_flush_triggers():
+    cfg = FlushConfig(buffer_rows=100, flush_size_kb=1)
+    assert should_flush(101, 0, cfg) == (True, "rows")
+    assert should_flush(5, 2048, cfg) == (True, "size")
+    assert should_flush(5, 10, cfg) == (False, "")
+    # 75% rule only above 1 minute
+    assert should_skip_time_flush(89, 120) is True  # < 90s adjusted
+    assert should_skip_time_flush(91, 120) is False
+    assert should_skip_time_flush(29, 30) is True  # no adjustment ≤ 60s
+    assert should_skip_time_flush(31, 30) is False

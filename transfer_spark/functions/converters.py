@@ -126,6 +126,64 @@ def debezium_variable_decimal(scale: Column, value_b64: Column) -> Column:
     return _decode(scale, F.unbase64(value_b64))
 
 
+# --- geometry ---------------------------------------------------------------
+
+
+def debezium_geometry_point(x: Column, y: Column) -> Column:
+    """io.debezium.data.geometry.Point {x, y} → GeoJSON Feature string
+    (reference: lib/debezium/converters/geometry.go:40-71). Pure
+    expression — to_json over a literal-shaped struct."""
+    return F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(
+                F.lit("Point").alias("type"),
+                F.array(x.cast("double"), y.cast("double")).alias("coordinates"),
+            ).alias("geometry"),
+        )
+    )
+
+
+def debezium_geometry_wkb(wkb_b64: Column) -> Column:
+    """io.debezium.data.geometry.Geometry {wkb} → GeoJSON string
+    (reference: geometry.go:73-107). Minimal pure-Python WKB reader for
+    2D POINT (the dominant CDC case; the reference defers everything else
+    to a geo library, which this container lacks) — non-point geometries
+    return NULL rather than fail the batch."""
+    import struct as _struct
+
+    @F.pandas_udf(StringType())
+    def _decode(vals: pd.Series) -> pd.Series:
+        import base64
+        import json
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                raw = base64.b64decode(v)
+                little = raw[0] == 1
+                fmt = "<" if little else ">"
+                (gtype,) = _struct.unpack_from(fmt + "I", raw, 1)
+                if gtype & 0xFF != 1:  # POINT (mask off SRID/Z flags)
+                    return None
+                off = 5 + (4 if gtype & 0x20000000 else 0)  # skip SRID if present
+                x, y = _struct.unpack_from(fmt + "dd", raw, off)
+                return json.dumps(
+                    {
+                        "type": "Feature",
+                        "geometry": {"type": "Point", "coordinates": [x, y]},
+                    },
+                    separators=(",", ":"),
+                )
+            except Exception:
+                return None
+
+        return vals.map(one)
+
+    return _decode(wkb_b64)
+
+
 # --- misc -------------------------------------------------------------------
 
 

@@ -1,0 +1,53 @@
+"""Flush triggers & cooldown (A3/O3) as pure policy functions.
+
+Reference: lib/optimization/table_data.go:264-276 (ShouldFlush: rows >
+bufferRows OR approx bytes > flushSizeKb), models/memory.go:30-43
+(ShouldSkipFlush: skip a time-based flush when the last flush was under
+75% of the interval ago — only applied when the interval exceeds 1 min).
+
+In Structured Streaming the row trigger maps to
+``maxOffsetsPerTrigger`` / ``maxFilesPerTrigger`` and the time trigger to
+``trigger(processingTime=...)``; these functions exist for the
+foreachBatch body to decide *within* a trigger (e.g. the multi-table
+fan-out flushing only tables whose buffers crossed a threshold) and to
+keep the reference's operating point (30k rows / 25 MB / 10 s)
+configurable in one place.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from transfer_spark.constants import (
+    DEFAULT_BUFFER_ROWS,
+    DEFAULT_FLUSH_INTERVAL_SECONDS,
+    DEFAULT_FLUSH_SIZE_KB,
+)
+
+
+@dataclass(frozen=True)
+class FlushConfig:
+    buffer_rows: int = DEFAULT_BUFFER_ROWS
+    flush_size_kb: int = DEFAULT_FLUSH_SIZE_KB
+    flush_interval_seconds: int = DEFAULT_FLUSH_INTERVAL_SECONDS
+
+
+def should_flush(
+    n_rows: int, approx_size_bytes: int, cfg: FlushConfig = FlushConfig()
+) -> tuple[bool, str]:
+    """(flush?, reason) — reason ∈ {'rows', 'size', ''}."""
+    if n_rows > cfg.buffer_rows:
+        return True, "rows"
+    if approx_size_bytes > cfg.flush_size_kb * 1024:
+        return True, "size"
+    return False, ""
+
+
+def should_skip_time_flush(
+    seconds_since_last_flush: float, cooldown_seconds: float
+) -> bool:
+    """Skip a time-based flush right after a rows/size-based one: under a
+    75%-of-cooldown window (adjustment only when cooldown > 60 s)."""
+    if cooldown_seconds > 60:
+        cooldown_seconds -= 0.25 * cooldown_seconds
+    return seconds_since_last_flush < cooldown_seconds
