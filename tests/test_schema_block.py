@@ -1,0 +1,124 @@
+"""Schema-block-aware decode: a realistic Debezium envelope with logical
+types drives the compiled wire schema + converters end-to-end."""
+
+import base64
+import json
+from datetime import date, datetime
+from decimal import Decimal
+
+SCHEMA_BLOCK = {
+    "type": "struct",
+    "fields": [
+        {
+            "type": "struct",
+            "field": "after",
+            "fields": [
+                {"type": "int64", "field": "id"},
+                {"type": "string", "field": "name"},
+                {
+                    "type": "int32",
+                    "field": "birth",
+                    "name": "io.debezium.time.Date",
+                },
+                {
+                    "type": "int64",
+                    "field": "updated",
+                    "name": "io.debezium.time.MicroTimestamp",
+                },
+                {
+                    "type": "bytes",
+                    "field": "balance",
+                    "name": "org.apache.kafka.connect.data.Decimal",
+                    "parameters": {"scale": "2", "connect.decimal.precision": "10"},
+                },
+                {"type": "double", "field": "score"},
+            ],
+        }
+    ],
+}
+
+
+def _envelope(op, after, ts_ms=1700000000000):
+    return json.dumps(
+        {
+            "schema": SCHEMA_BLOCK,
+            "payload": {
+                "before": None,
+                "after": after,
+                "source": {"db": "d", "schema": "s", "table": "t", "ts_ms": ts_ms},
+                "op": op,
+                "ts_ms": ts_ms,
+            },
+        }
+    )
+
+
+def _b64_dec(v: str, scale: int) -> str:
+    unscaled = int(Decimal(v).scaleb(scale))
+    n = max((unscaled.bit_length() + 8) // 8, 1)
+    return base64.b64encode(unscaled.to_bytes(n, "big", signed=True)).decode()
+
+
+def test_schema_block_compile_and_decode(spark):
+    from transfer_spark.sources.schema_block import (
+        compile_schema_block,
+        decode_envelope_with_schema,
+        row_ddl,
+    )
+
+    sample = _envelope(
+        "c",
+        {
+            "id": 1,
+            "name": "alice",
+            "birth": 19723,  # 2024-01-01
+            "updated": 1700000000123456,
+            "balance": _b64_dec("1234.56", 2),
+            "score": 2.5,
+        },
+    )
+    fields = compile_schema_block(sample)
+    assert [f.name for f in fields] == ["id", "name", "birth", "updated", "balance", "score"]
+    assert "`birth`: int" in row_ddl(fields)
+
+    df = spark.createDataFrame([(1, sample)], ["off", "value"])
+    out = decode_envelope_with_schema(df, "value", sample).collect()[0]
+    assert out.id == 1 and out.name == "alice"
+    assert out.birth == date(2024, 1, 1)
+    assert out.updated == datetime(2023, 11, 14, 22, 13, 20, 123456)
+    assert out.balance == Decimal("1234.56")
+    assert out.score == 2.5
+    assert out["__artie_delete"] is False
+
+
+def test_schema_block_array_and_point(spark):
+    from transfer_spark.sources.schema_block import compile_schema_block, row_ddl
+
+    block = {
+        "schema": {
+            "type": "struct",
+            "fields": [
+                {
+                    "type": "struct",
+                    "field": "after",
+                    "fields": [
+                        {
+                            "type": "array",
+                            "field": "tags",
+                            "items": {"type": "int32", "name": "io.debezium.time.Date"},
+                        },
+                        {
+                            "type": "struct",
+                            "field": "loc",
+                            "name": "io.debezium.data.geometry.Point",
+                        },
+                    ],
+                }
+            ],
+        },
+        "payload": {},
+    }
+    fields = compile_schema_block(json.dumps(block))
+    ddl = row_ddl(fields)
+    assert "`tags`: array<int>" in ddl
+    assert "`loc`: struct<x: double, y: double" in ddl

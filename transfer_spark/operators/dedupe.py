@@ -168,10 +168,40 @@ def lsh_verified_pairs(
     verify ONLY on candidates. All-pairs cost never materializes: the
     verify join is an equi-join on doc id against the candidate list,
     which is ≪ n² when bands/rows are tuned to the threshold."""
-    cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, shingle_k)
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    # shingle once, serve three consumers (signature explode + both sides
+    # of the verify join); min over the distinct set == min over the
+    # multiset, so dedup up front and cache the small (doc, shingles) frame
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(nparts)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
+        )
+        .cache()
+    )
+    rows_per_band = num_hashes // bands
+    ex = sh.select("doc", F.explode("sh").alias("s"))
+    hashed = ex.select(
+        "doc", *[_shingle_hash(i, F.col("s")).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    sigs = hashed.groupBy("doc").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    sig_arr = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    banded = sigs.select(
+        "doc", F.explode(minhash_bands(sig_arr, bands, rows_per_band)).alias("b")
+    ).select("doc", "b.band", "b.band_hash")
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
     )
     a = sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b")

@@ -1,0 +1,165 @@
+"""Debezium schema-block-aware decode: the envelope's ``schema`` section
+drives per-field wire types and converter expressions.
+
+Reference: lib/cdc/util/optional_schema.go:9-26 (schema block → kind
+map), lib/debezium/schema.go:43-69 (Field), :90-160 (ToValueConverter
+dispatch). The reference inspects the schema block on every event; in
+Spark the schema must be fixed per topic for ``from_json``, so the
+engine parses ONE envelope's schema block (topic registration / first
+event — Debezium emits an identical block per topic+version) and
+compiles it into (row DDL for from_json, converter expression per
+field). Schema *changes* arrive as new blocks → re-register, which is
+the schema-evolution path (align_schemas).
+
+All compiled converters are built-in expressions (§2.2 table) except
+arbitrary-precision decimals, which use the vectorized pandas UDF.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from transfer_spark.functions import converters as C
+
+# Debezium literal type → Spark DDL type for the from_json row schema.
+_LITERAL_TO_DDL = {
+    "string": "string",
+    "bytes": "string",  # base64 text on the JSON wire
+    "boolean": "boolean",
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float": "float",
+    "double": "double",
+    "struct": "string",  # kept as JSON text (engine struct representation)
+    "map": "map<string,string>",
+}
+
+Converter = Callable[[Column], Column]
+
+
+@dataclass
+class CompiledField:
+    name: str
+    wire_ddl: str
+    convert: Converter  # applied after from_json
+
+
+def _converter_for(field: dict) -> tuple[str, Converter]:
+    """(wire DDL, converter) for one schema-block field — the Spark
+    mirror of Field.ToValueConverter (schema.go:90-160)."""
+    name = field.get("name", "")
+    ftype = field.get("type", "string")
+    params = field.get("parameters") or {}
+
+    ident: Converter = lambda c: c
+
+    # logical (named) types first
+    if name in (
+        "io.debezium.time.Date",
+        "org.apache.kafka.connect.data.Date",
+    ):
+        return "int", C.debezium_date
+    if name in ("io.debezium.time.Time", "org.apache.kafka.connect.data.Time"):
+        return "bigint", C.debezium_time_millis
+    if name == "io.debezium.time.MicroTime":
+        return "bigint", C.debezium_micro_time
+    if name == "io.debezium.time.NanoTime":
+        return "bigint", C.debezium_nano_time
+    if name in (
+        "io.debezium.time.Timestamp",
+        "org.apache.kafka.connect.data.Timestamp",
+    ):
+        return "bigint", C.debezium_timestamp_millis
+    if name == "io.debezium.time.MicroTimestamp":
+        return "bigint", C.debezium_timestamp_micros
+    if name == "io.debezium.time.NanoTimestamp":
+        return "bigint", C.debezium_timestamp_nanos
+    if name == "io.debezium.time.ZonedTimestamp":
+        return "string", C.debezium_zoned_timestamp
+    if name == "io.debezium.time.ZonedTime":
+        return "string", C.debezium_zoned_time
+    if name == "org.apache.kafka.connect.data.Decimal":
+        scale = int(params.get("scale", 0))
+        precision = int(params.get("connect.decimal.precision", 38))
+        return "string", lambda c: C.debezium_decimal(c, scale, precision)
+    if name == "io.debezium.data.Json":
+        return "string", ident  # JSON text passthrough (struct representation)
+    if name == "io.debezium.data.Bits":
+        return "string", ident  # already base64 text on the JSON wire
+    if name == "io.debezium.data.geometry.Point":
+        return (
+            "struct<x: double, y: double, wkb: string, srid: int>",
+            lambda c: C.debezium_geometry_point(c["x"], c["y"]),
+        )
+    if name in ("io.debezium.data.geometry.Geometry", "io.debezium.data.geometry.Geography"):
+        return (
+            "struct<wkb: string, srid: int>",
+            lambda c: C.debezium_geometry_wkb(c["wkb"]),
+        )
+    # passthrough logical types: Uuid, Ltree, Enum, EnumSet, Xml, Interval,
+    # Year, MicroDuration — literal type carries them
+    if ftype == "array":
+        item = field.get("items") or {}
+        item_ddl, item_conv = _converter_for(item)
+        return f"array<{item_ddl}>", lambda c: F.transform(
+            c, lambda x: item_conv(x)
+        )
+    return _LITERAL_TO_DDL.get(ftype, "string"), ident
+
+
+def compile_schema_block(envelope_json: str) -> list[CompiledField]:
+    """Parse one envelope's ``schema`` section; compile the ``after``
+    struct's fields (label 'after', optional_schema.go:10-13)."""
+    schema = json.loads(envelope_json).get("schema") or {}
+    after = next(
+        (
+            f
+            for f in schema.get("fields", [])
+            if f.get("field") in ("after",) and f.get("type") == "struct"
+        ),
+        None,
+    )
+    if after is None:
+        return []
+    out = []
+    for field in after.get("fields", []):
+        ddl, conv = _converter_for(field)
+        out.append(CompiledField(field["field"], ddl, conv))
+    return out
+
+
+def row_ddl(fields: list[CompiledField]) -> str:
+    return "struct<" + ", ".join(f"`{f.name}`: {f.wire_ddl}" for f in fields) + ">"
+
+
+def decode_envelope_with_schema(
+    df: DataFrame, value_col: str, sample_envelope: str, **kwargs
+) -> DataFrame:
+    """S3 full path: compile the schema block, from_json-decode with the
+    compiled wire schema, then apply each field's converter expression."""
+    from transfer_spark.sources.debezium import decode_envelope
+
+    fields = compile_schema_block(sample_envelope)
+    if not fields:
+        raise ValueError("envelope has no schema block for 'after'")
+    # schema-enabled wire format wraps the event in {schema, payload} —
+    # unwrap to the payload shape decode_envelope consumes
+    unwrapped = df.withColumn(
+        value_col, F.get_json_object(F.col(value_col), "$.payload")
+    )
+    decoded = decode_envelope(unwrapped, value_col, row_ddl(fields), **kwargs)
+    converted = [
+        f.convert(F.col(f"`{f.name}`")).alias(f.name)
+        if f.convert is not None
+        else F.col(f"`{f.name}`")
+        for f in fields
+    ]
+    others = [c for c in decoded.columns if c not in {f.name for f in fields}]
+    return decoded.select(*[F.col(c) for c in others[:0]], *converted, *[F.col(c) for c in others])
