@@ -1,0 +1,121 @@
+"""Stateful streaming fold (applyInPandasWithState) end-state equivalence
++ TopicConfig transform chain."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from transfer_spark.config import TopicConfig, apply_transforms
+from transfer_spark.constants import DELETE_COLUMN_MARKER, OFFSET_COLUMN
+from transfer_spark.operators.cdc_fold import cdc_fold
+
+DEL = DELETE_COLUMN_MARKER
+OFF = OFFSET_COLUMN
+
+EVENTS = [
+    (1, 1, False, "signup", 1.0),
+    (2, 2, False, "click", 2.0),
+    (1, 3, False, "__debezium_unavailable_value", 3.0),  # TOAST etype
+    (2, 4, True, None, None),  # delete inherits click/2.0
+    (3, 5, False, "view", 5.0),
+    (1, 6, False, "refund", 6.0),
+]
+
+WIRE_DDL = f"id bigint, {OFF} bigint, {DEL} boolean, etype string, val double"
+OUT_DDL = f"id bigint, etype string, val double, {DEL} boolean"
+
+
+def _write(src, rows, name):
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, f"{name}.json"), "w") as f:
+        for r in rows:
+            f.write(
+                json.dumps({"id": r[0], OFF: r[1], DEL: r[2], "etype": r[3], "val": r[4]})
+                + "\n"
+            )
+
+
+def test_stateful_fold_matches_batch_fold(spark, tmp_path):
+    from transfer_spark.streaming.stateful import stateful_fold
+
+    src, ckpt, out_dir = str(tmp_path / "src"), str(tmp_path / "ck"), str(tmp_path / "out")
+    results = {}
+
+    def collect_batch(df, _bid):
+        for r in df.collect():
+            results[r.id] = (r.etype, r.val, r[DEL])
+
+    out_schema = StructType.fromDDL(OUT_DDL)
+    # two micro-batches, second run resumes state from the checkpoint
+    _write(src, EVENTS[:3], "b0")
+    stream = spark.readStream.schema(WIRE_DDL).json(src)
+    q = (
+        stateful_fold(stream, ["id"], OFF, out_schema)
+        .writeStream.outputMode("update")
+        .foreachBatch(collect_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    _write(src, EVENTS[3:], "b1")
+    stream = spark.readStream.schema(WIRE_DDL).json(src)
+    q = (
+        stateful_fold(stream, ["id"], OFF, out_schema)
+        .writeStream.outputMode("update")
+        .foreachBatch(collect_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = spark.createDataFrame(EVENTS, ["id", OFF, DEL, "etype", "val"])
+    expect = {
+        r.id: (r.etype, r.val, r[DEL])
+        for r in cdc_fold(batch, ["id"], OFF).collect()
+    }
+    assert results == expect
+    # the interesting rows: TOAST carried forward then overwritten; delete inherited
+    assert results[1] == ("refund", 6.0, False)
+    assert results[2] == ("click", 2.0, True)
+
+
+def test_topic_config_chain(spark):
+    df = spark.createDataFrame(
+        [(1, "alice", "x@y.z", 9.5, "u"), (2, "bob", "b@c.d", 1.0, "d")],
+        ["id", "name", "email", "score", "__artie_operation"],
+    )
+    tc = TopicConfig.from_dict(
+        {
+            "topic": "t",
+            "db": "testdb",
+            "skippedOperations": "d",
+            "columnsToExclude": ["score"],
+            "columnsToHash": ["email"],
+            "columnsToHashSalt": "pep",
+            "staticColumns": [{"name": "env", "value": "prod"}],
+        }
+    )
+    out = apply_transforms(df, tc)
+    rows = out.collect()
+    assert len(rows) == 1  # op 'd' skipped
+    assert "score" not in out.columns
+    assert rows[0].env == "prod"
+    assert rows[0].email != "x@y.z" and len(rows[0].email) == 64  # hashed
+
+    # includes win over excludes; artie cols always survive
+    tc2 = TopicConfig.from_dict({"columnsToInclude": ["id"]})
+    out2 = apply_transforms(df, tc2)
+    assert set(out2.columns) == {"id", "__artie_operation"}
+
+    # static collision errors
+    with pytest.raises(ValueError):
+        apply_transforms(df, TopicConfig(static_columns={"name": "x"}))
+
+    # encryption demands a key
+    with pytest.raises(ValueError):
+        apply_transforms(df, TopicConfig(columns_to_encrypt=["name"]))

@@ -1,0 +1,131 @@
+"""TopicConfig: the per-topic declarative transform/merge configuration.
+
+Mirrors the reference's YAML TopicConfig (reference: lib/kafkalib/
+topic.go:170-230) and its application order in ToMemoryEvent
+(reference: models/event/event.go:49-164, models/event/event_util.go):
+skipped ops → include/exclude projection → hash → encrypt → static
+columns → metadata columns. ``apply_transforms`` compiles the whole
+chain into one DataFrame plan (Catalyst collapses it into a single
+projection — config length doesn't add passes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from transfer_spark.constants import (
+    ARTIE_PREFIX,
+    OPERATION_COLUMN,
+    UPDATED_AT_COLUMN,
+)
+
+
+@dataclass
+class TopicConfig:
+    topic: str = ""
+    database: str = ""
+    schema: str = ""
+    table_name: str = ""
+    cdc_format: str = "debezium.relational"
+    cdc_key_format: str = "org.apache.kafka.connect.json.JsonConverter"
+    soft_delete: bool = False
+    append_only: bool = False
+    drop_deleted_columns: bool = False
+    skipped_operations: list[str] = field(default_factory=list)
+    include_artie_updated_at: bool = False
+    include_artie_operation: bool = True
+    include_database_updated_at: bool = False
+    include_source_metadata: bool = False
+    include_full_source_table_name: bool = False
+    columns_to_include: list[str] = field(default_factory=list)
+    columns_to_exclude: list[str] = field(default_factory=list)
+    columns_to_hash: list[str] = field(default_factory=list)
+    columns_to_hash_salt: str = ""
+    columns_to_encrypt: list[str] = field(default_factory=list)
+    encryption_key: bytes | None = None
+    primary_keys_override: list[str] = field(default_factory=list)
+    static_columns: dict[str, object] = field(default_factory=dict)
+    partition_col: str = ""  # merge partition predicates (M15)
+    multi_step_merge_steps: int = 0
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "TopicConfig":
+        """YAML-shape dict (camelCase, reference field names) → config."""
+        m = {
+            "topic": "topic",
+            "db": "database",
+            "schema": "schema",
+            "tableName": "table_name",
+            "cdcFormat": "cdc_format",
+            "cdcKeyFormat": "cdc_key_format",
+            "softDelete": "soft_delete",
+            "appendOnly": "append_only",
+            "dropDeletedColumns": "drop_deleted_columns",
+            "includeArtieUpdatedAt": "include_artie_updated_at",
+            "includeArtieOperation": "include_artie_operation",
+            "includeDatabaseUpdatedAt": "include_database_updated_at",
+            "includeSourceMetadata": "include_source_metadata",
+            "includeFullSourceTableName": "include_full_source_table_name",
+            "columnsToInclude": "columns_to_include",
+            "columnsToExclude": "columns_to_exclude",
+            "columnsToHash": "columns_to_hash",
+            "columnsToHashSalt": "columns_to_hash_salt",
+            "columnsToEncrypt": "columns_to_encrypt",
+            "primaryKeysOverride": "primary_keys_override",
+        }
+        kwargs = {}
+        for k, v in d.items():
+            if k == "skippedOperations":
+                kwargs["skipped_operations"] = [
+                    s.strip() for s in str(v).split(",") if s.strip()
+                ]
+            elif k == "staticColumns":
+                kwargs["static_columns"] = {
+                    c["name"]: c["value"] for c in v
+                }
+            elif k in m:
+                kwargs[m[k]] = v
+        return cls(**kwargs)
+
+
+def apply_transforms(df: DataFrame, tc: TopicConfig, op_col: str = OPERATION_COLUMN) -> DataFrame:
+    """Apply the configured chain in the reference's order. ``df`` is the
+    decoded CDC frame (post source-decode, artie markers present)."""
+    from transfer_spark.operators import crypto as CR
+
+    # S7 skipped operations (process.go:75-80)
+    if tc.skipped_operations and op_col in df.columns:
+        df = df.filter(~F.col(op_col).isin(tc.skipped_operations))
+    # P2 projection: includes win; artie columns always kept
+    if tc.columns_to_include:
+        keep = [
+            c
+            for c in df.columns
+            if c in tc.columns_to_include or c.startswith(ARTIE_PREFIX)
+        ]
+        df = df.select(*keep)
+    elif tc.columns_to_exclude:
+        df = df.drop(
+            *[c for c in tc.columns_to_exclude if not c.startswith(ARTIE_PREFIX)]
+        )
+    # P3 hash / P4 encrypt
+    if tc.columns_to_hash:
+        cols = [c for c in tc.columns_to_hash if c in df.columns]
+        df = CR.hash_columns(df, cols, salt=tc.columns_to_hash_salt or None)
+    if tc.columns_to_encrypt:
+        if tc.encryption_key is None:
+            raise ValueError("columnsToEncrypt set but no encryption key configured")
+        cols = [c for c in tc.columns_to_encrypt if c in df.columns]
+        df = CR.encrypt_columns(df, cols, tc.encryption_key)
+    # P5 static columns (collision error, event.go:136-143)
+    for name, value in tc.static_columns.items():
+        if name in df.columns:
+            raise ValueError(f"static column {name!r} collides with event column")
+        df = df.withColumn(name, F.lit(value))
+    # P6 extra metadata
+    if tc.include_artie_updated_at and UPDATED_AT_COLUMN not in df.columns:
+        df = df.withColumn(UPDATED_AT_COLUMN, F.current_timestamp())
+    return df

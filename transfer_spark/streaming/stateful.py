@@ -1,0 +1,110 @@
+"""Continuous stateful CDC fold: ``applyInPandasWithState`` keeps the
+current folded row per PK across micro-batches.
+
+This is the custom-stateful-operator pattern (SURVEY build plan /
+pyspark guide): where the batch pipeline re-reads the target table every
+flush to apply delete-inherit and TOAST carry-forward against history,
+the stateful stream keeps that "previous surviving row" in the state
+store — no target read in the hot loop, emitting only changed PKs per
+batch (outputMode=update). State is per-PK and partitioned by Spark's
+state store, so it scales horizontally with executors; a state TTL
+(GroupStateTimeout) can bound the store for PK spaces that churn.
+
+Fold semantics are identical to :func:`transfer_spark.operators.
+cdc_fold.cdc_fold` (reference: lib/optimization/table_data.go:169-222);
+the test proves end-state equivalence against the batch fold.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+from transfer_spark.constants import (
+    DELETE_COLUMN_MARKER,
+    TOAST_UNAVAILABLE_VALUE,
+)
+
+
+def _fold_rows_into_state(
+    current: dict | None,
+    rows: pd.DataFrame,
+    value_cols: list[str],
+    delete_col: str,
+    toast_sentinel: str,
+) -> dict:
+    """Row-at-a-time InsertRow fold (the reference's own loop shape —
+    fine here because each call sees ONE PK's slice of one micro-batch)."""
+    for _, row in rows.iterrows():
+        is_delete = bool(row[delete_col]) if row[delete_col] is not None else False
+        nxt = {delete_col: is_delete}
+        for c in value_cols:
+            v = row[c]
+            if v is not None and not isinstance(v, (bytes, dict, list)):
+                try:
+                    if pd.isna(v):
+                        v = None
+                except (TypeError, ValueError):
+                    pass
+            if current is None:
+                nxt[c] = v  # first event: raw value (fallback semantics)
+            elif is_delete:
+                nxt[c] = current[c]  # delete inherits prior values
+            elif isinstance(v, str) and v == toast_sentinel:
+                nxt[c] = current[c]  # TOAST carry-forward
+            else:
+                nxt[c] = v
+        current = nxt
+    return current
+
+
+def stateful_fold(
+    decoded_stream,
+    pk_cols: list[str],
+    order_col: str,
+    output_schema: StructType,
+    delete_col: str = DELETE_COLUMN_MARKER,
+    toast_sentinel: str = TOAST_UNAVAILABLE_VALUE,
+):
+    """Group the (streaming) CDC frame by PK and fold with persistent
+    state. Output: one row per PK that changed in the micro-batch, i.e.
+    the PK's new current state (``outputMode("update")`` sink contract).
+    """
+    out_fields = [f.name for f in output_schema.fields]
+    value_cols = [
+        f for f in out_fields if f not in pk_cols and f != delete_col
+    ]
+    state_schema = output_schema
+
+    def fold_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs))
+        if len(batch) == 0:
+            return
+        batch = batch.sort_values(order_col)
+        current = dict(zip(out_fields, state.get)) if state.exists else None
+        # strip pk cols from the fold dict; they ride via `key`
+        folded = _fold_rows_into_state(
+            {k: v for k, v in current.items() if k not in pk_cols}
+            if current is not None
+            else None,
+            batch,
+            value_cols,
+            delete_col,
+            toast_sentinel,
+        )
+        out = {**dict(zip(pk_cols, key)), **folded}
+        state.update(tuple(out.get(f) for f in out_fields))
+        yield pd.DataFrame([{f: out.get(f) for f in out_fields}])
+
+    return decoded_stream.groupBy(*pk_cols).applyInPandasWithState(
+        fold_fn,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
