@@ -64,49 +64,12 @@ def exclude_columns(df: DataFrame, exclude: list[str]) -> DataFrame:
 
 
 def hash_columns(df: DataFrame, cols: list[str], hmac_key: str | None = None) -> DataFrame:
-    """SHA-256 (or HMAC-SHA256 w/ key) of the named columns; type → string."""
-    out = df
-    for c in cols:
-        if hmac_key is None:
-            out = out.withColumn(c, F.sha2(F.col(c).cast("string"), 256))
-        else:
-            # HMAC(k, m) = H((k ^ opad) || H((k ^ ipad) || m)); Spark has no
-            # builtin HMAC — compose it from sha2 over hex, which is
-            # deterministic and key-dependent (engine-defined, not RFC2104
-            # byte-exact since we operate over utf8 strings).
-            out = out.withColumn(
-                c, F.sha2(F.concat(F.lit(hmac_key), F.sha2(F.concat(F.lit(hmac_key), F.col(c).cast("string")), 256)), 256)
-            )
-    return out
+    """P3 — canonical implementation lives in
+    :mod:`transfer_spark.operators.crypto` (SHA-256 / RFC-2104 HMAC /
+    AES-256-GCM, matching the reference's lib/cryptography)."""
+    from transfer_spark.operators.crypto import hash_columns as _hash
 
-
-# ---------------------------------------------------------------------------
-# P4 — column encryption (reference: models/event/event_util.go:152-184)
-# ---------------------------------------------------------------------------
-
-
-def encrypt_columns(df: DataFrame, cols: list[str], key: str) -> DataFrame:
-    """AES-encrypt value → base64 (ECB keeps it deterministic like the
-    reference's per-value encryption; GCM would salt per row)."""
-    out = df
-    for c in cols:
-        out = out.withColumn(
-            c,
-            F.base64(
-                F.expr(f"aes_encrypt(cast({c} as string), '{key}', 'ECB', 'PKCS')")
-            ),
-        )
-    return out
-
-
-def decrypt_columns(df: DataFrame, cols: list[str], key: str) -> DataFrame:
-    out = df
-    for c in cols:
-        out = out.withColumn(
-            c,
-            F.expr(f"cast(aes_decrypt(unbase64({c}), '{key}', 'ECB', 'PKCS') as string)"),
-        )
-    return out
+    return _hash(df, cols, salt=hmac_key)
 
 
 # ---------------------------------------------------------------------------
