@@ -56,11 +56,25 @@ def shingles(text: Column, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+import hashlib as _hashlib
+
+
+def lane_constant(i: int) -> int:
+    """Fixed 60-bit constant for minhash lane i (engine-portable literal)."""
+    return int(_hashlib.md5(f"lane:{i}".encode()).hexdigest()[:15], 16)
+
+
+def _base_hash(s: Column) -> Column:
+    """60-bit content hash: first 15 hex chars of md5(shingle)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def _shingle_hash(seed: int, s: Column) -> Column:
-    """Per-seed 60-bit hash: first 15 hex chars of md5('{seed}:' || shingle)."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), s)), 1, 15), 16, 10
-    ).cast("long")
+    """Lane hash = base_hash XOR lane_constant — ONE md5 per shingle total
+    (XOR with a constant is a bijection of the hash space, so min over
+    each lane is a valid minhash family member; 16× cheaper than hashing
+    per lane, and exactly mirrorable in any SQL engine)."""
+    return _base_hash(s).bitwiseXOR(F.lit(lane_constant(seed)))
 
 
 def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
@@ -112,10 +126,15 @@ def minhash_signature_df(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("s"),
     )
-    hashed = ex.select(
-        "doc", *[_shingle_hash(i, F.col("s")).alias(f"h{i}") for i in range(num_hashes)]
+    base = ex.select("doc", _base_hash(F.col("s")).alias("h"))
+    lanes = base.select(
+        "doc",
+        *[
+            F.col("h").bitwiseXOR(F.lit(lane_constant(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
     )
-    return hashed.groupBy("doc").agg(
+    return lanes.groupBy("doc").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
 
@@ -182,10 +201,15 @@ def lsh_verified_pairs(
     )
     rows_per_band = num_hashes // bands
     ex = sh.select("doc", F.explode("sh").alias("s"))
-    hashed = ex.select(
-        "doc", *[_shingle_hash(i, F.col("s")).alias(f"h{i}") for i in range(num_hashes)]
+    base = ex.select("doc", _base_hash(F.col("s")).alias("h"))
+    lanes = base.select(
+        "doc",
+        *[
+            F.col("h").bitwiseXOR(F.lit(lane_constant(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
     )
-    sigs = hashed.groupBy("doc").agg(
+    sigs = lanes.groupBy("doc").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
     sig_arr = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])

@@ -145,7 +145,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
     rows = num_hashes // bands
     sig_elems = ", ".join(
-        f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}:' || s), 1, 15))::BIGINT))"
+        f"list_min(list_transform(sh, s -> "
+        f"xor(('0x' || substr(md5(s), 1, 15))::BIGINT, {D.lane_constant(i)})))"
         for i in range(num_hashes)
     )
     band_structs = []
