@@ -21,11 +21,13 @@ Unwinding that recursion gives a closed form per (pk, column):
                      delete nor TOASTed in that column,
                      falling back to the FIRST event's raw value.
 
-which is exactly one ``last(..., ignorenulls)`` window per column — a
-single hash-shuffle on the PK and one sort, no Python, whole-stage
-codegen throughout. This is the scale-critical property: the fold is
-the amplification reducer that runs on every micro-batch, so it must be
-a one-shuffle JVM-only plan.
+which is one hash aggregate per PK: ``max_by(value, keep ? offset :
+null)`` for the "last kept" component and ``min_by(value, offset)`` for
+the fallback — no sort, no Python, and crucially PARTIAL (map-side)
+aggregation: each input partition collapses its versions before the
+shuffle, so with N versions per PK the shuffle carries ~1/N of the rows.
+That is the scale-critical property — the fold is the amplification
+reducer that runs on every micro-batch.
 
 History mode (append-only, reference table_data.go:46-47) needs no fold.
 """
@@ -47,27 +49,24 @@ def lww_dedup(df: DataFrame, pk_cols: list[str], order_col: str) -> DataFrame:
     """Plain last-write-wins dedup: newest row per PK (no inherit/TOAST).
 
     The fast path when the stream carries full row images (e.g. REPLICA
-    IDENTITY FULL, or Mongo full documents). One shuffle, row_number()=1.
+    IDENTITY FULL, or Mongo full documents). Hash aggregate with
+    ``max_by`` rather than a window: no per-partition sort, and partial
+    aggregation collapses each PK's versions map-side BEFORE the
+    shuffle — with N versions per PK the shuffle carries ~1/N of the
+    rows, which is the whole point of the buffer fold at scale.
     """
-    w = Window.partitionBy(*pk_cols).orderBy(F.col(order_col).desc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    others = [c for c in df.columns if c not in pk_cols and c != order_col]
+    agg = df.groupBy(*pk_cols).agg(
+        F.max_by(F.struct(*[F.col(c) for c in others]), F.col(order_col)).alias("__s"),
+        F.max(order_col).alias(order_col),
     )
-
-
-def _carried(col: str, keep: Column, w: Window, w_first: Window) -> Column:
-    """last raw value where `keep`, else first event's raw value.
-
-    The struct wrap makes ``last(ignorenulls)`` skip only non-keep rows
-    while preserving legitimate NULL values inside kept rows.
-    """
-    carried = F.last(F.when(keep, F.struct(F.col(col).alias("v"))), ignorenulls=True).over(w)
-    fallback = F.first(F.col(col)).over(w_first)
-    # branch on the struct (presence of a kept row), not the value — a kept
-    # row whose value is a legitimate NULL must still override the fallback
-    return F.when(carried.isNotNull(), carried["v"]).otherwise(fallback)
+    out_cols = [
+        F.col(c)
+        if c in pk_cols or c == order_col
+        else F.col(f"__s.{c}").alias(c)
+        for c in df.columns
+    ]
+    return agg.select(*out_cols)
 
 
 def cdc_fold(
@@ -85,35 +84,59 @@ def cdc_fold(
     artie metadata columns ride along from the surviving (last) event.
     """
     is_delete = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+    off = F.col(order_col)
 
-    w = (
-        Window.partitionBy(*pk_cols)
-        .orderBy(F.col(order_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_first = w  # first() over the same running frame = first event's value
-
-    special = set(pk_cols) | {order_col, delete_col}
-    projected = []
+    # One hash aggregate per PK — partial (map-side) combine collapses
+    # versions before the shuffle. Per fold column we aggregate BOTH
+    # closed-form components: max_by skips rows whose ordering key is
+    # NULL, so `when(keep, off)` restricts "last value" to kept events
+    # while the struct wrap preserves legitimately-NULL kept values.
+    aggs = []
+    fold_effective: dict[str, object] = {}
     for name in df.columns:
-        if name in special:
-            projected.append(F.col(name))
-        elif name == ONLY_SET_DELETE_COLUMN_MARKER:
-            # inherits on deletes only; TOAST never applies to a bool marker
-            projected.append(_carried(name, ~is_delete, w, w_first).alias(name))
-        elif name.startswith(ARTIE_PREFIX):
-            projected.append(F.col(name))  # metadata rides with its own event
+        if name in pk_cols:
+            continue
+        if name == order_col:
+            aggs.append(F.max(off).alias(order_col))
+            continue
+        if name == delete_col or (
+            name.startswith(ARTIE_PREFIX) and name != ONLY_SET_DELETE_COLUMN_MARKER
+        ):
+            # survivor metadata rides with the newest event
+            aggs.append(
+                F.max_by(F.struct(F.col(name).alias("v")), off)["v"].alias(name)
+            )
+            continue
+        if name == ONLY_SET_DELETE_COLUMN_MARKER:
+            keep = ~is_delete  # inherits on deletes only; no TOAST for a bool
         else:
             keep = ~is_delete & (
                 F.col(name).cast("string").isNull()
                 | (F.col(name).cast("string") != F.lit(toast_sentinel))
             )
-            # NULL-valued kept rows must still override → struct wrap in _carried;
-            # but `keep` itself must be TRUE when value is NULL on a non-delete row.
-            projected.append(_carried(name, keep, w, w_first).alias(name))
+        aggs.append(
+            F.max_by(F.struct(F.col(name).alias("v")), F.when(keep, off)).alias(
+                f"{name}__k"
+            )
+        )
+        aggs.append(
+            F.min_by(F.struct(F.col(name).alias("v")), off).alias(f"{name}__f")
+        )
+        fold_effective[name] = True
 
-    folded = df.select(*projected)
-    return lww_dedup(folded, pk_cols, order_col)
+    agg = df.groupBy(*pk_cols).agg(*aggs)
+    out_cols = []
+    for name in df.columns:
+        if name in fold_effective:
+            kept = F.col(f"{name}__k")
+            out_cols.append(
+                F.when(kept.isNotNull(), kept["v"])
+                .otherwise(F.col(f"{name}__f")["v"])
+                .alias(name)
+            )
+        else:
+            out_cols.append(F.col(name))
+    return agg.select(*out_cols)
 
 
 def cdc_fold_salted(
