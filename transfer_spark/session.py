@@ -71,12 +71,30 @@ TABLE_NAMES = [
 ]
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set the runtime-settable confs the engine depends on, so queries
+    behave identically when the caller (e.g. the test driver) built its
+    own SparkSession: TIMESTAMP(NANOS) parquet handling, UTC semantics,
+    Arrow batching for the pandas paths."""
+    for k, v in [
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ]:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in this runtime → keep its default
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """spark.read.parquet + ns→µs timestamp restore (lossless: integer DIV,
     and the synthetic data is µs-grain). Plain reads keep Catalyst pushdown."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NS_TIMESTAMP_COLUMNS.get(name, []):
         if c in df.columns and isinstance(df.schema[c].dataType, LongType):
