@@ -40,6 +40,76 @@ def exact_dedupe(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+def exact_dedupe_hashed(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact dedup grouping on a 128-bit content hash instead of the
+    content itself — at 100 TB the shuffle carries 16-byte keys, not
+    document bodies. (Same survivors as exact_dedupe modulo hash
+    collisions, which md5 makes negligible at any realistic corpus.)"""
+    return (
+        df.select(F.md5(F.col(content_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dupes"))
+        .select(id_col, "content_hash", "n_dupes")
+    )
+
+
+def neardup_clusters(
+    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max_iters: int = 20
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every doc gets the
+    MIN doc id reachable in its component as ``cluster_id`` — the step
+    that turns pairwise candidates into dedup groups (keep one per
+    cluster).
+
+    Min-label propagation: each round every node takes the min of its own
+    and its neighbors' labels; converges in ≤ graph-diameter rounds
+    (near-dup clusters are shallow — diameter is small by construction).
+    Each round is one shuffle join; the loop stops early when a round
+    changes nothing. For planet-scale graphs swap in the alternating
+    large-star/small-star algorithm; the fixed point is identical.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """k-word shingles (1-based slice; empty when fewer than k words).
 

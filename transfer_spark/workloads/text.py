@@ -237,9 +237,68 @@ WHERE round(len(list_intersect(a.sh, b.sh)) /
 """
 
 
+def q_dedupe_exact_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on md5(content): fixed-width shuffle keys."""
+    return D.exact_dedupe_hashed(_docs(spark, sf_dir), "text", "doc_id")
+
+
+ORACLE_DEDUPE_EXACT_HASHED = """
+SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS n_dupes
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-200 tokens by frequency (tie → token asc) —
+    the vocab-building pass of a tokenizer pipeline."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(200)
+        .select("tok", "n")
+    )
+
+
+ORACLE_TOKEN_VOCAB = f"""
+WITH t AS (
+  SELECT unnest({_TOKS}) AS tok FROM documents
+)
+SELECT tok, count(*) AS n FROM t GROUP BY tok
+ORDER BY n DESC, tok ASC LIMIT 200
+"""
+
+
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate pairs → dedup groups
+    (cluster_id = min reachable doc id)."""
+    pairs = D.minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text")
+    return D.neardup_clusters(pairs)
+
+
+ORACLE_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE cand AS ({_minhash_sql()}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION ALL
+  SELECT doc_b, doc_a FROM cand
+),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 QUERIES = {
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "dedupe_lsh_verified": (q_lsh_verified, _lsh_verified_sql()),
+    "dedupe_exact_hashed": (q_dedupe_exact_hashed, ORACLE_DEDUPE_EXACT_HASHED),
+    "token_vocab": (q_token_vocab, ORACLE_TOKEN_VOCAB),
+    "neardup_clusters": (q_neardup_clusters, ORACLE_NEARDUP_CLUSTERS),
     "lang_id": (q_lang_id, _langid_sql()),
     "doc_fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
     "dedupe_exact": (q_dedupe_exact, ORACLE_DEDUPE_EXACT),
