@@ -293,12 +293,68 @@ SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline in ONE plan:
+    language filter → quality gate → exact-dedup survivor →
+    near-dup cluster canonical (lowest doc id per LSH component).
+    Catalyst fuses the filters into the scan; the two dedup joins are
+    the only shuffles."""
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id",
+        "text",
+        T.lang_id(F.col("text")).alias("lg"),
+        T.quality_score(F.col("text")).alias("q"),
+    ).filter((F.col("lg") == "en") & (F.col("q") >= 0.3))
+    exact = D.exact_dedupe(_docs(spark, sf_dir), "text", "doc_id").select(
+        F.col("doc_id").alias("surv_id")
+    )
+    clusters = D.neardup_clusters(
+        D.minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text")
+    )
+    kept = (
+        scored.join(exact, scored.doc_id == exact.surv_id, "inner")
+        .join(clusters, "doc_id", "left")
+        .filter(
+            F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+        )
+    )
+    return kept.select("doc_id", "lg", F.round("q", 6).alias("q"))
+
+
+def _corpus_clean_sql() -> str:
+    lang_sql = _langid_sql()
+    quality = (
+        "round(0.5 * least(len(toks) / 100.0, 1.0)"
+        f" + 0.5 * least(({_hits_sql('toks', 'en')} / CAST(len(toks) AS DOUBLE)) * 4.0, 1.0)"
+        " - 0.25 * least((length(regexp_replace(text, '[^.,!?;:]', '', 'g'))"
+        " / CAST(length(text) AS DOUBLE)) * 10.0, 1.0), 6)"
+    )
+    return f"""
+WITH lang AS ({lang_sql}),
+scored AS (
+  SELECT d.doc_id, l.lang_guess AS lg, {quality} AS q
+  FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents) d
+  JOIN lang l ON d.doc_id = l.doc_id
+),
+exact AS (SELECT min(doc_id) AS surv_id FROM documents GROUP BY text),
+clusters AS ({ORACLE_NEARDUP_CLUSTERS})
+SELECT s.doc_id, s.lg, s.q
+FROM scored s
+JOIN exact e ON s.doc_id = e.surv_id
+LEFT JOIN clusters c ON s.doc_id = c.doc_id
+WHERE s.lg = 'en' AND s.q >= 0.3
+  AND (c.cluster_id IS NULL OR c.cluster_id = s.doc_id)
+"""
+
+
 QUERIES = {
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "dedupe_lsh_verified": (q_lsh_verified, _lsh_verified_sql()),
     "dedupe_exact_hashed": (q_dedupe_exact_hashed, ORACLE_DEDUPE_EXACT_HASHED),
     "token_vocab": (q_token_vocab, ORACLE_TOKEN_VOCAB),
     "neardup_clusters": (q_neardup_clusters, ORACLE_NEARDUP_CLUSTERS),
+    "corpus_clean": (q_corpus_clean, _corpus_clean_sql()),
     "lang_id": (q_lang_id, _langid_sql()),
     "doc_fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
     "dedupe_exact": (q_dedupe_exact, ORACLE_DEDUPE_EXACT),
