@@ -75,16 +75,21 @@ def quality_score(text: Column) -> Column:
 
 def lang_id(text: Column) -> Column:
     """Stopword-hit argmax over the language table; ties break by language
-    code order; no hits at all → 'und'."""
+    code order; no hits at all → 'und'.
+
+    Shaped as greatest(h_de..h_fr) + a first-match CASE (each hit count
+    appears twice, all flat integer expressions inside codegen) — the
+    naive chained-when argmax nests earlier counts inside every later
+    comparison, compounding the token-filter work per row.
+    """
     toks = tokens(text)
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
-    for code in sorted(STOPWORDS):  # deterministic tie-break: first max wins
-        h = stopword_hits(toks, STOPWORDS[code])
-        is_better = h > best_hits
-        best_lang = F.when(is_better, F.lit(code)).otherwise(best_lang)
-        best_hits = F.when(is_better, h).otherwise(best_hits)
-    return best_lang
+    codes = sorted(STOPWORDS)
+    hs = [stopword_hits(toks, STOPWORDS[c]) for c in codes]
+    mx = F.greatest(*hs)
+    out = F.when(mx <= 0, F.lit("und"))
+    for c, h in zip(codes, hs):
+        out = out.when(h == mx, F.lit(c))
+    return out
 
 
 def word_hash(w: Column, hex_chars: int = 7) -> Column:

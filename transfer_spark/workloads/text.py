@@ -26,7 +26,11 @@ def _hits_sql(toks: str, code: str) -> str:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, sf_dir, "documents")
+    # documents is a single small parquet file → 1 scan partition, but
+    # every query here does expansion-heavy per-row text work; spread the
+    # rows first (cheap: a few MB) so the compute parallelizes
+    nparts = spark.sparkContext.defaultParallelism
+    return read_table(spark, sf_dir, "documents").repartition(nparts)
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
