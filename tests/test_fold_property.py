@@ -1,0 +1,66 @@
+"""Property test: the set-oriented Spark fold must equal a direct
+row-at-a-time simulation of the reference's InsertRow loop
+(reference: lib/optimization/table_data.go:169-222) on arbitrary event
+streams — independent of the closed-form SQL oracle."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from transfer_spark.constants import (
+    DELETE_COLUMN_MARKER as DEL,
+    TOAST_UNAVAILABLE_VALUE as TOAST,
+)
+from transfer_spark.operators.cdc_fold import cdc_fold, cdc_fold_salted
+
+VALUES = [None, TOAST, "a", "b", "zero-val", ""]
+
+
+def reference_insert_row(events):
+    """The Go loop, literally: per PK keep a current row; deletes inherit
+    prior non-artie values; TOAST carries the previous value forward."""
+    state = {}
+    for pk, off, is_del, payload in events:
+        prev = state.get(pk)
+        if is_del:
+            if prev is not None:
+                payload_eff = prev[0]  # inherit prior value
+            else:
+                payload_eff = payload  # first event: raw (zero-values kept)
+        elif payload == TOAST:
+            payload_eff = prev[0] if prev is not None else payload
+        else:
+            payload_eff = payload
+        state[pk] = (payload_eff, is_del)
+    return {pk: v for pk, v in state.items()}
+
+
+event_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # pk
+        st.booleans(),  # delete?
+        st.sampled_from(VALUES),  # payload
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw=event_strategy)
+def test_fold_matches_reference_loop(spark, raw):
+    events = [(pk, off, d, v) for off, (pk, d, v) in enumerate(raw)]
+    expect = reference_insert_row(events)
+    df = spark.createDataFrame(events, f"pk int, off long, {DEL} boolean, payload string")
+    got = {
+        r.pk: (r.payload, r[DEL]) for r in cdc_fold(df, ["pk"], "off").collect()
+    }
+    assert got == expect
+    got_salted = {
+        r.pk: (r.payload, r[DEL])
+        for r in cdc_fold_salted(df, ["pk"], "off", n_buckets=3).collect()
+    }
+    assert got_salted == expect

@@ -93,12 +93,15 @@ def decode_mongo_documents(
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            parsed = pdf[doc_col].map(
-                lambda s: decode_ext_json_doc(s) if s is not None else {}
-            )
+            # single pass: parse each doc once, append to per-column lists
+            cols: dict[str, list] = {f: [] for f in doc_fields}
+            for s in pdf[doc_col]:
+                d = decode_ext_json_doc(s) if s is not None else {}
+                for f in doc_fields:
+                    cols[f].append(d.get(f))
             out = {c: pdf[c] for c in passthrough}
             for f in doc_fields:
-                out[f] = parsed.map(lambda d, _f=f: d.get(_f))
+                out[f] = pd.Series(cols[f], index=pdf.index, dtype=object)
             yield pd.DataFrame(out, columns=out_fields)
 
     return df.mapInPandas(_batches, out_schema)
