@@ -1,10 +1,10 @@
 """Multimodal workload family: binary media columns on `documents`.
 
 The media bytes are stand-ins (document text as UTF-8), but the operators
-are the real plumbing. Because the stub codecs are SHA-256-derived, the
-image-metadata and frame-sampling queries are still fully oracle-checked
-in SQL; feature extraction is rows-only (float32 vectors don't round-trip
-through a SQL oracle cleanly).
+are the real plumbing. Because the stub codecs are SHA-256-derived, all
+four queries are fully oracle-checked in SQL; binary / float-array outputs
+are projected to hex / int-csv forms so the driver canonicalizer can sort
+and hash them.
 """
 
 from __future__ import annotations
@@ -38,7 +38,13 @@ FROM documents
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return MM.sample_video_frames(_media(spark, sf_dir), "media", "doc_id", 5)
+    """Frame bytes are projected as lowercase hex — raw ``binary`` output
+    columns are driver-hostile (the correctness canonicalizer can't sort
+    bytearrays), and hex is the lossless driver-safe form."""
+    out = MM.sample_video_frames(_media(spark, sf_dir), "media", "doc_id", 5)
+    return out.select(
+        "doc_id", "frame_idx", F.lower(F.hex("frame")).alias("frame_hex")
+    )
 
 
 ORACLE_FRAME_SAMPLE = """
@@ -46,7 +52,7 @@ WITH f AS (
   SELECT doc_id, text AS txt, octet_length(text::BLOB) AS n FROM documents
 )
 SELECT doc_id, CAST(i AS INT) AS frame_idx,
-       unhex(sha256(txt || CAST(i AS VARCHAR))) AS frame
+       sha256(txt || CAST(i AS VARCHAR)) AS frame_hex
 FROM f, UNNEST(range(0, 1 + n % 5)) AS t(i)
 """
 
@@ -66,13 +72,30 @@ FROM documents
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: float32 feature vectors (deterministic stub)."""
-    return MM.extract_image_features(_media(spark, sf_dir), "media", "doc_id", 16)
+    """Feature vectors projected driver-safe: each fake feature is k/256
+    (k = a SHA-256 digest byte), so ``int(f * 256)`` recovers k losslessly
+    and the vector round-trips as a comma-joined int string. Raw
+    ``array<float>`` output crashes the correctness canonicalizer."""
+    out = MM.extract_image_features(_media(spark, sf_dir), "media", "doc_id", 16)
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.transform(F.col("features"), lambda x: (x * 256).cast("int").cast("string")),
+        ).alias("features_csv"),
+    )
+
+
+# dim=16 needs only the first 16 digest bytes = hex chars 1..32 (2 per byte).
+ORACLE_IMAGE_FEATURES = "SELECT doc_id, " + " || ',' || ".join(
+    f"CAST(('0x' || substr(sha256(text), {2 * i + 1}, 2))::BIGINT AS VARCHAR)"
+    for i in range(16)
+) + " AS features_csv FROM documents"
 
 
 QUERIES = {
     "multimodal_image_meta": (q_image_meta, ORACLE_IMAGE_META),
     "multimodal_frame_sample": (q_frame_sample, ORACLE_FRAME_SAMPLE),
     "multimodal_audio_stats": (q_audio_stats, ORACLE_AUDIO_STATS),
-    "multimodal_image_features": (q_image_features, None),
+    "multimodal_image_features": (q_image_features, ORACLE_IMAGE_FEATURES),
 }
