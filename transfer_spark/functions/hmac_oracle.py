@@ -1,0 +1,156 @@
+"""DuckDB-SQL HMAC-SHA256 oracle generator.
+
+The engine computes HMAC-SHA256 JVM-side (operators/crypto.py). DuckDB
+1.0's ``sha256`` only accepts VARCHAR, so the *outer* HMAC hash — whose
+input contains the raw 32-byte inner digest — is not directly expressible
+in the oracle. But HMAC's outer input is ``(key XOR opad) || digest``
+where the first 64-byte SHA-256 block is a constant: we precompute that
+block's compression **midstate** in Python and emit SQL that runs the one
+remaining SHA-256 compression (FIPS 180-4, 64 unrolled-by-recursion
+rounds over UBIGINT bit ops) on the final block built from the inner
+digest. The inner hash stays native: ``sha256(k_ipad_str || msg)`` —
+``k_ipad`` is ASCII whenever the salt is printable ASCII.
+
+This module exists ONLY to build correctness oracles; nothing here runs
+on Spark. Reference semantics: lib/cryptography/cryptography.go:21-37
+(HashValue: hex(HMAC-SHA256(salt, fmt.Fprint(value)))).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+_MASK = 0xFFFFFFFF
+
+_K = [
+    0x428A2F98, 0x71374491, 0xB5C0FBCF, 0xE9B5DBA5, 0x3956C25B, 0x59F111F1,
+    0x923F82A4, 0xAB1C5ED5, 0xD807AA98, 0x12835B01, 0x243185BE, 0x550C7DC3,
+    0x72BE5D74, 0x80DEB1FE, 0x9BDC06A7, 0xC19BF174, 0xE49B69C1, 0xEFBE4786,
+    0x0FC19DC6, 0x240CA1CC, 0x2DE92C6F, 0x4A7484AA, 0x5CB0A9DC, 0x76F988DA,
+    0x983E5152, 0xA831C66D, 0xB00327C8, 0xBF597FC7, 0xC6E00BF3, 0xD5A79147,
+    0x06CA6351, 0x14292967, 0x27B70A85, 0x2E1B2138, 0x4D2C6DFC, 0x53380D13,
+    0x650A7354, 0x766A0ABB, 0x81C2C92E, 0x92722C85, 0xA2BFE8A1, 0xA81A664B,
+    0xC24B8B70, 0xC76C51A3, 0xD192E819, 0xD6990624, 0xF40E3585, 0x106AA070,
+    0x19A4C116, 0x1E376C08, 0x2748774C, 0x34B0BCB5, 0x391C0CB3, 0x4ED8AA4A,
+    0x5B9CCA4F, 0x682E6FF3, 0x748F82EE, 0x78A5636F, 0x84C87814, 0x8CC70208,
+    0x90BEFFFA, 0xA4506CEB, 0xBEF9A3F7, 0xC67178F2,
+]
+
+_H0 = [
+    0x6A09E667, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A,
+    0x510E527F, 0x9B05688C, 0x1F83D9AB, 0x5BE0CD19,
+]
+
+
+def _ror(x: int, n: int) -> int:
+    return ((x >> n) | (x << (32 - n))) & _MASK
+
+
+def _compress(state: list[int], block: bytes) -> list[int]:
+    """One SHA-256 compression (FIPS 180-4 §6.2.2) — used to derive the
+    opad-block midstate; mirrors exactly what the generated SQL does."""
+    w = list(struct.unpack(">16I", block))
+    for i in range(16, 64):
+        s0 = _ror(w[i - 15], 7) ^ _ror(w[i - 15], 18) ^ (w[i - 15] >> 3)
+        s1 = _ror(w[i - 2], 17) ^ _ror(w[i - 2], 19) ^ (w[i - 2] >> 10)
+        w.append((w[i - 16] + s0 + w[i - 7] + s1) & _MASK)
+    a, b, c, d, e, f, g, h = state
+    for i in range(64):
+        s1 = _ror(e, 6) ^ _ror(e, 11) ^ _ror(e, 25)
+        ch = (e & f) ^ (~e & g)
+        t1 = (h + s1 + ch + _K[i] + w[i]) & _MASK
+        s0 = _ror(a, 2) ^ _ror(a, 13) ^ _ror(a, 22)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        t2 = (s0 + maj) & _MASK
+        h, g, f, e, d, c, b, a = g, f, e, (d + t1) & _MASK, c, b, a, (t1 + t2) & _MASK
+    return [(x + y) & _MASK for x, y in zip(state, [a, b, c, d, e, f, g, h])]
+
+
+def hmac_pads(key: bytes) -> tuple[bytes, bytes]:
+    """RFC 2104 padded keys: (key⊕ipad, key⊕opad), 64 bytes each."""
+    if len(key) > 64:
+        key = hashlib.sha256(key).digest()
+    key = key.ljust(64, b"\x00")
+    return bytes(b ^ 0x36 for b in key), bytes(b ^ 0x5C for b in key)
+
+
+def _sql_str(raw: bytes) -> str:
+    """SQL literal for an ASCII-printable byte string."""
+    s = raw.decode("ascii")
+    if not all(0x20 <= b <= 0x7E for b in raw):
+        raise ValueError("k_ipad not printable ASCII; pick a different salt")
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _rotr_sql(x: str, n: int) -> str:
+    return f"(({x} >> {n}) | (({x} << {32 - n}) & 4294967295))"
+
+
+def hmac_sha256_oracle(msg_expr: str, salt: str, out_col: str,
+                       id_cols: str, from_clause: str) -> str:
+    """DuckDB SQL computing ``lower(hex(HMAC-SHA256(salt, msg)))``.
+
+    ``msg_expr`` must be a VARCHAR expression (the engine hashes the
+    value's string form, like the reference's fmt.Fprint).
+    """
+    k_ipad, k_opad = hmac_pads(salt.encode())
+    mid = _compress(list(_H0), k_opad)  # state after the constant opad block
+
+    # final outer block: digest(8 words) || 0x80000000 || zeros || bitlen 768
+    init_ws = ", ".join(
+        f"('0x' || substr(ih, {8 * i + 1}, 8))::UBIGINT" for i in range(8)
+    ) + ", 2147483648::UBIGINT, 0::UBIGINT, 0::UBIGINT, 0::UBIGINT, " \
+        "0::UBIGINT, 0::UBIGINT, 0::UBIGINT, 768::UBIGINT"
+
+    klist = "[" + ", ".join(f"{k}::UBIGINT" for k in _K) + "]"
+    names = ["a", "b", "c", "d", "e", "f", "g", "h"]
+    state_init = ", ".join(f"{v}::UBIGINT AS {n}" for v, n in zip(mid, names))
+
+    # round i (from row i): w = ws[i+1], k = K[i+1] (1-based list indexing)
+    w_i = "ws[i + 1]"
+    k_i = f"({klist})[i + 1]"
+    s1 = f"xor(xor({_rotr_sql('e', 6)}, {_rotr_sql('e', 11)}), {_rotr_sql('e', 25)})"
+    ch = "xor((e & f), (xor(e, 4294967295) & g))"
+    t1 = f"((h + {s1} + {ch} + {k_i} + {w_i}) & 4294967295)"
+    s0 = f"xor(xor({_rotr_sql('a', 2)}, {_rotr_sql('a', 13)}), {_rotr_sql('a', 22)})"
+    maj = "xor(xor((a & b), (a & c)), (b & c))"
+    t2 = f"(({s0} + {maj}) & 4294967295)"
+
+    # message schedule: appended lazily — at step i compute w[i+16]
+    def sig0(x: str) -> str:
+        return f"xor(xor({_rotr_sql(x, 7)}, {_rotr_sql(x, 18)}), ({x} >> 3))"
+
+    def sig1(x: str) -> str:
+        return f"xor(xor({_rotr_sql(x, 17)}, {_rotr_sql(x, 19)}), ({x} >> 10))"
+
+    sched = (
+        f"((ws[i + 1] + {sig0('ws[i + 2]')} + ws[i + 10] + {sig1('ws[i + 15]')})"
+        " & 4294967295)"
+    )
+
+    final_digest = " || ".join(
+        f"lower(lpad(hex(({mid[j]}::UBIGINT + {names[j]}) & 4294967295), 8, '0'))"
+        for j in range(8)
+    )
+
+    return f"""
+WITH RECURSIVE ih_src AS (
+  SELECT {id_cols}, sha256({_sql_str(k_ipad)} || {msg_expr}) AS ih
+  {from_clause}
+),
+r AS (
+  SELECT {id_cols}, 0 AS i, [{init_ws}] AS ws, {state_init}
+  FROM ih_src
+  UNION ALL
+  SELECT {id_cols}, i + 1,
+    CASE WHEN i + 16 < 64 THEN list_append(ws, {sched}) ELSE ws END,
+    (({t1} + {t2}) & 4294967295) AS a,
+    a AS b, b AS c, c AS d,
+    ((d + {t1}) & 4294967295) AS e,
+    e AS f, f AS g, g AS h
+  FROM r WHERE i < 64
+)
+SELECT {id_cols}, {final_digest} AS {out_col}
+FROM r WHERE i = 64
+"""

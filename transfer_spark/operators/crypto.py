@@ -10,20 +10,20 @@ Reference semantics:
   GCM mode produces exactly iv||ciphertext||tag, so encrypt stays
   JVM-side; ``encryptJSONBColumns`` auto-targets document columns.
 
-HMAC has no Spark builtin, so it is an Arrow-batched pandas UDF — the
-only Python in this family, and only on salted-hash columns.
+HMAC has no Spark builtin, but HMAC-SHA256 is just two SHA-256 passes
+over padded keys (RFC 2104): ``sha256(k_opad ∥ sha256(k_ipad ∥ msg))``
+— both expressible with ``F.sha2``/``F.concat`` on binary, so the whole
+family stays JVM-side / whole-stage-codegen (no Python in any hot path).
 """
 
 from __future__ import annotations
 
 import base64 as _b64
-import hashlib
-import hmac as _hmac
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
+
+from transfer_spark.functions.hmac_oracle import hmac_pads
 
 
 def sha256_hash(c: Column) -> Column:
@@ -32,18 +32,15 @@ def sha256_hash(c: Column) -> Column:
 
 
 def hmac_sha256(c: Column, salt: str) -> Column:
-    """HMAC-SHA256 with the salt as key (hex output, like the reference)."""
-    key = salt.encode()
+    """HMAC-SHA256 with the salt as key (hex output, like the reference).
 
-    @F.pandas_udf(StringType())
-    def _hmac_udf(vals: pd.Series) -> pd.Series:
-        return vals.map(
-            lambda v: _hmac.new(key, str(v).encode(), hashlib.sha256).hexdigest()
-            if v is not None
-            else None
-        )
-
-    return _hmac_udf(c.cast("string"))
+    Pure sha2 composition on binary — NULL in → NULL out, matching the
+    reference's nil passthrough (cryptography.go:22-24).
+    """
+    k_ipad, k_opad = hmac_pads(salt.encode())
+    msg = c.cast("string").cast("binary")
+    inner = F.unhex(F.sha2(F.concat(F.lit(k_ipad), msg), 256))
+    return F.sha2(F.concat(F.lit(k_opad), inner), 256)
 
 
 def hash_columns(df: DataFrame, cols: list[str], salt: str | None = None) -> DataFrame:

@@ -231,9 +231,12 @@ SELECT c_custkey, c_name AS c_name_roundtrip FROM customer
 
 
 def q_column_hmac(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3 salted hash: HMAC-SHA256 (pandas UDF; no SQL oracle — DuckDB has
-    no HMAC builtin, so this is a rows-only check; exactness is pinned by
-    a unit test against Python's hmac)."""
+    """P3 salted hash: HMAC-SHA256, pure JVM-side sha2 composition.
+
+    The oracle runs real HMAC in DuckDB too: the inner hash natively
+    (k_ipad is ASCII), the outer via a generated one-block SHA-256
+    compression starting from the precomputed opad-block midstate
+    (functions/hmac_oracle.py) — so this is a full hash-match check."""
     from transfer_spark.operators import crypto as CR
 
     cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
@@ -242,10 +245,18 @@ def q_column_hmac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_column_hmac() -> str:
+    from transfer_spark.functions.hmac_oracle import hmac_sha256_oracle
+
+    return hmac_sha256_oracle(
+        "c_name", "pepper", "c_name_hmac", "c_custkey", "FROM customer"
+    )
+
+
 QUERIES = {
     "column_hash": (q_column_hash, ORACLE_COLUMN_HASH),
     "column_encryption": (q_column_encryption, ORACLE_COLUMN_ENCRYPTION),
-    "column_hmac": (q_column_hmac, None),
+    "column_hmac": (q_column_hmac, _oracle_column_hmac()),
     "encode_values": (q_encode_values, ORACLE_ENCODE_VALUES),
     "projection_metadata": (q_projection_metadata, ORACLE_PROJECTION_METADATA),
     "pk_string_key": (q_pk_string_key, ORACLE_PK_STRING_KEY),
