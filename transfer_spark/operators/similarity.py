@@ -133,59 +133,81 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All-pairs exact cosine ≥ threshold.
+    """All-pairs exact cosine ≥ threshold, fully distributed.
 
-    Plan: broadcast the (normalized) build-side matrix, stream the probe
-    side through an Arrow-batched ``mapInPandas`` doing one numpy matmul
-    per batch — the same build/probe asymmetry as a broadcast hash join,
-    but for dense linear algebra, where numpy beats per-pair Catalyst
-    higher-order expressions by ~50×. Each probe partition works
-    independently (no shuffle); emitted pairs satisfy id_a < id_b.
+    Plan: block nested-loop over a triangular grid. Rows hash into
+    ``n_blocks`` blocks; grid cell (i, j), i ≤ j, pairs block i against
+    block j, so every unordered pair lands in exactly one cell. Each side
+    is exploded to its cells (≈ n_blocks× replication of ids+vectors —
+    that is the whole shuffle), tagged left/right, unioned, and a grouped
+    ``applyInPandas`` runs one numpy matmul per cell — numpy beats
+    per-pair Catalyst higher-order expressions by ~50× on dense vectors.
+    Nothing touches the driver and no executor ever holds more than two
+    blocks. (A cogrouped applyInPandas would express this more directly,
+    but Spark's optimizer prunes the right cogroup side's data columns
+    under count()-style plans when both sides share lineage — the
+    union+side-tag form is equivalent and prune-safe.)
 
-    Scale path: the broadcast side must fit in executor memory (a 1M×64
-    float32 matrix is 256 MB — fine). Beyond that, block the build side
-    into column strips and union one pass per strip, or prefilter with
-    :func:`lsh_bucket` and verify only candidates.
+    Scale path: pick ``n_blocks`` so a block (n/n_blocks × dim doubles)
+    fits executor memory; cells = n_blocks·(n_blocks+1)/2 independent
+    tasks. Exactness costs n_blocks× replication — when approximate
+    recall is acceptable, LSH-bucket prefilter (:func:`lsh_bucket`) + this
+    verify within buckets is the cheaper 100 TB form.
     """
     import pandas as pd
     from pyspark.sql.types import StructType
 
     v = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
     )
-    pdf = v.toPandas()  # build side (broadcast analog)
-    ids = np.asarray(pdf["id"].values)
-    mat = np.vstack(pdf["v"].values).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    mat = mat / norms[:, None]
-    bmat = df.sparkSession.sparkContext.broadcast((ids, mat))
+    # left side of cell (ci, cj) holds block ci; right side holds block cj
+    cells = F.array(*[F.lit(j) for j in range(n_blocks)])
+    left = (
+        v.withColumn("cj", F.explode(F.filter(cells, lambda j: j >= F.col("blk"))))
+        .select(F.col("blk").alias("ci"), "cj", "id", "v", F.lit(0).alias("side"))
+    )
+    right = (
+        v.withColumn("ci", F.explode(F.filter(cells, lambda i: i <= F.col("blk"))))
+        .select("ci", F.col("blk").alias("cj"), "id", "v", F.lit(1).alias("side"))
+    )
 
     out_schema = StructType.fromDDL("id_a bigint, id_b bigint")
 
-    def _batches(it):
-        b_ids, b_mat = bmat.value
-        order = np.argsort(b_ids)
-        s_ids, s_mat = b_ids[order], b_mat[order]
-        for p in it:
-            if len(p) == 0:
-                continue
-            q_ids = np.asarray(p["id"].values)
-            q = np.vstack(p["v"].values).astype(np.float64)
-            qn = np.linalg.norm(q, axis=1)
-            qn[qn == 0] = 1.0
-            q = q / qn[:, None]
-            sims = q @ s_mat.T  # |batch| × n
-            rows_a, rows_b = [], []
-            for qi, qid in enumerate(q_ids):
-                # only partners with larger id → each pair emitted once
-                start = np.searchsorted(s_ids, qid, side="right")
-                hits = np.nonzero(sims[qi, start:] >= threshold)[0]
-                for h in hits:
-                    rows_a.append(qid)
-                    rows_b.append(s_ids[start + h])
-            yield pd.DataFrame({"id_a": rows_a, "id_b": rows_b})
+    def _cell(key, pdf):
+        lpdf = pdf[pdf["side"] == 0]
+        rpdf = pdf[pdf["side"] == 1]
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        l_ids = np.asarray(lpdf["id"].values)
+        r_ids = np.asarray(rpdf["id"].values)
 
-    nparts = df.sparkSession.sparkContext.defaultParallelism
-    return v.repartition(nparts).mapInPandas(_batches, out_schema)
+        def _unit(col) -> np.ndarray:
+            m = np.vstack(col.values).astype(np.float64)
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0] = 1.0
+            return m / n[:, None]
+
+        hits = _unit(lpdf["v"]) @ _unit(rpdf["v"]).T >= threshold
+        if key[0] == key[1]:
+            # diagonal cell: both sides are the same block, so pair {x,y}
+            # shows up as (x,y) and (y,x) — keep l < r (drops self-pairs)
+            hits &= l_ids[:, None] < r_ids[None, :]
+            ai, bi = np.nonzero(hits)
+            id_a, id_b = l_ids[ai], r_ids[bi]
+        else:
+            # off-diagonal: disjoint blocks, each pair appears once in
+            # arbitrary id order — normalize to (min, max)
+            ai, bi = np.nonzero(hits)
+            la, rb = l_ids[ai], r_ids[bi]
+            id_a, id_b = np.minimum(la, rb), np.maximum(la, rb)
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b})
+
+    return (
+        left.unionByName(right)
+        .groupBy("ci", "cj")
+        .applyInPandas(_cell, out_schema)
+    )
