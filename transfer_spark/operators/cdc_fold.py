@@ -34,7 +34,7 @@ History mode (append-only, reference table_data.go:46-47) needs no fold.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from transfer_spark.constants import (
@@ -147,83 +147,94 @@ def cdc_fold_salted(
     delete_col: str = DELETE_COLUMN_MARKER,
     toast_sentinel: str = TOAST_UNAVAILABLE_VALUE,
 ) -> DataFrame:
-    """Skew-resistant fold: per-(pk, contiguous offset-range bucket)
-    partial fold, then combine bucket summaries in bucket order.
+    """Skew-resistant fold: per-(pk, offset-modulo bucket) partial fold,
+    then an offset-ordered combine of the bucket summaries.
 
-    A hot PK with millions of updates in one batch makes the plain fold's
-    window partition huge — and window partitions can't be split by AQE.
-    The fold's closed form per column is "last KEPT raw value, else the
-    FIRST event's raw value"; that decomposes exactly when each bucket
-    summary carries BOTH components per column:
+    A hot PK with millions of updates in one batch concentrates on one
+    reducer. Salting splits each PK across ``n_buckets`` reduce keys. The
+    fold's closed form per column is "last KEPT raw value, else the FIRST
+    event's raw value"; that decomposes over ANY partition of the events
+    as long as each bucket summary carries the component offsets:
 
-      kept(b₁‖…‖bₙ)  = last non-null of kept(bᵢ)
-      first(b₁‖…‖bₙ) = first(b₁)
+      kept(all)  = max_by over buckets of (kept(bᵢ),  kept_off(bᵢ))
+      first(all) = min_by over buckets of (first(bᵢ), first_off(bᵢ))
 
     (Naively re-folding bucket *survivor rows* is wrong: a bucket with no
     kept value falls back to its first raw value, and the outer pass
     could mistake that fallback — e.g. a delete event's raw column — for
-    a kept value.) Cost: two shuffles, each window seeing ≤ 1/n_buckets
-    of the hot key's rows. Equality with the single-pass fold is oracle-
-    checked (same DuckDB SQL as cdc_fold).
+    a kept value.) Both passes are pure hash aggregates — map-side
+    partial combine, no window sort, no driver job; buckets come from
+    ``pmod(offset, n_buckets)``, so no extra scan to size ranges.
+    Equality with the single-pass fold is oracle-checked (same DuckDB SQL
+    as cdc_fold).
     """
-    hi = df.agg(F.max(order_col)).collect()[0][0]
-    if hi is None:
-        return cdc_fold(df, pk_cols, order_col, delete_col, toast_sentinel)
-    width = max(int(hi) // n_buckets, 1) + 1
+    off = F.col(order_col).cast("long")
     bucket = "__fold_bucket"
-    bucketed = df.withColumn(
-        bucket, (F.col(order_col).cast("long") / width).cast("long")
-    )
-
     is_delete = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
-    w_in = (
-        Window.partitionBy(*pk_cols, bucket)
-        .orderBy(F.col(order_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    bucketed = df.withColumn(bucket, F.pmod(off, F.lit(n_buckets)))
 
-    special = set(pk_cols) | {order_col, delete_col, bucket}
+    special = set(pk_cols) | {order_col, bucket}
+    inner_aggs = [F.max(off).alias("__max_off"), F.min(off).alias("__min_off")]
     fold_cols: list[str] = []
-    inner_proj = [F.col(c) for c in pk_cols] + [
-        F.col(bucket),
-        F.col(order_col),
-        F.col(delete_col),
-    ]
+    meta_cols: list[str] = []
     for name in df.columns:
         if name in special:
             continue
+        if name == delete_col or (
+            name.startswith(ARTIE_PREFIX) and name != ONLY_SET_DELETE_COLUMN_MARKER
+        ):
+            # survivor metadata rides with the newest event in the bucket
+            meta_cols.append(name)
+            inner_aggs.append(
+                F.max_by(F.struct(F.col(name).alias("v")), off).alias(f"{name}__m")
+            )
+            continue
         if name == ONLY_SET_DELETE_COLUMN_MARKER:
             keep = ~is_delete
-        elif name.startswith(ARTIE_PREFIX):
-            # metadata rides with the last event = "always kept"
-            keep = F.lit(True)
         else:
             keep = ~is_delete & (
                 F.col(name).cast("string").isNull()
                 | (F.col(name).cast("string") != F.lit(toast_sentinel))
             )
         fold_cols.append(name)
-        inner_proj.append(
-            F.last(F.when(keep, F.struct(F.col(name).alias("v"))), ignorenulls=True)
-            .over(w_in)
-            .alias(f"{name}__k")
+        inner_aggs.append(
+            F.max_by(F.struct(F.col(name).alias("v")), F.when(keep, off)).alias(
+                f"{name}__k"
+            )
         )
-        inner_proj.append(F.first(F.col(name)).over(w_in).alias(f"{name}__f"))
+        inner_aggs.append(F.max(F.when(keep, off)).alias(f"{name}__ko"))
+        inner_aggs.append(
+            F.min_by(F.struct(F.col(name).alias("v")), off).alias(f"{name}__f")
+        )
 
-    summaries = lww_dedup(bucketed.select(*inner_proj), [*pk_cols, bucket], order_col)
+    summaries = bucketed.groupBy(*pk_cols, bucket).agg(*inner_aggs)
 
-    w_out = (
-        Window.partitionBy(*pk_cols)
-        .orderBy(F.col(bucket).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    outer_proj = [F.col(c) for c in pk_cols] + [F.col(bucket), F.col(delete_col)]
+    outer_aggs = []
+    for name in meta_cols:
+        outer_aggs.append(
+            F.max_by(F.col(f"{name}__m"), F.col("__max_off"))["v"].alias(name)
+        )
     for name in fold_cols:
-        kept = F.last(F.col(f"{name}__k"), ignorenulls=True).over(w_out)
-        first = F.first(F.col(f"{name}__f")).over(w_out)
-        outer_proj.append(
-            F.when(kept.isNotNull(), kept["v"]).otherwise(first).alias(name)
+        # max_by skips buckets whose kept-offset is NULL (nothing kept)
+        outer_aggs.append(
+            F.max_by(F.col(f"{name}__k"), F.col(f"{name}__ko")).alias(f"{name}__K")
         )
-    combined = lww_dedup(summaries.select(*outer_proj), pk_cols, bucket)
-    out_cols = [c for c in df.columns if c != order_col and c != bucket]
+        outer_aggs.append(
+            F.min_by(F.col(f"{name}__f"), F.col("__min_off"))["v"].alias(f"{name}__F")
+        )
+    combined = summaries.groupBy(*pk_cols).agg(*outer_aggs)
+
+    out_cols = []
+    for name in df.columns:
+        if name == order_col or name == bucket:
+            continue
+        if name in fold_cols:
+            kept = F.col(f"{name}__K")
+            out_cols.append(
+                F.when(kept.isNotNull(), kept["v"])
+                .otherwise(F.col(f"{name}__F"))
+                .alias(name)
+            )
+        else:
+            out_cols.append(F.col(name))
     return combined.select(*out_cols)
