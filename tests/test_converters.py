@@ -62,13 +62,19 @@ def test_variable_decimal_decode(spark):
 
 
 def test_bits_and_json(spark):
-    df = spark.createDataFrame([(bytearray(b"\x05"), '{"b":2,"a":1}')], ["bits", "j"])
+    big = 2**60 + 1  # beyond double precision: must survive verbatim
+    df = spark.createDataFrame(
+        [(bytearray(b"\x05"), f'{{"b":2,"a":1,"n":{{"x":[1.5,true]}},"big":{big}}}')],
+        ["bits", "j"],
+    )
     row = df.select(
         C.debezium_bits(F.col("bits")).alias("bits"),
         C.debezium_json(F.col("j")).alias("j"),
     ).collect()[0]
     assert row.bits == "BQ=="
-    assert row.j == '{"b":"2","a":"1"}'  # normalized round-trip
+    # type-preserving normalize: keys sorted + deduped, numbers stay
+    # numbers, nesting intact (jsonutil.SanitizePayload semantics)
+    assert row.j == f'{{"a":1,"b":2,"big":{big},"n":{{"x":[1.5,true]}}}}'
 
 
 def test_geometry_point(spark):

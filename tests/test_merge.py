@@ -34,10 +34,25 @@ def test_hard_merge_update_insert_delete(spark):
 
 def test_hard_merge_toast_keeps_target(spark):
     stg = spark.createDataFrame([Row(id=1, name=TOAST, bal=99.0, __artie_delete=False)])
-    out = merge_dataframes(_tgt(spark), stg, ["id"])
+    out = merge_dataframes(_tgt(spark), stg, ["id"], toast_cols=["name"])
     got = {r["id"]: (r["name"], r["bal"]) for r in out.collect()}
     assert got[1] == ("alice", 99.0)
     assert got[2] == ("bob", 20.0)
+
+
+def test_toast_null_semantics_match_sql_path(spark):
+    """A NULL staged value in a TOAST column keeps the target (the SQL
+    path's NOT LIKE yields NULL → ELSE tgt; dialect.go:56-59), while a
+    non-toast column takes the staged NULL verbatim — both paths agree."""
+    tgt = spark.createDataFrame([Row(id=1, name="alice", note="keep")])
+    stg = spark.createDataFrame(
+        [Row(id=1, name=None, note=None, __artie_delete=False)],
+        "id bigint, name string, note string, __artie_delete boolean",
+    )
+    out = merge_dataframes(tgt, stg, ["id"], toast_cols=["note"])
+    r = out.collect()[0]
+    assert r["name"] is None  # plain column: NULL overwrites
+    assert r["note"] == "keep"  # toast column: NULL keeps target
 
 
 def test_soft_merge_sets_marker(spark):

@@ -15,17 +15,23 @@ from transfer_spark.operators.cdc_fold import cdc_fold
 DEL = DELETE_COLUMN_MARKER
 OFF = OFFSET_COLUMN
 
+# last field is __artie_operation metadata: inherited NEVER — a delete's
+# surviving row keeps the delete event's own metadata (cdc_fold + reference
+# InsertRow semantics)
 EVENTS = [
-    (1, 1, False, "signup", 1.0),
-    (2, 2, False, "click", 2.0),
-    (1, 3, False, "__debezium_unavailable_value", 3.0),  # TOAST etype
-    (2, 4, True, None, None),  # delete inherits click/2.0
-    (3, 5, False, "view", 5.0),
-    (1, 6, False, "refund", 6.0),
+    (1, 1, False, "signup", 1.0, "c"),
+    (2, 2, False, "click", 2.0, "c"),
+    (1, 3, False, "__debezium_unavailable_value", 3.0, "u"),  # TOAST etype
+    (2, 4, True, None, None, "d"),  # delete inherits click/2.0, keeps op 'd'
+    (3, 5, False, "view", 5.0, "c"),
+    (1, 6, False, "refund", 6.0, "u"),
 ]
 
-WIRE_DDL = f"id bigint, {OFF} bigint, {DEL} boolean, etype string, val double"
-OUT_DDL = f"id bigint, etype string, val double, {DEL} boolean"
+OP = "__artie_operation"
+WIRE_DDL = (
+    f"id bigint, {OFF} bigint, {DEL} boolean, etype string, val double, {OP} string"
+)
+OUT_DDL = f"id bigint, etype string, val double, {DEL} boolean, {OP} string"
 
 
 def _write(src, rows, name):
@@ -33,7 +39,10 @@ def _write(src, rows, name):
     with open(os.path.join(src, f"{name}.json"), "w") as f:
         for r in rows:
             f.write(
-                json.dumps({"id": r[0], OFF: r[1], DEL: r[2], "etype": r[3], "val": r[4]})
+                json.dumps(
+                    {"id": r[0], OFF: r[1], DEL: r[2], "etype": r[3],
+                     "val": r[4], OP: r[5]}
+                )
                 + "\n"
             )
 
@@ -46,7 +55,7 @@ def test_stateful_fold_matches_batch_fold(spark, tmp_path):
 
     def collect_batch(df, _bid):
         for r in df.collect():
-            results[r.id] = (r.etype, r.val, r[DEL])
+            results[r.id] = (r.etype, r.val, r[DEL], r[OP])
 
     out_schema = StructType.fromDDL(OUT_DDL)
     # two micro-batches, second run resumes state from the checkpoint
@@ -73,15 +82,16 @@ def test_stateful_fold_matches_batch_fold(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    batch = spark.createDataFrame(EVENTS, ["id", OFF, DEL, "etype", "val"])
+    batch = spark.createDataFrame(EVENTS, ["id", OFF, DEL, "etype", "val", OP])
     expect = {
-        r.id: (r.etype, r.val, r[DEL])
+        r.id: (r.etype, r.val, r[DEL], r[OP])
         for r in cdc_fold(batch, ["id"], OFF).collect()
     }
     assert results == expect
-    # the interesting rows: TOAST carried forward then overwritten; delete inherited
-    assert results[1] == ("refund", 6.0, False)
-    assert results[2] == ("click", 2.0, True)
+    # the interesting rows: TOAST carried forward then overwritten; delete
+    # inherited values but kept its OWN metadata (op stays 'd')
+    assert results[1] == ("refund", 6.0, False, "u")
+    assert results[2] == ("click", 2.0, True, "d")
 
 
 def test_topic_config_chain(spark):

@@ -21,6 +21,13 @@ from pyspark.sql.types import DecimalType, StringType
 TIME_FORMAT = "HH:mm:ss.SSSSSS"
 
 
+def _ns_to_us(ns: Column) -> Column:
+    """Integer ns→µs division. Plain ``/`` routes through double, which
+    rounds at epoch-nanosecond magnitudes (~1.7e18 > 2^53); decimal
+    division then a long cast truncates toward zero like Go's ``/``."""
+    return (ns.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+
+
 # --- temporal ---------------------------------------------------------------
 
 
@@ -44,7 +51,7 @@ def debezium_micro_time(us: Column) -> Column:
 def debezium_nano_time(ns: Column) -> Column:
     """io.debezium.time.NanoTime: nanos since midnight → time string
     (truncated to micros, same as the reference)."""
-    return debezium_micro_time((ns.cast("long") / 1000).cast("long"))
+    return debezium_micro_time(_ns_to_us(ns))
 
 
 def debezium_timestamp_millis(ms: Column) -> Column:
@@ -58,7 +65,7 @@ def debezium_timestamp_micros(us: Column) -> Column:
 
 
 def debezium_timestamp_nanos(ns: Column) -> Column:
-    return F.timestamp_micros((ns.cast("long") / 1000).cast("long"))
+    return F.timestamp_micros(_ns_to_us(ns))
 
 
 def debezium_zoned_timestamp(s: Column) -> Column:
@@ -188,9 +195,34 @@ def debezium_geometry_wkb(wkb_b64: Column) -> Column:
 
 
 def debezium_json(s: Column) -> Column:
-    """io.debezium.data.Json: normalize via parse/serialize round-trip
-    (dedupes keys like the reference's jsonutil.SanitizePayload)."""
-    return F.to_json(F.from_json(s, "map<string,string>"))
+    """io.debezium.data.Json: type-preserving normalize round-trip —
+    dedupes + sorts keys, keeps numbers as numbers and nested structure
+    intact (reference: lib/jsonutil/jsonutil.go — UseNumber + SortMapKeys;
+    empty string passes through, the JSONB replica-identity edge case).
+
+    A ``from_json``-based route would coerce every value to string; JSON
+    payloads are schemaless, so this is a designated (Arrow-batched)
+    Python path. Python ints are arbitrary-precision, matching the
+    reference's json.Number handling for values beyond 2^53.
+    """
+
+    @F.pandas_udf(StringType())
+    def _norm(vals: pd.Series) -> pd.Series:
+        import json
+
+        def one(v):
+            if v is None:
+                return None
+            if v == "":
+                return ""
+            return json.dumps(
+                json.loads(v), sort_keys=True, separators=(",", ":"),
+                ensure_ascii=False,
+            )
+
+        return vals.map(one)
+
+    return _norm(s)
 
 
 def debezium_bits(b: Column) -> Column:

@@ -65,8 +65,11 @@ def neardup_clusters(
     and its neighbors' labels; converges in ≤ graph-diameter rounds
     (near-dup clusters are shallow — diameter is small by construction).
     Each round is one shuffle join; the loop stops early when a round
-    changes nothing. For planet-scale graphs swap in the alternating
-    large-star/small-star algorithm; the fixed point is identical.
+    changes nothing. Hitting ``max_iters`` while labels are still moving
+    raises rather than silently returning split components (which would
+    quietly keep extra near-duplicates). For planet-scale graphs swap in
+    the alternating large-star/small-star algorithm (O(log n) rounds);
+    the fixed point is identical.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -107,6 +110,12 @@ def neardup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"neardup_clusters did not converge within {max_iters} rounds; "
+            "components wider than that would be silently split — raise "
+            "max_iters or use large-star/small-star for deep graphs"
+        )
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 

@@ -54,8 +54,15 @@ from transfer_spark.constants import (
 
 
 def _toast_aware(stg_c: Column, tgt_c: Column) -> Column:
-    """stg value unless it is the TOAST sentinel, else keep target value."""
-    not_toasted = F.coalesce(stg_c.cast("string") != F.lit(TOAST_UNAVAILABLE_VALUE), F.lit(True))
+    """CASE WHEN CAST(stg AS STRING) NOT LIKE '%<toast>%' THEN stg ELSE tgt.
+
+    Exactly the reference's SQL fragment (clients/iceberg/dialect/
+    dialect.go:56-59) including its three-valued logic: a NULL staged
+    value fails the NOT LIKE and KEEPS the target — matching what the
+    generated MERGE statement does, so the DataFrame engine and the
+    lakehouse SQL path agree on NULL updates to toast columns.
+    """
+    not_toasted = ~stg_c.cast("string").contains(F.lit(TOAST_UNAVAILABLE_VALUE))
     return F.when(not_toasted, stg_c).otherwise(tgt_c)
 
 
@@ -65,11 +72,18 @@ def merge_dataframes(
     pk_cols: list[str],
     soft_delete: bool = False,
     additional_predicates: list[Column] | None = None,
+    toast_cols: list[str] | None = None,
 ) -> DataFrame:
     """Return the post-merge state of ``target`` as a DataFrame.
 
     Output columns = target's data columns (minus internal markers), in
     target order, plus ``__artie_delete`` when ``soft_delete``.
+
+    ``toast_cols``: columns flagged TOAST-able (the reference sets
+    ToastColumn per column when a batch carried the sentinel — see
+    :func:`transfer_spark.operators.transforms.toasted_columns`). Only
+    these get the toast-aware CASE; all others take the staged value
+    as-is (NULL overwrites), exactly like the generated MERGE SQL.
     """
     value_cols = [c for c in target.columns if c not in pk_cols]
     # markers never land at the destination in hard mode; only_set_delete never at all
@@ -79,6 +93,7 @@ def merge_dataframes(
         if c != ONLY_SET_DELETE_COLUMN_MARKER and (soft_delete or c != DELETE_COLUMN_MARKER)
     ]
 
+    toast = set(toast_cols or ())
     tgt = target.alias("tgt")
     stg = staging.alias("stg")
     # plain equality like the reference's MERGE ON (PKs are non-null by
@@ -109,7 +124,7 @@ def merge_dataframes(
             if c == DELETE_COLUMN_MARKER:
                 # updated in BOTH matched branches; inserted as-is
                 return F.when(matched | stg_only, stg_c).otherwise(tgt_c)
-            updated = _toast_aware(stg_c, tgt_c)
+            updated = _toast_aware(stg_c, tgt_c) if c in toast else stg_c
             return (
                 F.when(matched & ~only_set, updated)
                 .when(matched & only_set, tgt_c)  # only the delete marker moves
@@ -123,7 +138,7 @@ def merge_dataframes(
     # hard-delete mode
     def val(c: str) -> Column:
         stg_c, tgt_c = F.col(f"stg.{c}"), F.col(f"tgt.{c}")
-        updated = _toast_aware(stg_c, tgt_c)
+        updated = _toast_aware(stg_c, tgt_c) if c in toast else stg_c
         return (
             F.when(matched & ~stg_delete, updated)
             .when(stg_only & ~stg_delete, stg_c)
@@ -174,7 +189,10 @@ def build_partition_predicates(
 
 
 def merge_into_staging(
-    staging_table: DataFrame, batch: DataFrame, pk_cols: list[str]
+    staging_table: DataFrame,
+    batch: DataFrame,
+    pk_cols: list[str],
+    toast_cols: list[str] | None = None,
 ) -> DataFrame:
     """Multi-step merge, steps 1..N-1 (M13): cheap merge into a persistent
     staging table with NO delete branch — delete markers ride along as
@@ -188,6 +206,7 @@ def merge_into_staging(
     per cycle. Both inputs are micro-batch-sized ⇒ AQE broadcasts.
     """
     value_cols = [c for c in staging_table.columns if c not in pk_cols]
+    toast = set(toast_cols or ())
     tgt = staging_table.alias("tgt")
     stg = batch.alias("stg")
     cond = F.lit(True)
@@ -202,8 +221,9 @@ def merge_into_staging(
 
     def val(c: str) -> Column:
         stg_c, tgt_c = F.col(f"stg.{c}"), F.col(f"tgt.{c}")
+        updated = _toast_aware(stg_c, tgt_c) if c in toast else stg_c
         return (
-            F.when(matched, _toast_aware(stg_c, tgt_c))
+            F.when(matched, updated)
             .when(stg_only, stg_c)
             .otherwise(tgt_c)
         )
@@ -216,10 +236,13 @@ def multi_step_merge(
     batches: list[DataFrame],
     pk_cols: list[str],
     soft_delete: bool = False,
+    toast_cols: list[str] | None = None,
 ) -> DataFrame:
     """Full M13 cascade: fold each flush into the staging table, then one
     final merge into the target (delete branch only here)."""
     staging = batches[0]
     for b in batches[1:]:
-        staging = merge_into_staging(staging, b, pk_cols)
-    return merge_dataframes(target, staging, pk_cols, soft_delete=soft_delete)
+        staging = merge_into_staging(staging, b, pk_cols, toast_cols=toast_cols)
+    return merge_dataframes(
+        target, staging, pk_cols, soft_delete=soft_delete, toast_cols=toast_cols
+    )

@@ -119,9 +119,34 @@ class ReplicationPipeline:
             return
         target, staging = align_schemas(target, folded)
         merged = merge_dataframes(
-            target, staging, self.pk_cols, soft_delete=self.soft_delete
+            target,
+            staging,
+            self.pk_cols,
+            soft_delete=self.soft_delete,
+            toast_cols=self._detect_toast_cols(staging),
         )
         self.table.write(merged)
+
+    def _detect_toast_cols(self, staging: DataFrame) -> list[str]:
+        """P7 per-batch ToastColumn flags (reference detects per event while
+        buffering, models/event/event.go:276-295). Detecting on the FOLDED
+        staging batch is equivalent for the merge — the toast CASE only
+        matters for sentinels that SURVIVED the fold — and the folded batch
+        is micro-batch-sized, so this aggregate is one cheap job."""
+        from transfer_spark.constants import ARTIE_PREFIX
+        from transfer_spark.operators.transforms import toasted_columns
+
+        candidates = [
+            f.name
+            for f in staging.schema.fields
+            if f.name not in self.pk_cols
+            and not f.name.startswith(ARTIE_PREFIX)
+            and f.dataType.simpleString() == "string"
+        ]
+        if not candidates:
+            return []
+        flags = toasted_columns(staging, candidates).first()
+        return [c for c in candidates if flags[c]]
 
     def assert_merge_applied(self, staging: DataFrame) -> None:
         """M14 merge row-count assertion (reference:

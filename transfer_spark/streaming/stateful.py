@@ -24,7 +24,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 from transfer_spark.constants import (
+    ARTIE_PREFIX,
     DELETE_COLUMN_MARKER,
+    ONLY_SET_DELETE_COLUMN_MARKER,
     TOAST_UNAVAILABLE_VALUE,
 )
 
@@ -49,8 +51,12 @@ def _fold_rows_into_state(
                         v = None
                 except (TypeError, ValueError):
                     pass
-            if current is None:
-                nxt[c] = v  # first event: raw value (fallback semantics)
+            # artie metadata always rides with the event itself (only the
+            # idempotency marker inherits on delete) — matching cdc_fold
+            # and the reference InsertRow (table_data.go:169-222)
+            is_meta = c.startswith(ARTIE_PREFIX) and c != ONLY_SET_DELETE_COLUMN_MARKER
+            if current is None or is_meta:
+                nxt[c] = v  # first event / metadata: raw value
             elif is_delete:
                 nxt[c] = current[c]  # delete inherits prior values
             elif isinstance(v, str) and v == toast_sentinel:

@@ -149,7 +149,7 @@ def q_cdc_merge_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
     f1 = cdc_fold(batch1, ["id"], OFF)
     target = f1.filter(~F.col(DEL)).select("id", "etype", "val", "ts")
     staging = cdc_fold(batch2, ["id"], OFF).select("id", "etype", "val", "ts", DEL)
-    return merge_dataframes(target, staging, ["id"])
+    return merge_dataframes(target, staging, ["id"], toast_cols=["etype"])
 
 
 def _fold_ctes(src: str, tag: str) -> str:
@@ -188,8 +188,10 @@ def _oracle_merge(soft: bool) -> str:
     b2 = _STREAM_SQL + f" WHERE event_id > {mid}"
     fold_ctes = _fold_ctes
 
+    # reference semantics: NOT LIKE '%toast%' with three-valued logic —
+    # a NULL staged value keeps the target (dialect.go:56-59)
     toast_case = (
-        f"CASE WHEN COALESCE(s.etype != '{TOAST}', TRUE) THEN s.etype ELSE t.etype END"
+        f"CASE WHEN s.etype NOT LIKE '%{TOAST}%' THEN s.etype ELSE t.etype END"
     )
 
     if not soft:
@@ -238,7 +240,9 @@ def q_cdc_merge_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "etype", "val", "ts", DEL)
         .withColumn("__artie_only_set_delete", F.lit(False))
     )
-    out = merge_dataframes(target, staging, ["id"], soft_delete=True)
+    out = merge_dataframes(
+        target, staging, ["id"], soft_delete=True, toast_cols=["etype"]
+    )
     return out.withColumnRenamed(DEL, "is_deleted")
 
 
@@ -259,7 +263,7 @@ def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch2.withColumn("extra", F.col("val") * 2), ["id"], OFF
     ).select("id", "etype", "val", "extra", DEL)
     target, staging = align_schemas(target, staging)
-    return merge_dataframes(target, staging, ["id"])
+    return merge_dataframes(target, staging, ["id"], toast_cols=["etype"])
 
 
 ORACLE_SCHEMA_EVOLUTION = f"""
@@ -277,7 +281,7 @@ s0 AS (
 )
 SELECT COALESCE(t.id, s.id) AS id,
   CASE WHEN t.id IS NOT NULL AND s.id IS NOT NULL AND NOT s.is_delete
-         THEN CASE WHEN COALESCE(s.etype != '{TOAST}', TRUE) THEN s.etype ELSE t.etype END
+         THEN CASE WHEN s.etype NOT LIKE '%{TOAST}%' THEN s.etype ELSE t.etype END
        WHEN t.id IS NULL AND NOT s.is_delete THEN s.etype
        ELSE t.etype END AS etype,
   CASE WHEN s.id IS NOT NULL AND NOT s.is_delete THEN s.val ELSE t.val END AS val,
@@ -308,7 +312,7 @@ def q_multi_step_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdc_fold(b, ["id"], OFF).select("id", "etype", "val", "ts", DEL)
         for b in (b2, b3)
     ]
-    return multi_step_merge(target, flushes, ["id"])
+    return multi_step_merge(target, flushes, ["id"], toast_cols=["etype"])
 
 
 def _oracle_msm() -> str:
@@ -317,8 +321,8 @@ def _oracle_msm() -> str:
     b1 = _STREAM_SQL + f" WHERE event_id <= {m1}"
     b2 = _STREAM_SQL + f" WHERE event_id > {m1} AND event_id <= {m2}"
     b3 = _STREAM_SQL + f" WHERE event_id > {m2}"
-    toast_ab = f"CASE WHEN COALESCE(b.etype != '{TOAST}', TRUE) THEN b.etype ELSE a.etype END"
-    toast_ts = f"CASE WHEN COALESCE(s.etype != '{TOAST}', TRUE) THEN s.etype ELSE t.etype END"
+    toast_ab = f"CASE WHEN b.etype NOT LIKE '%{TOAST}%' THEN b.etype ELSE a.etype END"
+    toast_ts = f"CASE WHEN s.etype NOT LIKE '%{TOAST}%' THEN s.etype ELSE t.etype END"
     return f"""
     WITH {_fold_ctes(b1, 't0')},
     {_fold_ctes(b2, 's2')},
