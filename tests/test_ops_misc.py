@@ -105,3 +105,58 @@ def test_kv_encoding_and_sink_gates(spark):
     if not _HAS_BOTO3:
         with pytest.raises(NotImplementedError):
             write_to_sqs(df, ["id"], "http://q")
+
+
+def test_interval_converter_passthrough(spark):
+    from pyspark.sql import functions as F
+
+    from transfer_spark.functions.converters import debezium_interval
+
+    df = spark.createDataFrame([("P1Y2M3DT4H5M6S",), (None,)], ["iv"])
+    got = [r[0] for r in df.select(debezium_interval(F.col("iv"))).collect()]
+    assert got == ["P1Y2M3DT4H5M6S", None]
+
+
+def test_soft_partition_compacted_fallback(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from transfer_spark.operators.transforms import (
+        future_partition_rows,
+        soft_partition_route,
+    )
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 3)),   # past, absent -> compacted
+         (2, datetime(2024, 1, 12)),  # past, exists -> normal
+         (3, datetime(2024, 1, 15)),  # current partition -> normal
+         (4, datetime(2024, 2, 1))],  # future partition
+        "id bigint, ts timestamp",
+    )
+    out = soft_partition_route(
+        df, "t", "ts", "day",
+        execution_time=datetime(2024, 1, 15),
+        existing_tables={"t_2024_01_12"},
+    )
+    got = {r["id"]: r["__artie_target_table"] for r in out.collect()}
+    assert got == {
+        1: "t_default",
+        2: "t_2024_01_12",
+        3: "t_2024_01_15",
+        4: "t_2024_02_01",
+    }
+    future = future_partition_rows(df, "ts", "day", datetime(2024, 1, 15))
+    assert [r["id"] for r in future.collect()] == [4]
+
+
+def test_reserved_word_sanitize():
+    from transfer_spark.operators.transforms import (
+        SNOWFLAKE_RESERVED,
+        SPARK_RESERVED,
+        escape_name,
+    )
+
+    assert escape_name("select", SPARK_RESERVED) == "col_select"
+    assert escape_name("try_cast", SNOWFLAKE_RESERVED) == "col_try_cast"
+    assert escape_name("plain", SPARK_RESERVED) == "plain"

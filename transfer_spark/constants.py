@@ -32,7 +32,8 @@ OP_BACKFILL = "r"
 
 # Table-name affixes.
 HISTORY_SUFFIX = "__history"
-COMPACTED_SUFFIX = "__compacted"
+# stale-partition fallback table suffix (reference: kafkalib/topic.go:102)
+COMPACTED_SUFFIX = "_default"
 
 # Flush defaults (reference: lib/config/config.go:18-26).
 DEFAULT_FLUSH_INTERVAL_SECONDS = 10

@@ -206,6 +206,10 @@ def debezium_json(s: Column) -> Column:
     reference's json.Number handling for values beyond 2^53.
     """
 
+    from transfer_spark.constants import TOAST_UNAVAILABLE_VALUE
+
+    toast = TOAST_UNAVAILABLE_VALUE
+
     @F.pandas_udf(StringType())
     def _norm(vals: pd.Series) -> pd.Series:
         import json
@@ -213,8 +217,8 @@ def debezium_json(s: Column) -> Column:
         def one(v):
             if v is None:
                 return None
-            if v == "":
-                return ""
+            if v == "" or v == toast:  # JSONB replica-identity edge + TOAST
+                return v
             return json.dumps(
                 json.loads(v), sort_keys=True, separators=(",", ":"),
                 ensure_ascii=False,
@@ -223,6 +227,14 @@ def debezium_json(s: Column) -> Column:
         return vals.map(one)
 
     return _norm(s)
+
+
+def debezium_interval(c: Column) -> Column:
+    """io.debezium.time.Interval: ISO-8601 duration string passthrough
+    (reference: lib/debezium/converters/interval.go — assert-string +
+    identity; Debezium emits ISO strings under
+    interval.handling.mode=string). Typed Interval kind downstream."""
+    return c.cast("string")
 
 
 def debezium_bits(b: Column) -> Column:

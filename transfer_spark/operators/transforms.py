@@ -23,6 +23,33 @@ from transfer_spark.constants import (
 # ---------------------------------------------------------------------------
 
 
+# The reference ships a per-dialect reserved set; the Snowflake one is its
+# model (clients/snowflake/dialect/dialect.go:18-33, sourced from the
+# Snowflake reserved-keyword docs).
+SNOWFLAKE_RESERVED = {
+    "case", "cast", "constraint", "current_date", "current_timestamp",
+    "current_user", "false", "localtime", "localtimestamp", "true",
+    "try_cast", "when",
+}
+
+# Spark SQL's ANSI-mode reserved words (the dialect THIS engine targets;
+# spark.sql.ansi.enforceReservedKeywords — Spark SQL reference, "ANSI
+# compliance / SQL keywords" table, reserved-when-ANSI column).
+SPARK_RESERVED = {
+    "all", "and", "any", "as", "authorization", "both", "case", "cast",
+    "check", "collate", "column", "constraint", "create", "cross",
+    "current_date", "current_time", "current_timestamp", "current_user",
+    "distinct", "else", "end", "escape", "except", "false", "fetch",
+    "filter", "for", "foreign", "from", "full", "grant", "group", "having",
+    "in", "inner", "intersect", "into", "is", "join", "lateral", "leading",
+    "left", "natural", "not", "null", "offset", "on", "only", "or", "order",
+    "outer", "overlaps", "primary", "references", "right", "select",
+    "session_user", "some", "table", "then", "time", "to", "trailing",
+    "union", "unique", "unknown", "user", "using", "when", "where",
+    "window", "with",
+}
+
+
 def escape_name(name: str, reserved: set[str] | None = None) -> str:
     """lowercase; spaces → ``__``; leading digit → ``col_`` prefix;
     ``#`` → ``__``; reserved word → ``col_`` prefix."""
@@ -38,6 +65,10 @@ def escape_name(name: str, reserved: set[str] | None = None) -> str:
 
 
 def sanitize_column_names(df: DataFrame, reserved: set[str] | None = None) -> DataFrame:
+    """Defaults to the Spark-dialect reserved set (this engine's target);
+    pass e.g. :data:`SNOWFLAKE_RESERVED` for another destination."""
+    if reserved is None:
+        reserved = SPARK_RESERVED
     return df.toDF(*[escape_name(c, reserved) for c in df.columns])
 
 
@@ -111,14 +142,33 @@ def toasted_columns(df: DataFrame, candidate_cols: list[str]) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # P8 — PK string key (reference: models/event/event.go:225-237: sorted PK
-# names, `k=v` pairs concatenated with no separator)
+# names, `k=v` pairs concatenated with no separator;
+# numeric canonicalization: event_util.go:27-47)
 # ---------------------------------------------------------------------------
 
 
-def pk_string_key(pk_cols: list[str]) -> Column:
+def _canonical_num_str(c: Column) -> Column:
+    """Whole floats within ±2^53 print as integers, so int 1, float 1.0 and
+    json.Number '1' all produce the SAME key text — the reference's
+    normalizeNumericVal/normalizeFloat (event_util.go:27-47). NaN/±Inf and
+    non-whole values keep their float text."""
+    d = c.cast("double")
+    whole = (d == F.floor(d)) & (F.abs(d) <= F.lit(float(1 << 53)))
+    return F.when(whole, d.cast("long").cast("string")).otherwise(c.cast("string"))
+
+
+def pk_string_key(pk_cols: list[str], df: DataFrame | None = None) -> Column:
+    """Pass ``df`` so float/double PK columns get numeric canonicalization
+    (only values that ARE numbers are normalized — a *string* column
+    holding '1.0' keeps its text, exactly like the reference, which
+    switches on the decoded Go type)."""
+    float_cols = (
+        {name for name, t in (df.dtypes if df is not None else []) if t in ("float", "double")}
+    )
     parts = []
     for k in sorted(pk_cols):
-        parts.append(F.concat(F.lit(f"{k}="), F.col(k).cast("string")))
+        v = _canonical_num_str(F.col(k)) if k in float_cols else F.col(k).cast("string")
+        parts.append(F.concat(F.lit(f"{k}="), v))
     return F.concat(*parts)
 
 
@@ -127,14 +177,52 @@ def pk_string_key(pk_cols: list[str]) -> Column:
 # ---------------------------------------------------------------------------
 
 
+# the reference's Go layouts "_2006_01[_02[_15]]" (kafkalib/topic.go:104-113)
+_PARTITION_FMT = {"month": "_yyyy_MM", "day": "_yyyy_MM_dd", "hour": "_yyyy_MM_dd_HH"}
+
+
 def soft_partition_route(
-    df: DataFrame, table_name: str, time_col: str, granularity: str = "month"
+    df: DataFrame,
+    table_name: str,
+    time_col: str,
+    granularity: str = "month",
+    execution_time=None,
+    existing_tables: set[str] | None = None,
 ) -> DataFrame:
-    """Compute the suffixed target table per row (`name__YYYYMM`)."""
-    fmt = {"month": "yyyyMM", "day": "yyyyMMdd"}[granularity]
+    """Compute the suffixed target table per row (``name_yyyy_MM``, the
+    reference's exact layout).
+
+    Stale-partition fallback (soft_partition.go:29-44): when
+    ``execution_time`` and ``existing_tables`` (the catalog lookup
+    analog) are given, a row whose partition is strictly in the PAST of
+    the execution-time partition AND whose partition table doesn't exist
+    routes to the compacted table ``name_default`` instead. The suffix
+    layouts are fixed-width zero-padded, so "is a past partition" is a
+    plain string comparison — whole thing stays one codegen expression.
+    (The reference errors on rows from a FUTURE partition; a set-oriented
+    engine surfaces those via :func:`future_partition_rows` instead.)
+    """
+    from transfer_spark.constants import COMPACTED_SUFFIX
+
+    fmt = _PARTITION_FMT[granularity]
     suffix = F.date_format(F.col(time_col), fmt)
-    return df.withColumn(
-        "__artie_target_table", F.concat(F.lit(f"{table_name}__"), suffix)
+    routed = F.concat(F.lit(table_name), suffix)
+    if execution_time is not None and existing_tables is not None:
+        exec_suffix = F.date_format(F.lit(execution_time), fmt)
+        stale = (suffix < exec_suffix) & ~routed.isin(list(existing_tables) or [""])
+        routed = F.when(stale, F.lit(table_name + COMPACTED_SUFFIX)).otherwise(routed)
+    return df.withColumn("__artie_target_table", routed)
+
+
+def future_partition_rows(
+    df: DataFrame, time_col: str, granularity: str, execution_time
+) -> DataFrame:
+    """Rows in a partition AFTER the execution time's — the reference
+    rejects these (soft_partition.go:30-32); assert this is empty before
+    flushing, or route them to a quarantine table."""
+    fmt = _PARTITION_FMT[granularity]
+    return df.filter(
+        F.date_format(F.col(time_col), fmt) > F.date_format(F.lit(execution_time), fmt)
     )
 
 

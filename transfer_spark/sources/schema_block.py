@@ -90,7 +90,13 @@ def _converter_for(field: dict) -> tuple[str, Converter]:
         precision = int(params.get("connect.decimal.precision", 38))
         return "string", lambda c: C.debezium_decimal(c, scale, precision)
     if name == "io.debezium.data.Json":
-        return "string", ident  # JSON text passthrough (struct representation)
+        # type-preserving normalize; TOAST placeholder rides through
+        # (reference: converters/basic.go:16-27)
+        return "string", C.debezium_json
+    if name == "io.debezium.time.Interval":
+        return "string", C.debezium_interval
+    if name in ("io.debezium.time.Year", "io.debezium.time.MicroDuration"):
+        return "bigint", ident  # Int64Passthrough (schema.go:97)
     if name == "io.debezium.data.Bits":
         return "string", ident  # already base64 text on the JSON wire
     if name == "io.debezium.data.geometry.Point":
@@ -103,8 +109,8 @@ def _converter_for(field: dict) -> tuple[str, Converter]:
             "struct<wkb: string, srid: int>",
             lambda c: C.debezium_geometry_wkb(c["wkb"]),
         )
-    # passthrough logical types: Uuid, Ltree, Enum, EnumSet, Xml, Interval,
-    # Year, MicroDuration — literal type carries them
+    # passthrough logical types: Uuid, Ltree, Enum, EnumSet, Xml —
+    # literal type carries them (StringPassthrough, schema.go:93-94)
     if ftype == "array":
         item = field.get("items") or {}
         item_ddl, item_conv = _converter_for(item)

@@ -49,36 +49,65 @@ FROM events
 
 
 def q_pk_string_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P8 PK string build: sorted PK names, k=v concat
+    """P8 PK string build: sorted PK names, k=v concat, numeric
+    canonicalization — l_quantity is a whole-valued DOUBLE, so its key
+    text must be the integer form ('17', not '17.0'), colliding with an
+    equal int64 exactly like the reference
     (reference: models/event/event.go:150, event_util.go:27-47)."""
     li = read_table(spark, sf_dir, "lineitem")
     return li.select(
-        T.pk_string_key(["l_orderkey", "l_linenumber"]).alias("pk_key"),
+        T.pk_string_key(
+            ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"], li
+        ).alias("pk_key"),
         "l_quantity",
     )
 
 
 ORACLE_PK_STRING_KEY = """
-SELECT 'l_linenumber=' || CAST(l_linenumber AS VARCHAR) ||
-       'l_orderkey=' || CAST(l_orderkey AS VARCHAR) AS pk_key,
+SELECT 'l_extendedprice=' ||
+       CASE WHEN l_extendedprice = floor(l_extendedprice)
+                 AND abs(l_extendedprice) <= 9007199254740992
+            THEN CAST(CAST(l_extendedprice AS BIGINT) AS VARCHAR)
+            ELSE CAST(l_extendedprice AS VARCHAR) END ||
+       'l_linenumber=' || CAST(l_linenumber AS VARCHAR) ||
+       'l_orderkey=' || CAST(l_orderkey AS VARCHAR) ||
+       'l_quantity=' ||
+       CASE WHEN l_quantity = floor(l_quantity)
+                 AND abs(l_quantity) <= 9007199254740992
+            THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+            ELSE CAST(l_quantity AS VARCHAR) END AS pk_key,
        l_quantity
 FROM lineitem
 """
 
 
 def q_soft_partition_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P9 soft partition routing: route rows to a `name__YYYYMM` suffixed
-    table by a time column (reference: models/event/soft_partition.go:13-47);
-    returns per-partition routing counts."""
+    """P9 soft partition routing with the stale-partition fallback
+    (reference: models/event/soft_partition.go:13-47): daily partitions,
+    execution time mid-month, only days 10-14 exist in the "catalog" —
+    rows from older, absent partitions route to ``events_default``
+    (CompactedTableSuffix); current/future rows route normally. Returns
+    per-table routing counts."""
+    from datetime import datetime
+
     ev = read_table(spark, sf_dir, "events")
-    routed = T.soft_partition_route(ev, "events", "ts")
+    existing = {f"events_2024_01_{d:02d}" for d in range(10, 15)}
+    routed = T.soft_partition_route(
+        ev, "events", "ts", "day",
+        execution_time=datetime(2024, 1, 15), existing_tables=existing,
+    )
     return routed.groupBy("__artie_target_table").agg(
         F.count("*").alias("n_rows")
     )
 
 
 ORACLE_SOFT_PARTITION = """
-SELECT 'events__' || strftime(ts, '%Y%m') AS __artie_target_table,
+SELECT CASE WHEN strftime(ts, '_%Y_%m_%d') < '_2024_01_15'
+             AND 'events' || strftime(ts, '_%Y_%m_%d') NOT IN
+                 ('events_2024_01_10','events_2024_01_11','events_2024_01_12',
+                  'events_2024_01_13','events_2024_01_14')
+            THEN 'events_default'
+            ELSE 'events' || strftime(ts, '_%Y_%m_%d') END AS __artie_target_table,
        count(*) AS n_rows
 FROM events
 GROUP BY 1
@@ -92,12 +121,14 @@ def q_sanitize_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_regionkey").alias("Region Key"),
         F.col("r_name").alias("1name"),
         F.col("r_name").alias("r#name"),
+        F.col("r_name").alias("Select"),  # Spark-dialect reserved word
     )
     return T.sanitize_column_names(hostile)
 
 
 ORACLE_SANITIZE = """
-SELECT r_regionkey AS region__key, r_name AS col_1name, r_name AS r__name
+SELECT r_regionkey AS region__key, r_name AS col_1name, r_name AS r__name,
+       r_name AS col_select
 FROM region
 """
 
