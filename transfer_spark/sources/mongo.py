@@ -79,6 +79,74 @@ def decode_ext_json_doc(doc: str) -> dict[str, Any]:
     return {k: decode_ext_json_value(v) for k, v in json.loads(doc).items()}
 
 
+# --- compiled typed decode (the fast path) ----------------------------------
+#
+# Debezium Mongo wire shapes are stable per collection (the connector
+# serializes each field the same way for every event), so — exactly like
+# the relational schema-block compile (sources/schema_block.py) — the
+# ext-JSON decode can be COMPILED once per collection into a from_json
+# wire schema + pure Column converters. Zero Python per row; the generic
+# mapInPandas decoder below stays for arbitrary / mixed-shape documents.
+
+def _ext_wire_spec(kind: str):
+    from pyspark.sql import functions as F
+
+    if kind.startswith("plain:"):
+        return kind.split(":", 1)[1], lambda c: c
+    if kind == "oid":
+        return "struct<`$oid`: string>", lambda c: c["$oid"]
+    if kind == "long":
+        return "struct<`$numberLong`: string>", lambda c: c["$numberLong"].cast("long")
+    if kind == "int":
+        return "struct<`$numberInt`: string>", lambda c: c["$numberInt"].cast("long")
+    if kind == "double":
+        # reference nulls NaN/Infinity (bson.go:17-25)
+        def _dbl(c):
+            d = c["$numberDouble"].cast("double")
+            ok = ~F.isnan(d) & (F.abs(d) != F.lit(float("inf")))
+            return F.when(ok, d)
+
+        return "struct<`$numberDouble`: string>", _dbl
+    if kind == "decimal":
+        return "struct<`$numberDecimal`: string>", lambda c: c["$numberDecimal"]
+    if kind == "date_ms":
+        return "struct<`$date`: bigint>", lambda c: F.timestamp_millis(c["$date"])
+    if kind == "date_long":
+        return (
+            "struct<`$date`: struct<`$numberLong`: string>>",
+            lambda c: F.timestamp_millis(c["$date"]["$numberLong"].cast("long")),
+        )
+    raise ValueError(f"unknown ext-JSON wire kind: {kind!r}")
+
+
+def decode_mongo_documents_typed(
+    df: DataFrame, doc_col: str, field_kinds: dict[str, str]
+) -> DataFrame:
+    """S4 fast path: per-collection compiled ext-JSON decode.
+
+    ``field_kinds`` maps document field → wire kind (``oid``, ``long``,
+    ``int``, ``double``, ``decimal``, ``date_ms``, ``date_long``, or
+    ``plain:<ddl>``). The decode is one ``from_json`` + per-field Column
+    expressions — whole-stage codegen, no Python, no shuffle. Documents
+    whose shape drifts from the compiled kinds surface as NULLs (the
+    from_json mismatch contract), which is the schema-evolution signal to
+    re-register the collection — same lifecycle as the Debezium
+    schema-block compile.
+    """
+    from pyspark.sql import functions as F
+
+    wire_ddl = "struct<" + ", ".join(
+        f"`{name}`: {_ext_wire_spec(kind)[0]}" for name, kind in field_kinds.items()
+    ) + ">"
+    parsed = df.withColumn("__doc", F.from_json(F.col(doc_col), wire_ddl))
+    out = [c for c in df.columns if c != doc_col]
+    cols = [F.col(c) for c in out] + [
+        _ext_wire_spec(kind)[1](F.col("__doc")[name]).alias(name)
+        for name, kind in field_kinds.items()
+    ]
+    return parsed.select(*cols)
+
+
 def decode_mongo_documents(
     df: DataFrame, doc_col: str, out_schema: StructType
 ) -> DataFrame:

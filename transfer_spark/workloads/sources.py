@@ -142,9 +142,16 @@ _MONGO_DDL = (
 )
 
 
-def q_mongo_extjson_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4: BSON extended-JSON documents decoded via the Arrow-batched
-    mapInPandas path ($oid, $numberLong, $numberDecimal, $date)."""
+_MONGO_KINDS = {
+    "_id": "oid",
+    "user": "long",
+    "amount": "decimal",
+    "ts": "date_ms",
+    "tag": "plain:string",
+}
+
+
+def _mongo_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     doc = F.format_string(
         '{"_id": {"$oid": "%s"}, "user": {"$numberLong": "%d"}, '
@@ -155,8 +162,25 @@ def q_mongo_extjson_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("ts")) / 1000).cast("bigint"),
         F.col("event_type"),
     )
-    wire = ev.select(F.col("event_id").alias("offset"), doc.alias("doc"))
-    return MONGO.decode_mongo_documents(wire, "doc", StructType.fromDDL(_MONGO_DDL))
+    return ev.select(F.col("event_id").alias("offset"), doc.alias("doc"))
+
+
+def q_mongo_extjson_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: BSON extended-JSON decode, compiled per-collection — one
+    from_json + Column converters, zero Python (shapes are stable per
+    Debezium Mongo collection, so the compile is the 100 TB path)."""
+    return MONGO.decode_mongo_documents_typed(
+        _mongo_wire(spark, sf_dir), "doc", _MONGO_KINDS
+    )
+
+
+def q_mongo_extjson_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 generic path: arbitrary-shape documents through the Arrow-batched
+    mapInPandas parser (the fallback when no stable shape is registered);
+    same oracle as the compiled path — the two must agree exactly."""
+    return MONGO.decode_mongo_documents(
+        _mongo_wire(spark, sf_dir), "doc", StructType.fromDDL(_MONGO_DDL)
+    )
 
 
 ORACLE_MONGO_EXTJSON = """
@@ -174,4 +198,5 @@ QUERIES = {
     "debezium_envelope_decode": (q_debezium_decode, ORACLE_DEBEZIUM_DECODE),
     "kafka_key_decode": (q_kafka_key_decode, ORACLE_KAFKA_KEY),
     "mongo_extjson_decode": (q_mongo_extjson_decode, ORACLE_MONGO_EXTJSON),
+    "mongo_extjson_generic": (q_mongo_extjson_generic, ORACLE_MONGO_EXTJSON),
 }
