@@ -134,3 +134,78 @@ def test_soft_delete_stream(spark, tmp_path):
     assert rows[2][DELETE_COLUMN_MARKER] is True
     assert rows[2].etype == "click" and rows[2].val == 2.0
     assert rows[3][DELETE_COLUMN_MARKER] is False
+
+
+def test_multi_table_parallel_flush(spark, tmp_path):
+    """O1: ≥3 tables flush concurrently (off the main thread, all-or-
+    nothing) — reference errgroup semantics (flush.go:78-127)."""
+    import threading
+
+    from transfer_spark.streaming.pipeline import MultiTablePipeline, ReplicationPipeline
+
+    rows = [
+        (t, n, 100 * i + n, False, "e", float(n))
+        for i, t in enumerate(["a", "b", "c"])
+        for n in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, f"tbl string, id bigint, off bigint, {DELETE_COLUMN_MARKER} boolean, "
+        "etype string, val double"
+    )
+
+    seen_threads = []
+    orig = ReplicationPipeline.process_batch
+
+    def spy(self, batch_df, batch_id):
+        seen_threads.append(threading.current_thread().name)
+        return orig(self, batch_df, batch_id)
+
+    mtp = MultiTablePipeline(
+        spark, str(tmp_path / "base"), "tbl", ["id"], "off"
+    )
+    ReplicationPipeline.process_batch = spy
+    try:
+        mtp.process_batch(df, 0)
+    finally:
+        ReplicationPipeline.process_batch = orig
+
+    assert len(seen_threads) == 3
+    assert all(t.startswith("flush") for t in seen_threads)  # off main thread
+    for t in ("a", "b", "c"):
+        assert mtp.pipelines[t].table.read().count() == 3
+
+    # single-table failure aborts the whole batch (no checkpoint commit)
+    def boom(self, batch_df, batch_id):
+        if self.table.path.endswith("b"):
+            raise RuntimeError("table b flush failed")
+        return orig(self, batch_df, batch_id)
+
+    ReplicationPipeline.process_batch = boom
+    try:
+        with pytest.raises(RuntimeError, match="table b flush failed"):
+            mtp.process_batch(df, 1)
+    finally:
+        ReplicationPipeline.process_batch = orig
+
+
+def test_kafka_frame_to_wire(spark):
+    """S1: the Kafka frame → wire frame mapping — casts + tombstone skip
+    (kafka.go:71-74). The same expression chain runs on the real
+    readStream.format('kafka') source; only the connector jar swaps in."""
+    from datetime import datetime
+
+    from transfer_spark.streaming.pipeline import kafka_frame_to_wire
+
+    df = spark.createDataFrame(
+        [
+            (b"k1", b'{"id": 1}', 0, 100, datetime(2026, 1, 1)),
+            (b"k2", None, 0, 101, datetime(2026, 1, 1)),  # tombstone
+            (None, b'{"id": 2}', 1, 7, datetime(2026, 1, 2)),
+        ],
+        "key binary, value binary, partition int, offset long, timestamp timestamp",
+    )
+    out = kafka_frame_to_wire(df).collect()
+    assert [(r.key, r.value, r.partition, r.offset) for r in out] == [
+        ("k1", '{"id": 1}', 0, 100),
+        (None, '{"id": 2}', 1, 7),
+    ]

@@ -201,13 +201,71 @@ class ReplicationPipeline:
             writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
         return writer.start()
 
+    def start_kafka_stream(
+        self,
+        bootstrap_servers: str,
+        topics: list[str],
+        checkpoint_dir: str,
+        transform=None,
+        trigger_seconds: int | None = None,
+        starting_offsets: str = "earliest",
+        max_offsets_per_trigger: int | None = None,
+    ):
+        """S1 Kafka front door (reference: processes/consumer/kafka.go:25-120).
+
+        Requires the spark-sql-kafka connector on the classpath (absent in
+        this container — construction is covered by tests via
+        :func:`kafka_frame_to_wire`; everything downstream of the wire
+        frame is source-agnostic and identical to the file-source path).
+        ``maxOffsetsPerTrigger`` plays bufferRows (A3);
+        ``failOnDataLoss=false`` matches the consumer's skip-on-truncation.
+        """
+        reader = (
+            self.spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", ",".join(topics))
+            .option("startingOffsets", starting_offsets)
+            .option("failOnDataLoss", "false")
+        )
+        if max_offsets_per_trigger:
+            reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+        stream = kafka_frame_to_wire(reader.load())
+        if transform is not None:
+            stream = transform(stream)
+        writer = stream.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if trigger_seconds:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        return writer.start()
+
+
+def kafka_frame_to_wire(df: DataFrame) -> DataFrame:
+    """Kafka source frame → the engine's wire frame: key/value cast to
+    string, (partition, offset, timestamp) metadata kept, tombstones
+    (NULL value) skipped exactly like the reference consumer
+    (processes/consumer/kafka.go:71-74). Pure Column ops — works the same
+    on the real Kafka source or any test frame with the Kafka schema."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        F.col("partition").cast("int").alias("partition"),
+        F.col("offset").cast("long").alias("offset"),
+        F.col("timestamp").alias("kafka_ts"),
+    ).filter(F.col("value").isNotNull())
+
 
 class MultiTablePipeline:
     """O1 flush fan-out: one topic carries several tables; each flush
-    routes rows by a table-name column and flushes every table,
-    all-or-nothing (reference: processes/consumer/flush.go:50-153 — an
-    exception aborts the batch, so the checkpoint 'offset commit' only
-    happens when every table landed, same coupling as the errgroup)."""
+    routes rows by a table-name column and flushes every table IN
+    PARALLEL, all-or-nothing (reference: processes/consumer/flush.go:78-127
+    — an errgroup flushes tables concurrently and any error aborts the
+    batch; here driver threads launch concurrent Spark jobs — the
+    scheduler interleaves them across executors — and any exception
+    propagates so the checkpoint 'offset commit' only happens when every
+    table landed)."""
 
     def __init__(
         self,
@@ -217,6 +275,7 @@ class MultiTablePipeline:
         pk_cols: list[str],
         order_col: str,
         soft_delete: bool = False,
+        max_parallel_flushes: int = 8,
     ):
         self.spark = spark
         self.base_path = base_path
@@ -224,6 +283,7 @@ class MultiTablePipeline:
         self.pk_cols = pk_cols
         self.order_col = order_col
         self.soft_delete = soft_delete
+        self.max_parallel_flushes = max_parallel_flushes
         self.pipelines: dict[str, ReplicationPipeline] = {}
 
     def _pipeline_for(self, table: str) -> ReplicationPipeline:
@@ -242,15 +302,27 @@ class MultiTablePipeline:
             return
         from pyspark.sql import functions as F
 
+        from concurrent.futures import ThreadPoolExecutor
+
         batch_df = batch_df.cache()
         try:
             # distinct table list is per-batch metadata (tiny) — the row
             # data itself never funnels through the driver
-            tables = [
+            tables = sorted(
                 r[0] for r in batch_df.select(self.table_col).distinct().collect()
-            ]
-            for t in sorted(tables):
+            )
+            # resolve pipelines serially (dict mutation), flush in parallel
+            pipes = {t: self._pipeline_for(t) for t in tables}
+
+            def _flush(t: str) -> None:
                 sub = batch_df.filter(F.col(self.table_col) == t).drop(self.table_col)
-                self._pipeline_for(t).process_batch(sub, batch_id)
+                pipes[t].process_batch(sub, batch_id)
+
+            n = min(self.max_parallel_flushes, len(tables)) or 1
+            with ThreadPoolExecutor(max_workers=n, thread_name_prefix="flush") as ex:
+                # list() forces completion; the FIRST failure raises here,
+                # aborting the batch before the checkpoint commits (the
+                # executor's __exit__ waits for in-flight flushes first)
+                list(ex.map(_flush, tables))
         finally:
             batch_df.unpersist()
