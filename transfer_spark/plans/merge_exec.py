@@ -1,0 +1,69 @@
+"""Executed MERGE INTO: the statement path the reference itself runs on
+Spark (via Livy) against Iceberg — staging batch → temp view → MERGE
+(reference: clients/iceberg/store.go:70-233 lifecycle, statement text
+clients/iceberg/dialect/dialect.go:103-178, built here by
+:mod:`transfer_spark.plans.merge_sql`).
+
+On a cluster with a Delta/Iceberg catalog this class IS the 100 TB merge:
+the engine's row-level MERGE rewrites only matched files, with partition
+predicates in the ON clause pruning first. This container ships no
+lakehouse jar, so the executor takes an injectable ``sql_runner`` — the
+statement sequence is pinned by tests with a recorder, and the local
+stand-in with the same access pattern is
+:class:`transfer_spark.streaming.pipeline.BucketedParquetTable`.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from transfer_spark.plans import merge_sql as M
+
+
+class LakehouseMergeExecutor:
+    """Runs fold→MERGE against a catalog table via ``spark.sql``."""
+
+    def __init__(self, spark: SparkSession, sql_runner=None):
+        self.spark = spark
+        self._sql = sql_runner if sql_runner is not None else spark.sql
+
+    def ensure_table(self, table: str, col_sql_parts: Sequence[str],
+                     table_format: str = "iceberg") -> str:
+        stmt = M.build_create_table_query(table, col_sql_parts, table_format)
+        self._sql(stmt)
+        return stmt
+
+    def merge(
+        self,
+        table: str,
+        staging: DataFrame,
+        primary_keys: Sequence[str],
+        soft_delete: bool = False,
+        toast_cols: Sequence[str] = (),
+        additional_predicates: Sequence[str] = (),
+    ) -> list[str]:
+        """One flush: register the folded staging batch as a temp view and
+        execute the three-branch MERGE against it. Returns the executed
+        statements (for assertion / audit logging). The temp view is
+        dropped afterwards — same lifecycle as the reference's staging
+        view per merge (store.go:70-233)."""
+        view = f"artie_stg_{uuid.uuid4().hex[:12]}"
+        staging.createOrReplaceTempView(view)
+        try:
+            stmts = M.build_merge_queries(
+                table,
+                view,
+                primary_keys,
+                staging.columns,
+                soft_delete=soft_delete,
+                toast_cols=toast_cols,
+                additional_predicates=additional_predicates,
+            )
+            for stmt in stmts:
+                self._sql(stmt)
+            return stmts
+        finally:
+            self.spark.catalog.dropTempView(view)

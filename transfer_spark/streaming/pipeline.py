@@ -71,6 +71,99 @@ class VersionedParquetTable:
         os.replace(tmp, os.path.join(self.path, _CURRENT))
 
 
+class BucketedParquetTable:
+    """Local analog of row-level MERGE: the table is hash-bucketed on the
+    PKs (``__artie_bucket = pmod(xxhash64(pks), n)`` as a partition
+    column), and a flush rewrites ONLY the buckets that contain staged
+    PKs — partition pruning on read, dynamic partition overwrite on
+    write. A 30k-row flush against a huge table touches ~min(30k, n)
+    bucket directories instead of the whole table, which is the same
+    access pattern Delta/Iceberg MERGE has (rewrite matched files only).
+
+    On a lakehouse deployment the transactional equivalent is the
+    executed ``MERGE INTO`` (:class:`LakehouseMergeExecutor`); this class
+    is the vanilla-parquet stand-in — per-bucket overwrite is atomic per
+    directory, not across buckets (documented trade-off).
+    """
+
+    BUCKET_COL = "__artie_bucket"
+
+    def __init__(self, spark: SparkSession, path: str, pk_cols: list[str],
+                 n_buckets: int = 64):
+        self.spark = spark
+        self.path = path
+        self.pk_cols = pk_cols
+        self.n_buckets = n_buckets
+        os.makedirs(path, exist_ok=True)
+
+    def _bucket(self):
+        from pyspark.sql import functions as F
+
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in self.pk_cols]), F.lit(self.n_buckets)
+        ).cast("int")
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path, "_SUCCESS"))
+
+    def read(self) -> DataFrame | None:
+        if not self.exists():
+            return None
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(self.path)
+            .drop(self.BUCKET_COL)
+        )
+
+    def read_buckets(self, buckets: list[int]) -> DataFrame:
+        """Scan pruned to the staged buckets — `.explain` shows
+        PartitionFilters on __artie_bucket, so unmatched files are never
+        opened."""
+        from pyspark.sql import functions as F
+
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(self.path)
+            .filter(F.col(self.BUCKET_COL).isin(buckets))
+            .drop(self.BUCKET_COL)
+        )
+
+    def init(self, df: DataFrame) -> None:
+        (
+            df.withColumn(self.BUCKET_COL, self._bucket())
+            .write.mode("overwrite")
+            .partitionBy(self.BUCKET_COL)
+            .parquet(self.path)
+        )
+
+    def overwrite_buckets(self, merged: DataFrame) -> None:
+        """Dynamic partition overwrite: only the partitions present in
+        ``merged`` (= the staged buckets) are replaced."""
+        out = merged.withColumn(self.BUCKET_COL, self._bucket())
+        # materialize before overwriting the directory we just read from
+        out = out.localCheckpoint(eager=True)
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.BUCKET_COL)
+            .parquet(self.path)
+        )
+
+    def merge_batch(self, staging: DataFrame, merge_fn) -> None:
+        """One flush: prune target to staged buckets → merge → overwrite
+        those buckets. ``merge_fn(target_subset, staging)`` returns the
+        post-merge rows for the touched buckets."""
+        if not self.exists():
+            raise ValueError("call init() for the first flush")
+        staged = staging.withColumn(self.BUCKET_COL, self._bucket())
+        buckets = [
+            r[0] for r in staged.select(self.BUCKET_COL).distinct().collect()
+        ]
+        target_subset = self.read_buckets(buckets)
+        merged = merge_fn(target_subset, staging)
+        self.overwrite_buckets(merged)
+
+
 class ReplicationPipeline:
     """The flush body (O1/O4): fold the micro-batch, evolve the target,
     merge (replication mode) or append (history mode)."""
@@ -83,9 +176,16 @@ class ReplicationPipeline:
         order_col: str,
         soft_delete: bool = False,
         history_mode: bool = False,
+        table_format: str = "versioned",
+        n_buckets: int = 64,
     ):
         self.spark = spark
-        self.table = VersionedParquetTable(spark, target_path)
+        if table_format == "bucketed":
+            self.table = BucketedParquetTable(
+                spark, target_path, pk_cols, n_buckets=n_buckets
+            )
+        else:
+            self.table = VersionedParquetTable(spark, target_path)
         self.pk_cols = pk_cols
         self.order_col = order_col
         self.soft_delete = soft_delete
@@ -106,16 +206,27 @@ class ReplicationPipeline:
         from pyspark.sql import functions as F
 
         folded = cdc_fold(batch_df, self.pk_cols, self.order_col).drop(self.order_col)
+        if isinstance(self.table, BucketedParquetTable):
+            if not self.table.exists():
+                self.table.init(self._first_flush(folded))
+                return
+
+            def _merge(target_subset, staging):
+                target_subset, staging = align_schemas(target_subset, staging)
+                return merge_dataframes(
+                    target_subset,
+                    staging,
+                    self.pk_cols,
+                    soft_delete=self.soft_delete,
+                    toast_cols=self._detect_toast_cols(staging),
+                )
+
+            self.table.merge_batch(folded, _merge)
+            return
         target = self.table.read()
         if target is None:
             # create-table mode: first flush materializes the fold result
-            if self.soft_delete:
-                out = folded.drop(ONLY_SET_DELETE_COLUMN_MARKER)
-            else:
-                out = folded.filter(~F.col(DELETE_COLUMN_MARKER)).drop(
-                    DELETE_COLUMN_MARKER, ONLY_SET_DELETE_COLUMN_MARKER
-                )
-            self.table.write(out)
+            self.table.write(self._first_flush(folded))
             return
         target, staging = align_schemas(target, folded)
         merged = merge_dataframes(
@@ -126,6 +237,15 @@ class ReplicationPipeline:
             toast_cols=self._detect_toast_cols(staging),
         )
         self.table.write(merged)
+
+    def _first_flush(self, folded: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        if self.soft_delete:
+            return folded.drop(ONLY_SET_DELETE_COLUMN_MARKER)
+        return folded.filter(~F.col(DELETE_COLUMN_MARKER)).drop(
+            DELETE_COLUMN_MARKER, ONLY_SET_DELETE_COLUMN_MARKER
+        )
 
     def _detect_toast_cols(self, staging: DataFrame) -> list[str]:
         """P7 per-batch ToastColumn flags (reference detects per event while

@@ -226,6 +226,27 @@ def _oracle_merge(soft: bool) -> str:
     """
 
 
+def q_cdc_merge_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2/M6 EXECUTED merge: two raw batches flow through the real flush
+    body (ReplicationPipeline.process_batch) against a hash-bucketed
+    parquet table — flush 2 rewrites only the buckets holding staged PKs
+    (the row-level MERGE access pattern; the statement-executing
+    Delta/Iceberg path is plans/merge_exec.py) — then the post-merge
+    table is read back. Same oracle as the pure-plan cdc_merge_hard."""
+    import tempfile
+
+    from transfer_spark.streaming.pipeline import ReplicationPipeline
+
+    batch1, batch2, _ = _two_batches(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="artie_merge_exec_")
+    pipe = ReplicationPipeline(
+        spark, tmp, ["id"], OFF, table_format="bucketed", n_buckets=16
+    )
+    pipe.process_batch(batch1, 0)
+    pipe.process_batch(batch2, 1)
+    return pipe.table.read().select("id", "etype", "val", "ts")
+
+
 def q_cdc_merge_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7: soft-delete merge — deleted rows stay with __artie_delete=true.
 
@@ -369,6 +390,7 @@ QUERIES = {
     "cdc_fold": (q_cdc_fold, ORACLE_CDC_FOLD),
     "cdc_fold_salted": (q_cdc_fold_salted, ORACLE_CDC_FOLD),
     "cdc_merge_hard": (q_cdc_merge_hard, _oracle_merge(soft=False)),
+    "cdc_merge_exec": (q_cdc_merge_exec, _oracle_merge(soft=False)),
     "cdc_merge_soft": (q_cdc_merge_soft, _oracle_merge(soft=True)),
     "schema_evolution_merge": (q_schema_evolution_merge, ORACLE_SCHEMA_EVOLUTION),
     "multi_step_merge": (q_multi_step_merge, _oracle_msm()),
