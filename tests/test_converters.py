@@ -110,3 +110,25 @@ def test_flush_triggers():
     assert should_skip_time_flush(91, 120) is False
     assert should_skip_time_flush(29, 30) is True  # no adjustment ≤ 60s
     assert should_skip_time_flush(31, 30) is False
+
+
+def test_decimal_fast_path_matches_python(spark):
+    """precision ≤ 18 uses the pure-expression two's-complement decode —
+    must agree exactly with Python int.from_bytes for negatives, zero,
+    and non-minimal (padded) encodings."""
+    import base64
+    import decimal
+
+    vals = [0, 1, -1, 127, -128, 255, -256, 10**17, -(10**17), 4242]
+    rows = []
+    for v in vals:
+        nb = max(1, (v.bit_length() + 8) // 8)
+        rows.append((base64.b64encode(v.to_bytes(nb, "big", signed=True)).decode(), v))
+    rows.append((base64.b64encode((-5).to_bytes(8, "big", signed=True)).decode(), -5))
+    df = spark.createDataFrame(rows, "b64 string, expect long")
+    out = df.select("expect", C.debezium_decimal(F.col("b64"), 3, 18).alias("got"))
+    for r in out.collect():
+        assert r.got == decimal.Decimal(r.expect).scaleb(-3), (r.expect, r.got)
+    # and the plan is Python-free (no pandas UDF node)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -90,11 +90,33 @@ def debezium_decimal(b64: Column, scale: int, precision: int = 38) -> Column:
     unscaled int + scale → DecimalType(p, s)
     (reference: lib/debezium/converters/decimal.go:151-215).
 
-    No Spark builtin decodes arbitrary-length two's-complement, so this is
-    an Arrow-batched pandas UDF over the *decoded* bytes. Precision > 38
-    falls back to a string column (same rule as the reference and Spark's
-    own max, reference: lib/typing/decimal/details.go:8-13).
+    Fast path (precision ≤ 18, i.e. unscaled fits 8 bytes — the common
+    CDC case): pure expression — ``conv(hex, 16, 10)`` reads the bytes
+    unsigned, a length-indexed 256^n bias flips negative values, decimal
+    division applies the scale. Whole-stage codegen, no Python.
+
+    Wider decimals need arbitrary-length two's-complement, which no
+    builtin decodes → Arrow-batched pandas UDF. Precision > 38 falls back
+    to a string column (same rule as the reference and Spark's own max,
+    reference: lib/typing/decimal/details.go:8-13).
     """
+    if precision <= 18:
+        import decimal as _dec
+
+        b = F.unbase64(b64)
+        n = F.length(b)
+        unsigned = F.conv(F.hex(b), 16, 10).cast(DecimalType(20, 0))
+        first = F.conv(F.hex(F.substring(b, 1, 1)), 16, 10).cast("int")
+        biases = F.array(
+            *[F.lit(_dec.Decimal(256**i)).cast(DecimalType(20, 0)) for i in range(1, 9)]
+        )
+        unscaled = F.when(first >= 128, unsigned - F.element_at(biases, n)).otherwise(
+            unsigned
+        )
+        return (unscaled / F.lit(10**scale).cast(DecimalType(19, 0))).cast(
+            DecimalType(precision, scale)
+        )
+
     out_type = DecimalType(precision, scale) if precision <= 38 else StringType()
 
     @F.pandas_udf(out_type)
