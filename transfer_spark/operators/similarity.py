@@ -211,3 +211,75 @@ def cosine_neardup_pairs(
         .groupBy("ci", "cj")
         .applyInPandas(_cell, out_schema)
     )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: the corpus is coarse-quantized into
+    inverted lists keyed by nearest centroid; each query probes only its
+    ``n_probe`` nearest lists, scanning ~n_probe/n_centroids of the
+    corpus instead of all of it.
+
+    Centroids are a deterministic corpus sample (ids < n_centroids) so
+    any engine reproduces the exact partitioning — production swaps in
+    k-means (Lloyd's steps are plain crossJoin-argmin + groupBy-avg
+    DataFrame ops) without changing the plan shape. Scale: assignment is
+    one broadcast join (centroid table is tiny) + per-vector argmax with
+    map-side combine; the candidate join is an equi-join on centroid id.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    e = corpus.select(F.col(id_col).alias("nid"), v.alias("nv"))
+    cent = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), v.alias("cv")
+    )
+    # inverted lists: nearest centroid per corpus vector (ties -> lowest cid)
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "nid", "nv",
+            F.struct(
+                cosine(F.col("nv"), F.col("cv")).alias("cos"),
+                (-F.col("cid")).alias("ncid"),
+            ).alias("key"),
+            "cid",
+        )
+        .groupBy("nid")
+        .agg(
+            F.max_by(F.struct(F.col("cid").alias("c"), F.col("nv").alias("v")), F.col("key")).alias("s")
+        )
+        .select("nid", F.col("s.c").alias("cid"), F.col("s.v").alias("nv"))
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), v.alias("qv"))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("pcos").desc(), F.col("cid")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qv", "cid", cosine(F.col("qv"), F.col("cv")).alias("pcos"))
+        .withColumn("prank", F.row_number().over(w_probe))
+        .filter(F.col("prank") <= n_probe)
+        .select("query_id", "qv", "cid")
+    )
+    scored = (
+        F.broadcast(probe)
+        .join(assign, "cid")
+        .filter(F.col("nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("nv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -73,6 +73,41 @@ QUALIFY rank <= {k}
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat top-5: probe the 4 nearest of 16 inverted lists."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ann_ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
+ORACLE_ANN_IVF = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+assigned AS (
+  SELECT e.vec_id AS nid, e.v AS nv, cid
+  FROM e, cent
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY {_COS.replace('a.v', 'e.v').replace('b.v', 'cent.cv')} DESC, cid) = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+probe AS (
+  SELECT query_id, qv, cid
+  FROM q, cent
+  QUALIFY row_number() OVER (PARTITION BY query_id
+      ORDER BY {_COS.replace('a.v', 'qv').replace('b.v', 'cent.cv')} DESC, cid) <= 4
+),
+scored AS (
+  SELECT p.query_id, a.nid AS neighbor_id,
+         list_cosine_similarity(p.qv, a.nv) AS cos
+  FROM probe p JOIN assigned a ON p.cid = a.cid AND a.nid != p.query_id
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs embedding near-duplicates at cosine ≥ 0.4."""
     return S.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
@@ -89,5 +124,6 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 QUERIES = {
     "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
     "ann_lsh_topk": (q_ann_lsh, _lsh_oracle()),
+    "ann_ivf_topk": (q_ann_ivf, ORACLE_ANN_IVF),
     "embedding_neardup": (q_cosine_neardup, ORACLE_COSINE_NEARDUP),
 }
