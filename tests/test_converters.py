@@ -132,3 +132,29 @@ def test_decimal_fast_path_matches_python(spark):
     # and the plan is Python-free (no pandas UDF node)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_geometry_wkb_linestring_polygon(spark):
+    ls = struct.pack("<BII", 1, 2, 2) + struct.pack("<dddd", 0.0, 0.0, 1.0, 2.0)
+    poly = (
+        struct.pack("<BII", 1, 3, 1)
+        + struct.pack("<I", 4)
+        + struct.pack("<" + "d" * 8, 0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 0.0)
+    )
+    zpoint = struct.pack("<BIddd", 1, 0x80000001, 1.0, 2.0, 3.0)  # Z flag -> NULL
+    rows = [(base64.b64encode(x).decode(),) for x in (ls, poly, zpoint)]
+    got = [
+        r.g
+        for r in spark.createDataFrame(rows, ["wkb"])
+        .select(C.debezium_geometry_wkb(F.col("wkb")).alias("g"))
+        .collect()
+    ]
+    assert got[0] == (
+        '{"type":"Feature","geometry":{"type":"LineString",'
+        '"coordinates":[[0.0,0.0],[1.0,2.0]]}}'
+    )
+    assert got[1] == (
+        '{"type":"Feature","geometry":{"type":"Polygon",'
+        '"coordinates":[[[0.0,0.0],[4.0,0.0],[4.0,4.0],[0.0,0.0]]]}}'
+    )
+    assert got[2] is None

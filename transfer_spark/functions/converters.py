@@ -175,10 +175,11 @@ def debezium_geometry_point(x: Column, y: Column) -> Column:
 
 def debezium_geometry_wkb(wkb_b64: Column) -> Column:
     """io.debezium.data.geometry.Geometry {wkb} → GeoJSON string
-    (reference: geometry.go:73-107). Minimal pure-Python WKB reader for
-    2D POINT (the dominant CDC case; the reference defers everything else
-    to a geo library, which this container lacks) — non-point geometries
-    return NULL rather than fail the batch."""
+    (reference: geometry.go:73-107). Pure-Python WKB reader for the 2D
+    simple-feature types the CDC path carries — POINT, LINESTRING,
+    POLYGON (+ EWKB SRID flag); Z/M variants and multi-geometries return
+    NULL rather than fail the batch (the reference defers those to a geo
+    library this container lacks)."""
     import struct as _struct
 
     @F.pandas_udf(StringType())
@@ -191,19 +192,39 @@ def debezium_geometry_wkb(wkb_b64: Column) -> Column:
                 return None
             try:
                 raw = base64.b64decode(v)
-                little = raw[0] == 1
-                fmt = "<" if little else ">"
+                fmt = "<" if raw[0] == 1 else ">"
                 (gtype,) = _struct.unpack_from(fmt + "I", raw, 1)
-                if gtype & 0xFF != 1:  # POINT (mask off SRID/Z flags)
+                if gtype & 0xC0000000:  # Z/M flags unsupported
                     return None
-                off = 5 + (4 if gtype & 0x20000000 else 0)  # skip SRID if present
-                x, y = _struct.unpack_from(fmt + "dd", raw, off)
+                off = 5 + (4 if gtype & 0x20000000 else 0)  # skip EWKB SRID
+                kind = gtype & 0xFF
+
+                def points(o, n):
+                    pts = [
+                        list(_struct.unpack_from(fmt + "dd", raw, o + 16 * i))
+                        for i in range(n)
+                    ]
+                    return pts, o + 16 * n
+
+                if kind == 1:  # POINT
+                    coords = list(_struct.unpack_from(fmt + "dd", raw, off))
+                    gj = {"type": "Point", "coordinates": coords}
+                elif kind == 2:  # LINESTRING
+                    (n,) = _struct.unpack_from(fmt + "I", raw, off)
+                    pts, _ = points(off + 4, n)
+                    gj = {"type": "LineString", "coordinates": pts}
+                elif kind == 3:  # POLYGON
+                    (nrings,) = _struct.unpack_from(fmt + "I", raw, off)
+                    o, rings = off + 4, []
+                    for _ in range(nrings):
+                        (n,) = _struct.unpack_from(fmt + "I", raw, o)
+                        ring, o = points(o + 4, n)
+                        rings.append(ring)
+                    gj = {"type": "Polygon", "coordinates": rings}
+                else:
+                    return None
                 return json.dumps(
-                    {
-                        "type": "Feature",
-                        "geometry": {"type": "Point", "coordinates": [x, y]},
-                    },
-                    separators=(",", ":"),
+                    {"type": "Feature", "geometry": gj}, separators=(",", ":")
                 )
             except Exception:
                 return None
