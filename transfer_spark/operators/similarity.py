@@ -283,3 +283,48 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def cosine_neardup_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs: LSH-bucket prefilter + per-bucket numpy
+    verify — the cheap 100 TB form of :func:`cosine_neardup_pairs`.
+
+    One shuffle keyed on the sign-random-projection bucket; each bucket
+    verifies only its own members (all-pairs within bucket, numpy
+    matmul). Recall < 1 by construction (cross-bucket pairs are unseen;
+    raise recall with fewer planes or multiple seeded bucketings unioned);
+    cost drops from n²/n_blocks to Σ|bucket|² — with 2^n_planes balanced
+    buckets that is a 2^n_planes× verify reduction.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    planes = hyperplanes(n_planes, dim, seed)
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    out_schema = StructType.fromDDL("id_a bigint, id_b bigint")
+
+    def _bucket_pairs(key, pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ids = np.asarray(pdf["id"].values)
+        m = np.vstack(pdf["v"].values).astype(np.float64)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        m = m / n[:, None]
+        hits = (m @ m.T >= threshold) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(hits)
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi]})
+
+    return v.groupBy("bucket").applyInPandas(_bucket_pairs, out_schema)

@@ -121,9 +121,36 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 """
 
 
+def q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-prefiltered near-dup: verify only within sign-projection
+    buckets — the approximate scale path next to the exact block grid."""
+    return S.cosine_neardup_lsh(
+        _emb(spark, sf_dir), threshold=0.4, n_planes=6, dim=64, seed=42
+    )
+
+
+def _neardup_lsh_oracle(n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
+    planes = S.hyperplanes(n_planes, dim, seed)
+    bits = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        bits.append(
+            f"(CASE WHEN list_inner_product(v, {lit}) > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {i})"
+        )
+    bucket = " + ".join(bits)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS (SELECT vec_id, v, {bucket} AS bucket FROM e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
     "ann_lsh_topk": (q_ann_lsh, _lsh_oracle()),
     "ann_ivf_topk": (q_ann_ivf, ORACLE_ANN_IVF),
     "embedding_neardup": (q_cosine_neardup, ORACLE_COSINE_NEARDUP),
+    "embedding_neardup_lsh": (q_cosine_neardup_lsh, _neardup_lsh_oracle()),
 }
