@@ -160,3 +160,32 @@ def test_reserved_word_sanitize():
     assert escape_name("select", SPARK_RESERVED) == "col_select"
     assert escape_name("try_cast", SNOWFLAKE_RESERVED) == "col_try_cast"
     assert escape_name("plain", SPARK_RESERVED) == "plain"
+
+
+def test_kmeans_centroids_match_numpy(spark):
+    """Lloyd's in DataFrame ops == numpy Lloyd's with the same init."""
+    import numpy as np
+
+    from transfer_spark.operators.similarity import kmeans_centroids
+
+    rng = np.random.RandomState(3)
+    a = rng.randn(20, 4) + 8.0
+    b = rng.randn(20, 4) - 8.0
+    vecs = np.vstack([a[:1], b[:1], a[1:], b[1:]])  # ids 0,1 seed the clusters
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {
+        r.cid: np.array(r.cv)
+        for r in kmeans_centroids(df, k=2, n_iters=2).collect()
+    }
+
+    def unit(m):
+        return m / np.linalg.norm(m, axis=-1, keepdims=True)
+
+    cent = vecs[:2].copy()
+    for _ in range(2):
+        sims = unit(vecs) @ unit(cent).T
+        lab = np.argmax(sims, axis=1)  # ties impossible here
+        cent = np.vstack([vecs[lab == c].mean(axis=0) for c in range(2)])
+    for c in range(2):
+        assert np.allclose(got[c], cent[c], atol=1e-9), c

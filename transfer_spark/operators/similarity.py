@@ -221,23 +221,28 @@ def ann_ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: the corpus is coarse-quantized into
     inverted lists keyed by nearest centroid; each query probes only its
     ``n_probe`` nearest lists, scanning ~n_probe/n_centroids of the
     corpus instead of all of it.
 
-    Centroids are a deterministic corpus sample (ids < n_centroids) so
-    any engine reproduces the exact partitioning — production swaps in
-    k-means (Lloyd's steps are plain crossJoin-argmin + groupBy-avg
-    DataFrame ops) without changing the plan shape. Scale: assignment is
-    one broadcast join (centroid table is tiny) + per-vector argmax with
+    Default centroids are a deterministic corpus sample (ids <
+    n_centroids) so any engine reproduces the exact partitioning — pass
+    ``centroids`` (cid, cv) from :func:`kmeans_centroids` for the trained
+    quantizer; the plan shape is identical. Scale: assignment is one
+    broadcast join (centroid table is tiny) + per-vector argmax with
     map-side combine; the candidate join is an equi-join on centroid id.
     """
     v = F.col(vec_col).cast("array<double>")
     e = corpus.select(F.col(id_col).alias("nid"), v.alias("nv"))
-    cent = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), v.alias("cv")
+    cent = (
+        centroids
+        if centroids is not None
+        else corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), v.alias("cv")
+        )
     )
     # inverted lists: nearest centroid per corpus vector (ties -> lowest cid)
     assign = (
@@ -328,3 +333,60 @@ def cosine_neardup_lsh(
         return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi]})
 
     return v.groupBy("bucket").applyInPandas(_bucket_pairs, out_schema)
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means as pure DataFrame ops — the IVF coarse-quantizer
+    trainer. Init = the first k vectors by id (deterministic); each
+    iteration is (1) broadcast-join argmax-cosine assignment with
+    map-side combine and (2) element-wise centroid mean via
+    posexplode → groupBy(cid, dim) avg → ordered re-assembly. No vector
+    ever reaches the driver; per-iteration cost is one broadcast join +
+    two shuffles of (cid, dim, partial-sum) triples — dim·k rows, tiny.
+
+    Returns (cid, cv) for :func:`ann_ivf_topk`-style probing. Iterative ⇒
+    no SQL oracle; pinned by a unit test against numpy k-means with the
+    same init (test_ops_misc.py).
+    """
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cent = v.filter(F.col("id") < k).select(
+        F.col("id").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(n_iters):
+        assign = (
+            v.crossJoin(F.broadcast(cent))
+            .select(
+                "id", "v", "cid",
+                F.struct(
+                    cosine(F.col("v"), F.col("cv")).alias("cos"),
+                    (-F.col("cid")).alias("ncid"),
+                ).alias("key"),
+            )
+            .groupBy("id")
+            .agg(
+                F.max_by(F.struct(F.col("cid").alias("c"), F.col("v").alias("vec")),
+                         F.col("key")).alias("s")
+            )
+            .select(F.col("s.c").alias("cid"), F.col("s.vec").alias("v"))
+        )
+        cent = (
+            assign.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+    return cent
