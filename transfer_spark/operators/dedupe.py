@@ -53,6 +53,32 @@ def exact_dedupe_hashed(df: DataFrame, content_col: str, id_col: str) -> DataFra
     )
 
 
+def normalize_for_dedupe(text: Column) -> Column:
+    """Canonical text form for normalized exact dedupe: lowercase,
+    punctuation stripped, whitespace runs collapsed, trimmed — the
+    standard "fuzzy-exact" prepass of training-data pipelines (catches
+    case/formatting twins that byte-exact dedupe misses, far cheaper
+    than MinHash). Pure codegen expressions."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def exact_dedupe_normalized(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per NORMALIZED content (hash-grouped, so the
+    shuffle carries 16-byte keys like exact_dedupe_hashed)."""
+    return (
+        df.select(
+            F.md5(normalize_for_dedupe(F.col(content_col))).alias("norm_hash"),
+            F.col(id_col),
+        )
+        .groupBy("norm_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dupes"))
+        .select(id_col, "norm_hash", "n_dupes")
+    )
+
+
 def neardup_clusters(
     pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max_iters: int = 20
 ) -> DataFrame:

@@ -252,6 +252,24 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def q_dedupe_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup: lowercase / strip punct / collapse
+    whitespace before hashing — the fuzzy-exact prepass."""
+    return D.exact_dedupe_normalized(_docs(spark, sf_dir), "text", "doc_id")
+
+
+ORACLE_DEDUPE_EXACT_NORMALIZED = r"""
+WITH n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                 '\s+', ' ', 'g'))) AS norm_hash
+  FROM documents
+)
+SELECT min(doc_id) AS doc_id, norm_hash, count(*) AS n_dupes
+FROM n GROUP BY norm_hash
+"""
+
+
 def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-200 tokens by frequency (tie → token asc) —
     the vocab-building pass of a tokenizer pipeline."""
@@ -356,6 +374,7 @@ QUERIES = {
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "dedupe_lsh_verified": (q_lsh_verified, _lsh_verified_sql()),
     "dedupe_exact_hashed": (q_dedupe_exact_hashed, ORACLE_DEDUPE_EXACT_HASHED),
+    "dedupe_exact_normalized": (q_dedupe_exact_normalized, ORACLE_DEDUPE_EXACT_NORMALIZED),
     "token_vocab": (q_token_vocab, ORACLE_TOKEN_VOCAB),
     "neardup_clusters": (q_neardup_clusters, ORACLE_NEARDUP_CLUSTERS),
     "corpus_clean": (q_corpus_clean, _corpus_clean_sql()),
