@@ -135,3 +135,50 @@ def test_backfill_default(spark):
     assert build_backfill_sql("db.t", "c", "'dflt'") == (
         "UPDATE db.t SET `c` = 'dflt' WHERE `c` IS NULL"
     )
+
+
+def test_table_config_cache_ttl_and_mutation(spark):
+    """D1: DESCRIBE once per TTL; executed DDL mutates the cached config
+    in place; expiry re-describes (types.go:12-69, table_config.go:66-79)."""
+    from transfer_spark.schema.table_config import (
+        DestinationTableConfig,
+        TableConfigCache,
+        describe_via_sql,
+    )
+
+    now = [0.0]
+    cache = TableConfigCache(ttl_seconds=100, clock=lambda: now[0])
+    calls = []
+
+    def describe(fqn):
+        calls.append(fqn)
+        return {"ID": "bigint", "Name": "string"}
+
+    c1 = cache.get("db.t", describe)
+    c2 = cache.get("db.t", describe)
+    assert c1 is c2 and calls == ["db.t"]  # cached, names lowercased
+    assert c1.columns == {"id": "bigint", "name": "string"}
+    assert not c1.create_table()
+
+    c1.mutate(add={"Extra": "double"}, drop=["name"])
+    assert cache.get("db.t", describe).columns == {"id": "bigint", "extra": "double"}
+    assert calls == ["db.t"]  # mutation did not force a re-describe
+
+    now[0] = 101.0  # expire
+    cache.get("db.t", describe)
+    assert calls == ["db.t", "db.t"]
+
+    # missing table -> create mode
+    assert cache.get("db.new", lambda f: None).create_table()
+
+    # describe_via_sql parses a real DESCRIBE (temp view ~ catalog table)
+    spark.createDataFrame([(1, "x")], "id bigint, name string").createOrReplaceTempView(
+        "cfg_probe"
+    )
+    try:
+        assert describe_via_sql(spark, "cfg_probe") == {
+            "id": "bigint", "name": "string",
+        }
+        assert describe_via_sql(spark, "no_such_table_xyz") is None
+    finally:
+        spark.catalog.dropTempView("cfg_probe")

@@ -1,0 +1,104 @@
+"""D1 — destination table-config cache: DESCRIBE once, reuse for 24 h.
+
+Mirrors the reference's per-table config map with TTL expiry and
+in-memory mutation on DDL (reference:
+lib/destination/types/types.go:12-69 DestinationTableConfigMap,
+clients/shared/table_config.go:66-79 GetTableConfig,
+lib/config/constants/constants.go:31 TableConfigCacheRetention=24h).
+
+The describe itself is pluggable: on a lakehouse catalog it is
+``spark.sql(DESCRIBE TABLE ...)`` (builder:
+plans/merge_sql.build_describe_table_query); local parquet tables read
+their footer schema. Mutations (ALTER ADD / DROP executed by the schema
+engine) update the cached config in place instead of forcing a re-query
+— the same trick the reference uses to avoid a DESCRIBE per flush.
+Thread-safe: MultiTablePipeline flushes tables from a thread pool.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+
+TABLE_CONFIG_CACHE_RETENTION_SECONDS = 24 * 3600  # constants.go:31
+
+
+@dataclass
+class DestinationTableConfig:
+    """Column name → destination kind (lowercased names, like the
+    reference's buildColumnFromRow), plus the create-mode flag."""
+
+    columns: dict[str, str] = field(default_factory=dict)
+    drop_deleted_columns: bool = False
+
+    def create_table(self) -> bool:
+        return not self.columns
+
+    def mutate(self, add: dict[str, str] | None = None,
+               drop: list[str] | None = None) -> None:
+        """In-memory update after executed DDL (MutateInMemoryColumns
+        analog) — keeps the cache truthful without a re-DESCRIBE."""
+        for name, kind in (add or {}).items():
+            self.columns[name.lower()] = kind
+        for name in drop or []:
+            self.columns.pop(name.lower(), None)
+
+
+class TableConfigCache:
+    """fqn → (config, expiry); expired or missing entries re-describe."""
+
+    def __init__(self, ttl_seconds: float = TABLE_CONFIG_CACHE_RETENTION_SECONDS,
+                 clock=time.monotonic):
+        self._ttl = ttl_seconds
+        self._clock = clock
+        self._lock = threading.Lock()
+        self._configs: dict[str, DestinationTableConfig] = {}
+        self._expiry: dict[str, float] = {}
+
+    def get(self, table_fqn: str, describe_fn) -> DestinationTableConfig:
+        """Cached config, or ``describe_fn(table_fqn)`` on miss/expiry.
+        ``describe_fn`` returns {column: kind} (lowercased) or None when
+        the table does not exist (create mode)."""
+        with self._lock:
+            cfg = self._configs.get(table_fqn)
+            if cfg is not None and self._expiry.get(table_fqn, 0) > self._clock():
+                return cfg
+            self._configs.pop(table_fqn, None)
+            self._expiry.pop(table_fqn, None)
+        cols = describe_fn(table_fqn)
+        cfg = DestinationTableConfig(
+            {k.lower(): v for k, v in (cols or {}).items()}
+        )
+        with self._lock:
+            self._configs[table_fqn] = cfg
+            self._expiry[table_fqn] = self._clock() + self._ttl
+        return cfg
+
+    def remove(self, table_fqn: str) -> None:
+        """Invalidate (e.g. after an external DDL or a failed flush)."""
+        with self._lock:
+            self._configs.pop(table_fqn, None)
+            self._expiry.pop(table_fqn, None)
+
+
+def describe_via_sql(spark, table_fqn: str) -> dict[str, str] | None:
+    """DESCRIBE TABLE against a real catalog → {column: data_type};
+    None when the table does not exist. Partition/metadata section rows
+    (blank or '#'-prefixed names) are skipped like the reference's row
+    filter."""
+    from pyspark.errors import AnalysisException
+
+    from transfer_spark.plans.merge_sql import build_describe_table_query
+
+    try:
+        rows = spark.sql(build_describe_table_query(table_fqn)).collect()
+    except AnalysisException:
+        return None
+    out: dict[str, str] = {}
+    for r in rows:
+        name = (r["col_name"] or "").strip()
+        if not name or name.startswith("#"):
+            break  # metadata section follows the column list
+        out[name.lower()] = r["data_type"]
+    return out or None
