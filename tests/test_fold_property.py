@@ -64,3 +64,46 @@ def test_fold_matches_reference_loop(spark, raw):
         for r in cdc_fold_salted(df, ["pk"], "off", n_buckets=3).collect()
     }
     assert got_salted == expect
+
+
+def test_hmac_oracle_sql_property():
+    """The generated DuckDB SHA-256-compression SQL computes real
+    HMAC-SHA256 for arbitrary printable salts and unicode messages
+    (hypothesis over the generator, no Spark needed)."""
+    import hmac as pyhmac
+    import hashlib
+
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from transfer_spark.functions.hmac_oracle import hmac_sha256_oracle
+
+    # any ASCII salt works except ones containing '6' (xors to NUL in
+    # k_ipad, inexpressible in a VARCHAR)
+    salts = st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E), min_size=1, max_size=40
+    ).filter(lambda x: "6" not in x)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        salt=salts,
+        msgs=st.lists(st.text(max_size=60), min_size=1, max_size=4),
+    )
+    def check(salt, msgs):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (id INT, val VARCHAR)")
+        for i, m in enumerate(msgs):
+            con.execute("INSERT INTO t VALUES (?, ?)", [i, m])
+        sql = hmac_sha256_oracle("val", salt, "hm", "id", "FROM t")
+        got = dict(con.execute(sql).fetchall())
+        for i, m in enumerate(msgs):
+            exp = pyhmac.new(salt.encode(), m.encode(), hashlib.sha256).hexdigest()
+            assert got[i] == exp, (salt, m)
+        con.close()
+
+    check()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="pick a different salt"):
+        hmac_sha256_oracle("val", "has6inside", "hm", "id", "FROM t")

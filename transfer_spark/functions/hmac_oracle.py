@@ -76,11 +76,32 @@ def hmac_pads(key: bytes) -> tuple[bytes, bytes]:
 
 
 def _sql_str(raw: bytes) -> str:
-    """SQL literal for an ASCII-printable byte string."""
-    s = raw.decode("ascii")
-    if not all(0x20 <= b <= 0x7E for b in raw):
-        raise ValueError("k_ipad not printable ASCII; pick a different salt")
-    return "'" + s.replace("'", "''") + "'"
+    """SQL expression whose VARCHAR value has exactly these UTF-8 bytes.
+
+    Printable runs become plain literals; control bytes go through
+    ``chr(n)`` (single-byte for n < 0x80). Bytes ≥ 0x80 (non-ASCII salt)
+    or 0x00 (salt containing the ipad byte 0x36, i.e. '6') cannot live in
+    a DuckDB VARCHAR at the right byte positions — reject with guidance;
+    the engine-side HMAC is unaffected, only the SQL oracle needs an
+    expressible salt."""
+    if any(b == 0 or b >= 0x80 for b in raw):
+        raise ValueError(
+            "k_ipad has NUL or non-ASCII bytes (salt with '6' or non-ASCII "
+            "chars); pick a different salt for the SQL oracle"
+        )
+    parts: list[str] = []
+    run: list[str] = []
+    for b in raw:
+        if 0x20 <= b <= 0x7E:
+            run.append(chr(b))
+        else:
+            if run:
+                parts.append("'" + "".join(run).replace("'", "''") + "'")
+                run = []
+            parts.append(f"chr({b})")
+    if run:
+        parts.append("'" + "".join(run).replace("'", "''") + "'")
+    return "(" + " || ".join(parts) + ")" if len(parts) > 1 else parts[0]
 
 
 def _rotr_sql(x: str, n: int) -> str:
