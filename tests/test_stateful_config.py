@@ -129,3 +129,38 @@ def test_topic_config_chain(spark):
     # encryption demands a key
     with pytest.raises(ValueError):
         apply_transforms(df, TopicConfig(columns_to_encrypt=["name"]))
+
+
+def test_stateful_fold_with_state_ttl(spark, tmp_path):
+    """TTL-bounded state (ProcessingTimeTimeout + setTimeoutDuration)
+    folds identically within the window; idle PKs are evicted by the
+    timeout path (safe: merge is idempotent per PK)."""
+    from transfer_spark.streaming.stateful import stateful_fold
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    results = {}
+
+    def collect_batch(df, _bid):
+        for r in df.collect():
+            results[r.id] = (r.etype, r.val, r[DEL], r[OP])
+
+    _write(src, EVENTS, "b0")
+    stream = spark.readStream.schema(WIRE_DDL).json(src)
+    q = (
+        stateful_fold(
+            stream, ["id"], OFF, StructType.fromDDL(OUT_DDL), state_ttl_minutes=60
+        )
+        .writeStream.outputMode("update")
+        .foreachBatch(collect_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = spark.createDataFrame(EVENTS, ["id", OFF, DEL, "etype", "val", OP])
+    expect = {
+        r.id: (r.etype, r.val, r[DEL], r[OP])
+        for r in cdc_fold(batch, ["id"], OFF).collect()
+    }
+    assert results == expect

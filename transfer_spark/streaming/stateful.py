@@ -74,20 +74,35 @@ def stateful_fold(
     output_schema: StructType,
     delete_col: str = DELETE_COLUMN_MARKER,
     toast_sentinel: str = TOAST_UNAVAILABLE_VALUE,
+    state_ttl_minutes: int | None = None,
 ):
     """Group the (streaming) CDC frame by PK and fold with persistent
     state. Output: one row per PK that changed in the micro-batch, i.e.
     the PK's new current state (``outputMode("update")`` sink contract).
+
+    ``state_ttl_minutes`` bounds the store for churning PK spaces: a PK
+    idle for that long is evicted (processing-time timeout) — its next
+    event re-folds from scratch, which is safe because the merge sink is
+    idempotent per PK (the same reasoning the reference uses to tolerate
+    its at-least-once redelivery).
     """
     out_fields = [f.name for f in output_schema.fields]
     value_cols = [
         f for f in out_fields if f not in pk_cols and f != delete_col
     ]
     state_schema = output_schema
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_minutes
+        else GroupStateTimeout.NoTimeout
+    )
 
     def fold_fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # idle-PK eviction; no output row
+            return
         batch = pd.concat(list(pdfs))
         if len(batch) == 0:
             return
@@ -105,6 +120,8 @@ def stateful_fold(
         )
         out = {**dict(zip(pk_cols, key)), **folded}
         state.update(tuple(out.get(f) for f in out_fields))
+        if state_ttl_minutes:
+            state.setTimeoutDuration(state_ttl_minutes * 60_000)
         yield pd.DataFrame([{f: out.get(f) for f in out_fields}])
 
     return decoded_stream.groupBy(*pk_cols).applyInPandasWithState(
@@ -112,5 +129,5 @@ def stateful_fold(
         outputStructType=output_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )
