@@ -106,3 +106,30 @@ def fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, w: (acc * FINGERPRINT_BASE + word_hash(w)) % FINGERPRINT_MOD,
     )
+
+
+def split_bucket(key: Column, n_buckets: int = 10_000) -> Column:
+    """Deterministic split bucket in [0, n_buckets): first 8 hex chars of
+    md5(key) mod n. Engine-portable (md5 + hex-parse exist everywhere),
+    stable across runs/partitionings — the property a train/val/test
+    split MUST have so reshuffling data never leaks rows across splits."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def assign_split(
+    key: Column, weights: dict[str, float], n_buckets: int = 10_000
+) -> Column:
+    """Hash-split assignment: cumulative weight thresholds over
+    :func:`split_bucket`. Pure codegen — no sampling state, no shuffle;
+    works identically on 500 rows or 100 TB because the assignment is a
+    function of the row key alone."""
+    total = sum(weights.values())
+    b = split_bucket(key, n_buckets)
+    expr = None
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w / total
+        cond = b < int(round(acc * n_buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr.otherwise(list(weights)[-1])

@@ -270,6 +270,35 @@ FROM n GROUP BY norm_hash
 """
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by doc-id hash —
+    stable under reshuffling/rescaling, the split contract of a
+    training-data pipeline."""
+    from transfer_spark.operators.text import assign_split
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        assign_split(
+            F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}
+        ).alias("split"),
+    )
+
+
+ORACLE_CORPUS_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bk
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bk < 9000 THEN 'train'
+            WHEN bk < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-200 tokens by frequency (tie → token asc) —
     the vocab-building pass of a tokenizer pipeline."""
@@ -376,6 +405,7 @@ QUERIES = {
     "dedupe_exact_hashed": (q_dedupe_exact_hashed, ORACLE_DEDUPE_EXACT_HASHED),
     "dedupe_exact_normalized": (q_dedupe_exact_normalized, ORACLE_DEDUPE_EXACT_NORMALIZED),
     "token_vocab": (q_token_vocab, ORACLE_TOKEN_VOCAB),
+    "corpus_split": (q_corpus_split, ORACLE_CORPUS_SPLIT),
     "neardup_clusters": (q_neardup_clusters, ORACLE_NEARDUP_CLUSTERS),
     "corpus_clean": (q_corpus_clean, _corpus_clean_sql()),
     "lang_id": (q_lang_id, _langid_sql()),
