@@ -174,6 +174,68 @@ FROM banded l JOIN banded r
 """
 
 
+def q_split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: MinHash-LSH near-dup pairs that CROSS the
+    train/eval split boundary — the rows a training pipeline must drop
+    so eval stays clean. Composes the split assignment with the LSH
+    candidate join; the pair set is tiny vs the corpus, so it broadcasts
+    into the split lookup."""
+    from transfer_spark.operators.text import assign_split
+
+    d = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(d, "doc_id", "text")
+    splits = d.select(
+        "doc_id",
+        assign_split(
+            F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}
+        ).alias("split"),
+    )
+    j = (
+        F.broadcast(pairs)
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+            ),
+            "doc_b",
+        )
+        .filter((F.col("split_a") == "train") != (F.col("split_b") == "train"))
+    )
+    a_is_train = F.col("split_a") == "train"
+    return j.select(
+        F.when(a_is_train, F.col("doc_a")).otherwise(F.col("doc_b")).alias("train_doc"),
+        F.when(a_is_train, F.col("doc_b")).otherwise(F.col("doc_a")).alias("eval_doc"),
+        F.when(a_is_train, F.col("split_b")).otherwise(F.col("split_a")).alias("eval_split"),
+    )
+
+
+def _decontamination_sql() -> str:
+    return f"""
+WITH pairs AS ({_minhash_sql()}),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 10000 < 9000 THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 10000 < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT CASE WHEN sa.split = 'train' THEN p.doc_a ELSE p.doc_b END AS train_doc,
+       CASE WHEN sa.split = 'train' THEN p.doc_b ELSE p.doc_a END AS eval_doc,
+       CASE WHEN sa.split = 'train' THEN sb.split ELSE sa.split END AS eval_split
+FROM pairs p
+JOIN splits sa ON sa.doc_id = p.doc_a
+JOIN splits sb ON sb.doc_id = p.doc_b
+WHERE (sa.split = 'train') != (sb.split = 'train')
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs 3-gram Jaccard ≥ 0.5 (exact verifier)."""
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", 3, 0.5)
@@ -406,6 +468,7 @@ QUERIES = {
     "dedupe_exact_normalized": (q_dedupe_exact_normalized, ORACLE_DEDUPE_EXACT_NORMALIZED),
     "token_vocab": (q_token_vocab, ORACLE_TOKEN_VOCAB),
     "corpus_split": (q_corpus_split, ORACLE_CORPUS_SPLIT),
+    "split_decontamination": (q_split_decontamination, _decontamination_sql()),
     "neardup_clusters": (q_neardup_clusters, ORACLE_NEARDUP_CLUSTERS),
     "corpus_clean": (q_corpus_clean, _corpus_clean_sql()),
     "lang_id": (q_lang_id, _langid_sql()),
