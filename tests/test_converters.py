@@ -141,8 +141,7 @@ def test_geometry_wkb_linestring_polygon(spark):
         + struct.pack("<I", 4)
         + struct.pack("<" + "d" * 8, 0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 0.0)
     )
-    zpoint = struct.pack("<BIddd", 1, 0x80000001, 1.0, 2.0, 3.0)  # Z flag -> NULL
-    rows = [(base64.b64encode(x).decode(),) for x in (ls, poly, zpoint)]
+    rows = [(base64.b64encode(x).decode(),) for x in (ls, poly)]
     got = [
         r.g
         for r in spark.createDataFrame(rows, ["wkb"])
@@ -157,4 +156,75 @@ def test_geometry_wkb_linestring_polygon(spark):
         '{"type":"Feature","geometry":{"type":"Polygon",'
         '"coordinates":[[[0.0,0.0],[4.0,0.0],[4.0,4.0],[0.0,0.0]]]}}'
     )
-    assert got[2] is None
+
+
+def test_geometry_wkb_zm_and_multi(spark):
+    """Full simple-feature coverage (reference geometry.go:73-107 via orb):
+    Z/M in both EWKB-flag and ISO type+1000d encodings, multi-geometries,
+    GeometryCollection with mixed byte order, malformed -> NULL."""
+
+    def pt(x, y):
+        return struct.pack("<BI", 1, 1) + struct.pack("<dd", x, y)
+
+    # EWKB Z point (flag 0x80000000): keep Z
+    z_ewkb = struct.pack("<BIddd", 1, 0x80000001, 1.0, 2.0, 3.0)
+    # ISO ZM point (type 3001): keep Z, drop M
+    zm_iso = struct.pack("<BIdddd", 1, 3001, 1.0, 2.0, 3.0, 4.0)
+    # ISO M linestring (type 2002): 3 doubles/pt, M dropped
+    m_ls = struct.pack("<BII", 1, 2002, 2) + struct.pack(
+        "<" + "d" * 6, 0.0, 0.0, 9.0, 1.0, 1.0, 9.0
+    )
+    multipoint = struct.pack("<BII", 1, 4, 2) + pt(1.0, 2.0) + pt(3.0, 4.0)
+    ls1 = struct.pack("<BII", 1, 2, 2) + struct.pack("<dddd", 0.0, 0.0, 1.0, 1.0)
+    multils = struct.pack("<BII", 1, 5, 1) + ls1
+    ring = struct.pack("<I", 4) + struct.pack(
+        "<" + "d" * 8, 0.0, 0.0, 2.0, 0.0, 2.0, 2.0, 0.0, 0.0
+    )
+    poly1 = struct.pack("<BII", 1, 3, 1) + ring
+    multipoly = struct.pack("<BII", 1, 6, 1) + poly1
+    # collection mixing little- and big-endian sub-geometries
+    be_pt = struct.pack(">BI", 0, 1) + struct.pack(">dd", 7.0, 8.0)
+    coll = struct.pack("<BII", 1, 7, 2) + pt(1.0, 2.0) + be_pt
+    bad = b"\x01\xff\xff"
+    rows = [
+        (base64.b64encode(x).decode(),)
+        for x in (z_ewkb, zm_iso, m_ls, multipoint, multils, multipoly, coll, bad)
+    ]
+    got = [
+        r.g
+        for r in spark.createDataFrame(rows, ["wkb"])
+        .select(C.debezium_geometry_wkb(F.col("wkb")).alias("g"))
+        .collect()
+    ]
+
+    def geom(s):
+        import json
+
+        return json.loads(s)["geometry"]
+
+    assert geom(got[0]) == {"type": "Point", "coordinates": [1.0, 2.0, 3.0]}
+    assert geom(got[1]) == {"type": "Point", "coordinates": [1.0, 2.0, 3.0]}
+    assert geom(got[2]) == {
+        "type": "LineString",
+        "coordinates": [[0.0, 0.0], [1.0, 1.0]],
+    }
+    assert geom(got[3]) == {
+        "type": "MultiPoint",
+        "coordinates": [[1.0, 2.0], [3.0, 4.0]],
+    }
+    assert geom(got[4]) == {
+        "type": "MultiLineString",
+        "coordinates": [[[0.0, 0.0], [1.0, 1.0]]],
+    }
+    assert geom(got[5]) == {
+        "type": "MultiPolygon",
+        "coordinates": [[[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 0.0]]]],
+    }
+    assert geom(got[6]) == {
+        "type": "GeometryCollection",
+        "geometries": [
+            {"type": "Point", "coordinates": [1.0, 2.0]},
+            {"type": "Point", "coordinates": [7.0, 8.0]},
+        ],
+    }
+    assert got[7] is None

@@ -103,6 +103,12 @@ def test_stream_checkpoint_skips_processed_files(spark, tmp_path):
 
 
 def test_history_mode_appends_everything(spark, tmp_path):
+    """A2 history mode is a TRUE append (clients/shared/append.go:14-85):
+    a flush writes only the batch — files from prior flushes are never
+    read or rewritten (asserted via inode + mtime + size), so a flush is
+    O(batch) even against a 100 TB history table."""
+    import glob
+
     src = str(tmp_path / "src")
     tgt = str(tmp_path / "tgt")
     ckpt = str(tmp_path / "ckpt")
@@ -112,11 +118,130 @@ def test_history_mode_appends_everything(spark, tmp_path):
     _write_batch(src, EVENTS[:5], "b0")
     q = pipe.start_json_file_stream(src, WIRE_DDL, ckpt, available_now=True)
     q.awaitTermination(120)
+
+    def snap():
+        return {
+            p: (os.stat(p).st_ino, os.stat(p).st_mtime_ns, os.stat(p).st_size)
+            for p in glob.glob(f"{tgt}/**/*.parquet", recursive=True)
+        }
+
+    before = snap()
+    assert before  # first flush produced data files
     _write_batch(src, EVENTS[5:], "b1")
     q = pipe.start_json_file_stream(src, WIRE_DDL, ckpt, available_now=True)
     q.awaitTermination(120)
+    after = snap()
+    # prior files byte-identical and never replaced
+    for p, st in before.items():
+        assert after[p] == st, f"history flush rewrote {p}"
+    assert len(after) > len(before)  # new files appended
     # every event kept, including deletes
     assert pipe.table.read().count() == len(EVENTS)
+
+
+def test_history_mode_schema_evolution_on_append(spark, tmp_path):
+    """A new column arriving mid-stream lands only in the new files;
+    mergeSchema unifies on read with NULL backfill for old rows."""
+    from transfer_spark.streaming.pipeline import AppendParquetTable
+
+    t = AppendParquetTable(spark, str(tmp_path / "h"))
+    t.append(spark.createDataFrame([(1, "a")], "id bigint, v string"))
+    t.append(
+        spark.createDataFrame([(2, "b", 9.5)], "id bigint, v string, score double")
+    )
+    rows = {r.id: r for r in t.read().collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_bucket_emptying_delete_clears_directory(spark, tmp_path):
+    """A flush that hard-deletes EVERY row of a staged bucket must clear
+    that bucket's directory — dynamic partition overwrite alone would
+    leave the stale files and the deleted rows would resurrect on the
+    next read."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from transfer_spark.streaming.pipeline import ReplicationPipeline
+
+    n_buckets = 4
+    tgt = str(tmp_path / "tgt")
+    pipe = ReplicationPipeline(
+        spark, tgt, ["id"], OFFSET_COLUMN,
+        table_format="bucketed", n_buckets=n_buckets,
+    )
+    cols = ["id", OFFSET_COLUMN, DELETE_COLUMN_MARKER, "etype", "val"]
+    ids = list(range(1, 11))
+    pipe.process_batch(
+        spark.createDataFrame(
+            [(i, i, False, "e", float(i)) for i in ids], cols
+        ),
+        0,
+    )
+    # pick one bucket and hard-delete every id it holds
+    by_bucket = {}
+    for r in (
+        spark.createDataFrame([(i,) for i in ids], "id bigint")
+        .select("id", F.pmod(F.xxhash64("id"), F.lit(n_buckets)).cast("int").alias("b"))
+        .collect()
+    ):
+        by_bucket.setdefault(r.b, []).append(r.id)
+    victim_bucket, victim_ids = next(iter(by_bucket.items()))
+    pipe.process_batch(
+        spark.createDataFrame(
+            [(i, 100 + i, True, None, None) for i in victim_ids], WIRE_DDL
+        ),
+        1,
+    )
+    assert not glob.glob(f"{tgt}/__artie_bucket={victim_bucket}"), (
+        "emptied bucket directory must be cleared"
+    )
+    got = {r.id for r in pipe.table.read().collect()}
+    assert got == set(ids) - set(victim_ids)  # no resurrection
+
+
+def test_merge_assertion_prunes_to_staged_buckets(spark, tmp_path):
+    """M14 on the bucketed table scans ONLY the staged buckets: the
+    assertion's target goes through read_buckets and its physical plan
+    carries PartitionFilters on __artie_bucket."""
+    from transfer_spark.streaming.pipeline import (
+        BucketedParquetTable,
+        ReplicationPipeline,
+    )
+
+    pipe = ReplicationPipeline(
+        spark, str(tmp_path / "t"), ["id"], OFFSET_COLUMN,
+        table_format="bucketed", n_buckets=8,
+    )
+    cols = ["id", OFFSET_COLUMN, DELETE_COLUMN_MARKER, "v"]
+    pipe.process_batch(
+        spark.createDataFrame([(i, i, False, "x") for i in range(1, 6)], cols), 0
+    )
+
+    captured = []
+    orig = BucketedParquetTable.read_buckets
+
+    def spy(self, buckets):
+        df = orig(self, buckets)
+        captured.append((list(buckets), df))
+        return df
+
+    staged = spark.createDataFrame(
+        [(2, False, "x")], f"id bigint, {DELETE_COLUMN_MARKER} boolean, v string"
+    )
+    BucketedParquetTable.read_buckets = spy
+    try:
+        pipe.assert_merge_applied(staged)
+    finally:
+        BucketedParquetTable.read_buckets = orig
+
+    assert captured, "assertion must go through read_buckets"
+    buckets, df = captured[0]
+    assert len(buckets) == 1  # one staged PK -> one bucket
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__artie_bucket" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
 
 
 def test_soft_delete_stream(spark, tmp_path):

@@ -104,14 +104,28 @@ def debezium_decimal(b64: Column, scale: int, precision: int = 38) -> Column:
         import decimal as _dec
 
         b = F.unbase64(b64)
-        n = F.length(b)
-        unsigned = F.conv(F.hex(b), 16, 10).cast(DecimalType(20, 0))
-        first = F.conv(F.hex(F.substring(b, 1, 1)), 16, 10).cast("int")
+        # Strip two's-complement sign-extension padding so non-minimal
+        # encodings (upstream padding / schema drift) still decode: a
+        # leading 00 byte is redundant iff the next nibble is 0-7, a
+        # leading FF byte iff the next nibble is 8-F (the regex engine
+        # backtracks to keep the last padding byte when it carries sign).
+        hexs = F.regexp_replace(
+            F.regexp_replace(F.hex(b), "^(?:00)+(?=[0-7])", ""),
+            "^(?:FF)+(?=[89A-F])",
+            "",
+        )
+        n = (F.length(hexs) / 2).cast("int")
+        unsigned = F.conv(hexs, 16, 10).cast(DecimalType(20, 0))
+        first = F.conv(F.substring(hexs, 1, 2), 16, 10).cast("int")
         biases = F.array(
             *[F.lit(_dec.Decimal(256**i)).cast(DecimalType(20, 0)) for i in range(1, 9)]
         )
-        unscaled = F.when(first >= 128, unsigned - F.element_at(biases, n)).otherwise(
-            unsigned
+        unscaled = (
+            # >8 significant bytes cannot hold a p<=18 value — corrupt or
+            # schema-drifted input; explicit NULL beats silent conv overflow
+            F.when(n > 8, F.lit(None).cast(DecimalType(20, 0)))
+            .when(first >= 128, unsigned - F.element_at(biases, n))
+            .otherwise(unsigned)
         )
         return (unscaled / F.lit(10**scale).cast(DecimalType(19, 0))).cast(
             DecimalType(precision, scale)
@@ -175,11 +189,14 @@ def debezium_geometry_point(x: Column, y: Column) -> Column:
 
 def debezium_geometry_wkb(wkb_b64: Column) -> Column:
     """io.debezium.data.geometry.Geometry {wkb} → GeoJSON string
-    (reference: geometry.go:73-107). Pure-Python WKB reader for the 2D
-    simple-feature types the CDC path carries — POINT, LINESTRING,
-    POLYGON (+ EWKB SRID flag); Z/M variants and multi-geometries return
-    NULL rather than fail the batch (the reference defers those to a geo
-    library this container lacks)."""
+    (reference: geometry.go:73-107, which delegates to the orb WKB
+    reader). Pure-Python recursive WKB/EWKB/ISO-WKB reader covering the
+    full simple-feature set: Point, LineString, Polygon, MultiPoint,
+    MultiLineString, MultiPolygon, GeometryCollection — with Z/M
+    dimensions in both encodings (EWKB high-bit flags and ISO type+1000·d)
+    and per-sub-geometry byte order. GeoJSON keeps X, Y and Z; M is
+    dropped (GeoJSON has no M position, same as orb's geojson encoder).
+    Truly malformed bytes → NULL rather than failing the batch."""
     import struct as _struct
 
     @F.pandas_udf(StringType())
@@ -187,42 +204,74 @@ def debezium_geometry_wkb(wkb_b64: Column) -> Column:
         import base64
         import json
 
+        _MULTI = {4: "MultiPoint", 5: "MultiLineString", 6: "MultiPolygon"}
+
+        def parse(raw, off):
+            """One WKB geometry at ``off`` → (geojson dict, next offset).
+            Each nested geometry carries its own endianness byte + type
+            word, so flags are re-read per level."""
+            bo = "<" if raw[off] == 1 else ">"
+            (gtype,) = _struct.unpack_from(bo + "I", raw, off + 1)
+            off += 5
+            has_z = bool(gtype & 0x80000000)  # EWKB wkbZ
+            has_m = bool(gtype & 0x40000000)  # EWKB wkbM
+            if gtype & 0x20000000:  # EWKB embedded SRID
+                off += 4
+            base = gtype & 0x1FFFFFFF
+            kind, iso_dim = base % 1000, base // 1000
+            if iso_dim in (1, 3):  # ISO: 1000=Z, 2000=M, 3000=ZM
+                has_z = True
+            if iso_dim in (2, 3):
+                has_m = True
+            ndim = 2 + has_z + has_m
+
+            def pt(o):
+                v = _struct.unpack_from(bo + "d" * ndim, raw, o)
+                return list(v[: 3 if has_z else 2]), o + 8 * ndim
+
+            def seq(o):
+                (n,) = _struct.unpack_from(bo + "I", raw, o)
+                o, pts = o + 4, []
+                for _ in range(n):
+                    c, o = pt(o)
+                    pts.append(c)
+                return pts, o
+
+            if kind == 1:
+                c, off = pt(off)
+                return {"type": "Point", "coordinates": c}, off
+            if kind == 2:
+                pts, off = seq(off)
+                return {"type": "LineString", "coordinates": pts}, off
+            if kind == 3:
+                (nrings,) = _struct.unpack_from(bo + "I", raw, off)
+                off, rings = off + 4, []
+                for _ in range(nrings):
+                    ring, off = seq(off)
+                    rings.append(ring)
+                return {"type": "Polygon", "coordinates": rings}, off
+            if kind in _MULTI:
+                (n,) = _struct.unpack_from(bo + "I", raw, off)
+                off, subs = off + 4, []
+                for _ in range(n):
+                    g, off = parse(raw, off)
+                    subs.append(g["coordinates"])
+                return {"type": _MULTI[kind], "coordinates": subs}, off
+            if kind == 7:
+                (n,) = _struct.unpack_from(bo + "I", raw, off)
+                off, geoms = off + 4, []
+                for _ in range(n):
+                    g, off = parse(raw, off)
+                    geoms.append(g)
+                return {"type": "GeometryCollection", "geometries": geoms}, off
+            raise ValueError(f"unknown wkb kind {kind}")
+
         def one(v):
             if v is None:
                 return None
             try:
                 raw = base64.b64decode(v)
-                fmt = "<" if raw[0] == 1 else ">"
-                (gtype,) = _struct.unpack_from(fmt + "I", raw, 1)
-                if gtype & 0xC0000000:  # Z/M flags unsupported
-                    return None
-                off = 5 + (4 if gtype & 0x20000000 else 0)  # skip EWKB SRID
-                kind = gtype & 0xFF
-
-                def points(o, n):
-                    pts = [
-                        list(_struct.unpack_from(fmt + "dd", raw, o + 16 * i))
-                        for i in range(n)
-                    ]
-                    return pts, o + 16 * n
-
-                if kind == 1:  # POINT
-                    coords = list(_struct.unpack_from(fmt + "dd", raw, off))
-                    gj = {"type": "Point", "coordinates": coords}
-                elif kind == 2:  # LINESTRING
-                    (n,) = _struct.unpack_from(fmt + "I", raw, off)
-                    pts, _ = points(off + 4, n)
-                    gj = {"type": "LineString", "coordinates": pts}
-                elif kind == 3:  # POLYGON
-                    (nrings,) = _struct.unpack_from(fmt + "I", raw, off)
-                    o, rings = off + 4, []
-                    for _ in range(nrings):
-                        (n,) = _struct.unpack_from(fmt + "I", raw, o)
-                        ring, o = points(o + 4, n)
-                        rings.append(ring)
-                    gj = {"type": "Polygon", "coordinates": rings}
-                else:
-                    return None
+                gj, _ = parse(raw, 0)
                 return json.dumps(
                     {"type": "Feature", "geometry": gj}, separators=(",", ":")
                 )
@@ -247,6 +296,12 @@ def debezium_json(s: Column) -> Column:
     payloads are schemaless, so this is a designated (Arrow-batched)
     Python path. Python ints are arbitrary-precision, matching the
     reference's json.Number handling for values beyond 2^53.
+
+    Byte-parity with Go: the reference's jsoniter config HTML-escapes, so
+    ``<`` ``>`` ``&`` become ``\\u003c`` ``\\u003e`` ``\\u0026`` and the
+    JS line separators U+2028/U+2029 are escaped too (Go encoding/json
+    always escapes those). These characters are never JSON syntax, so a
+    post-serialize replace is exact.
     """
 
     from transfer_spark.constants import TOAST_UNAVAILABLE_VALUE
@@ -262,9 +317,16 @@ def debezium_json(s: Column) -> Column:
                 return None
             if v == "" or v == toast:  # JSONB replica-identity edge + TOAST
                 return v
-            return json.dumps(
+            out = json.dumps(
                 json.loads(v), sort_keys=True, separators=(",", ":"),
                 ensure_ascii=False,
+            )
+            return (
+                out.replace("&", "\\u0026")
+                .replace("<", "\\u003c")
+                .replace(">", "\\u003e")
+                .replace("\u2028", "\\u2028")
+                .replace("\u2029", "\\u2029")
             )
 
         return vals.map(one)

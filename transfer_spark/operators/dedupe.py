@@ -382,10 +382,17 @@ def simhash_df(
     plan that holds at 100× volume. Docs with no tokens get simhash 0
     (same as the expression form).
     """
-    nparts = df.sparkSession.sparkContext.defaultParallelism
-    ex = df.repartition(nparts).select(
-        F.col(id_col).alias("doc"),
-        F.explode_outer(tokens(F.col(text_col))).alias("w"),
+    # No pre-explode repartition: parquet scans split big files by byte
+    # range, so at volume the map side is already parallel, and a
+    # repartition here shuffles the whole corpus text for nothing (the
+    # one r2 bench regression). When the input is small enough to scan as
+    # one split, the explode+hash is also small enough that a shuffle
+    # costs more than it buys (measured 1.07s vs 1.23s at sf0.1). The
+    # groupBy's partial-agg shuffle carries only 32 sums per doc.
+    src = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+    ex = src.select(
+        "doc",
+        F.explode_outer(tokens(F.col("__t"))).alias("w"),
     )
     h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
     contrib = [

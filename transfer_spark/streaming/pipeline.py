@@ -24,6 +24,7 @@ against Delta/Iceberg, and the Kafka source swaps in via
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -69,6 +70,31 @@ class VersionedParquetTable:
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, os.path.join(self.path, _CURRENT))
+
+
+class AppendParquetTable:
+    """History-mode sink: a pure ``mode("append")`` parquet write per
+    flush (reference: clients/shared/append.go:14-85 — history mode never
+    merges and never reads the target back, so a flush is O(batch), not
+    O(table)). Existing files are untouched; schema evolution is handled
+    at read time with ``mergeSchema`` plus write-time union only of the
+    incoming batch against the target's *schema* (no data read)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path, "_SUCCESS"))
+
+    def read(self) -> DataFrame | None:
+        if not self.exists():
+            return None
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+
+    def append(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.path)
 
 
 class BucketedParquetTable:
@@ -152,7 +178,16 @@ class BucketedParquetTable:
     def merge_batch(self, staging: DataFrame, merge_fn) -> None:
         """One flush: prune target to staged buckets → merge → overwrite
         those buckets. ``merge_fn(target_subset, staging)`` returns the
-        post-merge rows for the touched buckets."""
+        post-merge rows for the touched buckets.
+
+        A flush that hard-deletes EVERY row of a staged bucket produces
+        no output rows for that bucket, so dynamic partition overwrite
+        would never rewrite its directory and the dead rows would
+        resurrect on the next read. After the write we diff staged
+        buckets against buckets actually present in the merged output
+        and clear the emptied directories (on a cluster this is the same
+        filesystem delete a lakehouse MERGE does when a file's rows all
+        match the delete clause)."""
         if not self.exists():
             raise ValueError("call init() for the first flush")
         staged = staging.withColumn(self.BUCKET_COL, self._bucket())
@@ -161,7 +196,23 @@ class BucketedParquetTable:
         ]
         target_subset = self.read_buckets(buckets)
         merged = merge_fn(target_subset, staging)
-        self.overwrite_buckets(merged)
+        out = merged.withColumn(self.BUCKET_COL, self._bucket())
+        # materialize before overwriting the directory we just read from;
+        # also lets the surviving-bucket scan below reuse the result
+        out = out.localCheckpoint(eager=True)
+        surviving = {
+            r[0] for r in out.select(self.BUCKET_COL).distinct().collect()
+        }
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.BUCKET_COL)
+            .parquet(self.path)
+        )
+        for b in set(buckets) - surviving:
+            d = os.path.join(self.path, f"{self.BUCKET_COL}={b}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
 
 
 class ReplicationPipeline:
@@ -180,7 +231,12 @@ class ReplicationPipeline:
         n_buckets: int = 64,
     ):
         self.spark = spark
-        if table_format == "bucketed":
+        if history_mode:
+            # A2 history mode is append-only by definition — always use
+            # the append sink regardless of table_format (a versioned
+            # rewrite would be O(table) per flush; see AppendParquetTable)
+            self.table = AppendParquetTable(spark, target_path)
+        elif table_format == "bucketed":
             self.table = BucketedParquetTable(
                 spark, target_path, pk_cols, n_buckets=n_buckets
             )
@@ -195,12 +251,12 @@ class ReplicationPipeline:
         if batch_df.isEmpty():
             return
         if self.history_mode:
-            # A2/M12: append-only audit; no dedup, no delete handling
-            target = self.table.read()
-            out = batch_df if target is None else target.unionByName(
-                batch_df, allowMissingColumns=True
-            )
-            self.table.write(out)
+            # A2/M12: append-only audit; no dedup, no delete handling.
+            # True append — prior files are never read or rewritten
+            # (reference: clients/shared/append.go:14-85). New columns in
+            # the batch just land in the new files; mergeSchema unifies
+            # on read.
+            self.table.append(batch_df)
             return
 
         from pyspark.sql import functions as F
@@ -271,10 +327,27 @@ class ReplicationPipeline:
     def assert_merge_applied(self, staging: DataFrame) -> None:
         """M14 merge row-count assertion (reference:
         clients/shared/merge.go:194-209): every non-deleted staged PK must
-        exist in the target after the flush; hard-deleted PKs must not."""
+        exist in the target after the flush; hard-deleted PKs must not.
+
+        On the bucketed table the check scans ONLY the staged buckets
+        (``read_buckets`` → PartitionFilters on ``__artie_bucket``), so
+        the assertion is O(touched buckets) like the flush itself, not a
+        double full-table scan."""
         from pyspark.sql import functions as F
 
-        target = self.table.read()
+        if isinstance(self.table, BucketedParquetTable):
+            if not self.table.exists():
+                raise AssertionError("merge assertion: target missing")
+            staged = staging.withColumn(
+                self.table.BUCKET_COL, self.table._bucket()
+            )
+            buckets = [
+                r[0]
+                for r in staged.select(self.table.BUCKET_COL).distinct().collect()
+            ]
+            target = self.table.read_buckets(buckets)
+        else:
+            target = self.table.read()
         if target is None:
             raise AssertionError("merge assertion: target missing")
         on = [staging[k] == target[k] for k in self.pk_cols]
