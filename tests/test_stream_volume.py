@@ -1,0 +1,148 @@
+"""Streaming-at-volume proof: the BASELINE.md operating point — 30k-row
+/ ~25 MB micro-batches at a 10s trigger — executed as an actual test
+rather than inferred from bench queries. Drives MultiTablePipeline
+through the file stream with the bucketed sink and asserts (a) every
+merge flush completes inside the 10s trigger interval, and (b) flushes
+rewrite only the buckets holding staged PKs (rewrite isolation at
+volume, not just in the 9-event toy stream)."""
+
+import glob
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from transfer_spark.constants import DELETE_COLUMN_MARKER, OFFSET_COLUMN
+from transfer_spark.streaming.pipeline import MultiTablePipeline, ReplicationPipeline
+
+WIRE_DDL = (
+    f"tbl string, id bigint, {OFFSET_COLUMN} bigint, "
+    f"{DELETE_COLUMN_MARKER} boolean, etype string, payload string"
+)
+
+TABLES = ["orders", "customers", "events"]
+ROWS_PER_TABLE = 11_000  # 3 tables x 11k = 33k rows/flush (>= 30k gate)
+PAYLOAD = "x" * 700  # ~, pushes the batch toward the ~25 MB frame size
+
+
+def _write_flush(
+    src_dir: str, name: str, offset_base: int, delete_every=None, eprefix="e"
+):
+    os.makedirs(src_dir, exist_ok=True)
+    tmp = os.path.join(src_dir, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        for t_i, t in enumerate(TABLES):
+            for i in range(ROWS_PER_TABLE):
+                is_del = delete_every is not None and i % delete_every == 0
+                f.write(
+                    json.dumps(
+                        {
+                            "tbl": t,
+                            "id": i,
+                            OFFSET_COLUMN: offset_base + t_i * ROWS_PER_TABLE + i,
+                            DELETE_COLUMN_MARKER: is_del,
+                            "etype": None if is_del else f"{eprefix}{i % 7}",
+                            "payload": None if is_del else PAYLOAD,
+                        }
+                    )
+                    + "\n"
+                )
+    # atomic publish so the file source never reads a half-written file
+    os.replace(tmp, os.path.join(src_dir, f"{name}.json"))
+
+
+def test_volume_microbatches_within_trigger_budget(spark, tmp_path):
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "base")
+    ckpt = str(tmp_path / "ckpt")
+    n_buckets = 16
+
+    mtp = MultiTablePipeline(
+        spark, base, "tbl", ["id"], OFFSET_COLUMN,
+        table_format="bucketed", n_buckets=n_buckets,
+    )
+
+    flush_wall: list[tuple[int, float]] = []
+    orig = MultiTablePipeline.process_batch
+
+    def timed(self, batch_df, batch_id):
+        t0 = time.monotonic()
+        orig(self, batch_df, batch_id)
+        flush_wall.append((batch_id, time.monotonic() - t0))
+
+    # flush 0: full load; flush 1: updates + 1-in-50 hard deletes;
+    # flush 2: narrow update touching only id%101==0 (bucket isolation)
+    _write_flush(src, "f0", 0)
+    _write_flush(src, "f1", 1_000_000, delete_every=50, eprefix="u")
+    MultiTablePipeline.process_batch = timed
+    try:
+        q = mtp.start_json_file_stream(
+            src, WIRE_DDL, ckpt, available_now=True, max_files_per_trigger=1
+        )
+        q.awaitTermination(300)
+    finally:
+        MultiTablePipeline.process_batch = orig
+
+    assert len(flush_wall) == 2, flush_wall
+    # the merge flush (not the cold first load, which pays codegen JIT)
+    # must keep up with the reference's 10s trigger at 33k rows/batch
+    merge_walls = [w for bid, w in flush_wall if bid >= 1]
+    assert all(w < 10.0 for w in merge_walls), flush_wall
+
+    # end state per table: deletes landed, flush-1 updates won the LWW
+    for t in TABLES:
+        tbl = mtp.pipelines[t].table
+        rows = {r.id: r for r in tbl.read().collect()}
+        assert len(rows) == ROWS_PER_TABLE - (ROWS_PER_TABLE + 49) // 50
+        assert rows[1].etype == "u1"
+
+    # flush 3: small batch -> only its buckets rewritten
+    def bucket_files(t):
+        return {
+            d: sorted(os.path.basename(p) for p in glob.glob(f"{d}/*.parquet"))
+            for d in glob.glob(f"{mtp.pipelines[t].table.path}/__artie_bucket=*")
+        }
+
+    before = {t: bucket_files(t) for t in TABLES}
+    touched_ids = [i for i in range(ROWS_PER_TABLE) if i % 101 == 0 and i % 50]
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, ".f2.tmp"), "w") as f:
+        for t_i, t in enumerate(TABLES):
+            for i in touched_ids:
+                f.write(
+                    json.dumps(
+                        {
+                            "tbl": t,
+                            "id": i,
+                            OFFSET_COLUMN: 2_000_000 + t_i * ROWS_PER_TABLE + i,
+                            DELETE_COLUMN_MARKER: False,
+                            "etype": "touched",
+                            "payload": PAYLOAD,
+                        }
+                    )
+                    + "\n"
+                )
+    os.replace(os.path.join(src, ".f2.tmp"), os.path.join(src, "f2.json"))
+    q = mtp.start_json_file_stream(
+        src, WIRE_DDL, ckpt, available_now=True, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+
+    staged_buckets = {
+        r[0]
+        for r in spark.createDataFrame([(i,) for i in touched_ids], "id bigint")
+        .select(F.pmod(F.xxhash64("id"), F.lit(n_buckets)).cast("int"))
+        .collect()
+    }
+    for t in TABLES:
+        after = bucket_files(t)
+        changed = {
+            os.path.basename(d).split("=")[1]
+            for d in before[t]
+            if before[t][d] != after.get(d, [])
+        }
+        assert changed == {str(b) for b in staged_buckets}, (t, changed)
+        got = {r.id: r.etype for r in mtp.pipelines[t].table.read().collect()}
+        for i in touched_ids:
+            assert got[i] == "touched"

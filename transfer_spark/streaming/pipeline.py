@@ -469,6 +469,8 @@ class MultiTablePipeline:
         order_col: str,
         soft_delete: bool = False,
         max_parallel_flushes: int = 8,
+        table_format: str = "versioned",
+        n_buckets: int = 64,
     ):
         self.spark = spark
         self.base_path = base_path
@@ -477,6 +479,8 @@ class MultiTablePipeline:
         self.order_col = order_col
         self.soft_delete = soft_delete
         self.max_parallel_flushes = max_parallel_flushes
+        self.table_format = table_format
+        self.n_buckets = n_buckets
         self.pipelines: dict[str, ReplicationPipeline] = {}
 
     def _pipeline_for(self, table: str) -> ReplicationPipeline:
@@ -487,8 +491,37 @@ class MultiTablePipeline:
                 self.pk_cols,
                 self.order_col,
                 soft_delete=self.soft_delete,
+                table_format=self.table_format,
+                n_buckets=self.n_buckets,
             )
         return self.pipelines[table]
+
+    def start_json_file_stream(
+        self,
+        source_dir: str,
+        wire_ddl: str,
+        checkpoint_dir: str,
+        transform=None,
+        trigger_seconds: int | None = None,
+        available_now: bool = False,
+        max_files_per_trigger: int | None = None,
+    ):
+        """Same file-source shell as ReplicationPipeline's, routed through
+        the multi-table fan-out (one topic, many tables)."""
+        reader = self.spark.readStream.schema(wire_ddl)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.json(source_dir)
+        if transform is not None:
+            stream = transform(stream)
+        writer = stream.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_seconds:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        return writer.start()
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
