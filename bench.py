@@ -68,7 +68,7 @@ def main() -> None:
     # JVM/codegen warm-up outside the measurement.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _oracle = QUERIES[name]
