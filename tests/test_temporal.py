@@ -1,0 +1,131 @@
+"""Unit tests for the temporal operators: sessionization boundaries,
+as-of tie/NULL semantics, range-join window edges, KMV exact-vs-sketch
+paths. Tiny in-memory frames — the oracle queries cover volume."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from transfer_spark.operators import temporal as TP
+
+
+def _ts(s: int):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def test_sessionize_gap_boundary(spark):
+    # gap of exactly `gap_seconds` stays in-session; gap+1µs starts a new one
+    df = spark.createDataFrame(
+        [
+            Row(user=1, ts=_ts(0), v=1.0),
+            Row(user=1, ts=_ts(60), v=1.0),        # same session (60 <= 60)
+            Row(user=1, ts=_ts(121), v=1.0),       # 61s gap -> new session
+            Row(user=2, ts=_ts(0), v=1.0),         # other user independent
+        ]
+    )
+    out = TP.sessionize(df, "user", "ts", gap_seconds=60).collect()
+    sess = {(r.user, r.ts.second + r.ts.minute * 60): r.session_id for r in out}
+    assert sess[(1, 0)] == 1
+    assert sess[(1, 60)] == 1
+    assert sess[(1, 121)] == 2
+    assert sess[(2, 0)] == 1
+
+
+def test_session_stats_decimal_sum(spark):
+    df = spark.createDataFrame(
+        [Row(user=1, ts=_ts(i), v=0.1) for i in range(10)]
+    )
+    row = TP.session_stats(
+        df, "user", "ts", gap_seconds=60, value_col="v"
+    ).collect()[0]
+    assert row.n_events == 10
+    # decimal aggregation: exactly 1.00, no float drift
+    assert float(row.sum_value) == 1.0
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, lts=_ts(100), lid=1), Row(k=1, lts=_ts(10), lid=2),
+         Row(k=2, lts=_ts(100), lid=3)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, rts=_ts(50), rid=10, val="a"),
+         Row(k=1, rts=_ts(100), rid=11, val="b"),   # ties with lid=1 -> visible
+         Row(k=1, rts=_ts(200), rid=12, val="c"),   # future -> never matched
+         Row(k=3, rts=_ts(1), rid=13, val="d")]
+    )
+    out = {
+        r.lid: (r.rid_asof, r.val_asof)
+        for r in TP.asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_cols=["rid", "val"], right_order="rid",
+        ).collect()
+    }
+    assert out[1] == (11, "b")      # <= semantics: equal-ts right row wins
+    assert out[2] == (None, None)   # no right row at-or-before
+    assert out[3] == (None, None)   # key never seen on right
+
+
+def test_asof_join_null_right_value_stays_consistent(spark):
+    # A NULL in one right column must not mix values from different rows.
+    left = spark.createDataFrame([Row(k=1, lts=_ts(100), lid=1)])
+    right = spark.createDataFrame(
+        [Row(k=1, rts=_ts(10), rid=10, val="old"),
+         Row(k=1, rts=_ts(90), rid=11, val=None)]   # latest match has NULL val
+    )
+    r = TP.asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        right_cols=["rid", "val"], right_order="rid",
+    ).collect()[0]
+    assert r.rid_asof == 11 and r.val_asof is None
+
+
+def test_bucketed_range_join_edges(spark):
+    left = spark.createDataFrame([Row(k=1, lts=_ts(0), lid=1)])
+    right = spark.createDataFrame(
+        [Row(k=1, rts=_ts(0), rid=10),     # not > t -> excluded
+         Row(k=1, rts=_ts(1), rid=11),     # in range
+         Row(k=1, rts=_ts(60), rid=12),    # == t+window -> included
+         Row(k=1, rts=_ts(61), rid=13),    # past window -> excluded
+         Row(k=2, rts=_ts(1), rid=14)]     # wrong key
+    )
+    j = TP.bucketed_range_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        window_seconds=60, right_cols=["rid"],
+    )
+    matched = sorted(
+        r.rid_in_range
+        for r in j.collect()
+        if r.rid_in_range is not None
+    )
+    assert matched == [11, 12]
+
+
+def test_bucketed_range_join_unmatched_left_survives(spark):
+    left = spark.createDataFrame([Row(k=9, lts=_ts(0), lid=1)])
+    right = spark.createDataFrame([Row(k=1, rts=_ts(1), rid=10)])
+    j = TP.bucketed_range_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        window_seconds=60, right_cols=["rid"],
+    )
+    agg = j.groupBy("lid").agg(F.count("rid_in_range").alias("n")).collect()
+    assert [(r.lid, r.n) for r in agg] == [(1, 0)]
+
+
+def test_kmv_exact_below_k(spark):
+    # fewer distinct values than k -> estimate is the exact count
+    df = spark.createDataFrame(
+        [Row(g="a", v=i % 5) for i in range(100)]
+    )
+    r = TP.kmv_distinct(df, "g", "v", k=32).collect()[0]
+    assert r.distinct_est == 5.0
+
+
+def test_kmv_sketch_accuracy(spark):
+    # 1000 distinct values, k=64: estimate within ~25% (md5 is uniform)
+    df = spark.createDataFrame([Row(g="a", v=i) for i in range(1000)])
+    r = TP.kmv_distinct(df, "g", "v", k=64).collect()[0]
+    assert 750 <= r.distinct_est <= 1250

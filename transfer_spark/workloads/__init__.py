@@ -15,7 +15,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from transfer_spark.workloads import cdc, multimodal, sources, text, transforms, vectors
+from transfer_spark.workloads import (
+    cdc,
+    multimodal,
+    sources,
+    temporal,
+    text,
+    transforms,
+    vectors,
+)
 
 Entry = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
 
@@ -26,3 +34,4 @@ QUERIES.update(transforms.QUERIES)
 QUERIES.update(text.QUERIES)
 QUERIES.update(vectors.QUERIES)
 QUERIES.update(multimodal.QUERIES)
+QUERIES.update(temporal.QUERIES)

@@ -1,0 +1,257 @@
+"""Temporal / time-series workload family on the `events` table:
+sessionization, as-of join, range join, hypertable rollup, KMV sketch.
+
+All five are "operators Spark lacks natively" re-expressed as
+single-shuffle DataFrame compositions (see operators/temporal.py for
+the plan-shape arguments). Oracles mirror the arithmetic exactly —
+timestamps compare as epoch-µs BIGINTs and value sums go through
+DECIMAL(18,2) so floating-point aggregation order can't flip a bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transfer_spark.operators import temporal as TP
+from transfer_spark.session import read_table
+
+_GAP_S = 21_600  # 6h session gap
+_RANGE_S = 3_600  # 1h range-join window
+_KMV_K = 32
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events")
+
+
+# --------------------------------------------------------------------------
+# Sessionization (gap-based): lag + running-sum windows, one shuffle.
+# --------------------------------------------------------------------------
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    s = TP.session_stats(
+        e, "user_id", "ts", gap_seconds=_GAP_S, order_col="event_id", value_col="value"
+    )
+    return s.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events
+), flagged AS (
+  SELECT user_id, event_id, t, value,
+    CASE WHEN lag(t) OVER w IS NULL
+           OR t - lag(t) OVER w > {_GAP_S * 1_000_000} THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), numbered AS (
+  SELECT user_id, t, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  min(t) AS session_start_us, max(t) AS session_end_us,
+  count(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# As-of join: latest click at-or-before each purchase (DuckDB ASOF JOIN).
+# --------------------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    j = TP.asof_join(
+        p, c,
+        on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id", "ts", "value"], right_order="event_id",
+    )
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.col("event_id_asof").alias("click_id"),
+        F.unix_micros(F.col("ts_asof")).alias("click_t_us"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_asof"))).alias("gap_us"),
+        F.col("value_asof").alias("click_value"),
+    )
+
+
+ORACLE_ASOF = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+  WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t, value FROM events
+  WHERE event_type = 'click'
+)
+SELECT p.event_id AS purchase_id, p.user_id, p.t AS t_us,
+  c.event_id AS click_id, c.t AS click_t_us,
+  p.t - c.t AS gap_us, c.value AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
+"""
+
+
+# --------------------------------------------------------------------------
+# Range join: errors within 1h after each purchase, as a bucketed equi-join.
+# --------------------------------------------------------------------------
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    er = e.filter(F.col("event_type") == "error").select("user_id", "event_id", "ts", "value")
+    j = TP.bucketed_range_join(
+        p, er,
+        on="user_id", left_ts="ts", right_ts="ts",
+        window_seconds=_RANGE_S, right_cols=["event_id", "value"],
+    )
+    return (
+        j.groupBy("event_id", "user_id", "__lt")
+        .agg(
+            F.count(F.col("event_id_in_range")).alias("n_errors"),
+            F.coalesce(
+                F.sum(F.col("value_in_range").cast("decimal(18,2)")),
+                F.lit(0).cast("decimal(18,2)"),
+            ).cast("double").alias("sum_error_value"),
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("__lt").alias("t_us"),
+            "n_errors",
+            "sum_error_value",
+        )
+    )
+
+
+ORACLE_RANGE = f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+  WHERE event_type = 'purchase'
+), er AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t, value FROM events
+  WHERE event_type = 'error'
+)
+SELECT p.event_id AS purchase_id, p.user_id, p.t AS t_us,
+  count(er.event_id) AS n_errors,
+  CAST(coalesce(SUM(CAST(er.value AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_error_value
+FROM p LEFT JOIN er
+  ON p.user_id = er.user_id
+ AND er.t > p.t AND er.t <= p.t + {_RANGE_S * 1_000_000}
+GROUP BY p.event_id, p.user_id, p.t
+"""
+
+
+# --------------------------------------------------------------------------
+# Hypertable rollup: day + hour grains in one pass via GROUPING SETS.
+# --------------------------------------------------------------------------
+
+_ROLLUP_SPARK = """
+WITH b AS (
+  SELECT unix_micros(date_trunc('DAY', ts)) AS day_us,
+         unix_micros(date_trunc('HOUR', ts)) AS hour_us,
+         event_type, user_id, CAST(value AS DECIMAL(18,2)) AS v
+  FROM {table}
+)
+SELECT day_us, hour_us, event_type,
+  CAST(grouping(hour_us) AS INT) AS is_day_level,
+  count(*) AS n_events,
+  CAST(sum(v) AS DOUBLE) AS sum_value,
+  count(DISTINCT user_id) AS n_users
+FROM b
+GROUP BY GROUPING SETS ((day_us, event_type), (day_us, hour_us, event_type))
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain time rollup (hypertable continuous-aggregate shape).
+
+    GROUPING SETS computes both grains in ONE shuffle (Spark expands
+    sets map-side, partial-aggregates each, so events are read once);
+    day rows have hour_us NULL + is_day_level=1.
+    """
+    e = _events(spark, sf_dir)
+    e.createOrReplaceTempView("events_rollup_src")
+    return spark.sql(_ROLLUP_SPARK.format(table="events_rollup_src"))
+
+
+ORACLE_ROLLUP = """
+WITH b AS (
+  SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+         epoch_us(date_trunc('hour', ts)) AS hour_us,
+         event_type, user_id, CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+)
+SELECT day_us, hour_us, event_type,
+  CAST(grouping(hour_us) AS INT) AS is_day_level,
+  count(*) AS n_events,
+  CAST(sum(v) AS DOUBLE) AS sum_value,
+  count(DISTINCT user_id) AS n_users
+FROM b
+GROUP BY GROUPING SETS ((day_us, event_type), (day_us, hour_us, event_type))
+"""
+
+
+# --------------------------------------------------------------------------
+# KMV distinct sketch: deterministic md5-based estimator, both engines
+# reproduce it bit-for-bit (unlike HLL's implementation-defined registers).
+# --------------------------------------------------------------------------
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    est = TP.kmv_distinct(e, "event_type", "user_id", k=_KMV_K)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type", "distinct_est", "n_exact"
+    )
+
+
+ORACLE_KMV = f"""
+WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), h AS (
+  SELECT event_type,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      / 1152921504606846976.0 AS frac
+  FROM d
+), k AS (
+  SELECT event_type, frac,
+    row_number() OVER (PARTITION BY event_type ORDER BY frac) AS rn
+  FROM h
+), est AS (
+  SELECT event_type,
+    round(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+               ELSE {_KMV_K - 1}.0 / max(frac) END, 4) AS distinct_est
+  FROM k WHERE rn <= {_KMV_K} GROUP BY event_type
+), exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type
+)
+SELECT est.event_type, est.distinct_est, exact.n_exact
+FROM est JOIN exact ON est.event_type = exact.event_type
+"""
+
+
+QUERIES = {
+    "events_sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+    "events_asof_join": (q_asof_join, ORACLE_ASOF),
+    "events_range_join": (q_range_join, ORACLE_RANGE),
+    "events_rollup": (q_rollup, ORACLE_ROLLUP),
+    "kmv_distinct_users": (q_kmv_distinct, ORACLE_KMV),
+}
