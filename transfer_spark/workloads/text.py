@@ -461,8 +461,98 @@ WHERE s.lg = 'en' AND s.q >= 0.3
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    Plan shape: explode → groupBy(doc, term) with map-side combine; the
+    document-frequency table is vocabulary-sized so it broadcasts; the
+    corpus size N is a broadcast single-row crossJoin (never a driver
+    collect); top-k is one window pass per doc. Survives 100×: every
+    shuffle key is (doc, term) or term — fixed-width, skew-free."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    ex = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf",
+            F.round(
+                F.col("tf") * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+
+
+ORACLE_TFIDF = f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+    round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS score
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, score,
+  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+FROM scored QUALIFY rnk <= 3
+"""
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition scoring (boilerplate detector): token
+    multiplicity ratios per doc — the standard pre-training quality
+    signal for template/spam text. Two hash aggregations, no window."""
+    d = _docs(spark, sf_dir)
+    ex = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("tf").alias("max_tf"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_distinct",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "repetition_ratio"
+            ),
+            F.round(F.col("max_tf") / F.col("n_tokens"), 6).alias("top_token_ratio"),
+        )
+    )
+
+
+ORACLE_DOC_REPETITION = f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2
+)
+SELECT doc_id,
+  CAST(sum(tf) AS BIGINT) AS n_tokens,
+  count(*) AS n_distinct,
+  round(1.0 - CAST(count(*) AS DOUBLE) / sum(tf), 6) AS repetition_ratio,
+  round(CAST(max(tf) AS DOUBLE) / sum(tf), 6) AS top_token_ratio
+FROM tf GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
+    "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF),
+    "doc_repetition": (q_doc_repetition, ORACLE_DOC_REPETITION),
     "dedupe_lsh_verified": (q_lsh_verified, _lsh_verified_sql()),
     "dedupe_exact_hashed": (q_dedupe_exact_hashed, ORACLE_DEDUPE_EXACT_HASHED),
     "dedupe_exact_normalized": (q_dedupe_exact_normalized, ORACLE_DEDUPE_EXACT_NORMALIZED),
