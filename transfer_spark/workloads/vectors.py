@@ -108,6 +108,67 @@ QUALIFY rank <= 5
 """
 
 
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat top-5 probing a k-means-TRAINED coarse quantizer (two
+    Lloyd iterations, deterministic first-k init) — the production IVF
+    shape, vs `ann_ivf_topk`'s sampled centroids. The trainer never
+    moves a vector to the driver; the oracle replicates both Lloyd
+    iterations in SQL (argmax assignment + per-dim mean), so even the
+    training loop is value-checked."""
+    emb = _emb(spark, sf_dir)
+    cent = S.kmeans_centroids(emb, k=16, n_iters=2)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ann_ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4, centroids=cent)
+
+
+def _ivf_kmeans_oracle(
+    k_cent: int = 16, n_iters: int = 2, n_probe: int = 4, topk: int = 5, dim: int = 64
+) -> str:
+    """Mirror kmeans_centroids + ann_ivf_topk: Lloyd unrolled as CTEs."""
+    mean_list = "[" + ", ".join(f"avg(nv[{i + 1}])" for i in range(dim)) + "]"
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {k_cent})",
+    ]
+    prev = "cent0"
+    for it in range(n_iters):
+        parts.append(
+            f"""asg{it} AS (
+  SELECT e.vec_id AS nid, e.v AS nv, c.cid
+  FROM e, {prev} c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) = 1
+)"""
+        )
+        parts.append(
+            f"cent{it + 1} AS (SELECT cid, {mean_list} AS cv FROM asg{it} GROUP BY cid)"
+        )
+        prev = f"cent{it + 1}"
+    body = f"""assigned AS (
+  SELECT e.vec_id AS nid, e.v AS nv, c.cid
+  FROM e, {prev} c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+probe AS (
+  SELECT query_id, qv, c.cid
+  FROM q, {prev} c
+  QUALIFY row_number() OVER (PARTITION BY query_id
+      ORDER BY list_cosine_similarity(qv, c.cv) DESC, c.cid) <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, a.nid AS neighbor_id,
+         list_cosine_similarity(p.qv, a.nv) AS cos
+  FROM probe p JOIN assigned a ON p.cid = a.cid AND a.nid != p.query_id
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= {topk}"""
+    return ",\n".join(parts) + ",\n" + body
+
+
 def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs embedding near-duplicates at cosine ≥ 0.4."""
     return S.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
@@ -151,6 +212,7 @@ QUERIES = {
     "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
     "ann_lsh_topk": (q_ann_lsh, _lsh_oracle()),
     "ann_ivf_topk": (q_ann_ivf, ORACLE_ANN_IVF),
+    "ann_ivf_kmeans": (q_ann_ivf_kmeans, _ivf_kmeans_oracle()),
     "embedding_neardup": (q_cosine_neardup, ORACLE_COSINE_NEARDUP),
     "embedding_neardup_lsh": (q_cosine_neardup_lsh, _neardup_lsh_oracle()),
 }
