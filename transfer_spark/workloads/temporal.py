@@ -248,8 +248,132 @@ FROM est JOIN exact ON est.event_type = exact.event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Exact interpolated quantiles (percentile / quantile_cont parity).
+# --------------------------------------------------------------------------
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type exact continuous quantiles of `value`. Spark's
+    `percentile` is the exact sort-based aggregate (not approx_percentile
+    — that sketch is implementation-defined and would never hash-match);
+    at 100 TB swap to approx_percentile and drop the oracle to
+    rows-only, same plan shape."""
+    e = _events(spark, sf_dir)
+    p = F.percentile(F.col("value"), F.lit([0.5, 0.95, 0.99]))
+    return (
+        e.groupBy("event_type")
+        .agg(p.alias("ps"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "n",
+            F.round(F.element_at("ps", 1), 6).alias("p50"),
+            F.round(F.element_at("ps", 2), 6).alias("p95"),
+            F.round(F.element_at("ps", 3), 6).alias("p99"),
+        )
+    )
+
+
+ORACLE_QUANTILES = """
+SELECT event_type, count(*) AS n,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.95), 6) AS p95,
+  round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Hopping (sliding) windows via Spark's native F.window.
+# --------------------------------------------------------------------------
+
+_HOP_SIZE_S = 3_600
+_HOP_SLIDE_S = 900
+
+
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows hopping every 15min — Spark's native `window()`
+    expression (the same operator Structured Streaming uses for
+    windowed aggs; in batch it's an internal explode into size/slide
+    windows + one hash aggregation)."""
+    e = _events(spark, sf_dir)
+    w = F.window(F.col("ts"), f"{_HOP_SIZE_S} seconds", f"{_HOP_SLIDE_S} seconds")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            F.unix_micros(F.col("w.end")).alias("window_end_us"),
+            "event_type",
+            "n_events",
+            F.col("sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
+ORACLE_HOPPING = f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS t, event_type, value FROM events
+), hopped AS (
+  SELECT
+    (t // {_HOP_SLIDE_S * 1_000_000}) * {_HOP_SLIDE_S * 1_000_000}
+      - i.i * {_HOP_SLIDE_S * 1_000_000} AS window_start_us,
+    e.event_type, e.value, e.t
+  FROM e CROSS JOIN (SELECT unnest(range({_HOP_SIZE_S // _HOP_SLIDE_S})) AS i) i
+)
+SELECT window_start_us,
+  window_start_us + {_HOP_SIZE_S * 1_000_000} AS window_end_us,
+  event_type,
+  count(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM hopped
+WHERE t < window_start_us + {_HOP_SIZE_S * 1_000_000}
+GROUP BY window_start_us, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Pivot: per-day event-type counts as columns.
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with an EXPLICIT value list — without it Spark
+    runs a driver-side distinct scan to discover the columns, which is a
+    schema-inference collect you never want at 100 TB."""
+    e = _events(spark, sf_dir)
+    day = F.unix_micros(F.date_trunc("DAY", F.col("ts"))).alias("day_us")
+    piv = (
+        e.groupBy(day)
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+    return piv.select(
+        "day_us", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
+ORACLE_PIVOT = """
+SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+  count(*) FILTER (event_type = 'click') AS n_click,
+  count(*) FILTER (event_type = 'error') AS n_error,
+  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+  count(*) FILTER (event_type = 'signup') AS n_signup,
+  count(*) FILTER (event_type = 'view') AS n_view
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "events_sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+    "events_quantiles": (q_quantiles, ORACLE_QUANTILES),
+    "events_hopping_window": (q_hopping_window, ORACLE_HOPPING),
+    "events_pivot_daily": (q_pivot_daily, ORACLE_PIVOT),
     "events_asof_join": (q_asof_join, ORACLE_ASOF),
     "events_range_join": (q_range_join, ORACLE_RANGE),
     "events_rollup": (q_rollup, ORACLE_ROLLUP),
