@@ -1,0 +1,89 @@
+"""Structured Streaming session windows vs the batch sessionizer.
+
+The batch operator (operators/temporal.sessionize) and Spark's native
+``session_window`` implement the same gap semantics — this pins the
+equivalence on a stream driven through the file source, the same
+harness the CDC streaming tests use (events arriving across multiple
+micro-batches must still merge into the right sessions)."""
+
+import datetime as dt
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from transfer_spark.operators import temporal as TP
+
+GAP_S = 100
+SCHEMA = "user bigint, ts timestamp, v double"
+
+BASE = dt.datetime(2024, 1, 1)
+
+# (user, seconds-offset, value) — session breaks strictly beyond the gap;
+# no event lands exactly on a gap boundary (batch 'diff <= gap' and
+# streaming 'windows overlap' differ only at that degenerate point).
+ROWS = [
+    (1, 0, 1.0),
+    (1, 60, 2.0),     # 60 <= 100: same session
+    (1, 220, 3.0),    # 160 > 100: new session
+    (2, 10, 4.0),
+    (2, 350, 5.0),    # isolated second session
+    (3, 5, 6.0),      # single-event session
+]
+
+
+def _write(src_dir: str, name: str, rows) -> None:
+    os.makedirs(src_dir, exist_ok=True)
+    with open(os.path.join(src_dir, f"{name}.json"), "w") as f:
+        for u, s, v in rows:
+            f.write(
+                json.dumps(
+                    {"user": u, "ts": (BASE + dt.timedelta(seconds=s)).isoformat(), "v": v}
+                )
+                + "\n"
+            )
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # split rows across two files so sessions span micro-batches
+    _write(src, "b0", ROWS[:3])
+    _write(src, "b1", ROWS[3:])
+
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", f"{GAP_S} seconds").alias("w"), "user")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("v").alias("sum_v"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.user, r.w.start): (r.n_events, r.sum_v)
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+
+    batch = TP.session_stats(
+        spark.createDataFrame(
+            [(u, BASE + dt.timedelta(seconds=s), v) for u, s, v in ROWS],
+            SCHEMA,
+        ),
+        "user", "ts", gap_seconds=GAP_S, value_col="v",
+    ).collect()
+    expected = {
+        (r.user, dt.datetime.fromtimestamp(r.session_start_us / 1e6)): (
+            r.n_events,
+            float(r.sum_value),
+        )
+        for r in batch
+    }
+
+    assert len(got) == len(expected) == 5
+    assert got == expected
