@@ -208,6 +208,46 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 """
 
 
+def q_cosine_neardup_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-seed LSH near-dup: union two independently-seeded bucketings
+    and dedupe the pair set — the standard recall amplifier (a pair is
+    missed only if it straddles a bucket boundary in EVERY seeding, so
+    miss probability decays exponentially with seeds). Each seeding is
+    the same one-shuffle bucket-verify plan; seeds run in parallel
+    stages off a shared scan."""
+    emb = _emb(spark, sf_dir)
+    a = S.cosine_neardup_lsh(emb, threshold=0.4, n_planes=6, dim=64, seed=42)
+    b = S.cosine_neardup_lsh(emb, threshold=0.4, n_planes=6, dim=64, seed=43)
+    return a.unionByName(b).distinct()
+
+
+def _neardup_lsh_multi_oracle(n_planes: int = 6, dim: int = 64) -> str:
+    def bucket(seed: int) -> str:
+        planes = S.hyperplanes(n_planes, dim, seed)
+        bits = []
+        for i, p in enumerate(planes):
+            lit = "[" + ", ".join(repr(x) for x in p) + "]"
+            bits.append(
+                f"(CASE WHEN list_inner_product(v, {lit}) > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {i})"
+            )
+        return " + ".join(bits)
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b1 AS (SELECT vec_id, v, {bucket(42)} AS bucket FROM e),
+b2 AS (SELECT vec_id, v, {bucket(43)} AS bucket FROM e)
+SELECT DISTINCT id_a, id_b FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM b1 a JOIN b1 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+  UNION ALL
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM b2 a JOIN b2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+)
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
     "ann_lsh_topk": (q_ann_lsh, _lsh_oracle()),
@@ -215,4 +255,8 @@ QUERIES = {
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, _ivf_kmeans_oracle()),
     "embedding_neardup": (q_cosine_neardup, ORACLE_COSINE_NEARDUP),
     "embedding_neardup_lsh": (q_cosine_neardup_lsh, _neardup_lsh_oracle()),
+    "embedding_neardup_lsh_multi": (
+        q_cosine_neardup_lsh_multi,
+        _neardup_lsh_multi_oracle(),
+    ),
 }
