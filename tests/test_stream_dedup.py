@@ -1,0 +1,47 @@
+"""Streaming dedup with dropDuplicatesWithinWatermark: the bounded-state
+form of exact dedup — duplicate events arriving within the watermark
+horizon are dropped even across micro-batches, and state is evicted past
+the horizon (the 100 TB streaming-dedup shape: state is O(horizon), not
+O(stream))."""
+
+import datetime as dt
+import json
+import os
+
+BASE = dt.datetime(2024, 1, 1)
+SCHEMA = "id bigint, ts timestamp, v double"
+
+
+def _write(src_dir: str, name: str, rows) -> None:
+    os.makedirs(src_dir, exist_ok=True)
+    with open(os.path.join(src_dir, f"{name}.json"), "w") as f:
+        for i, s, v in rows:
+            f.write(
+                json.dumps(
+                    {"id": i, "ts": (BASE + dt.timedelta(seconds=s)).isoformat(), "v": v}
+                )
+                + "\n"
+            )
+
+
+def test_drop_duplicates_within_watermark_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # id=1 appears in both files (a cross-batch duplicate); id=2 and id=3 unique
+    _write(src, "b0", [(1, 0, 1.0), (2, 5, 2.0)])
+    _write(src, "b1", [(1, 10, 1.0), (3, 20, 3.0)])
+
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.sql("SELECT id FROM dedup_stream").collect()
+    assert sorted(r.id for r in rows) == [1, 2, 3]

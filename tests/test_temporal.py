@@ -69,6 +69,26 @@ def test_asof_join_semantics(spark):
     assert out[3] == (None, None)   # key never seen on right
 
 
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, lts=_ts(100), lid=1), Row(k=1, lts=_ts(300), lid=2)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, rts=_ts(50), rid=10),    # before both -> never matched forward
+         Row(k=1, rts=_ts(100), rid=11),   # ties lid=1 -> >= semantics match
+         Row(k=1, rts=_ts(200), rid=12)]   # after lid=1 but before lid=2
+    )
+    out = {
+        r.lid: r.rid_asof
+        for r in TP.asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_cols=["rid"], right_order="rid", direction="forward",
+        ).collect()
+    }
+    assert out[1] == 11   # earliest right at-or-after, equal ts included
+    assert out[2] is None
+
+
 def test_asof_join_null_right_value_stays_consistent(spark):
     # A NULL in one right column must not mix values from different rows.
     left = spark.createDataFrame([Row(k=1, lts=_ts(100), lid=1)])

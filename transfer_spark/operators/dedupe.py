@@ -381,22 +381,31 @@ def simhash_df(
     aggregation for the 32 bit-sums, and parallelizes the explode — the
     plan that holds at 100× volume. Docs with no tokens get simhash 0
     (same as the expression form).
+
+    The md5 happens INSIDE the array ``transform`` and the explode emits
+    longs: if the hash were an expression over an exploded string column,
+    CollapseProject would inline it into every per-bit CaseWhen branch
+    (branches are exempt from subexpression elimination) and codegen
+    would recompute the md5 ``bits``× per token — measured 2.2s → 1.0s
+    at sf0.1 for exactly this change.
     """
     # No pre-explode repartition: parquet scans split big files by byte
     # range, so at volume the map side is already parallel, and a
     # repartition here shuffles the whole corpus text for nothing (the
     # one r2 bench regression). When the input is small enough to scan as
     # one split, the explode+hash is also small enough that a shuffle
-    # costs more than it buys (measured 1.07s vs 1.23s at sf0.1). The
-    # groupBy's partial-agg shuffle carries only 32 sums per doc.
+    # costs more than it buys. The groupBy's partial-agg shuffle carries
+    # only 32 sums per doc. (Callers that DO need map-side parallelism
+    # on a one-file scan — the bench workload — repartition upstream.)
     src = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
-    ex = src.select(
-        "doc",
-        F.explode_outer(tokens(F.col("__t"))).alias("w"),
+    hashed = F.transform(
+        tokens(F.col("__t")),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
     )
-    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    ex = src.select("doc", F.explode_outer(hashed).alias("h"))
+    h = F.col("h")
     contrib = [
-        F.when(F.col("w").isNull(), 0)
+        F.when(h.isNull(), 0)
         .when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
         .otherwise(-1)
         .alias(f"b{i}")

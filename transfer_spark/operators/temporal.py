@@ -99,11 +99,13 @@ def asof_join(
     right_cols: list[str],
     right_order: str | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the most recent right row
-    with ``right.ts <= left.ts`` and the same ``on`` key (DuckDB
-    ``ASOF JOIN`` semantics). Left rows with no prior right row keep
-    NULLs.
+    """As-of join. ``backward`` (default): for each left row, the most
+    recent right row with ``right.ts <= left.ts`` and the same ``on``
+    key (DuckDB ``ASOF JOIN`` semantics). ``forward``: the earliest
+    right row with ``right.ts >= left.ts``. Left rows with no match
+    keep NULLs.
 
     Spark has no ASOF join; the naive form is an inequality theta-join
     (O(n*m) per key). This is the scalable composition instead: union
@@ -112,6 +114,10 @@ def asof_join(
     latest preceding right values. Cost is sort-within-partition — the
     same price as the merge-join a native ASOF would do.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # forward = backward on negated time: latest(-rt <= -lt) == earliest(rt >= lt)
+    sign = 1 if direction == "backward" else -1
     lt = F.col(left_ts).cast("timestamp")
     rt = F.col(right_ts).cast("timestamp")
     carried = [f"{c}{suffix}" for c in right_cols]
@@ -125,7 +131,7 @@ def asof_join(
 
     l_tagged = left.select(
         F.col(on).alias("__k"),
-        F.unix_micros(lt).alias("__t"),
+        (F.unix_micros(lt) * sign).alias("__t"),
         F.lit(1).alias("__tag"),
         F.lit(None).cast("long").alias("__rord"),
         *[F.col(c) for c in left_cols],
@@ -133,9 +139,9 @@ def asof_join(
     )
     r_tagged = right.select(
         F.col(on).alias("__k"),
-        F.unix_micros(rt).alias("__t"),
+        (F.unix_micros(rt) * sign).alias("__t"),
         F.lit(0).alias("__tag"),
-        (F.col(right_order).cast("long") if right_order else F.lit(0).cast("long")).alias("__rord"),
+        ((F.col(right_order).cast("long") * sign) if right_order else F.lit(0).cast("long")).alias("__rord"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
         r_struct.alias("__rv"),
     )
