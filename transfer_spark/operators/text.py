@@ -117,6 +117,37 @@ def split_bucket(key: Column, n_buckets: int = 10_000) -> Column:
     return F.pmod(h, F.lit(n_buckets))
 
 
+def stratified_keep(key: Column, stratum: Column, rates: dict[str, float],
+                    default_rate: float = 1.0, n_buckets: int = 10_000) -> Column:
+    """Deterministic stratified-sampling predicate: keep a row iff its
+    hash bucket falls under its stratum's rate (e.g. downsample an
+    over-represented language to rebalance a pretraining mixture).
+    Hash-based, not RNG-based: the SAME rows are kept on every run, any
+    partitioning, any engine — so the sample is reproducible and
+    incremental reruns don't churn the corpus."""
+    bk = split_bucket(key, n_buckets)
+    rate = F.lit(float(default_rate))
+    for name, r in rates.items():
+        rate = F.when(stratum == name, F.lit(float(r))).otherwise(rate)
+    return bk < (rate * n_buckets).cast("long")
+
+
+def source_quota(df, key_col: str, stratum_col: str, quota: int,
+                 order_cols: list[Column]) -> "object":
+    """Cap rows per stratum (e.g. max N docs per source domain): rank
+    within the stratum by the given preference order, keep rank <=
+    quota. One shuffle on the stratum; at planet scale a skewed stratum
+    is exactly what the cap bounds downstream."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .withColumnRenamed("__rn", "stratum_rank")
+    )
+
+
 def assign_split(
     key: Column, weights: dict[str, float], n_buckets: int = 10_000
 ) -> Column:

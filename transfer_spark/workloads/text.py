@@ -549,10 +549,59 @@ FROM tf GROUP BY doc_id
 """
 
 
+_STRATA_RATES = {"en": 0.5, "zh": 0.8}  # downsample over-represented langs
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing mixture sample: keep 50% of English, 80% of
+    Chinese, all of everything else — hash-deterministic, so the kept
+    set is stable across runs/engines (no RNG)."""
+    d = read_table(spark, sf_dir, "documents")
+    keep = T.stratified_keep(
+        F.col("doc_id"), F.col("lang"), _STRATA_RATES, default_rate=1.0
+    )
+    return d.filter(keep).select("doc_id", "lang", "source")
+
+
+ORACLE_STRATIFIED = """
+WITH b AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bk
+  FROM documents
+)
+SELECT doc_id, lang, source FROM b
+WHERE bk < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.8 ELSE 1.0 END) * 10000 AS BIGINT)
+"""
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota: keep at most 15 docs per source domain,
+    preferring longer documents (ties broken by doc_id)."""
+    d = read_table(spark, sf_dir, "documents")
+    capped = T.source_quota(
+        d.select("doc_id", "source", "n_chars"),
+        key_col="doc_id",
+        stratum_col="source",
+        quota=15,
+        order_cols=[F.desc("n_chars"), F.asc("doc_id")],
+    )
+    return capped.select("doc_id", "source", "n_chars", "stratum_rank")
+
+
+ORACLE_SOURCE_QUOTA = """
+SELECT doc_id, source, n_chars,
+       row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS stratum_rank
+FROM documents
+QUALIFY stratum_rank <= 15
+"""
+
+
 QUERIES = {
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF),
     "doc_repetition": (q_doc_repetition, ORACLE_DOC_REPETITION),
+    "corpus_sample_stratified": (q_stratified_sample, ORACLE_STRATIFIED),
+    "source_quota_cap": (q_source_quota, ORACLE_SOURCE_QUOTA),
     "dedupe_lsh_verified": (q_lsh_verified, _lsh_verified_sql()),
     "dedupe_exact_hashed": (q_dedupe_exact_hashed, ORACLE_DEDUPE_EXACT_HASHED),
     "dedupe_exact_normalized": (q_dedupe_exact_normalized, ORACLE_DEDUPE_EXACT_NORMALIZED),
