@@ -135,6 +135,37 @@ def test_bucketed_range_join_unmatched_left_survives(spark):
     assert [(r.lid, r.n) for r in agg] == [(1, 0)]
 
 
+def test_stratified_keep_rate_edges(spark):
+    from transfer_spark.operators.text import stratified_keep
+
+    df = spark.createDataFrame(
+        [Row(id=i, s="a" if i % 2 == 0 else "b") for i in range(200)]
+    )
+    kept = df.filter(
+        stratified_keep(F.col("id"), F.col("s"), {"a": 0.0, "b": 1.0})
+    ).collect()
+    # rate 0 drops the stratum entirely; rate 1 keeps it entirely
+    assert all(r.s == "b" for r in kept) and len(kept) == 100
+    # determinism: same predicate, same rows
+    again = df.filter(
+        stratified_keep(F.col("id"), F.col("s"), {"a": 0.0, "b": 1.0})
+    ).collect()
+    assert sorted(r.id for r in kept) == sorted(r.id for r in again)
+
+
+def test_source_quota_prefers_order(spark):
+    from transfer_spark.operators.text import source_quota
+
+    df = spark.createDataFrame(
+        [Row(id=i, src="s", size=i * 10) for i in range(5)]
+    )
+    out = source_quota(
+        df, key_col="id", stratum_col="src", quota=2,
+        order_cols=[F.desc("size"), F.asc("id")],
+    ).collect()
+    assert sorted((r.id, r.stratum_rank) for r in out) == [(3, 2), (4, 1)]
+
+
 def test_kmv_exact_below_k(spark):
     # fewer distinct values than k -> estimate is the exact count
     df = spark.createDataFrame(
