@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from transfer_spark.workloads import (
+    analytics,
     cdc,
     multimodal,
     sources,
@@ -35,3 +36,4 @@ QUERIES.update(text.QUERIES)
 QUERIES.update(vectors.QUERIES)
 QUERIES.update(multimodal.QUERIES)
 QUERIES.update(temporal.QUERIES)
+QUERIES.update(analytics.QUERIES)

@@ -1,0 +1,157 @@
+"""Classic OLAP workload family on the TPC-H-ish star schema — the
+general-purpose query surface next to the CDC spine: wide hash
+aggregation over the fact table, a multi-way star join with broadcast
+dims, and a windowed top-k.
+
+Scale notes: the lineitem scans project only the referenced columns
+(ReadSchema pruning) and push the date filters down; dims
+(nation/customer at fact-scale ratios) broadcast under the 64 MB
+threshold so the star join is shuffle-free on the fact side except the
+final aggregation exchange. Money math runs in DECIMAL(18,2)/(38,4) and
+is cast to double only at the edge, so the oracle hash can't drift with
+aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from transfer_spark.session import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Pricing summary (TPC-H Q1 shape): one-pass wide aggregation.
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    disc_price = (price * (F.lit(1).cast("decimal(18,4)") - disc)).cast(
+        "decimal(38,6)"
+    )
+    agg = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("__sq"),
+            F.sum(price).alias("__sp"),
+            F.sum(disc_price).alias("__sdp"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("__sq").cast("double").alias("sum_qty"),
+        F.col("__sp").cast("double").alias("sum_base_price"),
+        F.col("__sdp").cast("double").alias("sum_disc_price"),
+        F.round(F.col("__sq").cast("double") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("__sp").cast("double") / F.col("count_order"), 6).alias("avg_price"),
+        "count_order",
+    )
+
+
+ORACLE_PRICING = """
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6))) AS sdp,
+    COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+  CAST(sq AS DOUBLE) AS sum_qty,
+  CAST(sp AS DOUBLE) AS sum_base_price,
+  CAST(sdp AS DOUBLE) AS sum_disc_price,
+  round(CAST(sq AS DOUBLE) / count_order, 6) AS avg_qty,
+  round(CAST(sp AS DOUBLE) / count_order, 6) AS avg_price,
+  count_order
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Star join: revenue per nation (customer ⋈ orders ⋈ lineitem ⋈ nation).
+# --------------------------------------------------------------------------
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(38,6)")
+    j = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum(revenue).alias("__rev"), F.count(F.lit(1)).alias("n_lineitems"))
+        .select("n_name", F.col("__rev").cast("double").alias("revenue"), "n_lineitems")
+    )
+
+
+ORACLE_REVENUE = """
+SELECT n_name,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Windowed top-k: 3 highest-value orders per market segment.
+# --------------------------------------------------------------------------
+
+def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+ORACLE_TOP_ORDERS = """
+SELECT c_mktsegment, o_orderkey, o_totalprice,
+  row_number() OVER (PARTITION BY c_mktsegment
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+FROM orders JOIN customer ON o_custkey = c_custkey
+QUALIFY rnk <= 3
+"""
+
+
+QUERIES = {
+    "olap_pricing_summary": (q_pricing_summary, ORACLE_PRICING),
+    "olap_revenue_by_nation": (q_revenue_by_nation, ORACLE_REVENUE),
+    "olap_top_orders_per_segment": (q_top_orders_per_segment, ORACLE_TOP_ORDERS),
+}
