@@ -1,0 +1,102 @@
+"""transformWithStateInPandas CDC fold: end-state equivalence against the
+batch fold across micro-batches + checkpoint resume (mirror of the
+applyInPandasWithState test, on Spark 4's new arbitrary-state API)."""
+
+import json
+import os
+
+import pytest
+
+# Spark's TWS Python worker speaks a protobuf state protocol; the
+# container ships no google.protobuf (see README environment blockers).
+pytest.importorskip("google.protobuf")
+
+from pyspark.sql.types import StructType  # noqa: E402
+
+from transfer_spark.constants import DELETE_COLUMN_MARKER, OFFSET_COLUMN
+from transfer_spark.operators.cdc_fold import cdc_fold
+
+DEL = DELETE_COLUMN_MARKER
+OFF = OFFSET_COLUMN
+OP = "__artie_operation"
+
+EVENTS = [
+    (1, 1, False, "signup", 1.0, "c"),
+    (2, 2, False, "click", 2.0, "c"),
+    (1, 3, False, "__debezium_unavailable_value", 3.0, "u"),  # TOAST etype
+    (2, 4, True, None, None, "d"),  # delete inherits click/2.0, keeps op 'd'
+    (3, 5, False, "view", 5.0, "c"),
+    (1, 6, False, "refund", 6.0, "u"),
+]
+
+WIRE_DDL = (
+    f"id bigint, {OFF} bigint, {DEL} boolean, etype string, val double, {OP} string"
+)
+OUT_DDL = f"id bigint, etype string, val double, {DEL} boolean, {OP} string"
+
+
+def _write(src, rows, name):
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, f"{name}.json"), "w") as f:
+        for r in rows:
+            f.write(
+                json.dumps(
+                    {"id": r[0], OFF: r[1], DEL: r[2], "etype": r[3],
+                     "val": r[4], OP: r[5]}
+                )
+                + "\n"
+            )
+
+
+def test_tws_fold_matches_batch_fold(spark, tmp_path):
+    from transfer_spark.streaming.stateful_tws import (
+        require_rocksdb_state_store,
+        stateful_fold_tws,
+    )
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    require_rocksdb_state_store(spark)
+    try:
+        src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+        results = {}
+
+        def collect_batch(df, _bid):
+            for r in df.collect():
+                results[r.id] = (r.etype, r.val, r[DEL], r[OP])
+
+        out_schema = StructType.fromDDL(OUT_DDL)
+
+        def run_once():
+            stream = spark.readStream.schema(WIRE_DDL).json(src)
+            q = (
+                stateful_fold_tws(stream, ["id"], OFF, out_schema)
+                .writeStream.outputMode("update")
+                .foreachBatch(collect_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        # two micro-batches; the second resumes RocksDB state from ckpt
+        _write(src, EVENTS[:3], "b0")
+        run_once()
+        _write(src, EVENTS[3:], "b1")
+        run_once()
+
+        batch = spark.createDataFrame(EVENTS, ["id", OFF, DEL, "etype", "val", OP])
+        expect = {
+            r.id: (r.etype, r.val, r[DEL], r[OP])
+            for r in cdc_fold(batch, ["id"], OFF).collect()
+        }
+        assert results == expect
+        # TOAST carried then overwritten; delete inherits values, keeps own op
+        assert results[1] == ("refund", 6.0, False, "u")
+        assert results[2] == ("click", 2.0, True, "d")
+    finally:
+        if prev_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )

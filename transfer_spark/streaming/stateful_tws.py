@@ -1,0 +1,97 @@
+"""Continuous stateful CDC fold on Spark 4's ``transformWithStateInPandas``.
+
+Same fold semantics as :mod:`transfer_spark.streaming.stateful`
+(applyInPandasWithState) — one current row per PK held in the state
+store, delete-inherit + TOAST carry-forward per event, update-mode
+output of changed PKs — but on the NEW arbitrary-state API:
+
+- typed ``ValueState`` handles instead of a single GroupState tuple;
+- native per-state TTL (``ttlDurationMs``) instead of manual
+  processing-time timeouts — eviction happens in the store, no
+  timed-out-key callback path in Python;
+- requires the RocksDB state store provider
+  (``spark.sql.streaming.stateStore.providerClass``), which is also the
+  right provider at 100 TB: state lives off-heap/on-disk per executor
+  with incremental checkpointing, so the PK space can exceed executor
+  memory.
+
+The reference semantics spec is the same as the batch fold
+(lib/optimization/table_data.go:169-222 InsertRow); equivalence against
+``cdc_fold`` is pinned in tests/test_stateful_tws.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+from pyspark.sql.types import StructType
+
+from transfer_spark.constants import (
+    DELETE_COLUMN_MARKER,
+    TOAST_UNAVAILABLE_VALUE,
+)
+from transfer_spark.streaming.stateful import _fold_rows_into_state
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def require_rocksdb_state_store(spark) -> None:
+    """transformWithState only runs on the RocksDB state store provider;
+    set it for the session (runtime-settable, read at query start)."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+
+
+def stateful_fold_tws(
+    decoded_stream,
+    pk_cols: list[str],
+    order_col: str,
+    output_schema: StructType,
+    delete_col: str = DELETE_COLUMN_MARKER,
+    toast_sentinel: str = TOAST_UNAVAILABLE_VALUE,
+    state_ttl_minutes: int | None = None,
+):
+    """Group the streaming CDC frame by PK and fold with a ``ValueState``
+    per PK. Output contract matches :func:`stateful.stateful_fold`:
+    one row per changed PK per micro-batch (``outputMode("update")``)."""
+    out_fields = [f.name for f in output_schema.fields]
+    value_cols = [f for f in out_fields if f not in pk_cols and f != delete_col]
+    ttl_ms = state_ttl_minutes * 60_000 if state_ttl_minutes else None
+
+    class _FoldProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._cur = handle.getValueState("current", output_schema, ttl_ms)
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timer_values
+        ) -> Iterator[pd.DataFrame]:
+            batch = pd.concat(list(rows))
+            if len(batch) == 0:
+                return
+            batch = batch.sort_values(order_col)
+            current = None
+            if self._cur.exists():
+                got = dict(zip(out_fields, self._cur.get()))
+                current = {k: v for k, v in got.items() if k not in pk_cols}
+            folded = _fold_rows_into_state(
+                current, batch, value_cols, delete_col, toast_sentinel
+            )
+            out = {**dict(zip(pk_cols, key)), **folded}
+            self._cur.update(tuple(out.get(f) for f in out_fields))
+            yield pd.DataFrame([{f: out.get(f) for f in out_fields}])
+
+        def close(self) -> None:
+            pass
+
+    return decoded_stream.groupBy(*pk_cols).transformWithStateInPandas(
+        statefulProcessor=_FoldProcessor(),
+        outputStructType=output_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
