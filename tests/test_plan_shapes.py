@@ -1,0 +1,74 @@
+"""Plan-shape regression tests: the scale contract, pinned.
+
+Correctness is the oracle gate's job; these tests pin the PLAN
+properties that make the catalog survive a 100x scale-up — a future
+edit that silently turns a bucketed equi-join into a nested-loop join,
+drops a broadcast, or un-pushes a scan filter fails here, at sf0.001
+cost."""
+
+from __future__ import annotations
+
+import pytest
+
+from transfer_spark.workloads import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Queries whose SEMANTICS are all-pairs verification on a bounded set —
+# a nested-loop join is their documented contract (small-n verifiers or
+# bounded-broadcast probes), so they are exempt from the no-cartesian rule.
+ALLPAIRS_OK = {
+    "dedupe_ngram_jaccard",     # labeled small-n verifier (docstring)
+    "embedding_neardup",        # triangular block grid: bounded cell cross
+    "ann_bruteforce_topk",      # broadcast query side x corpus (bounded)
+    "dedupe_lsh_verified",      # verify stage on candidate pairs
+}
+
+
+def _plan(spark, name: str) -> str:
+    fn, _ = QUERIES[name]
+    return fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_accidental_cartesian(spark, name):
+    plan = _plan(spark, name)
+    if name in ALLPAIRS_OK:
+        pytest.skip("all-pairs by contract")
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    # BroadcastNestedLoopJoin is fine only when one side is a bounded
+    # broadcast (centroids/queries/dims); flag plain inner NLJs.
+    assert "BroadcastNestedLoopJoin Inner" not in plan.replace(
+        "BuildRight, Inner", "Inner"
+    ) or "broadcast" in name, f"{name} plans an inner nested-loop join"
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(spark, "olap_revenue_by_nation")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_pricing_summary_pushes_filter_and_prunes(spark):
+    plan = _plan(spark, "olap_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan
+    # projection pruning: the scan must not read the join keys we don't use
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_sessionize_single_exchange(spark):
+    plan = _plan(spark, "events_sessionize")
+    assert plan.count("Exchange") == 1
+
+
+def test_asof_join_single_exchange(spark):
+    plan = _plan(spark, "events_asof_join")
+    assert plan.count("Exchange") == 1
+
+
+def test_simhash_no_exchange_between_explode_and_agg(spark):
+    # the explode -> partial agg must be map-side; the only exchanges are
+    # the (optional) parallelizing repartition before the explode and the
+    # final agg shuffle of 32 sums per doc
+    plan = _plan(spark, "dedupe_simhash")
+    assert plan.count("Exchange") <= 2
