@@ -369,8 +369,115 @@ FROM events GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Funnel: ordered signup → click → purchase sequence per user.
+# --------------------------------------------------------------------------
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: each stage is the user's FIRST event of
+    that type strictly after the previous stage (not just any-time
+    occurrence — ordering is the point of a funnel). Three keyed min-aggs
+    chained by joins; every stage output is user-cardinality, so the
+    chained joins stay small and broadcastable regardless of event
+    volume."""
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("t")
+    )
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_signup"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("t") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("t") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_signup", "t_click", "t_purchase")
+    )
+
+
+ORACLE_FUNNEL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+), s AS (
+  SELECT user_id, min(t) AS t_signup FROM e WHERE event_type = 'signup' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(t) AS t_click
+  FROM e JOIN s USING (user_id)
+  WHERE event_type = 'click' AND t > t_signup GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(t) AS t_purchase
+  FROM e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND t > t_click GROUP BY 1
+)
+SELECT s.user_id, s.t_signup, c.t_click, p.t_purchase
+FROM s LEFT JOIN c ON s.user_id = c.user_id
+       LEFT JOIN p ON s.user_id = p.user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users grouped by first-seen day, activity at +N days.
+# --------------------------------------------------------------------------
+
+_DAY_US = 86_400 * 1_000_000
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: cohort = the user's first active day;
+    one row per (cohort_day, day_offset) counting distinct active users.
+    Two aggregations and a broadcast join on the user-cardinality cohort
+    table — event volume only flows through the first distinct."""
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros(F.date_trunc("DAY", F.col("ts"))).alias("day_us"),
+    ).distinct()
+    cohort = e.groupBy("user_id").agg(F.min("day_us").alias("cohort_day_us"))
+    return (
+        e.join(F.broadcast(cohort), "user_id")
+        .select(
+            "user_id",
+            "cohort_day_us",
+            ((F.col("day_us") - F.col("cohort_day_us")) / _DAY_US)
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .groupBy("cohort_day_us", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_RETENTION = f"""
+WITH e AS (
+  SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts)) AS day_us FROM events
+), cohort AS (
+  SELECT user_id, min(day_us) AS cohort_day_us FROM e GROUP BY 1
+)
+SELECT cohort_day_us,
+  CAST((day_us - cohort_day_us) / {_DAY_US} AS BIGINT) AS day_offset,
+  count(DISTINCT e.user_id) AS n_users
+FROM e JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+    "events_funnel": (q_funnel, ORACLE_FUNNEL),
+    "events_retention_cohort": (q_retention, ORACLE_RETENTION),
     "events_quantiles": (q_quantiles, ORACLE_QUANTILES),
     "events_hopping_window": (q_hopping_window, ORACLE_HOPPING),
     "events_pivot_daily": (q_pivot_daily, ORACLE_PIVOT),
