@@ -107,6 +107,43 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
 """
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for each signup, the user's FIRST purchase
+    at-or-after it (time-to-conversion)."""
+    e = _events(spark, sf_dir)
+    s = e.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    j = TP.asof_join(
+        s, p,
+        on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id", "ts"], right_order="event_id",
+        direction="forward",
+    )
+    return j.select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.col("event_id_asof").alias("purchase_id"),
+        (F.unix_micros(F.col("ts_asof")) - F.unix_micros(F.col("ts"))).alias(
+            "conversion_us"
+        ),
+    )
+
+
+ORACLE_ASOF_FORWARD = """
+WITH s AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+  WHERE event_type = 'signup'
+), p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT s.event_id AS signup_id, s.user_id, s.t AS t_us,
+  p.event_id AS purchase_id, p.t - s.t AS conversion_us
+FROM s ASOF LEFT JOIN p ON s.user_id = p.user_id AND s.t <= p.t
+"""
+
+
 # --------------------------------------------------------------------------
 # Range join: errors within 1h after each purchase, as a bucketed equi-join.
 # --------------------------------------------------------------------------
@@ -482,6 +519,7 @@ QUERIES = {
     "events_hopping_window": (q_hopping_window, ORACLE_HOPPING),
     "events_pivot_daily": (q_pivot_daily, ORACLE_PIVOT),
     "events_asof_join": (q_asof_join, ORACLE_ASOF),
+    "events_asof_forward": (q_asof_forward, ORACLE_ASOF_FORWARD),
     "events_range_join": (q_range_join, ORACLE_RANGE),
     "events_rollup": (q_rollup, ORACLE_ROLLUP),
     "kmv_distinct_users": (q_kmv_distinct, ORACLE_KMV),
