@@ -1,0 +1,108 @@
+"""Property tests: the single-shuffle temporal compositions agree with
+naive per-key Python reference implementations on random inputs.
+
+The operators under test replace O(n·m) theta-joins / per-row loops
+with union-window / bucketed-equi-join plans; these properties pin that
+the clever plan IS the naive semantics (ties, empty keys, boundary
+values included). Hypothesis drives the data; examples are kept small —
+the oracle suite covers volume."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from transfer_spark.operators import temporal as TP
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _ts(s: int) -> dt.datetime:
+    return BASE + dt.timedelta(seconds=int(s))
+
+
+# keys from a tiny pool (forces collisions), seconds bounded (forces ties)
+_events = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=14
+)
+
+
+def _mk(spark, rows, id_start=0):
+    return spark.createDataFrame(
+        [Row(k=k, ts=_ts(s), rid=id_start + i) for i, (k, s) in enumerate(rows)]
+    )
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_events, right=_events)
+def test_asof_backward_matches_naive(spark, left, right):
+    if not left:
+        return
+    ldf = _mk(spark, left)
+    rdf = _mk(spark, right, id_start=100) if right else _mk(spark, [(0, 0)], 100).filter("rid < 0")
+    got = {
+        r.rid: r.rid_asof
+        for r in TP.asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["rid"], right_order="rid",
+        ).collect()
+    }
+    for i, (k, s) in enumerate(left):
+        cands = [
+            (rs, 100 + j) for j, (rk, rs) in enumerate(right) if rk == k and rs <= s
+        ]
+        # naive: max ts wins; among equal ts the largest order id wins
+        expect = max(cands)[1] if cands else None
+        assert got[i] == expect, (left, right, i)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_events, right=_events, window=st.integers(1, 20))
+def test_range_join_matches_naive(spark, left, right, window):
+    if not left or not right:
+        return
+    ldf = _mk(spark, left)
+    rdf = _mk(spark, right, id_start=100)
+    j = TP.bucketed_range_join(
+        ldf, rdf, on="k", left_ts="ts", right_ts="ts",
+        window_seconds=window, right_cols=["rid"],
+    )
+    got = {}
+    for r in j.collect():
+        got.setdefault(r.rid, set())
+        if r.rid_in_range is not None:
+            got[r.rid].add(r.rid_in_range)
+    for i, (k, s) in enumerate(left):
+        expect = {
+            100 + j2
+            for j2, (rk, rs) in enumerate(right)
+            if rk == k and s < rs <= s + window
+        }
+        assert got[i] == expect, (left, right, window, i)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_events, gap=st.integers(1, 20))
+def test_sessionize_matches_naive(spark, rows, gap):
+    if not rows:
+        return
+    df = _mk(spark, rows)
+    got = {
+        r.rid: (r.k, r.session_id)
+        for r in TP.sessionize(df, "k", "ts", gap_seconds=gap, order_col="rid").collect()
+    }
+    # naive: per key, sort by (ts, rid), break when delta > gap
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for i, (k, s) in enumerate(rows):
+        by_key.setdefault(k, []).append((s, i))
+    for k, evs in by_key.items():
+        evs.sort()
+        sid, prev = 0, None
+        for s, rid in evs:
+            if prev is None or s - prev > gap:
+                sid += 1
+            prev = s
+            assert got[rid] == (k, sid), (rows, gap, rid)
