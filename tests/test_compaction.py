@@ -1,0 +1,75 @@
+"""Bucket compaction: fragmented bucket directories collapse to one file
+each with bit-identical content; untouched buckets' files are not
+rewritten (the OPTIMIZE-scoped-to-fragmented-partitions contract)."""
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from transfer_spark.streaming.pipeline import BucketedParquetTable
+
+
+def _files(table, bucket):
+    d = os.path.join(table.path, f"{table.BUCKET_COL}={bucket}")
+    return sorted(
+        f for f in os.listdir(d) if f.endswith(".parquet")
+    ), d
+
+
+def test_compact_fragmented_buckets_only(spark, tmp_path):
+    t = BucketedParquetTable(spark, str(tmp_path / "tbl"), ["id"], n_buckets=4)
+    rows = [Row(id=i, v=f"v{i}") for i in range(40)]
+    t.init(spark.createDataFrame(rows).repartition(1))
+
+    # fragment ONE bucket by appending small files into its directory
+    frag_bucket = (
+        spark.createDataFrame([Row(id=0)])
+        .select(F.pmod(F.xxhash64("id"), F.lit(4)).cast("int").alias("b"))
+        .collect()[0]
+        .b
+    )
+    extra = [Row(id=1000 + i, v=f"x{i}") for i in range(6)]
+    for r in extra:
+        one = spark.createDataFrame([r])
+        # keep only rows that actually hash to the fragmented bucket...
+        # simpler: write into the bucket dir directly with the column set
+        (
+            one.withColumn(t.BUCKET_COL, F.lit(frag_bucket))
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy(t.BUCKET_COL)
+            .parquet(t.path)
+        )
+
+    before = t.read().count()
+    frag_files, _ = _files(t, frag_bucket)
+    assert len(frag_files) > 4
+
+    other_bucket = next(b for b in range(4) if b != frag_bucket)
+    other_before, other_dir = _files(t, other_bucket)
+    other_mtimes = {
+        f: os.path.getmtime(os.path.join(other_dir, f)) for f in other_before
+    }
+
+    content_before = sorted(
+        (r.id, r.v) for r in t.read().collect()
+    )
+
+    compacted = t.compact(max_files=4)
+    assert compacted == [frag_bucket]
+
+    after_files, _ = _files(t, frag_bucket)
+    assert len(after_files) == 1
+    # untouched bucket: same files, same mtimes (not rewritten)
+    other_after, _ = _files(t, other_bucket)
+    assert other_after == other_before
+    assert all(
+        os.path.getmtime(os.path.join(other_dir, f)) == other_mtimes[f]
+        for f in other_after
+    )
+    # content identical, row count preserved
+    assert t.read().count() == before
+    assert sorted((r.id, r.v) for r in t.read().collect()) == content_before
+    # idempotent: nothing left to compact
+    assert t.compact(max_files=4) == []

@@ -214,6 +214,53 @@ class BucketedParquetTable:
             if os.path.isdir(d):
                 shutil.rmtree(d)
 
+    def fragmented_buckets(self, max_files: int = 4) -> list[int]:
+        """Buckets whose directory holds more than ``max_files`` parquet
+        files. Frequent small flushes fragment bucket directories (each
+        rewrite can emit one file per shuffle task, appends emit one per
+        batch); fragmentation multiplies open-file cost on every
+        subsequent pruned read. Listing is metadata-only — the
+        lakehouse equivalent reads the file manifest."""
+        out = []
+        prefix = f"{self.BUCKET_COL}="
+        for entry in sorted(os.listdir(self.path)):
+            if not entry.startswith(prefix):
+                continue
+            d = os.path.join(self.path, entry)
+            n = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+            if n > max_files:
+                out.append(int(entry[len(prefix):]))
+        return out
+
+    def compact(self, max_files: int = 4) -> list[int]:
+        """OPTIMIZE-style maintenance: rewrite fragmented buckets as one
+        file each, leaving every other bucket's files untouched (dynamic
+        partition overwrite scoped to the fragmented buckets only).
+        Content is bit-identical — this is purely a file-layout rewrite,
+        the same operation Delta's OPTIMIZE / Iceberg's rewrite_data_files
+        performs. Returns the compacted bucket ids."""
+        from pyspark.sql import functions as F
+
+        bks = self.fragmented_buckets(max_files)
+        if not bks:
+            return []
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(self.path)
+            .filter(F.col(self.BUCKET_COL).isin(bks))
+        )
+        # hash-partition on the bucket col: each bucket lands in exactly
+        # one task -> exactly one output file per bucket directory
+        df = df.repartition(len(bks), F.col(self.BUCKET_COL))
+        df = df.localCheckpoint(eager=True)  # reading the dir we rewrite
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.BUCKET_COL)
+            .parquet(self.path)
+        )
+        return bks
+
 
 class ReplicationPipeline:
     """The flush body (O1/O4): fold the micro-batch, evolve the target,
