@@ -1,0 +1,37 @@
+"""Decode robustness: malformed envelopes must not kill the stream.
+
+The reference consumer logs-and-skips events it cannot parse; the Spark
+decode's equivalent contract is PERMISSIVE from_json — corrupt JSON
+yields NULL fields (and op NULL → treated as non-delete, row of NULLs)
+rather than a task failure. This pins that a poison-pill message cannot
+take down a 1000-executor ingestion job."""
+
+from pyspark.sql import Row
+
+from transfer_spark.constants import DELETE_COLUMN_MARKER
+from transfer_spark.sources.debezium import decode_envelope
+
+ROW_DDL = "struct<id: bigint, name: string>"
+
+
+def test_malformed_envelope_yields_null_row_not_failure(spark):
+    good = '{"after": {"id": 1, "name": "a"}, "op": "c"}'
+    rows = [
+        Row(value=good),
+        Row(value="{not json at all"),
+        Row(value='{"after": "not-a-struct", "op": "c"}'),
+        Row(value=None),  # tombstone: dropped entirely
+        Row(value='{"op": "d", "before": {"id": 2, "name": "b"}}'),
+    ]
+    df = spark.createDataFrame(rows)
+    out = decode_envelope(df, "value", ROW_DDL).collect()
+
+    # tombstone dropped; the other four rows all decode without failing
+    assert len(out) == 4
+    by_id = {r.id: r for r in out}
+    assert by_id[1].name == "a" and by_id[1][DELETE_COLUMN_MARKER] is False
+    assert by_id[2].name == "b" and by_id[2][DELETE_COLUMN_MARKER] is True
+    # corrupt payloads: NULL fields, non-delete markers, no exception
+    null_rows = [r for r in out if r.id is None]
+    assert len(null_rows) == 2
+    assert all(r[DELETE_COLUMN_MARKER] is False for r in null_rows)

@@ -74,9 +74,13 @@ def decode_envelope(
         env["source"].alias("__source"),
     )
     cols = [F.col(f"__row.{f}").alias(f) for f in _row_field_names(df, row_ddl)]
+    # coalesce: a corrupt envelope parses to NULL op; the marker must be
+    # FALSE (non-delete), not three-valued NULL — a NULL marker would
+    # silently vanish under downstream `~delete` filters
+    is_del = F.coalesce(F.col("__op") == "d", F.lit(False))
     meta = [
-        (F.col("__op") == "d").alias(DELETE_COLUMN_MARKER),
-        (F.col("__op") == "d").alias(ONLY_SET_DELETE_COLUMN_MARKER),
+        is_del.alias(DELETE_COLUMN_MARKER),
+        is_del.alias(ONLY_SET_DELETE_COLUMN_MARKER),
     ]
     if include_artie_operation:
         meta.append(F.col("__op").alias(OPERATION_COLUMN))

@@ -286,6 +286,47 @@ FROM est JOIN exact ON est.event_type = exact.event_type
 
 
 # --------------------------------------------------------------------------
+# Semi-structured props extraction: JSON path into typed aggregation.
+# --------------------------------------------------------------------------
+
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the semi-structured `props` JSON column +
+    aggregation — `get_json_object` stays JVM-side (whole-stage codegen,
+    no Python). Integer sums are exact; the mean is derived from them so
+    both engines compute the identical double."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .select(
+            "event_type", "n_with_k", "min_k", "max_k", "sum_k",
+            F.round(F.col("sum_k") / F.col("n_with_k"), 6).alias("avg_k"),
+        )
+    )
+
+
+ORACLE_PROPS = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+  count(k) AS n_with_k, min(k) AS min_k, max(k) AS max_k,
+  CAST(sum(k) AS BIGINT) AS sum_k,
+  round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
+FROM e GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Exact interpolated quantiles (percentile / quantile_cont parity).
 # --------------------------------------------------------------------------
 
@@ -516,6 +557,7 @@ QUERIES = {
     "events_funnel": (q_funnel, ORACLE_FUNNEL),
     "events_retention_cohort": (q_retention, ORACLE_RETENTION),
     "events_quantiles": (q_quantiles, ORACLE_QUANTILES),
+    "event_props_extract": (q_props_extract, ORACLE_PROPS),
     "events_hopping_window": (q_hopping_window, ORACLE_HOPPING),
     "events_pivot_daily": (q_pivot_daily, ORACLE_PIVOT),
     "events_asof_join": (q_asof_join, ORACLE_ASOF),
