@@ -17,6 +17,42 @@ def _files(table, bucket):
     ), d
 
 
+def test_pipeline_maintenance_compacts_bucketed_tables(spark, tmp_path):
+    from transfer_spark.streaming.pipeline import MultiTablePipeline
+
+    mtp = MultiTablePipeline(
+        spark, str(tmp_path / "base"), "tbl", ["id"], "off",
+        table_format="bucketed", n_buckets=4,
+        compact_every_n_batches=1, compact_max_files=2,
+    )
+    pipe = mtp._pipeline_for("t1")
+    t = pipe.table
+    t.init(spark.createDataFrame([Row(id=i, v=i) for i in range(20)]).repartition(1))
+    # fragment bucket 0 with three extra single-row files
+    for i in range(3):
+        (
+            spark.createDataFrame([Row(id=100 + i, v=0)])
+            .withColumn(t.BUCKET_COL, F.lit(0))
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy(t.BUCKET_COL)
+            .parquet(t.path)
+        )
+    before = t.read().count()
+    assert len(_files(t, 0)[0]) > 2
+    compacted = mtp.run_maintenance()
+    assert compacted == {"t1": [0]}
+    assert len(_files(t, 0)[0]) == 1
+    assert t.read().count() == before
+    # non-bucketed pipelines are a no-op
+    mtp2 = MultiTablePipeline(
+        spark, str(tmp_path / "base2"), "tbl", ["id"], "off",
+        table_format="versioned",
+    )
+    mtp2._pipeline_for("t1")
+    assert mtp2.run_maintenance() == {}
+
+
 def test_compact_fragmented_buckets_only(spark, tmp_path):
     t = BucketedParquetTable(spark, str(tmp_path / "tbl"), ["id"], n_buckets=4)
     rows = [Row(id=i, v=f"v{i}") for i in range(40)]

@@ -518,6 +518,8 @@ class MultiTablePipeline:
         max_parallel_flushes: int = 8,
         table_format: str = "versioned",
         n_buckets: int = 64,
+        compact_every_n_batches: int | None = None,
+        compact_max_files: int = 8,
     ):
         self.spark = spark
         self.base_path = base_path
@@ -528,6 +530,13 @@ class MultiTablePipeline:
         self.max_parallel_flushes = max_parallel_flushes
         self.table_format = table_format
         self.n_buckets = n_buckets
+        # opt-in maintenance cadence: every N batches, compact fragmented
+        # buckets of each bucketed table (the OPTIMIZE-after-K-commits
+        # pattern); runs AFTER the flush fan-out so it never delays the
+        # batch's own writes, and skips cleanly on non-bucketed formats
+        self.compact_every_n_batches = compact_every_n_batches
+        self.compact_max_files = compact_max_files
+        self._batches_seen = 0
         self.pipelines: dict[str, ReplicationPipeline] = {}
 
     def _pipeline_for(self, table: str) -> ReplicationPipeline:
@@ -599,3 +608,22 @@ class MultiTablePipeline:
                 list(ex.map(_flush, tables))
         finally:
             batch_df.unpersist()
+        self._batches_seen += 1
+        if (
+            self.compact_every_n_batches
+            and self._batches_seen % self.compact_every_n_batches == 0
+        ):
+            self.run_maintenance()
+
+    def run_maintenance(self) -> dict[str, list[int]]:
+        """Compact fragmented buckets of every bucketed table (no-op for
+        other formats). Runs post-flush so a failure here cannot lose a
+        committed batch — compaction is layout-only and re-runnable."""
+        compacted: dict[str, list[int]] = {}
+        for name, pipe in self.pipelines.items():
+            table = getattr(pipe, "table", None)
+            if isinstance(table, BucketedParquetTable) and table.exists():
+                done = table.compact(max_files=self.compact_max_files)
+                if done:
+                    compacted[name] = done
+        return compacted
