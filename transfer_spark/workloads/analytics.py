@@ -150,8 +150,68 @@ QUALIFY rnk <= 3
 """
 
 
+# --------------------------------------------------------------------------
+# Anti / semi joins + global top-k.
+# --------------------------------------------------------------------------
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no big-ticket order (>300k). The
+    anti join keeps the probe side streaming — no row widening, and the
+    filter lands on the build side BEFORE the join keys shuffle."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300_000)
+        .select("o_custkey")
+    )
+    return cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+"""
+
+
+def q_parts_ordered_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: parts that appear in at least one lineitem —
+    existence check without duplicating matches (the dedup a plain inner
+    join + distinct would shuffle for free)."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    return part.join(li, part["p_partkey"] == li["l_partkey"], "left_semi")
+
+
+ORACLE_SEMI = """
+SELECT p_partkey, p_name, p_brand FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+"""
+
+
+def q_top_events_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 by value: orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition top-k then a bounded merge,
+    never a full global sort. The deterministic tiebreak (event_id)
+    makes the row SET stable, so the unordered-multiset oracle compare
+    is exact."""
+    e = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return e.orderBy(F.desc("value"), F.asc("event_id")).limit(100)
+
+
+ORACLE_TOP_GLOBAL = """
+SELECT event_id, event_type, value FROM events
+ORDER BY value DESC, event_id LIMIT 100
+"""
+
+
 QUERIES = {
     "olap_pricing_summary": (q_pricing_summary, ORACLE_PRICING),
+    "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
+    "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),
+    "top_events_global": (q_top_events_global, ORACLE_TOP_GLOBAL),
     "olap_revenue_by_nation": (q_revenue_by_nation, ORACLE_REVENUE),
     "olap_top_orders_per_segment": (q_top_orders_per_segment, ORACLE_TOP_ORDERS),
 }
