@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from transfer_spark.session import read_table
 
 from transfer_spark.operators import dedupe as D
+from transfer_spark.operators import redact as R
 from transfer_spark.operators import text as T
 
 _TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
@@ -596,7 +597,56 @@ QUALIFY stratum_rank <= 15
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credential/PII scrubbing over the corpus (lib/redact/scrub.go:13-66).
+
+    Deterministic PII (e-mail, password kv, card, bearer token, SSN) is
+    synthesized per-row from ``doc_id`` and appended to the document text,
+    then the full 9-rule scrub chain runs JVM-side. The oracle builds the
+    byte-identical string and applies the identical RE2 rule table, so the
+    hash check verifies every replacement byte-for-byte.
+    """
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id").cast("string")
+    i4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    raw = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.lit("contact user"), i, F.lit("@mail"), (F.col("doc_id") % 7).cast("string"), F.lit(".org")),
+        F.concat(F.lit("password=pw"), i),
+        F.concat(F.lit("card 4111-1111-1111-"), i4),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("auth: Bearer tok"), i),
+        ).otherwise(F.lit("no credentials")),
+        F.concat(F.lit("ssn 123-45-"), i4),
+    )
+    scrubbed = R.scrub_text(raw)
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        R.redaction_count(scrubbed).alias("n_redactions"),
+    )
+
+
+_PII_RAW_SQL = """concat_ws(' ', text,
+  'contact user' || CAST(doc_id AS VARCHAR) || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.org',
+  'password=pw' || CAST(doc_id AS VARCHAR),
+  'card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+  CASE WHEN doc_id % 3 = 0 THEN 'auth: Bearer tok' || CAST(doc_id AS VARCHAR) ELSE 'no credentials' END,
+  'ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"""
+
+
+def _pii_scrub_sql() -> str:
+    scrubbed = R.scrub_sql(_PII_RAW_SQL)
+    return f"""
+WITH s AS (SELECT doc_id, {scrubbed} AS scrubbed FROM documents)
+SELECT doc_id, scrubbed, {R.redaction_count_sql('scrubbed')} AS n_redactions FROM s
+"""
+
+
 QUERIES = {
+    "pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF),
     "doc_repetition": (q_doc_repetition, ORACLE_DOC_REPETITION),
