@@ -390,3 +390,35 @@ def kmeans_centroids(
             )
         )
     return cent
+
+
+def quantize_int8(vec: Column) -> tuple[Column, Column]:
+    """Symmetric per-vector int8 quantization: q_i = floor(x_i/scale*127
+    + 0.5), scale = max|x_i| — the storage form large embedding corpora
+    actually ship (4x smaller than float32, dot products stay rank-
+    faithful). Returns (scale, q).
+
+    Pure codegen (transform/array_max); floor(x+0.5) instead of round()
+    because IEEE floor is bit-identical across engines while half-up vs
+    half-even rounding of doubles is not. No clamp needed: |x| <= scale
+    means x/scale*127 + 0.5 lands in [-126.5, 127.5), whose floor stays
+    within int8 range.
+    """
+    xd = vec.cast("array<double>")
+    scale = F.array_max(F.transform(xd, F.abs))
+    q = F.transform(xd, lambda x: F.floor(x / scale * F.lit(127.0) + F.lit(0.5)))
+    return scale, q
+
+
+def dequant_sq_error(vec: Column, q: Column, scale: Column) -> Column:
+    """Sum of squared reconstruction error of the int8 form — sequential
+    left-fold so the float arithmetic order matches a SQL list_reduce
+    term for term."""
+    xd = vec.cast("array<double>")
+    err = F.zip_with(
+        xd,
+        q,
+        lambda x, qq: (x - qq * scale / F.lit(127.0))
+        * (x - qq * scale / F.lit(127.0)),
+    )
+    return F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x)

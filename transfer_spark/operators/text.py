@@ -108,6 +108,43 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+def char_entropy(df, id_col: str, text_col: str):
+    """Per-document character-unigram Shannon entropy — a cheap quality
+    signal (near-zero entropy = degenerate/repetitive text a pretraining
+    corpus should drop).
+
+    Distributed shape: explode to (doc, char), hash-aggregate counts
+    (map-side combinable), then one more hash aggregate per doc using
+    the identity  H = log2(n) - (Σ c·log2 c)/n  so no window or second
+    scan is needed. Both aggregations shuffle fixed-width keys; nothing
+    is order-dependent beyond double-sum rounding (rounded to 6dp).
+    """
+    ch = df.select(
+        id_col,
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit("(.)"))).alias("ch"),
+    )
+    counts = ch.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
+    c = F.col("c").cast("double")
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_chars_seen"),
+            F.count("*").alias("n_unique_chars"),
+            F.sum(c * F.log2(c)).alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_chars_seen",
+            "n_unique_chars",
+            F.round(
+                F.log2(F.col("n_chars_seen").cast("double"))
+                - F.col("_s") / F.col("n_chars_seen").cast("double"),
+                6,
+            ).alias("char_entropy"),
+        )
+    )
+
+
 def split_bucket(key: Column, n_buckets: int = 10_000) -> Column:
     """Deterministic split bucket in [0, n_buckets): first 8 hex chars of
     md5(key) mod n. Engine-portable (md5 + hex-parse exist everywhere),

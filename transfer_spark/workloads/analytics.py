@@ -207,8 +207,78 @@ ORDER BY value DESC, event_id LIMIT 100
 """
 
 
+def q_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue per order-priority with a 7-row moving average,
+    running total, and share-of-priority — the ordered-window analytics
+    family (ROWS frame + running frame + partition total in one pass).
+
+    Scale shape: the fact scan reduces to (priority × day) cardinality in
+    a map-side-combinable hash aggregate BEFORE any window runs; the
+    three window functions share one partitioning (priority), so it's a
+    single bounded-size shuffle + per-partition sort, never a global
+    single-partition window. Money stays DECIMAL until the final rounded
+    doubles, so the hash compare can't drift with aggregation order.
+    """
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            "o_orderpriority",
+            F.unix_micros(F.date_trunc("DAY", F.col("o_orderdate"))).alias("day_us"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w7 = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_us")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    return daily.select(
+        "o_orderpriority",
+        "day_us",
+        "n_orders",
+        F.col("_rev").alias("revenue"),
+        F.round(
+            F.sum("_rev").over(w7).cast("double") / F.count("*").over(w7), 6
+        ).alias("movavg_7d"),
+        F.sum("_rev").over(wcum).alias("cum_revenue"),
+        F.round(
+            F.col("_rev").cast("double") / F.sum("_rev").over(wall).cast("double"), 6
+        ).alias("share_of_priority"),
+    )
+
+
+ORACLE_MOVAVG = """
+WITH daily AS (
+  SELECT o_orderpriority,
+         epoch_us(date_trunc('day', o_orderdate)) AS day_us,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS _rev,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, day_us, n_orders, _rev AS revenue,
+  round(CAST(SUM(_rev) OVER w7 AS DOUBLE) / COUNT(*) OVER w7, 6) AS movavg_7d,
+  SUM(_rev) OVER wcum AS cum_revenue,
+  round(CAST(_rev AS DOUBLE) / CAST(SUM(_rev) OVER wall AS DOUBLE), 6) AS share_of_priority
+FROM daily
+WINDOW
+  w7 AS (PARTITION BY o_orderpriority ORDER BY day_us ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+  wcum AS (PARTITION BY o_orderpriority ORDER BY day_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  wall AS (PARTITION BY o_orderpriority)
+"""
+
+
 QUERIES = {
     "olap_pricing_summary": (q_pricing_summary, ORACLE_PRICING),
+    "revenue_moving_avg": (q_revenue_moving_avg, ORACLE_MOVAVG),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),
     "top_events_global": (q_top_events_global, ORACLE_TOP_GLOBAL),

@@ -645,8 +645,31 @@ SELECT doc_id, scrubbed, {R.redaction_count_sql('scrubbed')} AS n_redactions FRO
 """
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-unigram entropy quality signal (two hash aggregates,
+    both map-side combinable; no window, no second scan)."""
+    return T.char_entropy(_docs(spark, sf_dir), "doc_id", "text")
+
+
+ORACLE_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch FROM documents
+), counts AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch
+)
+SELECT doc_id,
+  SUM(c) AS n_chars_seen,
+  COUNT(*) AS n_unique_chars,
+  round(log2(CAST(SUM(c) AS DOUBLE))
+        - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE),
+        6) AS char_entropy
+FROM counts GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
+    "doc_char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF),
     "doc_repetition": (q_doc_repetition, ORACLE_DOC_REPETITION),

@@ -248,7 +248,44 @@ SELECT DISTINCT id_a, id_b FROM (
 """
 
 
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantize the embedding corpus; emit the quantized vector (as
+    csv, the engine-portable projection) plus per-vector scale and
+    reconstruction error. Pure codegen per row — embarrassingly parallel,
+    no shuffle at any scale."""
+    emb = _emb(spark, sf_dir)
+    scale, q = S.quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.array_join(q.cast("array<string>"), ",").alias("q_csv"),
+        F.round(S.dequant_sq_error(F.col("embedding"), q, scale), 9).alias("sq_err"),
+    )
+
+
+ORACLE_QUANTIZE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e
+), qq AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(floor(x/scale*127.0 + 0.5) AS BIGINT)) AS q
+  FROM s
+)
+SELECT vec_id,
+  round(scale, 6) AS scale,
+  array_to_string(q, ',') AS q_csv,
+  round(list_reduce(
+          list_prepend(0.0::DOUBLE,
+            list_transform(range(1, len(v)+1),
+              i -> (v[i] - q[i]*scale/127.0) * (v[i] - q[i]*scale/127.0))),
+          (acc, x) -> acc + x), 9) AS sq_err
+FROM qq
+"""
+
+
 QUERIES = {
+    "embedding_quantize_int8": (q_quantize_int8, ORACLE_QUANTIZE),
     "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
     "ann_lsh_topk": (q_ann_lsh, _lsh_oracle()),
     "ann_ivf_topk": (q_ann_ivf, ORACLE_ANN_IVF),
