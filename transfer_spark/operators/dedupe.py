@@ -447,3 +447,42 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def dup_spans(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> DataFrame:
+    """Passage-level duplication score: the fraction of a document's
+    n-token spans whose text also occurs in ANOTHER document — the
+    span-granular dedup signal (exact-substring dedup a la "Deduplicating
+    Training Data Makes Language Models Better": repeated boilerplate
+    passages inflate memorization even when whole-doc dedup passes).
+
+    Distributed shape, all equi-keyed: explode spans -> 60-bit hash ->
+    groupBy(doc, h) counts (map-side combinable) -> groupBy(h) cross-doc
+    flag via min(doc) != max(doc) (no count-distinct, constant state) ->
+    join back on h (reuses the hash partitioning, no extra exchange) ->
+    per-doc aggregate. Never materializes span text past the hash.
+    """
+    s = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__sp")
+    ).select(id_col, _base_hash(F.col("__sp")).alias("h"))
+    per = s.groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("c"))
+    crossdoc = per.groupBy("h").agg(
+        (F.min(id_col) != F.max(id_col)).alias("is_dup")
+    )
+    dup_c = F.when(F.col("is_dup"), F.col("c")).otherwise(F.lit(0))
+    return (
+        per.join(crossdoc, "h")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.sum(dup_c).alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            F.round(
+                F.col("n_dup_spans") / F.col("n_spans").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+    )

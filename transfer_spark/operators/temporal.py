@@ -244,3 +244,58 @@ def kmv_distinct(
         group_col,
         F.round(F.col("est_raw"), 4).alias("distinct_est"),
     )
+
+
+def kmv_merge_distinct(
+    df: DataFrame,
+    group_col: str,
+    partial_col: str,
+    value_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Two-level KMV: build a sketch per (group, partial) — e.g. per day —
+    then MERGE the partials into one per-group estimate.
+
+    This is the sketch property that matters at 100 TB: partials are
+    computed close to the data (per partition / day / file), are tiny
+    (k doubles), and merge by set-union + re-take-k-smallest without
+    ever revisiting raw rows. Because any element of the global k
+    smallest is also among its own partial's k smallest, the merged
+    sketch equals the single-pass sketch exactly — which is what the
+    oracle checks (it computes the single-pass form).
+    """
+    frac = hash_frac(F.col(value_col).cast("string"))
+    d = (
+        df.select(group_col, partial_col, value_col)
+        .distinct()
+        .select(group_col, partial_col, frac.alias("__frac"))
+    )
+    w1 = Window.partitionBy(group_col, partial_col).orderBy("__frac")
+    partials = (
+        d.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .select(group_col, partial_col, "__frac")
+    )
+    n_partials = partials.groupBy(group_col).agg(
+        F.countDistinct(partial_col).alias("n_partials")
+    )
+    # KMV union = set-union of kept hash values, then re-take k smallest
+    merged = partials.select(group_col, "__frac").distinct()
+    w2 = Window.partitionBy(group_col).orderBy("__frac")
+    kept = merged.withColumn("__rn", F.row_number().over(w2)).filter(
+        F.col("__rn") <= k
+    )
+    est = kept.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__n"), F.max("__frac").alias("__kth")
+    ).select(
+        group_col,
+        F.round(
+            F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+                F.lit(float(k - 1)) / F.col("__kth")
+            ),
+            4,
+        ).alias("distinct_est"),
+    )
+    return est.join(n_partials, group_col).select(
+        group_col, "n_partials", "distinct_est"
+    )

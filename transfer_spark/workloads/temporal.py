@@ -552,6 +552,42 @@ GROUP BY 1, 2
 """
 
 
+def q_kmv_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day KMV partials merged into a per-type distinct-user estimate
+    (the mergeable-sketch path: partials near the data, merge touches
+    only k values per partial, never the raw rows again)."""
+    e = _events(spark, sf_dir).withColumn(
+        "day_us", F.unix_micros(F.date_trunc("DAY", F.col("ts")))
+    )
+    return TP.kmv_merge_distinct(e, "event_type", "day_us", "user_id", k=_KMV_K)
+
+
+ORACLE_KMV_MERGE = f"""
+WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), h AS (
+  SELECT event_type,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      / 1152921504606846976.0 AS frac
+  FROM d
+), k AS (
+  SELECT event_type, frac,
+    row_number() OVER (PARTITION BY event_type ORDER BY frac) AS rn
+  FROM h
+), est AS (
+  SELECT event_type,
+    round(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+               ELSE {_KMV_K - 1}.0 / max(frac) END, 4) AS distinct_est
+  FROM k WHERE rn <= {_KMV_K} GROUP BY event_type
+), np AS (
+  SELECT event_type, COUNT(DISTINCT date_trunc('day', ts)) AS n_partials
+  FROM events GROUP BY event_type
+)
+SELECT est.event_type, np.n_partials, est.distinct_est
+FROM est JOIN np ON est.event_type = np.event_type
+"""
+
+
 QUERIES = {
     "events_sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "events_funnel": (q_funnel, ORACLE_FUNNEL),
@@ -565,4 +601,5 @@ QUERIES = {
     "events_range_join": (q_range_join, ORACLE_RANGE),
     "events_rollup": (q_rollup, ORACLE_ROLLUP),
     "kmv_distinct_users": (q_kmv_distinct, ORACLE_KMV),
+    "kmv_merge_daily": (q_kmv_merge_daily, ORACLE_KMV_MERGE),
 }

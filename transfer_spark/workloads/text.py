@@ -667,9 +667,39 @@ FROM counts GROUP BY doc_id
 """
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document passage duplication (8-token exact spans)."""
+    return D.dup_spans(_docs(spark, sf_dir), "doc_id", "text", n=8)
+
+
+ORACLE_DUP_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sp AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(t) >= 8
+           THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+           ELSE []::VARCHAR[] END) AS sp
+  FROM toks
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(sp), 1, 15))::BIGINT AS h FROM sp
+), per AS (
+  SELECT doc_id, h, COUNT(*) AS c FROM h GROUP BY doc_id, h
+), crossdoc AS (
+  SELECT h, min(doc_id) != max(doc_id) AS is_dup FROM per GROUP BY h
+)
+SELECT per.doc_id,
+  SUM(c) AS n_spans,
+  SUM(CASE WHEN is_dup THEN c ELSE 0 END) AS n_dup_spans,
+  round(SUM(CASE WHEN is_dup THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE), 6) AS dup_frac
+FROM per JOIN crossdoc USING (h) GROUP BY per.doc_id
+"""
+
+
 QUERIES = {
     "pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
     "doc_char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
+    "dedupe_dup_spans": (q_dup_spans, ORACLE_DUP_SPANS),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF),
     "doc_repetition": (q_doc_repetition, ORACLE_DOC_REPETITION),
