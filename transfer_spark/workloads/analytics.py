@@ -276,9 +276,88 @@ WINDOW
 """
 
 
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top co-ordered part pairs by Jaccard, with
+    directional confidence — the association-rules workload.
+
+    Scale shape: the pair generation is a SELF EQUI-JOIN on the basket
+    key (never an all-pairs cross join; fan-out is bounded by max items
+    per order, here <= 13), pair counts hash-aggregate map-side, and the
+    per-part counts are a tiny dim joined in twice via broadcast. The
+    N-free metrics (confidence, Jaccard) avoid a global scalar that
+    would need a 1-row nested-loop join. The top-100 cutoff orders by
+    ROUNDED Jaccard so the boundary set is engine-stable.
+    """
+    baskets = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    pc = pairs.groupBy("part_a", "part_b").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    parts = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    joined = (
+        pc.join(
+            F.broadcast(parts.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(parts.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))),
+            "part_b",
+        )
+    )
+    jac = F.round(
+        F.col("pair_cnt")
+        / (F.col("cnt_a") + F.col("cnt_b") - F.col("pair_cnt")).cast("double"),
+        6,
+    )
+    return (
+        joined.filter(F.col("pair_cnt") >= 2)
+        .select(
+            "part_a",
+            "part_b",
+            "pair_cnt",
+            F.round(F.col("pair_cnt") / F.col("cnt_a").cast("double"), 6).alias("conf_ab"),
+            jac.alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+ORACLE_BASKET = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pc AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS pair_cnt
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), parts AS (
+  SELECT l_partkey, COUNT(*) AS cnt FROM baskets GROUP BY 1
+)
+SELECT part_a, part_b, pair_cnt,
+  round(pair_cnt / CAST(ca.cnt AS DOUBLE), 6) AS conf_ab,
+  round(pair_cnt / CAST(ca.cnt + cb.cnt - pair_cnt AS DOUBLE), 6) AS jaccard
+FROM pc
+JOIN parts ca ON pc.part_a = ca.l_partkey
+JOIN parts cb ON pc.part_b = cb.l_partkey
+WHERE pair_cnt >= 2
+ORDER BY jaccard DESC, part_a, part_b LIMIT 100
+"""
+
+
 QUERIES = {
     "olap_pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "revenue_moving_avg": (q_revenue_moving_avg, ORACLE_MOVAVG),
+    "basket_part_affinity": (q_basket_affinity, ORACLE_BASKET),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),
     "top_events_global": (q_top_events_global, ORACLE_TOP_GLOBAL),
