@@ -1,0 +1,92 @@
+"""Stream-stream interval join vs the equivalent batch join.
+
+Ad-attribution shape: click joins impression within [imp_ts, imp_ts+5m].
+Both sides are watermarked so Spark can bound the join state (the 100 TB
+requirement: without watermarks a stream-stream join buffers forever).
+The streamed result over two micro-batches must equal the batch join.
+"""
+
+import datetime as dt
+import json
+import os
+
+from pyspark.sql import functions as F
+
+SCHEMA = "ad_id bigint, ts timestamp"
+BASE = dt.datetime(2024, 1, 1)
+
+# (ad_id, seconds-offset)
+IMPRESSIONS = [(1, 0), (2, 10), (3, 600), (4, 700)]
+CLICKS = [
+    (1, 120),   # within 5 min of impression 1 -> match
+    (2, 400),   # outside 5 min -> no match
+    (3, 650),   # match
+    (5, 660),   # no impression -> no match
+]
+
+
+def _write(src_dir: str, name: str, rows) -> None:
+    os.makedirs(src_dir, exist_ok=True)
+    with open(os.path.join(src_dir, f"{name}.json"), "w") as f:
+        for ad, s in rows:
+            f.write(
+                json.dumps(
+                    {"ad_id": ad, "ts": (BASE + dt.timedelta(seconds=s)).isoformat()}
+                )
+                + "\n"
+            )
+
+
+def _joined(imp, clk):
+    """Shared join spec: equality on ad_id + click within 5 min."""
+    return imp.join(
+        clk,
+        (imp.ad_id == clk.ad_id)
+        & (clk.click_ts >= imp.imp_ts)
+        & (clk.click_ts <= imp.imp_ts + F.expr("INTERVAL 5 MINUTES")),
+    ).select(imp.ad_id.alias("ad_id"), "imp_ts", "click_ts")
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    imp_src, clk_src = str(tmp_path / "imp"), str(tmp_path / "clk")
+    # split both sides across two files so matches span micro-batches
+    _write(imp_src, "b0", IMPRESSIONS[:2])
+    _write(imp_src, "b1", IMPRESSIONS[2:])
+    _write(clk_src, "b0", CLICKS[:1])
+    _write(clk_src, "b1", CLICKS[1:])
+
+    imp_s = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(imp_src)
+        .withColumnRenamed("ts", "imp_ts")
+        .withWatermark("imp_ts", "10 minutes")
+    )
+    clk_s = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(clk_src)
+        .withColumnRenamed("ts", "click_ts")
+        .withWatermark("click_ts", "10 minutes")
+    )
+    q = (
+        _joined(imp_s, clk_s)
+        .writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r["ad_id"], r["imp_ts"], r["click_ts"])
+            for r in spark.table("attrib").collect()
+        }
+    finally:
+        q.stop()
+
+    imp_b = spark.read.schema(SCHEMA).json(imp_src).withColumnRenamed("ts", "imp_ts")
+    clk_b = spark.read.schema(SCHEMA).json(clk_src).withColumnRenamed("ts", "click_ts")
+    batch = {
+        (r["ad_id"], r["imp_ts"], r["click_ts"])
+        for r in _joined(imp_b, clk_b).collect()
+    }
+    assert streamed == batch
+    # the matched ad ids are exactly 1 and 3
+    assert {a for a, _, _ in streamed} == {1, 3}
