@@ -1,0 +1,39 @@
+"""PageRank operator vs a naive numpy iteration on the same graph."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from transfer_spark.operators.graph import pagerank, undirect
+
+# undirected path graph 1-2-3-4 plus a chord 2-4
+EDGES = [(1, 2), (2, 3), (3, 4), (2, 4)]
+
+
+def _naive(iters: int = 3, d: float = 0.85) -> dict[int, float]:
+    nodes = sorted({n for e in EDGES for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    adj = np.zeros((len(nodes), len(nodes)))
+    for a, b in EDGES:
+        adj[idx[a]][idx[b]] = 1
+        adj[idx[b]][idx[a]] = 1
+    deg = adj.sum(axis=1)
+    pr = np.ones(len(nodes))
+    for _ in range(iters):
+        pr = (1 - d) + d * (adj.T @ (pr / deg))
+    return {n: pr[idx[n]] for n in nodes}
+
+
+def test_pagerank_matches_naive(spark):
+    edges = spark.createDataFrame(EDGES, "src bigint, dst bigint")
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(undirect(edges), iterations=3).collect()
+    }
+    want = _naive()
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9, (n, got[n], want[n])
+    # chord makes 2 and 4 symmetric and strictly above 1 and 3
+    assert abs(got[2] - got[4]) < 1e-12
+    assert got[2] > got[1] and got[2] > got[3]

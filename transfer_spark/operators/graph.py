@@ -1,0 +1,57 @@
+"""Graph operators over edge DataFrames.
+
+Connected components (min-label propagation) lives in
+``operators/dedupe.py:neardup_clusters`` where the near-dup pipeline
+uses it; this module holds the general graph analytics.
+
+PageRank here is the N-free "uniform prior 1" formulation:
+``pr_0 = 1;  pr_{t+1}(v) = (1-d) + d * sum_{u->v} pr_t(u)/deg(u)``
+— no global node count enters the update, so the plan needs no scalar
+subquery / nested-loop join, and partial sums combine map-side. Each
+iteration is one equi-join (edges x ranks on src) + one hash aggregate
+on dst: at 100 TB that's the same shuffle pattern as any keyed agg, and
+the rank state is O(nodes), never O(edges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirect(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Both directions of an undirected edge list."""
+    return edges.select(src, dst).union(
+        edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over a DIRECTED edge list (pass :func:`undirect` output
+    for undirected graphs). Every node must appear as a source at least
+    once (true for undirected graphs); dangling-mass redistribution is
+    deliberately out of scope for that reason.
+
+    Builds one lazy plan with ``iterations`` join+agg rounds — Catalyst
+    sees the whole chain, and at scale each round reuses the same
+    src-hash partitioning. Deterministic given the edge multiset; the
+    caller rounds for cross-engine compares (double-sum ordering).
+    """
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(F.col(src).alias("node"), F.lit(1.0).alias("pr"))
+    for _ in range(iterations):
+        # node-sized join first (pr/deg), then the edge-sized fan-out
+        share = ranks.join(deg, F.col("node") == F.col(src)).select(
+            F.col(src), (F.col("pr") / F.col("deg")).alias("w")
+        )
+        contribs = edges.join(share, src).select(F.col(dst).alias("node"), "w")
+        ranks = contribs.groupBy("node").agg(
+            (F.lit(1.0 - damping) + F.lit(damping) * F.sum("w")).alias("pr")
+        )
+    return ranks

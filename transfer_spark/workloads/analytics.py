@@ -354,10 +354,66 @@ ORDER BY jaccard DESC, part_a, part_b LIMIT 100
 """
 
 
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase part graph — the iterative-algorithm
+    family as one lazy DataFrame plan (3 join+agg rounds, N-free uniform-
+    prior formulation, no driver loop state beyond plan construction).
+    The oracle unrolls the identical three iterations in CTEs, so every
+    rank value is checked, not just convergence."""
+    from transfer_spark.operators import graph as G
+
+    baskets = (
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    ranks = G.pagerank(G.undirect(pairs), iterations=3, damping=0.85)
+    return ranks.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+_PR_ITER = """r{next} AS (
+  SELECT e.dst AS node, 0.15 + 0.85 * SUM(r{cur}.pr / deg.deg) AS pr
+  FROM e JOIN deg ON e.src = deg.src JOIN r{cur} ON r{cur}.node = e.src
+  GROUP BY e.dst
+)"""
+
+ORACLE_PAGERANK = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), e AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM pairs
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM e GROUP BY src
+), r0 AS (
+  SELECT src AS node, 1.0::DOUBLE AS pr FROM deg
+), {_PR_ITER.format(cur=0, next=1)},
+{_PR_ITER.format(cur=1, next=2)},
+{_PR_ITER.format(cur=2, next=3)}
+SELECT node, round(pr, 6) AS pagerank FROM r3
+"""
+
+
 QUERIES = {
     "olap_pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "revenue_moving_avg": (q_revenue_moving_avg, ORACLE_MOVAVG),
     "basket_part_affinity": (q_basket_affinity, ORACLE_BASKET),
+    "part_pagerank": (q_part_pagerank, ORACLE_PAGERANK),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),
     "top_events_global": (q_top_events_global, ORACLE_TOP_GLOBAL),
