@@ -1,0 +1,69 @@
+"""Skew-salted join and Z-order layout operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transfer_spark.operators.layout import write_zordered, zorder_key2
+from transfer_spark.operators.skew import SALT_COL, salted_join
+
+
+def _skewed(spark):
+    # 1000 rows, 90% on one hot key
+    return spark.range(1000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+    )
+
+
+def test_salted_join_equals_plain_join(spark):
+    big = _skewed(spark)
+    small = spark.createDataFrame([("hot", 1.0), ("cold", 2.0)], "k string, w double")
+    got = salted_join(big, small, "k", row_id=F.col("row_id"), n_salt=4)
+    want = big.join(small, "k")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert SALT_COL not in got.columns
+
+
+def test_salted_join_is_shuffle_join_on_salted_key(spark):
+    big = _skewed(spark)
+    small = spark.createDataFrame([("hot", 1.0), ("cold", 2.0)], "k string, w double")
+    plan = (
+        salted_join(big, small, "k", row_id=F.col("row_id"), n_salt=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # must NOT degrade to broadcast (which would bypass the salt), and the
+    # join key must include the salt column
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert SALT_COL in plan
+
+
+def test_zorder_key_known_values(spark):
+    # x=3 (bits 0,1 -> pos 0,2), y=2 (bit 1 -> pos 3): 1+4+8 = 13
+    df = spark.createDataFrame([(3, 2)], "x long, y long")
+    assert df.select(zorder_key2(F.col("x"), F.col("y"), bits=4).alias("z")).first()["z"] == 13
+    # interleave is a bijection on the grid: 16x16 -> 256 distinct keys
+    grid = spark.range(16).selectExpr("id as x").crossJoin(
+        spark.range(16).selectExpr("id as y")
+    )
+    n = grid.select(zorder_key2(F.col("x"), F.col("y"), bits=4).alias("z")).distinct().count()
+    assert n == 256
+
+
+def test_write_zordered_files_cover_disjoint_ranges(spark, tmp_path):
+    path = str(tmp_path / "z")
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    write_zordered(df, zorder_key2(F.col("x"), F.col("y"), bits=6), path, n_files=4)
+    back = spark.read.parquet(path).select(
+        zorder_key2(F.col("x"), F.col("y"), bits=6).alias("z"),
+        F.input_file_name().alias("f"),
+    )
+    ranges = sorted(
+        (r["lo"], r["hi"])
+        for r in back.groupBy("f").agg(F.min("z").alias("lo"), F.max("z").alias("hi")).collect()
+    )
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file ranges overlap: {ranges}"

@@ -1,0 +1,58 @@
+"""Data-layout operators: Z-order (Morton) clustering keys.
+
+OPTIMIZE ... ZORDER BY in lakehouse engines is: compute an interleaved-
+bit key over the clustering columns, sort/range-partition by it, rewrite
+files. The key computation is a pure integer expression, so it runs in
+whole-stage codegen and any SQL engine can verify it bit-for-bit; the
+write path is ``repartitionByRange(zkey).sortWithinPartitions(zkey)`` —
+each output file then covers a tight hyper-rectangle of the clustering
+space and min/max file stats prune multi-column range predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key2(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton-interleave the low ``bits`` bits of two non-negative ints:
+    bit i of x lands at position 2i, bit i of y at 2i+1. Callers map raw
+    values into [0, 2^bits) first (modulo, rank, or scale)."""
+    x = x.cast("long")
+    y = y.cast("long")
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = (
+            out
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return out
+
+
+def zorder_key2_sql(x: str, y: str, bits: int = 16) -> str:
+    """The identical interleave as engine-portable SQL arithmetic."""
+    # every term fully parenthesized: SQL gives + tighter binding than <<,
+    # so a bare `a << 2 + b << 3` would parse as `a << (2 + b) << 3`
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def write_zordered(
+    df: DataFrame, zkey: Column, path: str, n_files: int = 8
+) -> None:
+    """Cluster-and-write: range-partition on the z-key (so files own
+    disjoint key ranges -> min/max stats prune), sort within partitions
+    (so row groups within a file stay tight)."""
+    (
+        df.withColumn("__z", zkey)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

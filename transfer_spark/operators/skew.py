@@ -1,0 +1,48 @@
+"""Skew-mitigation join: salt the hot keys so no reducer drowns.
+
+The CDC fold already has its salted form (``cdc_fold_salted``: two-level
+aggregate over offset-modulo buckets). This is the JOIN-side analog: when
+the probe side has a handful of dominant keys (event types, country
+codes, null-ish defaults) and the build side is too large to broadcast,
+a plain shuffle join sends every row of a hot key to ONE reducer. Salting
+spreads each key across ``n_salt`` reducers: the big side adds
+``salt = pmod(xxhash64(row_id), n)`` (varies WITHIN a key), the small
+side replicates each row n times (posexplode of a literal range), and
+the join runs on ``(key, salt)`` — an ordinary equi-join with n-times
+the key cardinality. AQE's skew-join split solves the same problem
+adaptively; the explicit form is deterministic, engine-independent, and
+works where AQE can't see the skew (first shuffle of a stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    row_id: Column,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big`` with ``small`` on column ``on``, salted n ways.
+
+    ``row_id`` must vary within a join key on the big side (any unique
+    row attribute); the salt is derived from it deterministically so
+    re-runs place rows identically. The salt never appears in the output.
+    """
+    salted_big = big.withColumn(SALT_COL, F.pmod(F.xxhash64(row_id), F.lit(n_salt)))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias(SALT_COL)
+    salted_small = small.select("*", salts).withColumn(
+        SALT_COL, F.col(SALT_COL).cast("long")
+    )
+    # hint the replicated side away from broadcast so the executed plan
+    # is the shuffle join the pattern exists for (broadcast would bypass
+    # the salt entirely and hide the behavior this operator pins)
+    out = salted_big.join(salted_small.hint("shuffle_hash"), [on, SALT_COL], how)
+    return out.drop(SALT_COL)

@@ -409,11 +409,59 @@ SELECT node, round(pr, 6) AS pagerank FROM r3
 """
 
 
+def q_skew_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich every event with its type-level average via a SALTED shuffle
+    join — the skew-mitigation pattern for hot keys too big to broadcast
+    (5 event types x 8 salts instead of 5 reducers owning everything).
+    The salt is internal; the result is the plain join, which is exactly
+    what the oracle computes."""
+    from transfer_spark.operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = e.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("type_avg"))
+    out = salted_join(e, dim, "event_type", row_id=F.col("event_id"), n_salt=8)
+    return out.select("event_id", "event_type", "value", "type_avg")
+
+
+ORACLE_SALTED = """
+WITH dim AS (
+  SELECT event_type, round(avg(value), 6) AS type_avg FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value, dim.type_avg
+FROM events e JOIN dim USING (event_type)
+"""
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (partkey, suppkey) — the key
+    computation behind OPTIMIZE..ZORDER BY, as a pure codegen expression
+    (32 shift/mask terms, no Python, no shuffle)."""
+    from transfer_spark.operators.layout import zorder_key2
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key2(
+            F.col("l_partkey") % 65536, F.col("l_suppkey") % 65536, bits=16
+        ).alias("zkey"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from transfer_spark.operators.layout import zorder_key2_sql
+
+    z = zorder_key2_sql("(l_partkey % 65536)", "(l_suppkey % 65536)", bits=16)
+    return f"SELECT l_orderkey, l_linenumber, {z} AS zkey FROM lineitem"
+
+
 QUERIES = {
     "olap_pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "revenue_moving_avg": (q_revenue_moving_avg, ORACLE_MOVAVG),
     "basket_part_affinity": (q_basket_affinity, ORACLE_BASKET),
     "part_pagerank": (q_part_pagerank, ORACLE_PAGERANK),
+    "skew_salted_enrich": (q_skew_salted_enrich, ORACLE_SALTED),
+    "zorder_key_lineitem": (q_zorder_key, _zorder_oracle()),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),
     "top_events_global": (q_top_events_global, ORACLE_TOP_GLOBAL),
