@@ -455,6 +455,53 @@ def _zorder_oracle() -> str:
     return f"SELECT l_orderkey, l_linenumber, {z} AS zkey FROM lineitem"
 
 
+_PROFILE_COLS = [
+    # (name, numeric?) — numeric cols get min/max, strings get NULLs there
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_totalprice", True),
+    ("o_orderstatus", False),
+    ("o_orderpriority", False),
+]
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (the data-quality scan a pipeline runs
+    before trusting a new drop): null count, exact distinct count, and
+    numeric min/max for every profiled column, emitted one row per
+    column. Single scan — all aggregates compute together (the multi-
+    distinct EXPAND multiplies rows by #distinct-aggs, a fixed factor);
+    the stack() unpivot is projection-only."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c, numeric in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+        if numeric:
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"{c}__mn"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"{c}__mx"))
+    one = o.agg(*aggs)
+    stack_args = []
+    for c, numeric in _PROFILE_COLS:
+        mn = f"`{c}__mn`" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"`{c}__mx`" if numeric else "CAST(NULL AS DOUBLE)"
+        stack_args.append(f"'{c}', `{c}__nulls`, `{c}__nd`, {mn}, {mx}")
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) "
+        "as (column, n_nulls, n_distinct, min_v, max_v)"
+    )
+
+
+ORACLE_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", COUNT(*) - COUNT({c}) AS n_nulls,
+  COUNT(DISTINCT {c}) AS n_distinct,
+  {f'MIN(CAST({c} AS DOUBLE))' if numeric else 'CAST(NULL AS DOUBLE)'} AS min_v,
+  {f'MAX(CAST({c} AS DOUBLE))' if numeric else 'CAST(NULL AS DOUBLE)'} AS max_v
+FROM orders"""
+    for c, numeric in _PROFILE_COLS
+)
+
+
 QUERIES = {
     "olap_pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "revenue_moving_avg": (q_revenue_moving_avg, ORACLE_MOVAVG),
@@ -462,6 +509,7 @@ QUERIES = {
     "part_pagerank": (q_part_pagerank, ORACLE_PAGERANK),
     "skew_salted_enrich": (q_skew_salted_enrich, ORACLE_SALTED),
     "zorder_key_lineitem": (q_zorder_key, _zorder_oracle()),
+    "profile_orders": (q_profile_orders, ORACLE_PROFILE),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),
     "top_events_global": (q_top_events_global, ORACLE_TOP_GLOBAL),

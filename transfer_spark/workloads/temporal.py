@@ -10,7 +10,7 @@ DECIMAL(18,2) so floating-point aggregation order can't flip a bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from transfer_spark.operators import temporal as TP
@@ -552,6 +552,139 @@ GROUP BY 1, 2
 """
 
 
+def q_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-aggregation pattern: per-day PARTIAL aggregate state
+    (sum/count/min/max) merged up to per-type finals — the shape of every
+    incremental 100 TB rollup (partials computed per ingest batch, finals
+    re-derived by merging state, never by rescanning raw history).
+    The oracle computes the same finals directly from raw rows, proving
+    the merge is lossless. Sums stay DECIMAL so merge order can't drift
+    the hash."""
+    e = _events(spark, sf_dir)
+    partials = e.groupBy(
+        "event_type", F.date_trunc("DAY", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return partials.groupBy("event_type").agg(
+        F.sum("s").alias("sum_value"),
+        F.sum("c").alias("n_events"),
+        F.min("mn").alias("min_value"),
+        F.max("mx").alias("max_value"),
+    ).select(
+        "event_type",
+        "sum_value",
+        "n_events",
+        "min_value",
+        "max_value",
+        F.round(
+            F.col("sum_value").cast("double") / F.col("n_events").cast("double"), 6
+        ).alias("avg_value"),
+    )
+
+
+ORACLE_PARTIAL_MERGE = """
+SELECT event_type,
+  SUM(CAST(value AS DECIMAL(18,6))) AS sum_value,
+  COUNT(*) AS n_events,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value,
+  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+_NBINS = 1000
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-type quantiles from a fixed-bin histogram — the
+    engine-portable, merge-friendly alternative to exact percentile (the
+    histogram is additive state, so this runs incrementally and in
+    streaming). Per-type bounds come from a groupBy + equi-join back
+    (broadcastable), never a global scalar."""
+    e = _events(spark, sf_dir).select("event_type", "value")
+    bounds = e.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = e.join(bounds, "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.least(
+            F.lit(_NBINS - 1),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * _NBINS
+            ),
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("event_type", "lo", "hi", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "lo",
+        "hi",
+        "bin",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    out = None
+    for p in (0.5, 0.95, 0.99):
+        q = (
+            cum.filter(F.col("cum") >= F.col("n") * p)
+            .groupBy("event_type", "lo", "hi")
+            .agg(F.min("bin").alias("bin"))
+            .select(
+                "event_type",
+                F.lit(p).alias("p"),
+                F.round(
+                    F.col("lo")
+                    + F.col("bin") / F.lit(float(_NBINS)) * (F.col("hi") - F.col("lo")),
+                    6,
+                ).alias("q_est"),
+            )
+        )
+        out = q if out is None else out.unionByName(q)
+    return out
+
+
+ORACLE_HISTOGRAM_Q = f"""
+WITH bounds AS (
+  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi FROM events GROUP BY 1
+), binned AS (
+  SELECT e.event_type, lo, hi,
+    least({_NBINS - 1}, floor((value - lo) / (hi - lo) * {_NBINS})) AS bin
+  FROM events e JOIN bounds USING (event_type)
+), hist AS (
+  SELECT event_type, lo, hi, bin, COUNT(*) AS c FROM binned GROUP BY 1,2,3,4
+), cum AS (
+  SELECT event_type, lo, hi, bin,
+    SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM hist
+), qs AS (
+  SELECT p FROM (VALUES (0.5::DOUBLE), (0.95::DOUBLE), (0.99::DOUBLE)) t(p)
+)
+SELECT event_type, p,
+  round(lo + MIN(bin) / {_NBINS}.0 * (hi - lo), 6) AS q_est
+FROM cum, qs WHERE cum >= n * p
+GROUP BY event_type, lo, hi, p
+"""
+
+
 def q_kmv_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day KMV partials merged into a per-type distinct-user estimate
     (the mergeable-sketch path: partials near the data, merge touches
@@ -602,4 +735,6 @@ QUERIES = {
     "events_rollup": (q_rollup, ORACLE_ROLLUP),
     "kmv_distinct_users": (q_kmv_distinct, ORACLE_KMV),
     "kmv_merge_daily": (q_kmv_merge_daily, ORACLE_KMV_MERGE),
+    "partial_agg_merge": (q_partial_agg_merge, ORACLE_PARTIAL_MERGE),
+    "histogram_quantiles": (q_histogram_quantiles, ORACLE_HISTOGRAM_Q),
 }

@@ -696,10 +696,37 @@ FROM per JOIN crossdoc USING (h) GROUP BY per.doc_id
 """
 
 
+def q_group_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample per language: rank by md5(doc_id)
+    within the stratum, keep the first 20 — the hash-ordered analog of a
+    reservoir sample that is stable across runs, partitionings, and
+    engines (complements `corpus_sample_stratified`, which keeps a RATE
+    per stratum rather than a fixed count)."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 20)
+        .select("doc_id", "lang", "sample_rank")
+    )
+
+
+ORACLE_GROUP_SAMPLE = """
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 20
+"""
+
+
 QUERIES = {
     "pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
     "doc_char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
     "dedupe_dup_spans": (q_dup_spans, ORACLE_DUP_SPANS),
+    "corpus_sample_per_group": (q_group_sample_fixed, ORACLE_GROUP_SAMPLE),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF),
     "doc_repetition": (q_doc_repetition, ORACLE_DOC_REPETITION),
