@@ -1,0 +1,141 @@
+"""Webhook ops-event emitter: envelope, scrubbing, no-raise contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from transfer_spark.operators.redact import scrub_string
+from transfer_spark.streaming.webhooks import (
+    EVENT_METADATA,
+    WebhookClient,
+    event_metadata,
+)
+
+
+def _recording():
+    sent = []
+
+    def transport(url, headers, body):
+        sent.append((url, headers, body))
+        return 200
+
+    return sent, transport
+
+
+def test_disabled_client_is_noop():
+    sent, transport = _recording()
+    c = WebhookClient(enabled=False, transport=transport)
+    c.send_event("replication.error", {"error": "boom"})
+    assert sent == []
+
+
+def test_enabled_requires_key_and_url():
+    with pytest.raises(ValueError):
+        WebhookClient(enabled=True, api_key="", url="")
+
+
+def test_event_envelope_and_scrub():
+    import json
+
+    sent, transport = _recording()
+    c = WebhookClient(
+        enabled=True,
+        api_key="k",
+        url="https://hooks.example.invalid/e",
+        company_uuid="co",
+        pipeline_uuid="pl",
+        source="postgresql",
+        clock=lambda: 1700000000.0,
+        transport=transport,
+    )
+    c.send_event(
+        "replication.error",
+        {"table": "users", "error": "postgres://admin:s3cret@db:5432/x refused"},
+    )
+    assert len(sent) == 1
+    url, headers, body = sent[0]
+    assert headers["Authorization"] == "Bearer k"
+    ev = json.loads(body)
+    assert ev["event"] == "replication.error"
+    assert ev["timestamp"] == 1700000000.0
+    assert ev["messageId"]
+    p = ev["properties"]
+    assert p["company_uuid"] == "co" and p["pipeline_uuid"] == "pl"
+    assert p["table"] == "users"
+    # sensitive fields scrubbed before leaving the process
+    assert "[REDACTED]" in p["error"] and "s3cret" not in p["error"]
+
+
+def test_delivery_failure_never_raises():
+    def transport(url, headers, body):
+        raise ConnectionError("down")
+
+    c = WebhookClient(enabled=True, api_key="k", url="http://x", transport=transport)
+    c.send_event("replication.started", {})  # must not raise
+
+    def transport_500(url, headers, body):
+        return 500
+
+    c2 = WebhookClient(enabled=True, api_key="k", url="http://x", transport=transport_500)
+    c2.send_event("replication.started", {})  # must not raise
+
+
+def test_metadata_table_matches_reference():
+    # severity spot checks from types.go:79-100
+    assert event_metadata("backfill.failed") == ("error", "backfill", "Backfill failed")
+    assert event_metadata("row.skipped") == ("warning", "replication", "Row skipped")
+    assert event_metadata("nope.nope") == ("info", "operation", "Unknown event type")
+    assert len(EVENT_METADATA) == 14
+
+
+def test_scrub_string_driver_twin():
+    assert (
+        scrub_string("user a@b.io token=abc123")
+        == "user [REDACTED] token=[REDACTED]"
+    )
+
+
+def test_pipeline_emits_replication_error_on_flush_failure(spark, tmp_path):
+    """Lifecycle parity: a failing table flush emits replication.error
+    (with the table name and scrubbed error) AND still aborts the batch."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from transfer_spark.streaming.pipeline import (
+        MultiTablePipeline,
+        ReplicationPipeline,
+    )
+
+    sent, transport = _recording()
+    client = WebhookClient(enabled=True, api_key="k", url="http://x", transport=transport)
+    mtp = MultiTablePipeline(
+        spark, str(tmp_path / "base"), "tbl", ["id"], "off", webhook_client=client
+    )
+    from transfer_spark.constants import DELETE_COLUMN_MARKER
+
+    df = spark.range(4).select(
+        F.col("id"),
+        F.col("id").alias("off"),
+        F.lit(False).alias(DELETE_COLUMN_MARKER),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("tbl"),
+    )
+    orig = ReplicationPipeline.process_batch
+
+    def boom(self, batch_df, batch_id):
+        if self.table.path.endswith("b"):
+            raise RuntimeError("b down: password=hunter2")
+        return orig(self, batch_df, batch_id)
+
+    ReplicationPipeline.process_batch = boom
+    try:
+        with pytest.raises(RuntimeError):
+            mtp.process_batch(df, 0)
+    finally:
+        ReplicationPipeline.process_batch = orig
+
+    import json
+
+    events = [json.loads(b)["properties"] | {"event": json.loads(b)["event"]} for _, _, b in sent]
+    errs = [e for e in events if e["event"] == "replication.error"]
+    assert len(errs) == 1 and errs[0]["table"] == "b"
+    assert "hunter2" not in errs[0]["error"] and "[REDACTED]" in errs[0]["error"]

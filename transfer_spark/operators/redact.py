@@ -97,3 +97,18 @@ def scrub_sql(expr: str) -> str:
 
 def redaction_count_sql(expr: str) -> str:
     return f"len(string_split({expr}, '{REDACTED}')) - 1"
+
+
+_PY_RULES = [
+    (re.compile(p), re.sub(r"\$(\d)", r"\\\1", r)) for p, r in SCRUB_RULES
+]
+
+
+def scrub_string(msg: str) -> str:
+    """Driver-side twin of :func:`scrub_text` for ops metadata (webhook
+    event properties, log lines) — same rule table, same order
+    (scrub.go:61-66). The patterns avoid backtracking-only constructs,
+    so Python re, Java regex, RE2, and Go agree on every vector."""
+    for pattern, repl in _PY_RULES:
+        msg = pattern.sub(repl, msg)
+    return msg

@@ -520,6 +520,7 @@ class MultiTablePipeline:
         n_buckets: int = 64,
         compact_every_n_batches: int | None = None,
         compact_max_files: int = 8,
+        webhook_client=None,
     ):
         self.spark = spark
         self.base_path = base_path
@@ -536,8 +537,15 @@ class MultiTablePipeline:
         # batch's own writes, and skips cleanly on non-bucketed formats
         self.compact_every_n_batches = compact_every_n_batches
         self.compact_max_files = compact_max_files
+        # ops-event emitter (streaming/webhooks.py); None/disabled = no-op,
+        # and emission failures never touch the data path by contract
+        self.webhook_client = webhook_client
         self._batches_seen = 0
         self.pipelines: dict[str, ReplicationPipeline] = {}
+
+    def _emit(self, event_type: str, props: dict) -> None:
+        if self.webhook_client is not None:
+            self.webhook_client.send_event(event_type, props)
 
     def _pipeline_for(self, table: str) -> ReplicationPipeline:
         if table not in self.pipelines:
@@ -598,7 +606,14 @@ class MultiTablePipeline:
 
             def _flush(t: str) -> None:
                 sub = batch_df.filter(F.col(self.table_col) == t).drop(self.table_col)
-                pipes[t].process_batch(sub, batch_id)
+                try:
+                    pipes[t].process_batch(sub, batch_id)
+                except Exception as e:
+                    # lifecycle parity: replication.error carries the table
+                    # + error (client scrubs both); the exception still
+                    # propagates so the batch aborts before checkpoint
+                    self._emit("replication.error", {"table": t, "error": str(e)})
+                    raise
 
             n = min(self.max_parallel_flushes, len(tables)) or 1
             with ThreadPoolExecutor(max_workers=n, thread_name_prefix="flush") as ex:
@@ -620,10 +635,16 @@ class MultiTablePipeline:
         other formats). Runs post-flush so a failure here cannot lose a
         committed batch — compaction is layout-only and re-runnable."""
         compacted: dict[str, list[int]] = {}
-        for name, pipe in self.pipelines.items():
-            table = getattr(pipe, "table", None)
-            if isinstance(table, BucketedParquetTable) and table.exists():
-                done = table.compact(max_files=self.compact_max_files)
-                if done:
-                    compacted[name] = done
+        self._emit("dedupe.started", {})
+        try:
+            for name, pipe in self.pipelines.items():
+                table = getattr(pipe, "table", None)
+                if isinstance(table, BucketedParquetTable) and table.exists():
+                    done = table.compact(max_files=self.compact_max_files)
+                    if done:
+                        compacted[name] = done
+        except Exception as e:
+            self._emit("dedupe.failed", {"error": str(e)})
+            raise
+        self._emit("dedupe.completed", {"table": ",".join(sorted(compacted))})
         return compacted

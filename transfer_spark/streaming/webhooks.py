@@ -1,0 +1,133 @@
+"""Operational webhook events — parity with the reference webhooks pkg.
+
+The reference emits pipeline-lifecycle events (backfill/replication/DDL,
+with a severity+category table) to an events API, scrubbing sensitive
+strings first and NEVER letting delivery failures interrupt the data
+path (lib/webhooks/client.go:57-66, types.go:12-100,185-193). This is
+the same contract for the Spark pipeline: a no-op when unconfigured, a
+10s-timeout HTTP POST when enabled, injectable transport for tests
+(the container has no network — exactly the reference's httpClient
+seam).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Callable
+
+from transfer_spark.operators.redact import scrub_string
+
+logger = logging.getLogger(__name__)
+
+# event -> (severity, category, message); types.go:79-100
+EVENT_METADATA: dict[str, tuple[str, str, str]] = {
+    "backfill.started": ("info", "backfill", "Backfill started"),
+    "backfill.completed": ("info", "backfill", "Backfill completed"),
+    "backfill.failed": ("error", "backfill", "Backfill failed"),
+    "backfill.progress": ("info", "backfill", "Backfill progress"),
+    "dedupe.started": ("info", "backfill", "Deduplication started"),
+    "dedupe.completed": ("info", "backfill", "Deduplication completed"),
+    "dedupe.failed": ("error", "backfill", "Deduplication failed"),
+    "replication.started": ("info", "replication", "Replication started"),
+    "replication.error": ("error", "replication", "Replication error"),
+    "row.skipped": ("warning", "replication", "Row skipped"),
+    "ddl.seen": ("info", "replication", "DDL seen"),
+    "ddl.applied": ("info", "replication", "DDL applied"),
+    # deprecated but still recognized
+    "replication.failed": ("error", "replication", "Replication failed"),
+    "connection.failed": ("error", "connection", "Connection failed"),
+}
+
+_UNKNOWN = ("info", "operation", "Unknown event type")
+
+# the sensitive EventProperties fields Scrub() covers (types.go:185-193)
+_SCRUBBED_FIELDS = ("error", "database", "table", "schema", "topic", "reason")
+
+
+def event_metadata(event_type: str) -> tuple[str, str, str]:
+    meta = EVENT_METADATA.get(event_type)
+    if meta is None:
+        logger.error("Unknown event type: %s", event_type)
+        return _UNKNOWN
+    return meta
+
+
+@dataclass
+class WebhookClient:
+    """No-ops gracefully when unconfigured; never raises from send_event.
+
+    ``transport(url, headers, body) -> status_code`` is injectable; the
+    default refuses to construct an ENABLED client without both api_key
+    and url (client.go:85-88).
+    """
+
+    api_key: str = ""
+    url: str = ""
+    company_uuid: str = ""
+    pipeline_uuid: str = ""
+    source: str = ""
+    destination: str = "spark"
+    service: str = "transfer"
+    version: str = ""
+    mode: str = "replication"
+    enabled: bool = False
+    transport: "Callable[[str, dict, bytes], int] | None" = None
+    clock: Callable[[], float] = time.time
+
+    def __post_init__(self) -> None:
+        if self.enabled and (not self.api_key or not self.url):
+            raise ValueError("apiKey and url are required")
+
+    def _scrub(self, props: dict) -> dict:
+        out = dict(props)
+        for f in _SCRUBBED_FIELDS:
+            if isinstance(out.get(f), str):
+                out[f] = scrub_string(out[f])
+        return out
+
+    def build_event(self, event_type: str, props: dict) -> dict:
+        return {
+            "event": event_type,
+            "timestamp": self.clock(),
+            "messageId": str(uuid.uuid4()),
+            "properties": {
+                "company_uuid": self.company_uuid,
+                "pipeline_uuid": self.pipeline_uuid,
+                "source": self.source,
+                "destination": self.destination,
+                "service": self.service,
+                "version": self.version,
+                "mode": self.mode,
+                **self._scrub(props),
+            },
+        }
+
+    def send_event(self, event_type: str, props: dict) -> None:
+        """Fire-and-forget: delivery failures are logged, never raised —
+        webhook problems must not interrupt the data pipeline."""
+        if not self.enabled:
+            return
+        try:
+            body = json.dumps(self.build_event(event_type, props)).encode()
+            headers = {
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {self.api_key}",
+            }
+            transport = self.transport or _default_transport
+            status = transport(self.url, headers, body)
+            if not 200 <= status < 300:
+                raise RuntimeError(f"unexpected status code: {status}")
+        except Exception:
+            logger.exception("Failed to send webhook event %s", event_type)
+
+
+def _default_transport(url: str, headers: dict, body: bytes) -> int:
+    import urllib.request
+
+    req = urllib.request.Request(url, data=body, headers=headers, method="POST")
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        return resp.status
