@@ -1,0 +1,29 @@
+"""ReplaceInvalidUTF8 parity (stringutil/strings.go:48-66)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transfer_spark.functions.converters import replace_invalid_utf8
+
+CASES = [
+    (b"plain ascii", "plain ascii"),
+    ("déjà vu \U0001f600".encode(), "déjà vu \U0001f600"),
+    (b"caf\xe9", "café"),  # stray Latin-1 byte -> e-acute
+    (b"\xe2\x82", "â"),  # truncated sequence decoded per-byte
+    (b"ok \xff\xfe end", "ok ÿþ end"),  # invalid lead bytes
+    ("keep � mark".encode(), "keep � mark"),  # literal U+FFFD survives
+    (None, None),
+]
+
+
+def test_replace_invalid_utf8_vectors(spark):
+    df = spark.createDataFrame(
+        [(i, v) for i, (v, _) in enumerate(CASES)], "i int, b binary"
+    )
+    got = {
+        r["i"]: r["s"]
+        for r in df.select("i", replace_invalid_utf8(F.col("b")).alias("s")).collect()
+    }
+    for i, (_, want) in enumerate(CASES):
+        assert got[i] == want, (i, got[i], want)

@@ -352,3 +352,38 @@ def debezium_array_transform(arr: Column, elem_fn) -> Column:
     """Literal array with item metadata: element-wise convert
     (reference: converters/basic.go:100-126)."""
     return F.transform(arr, elem_fn)
+
+
+def replace_invalid_utf8(b: Column) -> Column:
+    """Re-encode invalid UTF-8 by treating each bad byte as its Latin-1
+    code point — lossless for Latin-1 source data (reference:
+    lib/stringutil/strings.go:48-66, applied to staged string values in
+    clients/shared/temp_table.go:101).
+
+    Python's surrogateescape maps each invalid byte X to U+DC00+X, so
+    folding lone surrogates back to chr(X) reproduces the Go loop
+    exactly (valid sequences — including a literal U+FFFD — pass through
+    untouched). Arrow-batched pandas UDF: this is a designated Python
+    path like the wide-decimal decode; the common all-valid case short-
+    circuits on bytes.decode.
+    """
+
+    @F.pandas_udf(StringType())
+    def _fix(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            raw = bytes(v)
+            try:
+                return raw.decode("utf-8")  # fast path: already valid
+            except UnicodeDecodeError:
+                pass
+            esc = raw.decode("utf-8", errors="surrogateescape")
+            return "".join(
+                chr(ord(c) - 0xDC00) if 0xDC80 <= ord(c) <= 0xDCFF else c
+                for c in esc
+            )
+
+        return s.map(one)
+
+    return _fix(b)
