@@ -502,6 +502,200 @@ FROM orders"""
 )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue by order, top 10.
+
+    Scale shape: both date filters push to the scans; customer (filtered
+    to one segment) broadcasts into orders, and the orders->lineitem join
+    shuffles on the order key, which the final aggregation reuses.
+    Revenue stays DECIMAL so the top-10 cutoff is exact, not
+    double-rounded."""
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(38,6)")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_us"
+            ),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), "orderdate_us", "o_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT o_orderkey, epoch_us(o_orderdate) AS orderdate_us, o_orderpriority,
+  SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, orderdate_us, o_orderkey LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where customer and supplier share
+    the nation, one region, one year — the 6-way star stress: region ->
+    nation -> (customer, supplier) all broadcast; the only big-big join is
+    orders->lineitem on the order key; the c=s nation equality rides the
+    existing joins as a residual filter, adding no shuffle."""
+    y0 = F.lit("1997-01-01").cast("timestamp")
+    y1 = F.lit("1998-01-01").cast("timestamp")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= y0) & (F.col("o_orderdate") < y1)
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(38,6)")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue"))
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name,
+  SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection per event type: z-score of each
+    day's count against the type's mean/stddev — two hash aggregates and
+    a broadcastable stats join; flags |z| >= 2 days. Population stddev so
+    the estimator is the plain moment formula in both engines."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("DAY", F.col("ts"))).alias("day_us"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma")
+    )
+    z = F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 6)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select("event_type", "day_us", "n", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= 2.0)
+    )
+
+
+ORACLE_ANOMALY = """
+WITH daily AS (
+  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sigma FROM daily GROUP BY 1
+)
+SELECT event_type, day_us, n, z FROM (
+  SELECT daily.event_type, day_us, n, round((n - mu) / sigma, 6) AS z
+  FROM daily JOIN stats ON daily.event_type = stats.event_type
+) WHERE abs(z) >= 2.0
+"""
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary scored
+    1-4 against global quartile THRESHOLDS — deliberately not ntile():
+    a global ntile window is a single-partition sort of every customer,
+    while threshold scoring is a reduce (the percentile scalar
+    subqueries) plus a stateless comparison per row. At planet scale the
+    exact percentile swaps for approx_percentile; the scoring expression
+    is unchanged. score = 1 + (v > q25) + (v > q50) + (v > q75)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("rfm_orders")
+
+    def score(col: str) -> str:
+        terms = [
+            f"CAST({col} > (SELECT percentile({col}, {p}) FROM per) AS INT)"
+            for p in (0.25, 0.5, 0.75)
+        ]
+        return "1 + " + " + ".join(terms)
+
+    return spark.sql(f"""
+        WITH per AS (
+          SELECT o_custkey,
+            unix_micros(CAST(MAX(o_orderdate) AS TIMESTAMP)) AS last_order_us,
+            COUNT(*) AS frequency,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+          FROM rfm_orders GROUP BY 1
+        )
+        SELECT o_custkey, last_order_us, frequency, monetary,
+          {score('last_order_us')} AS r_score,
+          {score('frequency')} AS f_score,
+          {score('monetary')} AS m_score
+        FROM per
+    """)
+
+
+def _rfm_oracle() -> str:
+    def score(col: str) -> str:
+        terms = [
+            f"CAST({col} > (SELECT quantile_cont({col}, {p}) FROM per) AS INT)"
+            for p in (0.25, 0.5, 0.75)
+        ]
+        return "1 + " + " + ".join(terms)
+
+    return f"""
+WITH per AS (
+  SELECT o_custkey,
+    epoch_us(MAX(o_orderdate)) AS last_order_us,
+    COUNT(*) AS frequency,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey, last_order_us, frequency, monetary,
+  {score('last_order_us')} AS r_score,
+  {score('frequency')} AS f_score,
+  {score('monetary')} AS m_score
+FROM per
+"""
+
+
 QUERIES = {
     "olap_pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "revenue_moving_avg": (q_revenue_moving_avg, ORACLE_MOVAVG),
@@ -510,6 +704,10 @@ QUERIES = {
     "skew_salted_enrich": (q_skew_salted_enrich, ORACLE_SALTED),
     "zorder_key_lineitem": (q_zorder_key, _zorder_oracle()),
     "profile_orders": (q_profile_orders, ORACLE_PROFILE),
+    "olap_shipping_priority": (q_shipping_priority, ORACLE_Q3),
+    "olap_local_supplier_volume": (q_local_supplier_volume, ORACLE_Q5),
+    "events_anomaly_days": (q_anomaly_days, ORACLE_ANOMALY),
+    "customer_rfm": (q_customer_rfm, _rfm_oracle()),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),
     "top_events_global": (q_top_events_global, ORACLE_TOP_GLOBAL),
