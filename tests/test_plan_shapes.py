@@ -72,3 +72,29 @@ def test_simhash_no_exchange_between_explode_and_agg(spark):
     # final agg shuffle of 32 sums per doc
     plan = _plan(spark, "dedupe_simhash")
     assert plan.count("Exchange") <= 2
+
+
+def test_q3_broadcasts_customer_and_pushes_dates(spark):
+    plan = _plan(spark, "olap_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    # both date filters reach the parquet scans
+    assert plan.count("PushedFilters: [IsNotNull") >= 2
+
+
+def test_q5_star_join_single_big_join(spark):
+    plan = _plan(spark, "olap_local_supplier_volume")
+    # region/nation/customer/supplier all broadcast; orders-lineitem is
+    # the only non-broadcast join
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_salted_enrich_keeps_shuffle_join(spark):
+    plan = _plan(spark, "skew_salted_enrich")
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "__salt" in plan
+
+
+def test_variant_props_stays_jvm_side(spark):
+    plan = _plan(spark, "event_props_variant")
+    assert "EvalPython" not in plan

@@ -685,6 +685,44 @@ GROUP BY event_type, lo, hi, p
 """
 
 
+def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4 VARIANT: parse once
+    (`try_parse_json`), typed path extraction (`try_variant_get`) — the
+    modern engine-native JSON path (binary variant encoding, JVM-side,
+    no per-field re-parse like get_json_object). Malformed documents
+    degrade to NULL, counted separately, never failing the query."""
+    e = _events(spark, sf_dir)
+    v = F.try_parse_json(F.col("props"))
+    agg = (
+        e.select("event_type", v.alias("v"))
+        .select(
+            "event_type",
+            F.col("v").isNotNull().cast("long").alias("parsed"),
+            F.try_variant_get(F.col("v"), "$.k", "long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("parsed").alias("n_parsed"),
+            F.count("k").alias("n_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+    return agg
+
+
+ORACLE_PROPS_VARIANT = """
+SELECT event_type,
+  COUNT(*) AS n_events,
+  SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS n_parsed,
+  COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+  SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_kmv_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day KMV partials merged into a per-type distinct-user estimate
     (the mergeable-sketch path: partials near the data, merge touches
@@ -737,4 +775,5 @@ QUERIES = {
     "kmv_merge_daily": (q_kmv_merge_daily, ORACLE_KMV_MERGE),
     "partial_agg_merge": (q_partial_agg_merge, ORACLE_PARTIAL_MERGE),
     "histogram_quantiles": (q_histogram_quantiles, ORACLE_HISTOGRAM_Q),
+    "event_props_variant": (q_props_variant, ORACLE_PROPS_VARIANT),
 }
