@@ -722,8 +722,107 @@ SELECT doc_id, lang, sample_rank FROM (
 """
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style quality proxy: corpus bigram model (MLE, no smoothing
+    needed — every doc bigram is in the model by construction), score
+    each doc by mean negative log2 P(w2|w1). High score = improbable
+    token transitions = likely garbage. All equi-keyed: the pair model
+    is two hash aggregates + one join on the predecessor token; doc
+    scoring joins occurrences to the pair table on the pair key (the
+    pair join reuses the pair-hash partitioning)."""
+    d = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    bgs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = d.select("doc_id", F.explode(bgs).alias("bg"))
+    c12 = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    c1 = c12.groupBy(w1.alias("w1")).agg(F.sum("c12").alias("c1"))
+    model = c12.join(c1, w1 == c1.w1).select(
+        "bg", (F.log2(F.col("c12")) - F.log2(F.col("c1"))).alias("logp")
+    )
+    return (
+        occ.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg("logp"), 6).alias("neg_logp"),
+        )
+    )
+
+
+ORACLE_BIGRAM_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), occ AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(t) >= 2
+           THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+           ELSE []::VARCHAR[] END) AS bg
+  FROM toks
+), c12 AS (
+  SELECT bg, COUNT(*) AS c12 FROM occ GROUP BY bg
+), c1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, SUM(c12) AS c1 FROM c12 GROUP BY 1
+), model AS (
+  SELECT bg, log2(c12) - log2(c1) AS logp
+  FROM c12 JOIN c1 ON split_part(c12.bg, ' ', 1) = c1.w1
+)
+SELECT doc_id, COUNT(*) AS n_bigrams, round(-AVG(logp), 6) AS neg_logp
+FROM occ JOIN model USING (bg) GROUP BY doc_id
+"""
+
+
+def q_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training step: the 20 most frequent adjacent character
+    pairs inside words, corpus-wide — the inner loop of tokenizer
+    training as a distributed aggregation (explode words, explode char
+    pairs, hash-count; ties broken lexicographically so the cutoff is
+    engine-stable)."""
+    d = _docs(spark, sf_dir)
+    w = F.col("w")
+    pairs = F.when(
+        F.length(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(w) - 1),
+            lambda i: w.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )
+
+
+ORACLE_BPE_MERGES = f"""
+WITH words AS (
+  SELECT unnest({_TOKS}) AS w FROM documents
+), pairs AS (
+  SELECT unnest(CASE WHEN length(w) >= 2
+         THEN list_transform(range(1, length(w)), i -> substr(w, i, 2))
+         ELSE []::VARCHAR[] END) AS pair
+  FROM words
+)
+SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT 20
+"""
+
+
 QUERIES = {
     "pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
+    "doc_bigram_logprob": (q_bigram_logprob, ORACLE_BIGRAM_LOGPROB),
+    "bpe_top_merges": (q_bpe_top_merges, ORACLE_BPE_MERGES),
     "doc_char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
     "dedupe_dup_spans": (q_dup_spans, ORACLE_DUP_SPANS),
     "corpus_sample_per_group": (q_group_sample_fixed, ORACLE_GROUP_SAMPLE),
