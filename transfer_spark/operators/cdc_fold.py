@@ -238,3 +238,35 @@ def cdc_fold_salted(
         else:
             out_cols.append(F.col(name))
     return combined.select(*out_cols)
+
+
+def scd2_versions(
+    df: DataFrame,
+    pk_cols: list[str],
+    order_col: str,
+    delete_col: str,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 from a CDC change stream: every
+    non-delete event becomes a version row with ``valid_from`` /
+    ``valid_to`` (the next change's offset) and ``is_current``; a delete
+    CLOSES the open version (it bounds the predecessor's valid_to)
+    without opening one. This is the dimension-history complement of A2's
+    append-only history mode (clients/shared/append.go keeps raw events;
+    SCD2 keeps interval-stamped versions a warehouse can join on).
+
+    One shuffle: the lead() window on the PK hash — the same partitioning
+    every per-key CDC operator here uses.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*pk_cols).orderBy(order_col)
+    nxt = F.lead(order_col).over(w)
+    return (
+        df.withColumn("__valid_to", nxt)
+        .filter(~F.col(delete_col))
+        .withColumn("__is_current", F.col("__valid_to").isNull())
+        .withColumnRenamed(order_col, "valid_from")
+        .withColumnRenamed("__valid_to", "valid_to")
+        .withColumnRenamed("__is_current", "is_current")
+        .drop(delete_col)
+    )

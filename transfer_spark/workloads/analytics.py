@@ -696,6 +696,97 @@ FROM per
 """
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff orders against a deterministically
+    mutated copy (drops, updates, inserts) and count each diff class —
+    one full-outer PK join + codegen null-safe compare, the cutover-gate
+    primitive (see operators/diff.py)."""
+    from transfer_spark.operators.diff import diff_summary
+
+    o = _t(spark, sf_dir, "orders")
+    old = o
+    # new: drop every 20th key (deleted), bump price on every 7th
+    # (changed), and append fresh keys (added)
+    mutated = o.filter(F.col("o_orderkey") % 20 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserted = o.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    new = mutated.unionByName(inserted)
+    return diff_summary(
+        old, new, ["o_orderkey"], ["o_custkey", "o_totalprice", "o_orderstatus"]
+    )
+
+
+ORACLE_TABLE_DIFF = """
+WITH old AS (
+  SELECT * FROM orders
+), new AS (
+  SELECT o_orderkey, o_custkey,
+    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+    o_orderstatus
+  FROM orders WHERE o_orderkey % 20 != 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 13 = 0
+), j AS (
+  SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+         WHEN n.o_orderkey IS NULL THEN 'deleted'
+         WHEN o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+          AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+          AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus THEN 'unchanged'
+         ELSE 'changed' END AS diff_class
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT diff_class, COUNT(*) AS n_rows FROM j GROUP BY diff_class
+"""
+
+
+def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: not-null, positive-amount, PK
+    uniqueness, and date-range rules over orders, all evaluated in ONE
+    scan (uniqueness as rows − distinct keys), emitted one row per rule
+    — the audit step of write-audit-publish."""
+    o = _t(spark, sf_dir, "orders")
+    lo = F.lit("1990-01-01").cast("timestamp")
+    hi = F.lit("2030-01-01").cast("timestamp")
+    one = o.agg(
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("nulls"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("nonpos"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup"),
+        F.sum(
+            ((F.col("o_orderdate") < lo) | (F.col("o_orderdate") >= hi)).cast("long")
+        ).alias("outrange"),
+    )
+    return one.selectExpr(
+        "stack(4, 'custkey_not_null', nulls, 'totalprice_positive', nonpos, "
+        "'orderkey_unique', dup, 'orderdate_in_range', outrange) "
+        "as (rule, n_violations)"
+    )
+
+
+ORACLE_DQ = """
+WITH one AS (
+  SELECT
+    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nulls,
+    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos,
+    COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup,
+    SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+           OR o_orderdate >= TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END) AS outrange
+  FROM orders
+)
+SELECT 'custkey_not_null' AS rule, nulls AS n_violations FROM one
+UNION ALL SELECT 'totalprice_positive', nonpos FROM one
+UNION ALL SELECT 'orderkey_unique', dup FROM one
+UNION ALL SELECT 'orderdate_in_range', outrange FROM one
+"""
+
+
 QUERIES = {
     "olap_pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "revenue_moving_avg": (q_revenue_moving_avg, ORACLE_MOVAVG),
@@ -708,6 +799,8 @@ QUERIES = {
     "olap_local_supplier_volume": (q_local_supplier_volume, ORACLE_Q5),
     "events_anomaly_days": (q_anomaly_days, ORACLE_ANOMALY),
     "customer_rfm": (q_customer_rfm, _rfm_oracle()),
+    "table_diff_classes": (q_table_diff, ORACLE_TABLE_DIFF),
+    "dq_violations": (q_dq_violations, ORACLE_DQ),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),
     "top_events_global": (q_top_events_global, ORACLE_TOP_GLOBAL),

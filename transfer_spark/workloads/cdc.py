@@ -385,8 +385,35 @@ QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DE
 """
 
 
+def q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension history from the change stream: interval-
+    stamped version rows (valid_from/valid_to offsets), deletes close
+    the open version. One lead() window on the PK hash."""
+    from transfer_spark.operators.cdc_fold import scd2_versions
+
+    s = _stream(spark, sf_dir).select("id", OFF, DEL, "etype", "val")
+    out = scd2_versions(s, ["id"], OFF, DEL)
+    return out.select(
+        "id", "etype", "val", "valid_from", "valid_to", "is_current"
+    )
+
+
+ORACLE_SCD2 = f"""
+WITH s AS ({_STREAM_SQL}),
+v AS (
+  SELECT id, etype, val, is_delete,
+    off AS valid_from,
+    lead(off) OVER (PARTITION BY id ORDER BY off) AS valid_to
+  FROM s
+)
+SELECT id, etype, val, valid_from, valid_to, valid_to IS NULL AS is_current
+FROM v WHERE NOT is_delete
+"""
+
+
 QUERIES = {
     "cdc_lww_dedup": (q_lww_dedup, ORACLE_LWW),
+    "cdc_scd2_versions": (q_scd2_versions, ORACLE_SCD2),
     "cdc_fold": (q_cdc_fold, ORACLE_CDC_FOLD),
     "cdc_fold_salted": (q_cdc_fold_salted, ORACLE_CDC_FOLD),
     "cdc_merge_hard": (q_cdc_merge_hard, _oracle_merge(soft=False)),
