@@ -1,0 +1,96 @@
+"""Custom Python DataSource (Spark 4 API): deterministic CDC fixture.
+
+The reference ingests CDC from Kafka (processes/consumer/kafka.go); this
+container has no Kafka jar, so beyond the wire-frame transform tests the
+repo also ships a REAL registered connector through Spark's Python
+DataSource API — the supported way to host a pure-Python source/sink
+inside the engine. The source generates deterministic Debezium-shaped
+envelopes (seeded by partition, reproducible across runs) and exercises
+the exact decode → fold path production would run off Kafka:
+
+    spark.dataSource.register(DebeziumFixtureDataSource)
+    spark.read.format("debezium_fixture").option("rows", 1000).load()
+
+Partition planning is real: `partitions()` splits the keyspace so the
+generate runs distributed (one task per InputPartition), and the reader
+yields plain tuples — Arrow-batched by the API, no driver funnel.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+FIXTURE_SCHEMA = "key string, value string, partition int, offset bigint"
+
+_OPS = ["c", "u", "u", "u", "d"]  # update-heavy mix like a real topic
+
+
+def _envelope(rng: random.Random, pk: int, op: str, off: int) -> str:
+    row = {
+        "id": pk,
+        "name": f"user-{pk}",
+        "balance": round(rng.uniform(0, 1000), 2),
+    }
+    return json.dumps(
+        {
+            "payload": {
+                "before": row if op == "d" else None,
+                "after": None if op == "d" else row,
+                "op": op,
+                "ts_ms": 1700000000000 + off,
+                "source": {"table": "users", "lsn": off},
+            }
+        }
+    )
+
+
+class _Partition(InputPartition):
+    def __init__(self, pid: int, rows: int, seed: int):
+        self.pid = pid
+        self.rows = rows
+        self.seed = seed
+
+
+class FixtureReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.num_partitions = int(options.get("numPartitions", 4))
+        self.seed = int(options.get("seed", 42))
+
+    def partitions(self):
+        per = self.rows // self.num_partitions
+        extra = self.rows % self.num_partitions
+        return [
+            _Partition(i, per + (1 if i < extra else 0), self.seed)
+            for i in range(self.num_partitions)
+        ]
+
+    def read(self, partition: _Partition):
+        # deterministic per (seed, partition): reruns and retries generate
+        # byte-identical envelopes (the fixture analog of Kafka's replay)
+        rng = random.Random((partition.seed << 8) ^ partition.pid)
+        for i in range(partition.rows):
+            off = partition.pid * 1_000_000 + i
+            pk = rng.randrange(0, max(1, partition.rows // 2))
+            op = "c" if i == 0 else _OPS[rng.randrange(len(_OPS))]
+            yield (
+                json.dumps({"id": pk}),
+                _envelope(rng, pk, op, off),
+                partition.pid,
+                off,
+            )
+
+
+class DebeziumFixtureDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "debezium_fixture"
+
+    def schema(self):
+        return FIXTURE_SCHEMA
+
+    def reader(self, schema):
+        return FixtureReader(self.options)
