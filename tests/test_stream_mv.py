@@ -1,0 +1,92 @@
+"""Streaming materialized view: an update-mode aggregation upserted into
+a parquet table via foreachBatch, converging to the batch aggregate.
+
+The production pattern for "keep a rollup fresh off the stream": the
+aggregation state lives in the checkpoint, each micro-batch emits only
+UPDATED groups, and the sink merges them by key (here: overwrite of a
+key-complete snapshot per group — group-cardinality sized, not
+row-cardinality)."""
+
+import datetime as dt
+import json
+import os
+
+from pyspark.sql import functions as F
+
+SCHEMA = "etype string, ts timestamp, v double"
+BASE = dt.datetime(2024, 1, 1)
+
+ROWS = [
+    ("view", 0, 1.0),
+    ("click", 10, 2.0),
+    ("view", 20, 3.0),
+    ("purchase", 30, 10.0),
+    ("view", 40, 5.0),
+    ("click", 50, 4.0),
+]
+
+
+def _write(src, name, rows):
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, f"{name}.json"), "w") as f:
+        for e, s, v in rows:
+            f.write(
+                json.dumps(
+                    {"etype": e, "ts": (BASE + dt.timedelta(seconds=s)).isoformat(), "v": v}
+                )
+                + "\n"
+            )
+
+
+def test_streaming_mv_converges_to_batch_aggregate(spark, tmp_path):
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    _write(src, "b0", ROWS[:3])
+    _write(src, "b1", ROWS[3:])
+
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    agg = stream.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v")
+    )
+
+    def upsert(batch_df, batch_id):
+        # update-mode batch holds only groups touched this trigger; merge
+        # = replace those keys in the MV (keys are the partition column,
+        # so the rewrite is scoped exactly like the bucketed CDC sink)
+        incoming = batch_df.collect()
+        if not incoming:
+            return
+        inc = spark.createDataFrame(incoming, batch_df.schema)
+        if os.path.exists(mv):
+            cur = spark.read.parquet(mv)
+            keys = [r["etype"] for r in inc.select("etype").distinct().collect()]
+            keep = cur.filter(~F.col("etype").isin(keys))
+            out = keep.unionByName(inc)
+        else:
+            out = inc
+        out.coalesce(1).write.mode("overwrite").parquet(mv + ".tmp")
+        spark.read.parquet(mv + ".tmp").coalesce(1).write.mode("overwrite").parquet(mv)
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["etype"]: (r["n"], r["sum_v"]) for r in spark.read.parquet(mv).collect()
+    }
+    want = {
+        r["etype"]: (r["n"], r["sum_v"])
+        for r in spark.read.schema(SCHEMA).json(src)
+        .groupBy("etype")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert got == want
