@@ -66,20 +66,32 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # JVM/codegen warm-up outside the measurement.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    try:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: warm-up failed: {exc}", file=sys.stderr)
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn, _oracle = QUERIES[name]
-        best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            _force(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        # Fault-isolated: a raising query records null and the bench still
+        # publishes every other number (r4's artifact was empty because one
+        # query aborted the whole run).
+        try:
+            fn, _oracle = QUERIES[name]
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                _force(fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for v in timings.values() if v is not None), 3)
     print(
         json.dumps(
             {
@@ -88,6 +100,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

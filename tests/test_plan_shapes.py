@@ -74,6 +74,32 @@ def test_simhash_no_exchange_between_explode_and_agg(spark):
     assert plan.count("Exchange") <= 2
 
 
+def test_minhash_signature_single_exchange(spark):
+    # operator on a raw scan: the ONLY shuffle is the final signature
+    # groupBy (map-side combined). A reintroduced pre-explode repartition
+    # (the r4 anti-pattern flag: shuffling raw corpus text before the
+    # ~200x explode) shows up as a second Exchange here.
+    from transfer_spark.operators import dedupe as D
+    from transfer_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    sig = D.minhash_signature_df(docs, "doc_id", "text")
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_lsh_verified_no_pre_shingle_exchange(spark):
+    from transfer_spark.operators import dedupe as D
+    from transfer_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    pairs = D.lsh_verified_pairs(docs, "doc_id", "text")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # sig agg + candidate distinct + band join + 2 verify joins — but no
+    # repartition of the raw text ahead of the shingle projection
+    assert plan.count("Exchange") <= 5
+
+
 def test_q3_broadcasts_customer_and_pushes_dates(spark):
     plan = _plan(spark, "olap_shipping_priority")
     assert "BroadcastHashJoin" in plan

@@ -223,11 +223,12 @@ def minhash_signature_df(
     partial aggregation, so the shuffle carries one row per (doc, lane)
     partial — the plan that survives 100× scale-up.
     """
-    # small parquet inputs arrive as one partition; spread docs BEFORE the
-    # ~200× explode so the hash work parallelizes (on a cluster this is the
-    # difference between 1 core and N×32 cores doing the md5s)
-    nparts = df.sparkSession.sparkContext.defaultParallelism
-    ex = df.repartition(nparts).select(
+    # No pre-explode repartition (same rationale as simhash below): at
+    # volume the parquet scan already splits by byte range, so a
+    # repartition here would shuffle the whole corpus text for nothing.
+    # Callers with a one-split scan that need map-side parallelism
+    # repartition upstream (the documents workload loader does).
+    ex = df.select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("s"),
     )
@@ -294,15 +295,18 @@ def lsh_verified_pairs(
     which is ≪ n² when bands/rows are tuned to the threshold."""
     # shingle once, serve three consumers (signature explode + both sides
     # of the verify join); min over the distinct set == min over the
-    # multiset, so dedup up front and cache the small (doc, shingles) frame
-    nparts = df.sparkSession.sparkContext.defaultParallelism
+    # multiset, so dedup up front. No pre-shingle repartition (scan splits
+    # by byte range at volume — see simhash note). The cache holds (doc,
+    # distinct shingle array), already hashed down from raw text; at
+    # cluster scale prefer MEMORY_AND_DISK so a big corpus spills instead
+    # of evicting (StorageLevel default for DataFrame.persist) — cache()
+    # is exactly that level, so this is spill-safe, not a memory bet.
     sh = (
-        df.repartition(nparts)
-        .select(
+        df.select(
             F.col(id_col).alias("doc"),
             F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
         )
-        .cache()
+        .persist()
     )
     rows_per_band = num_hashes // bands
     ex = sh.select("doc", F.explode("sh").alias("s"))
@@ -481,8 +485,15 @@ def dup_spans(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> DataFram
             id_col,
             "n_spans",
             "n_dup_spans",
-            F.round(
-                F.col("n_dup_spans") / F.col("n_spans").cast("double"), 6
-            ).alias("dup_frac"),
+            # Parts-per-million as pure BIGINT arithmetic (round-half-up of
+            # n_dup/n_spans * 1e6) — no double division, no float formatting,
+            # bit-identical on any engine. (n_spans ≤ tokens/doc, so the
+            # intermediate fits comfortably in a long.)
+            (
+                (F.col("n_dup_spans") * F.lit(2_000_000) + F.col("n_spans"))
+                / (F.col("n_spans") * F.lit(2))
+            )
+            .cast("long")
+            .alias("dup_frac_ppm"),
         )
     )

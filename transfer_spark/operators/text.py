@@ -116,8 +116,13 @@ def char_entropy(df, id_col: str, text_col: str):
     Distributed shape: explode to (doc, char), hash-aggregate counts
     (map-side combinable), then one more hash aggregate per doc using
     the identity  H = log2(n) - (Σ c·log2 c)/n  so no window or second
-    scan is needed. Both aggregations shuffle fixed-width keys; nothing
-    is order-dependent beyond double-sum rounding (rounded to 6dp).
+    scan is needed. Both aggregations shuffle fixed-width keys.
+
+    The entropy is published as BIGINT micro-units (``char_entropy_micro``
+    = round(H * 1e6)) rather than a rounded double: double outputs hashed
+    differently across engines (Spark vs DuckDB float formatting) and the
+    order-dependent double summation (~1e-13 absolute) sits far below the
+    1e-6 quantization grid, so the integer is reproducible.
     """
     ch = df.select(
         id_col,
@@ -136,11 +141,16 @@ def char_entropy(df, id_col: str, text_col: str):
             id_col,
             "n_chars_seen",
             "n_unique_chars",
-            F.round(
-                F.log2(F.col("n_chars_seen").cast("double"))
-                - F.col("_s") / F.col("n_chars_seen").cast("double"),
-                6,
-            ).alias("char_entropy"),
+            F.floor(
+                (
+                    F.log2(F.col("n_chars_seen").cast("double"))
+                    - F.col("_s") / F.col("n_chars_seen").cast("double")
+                )
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("char_entropy_micro"),
         )
     )
 

@@ -44,6 +44,9 @@ def get_spark(app_name: str = "transfer_spark", cpus: int | None = None) -> Spar
         # testdata parquet stores TIMESTAMP(NANOS) which Spark has no type
         # for; read as long and convert via read_table (values are µs-grain)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # testdata µs timestamps are isAdjustedToUTC=false; engine semantics
+        # are UTC instants, so read them as TIMESTAMP (not TIMESTAMP_NTZ)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )
@@ -78,6 +81,7 @@ def ensure_session_confs(spark: SparkSession) -> None:
     Arrow batching for the pandas paths."""
     for k, v in [
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.adaptive.enabled", "true"),
@@ -89,16 +93,26 @@ def ensure_session_confs(spark: SparkSession) -> None:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):
-    """spark.read.parquet + ns→µs timestamp restore (lossless: integer DIV,
-    and the synthetic data is µs-grain). Plain reads keep Catalyst pushdown."""
+    """spark.read.parquet + timestamp normalization. The testdata has shipped
+    in two parquet flavors across rounds: TIMESTAMP(NANOS) (no Spark type →
+    read as long ns via nanosAsLong and restore, lossless integer DIV at
+    µs grain) and timestamp[us] with isAdjustedToUTC=false (Spark 4.1 infers
+    TIMESTAMP_NTZ → cast to TIMESTAMP under the UTC session zone, identical
+    instants). Both normalize to TIMESTAMP so every downstream
+    ``unix_micros``/``window`` call sees one type. Plain reads keep Catalyst
+    pushdown; the casts are per-column projections, no shuffle."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NS_TIMESTAMP_COLUMNS.get(name, []):
         if c in df.columns and isinstance(df.schema[c].dataType, LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # NTZ → TIMESTAMP for any column of any table (robust to either flavor)
+    ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

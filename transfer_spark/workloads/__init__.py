@@ -11,6 +11,7 @@ match exactly.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,12 +29,63 @@ from transfer_spark.workloads import (
 
 Entry = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
 
-QUERIES: dict[str, Entry] = {}
-QUERIES.update(cdc.QUERIES)
-QUERIES.update(sources.QUERIES)
-QUERIES.update(transforms.QUERIES)
-QUERIES.update(text.QUERIES)
-QUERIES.update(vectors.QUERIES)
-QUERIES.update(multimodal.QUERIES)
-QUERIES.update(temporal.QUERIES)
-QUERIES.update(analytics.QUERIES)
+_ALL: dict[str, Entry] = {}
+_ALL.update(cdc.QUERIES)
+_ALL.update(sources.QUERIES)
+_ALL.update(transforms.QUERIES)
+_ALL.update(text.QUERIES)
+_ALL.update(vectors.QUERIES)
+_ALL.update(multimodal.QUERIES)
+_ALL.update(temporal.QUERIES)
+_ALL.update(analytics.QUERIES)
+
+# The correctness driver oracle-checks at most the FIRST 50 entries in dict
+# order. With 96 registered queries, naive module order left the
+# vectors/multimodal/temporal/analytics tail permanently unchecked (flagged
+# in VERDICT r4). Order is therefore curated: a fixed core that covers every
+# family and every regression-prone operator, followed by a 12-slot window
+# that rotates through the remaining queries each round (round index = number
+# of CORRECTNESS_r*.json artifacts committed by the driver), so every query
+# gets a driver oracle row within a handful of rounds.
+_CORE = [
+    # cdc — the engine spine, always checked
+    "cdc_lww_dedup", "cdc_scd2_versions", "cdc_fold", "cdc_fold_salted",
+    "cdc_merge_hard", "cdc_merge_exec", "cdc_merge_soft",
+    "schema_evolution_merge", "multi_step_merge", "dedupe_maintenance",
+    # sources — decode paths, NTZ-regression-prone
+    "debezium_envelope_decode", "kafka_key_decode",
+    "mongo_extjson_decode", "mongo_extjson_generic",
+    # transforms
+    "encode_values", "pk_string_key", "sanitize_columns",
+    "converter_datetime", "column_encryption", "soft_partition_routing",
+    # text / dedupe
+    "doc_char_entropy", "dedupe_dup_spans",  # historical hash-mismatch pair
+    "dedupe_minhash_lsh", "dedupe_exact", "text_stats", "lang_id",
+    # vectors
+    "ann_bruteforce_topk", "embedding_neardup_lsh", "embedding_quantize_int8",
+    # multimodal
+    "multimodal_image_meta", "multimodal_audio_stats",
+    # temporal — timestamp-handling canaries
+    "events_asof_join", "events_hopping_window", "events_funnel",
+    "events_sessionize",
+    # analytics
+    "olap_pricing_summary", "skew_salted_enrich", "olap_top_orders_per_segment",
+]
+_ROTATE_SLOTS = 12
+
+
+def _round_index() -> int:
+    import glob
+
+    repo_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
+    return len(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
+
+
+_missing = [n for n in _CORE if n not in _ALL]
+assert not _missing, f"_CORE names not registered: {_missing}"
+
+_tail = [n for n in _ALL if n not in _CORE]
+_shift = (_round_index() * _ROTATE_SLOTS) % len(_tail) if _tail else 0
+_rotated = _tail[_shift:] + _tail[:_shift]
+
+QUERIES: dict[str, Entry] = {n: _ALL[n] for n in [*_CORE, *_rotated]}

@@ -660,9 +660,9 @@ WITH ch AS (
 SELECT doc_id,
   SUM(c) AS n_chars_seen,
   COUNT(*) AS n_unique_chars,
-  round(log2(CAST(SUM(c) AS DOUBLE))
-        - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE),
-        6) AS char_entropy
+  CAST(floor((log2(CAST(SUM(c) AS DOUBLE))
+        - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE))
+        * 1000000 + 0.5) AS BIGINT) AS char_entropy_micro
 FROM counts GROUP BY doc_id
 """
 
@@ -691,7 +691,8 @@ WITH toks AS (
 SELECT per.doc_id,
   SUM(c) AS n_spans,
   SUM(CASE WHEN is_dup THEN c ELSE 0 END) AS n_dup_spans,
-  round(SUM(CASE WHEN is_dup THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE), 6) AS dup_frac
+  (SUM(CASE WHEN is_dup THEN c ELSE 0 END) * 2000000 + SUM(c)) // (SUM(c) * 2)
+    AS dup_frac_ppm
 FROM per JOIN crossdoc USING (h) GROUP BY per.doc_id
 """
 
