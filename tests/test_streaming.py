@@ -313,6 +313,62 @@ def test_multi_table_parallel_flush(spark, tmp_path):
         ReplicationPipeline.process_batch = orig
 
 
+def test_flush_telemetry_counters(spark, tmp_path):
+    """Flush-path metrics parity (flush.go:90-127, process.go:43,
+    event.go:180-189): per-table flush timing tagged mode/table/reason/
+    what, row Count, batch timing — and the 'what: error' timing on a
+    failing flush, emitted without interrupting the abort."""
+    from transfer_spark.streaming.pipeline import (
+        MultiTablePipeline,
+        ReplicationPipeline,
+    )
+    from transfer_spark.streaming.telemetry import InMemoryMetricsClient
+
+    rows = [
+        (t, n, 100 * i + n, False, "e", float(n))
+        for i, t in enumerate(["a", "b"])
+        for n in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, f"tbl string, id bigint, off bigint, {DELETE_COLUMN_MARKER} boolean, "
+        "etype string, val double"
+    )
+
+    metrics = InMemoryMetricsClient()
+    mtp = MultiTablePipeline(
+        spark, str(tmp_path / "base"), "tbl", ["id"], "off", metrics_client=metrics
+    )
+    mtp.process_batch(df, 0)
+
+    flushes = [(n, tags) for n, _, tags in metrics.timings if n == "flush"]
+    assert len(flushes) == 2
+    for _, tags in flushes:
+        assert tags["what"] == "success"
+        assert tags["mode"] == "replication"
+        assert tags["table"] in ("a", "b")
+        assert tags["reason"] == "batch"
+    row_totals = metrics.totals("flush.rows")
+    assert sum(row_totals.values()) == 8
+    assert any(n == "process.batch" for n, _, _ in metrics.timings)
+
+    # failure path: timing still emitted, tagged what=error, abort intact
+    orig = ReplicationPipeline.process_batch
+
+    def boom(self, batch_df, batch_id):
+        if self.table.path.endswith("b"):
+            raise RuntimeError("table b flush failed")
+        return orig(self, batch_df, batch_id)
+
+    ReplicationPipeline.process_batch = boom
+    try:
+        with pytest.raises(RuntimeError, match="table b flush failed"):
+            mtp.process_batch(df, 1)
+    finally:
+        ReplicationPipeline.process_batch = orig
+    err = [t for n, _, t in metrics.timings if n == "flush" and t.get("what") == "error"]
+    assert err and err[0]["table"] == "b"
+
+
 def test_kafka_frame_to_wire(spark):
     """S1: the Kafka frame → wire frame mapping — casts + tombstone skip
     (kafka.go:71-74). The same expression chain runs on the real

@@ -1,0 +1,75 @@
+"""Telemetry provider unit tests (no Spark needed) — wire format and
+never-raise contract of the statsd emitter, recorder semantics of the
+in-memory client."""
+
+from __future__ import annotations
+
+import socket
+
+from transfer_spark.streaming.telemetry import (
+    InMemoryMetricsClient,
+    NullMetricsClient,
+    StatsdMetricsClient,
+)
+
+
+def _recv_lines(sock, n):
+    out = []
+    sock.settimeout(2.0)
+    for _ in range(n):
+        out.append(sock.recv(4096).decode())
+    return out
+
+
+def test_statsd_dogstatsd_wire_format():
+    srv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    c = StatsdMetricsClient(port=port)
+
+    c.timing("flush", 1.5, {"table": "t", "what": "success"})
+    c.count("flush.rows", 42, {"table": "t"})
+    c.gauge_with_sample("row.execution_time_lag", 250.0, {"mode": "replication"}, 0.5)
+    c.incr("process.restarts")
+    lines = _recv_lines(srv, 4)
+    srv.close()
+    assert lines[0] == "transfer.flush:1500.000|ms|#table:t,what:success"
+    assert lines[1] == "transfer.flush.rows:42|c|#table:t"
+    assert lines[2] == "transfer.row.execution_time_lag:250.0|g|@0.5|#mode:replication"
+    assert lines[3] == "transfer.process.restarts:1|c"
+
+
+def test_statsd_never_raises_on_dead_target():
+    # fire-and-forget: nothing listens on the port, sends must not raise
+    c = StatsdMetricsClient(port=1)  # privileged + unbound
+    c.timing("flush", 0.1, {})
+    c.count("x", 1, None)
+    c.flush()
+
+
+def test_in_memory_totals_and_thread_safety():
+    import threading
+
+    m = InMemoryMetricsClient()
+
+    def emit():
+        for _ in range(100):
+            m.count("rows", 2, {"table": "a"})
+            m.incr("rows", {"table": "b"})
+
+    threads = [threading.Thread(target=emit) for _ in range(8)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    totals = m.totals("rows")
+    assert totals[(("table", "a"),)] == 1600
+    assert totals[(("table", "b"),)] == 800
+
+
+def test_null_client_is_contract_complete():
+    n = NullMetricsClient()
+    n.timing("a", 1.0, {})
+    n.incr("a")
+    n.count("a", 1)
+    n.gauge("a", 1.0)
+    n.gauge_with_sample("a", 1.0, {}, 0.5)
+    n.flush()

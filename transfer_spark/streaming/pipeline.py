@@ -521,6 +521,7 @@ class MultiTablePipeline:
         compact_every_n_batches: int | None = None,
         compact_max_files: int = 8,
         webhook_client=None,
+        metrics_client=None,
     ):
         self.spark = spark
         self.base_path = base_path
@@ -540,6 +541,11 @@ class MultiTablePipeline:
         # ops-event emitter (streaming/webhooks.py); None/disabled = no-op,
         # and emission failures never touch the data path by contract
         self.webhook_client = webhook_client
+        # flush-path counters (streaming/telemetry.py — the reference's
+        # base.Client surface); default no-op provider
+        from transfer_spark.streaming.telemetry import NullMetricsClient
+
+        self.metrics_client = metrics_client or NullMetricsClient()
         self._batches_seen = 0
         self.pipelines: dict[str, ReplicationPipeline] = {}
 
@@ -594,17 +600,35 @@ class MultiTablePipeline:
 
         from concurrent.futures import ThreadPoolExecutor
 
+        import datetime
+        import time as _time
+
+        batch_start = _time.monotonic()
         batch_df = batch_df.cache()
         try:
-            # distinct table list is per-batch metadata (tiny) — the row
-            # data itself never funnels through the driver
-            tables = sorted(
-                r[0] for r in batch_df.select(self.table_col).distinct().collect()
-            )
+            # per-table routing metadata is ONE tiny driver-side aggregate
+            # (table list + row count + max order value) — the row data
+            # itself never funnels through the driver, and the counters
+            # ride the aggregate the fan-out needs anyway (no extra job)
+            stats = {
+                r[0]: (r[1], r[2])
+                for r in batch_df.groupBy(self.table_col)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max(self.order_col).alias("max_ord"),
+                )
+                .collect()
+            }
+            tables = sorted(stats)
             # resolve pipelines serially (dict mutation), flush in parallel
             pipes = {t: self._pipeline_for(t) for t in tables}
 
             def _flush(t: str) -> None:
+                # flush.go:90-127 parity: timing tagged mode/table/reason/
+                # what on BOTH outcomes; rows + execution-time lag on success
+                mode = "history" if pipes[t].history_mode else "replication"
+                tags = {"mode": mode, "table": t, "reason": "batch"}
+                start = _time.monotonic()
                 sub = batch_df.filter(F.col(self.table_col) == t).drop(self.table_col)
                 try:
                     pipes[t].process_batch(sub, batch_id)
@@ -613,7 +637,21 @@ class MultiTablePipeline:
                     # + error (client scrubs both); the exception still
                     # propagates so the batch aborts before checkpoint
                     self._emit("replication.error", {"table": t, "error": str(e)})
+                    self.metrics_client.timing(
+                        "flush", _time.monotonic() - start, {**tags, "what": "error"}
+                    )
                     raise
+                n_rows, max_ord = stats[t]
+                self.metrics_client.timing(
+                    "flush", _time.monotonic() - start, {**tags, "what": "success"}
+                )
+                self.metrics_client.count("flush.rows", n_rows, tags)
+                if isinstance(max_ord, datetime.datetime):
+                    ref = datetime.datetime.now(max_ord.tzinfo)
+                    lag_ms = (ref - max_ord).total_seconds() * 1000.0
+                    self.metrics_client.gauge_with_sample(
+                        "row.execution_time_lag", lag_ms, tags, sample=0.5
+                    )
 
             n = min(self.max_parallel_flushes, len(tables)) or 1
             with ThreadPoolExecutor(max_workers=n, thread_name_prefix="flush") as ex:
@@ -623,6 +661,12 @@ class MultiTablePipeline:
                 list(ex.map(_flush, tables))
         finally:
             batch_df.unpersist()
+        # Spark's unit of consumption is the micro-batch, so the
+        # reference's per-message process.message timing maps to one
+        # process.batch timing (process.go:43)
+        self.metrics_client.timing(
+            "process.batch", _time.monotonic() - batch_start, {"batch_id": str(batch_id)}
+        )
         self._batches_seen += 1
         if (
             self.compact_every_n_batches

@@ -1,0 +1,140 @@
+"""Flush-path metric counters — parity with the reference telemetry pkg.
+
+The reference defines one metrics interface (lib/telemetry/metrics/base/
+provider.go: Timing / Incr / Count / Gauge / GaugeWithSample / Flush)
+with a statsd-wire provider (lib/telemetry/metrics/datadog) and a no-op
+fallback (lib/telemetry/metrics/null_provider.go), and emits from three
+sites:
+
+- ``flush`` timing, tagged mode/table/database/schema/reason/what, on
+  BOTH success and failure (processes/consumer/flush.go:90-127)
+- ``process.message`` timing per consumed message
+  (processes/consumer/process.go:43)
+- ``row.execution_time_lag`` gauge at 0.5 sample
+  (models/event/event.go:180-189)
+
+Spark mapping: a micro-batch IS the unit of work, so the per-message
+timing becomes a per-batch ``process.batch`` timing and the lag gauge is
+computed from ``max(order_col)`` per table inside the same tiny
+driver-side aggregate that routes the fan-out (no extra Spark job).
+Row counts ride the same aggregate → ``flush.rows`` Count.
+
+Like the webhook client, emission NEVER raises into the data path: the
+statsd provider is UDP fire-and-forget and swallows socket errors; the
+in-memory provider exists so tests can assert the counter contract.
+"""
+
+from __future__ import annotations
+
+import logging
+import socket
+import threading
+from collections import defaultdict
+
+logger = logging.getLogger(__name__)
+
+
+def _fmt_tags(tags: dict[str, str] | None) -> str:
+    if not tags:
+        return ""
+    inner = ",".join(f"{k}:{v}" for k, v in sorted(tags.items()))
+    return f"|#{inner}"
+
+
+class NullMetricsClient:
+    """No-op provider (reference null_provider.go) — the default, so the
+    pipeline never branches on 'is telemetry configured'."""
+
+    def timing(self, name: str, seconds: float, tags: dict | None = None) -> None:
+        pass
+
+    def incr(self, name: str, tags: dict | None = None) -> None:
+        pass
+
+    def count(self, name: str, value: int, tags: dict | None = None) -> None:
+        pass
+
+    def gauge(self, name: str, value: float, tags: dict | None = None) -> None:
+        pass
+
+    def gauge_with_sample(
+        self, name: str, value: float, tags: dict | None = None, sample: float = 1.0
+    ) -> None:
+        pass
+
+    def flush(self) -> None:
+        pass
+
+
+class InMemoryMetricsClient(NullMetricsClient):
+    """Thread-safe recorder for tests and local runs — flush fan-out
+    emits from driver threads concurrently, so every append locks."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.timings: list[tuple[str, float, dict]] = []
+        self.counts: list[tuple[str, int, dict]] = []
+        self.gauges: list[tuple[str, float, dict]] = []
+
+    def timing(self, name, seconds, tags=None):
+        with self._lock:
+            self.timings.append((name, seconds, dict(tags or {})))
+
+    def incr(self, name, tags=None):
+        self.count(name, 1, tags)
+
+    def count(self, name, value, tags=None):
+        with self._lock:
+            self.counts.append((name, value, dict(tags or {})))
+
+    def gauge(self, name, value, tags=None):
+        with self._lock:
+            self.gauges.append((name, value, dict(tags or {})))
+
+    def gauge_with_sample(self, name, value, tags=None, sample=1.0):
+        self.gauge(name, value, tags)
+
+    def totals(self, name: str) -> dict[tuple, int]:
+        """Sum of Count values per tag-set — convenience for assertions."""
+        out: dict[tuple, int] = defaultdict(int)
+        with self._lock:
+            for n, v, tags in self.counts:
+                if n == name:
+                    out[tuple(sorted(tags.items()))] += v
+        return dict(out)
+
+
+class StatsdMetricsClient(NullMetricsClient):
+    """Dogstatsd-line-protocol UDP emitter (the reference's datadog
+    provider speaks the same wire format). Stdlib-socket only, never
+    blocks, never raises — a dropped datagram must not dent the flush."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 8125, prefix: str = "transfer."):
+        self.addr = (host, port)
+        self.prefix = prefix
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.setblocking(False)
+
+    def _send(self, line: str) -> None:
+        try:
+            self._sock.sendto(line.encode(), self.addr)
+        except OSError:  # pragma: no cover - depends on host net stack
+            logger.debug("statsd send failed", exc_info=True)
+
+    def timing(self, name, seconds, tags=None):
+        self._send(f"{self.prefix}{name}:{seconds * 1000.0:.3f}|ms{_fmt_tags(tags)}")
+
+    def incr(self, name, tags=None):
+        self.count(name, 1, tags)
+
+    def count(self, name, value, tags=None):
+        self._send(f"{self.prefix}{name}:{value}|c{_fmt_tags(tags)}")
+
+    def gauge(self, name, value, tags=None):
+        self._send(f"{self.prefix}{name}:{value}|g{_fmt_tags(tags)}")
+
+    def gauge_with_sample(self, name, value, tags=None, sample=1.0):
+        self._send(f"{self.prefix}{name}:{value}|g|@{sample}{_fmt_tags(tags)}")
+
+    def flush(self):  # UDP has no buffer to drain; parity method
+        pass
