@@ -1,0 +1,115 @@
+"""Sequence-packing and exact-decontamination invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transfer_spark.operators.dedupe import ngram_collisions
+from transfer_spark.operators.packing import pack_stats, sequence_pack
+
+
+def _corpus(spark, n=40):
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(5 + (i * 7) % 23))) for i in range(n)]
+    # "" counts as ONE token under the engine-wide whitespace token_count
+    # convention (split('') -> ['']) — packed like any 1-token doc
+    rows.append((n, ""))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_pack_chunks_exactly_full_except_last(spark):
+    packed = sequence_pack(_corpus(spark), "doc_id", "text", cap=16, n_buckets=4).cache()
+    per_chunk = (
+        packed.groupBy("bucket", "chunk_id")
+        .agg(F.sum("n_tok").alias("fill"))
+        .collect()
+    )
+    last = {
+        r.bucket: r.chunk_id
+        for r in packed.groupBy("bucket").agg(F.max("chunk_id").alias("chunk_id")).collect()
+    }
+    for r in per_chunk:
+        if r.chunk_id == last[r.bucket]:
+            assert 1 <= r.fill <= 16
+        else:
+            assert r.fill == 16, f"non-final chunk underfull: {r}"
+
+
+def test_pack_conserves_tokens_and_offsets(spark):
+    df = _corpus(spark)
+    packed = sequence_pack(df, "doc_id", "text", cap=16, n_buckets=4).cache()
+    total_in = (
+        df.select(F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n"))
+        .filter(F.col("n") > 0)
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert packed.agg(F.sum("n_tok")).collect()[0][0] == total_in
+    bad = packed.filter(
+        (F.col("tok_offset") < 0)
+        | (F.col("tok_offset") >= 16)
+        | (F.col("n_tok") < 1)
+        | (F.col("tok_offset") + F.col("n_tok") > 16)
+    )
+    assert bad.count() == 0
+    # a doc's chunks are contiguous: chunks_touched == span of chunk ids
+    span = packed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        (F.max("chunk_id") - F.min("chunk_id") + 1).alias("spread"),
+    )
+    assert span.filter(F.col("k") != F.col("spread")).count() == 0
+
+
+def test_pack_deterministic_under_repartition(spark):
+    df = _corpus(spark)
+    a = sorted(map(tuple, sequence_pack(df, "doc_id", "text", 16, 4).collect()))
+    b = sorted(
+        map(tuple, sequence_pack(df.repartition(13), "doc_id", "text", 16, 4).collect())
+    )
+    assert a == b
+
+
+def test_pack_stats_counts_split_docs(spark):
+    packed = sequence_pack(_corpus(spark), "doc_id", "text", cap=16, n_buckets=4)
+    stats = {r.bucket: r for r in pack_stats(packed).collect()}
+    per_doc_chunks = {
+        r.doc_id: r.k
+        for r in packed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("k")).collect()
+    }
+    n_split = sum(1 for v in per_doc_chunks.values() if v > 1)
+    assert sum(s.n_split_docs for s in stats.values()) == n_split
+    assert sum(s.n_docs for s in stats.values()) == len(per_doc_chunks)
+
+
+def test_ngram_collisions_planted_overlap(spark):
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words {span} trailing text here"),
+            (2, "completely unrelated training document text body"),
+            (3, f"{span}"),  # exactly the span
+        ],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"question preamble {span} answer options")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.train_doc: r.n_contaminated_ngrams
+        for r in ngram_collisions(train, ev, "doc_id", "text", n=8).collect()
+    }
+    assert set(got) == {1, 3}
+    assert got[3] == 1  # the single exact span
+    assert got[1] == 1  # only the planted span collides, neighbors differ
+
+
+def test_ngram_collisions_broadcasts_eval_side(spark):
+    train = _corpus(spark)
+    ev = _corpus(spark).limit(3)
+    plan = (
+        ngram_collisions(train, ev, "doc_id", "text", n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -497,3 +497,45 @@ def dup_spans(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> DataFram
             .alias("dup_frac_ppm"),
         )
     )
+
+
+def ngram_collisions(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Exact n-gram decontamination: train docs sharing ≥1 exact n-token
+    span with ANY eval doc → (train_doc, n_contaminated_ngrams). The
+    standard eval-leakage check (the GPT-3 appendix used exact 13-gram
+    overlap): fuzzy dedup (MinHash) catches near-copies, this catches
+    verbatim snippets — a quoted benchmark question inside an otherwise
+    unique page — which near-dup similarity misses entirely.
+
+    Distributed shape: both sides explode to span hashes (hashed once,
+    never carrying span text past the md5), the eval side dedupes to a
+    DISTINCT hash set and BROADCASTS — eval suites are tiny next to a
+    training corpus, so the contamination probe is a broadcast-hash
+    semi-join against the train spans: no shuffle of the corpus at all.
+    The per-doc distinct-span count is the only aggregation (map-side
+    combinable on fixed-width keys).
+    """
+    tr = (
+        train_df.select(
+            F.col(id_col).alias("train_doc"),
+            F.explode(shingles(F.col(text_col), n)).alias("__sp"),
+        )
+        .select("train_doc", _base_hash(F.col("__sp")).alias("h"))
+        .dropDuplicates(["train_doc", "h"])
+    )
+    ev = (
+        eval_df.select(F.explode(shingles(F.col(text_col), n)).alias("__sp"))
+        .select(_base_hash(F.col("__sp")).alias("h"))
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("train_doc")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )

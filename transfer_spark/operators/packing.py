@@ -1,0 +1,115 @@
+"""Sequence packing: lay a document corpus out as fixed-length training
+chunks (the GPT-style concat-and-chunk pretraining step).
+
+Pretraining consumes fixed-`cap`-token sequences, not documents. The
+standard batch formulation concatenates the token streams of all docs
+(in a deterministic order) and slices the stream every ``cap`` tokens;
+each document then overlaps one or more chunks. This operator computes
+that layout declaratively — per (doc, chunk) assignment rows with the
+token offsets a downstream tokenizer/writer needs — without ever
+materializing token text.
+
+Distributed shape (the part that must survive 100 TB):
+
+- docs are first routed to ``n_buckets`` independent packing domains by
+  a deterministic content-free hash of the id (same primitive as the
+  train/val/test split — md5-prefix mod n, engine-portable and
+  reshuffle-stable). Chunking is per-bucket, so there is NO global
+  sequential dependency: each bucket packs in parallel, and the only
+  shuffle is the window partition on the bucket key.
+- within a bucket, doc order is (md5(id), id) — deterministic on any
+  engine, any partitioning, any run.
+- the running token offset is one window cumsum; the doc→chunk fan-out
+  is ``explode(sequence(first_chunk, last_chunk))`` — pure codegen, one
+  output row per (doc, chunk) overlap, never one per token.
+
+At scale, size ``n_buckets`` so one bucket's token stream fits a write
+task (buckets ≈ total_tokens / tokens_per_shard); the window sort is
+then bounded per bucket. A fresh-data increment packs new docs into NEW
+buckets rather than re-packing old ones (the id-hash routing makes the
+assignment stable).
+
+The chunk boundary splits documents (standard for pretraining packing);
+a boundary-respecting variant is first-fit bin packing, which is
+inherently sequential per bin — if needed, run THIS operator first and
+treat each chunk as a bin seed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from transfer_spark.operators.text import split_bucket, token_count
+
+
+def sequence_pack(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    cap: int = 2048,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """→ (bucket, chunk_id, doc_id, tok_offset, n_tok): for every chunk a
+    document overlaps, the offset of the doc's first token INSIDE that
+    chunk and how many of its tokens land there. ``Σ n_tok`` per
+    (bucket, chunk_id) is exactly ``cap`` for every chunk except each
+    bucket's last. The ``n > 0`` guard is defensive: under the engine's
+    whitespace ``token_count`` even "" counts one (empty) token, matching
+    the DuckDB oracle's ``len(regexp_split_to_array(...))``."""
+    d = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            token_count(F.col(text_col)).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .withColumn("bucket", split_bucket(F.col("doc_id"), n_buckets))
+        .withColumn("sk", F.md5(F.col("doc_id").cast("string")))
+    )
+    w = Window.partitionBy("bucket").orderBy("sk", "doc_id")
+    d = (
+        d.withColumn("s", (F.sum("n").over(w) - F.col("n")).cast("long"))
+        .withColumn("e", F.col("s") + F.col("n"))
+    )
+    capL = F.lit(int(cap)).cast("long")
+    first = F.expr(f"s div {int(cap)}")
+    last = F.expr(f"(e - 1) div {int(cap)}")
+    ex = d.select(
+        "bucket",
+        "doc_id",
+        "s",
+        "e",
+        F.explode(F.sequence(first, last)).alias("chunk_id"),
+    )
+    lo = F.greatest(F.col("s"), F.col("chunk_id") * capL)
+    hi = F.least(F.col("e"), (F.col("chunk_id") + 1) * capL)
+    return ex.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "doc_id",
+        (lo - F.col("chunk_id") * capL).cast("long").alias("tok_offset"),
+        (hi - lo).cast("long").alias("n_tok"),
+    )
+
+
+def pack_stats(packed: DataFrame) -> DataFrame:
+    """Per-bucket packing summary: chunk count, docs, boundary splits
+    (docs spanning >1 chunk) — the fill-efficiency report a pipeline
+    operator watches."""
+    per_doc = packed.groupBy("bucket", "doc_id").agg(
+        F.count(F.lit(1)).alias("chunks_touched")
+    )
+    return (
+        per_doc.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("chunks_touched") > 1).cast("long")).alias("n_split_docs"),
+        )
+        .join(
+            packed.groupBy("bucket").agg(
+                (F.max("chunk_id") + 1).alias("n_chunks"),
+                F.sum("n_tok").alias("n_tokens"),
+            ),
+            "bucket",
+        )
+    )

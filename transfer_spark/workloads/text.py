@@ -237,6 +237,91 @@ WHERE (sa.split = 'train') != (sb.split = 'train')
 """
 
 
+_SPLITS_SQL = """
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 10000 < 9000 THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 10000 < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+"""
+
+
+def q_decontamination_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 8-gram decontamination: train docs containing a verbatim
+    8-token span from any val/test doc (broadcast semi-join probe —
+    the eval hash set is tiny next to the corpus, so the training data
+    never shuffles)."""
+    from transfer_spark.operators.text import assign_split
+
+    d = _docs(spark, sf_dir).withColumn(
+        "split",
+        assign_split(F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}),
+    )
+    return D.ngram_collisions(
+        d.filter(F.col("split") == "train"),
+        d.filter(F.col("split") != "train"),
+        "doc_id",
+        "text",
+        n=8,
+    )
+
+
+ORACLE_DECONTAM_EXACT = f"""
+WITH splits AS ({_SPLITS_SQL}),
+toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sp AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(t) >= 8
+           THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+           ELSE []::VARCHAR[] END) AS sp
+  FROM toks
+), h AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(sp), 1, 15))::BIGINT AS h FROM sp
+), ev AS (
+  SELECT DISTINCT h.h FROM h JOIN splits USING (doc_id) WHERE splits.split != 'train'
+), tr AS (
+  SELECT h.doc_id, h.h FROM h JOIN splits USING (doc_id) WHERE splits.split = 'train'
+)
+SELECT tr.doc_id AS train_doc, COUNT(*) AS n_contaminated_ngrams
+FROM tr JOIN ev USING (h) GROUP BY tr.doc_id
+"""
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: 256-token chunks over 8
+    parallel packing buckets (operators/packing.py)."""
+    from transfer_spark.operators.packing import sequence_pack
+
+    return sequence_pack(_docs(spark, sf_dir), "doc_id", "text", cap=256, n_buckets=8)
+
+
+ORACLE_SEQUENCE_PACK = f"""
+WITH d AS (
+  SELECT doc_id, len({_TOKS}) AS n,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS bucket,
+    md5(CAST(doc_id AS VARCHAR)) AS sk
+  FROM documents
+  WHERE len({_TOKS}) > 0
+), pos AS (
+  SELECT bucket, doc_id, n,
+    CAST(SUM(n) OVER (PARTITION BY bucket ORDER BY sk, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS s
+  FROM d
+), ex AS (
+  SELECT bucket, doc_id, s, s + n AS e,
+    unnest(generate_series(s // 256, (s + n - 1) // 256)) AS chunk_id
+  FROM pos
+)
+SELECT bucket, chunk_id, doc_id,
+  GREATEST(s, chunk_id * 256) - chunk_id * 256 AS tok_offset,
+  LEAST(e, (chunk_id + 1) * 256) - GREATEST(s, chunk_id * 256) AS n_tok
+FROM ex
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs 3-gram Jaccard ≥ 0.5 (exact verifier)."""
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", 3, 0.5)
@@ -826,6 +911,8 @@ QUERIES = {
     "bpe_top_merges": (q_bpe_top_merges, ORACLE_BPE_MERGES),
     "doc_char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
     "dedupe_dup_spans": (q_dup_spans, ORACLE_DUP_SPANS),
+    "split_decontamination_exact": (q_decontamination_exact, ORACLE_DECONTAM_EXACT),
+    "corpus_sequence_pack": (q_sequence_pack, ORACLE_SEQUENCE_PACK),
     "corpus_sample_per_group": (q_group_sample_fixed, ORACLE_GROUP_SAMPLE),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF),
