@@ -492,12 +492,11 @@ SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 """
 
 
-def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed training-data cleaning pipeline in ONE plan:
-    language filter → quality gate → exact-dedup survivor →
-    near-dup cluster canonical (lowest doc id per LSH component).
-    Catalyst fuses the filters into the scan; the two dedup joins are
-    the only shuffles."""
+def _cleaned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning pipeline in ONE lazy plan — language filter →
+    quality gate → exact-dedup survivor → near-dup cluster canonical
+    (lowest doc id per LSH component) — keeping text so downstream stages
+    (decontamination, packing) can compose on top."""
     d = _docs(spark, sf_dir)
     scored = d.select(
         "doc_id",
@@ -511,13 +510,20 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = D.neardup_clusters(
         D.minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text")
     )
-    kept = (
+    return (
         scored.join(exact, scored.doc_id == exact.surv_id, "inner")
         .join(clusters, "doc_id", "left")
         .filter(
             F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
         )
     )
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning pipeline report: surviving doc ids with language + quality.
+    Catalyst fuses the filters into the scan; the two dedup joins are
+    the only shuffles."""
+    kept = _cleaned_docs(spark, sf_dir)
     return kept.select("doc_id", "lg", F.round("q", 6).alias("q"))
 
 
@@ -544,6 +550,87 @@ JOIN exact e ON s.doc_id = e.surv_id
 LEFT JOIN clusters c ON s.doc_id = c.doc_id
 WHERE s.lg = 'en' AND s.q >= 0.3
   AND (c.cluster_id IS NULL OR c.cluster_id = s.doc_id)
+"""
+
+
+def q_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pretraining corpus build as one lazy plan: clean
+    (language + quality + exact-dedup + near-dup canonical) → train/eval
+    split → exact 8-gram decontamination against the ENTIRE eval side
+    (not just surviving eval docs — leakage through a document the
+    cleaner dropped still contaminates) → concat-and-chunk sequence
+    packing of what remains. Output = the packed chunk layout a
+    tokenizer/shard-writer consumes.
+
+    Every stage is a previously-oracle-checked operator; this entry pins
+    their COMPOSITION (the real pipeline a training run executes), so a
+    regression in any stage's interaction — e.g. dedup changing which
+    doc carries a contaminated span — surfaces here even if each unit
+    oracle stays green."""
+    from transfer_spark.operators.packing import sequence_pack
+    from transfer_spark.operators.text import assign_split
+
+    rates = {"train": 0.9, "val": 0.05, "test": 0.05}
+    kept = _cleaned_docs(spark, sf_dir).withColumn(
+        "split", assign_split(F.col("doc_id"), rates)
+    )
+    evals = _docs(spark, sf_dir).filter(
+        assign_split(F.col("doc_id"), rates) != "train"
+    )
+    train = kept.filter(F.col("split") == "train")
+    contaminated = D.ngram_collisions(train, evals, "doc_id", "text", n=8).select(
+        F.col("train_doc").alias("doc_id")
+    )
+    final = train.join(contaminated, "doc_id", "left_anti")
+    return sequence_pack(final, "doc_id", "text", cap=256, n_buckets=8)
+
+
+ORACLE_PRETRAINING_CORPUS = f"""
+WITH clean AS (
+  SELECT doc_id FROM ({_corpus_clean_sql()})
+), splits AS ({_SPLITS_SQL}),
+toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sp AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(t) >= 8
+           THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+           ELSE []::VARCHAR[] END) AS sp
+  FROM toks
+), h AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(sp), 1, 15))::BIGINT AS h FROM sp
+), ev AS (
+  SELECT DISTINCT h.h FROM h JOIN splits USING (doc_id) WHERE splits.split != 'train'
+), train AS (
+  SELECT clean.doc_id FROM clean
+  JOIN splits USING (doc_id) WHERE splits.split = 'train'
+), contaminated AS (
+  SELECT DISTINCT h.doc_id FROM h
+  JOIN train USING (doc_id)
+  JOIN ev USING (h)
+), final AS (
+  SELECT doc_id FROM train
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+), d AS (
+  SELECT f.doc_id, len({_TOKS}) AS n,
+    ('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS bucket,
+    md5(CAST(f.doc_id AS VARCHAR)) AS sk
+  FROM final f JOIN documents USING (doc_id)
+  WHERE len({_TOKS}) > 0
+), pos AS (
+  SELECT bucket, doc_id, n,
+    CAST(SUM(n) OVER (PARTITION BY bucket ORDER BY sk, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS s
+  FROM d
+), ex AS (
+  SELECT bucket, doc_id, s, s + n AS e,
+    unnest(generate_series(s // 256, (s + n - 1) // 256)) AS chunk_id
+  FROM pos
+)
+SELECT bucket, chunk_id, doc_id,
+  GREATEST(s, chunk_id * 256) - chunk_id * 256 AS tok_offset,
+  LEAST(e, (chunk_id + 1) * 256) - GREATEST(s, chunk_id * 256) AS n_tok
+FROM ex
 """
 
 
@@ -913,6 +1000,7 @@ QUERIES = {
     "dedupe_dup_spans": (q_dup_spans, ORACLE_DUP_SPANS),
     "split_decontamination_exact": (q_decontamination_exact, ORACLE_DECONTAM_EXACT),
     "corpus_sequence_pack": (q_sequence_pack, ORACLE_SEQUENCE_PACK),
+    "pretraining_corpus_pipeline": (q_pretraining_corpus, ORACLE_PRETRAINING_CORPUS),
     "corpus_sample_per_group": (q_group_sample_fixed, ORACLE_GROUP_SAMPLE),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF),
