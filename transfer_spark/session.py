@@ -82,6 +82,12 @@ def ensure_session_confs(spark: SparkSession) -> None:
     for k, v in [
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        # CDC envelope decode reads EVERY field of the JSON, so per-field
+        # schema pruning (from_json(..).f -> pruned-schema parse per field)
+        # turns one parse into four; with pruning off the references share
+        # one full-schema from_json via subexpression elimination.
+        # Measured 2.22s -> 1.33s on the sf0.1 debezium decode.
+        ("spark.sql.optimizer.enableJsonExpressionOptimization", "false"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.adaptive.enabled", "true"),
