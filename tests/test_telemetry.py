@@ -73,3 +73,62 @@ def test_null_client_is_contract_complete():
     n.gauge("a", 1.0)
     n.gauge_with_sample("a", 1.0, {}, 0.5)
     n.flush()
+
+
+def test_publish_stream_progress_from_dict():
+    m = InMemoryMetricsClient()
+    progress = {
+        "id": "abc",
+        "batchDuration": 1500,
+        "numInputRows": 42,
+        "processedRowsPerSecond": 28.0,
+        "stateOperators": [
+            {"operatorName": "dedupeWithinWatermark", "numRowsTotal": 7,
+             "numRowsDroppedByWatermark": 3}
+        ],
+    }
+    from transfer_spark.streaming.telemetry import publish_stream_progress
+
+    publish_stream_progress(progress, m)
+    names = [n for n, _, _ in m.timings]
+    assert "stream.batch" in names
+    assert m.totals("stream.input_rows") == {(("stream_id", "abc"),): 42}
+    dropped = m.totals("stream.late_rows_dropped")
+    assert sum(dropped.values()) == 3
+    gauges = {n for n, _, _ in m.gauges}
+    assert {"stream.rows_per_sec", "stream.state_rows"} <= gauges
+    # malformed progress must not raise
+    publish_stream_progress(object(), m)
+
+
+def test_stream_progress_live_query(spark, tmp_path):
+    """End-to-end: a real availableNow file stream's lastProgress maps
+    onto the counters."""
+    import json
+
+    from transfer_spark.streaming.telemetry import (
+        InMemoryMetricsClient as Mem,
+        publish_stream_progress,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(json.dumps({"id": i, "v": i * 1.0}) for i in range(50))
+    )
+    stream = spark.readStream.schema("id bigint, v double").json(str(src))
+    q = (
+        stream.groupBy().count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_prog")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    m = Mem()
+    for p in q.recentProgress:
+        publish_stream_progress(p, m)
+    assert sum(v for v in m.totals("stream.input_rows").values()) == 50
+    assert any(n == "stream.batch" for n, _, _ in m.timings)

@@ -422,3 +422,35 @@ def dequant_sq_error(vec: Column, q: Column, scale: Column) -> Column:
         * (x - qq * scale / F.lit(127.0)),
     )
     return F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x)
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """k-NN majority-vote labeling: predict each query vector's label from
+    its k nearest labeled neighbors — the similarity-search-as-labeler
+    pattern (weak supervision / auto-tagging a corpus from a seed set).
+
+    Distributed shape: the neighbor search is the broadcast top-k above
+    (corpus never shuffles), and everything after operates on |Q|·k rows
+    — the label join broadcasts THAT, so the only corpus-sized work is
+    the scoring scan. Vote ties break deterministically: more votes,
+    then the smaller label. Returns (query_id, predicted_label, votes).
+    """
+    nn = ann_bruteforce_topk(corpus, queries, id_col, vec_col, k)
+    labeled = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
+    ).join(F.broadcast(nn), "neighbor_id")
+    votes = labeled.groupBy("query_id", "__nl").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("__nl"))
+    return (
+        votes.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("query_id", F.col("__nl").alias("predicted_label"), "votes")
+    )

@@ -138,3 +138,71 @@ class StatsdMetricsClient(NullMetricsClient):
 
     def flush(self):  # UDP has no buffer to drain; parity method
         pass
+
+
+def publish_stream_progress(progress, client, tags: dict | None = None) -> None:
+    """Map one StreamingQueryProgress onto the metric surface — the
+    Spark-native analog of the reference's consumer-side ingestion
+    metrics (processed rate, batch wall, lag): Structured Streaming
+    already measures the micro-batch, so telemetry is a projection of
+    the progress event, not new instrumentation.
+
+    Accepts either the StreamingQueryProgress object (uses ``.json``) or
+    an already-parsed dict. Emits:
+      stream.batch          timing   (batchDuration)
+      stream.input_rows     count    (numInputRows)
+      stream.rows_per_sec   gauge    (processedRowsPerSecond)
+      stream.state_rows     gauge    (per stateful operator)
+      stream.late_rows_dropped count (numRowsDroppedByWatermark)
+    Never raises — a malformed/missing field is skipped, matching the
+    fire-and-forget contract of the providers.
+    """
+    import json as _json
+
+    try:
+        p = progress if isinstance(progress, dict) else _json.loads(progress.json)
+    except Exception:
+        logger.debug("unparseable streaming progress", exc_info=True)
+        return
+    t = dict(tags or {})
+    t.setdefault("stream_id", str(p.get("id", "")))
+    try:
+        if p.get("batchDuration") is not None:
+            client.timing("stream.batch", float(p["batchDuration"]) / 1000.0, t)
+        if p.get("numInputRows") is not None:
+            client.count("stream.input_rows", int(p["numInputRows"]), t)
+        rps = p.get("processedRowsPerSecond")
+        if rps is not None and rps == rps:  # NaN on empty batches
+            client.gauge("stream.rows_per_sec", float(rps), t)
+        for i, op in enumerate(p.get("stateOperators") or []):
+            ot = {**t, "operator": str(op.get("operatorName", i))}
+            if op.get("numRowsTotal") is not None:
+                client.gauge("stream.state_rows", float(op["numRowsTotal"]), ot)
+            dropped = op.get("numRowsDroppedByWatermark")
+            if dropped:
+                client.count("stream.late_rows_dropped", int(dropped), ot)
+    except Exception:
+        logger.debug("stream progress publish failed", exc_info=True)
+
+
+def metrics_stream_listener(client, tags: dict | None = None):
+    """A StreamingQueryListener that publishes every progress event via
+    :func:`publish_stream_progress` — attach with
+    ``spark.streams.addListener(...)`` so ALL streams in the session
+    report, with zero changes at each writeStream site."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Listener(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            publish_stream_progress(event.progress, client, tags)
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    return _Listener()

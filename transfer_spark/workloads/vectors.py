@@ -284,8 +284,38 @@ FROM qq
 """
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote labeling of the first 20 vectors from their 5
+    nearest labeled neighbors (similarity search as a weak labeler)."""
+    emb = _emb(spark, sf_dir)
+    return S.knn_classify(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+ORACLE_KNN_CLASSIFY = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 20),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.v, b.v) AS cos
+  FROM q a JOIN e b ON a.vec_id != b.vec_id
+), topk AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored QUALIFY rank <= 5
+), votes AS (
+  SELECT t.query_id, e.label AS nlabel, count(*) AS votes
+  FROM topk t JOIN e ON e.vec_id = t.neighbor_id
+  GROUP BY 1, 2
+)
+SELECT query_id, nlabel AS predicted_label, votes
+FROM votes
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nlabel) = 1
+"""
+
+
 QUERIES = {
     "embedding_quantize_int8": (q_quantize_int8, ORACLE_QUANTIZE),
+    "knn_label_vote": (q_knn_classify, ORACLE_KNN_CLASSIFY),
     "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
     "ann_lsh_topk": (q_ann_lsh, _lsh_oracle()),
     "ann_ivf_topk": (q_ann_ivf, ORACLE_ANN_IVF),
