@@ -577,7 +577,10 @@ def q_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     evals = _docs(spark, sf_dir).filter(
         assign_split(F.col("doc_id"), rates) != "train"
     )
-    train = kept.filter(F.col("split") == "train")
+    # the cleaning DAG (incl. the iterative near-dup clusterer) feeds TWO
+    # consumers — the contamination probe and the final anti-join; persist
+    # so it runs once (MEMORY_AND_DISK: spills, doesn't evict, at volume)
+    train = kept.filter(F.col("split") == "train").persist()
     contaminated = D.ngram_collisions(train, evals, "doc_id", "text", n=8).select(
         F.col("train_doc").alias("doc_id")
     )
