@@ -1,0 +1,112 @@
+"""10x scale probe: does each representative operator scale ~linearly?
+
+The correctness gates run at sf0.01 and the bench at sf0.1; this script
+is the "would it hold at 100 TB" evidence in miniature: it replicates
+the sf0.1 tables 10x (keys shifted so cardinalities really grow — no
+free dedup) and times representative operators at 1x vs 10x. A healthy
+distributed shape shows wall-clock ratio <= ~replication factor on
+fixed cores (linear work, amortized fixed overhead); a superlinear
+ratio exposes an all-pairs join, a driver-side loop, or a skew
+hot-spot that small-scale runs hide.
+
+Usage: python scripts/scale_probe.py [replication] [sf_dir]
+Prints one JSON line per operator: {"op", "t1", "tN", "ratio"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from transfer_spark.session import get_spark, read_table  # noqa: E402
+
+REP = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+
+def replicate(df: DataFrame, key_cols: list[str], n: int) -> DataFrame:
+    """n copies with key columns shifted per copy — cardinalities scale,
+    group sizes stay realistic (each copy is a disjoint key range)."""
+    c = df.crossJoin(F.broadcast(
+        df.sparkSession.range(n).select(F.col("id").alias("__copy"))
+    ))
+    for k in key_cols:
+        c = c.withColumn(k, F.col(k) + F.col("__copy") * F.lit(1_000_000_000))
+    return c.drop("__copy")
+
+
+def probe(name, build, run):
+    out = {}
+    for label, factor in (("t1", 1), ("tN", REP)):
+        df = build(factor)
+        t0 = time.perf_counter()
+        run(df).write.format("noop").mode("overwrite").save()
+        out[label] = round(time.perf_counter() - t0, 2)
+    out["op"] = name
+    out["rep"] = REP
+    out["ratio"] = round(out["tN"] / out["t1"], 2) if out["t1"] else None
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    spark = get_spark("scale-probe", cpus=None)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    events = read_table(spark, SF_DIR, "events")
+    docs = read_table(spark, SF_DIR, "documents")
+    lineitem = read_table(spark, SF_DIR, "lineitem")
+
+    from transfer_spark.operators.cdc_fold import cdc_fold
+    from transfer_spark.operators.dedupe import minhash_signature_df
+    from transfer_spark.operators.packing import sequence_pack
+    from transfer_spark.operators.temporal import sessionize
+
+    def ev(factor):
+        return events if factor == 1 else replicate(events, ["event_id", "user_id"], factor)
+
+    def dc(factor):
+        return docs if factor == 1 else replicate(docs, ["doc_id"], factor)
+
+    def li(factor):
+        return lineitem if factor == 1 else replicate(lineitem, ["l_orderkey"], factor)
+
+    results = [
+        probe(
+            "cdc_fold",
+            ev,
+            lambda d: cdc_fold(
+                d.withColumn("__artie_delete", F.lit(False)), ["user_id"], "event_id"
+            ),
+        ),
+        probe("minhash_signature", dc, lambda d: minhash_signature_df(d, "doc_id", "text")),
+        probe("sequence_pack", dc, lambda d: sequence_pack(d, "doc_id", "text", 2048, 64)),
+        probe(
+            "sessionize",
+            ev,
+            lambda d: sessionize(d, "user_id", "ts", gap_seconds=1800),
+        ),
+        probe(
+            "pricing_summary",
+            li,
+            lambda d: d.groupBy("l_returnflag", "l_linestatus").agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base"),
+                F.avg("l_discount").alias("avg_disc"),
+                F.count(F.lit(1)).alias("n"),
+            ),
+        ),
+    ]
+    worst = max(r["ratio"] for r in results)
+    print(json.dumps({"metric": "scale_probe_worst_ratio", "value": worst,
+                      "rep": REP, "ops": {r["op"]: r["ratio"] for r in results}}))
+
+
+if __name__ == "__main__":
+    main()
