@@ -113,3 +113,47 @@ def test_ngram_collisions_broadcasts_eval_side(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_pack_matches_naive_reference_property(spark):
+    """Property: the declarative window+explode layout IS the naive
+    sequential concat-and-chunk per bucket (random doc sizes, including
+    cap-sized and cap-straddling docs)."""
+    import hashlib
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    cap, n_buckets = 8, 3
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(sizes=st.lists(st.integers(1, 20), min_size=1, max_size=12))
+    def run(sizes):
+        rows = [(i, " ".join(f"t{i}x{j}" for j in range(n))) for i, n in enumerate(sizes)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = sorted(
+            map(tuple, sequence_pack(df, "doc_id", "text", cap, n_buckets).collect())
+        )
+        # naive reference: per bucket, docs in (md5(id), id) order, running
+        # offset, chunk = offset // cap
+        def bucket(i):
+            return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % n_buckets
+
+        want = []
+        by_bucket = {}
+        for i, n in enumerate(sizes):
+            by_bucket.setdefault(bucket(i), []).append(i)
+        for b, ids in by_bucket.items():
+            ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+            off = 0
+            for i in ids:
+                n = sizes[i]
+                for pos in range(off, off + n):
+                    chunk = pos // cap
+                    if not want or want[-1][:3] != [b, chunk, i]:
+                        want.append([b, chunk, i, pos - chunk * cap, 0])
+                    want[-1][4] += 1
+                off += n
+        assert got == sorted(tuple(w) for w in want)
+
+    run()

@@ -46,3 +46,58 @@ def test_fixture_feeds_decode_and_fold(spark):
         .count()
     )
     assert pk_of_delete == 0
+
+
+def test_fixture_to_pipeline_end_to_end_with_telemetry(spark, tmp_path):
+    """Full ingestion path without Kafka: Python DataSource fixture ->
+    envelope decode -> multi-table flush (merge + telemetry + webhook
+    seam). Final table state must equal an independent LWW fold of the
+    decoded stream, and the flush counters must reflect the batch."""
+    from pyspark.sql import Window
+
+    from transfer_spark.sources.debezium import decode_envelope
+    from transfer_spark.streaming.pipeline import MultiTablePipeline
+    from transfer_spark.streaming.telemetry import InMemoryMetricsClient
+
+    raw = _load(spark, rows=300, parts=3, seed=11)
+    wire = raw.select(
+        F.col("offset"),
+        F.get_json_object("value", "$.payload").alias("value"),
+    )
+    decoded = decode_envelope(
+        wire, "value", "struct<id: bigint, name: string, balance: double>"
+    ).withColumn("tbl", F.lit("users"))
+
+    metrics = InMemoryMetricsClient()
+    mtp = MultiTablePipeline(
+        spark,
+        str(tmp_path / "base"),
+        "tbl",
+        ["id"],
+        "offset",
+        metrics_client=metrics,
+    )
+    mtp.process_batch(decoded, 0)
+
+    # hard-delete merge: deleted pks are absent, marker not persisted
+    got = {
+        r.id: (r.name, r.balance)
+        for r in mtp.pipelines["users"].table.read().collect()
+    }
+    # independent reference: last event per pk wins; deletes drop the pk
+    w = Window.partitionBy("id").orderBy(F.desc("offset"))
+    expect = {
+        r.id: (r.name, r.balance)
+        for r in decoded.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+        if not r["__artie_delete"]
+    }
+    assert set(got) == set(expect)
+    # updates carry the after image; balances must match exactly
+    assert got == {k: (v[0], v[1]) for k, v in expect.items()}
+
+    rows_flushed = sum(metrics.totals("flush.rows").values())
+    assert rows_flushed == 300
+    flush_tags = [t for n, _, t in metrics.timings if n == "flush"]
+    assert flush_tags and flush_tags[0]["table"] == "users"
