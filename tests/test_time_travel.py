@@ -1,0 +1,44 @@
+"""VersionedParquetTable time travel + vacuum: every flush is a full
+snapshot, so `VERSION AS OF` semantics come for free; vacuum bounds
+retention exactly like lakehouse VACUUM (old time travel breaks loudly,
+CURRENT never does)."""
+
+from __future__ import annotations
+
+import pytest
+
+from transfer_spark.streaming.pipeline import VersionedParquetTable
+
+
+def _write(table, spark, rows):
+    table.write(spark.createDataFrame(rows, "id bigint, v string"))
+
+
+def test_time_travel_reads_exact_snapshots(spark, tmp_path):
+    t = VersionedParquetTable(spark, str(tmp_path / "t"))
+    _write(t, spark, [(1, "a")])
+    _write(t, spark, [(1, "b"), (2, "b")])
+    _write(t, spark, [(1, "c")])
+
+    assert t.versions() == [1, 2, 3]
+    assert t.current_version() == 3
+    assert {r.v for r in t.read().collect()} == {"c"}
+    assert {r.v for r in t.read(version=2).collect()} == {"b"}
+    assert t.read(version=1).count() == 1
+    with pytest.raises(ValueError, match="not retained"):
+        t.read(version=99)
+
+
+def test_vacuum_keeps_last_n_and_current(spark, tmp_path):
+    t = VersionedParquetTable(spark, str(tmp_path / "t"))
+    for i in range(5):
+        _write(t, spark, [(i, str(i))])
+    dropped = t.vacuum(keep_last=2)
+    assert dropped == [1, 2, 3]
+    assert t.versions() == [4, 5]
+    # current still reads fine; vacuumed time travel fails loudly
+    assert t.read().count() == 1
+    with pytest.raises(ValueError, match="not retained"):
+        t.read(version=2)
+    # vacuum never drops the current pointer's target even if keep_last=0
+    assert t.current_version() not in t.vacuum(keep_last=0)

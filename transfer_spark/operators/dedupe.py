@@ -142,6 +142,12 @@ def neardup_clusters(
             "components wider than that would be silently split — raise "
             "max_iters or use large-star/small-star for deep graphs"
         )
+    # release the edge cache: the returned labels frame is itself cached
+    # and materialized, so downstream reads never need the edges again
+    # (a re-computation after eviction would rebuild them from source —
+    # correct either way; this just stops long-lived pipelines from
+    # accumulating one edge cache per clustering call)
+    edges.unpersist(blocking=False)
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 

@@ -57,11 +57,27 @@ class VersionedParquetTable:
         with open(ptr) as f:
             return int(f.read().strip())
 
-    def read(self) -> DataFrame | None:
-        v = self.current_version()
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """Current snapshot, or time-travel to an earlier retained version
+        (the lakehouse `VERSION AS OF` read: every flush is a full
+        snapshot dir, so any retained version is directly readable)."""
+        v = self.current_version() if version is None else version
         if v is None:
             return None
-        return self.spark.read.parquet(os.path.join(self.path, f"v{v:06d}"))
+        p = os.path.join(self.path, f"v{v:06d}")
+        if version is not None and not os.path.isdir(p):
+            raise ValueError(f"version {version} not retained at {self.path}")
+        return self.spark.read.parquet(p)
+
+    def versions(self) -> list[int]:
+        """Retained snapshot versions, ascending (time-travel catalog)."""
+        import re
+
+        return sorted(
+            int(m.group(1))
+            for d in os.listdir(self.path)
+            if (m := re.fullmatch(r"v(\d{6})", d)) and os.path.isdir(os.path.join(self.path, d))
+        )
 
     def write(self, df: DataFrame) -> None:
         v = (self.current_version() or 0) + 1
@@ -70,6 +86,20 @@ class VersionedParquetTable:
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, os.path.join(self.path, _CURRENT))
+
+    def vacuum(self, keep_last: int = 3) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshots (never the
+        current pointer's target). Returns dropped versions. The pointer
+        flip already guarantees readers of CURRENT are safe; time-travel
+        readers of vacuumed versions get the explicit ValueError above —
+        the same contract as lakehouse VACUUM breaking old time travel."""
+        import shutil
+
+        cur = self.current_version()
+        drop = [v for v in self.versions()[:-keep_last] if v != cur]
+        for v in drop:
+            shutil.rmtree(os.path.join(self.path, f"v{v:06d}"))
+        return drop
 
 
 class AppendParquetTable:
