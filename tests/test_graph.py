@@ -37,3 +37,69 @@ def test_pagerank_matches_naive(spark):
     # 3 and 4 are symmetric (swap-invariant); hub 2 ranks highest
     assert abs(got[3] - got[4]) < 1e-12
     assert got[2] > max(got[1], got[3], got[4])
+
+
+def _uf_min_labels(edges):
+    """Naive union-find reference: node -> min id in its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_star_clusters_match_union_find_property(spark):
+    """Property: large-star/small-star fixed point == union-find min
+    labels == min-label propagation, on random small graphs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from transfer_spark.operators.dedupe import (
+        neardup_clusters,
+        neardup_clusters_star,
+    )
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+                lambda e: e[0] != e[1]
+            ),
+            min_size=1,
+            max_size=16,
+        )
+    )
+    def run(edges):
+        df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+        want = _uf_min_labels(edges)
+        star = {
+            r.doc_id: r.cluster_id for r in neardup_clusters_star(df).collect()
+        }
+        assert star == want
+        prop = {r.doc_id: r.cluster_id for r in neardup_clusters(df).collect()}
+        assert prop == want
+
+    run()
+
+
+def test_star_clusters_deep_chain(spark):
+    """A 64-node chain (diameter 63): the star variant converges in
+    O(log n) alternating rounds — far under the cap that would force
+    min-label propagation to its failure mode."""
+    from transfer_spark.operators.dedupe import neardup_clusters_star
+
+    n = 64
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint"
+    )
+    got = {r.doc_id: r.cluster_id for r in neardup_clusters_star(df, max_iters=12).collect()}
+    assert got == {i: 0 for i in range(n)}

@@ -476,6 +476,14 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_clusters(pairs)
 
 
+def q_neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same fixed point via alternating large-star/small-star — the
+    O(log n)-round planet-scale variant, checked against the identical
+    recursive-CTE oracle."""
+    pairs = D.minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text")
+    return D.neardup_clusters_star(pairs)
+
+
 ORACLE_NEARDUP_CLUSTERS = f"""
 WITH RECURSIVE cand AS ({_minhash_sql()}),
 edges AS (
@@ -1017,6 +1025,7 @@ QUERIES = {
     "corpus_split": (q_corpus_split, ORACLE_CORPUS_SPLIT),
     "split_decontamination": (q_split_decontamination, _decontamination_sql()),
     "neardup_clusters": (q_neardup_clusters, ORACLE_NEARDUP_CLUSTERS),
+    "neardup_clusters_star": (q_neardup_clusters_star, ORACLE_NEARDUP_CLUSTERS),
     "corpus_clean": (q_corpus_clean, _corpus_clean_sql()),
     "lang_id": (q_lang_id, _langid_sql()),
     "doc_fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
