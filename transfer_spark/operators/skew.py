@@ -46,3 +46,49 @@ def salted_join(
     # the salt entirely and hide the behavior this operator pins)
     out = salted_big.join(salted_small.hint("shuffle_hash"), [on, SALT_COL], how)
     return out.drop(SALT_COL)
+
+
+def skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Key-distribution diagnostic: the report you read BEFORE choosing
+    broadcast / salt / AQE for a join or aggregation on ``key_col``.
+
+    One hash aggregate builds per-key counts; a tiny global aggregate
+    (single row, broadcast back) turns them into shares and the
+    max-over-avg skew factor; a windowed top-k keeps the heavy hitters.
+    Nothing key-cardinality-sized ever reaches the driver.
+
+    Returns the ``top_k`` heaviest keys: (key, cnt, rank, share_ppm,
+    n_keys, skew_ppm) where skew_ppm = max_count/avg_count in ppm — a
+    perfectly uniform distribution reports 1_000_000; a key owning the
+    whole table reports n_keys * 1_000_000.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    glob = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    # orderBy+limit plans TakeOrderedAndProject (per-partition top-k,
+    # k-row merge) — a global row_number window here would instead sort
+    # the whole per-key count frame in ONE task; the window only runs on
+    # the ≤ top_k survivors
+    topk = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(top_k)
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    return (
+        topk.crossJoin(F.broadcast(glob))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "key",
+            "cnt",
+            "rank",
+            ((F.col("cnt") * F.lit(2_000_000) + F.col("total"))
+             / (F.col("total") * 2)).cast("long").alias("share_ppm"),
+            "n_keys",
+            ((F.col("max_cnt") * F.col("n_keys") * F.lit(2_000_000) + F.col("total"))
+             / (F.col("total") * 2)).cast("long").alias("skew_ppm"),
+        )
+    )

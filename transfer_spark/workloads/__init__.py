@@ -63,6 +63,7 @@ _CORE = [
     "dedupe_minhash_lsh", "dedupe_exact", "text_stats", "lang_id",
     "split_decontamination_exact", "corpus_sequence_pack",  # new in r5
     "pretraining_corpus_pipeline",  # end-to-end composition (r5)
+    "neardup_clusters_star", "knn_label_vote",  # new in r5
     # vectors
     "ann_bruteforce_topk", "embedding_neardup_lsh", "embedding_quantize_int8",
     # multimodal

@@ -787,8 +787,34 @@ UNION ALL SELECT 'orderdate_in_range', outrange FROM one
 """
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostic over events.user_id — the report read
+    before choosing broadcast / salt / AQE for a join on that key."""
+    from transfer_spark.operators.skew import skew_report
+
+    return skew_report(read_table(spark, sf_dir, "events"), "user_id", top_k=10)
+
+
+ORACLE_SKEW_REPORT = """
+WITH counts AS (
+  SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY user_id
+), g AS (
+  SELECT count(*) AS n_keys, SUM(cnt) AS total, MAX(cnt) AS max_cnt FROM counts
+), topk AS (
+  SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rank
+  FROM counts QUALIFY rank <= 10
+)
+SELECT key, cnt, rank,
+  (cnt * 2000000 + total) // (total * 2) AS share_ppm,
+  n_keys,
+  (max_cnt * n_keys * 2000000 + total) // (total * 2) AS skew_ppm
+FROM topk CROSS JOIN g
+"""
+
+
 QUERIES = {
     "olap_pricing_summary": (q_pricing_summary, ORACLE_PRICING),
+    "skew_key_report": (q_skew_report, ORACLE_SKEW_REPORT),
     "revenue_moving_avg": (q_revenue_moving_avg, ORACLE_MOVAVG),
     "basket_part_affinity": (q_basket_affinity, ORACLE_BASKET),
     "part_pagerank": (q_part_pagerank, ORACLE_PAGERANK),
