@@ -109,3 +109,37 @@ def test_compact_fragmented_buckets_only(spark, tmp_path):
     assert sorted((r.id, r.v) for r in t.read().collect()) == content_before
     # idempotent: nothing left to compact
     assert t.compact(max_files=4) == []
+
+
+def test_compact_with_zorder_sorts_within_bucket_file(spark, tmp_path):
+    """OPTIMIZE ... ZORDER BY analog: content identical, and rows inside
+    the rewritten bucket file are Morton-ordered so row-group min/max
+    stats prune 2-D range predicates."""
+    from transfer_spark.operators.layout import zorder_key2
+
+    t = BucketedParquetTable(spark, str(tmp_path / "tbl"), ["id"], n_buckets=2)
+    rows = [Row(id=i, x=(i * 37) % 100, y=(i * 61) % 100) for i in range(60)]
+    t.init(spark.createDataFrame(rows).repartition(1))
+    # fragment bucket 0 with appends
+    for i in range(6):
+        (
+            spark.createDataFrame([Row(id=1000 + i, x=(i * 7) % 100, y=(i * 11) % 100)])
+            .withColumn(t.BUCKET_COL, F.lit(0))
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy(t.BUCKET_COL)
+            .parquet(t.path)
+        )
+    content_before = sorted((r.id, r.x, r.y) for r in t.read().collect())
+
+    assert t.compact(max_files=4, zorder_cols=("x", "y")) == [0]
+
+    assert sorted((r.id, r.x, r.y) for r in t.read().collect()) == content_before
+    files, d = _files(t, 0)
+    assert len(files) == 1
+    # physical row order inside the rewritten file is morton-sorted
+    got = spark.read.parquet(os.path.join(d, files[0])).select(
+        zorder_key2(F.col("x"), F.col("y")).alias("zk")
+    ).collect()
+    zks = [r.zk for r in got]
+    assert zks == sorted(zks)

@@ -132,3 +132,42 @@ def test_stream_progress_live_query(spark, tmp_path):
         publish_stream_progress(p, m)
     assert sum(v for v in m.totals("stream.input_rows").values()) == 50
     assert any(n == "stream.batch" for n, _, _ in m.timings)
+
+
+def test_metrics_stream_listener_publishes(spark, tmp_path):
+    """Session-level listener: attach once, every stream reports."""
+    import json
+    import time
+
+    from transfer_spark.streaming.telemetry import (
+        InMemoryMetricsClient as Mem,
+        metrics_stream_listener,
+    )
+
+    m = Mem()
+    listener = metrics_stream_listener(m, tags={"env": "test"})
+    spark.streams.addListener(listener)
+    try:
+        src = tmp_path / "src"
+        src.mkdir()
+        (src / "a.json").write_text(
+            "\n".join(json.dumps({"id": i}) for i in range(10))
+        )
+        q = (
+            spark.readStream.schema("id bigint").json(str(src))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener delivery is async; poll briefly
+        for _ in range(50):
+            if m.totals("stream.input_rows"):
+                break
+            time.sleep(0.2)
+        totals = m.totals("stream.input_rows")
+        assert sum(totals.values()) == 10
+        assert all(dict(k).get("env") == "test" for k in totals)
+    finally:
+        spark.streams.removeListener(listener)

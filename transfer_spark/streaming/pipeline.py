@@ -262,13 +262,19 @@ class BucketedParquetTable:
                 out.append(int(entry[len(prefix):]))
         return out
 
-    def compact(self, max_files: int = 4) -> list[int]:
+    def compact(
+        self, max_files: int = 4, zorder_cols: "tuple[str, str] | None" = None
+    ) -> list[int]:
         """OPTIMIZE-style maintenance: rewrite fragmented buckets as one
         file each, leaving every other bucket's files untouched (dynamic
         partition overwrite scoped to the fragmented buckets only).
-        Content is bit-identical — this is purely a file-layout rewrite,
+        Content is row-identical — this is purely a file-layout rewrite,
         the same operation Delta's OPTIMIZE / Iceberg's rewrite_data_files
-        performs. Returns the compacted bucket ids."""
+        performs. With ``zorder_cols=(x, y)`` the rewrite also Morton-
+        orders rows inside each bucket file (Delta's `OPTIMIZE ... ZORDER
+        BY`): parquet row-group min/max on the two columns become tight,
+        so later range predicates skip row groups inside the bucket, not
+        just whole buckets. Returns the compacted bucket ids."""
         from pyspark.sql import functions as F
 
         bks = self.fragmented_buckets(max_files)
@@ -282,6 +288,15 @@ class BucketedParquetTable:
         # hash-partition on the bucket col: each bucket lands in exactly
         # one task -> exactly one output file per bucket directory
         df = df.repartition(len(bks), F.col(self.BUCKET_COL))
+        if zorder_cols is not None:
+            from transfer_spark.operators.layout import zorder_key2
+
+            x, y = zorder_cols
+            df = (
+                df.withColumn("__zk", zorder_key2(F.col(x), F.col(y)))
+                .sortWithinPartitions(self.BUCKET_COL, "__zk")
+                .drop("__zk")
+            )
         df = df.localCheckpoint(eager=True)  # reading the dir we rewrite
         (
             df.write.mode("overwrite")
