@@ -346,7 +346,9 @@ def test_flush_telemetry_counters(spark, tmp_path):
         assert tags["what"] == "success"
         assert tags["mode"] == "replication"
         assert tags["table"] in ("a", "b")
-        assert tags["reason"] == "batch"
+        # 4 rows/table is far under the 30k row trigger: the flush is
+        # attributed to the time trigger, mirroring Args.Reason
+        assert tags["reason"] == "time"
     row_totals = metrics.totals("flush.rows")
     assert sum(row_totals.values()) == 8
     assert any(n == "process.batch" for n, _, _ in metrics.timings)

@@ -668,11 +668,17 @@ class MultiTablePipeline:
             # resolve pipelines serially (dict mutation), flush in parallel
             pipes = {t: self._pipeline_for(t) for t in tables}
 
+            from transfer_spark.streaming.triggers import should_flush
+
             def _flush(t: str) -> None:
                 # flush.go:90-127 parity: timing tagged mode/table/reason/
-                # what on BOTH outcomes; rows + execution-time lag on success
+                # what on BOTH outcomes; rows + execution-time lag on success.
+                # reason mirrors the reference's Args.Reason: 'rows' when the
+                # table's buffer crossed the row threshold (triggers.py
+                # policy), else 'time' (the trigger interval fired first)
                 mode = "history" if pipes[t].history_mode else "replication"
-                tags = {"mode": mode, "table": t, "reason": "batch"}
+                crossed, why = should_flush(stats[t][0], 0)
+                tags = {"mode": mode, "table": t, "reason": why if crossed else "time"}
                 start = _time.monotonic()
                 sub = batch_df.filter(F.col(self.table_col) == t).drop(self.table_col)
                 try:
