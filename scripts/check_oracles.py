@@ -52,8 +52,15 @@ def canon(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    # --first50: check exactly the slice the correctness driver checks
+    # (first 50 entries in REGISTRATION order, not sorted order)
+    first50 = "--first50" in args
+    args = [a for a in args if a != "--first50"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if first50:
+        only = set(list(QUERIES)[:50])
 
     con = duckdb.connect()
     for t in TABLES:

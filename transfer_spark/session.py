@@ -47,6 +47,11 @@ def get_spark(app_name: str = "transfer_spark", cpus: int | None = None) -> Spar
         # testdata µs timestamps are isAdjustedToUTC=false; engine semantics
         # are UTC instants, so read them as TIMESTAMP (not TIMESTAMP_NTZ)
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # envelope decodes read EVERY JSON field: per-field schema pruning
+        # multiplies parses; off → one shared full-schema parse via CSE
+        # (see ensure_session_confs; builder-level too so sessions built
+        # before the first read_table get it)
+        .config("spark.sql.optimizer.enableJsonExpressionOptimization", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )
