@@ -180,3 +180,47 @@ def test_kmv_sketch_accuracy(spark):
     df = spark.createDataFrame([Row(g="a", v=i) for i in range(1000)])
     r = TP.kmv_distinct(df, "g", "v", k=64).collect()[0]
     assert 750 <= r.distinct_est <= 1250
+
+
+def test_cms_sketch_merges_and_bounds_estimates(spark):
+    """Count-Min contract: (a) sketch(A ∪ B) == cell-sum of sketch(A) +
+    sketch(B) (mergeability — the property that makes it streaming- and
+    rollup-safe), (b) point estimates are never under the true count,
+    and (c) equal the true count when no collision occurred."""
+    from pyspark.sql import functions as F
+
+    from transfer_spark.operators.temporal import (
+        cms_point_estimate,
+        count_min_sketch,
+    )
+
+    a = spark.createDataFrame([(f"k{i % 7}",) for i in range(50)], "v string")
+    b = spark.createDataFrame([(f"k{i % 11}",) for i in range(60)], "v string")
+    u = a.union(b)
+
+    def cells(df):
+        return {
+            (r.lane, r.bucket): r.cnt
+            for r in count_min_sketch(df, "v", depth=4, width=64).collect()
+        }
+
+    ca, cb, cu = cells(a), cells(b), cells(u)
+    merged = dict(ca)
+    for k, v in cb.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == cu
+
+    truth = {r.v: r.c for r in u.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()}
+    keys = u.select("v").distinct()
+    est = {
+        r.v: r.est_count
+        for r in cms_point_estimate(
+            count_min_sketch(u, "v", depth=4, width=64), keys, "v", depth=4, width=64
+        ).collect()
+    }
+    assert set(est) == set(truth)
+    for k in truth:
+        assert est[k] >= truth[k]  # CMS never underestimates
+    # 11 distinct keys in 4x64 cells: collisions essentially impossible
+    # with this fixed hash family — estimates are exact
+    assert est == truth

@@ -299,3 +299,85 @@ def kmv_merge_distinct(
     return est.join(n_partials, group_col).select(
         group_col, "n_partials", "distinct_est"
     )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch of a column's value frequencies — the mergeable
+    heavy-hitter counterpart to the KMV distinct sketch above: point
+    estimate = min over depth lanes of counter[lane][h_lane(v)], biased
+    high only by collisions (≤ εN with ε = e/width at the standard
+    analysis). Built on the same md5+lane-XOR family as minhash, so the
+    sketch bytes are deterministic and any SQL engine reproduces them
+    exactly (unlike library CMS implementations with private seeds).
+
+    Output: one row per non-empty (lane, bucket) cell with its count —
+    a sparse sketch that MERGES by summing cells (streaming partial
+    aggregation / per-partition sketches / cross-day rollups all just
+    UNION + re-aggregate). Plan: per-value pre-aggregation (map-side
+    combinable), then explode ``depth`` lanes per distinct value and one
+    fixed-width hash aggregate on (lane, bucket); the shuffle carries at
+    most depth × distinct-values rows, never the raw stream.
+
+    Lanes are INDEPENDENT md5 draws (seed-prefixed), one md5 per lane
+    per DISTINCT value. The minhash XOR-lane trick is deliberately not
+    used here: ``(h XOR c) % width`` keeps only the low bits of h, so
+    every lane would collide together for values sharing them —
+    CMS needs per-lane independence where minhash only needs a
+    bijection of the full hash space.
+    """
+    per_value = df.groupBy(F.col(value_col)).agg(F.count(F.lit(1)).alias("__c"))
+    lanes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("lane"),
+                _cms_bucket(F.col(value_col), i, width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        per_value.select(F.explode(lanes).alias("lb"), F.col("__c"))
+        .groupBy(F.col("lb.lane").alias("lane"), F.col("lb.bucket").alias("bucket"))
+        .agg(F.sum("__c").alias("cnt"))
+    )
+
+
+def _cms_bucket(v: Column, lane: int, width: int) -> Column:
+    """Independent per-lane bucket: md5 of a seed-prefixed value."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cms{lane}:"), v.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_point_estimate(sketch: DataFrame, keys: DataFrame, value_col: str,
+                       depth: int = 4, width: int = 256) -> DataFrame:
+    """Frequency point-estimates for ``keys`` against a Count-Min sketch:
+    min over lanes of the key's cell (missing cell = 0). The key side
+    broadcasts (lookups are small); the sketch side is a fixed
+    depth × width grid, so the join is bounded regardless of stream size."""
+    lanes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("lane"),
+                _cms_bucket(F.col(value_col), i, width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    probes = keys.select(F.col(value_col), F.explode(lanes).alias("lb")).select(
+        value_col, F.col("lb.lane").alias("lane"), F.col("lb.bucket").alias("bucket")
+    )
+    return (
+        F.broadcast(probes)
+        .join(sketch, ["lane", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

@@ -759,6 +759,27 @@ FROM est JOIN np ON est.event_type = np.event_type
 """
 
 
+
+def q_cms_sketch(spark, sf_dir):
+    """Count-Min frequency sketch of events.user_id (4 lanes x 256
+    buckets) — the mergeable heavy-hitter sketch; cells sum under union,
+    so streaming partials / daily rollups merge by re-aggregation."""
+    from transfer_spark.operators.temporal import count_min_sketch
+
+    return count_min_sketch(read_table(spark, sf_dir, "events"), "user_id")
+
+
+ORACLE_CMS = """
+WITH pv AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+cells AS (
+  SELECT 0 AS lane, ('0x' || substr(md5('cms0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket, c FROM pv
+  UNION ALL SELECT 1 AS lane, ('0x' || substr(md5('cms1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket, c FROM pv
+  UNION ALL SELECT 2 AS lane, ('0x' || substr(md5('cms2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket, c FROM pv
+  UNION ALL SELECT 3 AS lane, ('0x' || substr(md5('cms3:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket, c FROM pv
+)
+SELECT lane, bucket, SUM(c) AS cnt FROM cells GROUP BY lane, bucket
+"""
+
 QUERIES = {
     "events_sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "events_funnel": (q_funnel, ORACLE_FUNNEL),
@@ -772,6 +793,7 @@ QUERIES = {
     "events_range_join": (q_range_join, ORACLE_RANGE),
     "events_rollup": (q_rollup, ORACLE_ROLLUP),
     "kmv_distinct_users": (q_kmv_distinct, ORACLE_KMV),
+    "cms_heavy_hitters": (q_cms_sketch, ORACLE_CMS),
     "kmv_merge_daily": (q_kmv_merge_daily, ORACLE_KMV_MERGE),
     "partial_agg_merge": (q_partial_agg_merge, ORACLE_PARTIAL_MERGE),
     "histogram_quantiles": (q_histogram_quantiles, ORACLE_HISTOGRAM_Q),
