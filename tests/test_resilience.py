@@ -1,0 +1,141 @@
+"""Retry/jitter/heartbeat policy units + the retried flush path."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from transfer_spark.streaming.resilience import (
+    Heartbeats,
+    RetryConfig,
+    jitter_ms,
+    with_retries,
+)
+from transfer_spark.streaming.telemetry import InMemoryMetricsClient
+
+
+def test_jitter_bounds():
+    for attempt in range(8):
+        for _ in range(50):
+            v = jitter_ms(100, 3500, attempt)
+            assert 0 <= v <= min(3500, 100 * 2**attempt)
+    assert jitter_ms(100, 0, 3) == 0
+
+
+def test_with_retries_succeeds_after_transients():
+    calls = []
+    cfg = RetryConfig(base_ms=1, max_ms=2, max_attempts=4, sleep_fn=lambda s: None)
+
+    def fn(attempt):
+        calls.append(attempt)
+        if attempt < 2:
+            raise RuntimeError("transient")
+        return "ok"
+
+    retries = []
+    assert with_retries(cfg, fn, on_retry=lambda a, e: retries.append(a)) == "ok"
+    assert calls == [0, 1, 2]
+    assert retries == [0, 1]
+
+
+def test_with_retries_exhaustion_and_non_retryable():
+    cfg = RetryConfig(base_ms=1, max_ms=2, max_attempts=3, sleep_fn=lambda s: None)
+    n = []
+
+    def always_fail(_a):
+        n.append(1)
+        raise ValueError("boom")
+
+    with pytest.raises(ValueError):
+        with_retries(cfg, always_fail)
+    assert len(n) == 3
+
+    cfg2 = RetryConfig(
+        base_ms=1, max_ms=2, max_attempts=5,
+        is_retryable=lambda e: not isinstance(e, KeyError),
+        sleep_fn=lambda s: None,
+    )
+    m = []
+
+    def fatal(_a):
+        m.append(1)
+        raise KeyError("fatal")
+
+    with pytest.raises(KeyError):
+        with_retries(cfg2, fatal)
+    assert len(m) == 1  # non-retryable: exactly one attempt
+
+
+def test_retry_config_validation():
+    with pytest.raises(ValueError):
+        RetryConfig(base_ms=0)
+    with pytest.raises(ValueError):
+        RetryConfig(max_attempts=0)
+
+
+def test_heartbeats_ticks_long_op_and_skips_short_op():
+    m = InMemoryMetricsClient()
+    with Heartbeats(0.05, 0.05, m, tags={"table": "t"}) as hb:
+        time.sleep(0.35)
+    assert hb.ticks >= 3
+    assert sum(m.totals("heartbeat").values()) == hb.ticks
+    # short op under the initial delay: silence (the noise guard)
+    m2 = InMemoryMetricsClient()
+    with Heartbeats(5.0, 0.05, m2) as hb2:
+        pass
+    time.sleep(0.1)
+    assert hb2.ticks == 0 and not m2.totals("heartbeat")
+
+
+def test_flush_retry_recovers_transient_table_failure(spark, tmp_path):
+    """A flush that fails transiently retries and the batch COMMITS,
+    with flush.retry counters tagged by table+attempt (flush.go:105-114
+    parity); without retry config the same failure aborts the batch."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from transfer_spark.constants import DELETE_COLUMN_MARKER
+    from transfer_spark.streaming.pipeline import (
+        MultiTablePipeline,
+        ReplicationPipeline,
+    )
+
+    rows = [
+        (t, n, 100 * i + n, False, "e", float(n))
+        for i, t in enumerate(["a", "b"])
+        for n in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, f"tbl string, id bigint, off bigint, {DELETE_COLUMN_MARKER} boolean, "
+        "etype string, val double"
+    )
+    metrics = InMemoryMetricsClient()
+    mtp = MultiTablePipeline(
+        spark, str(tmp_path / "base"), "tbl", ["id"], "off",
+        metrics_client=metrics,
+        flush_retry=RetryConfig(base_ms=1, max_ms=2, max_attempts=3,
+                                sleep_fn=lambda s: None),
+    )
+
+    orig = ReplicationPipeline.process_batch
+    fails = {"b": 2}  # table b fails twice, then succeeds
+
+    def flaky(self, batch_df, batch_id):
+        t = self.table.path.rsplit("/", 1)[-1]
+        if fails.get(t, 0) > 0:
+            fails[t] -= 1
+            raise RuntimeError(f"transient {t}")
+        return orig(self, batch_df, batch_id)
+
+    ReplicationPipeline.process_batch = flaky
+    try:
+        mtp.process_batch(df, 0)
+    finally:
+        ReplicationPipeline.process_batch = orig
+
+    for t in ("a", "b"):
+        assert mtp.pipelines[t].table.read().count() == 3
+    retry_tags = [tags for n, _, tags in metrics.counts if n == "flush.retry"]
+    assert len(retry_tags) == 2
+    assert all(t["table"] == "b" for t in retry_tags)
+    assert sorted(t["attempt"] for t in retry_tags) == ["1", "2"]

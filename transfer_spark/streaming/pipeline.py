@@ -567,6 +567,7 @@ class MultiTablePipeline:
         compact_max_files: int = 8,
         webhook_client=None,
         metrics_client=None,
+        flush_retry=None,
     ):
         self.spark = spark
         self.base_path = base_path
@@ -591,6 +592,10 @@ class MultiTablePipeline:
         from transfer_spark.streaming.telemetry import NullMetricsClient
 
         self.metrics_client = metrics_client or NullMetricsClient()
+        # per-flush jittered-backoff retry (streaming/resilience.py,
+        # reference flush.go:105-114); None = single attempt, the
+        # checkpoint-replay still covers whole-batch restart either way
+        self.flush_retry = flush_retry
         self._batches_seen = 0
         self.pipelines: dict[str, ReplicationPipeline] = {}
 
@@ -682,7 +687,18 @@ class MultiTablePipeline:
                 start = _time.monotonic()
                 sub = batch_df.filter(F.col(self.table_col) == t).drop(self.table_col)
                 try:
-                    pipes[t].process_batch(sub, batch_id)
+                    if self.flush_retry is not None:
+                        from transfer_spark.streaming.resilience import with_retries
+
+                        with_retries(
+                            self.flush_retry,
+                            lambda _a: pipes[t].process_batch(sub, batch_id),
+                            on_retry=lambda a, e: self.metrics_client.incr(
+                                "flush.retry", {**tags, "attempt": str(a + 1)}
+                            ),
+                        )
+                    else:
+                        pipes[t].process_batch(sub, batch_id)
                 except Exception as e:
                     # lifecycle parity: replication.error carries the table
                     # + error (client scrubs both); the exception still

@@ -1,0 +1,113 @@
+"""Retry-with-jitter and heartbeat watchdog — parity with the
+reference's lib/retry + lib/jitter + lib/heartbeats.
+
+The reference wraps every flush in a jittered-backoff retry
+(processes/consumer/flush.go:105-114 via lib/retry/retry.go:50-121,
+backoff = rand[0, min(maxMs, base·2^attempt)] per lib/jitter/sleep.go)
+and monitors long-running operations with a heartbeat ticker so a hung
+flush is visible in telemetry instead of silent
+(lib/heartbeats.go:9-70). Both are driver-side policy, so they port
+unchanged: a Spark action either raises or returns, and a watchdog
+thread can tick counters while one runs.
+"""
+
+from __future__ import annotations
+
+import random
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from transfer_spark.streaming.telemetry import NullMetricsClient
+
+
+def jitter_ms(base_ms: int, max_ms: int, attempt: int) -> int:
+    """rand[0, min(maxMs, baseMs * 2^attempt)] — full-jitter backoff
+    (lib/jitter/sleep.go). attempt is 0-based like the reference."""
+    if max_ms <= 0:
+        return 0
+    power = 2 ** attempt if 0 <= attempt <= 62 else (0 if attempt < 0 else 2 ** 62)
+    upper = min(max_ms, base_ms * power) if power else 0
+    return random.randint(0, int(upper))
+
+
+@dataclass
+class RetryConfig:
+    """lib/retry jitterRetryConfig twin. ``is_retryable(err) -> bool``
+    defaults to always-retry; ``sleep_fn`` is injectable for tests."""
+
+    base_ms: int = 100
+    max_ms: int = 3500
+    max_attempts: int = 5
+    is_retryable: Callable[[BaseException], bool] = field(default=lambda e: True)
+    sleep_fn: Callable[[float], None] = field(default=time.sleep)
+
+    def __post_init__(self) -> None:
+        if self.base_ms <= 0 or self.max_ms <= 0 or self.max_attempts < 1:
+            raise ValueError("base_ms/max_ms must be > 0, max_attempts >= 1")
+
+
+def with_retries(cfg: RetryConfig, fn: Callable[[int], object],
+                 on_retry: Callable[[int, BaseException], None] | None = None):
+    """Run ``fn(attempt)`` up to max_attempts with jittered backoff
+    between attempts; non-retryable or exhausted errors re-raise (the
+    reference's WithRetriesAndResult). ``on_retry(attempt, err)`` fires
+    before each re-attempt — the hook the pipeline uses for counters."""
+    last: BaseException | None = None
+    for attempt in range(cfg.max_attempts):
+        if attempt > 0:
+            cfg.sleep_fn(jitter_ms(cfg.base_ms, cfg.max_ms, attempt - 1) / 1000.0)
+        try:
+            return fn(attempt)
+        except BaseException as e:  # noqa: BLE001 — policy decides
+            last = e
+            if not cfg.is_retryable(e) or attempt == cfg.max_attempts - 1:
+                raise
+            if on_retry is not None:
+                on_retry(attempt, e)
+    raise last  # pragma: no cover — loop always returns or raises
+
+
+class Heartbeats:
+    """Deadlock-spotting watchdog (lib/heartbeats.go): after an initial
+    delay, tick a counter every interval while the monitored operation
+    is still running — a hung flush then shows up as an ever-growing
+    ``heartbeat`` series instead of vanishing. Use as a context manager:
+
+        with Heartbeats(10, 30, metrics, "flush", {"table": t}):
+            run_the_flush()
+
+    If the operation finishes before the initial delay, nothing is
+    emitted (the reference's noise guard)."""
+
+    def __init__(self, initial_delay_s: float, interval_s: float,
+                 metrics=None, metric: str = "heartbeat",
+                 tags: dict | None = None):
+        self.initial_delay_s = initial_delay_s
+        self.interval_s = interval_s
+        self.metrics = metrics or NullMetricsClient()
+        self.metric = metric
+        self.tags = dict(tags or {})
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self.ticks = 0
+
+    def _run(self) -> None:
+        if self._stop.wait(self.initial_delay_s):
+            return
+        while not self._stop.is_set():
+            self.ticks += 1
+            self.metrics.incr(self.metric, self.tags)
+            if self._stop.wait(self.interval_s):
+                return
+
+    def __enter__(self) -> "Heartbeats":
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
