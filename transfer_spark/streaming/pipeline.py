@@ -568,6 +568,7 @@ class MultiTablePipeline:
         webhook_client=None,
         metrics_client=None,
         flush_retry=None,
+        track_batch_bytes: bool = False,
     ):
         self.spark = spark
         self.base_path = base_path
@@ -596,6 +597,12 @@ class MultiTablePipeline:
         # reference flush.go:105-114); None = single attempt, the
         # checkpoint-replay still covers whole-batch restart either way
         self.flush_retry = flush_retry
+        # opt-in size accounting (reference lib/size walks every row the
+        # same way): adds per-row JSON octet length to the routing
+        # aggregate so the 'size' flush reason and flush.bytes counter
+        # are real. Off by default — it serializes each row once, which
+        # the cheap row-count reason doesn't need.
+        self.track_batch_bytes = track_batch_bytes
         self._batches_seen = 0
         self.pipelines: dict[str, ReplicationPipeline] = {}
 
@@ -660,14 +667,17 @@ class MultiTablePipeline:
             # (table list + row count + max order value) — the row data
             # itself never funnels through the driver, and the counters
             # ride the aggregate the fan-out needs anyway (no extra job)
-            stats = {
-                r[0]: (r[1], r[2])
-                for r in batch_df.groupBy(self.table_col)
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.max(self.order_col).alias("max_ord"),
+            aggs = [
+                F.count(F.lit(1)).alias("n"),
+                F.max(self.order_col).alias("max_ord"),
+            ]
+            if self.track_batch_bytes:
+                aggs.append(
+                    F.sum(F.octet_length(F.to_json(F.struct("*")))).alias("bytes")
                 )
-                .collect()
+            stats = {
+                r[0]: (r[1], r[2], r[3] if self.track_batch_bytes else 0)
+                for r in batch_df.groupBy(self.table_col).agg(*aggs).collect()
             }
             tables = sorted(stats)
             # resolve pipelines serially (dict mutation), flush in parallel
@@ -682,7 +692,7 @@ class MultiTablePipeline:
                 # table's buffer crossed the row threshold (triggers.py
                 # policy), else 'time' (the trigger interval fired first)
                 mode = "history" if pipes[t].history_mode else "replication"
-                crossed, why = should_flush(stats[t][0], 0)
+                crossed, why = should_flush(stats[t][0], stats[t][2])
                 tags = {"mode": mode, "table": t, "reason": why if crossed else "time"}
                 start = _time.monotonic()
                 sub = batch_df.filter(F.col(self.table_col) == t).drop(self.table_col)
@@ -708,11 +718,13 @@ class MultiTablePipeline:
                         "flush", _time.monotonic() - start, {**tags, "what": "error"}
                     )
                     raise
-                n_rows, max_ord = stats[t]
+                n_rows, max_ord, n_bytes = stats[t]
                 self.metrics_client.timing(
                     "flush", _time.monotonic() - start, {**tags, "what": "success"}
                 )
                 self.metrics_client.count("flush.rows", n_rows, tags)
+                if self.track_batch_bytes and n_bytes:
+                    self.metrics_client.count("flush.bytes", int(n_bytes), tags)
                 if isinstance(max_ord, datetime.datetime):
                     ref = datetime.datetime.now(max_ord.tzinfo)
                     lag_ms = (ref - max_ord).total_seconds() * 1000.0
