@@ -21,6 +21,7 @@ ALLPAIRS_OK = {
     "dedupe_ngram_jaccard",     # labeled small-n verifier (docstring)
     "embedding_neardup",        # triangular block grid: bounded cell cross
     "ann_bruteforce_topk",      # broadcast query side x corpus (bounded)
+    "hard_negative_mining",     # same bounded-broadcast probe, label-filtered
     "dedupe_lsh_verified",      # verify stage on candidate pairs
 }
 

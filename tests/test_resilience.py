@@ -139,3 +139,39 @@ def test_flush_retry_recovers_transient_table_failure(spark, tmp_path):
     assert len(retry_tags) == 2
     assert all(t["table"] == "b" for t in retry_tags)
     assert sorted(t["attempt"] for t in retry_tags) == ["1", "2"]
+
+
+def test_flush_heartbeat_ticks_on_slow_flush(spark, tmp_path):
+    """A flush outliving heartbeat_after_s ticks the heartbeat counter
+    tagged with the table — the hang-visibility contract."""
+    import time as _t
+
+    from transfer_spark.constants import DELETE_COLUMN_MARKER
+    from transfer_spark.streaming.pipeline import (
+        MultiTablePipeline,
+        ReplicationPipeline,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 1, False, "e", 1.0)],
+        f"tbl string, id bigint, off bigint, {DELETE_COLUMN_MARKER} boolean, "
+        "etype string, val double",
+    )
+    metrics = InMemoryMetricsClient()
+    mtp = MultiTablePipeline(
+        spark, str(tmp_path / "base"), "tbl", ["id"], "off",
+        metrics_client=metrics, heartbeat_after_s=0.05,
+    )
+    orig = ReplicationPipeline.process_batch
+
+    def slow(self, batch_df, batch_id):
+        _t.sleep(0.3)
+        return orig(self, batch_df, batch_id)
+
+    ReplicationPipeline.process_batch = slow
+    try:
+        mtp.process_batch(df, 0)
+    finally:
+        ReplicationPipeline.process_batch = orig
+    hb = [tags for n, _, tags in metrics.counts if n == "heartbeat"]
+    assert hb and all(t["table"] == "a" for t in hb)

@@ -454,3 +454,59 @@ def knn_classify(
         .filter(F.col("__rk") == 1)
         .select("query_id", F.col("__nl").alias("predicted_label"), "votes")
     )
+
+def hard_negative_mine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the k MOST similar corpus vectors with a DIFFERENT label — the
+    near-miss examples a retrieval/embedding model learns most from
+    (random negatives are too easy to shape the margin).
+
+    Same distributed shape as the broadcast top-k: queries broadcast
+    with their labels, the corpus scan scores and label-filters in one
+    pass (no shuffle of the corpus), window top-k per query. At 100 TB
+    swap the scoring scan for the LSH/IVF candidate join exactly as the
+    ANN variants do — the label filter composes unchanged.
+
+    Returns (query_id, negative_id, cos_ppm, rank); similarity reported
+    in exact ppm integer units for cross-engine reproducibility.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("qlabel"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("nlabel"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("query_id") != F.col("negative_id"))
+              & (F.col("qlabel") != F.col("nlabel")))
+        .select(
+            "query_id",
+            "negative_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "negative_id",
+            F.floor(F.col("cos") * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cos_ppm"),
+            "rank",
+        )
+    )

@@ -569,6 +569,7 @@ class MultiTablePipeline:
         metrics_client=None,
         flush_retry=None,
         track_batch_bytes: bool = False,
+        heartbeat_after_s: "float | None" = None,
     ):
         self.spark = spark
         self.base_path = base_path
@@ -603,6 +604,11 @@ class MultiTablePipeline:
         # are real. Off by default — it serializes each row once, which
         # the cheap row-count reason doesn't need.
         self.track_batch_bytes = track_batch_bytes
+        # opt-in hang watchdog (streaming/resilience.py Heartbeats,
+        # reference lib/heartbeats.go): a flush still running after
+        # heartbeat_after_s starts ticking a 'heartbeat' counter every
+        # heartbeat_after_s so a wedged merge is visible in telemetry
+        self.heartbeat_after_s = heartbeat_after_s
         self._batches_seen = 0
         self.pipelines: dict[str, ReplicationPipeline] = {}
 
@@ -696,7 +702,8 @@ class MultiTablePipeline:
                 tags = {"mode": mode, "table": t, "reason": why if crossed else "time"}
                 start = _time.monotonic()
                 sub = batch_df.filter(F.col(self.table_col) == t).drop(self.table_col)
-                try:
+
+                def _run() -> None:
                     if self.flush_retry is not None:
                         from transfer_spark.streaming.resilience import with_retries
 
@@ -709,6 +716,18 @@ class MultiTablePipeline:
                         )
                     else:
                         pipes[t].process_batch(sub, batch_id)
+
+                try:
+                    if self.heartbeat_after_s is not None:
+                        from transfer_spark.streaming.resilience import Heartbeats
+
+                        with Heartbeats(
+                            self.heartbeat_after_s, self.heartbeat_after_s,
+                            self.metrics_client, tags={"table": t},
+                        ):
+                            _run()
+                    else:
+                        _run()
                 except Exception as e:
                     # lifecycle parity: replication.error carries the table
                     # + error (client scrubs both); the exception still

@@ -313,9 +313,34 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nlabel) = 
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for the first 10 vectors: top-5 most-similar
+    corpus vectors with a different label (contrastive-training prep)."""
+    emb = _emb(spark, sf_dir)
+    return S.hard_negative_mine(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+ORACLE_HARD_NEGATIVES = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS negative_id,
+         list_cosine_similarity(a.v, b.v) AS cos
+  FROM q a JOIN e b
+    ON a.vec_id != b.vec_id AND a.label != b.label
+)
+SELECT query_id, negative_id,
+       CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_ppm,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, negative_id) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 QUERIES = {
     "embedding_quantize_int8": (q_quantize_int8, ORACLE_QUANTIZE),
     "knn_label_vote": (q_knn_classify, ORACLE_KNN_CLASSIFY),
+    "hard_negative_mining": (q_hard_negatives, ORACLE_HARD_NEGATIVES),
     "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
     "ann_lsh_topk": (q_ann_lsh, _lsh_oracle()),
     "ann_ivf_topk": (q_ann_ivf, ORACLE_ANN_IVF),
