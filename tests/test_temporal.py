@@ -224,3 +224,49 @@ def test_cms_sketch_merges_and_bounds_estimates(spark):
     # 11 distinct keys in 4x64 cells: collisions essentially impossible
     # with this fixed hash family — estimates are exact
     assert est == truth
+
+
+def test_cms_streaming_merge_converges_to_batch_sketch(spark, tmp_path):
+    """The mergeable-state claim executed in streaming: per-micro-batch
+    CMS cells upserted via foreachBatch (cell-sum merge) converge to the
+    batch sketch of the full stream — the same pattern a daily rollup or
+    partial-aggregation pipeline uses."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from transfer_spark.operators.temporal import count_min_sketch
+
+    src = tmp_path / "src"
+    src.mkdir()
+    vals = [f"k{i % 9}" for i in range(120)]
+    for b in range(3):
+        (src / f"b{b}.json").write_text(
+            "\n".join(json.dumps({"v": v}) for v in vals[b * 40 : (b + 1) * 40])
+        )
+
+    state: dict[tuple, int] = {}
+
+    def merge_batch(batch_df, batch_id):
+        for r in count_min_sketch(batch_df, "v", depth=4, width=64).collect():
+            k = (r.lane, r.bucket)
+            state[k] = state.get(k, 0) + r.cnt
+
+    q = (
+        spark.readStream.schema("v string").json(str(src))
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = {
+        (r.lane, r.bucket): r.cnt
+        for r in count_min_sketch(
+            spark.createDataFrame([(v,) for v in vals], "v string"), "v",
+            depth=4, width=64,
+        ).collect()
+    }
+    assert state == batch
