@@ -64,6 +64,7 @@ _CORE = [
     "split_decontamination_exact", "corpus_sequence_pack",  # new in r5
     "pretraining_corpus_pipeline",  # end-to-end composition (r5)
     "neardup_clusters_star", "knn_label_vote",  # new in r5
+    "hard_negative_mining", "cms_heavy_hitters", "skew_key_report",  # new in r5
     # vectors
     "ann_bruteforce_topk", "embedding_neardup_lsh", "embedding_quantize_int8",
     # multimodal
