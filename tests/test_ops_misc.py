@@ -189,3 +189,22 @@ def test_kmeans_centroids_match_numpy(spark):
         cent = np.vstack([vecs[lab == c].mean(axis=0) for c in range(2)])
     for c in range(2):
         assert np.allclose(got[c], cent[c], atol=1e-9), c
+
+
+def test_dedupe_lines_within_doc_keeps_first_in_order(spark):
+    from transfer_spark.operators.text import dedupe_lines_within_doc
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now. unique text. buy now. more text. buy now"),
+            (2, "no repeats here. truly none"),
+            (3, "x. x. x"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in dedupe_lines_within_doc(df, "doc_id", "text").collect()}
+    assert got[1].text_deduped == "buy now. unique text. more text"
+    assert (got[1].n_segments, got[1].n_removed) == (5, 2)
+    assert got[2].text_deduped == "no repeats here. truly none"
+    assert got[2].n_removed == 0
+    assert got[3].text_deduped == "x" and got[3].n_removed == 2

@@ -211,3 +211,30 @@ def assign_split(
         cond = b < int(round(acc * n_buckets))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return expr.otherwise(list(weights)[-1])
+
+
+def dedupe_lines_within_doc(df, id_col: str, text_col: str,
+                            delim: str = ". ") -> "object":
+    """C4-style intra-document dedup: remove REPEATED segments (lines /
+    sentences) inside each document, keeping the first occurrence in
+    original order — boilerplate like repeated nav text or cookie
+    banners recurs within a page even when the page itself is unique,
+    so whole-doc and cross-doc dedup both miss it.
+
+    Pure per-row expressions, no shuffle at all: split to segments,
+    keep segment i iff array_position (the FIRST index holding that
+    value) equals i, re-join. Catalyst keeps the whole thing in one
+    codegen stage over the scan.
+
+    Returns (id, deduped text, n_segments, n_removed).
+    """
+    import re as _re
+
+    segs = F.split(F.col(text_col), _re.escape(delim), -1)
+    kept = F.filter(segs, lambda s, i: F.array_position(segs, s) == i + 1)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, delim).alias("text_deduped"),
+        F.size(segs).alias("n_segments"),
+        (F.size(segs) - F.size(kept)).alias("n_removed"),
+    )

@@ -645,6 +645,27 @@ FROM ex
 """
 
 
+def q_dedupe_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style intra-document dedup: repeated '. '-separated segments
+    removed, first occurrence kept in order (pure codegen, no shuffle)."""
+    return T.dedupe_lines_within_doc(_docs(spark, sf_dir), "doc_id", "text")
+
+
+ORACLE_DEDUPE_LINES = """
+WITH s AS (
+  SELECT doc_id, string_split(text, '. ') AS segs FROM documents
+)
+SELECT doc_id,
+  array_to_string(
+    list_filter(segs, (x, i) -> list_position(segs, x) = i), '. '
+  ) AS text_deduped,
+  len(segs) AS n_segments,
+  len(segs) - len(list_filter(segs, (x, i) -> list_position(segs, x) = i))
+    AS n_removed
+FROM s
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document.
 
@@ -1027,6 +1048,7 @@ QUERIES = {
     "neardup_clusters": (q_neardup_clusters, ORACLE_NEARDUP_CLUSTERS),
     "neardup_clusters_star": (q_neardup_clusters_star, ORACLE_NEARDUP_CLUSTERS),
     "corpus_clean": (q_corpus_clean, _corpus_clean_sql()),
+    "dedupe_lines_within_doc": (q_dedupe_lines, ORACLE_DEDUPE_LINES),
     "lang_id": (q_lang_id, _langid_sql()),
     "doc_fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
     "dedupe_exact": (q_dedupe_exact, ORACLE_DEDUPE_EXACT),
