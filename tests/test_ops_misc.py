@@ -208,3 +208,44 @@ def test_dedupe_lines_within_doc_keeps_first_in_order(spark):
     assert got[2].text_deduped == "no repeats here. truly none"
     assert got[2].n_removed == 0
     assert got[3].text_deduped == "x" and got[3].n_removed == 2
+
+
+def test_gopher_quality_flags_rules(spark):
+    from transfer_spark.operators.text import gopher_quality_flags
+
+    good = "the quick brown fox jumps over a lazy dog and then it was done"
+    short = "too few words here"
+    symbols = "the " + "# " * 20 + "of and to in is it that was a"
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r for r in
+           gopher_quality_flags(df, "doc_id", "text").collect()}
+    assert got[1].passes_gopher
+    assert got[1].n_words == 14 and got[1].stopword_ok
+    assert not got[2].word_count_ok and not got[2].passes_gopher
+    assert not got[3].symbol_ok and not got[3].alpha_ok
+    # symbol ratio: 20 '#' over 30 words
+    assert abs(got[3].symbol_ratio - 20 / 30) < 1e-6
+
+
+def test_chunk_sliding_windows_layout(spark):
+    import hashlib
+
+    from transfer_spark.operators.text import chunk_sliding_windows
+
+    txt = "abcdefghij" * 40  # 400 chars
+    df = spark.createDataFrame(
+        [(1, txt), (2, "tiny"), (3, "")], "doc_id bigint, text string"
+    )
+    rows = chunk_sliding_windows(df, "doc_id", "text", size=200, stride=150)
+    got = {(r.doc_id, r.chunk_idx): r for r in rows.collect()}
+    # doc 1: starts 0,150,300 → lens 200,200,100
+    assert [got[(1, i)].chunk_start for i in range(3)] == [0, 150, 300]
+    assert [got[(1, i)].chunk_len for i in range(3)] == [200, 200, 100]
+    assert got[(1, 0)].chunk_md5 == hashlib.md5(txt[:200].encode()).hexdigest()
+    assert got[(1, 2)].chunk_md5 == hashlib.md5(txt[300:].encode()).hexdigest()
+    # doc 2 and empty doc 3: exactly one chunk at 0
+    assert got[(2, 0)].chunk_len == 4
+    assert got[(3, 0)].chunk_len == 0
+    assert len(got) == 5

@@ -213,6 +213,98 @@ def assign_split(
     return expr.otherwise(list(weights)[-1])
 
 
+def gopher_quality_flags(df, id_col: str, text_col: str,
+                         min_words: int = 10, max_words: int = 100_000,
+                         min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                         max_symbol_ratio: float = 0.1,
+                         min_alpha_frac: float = 0.8,
+                         min_stop_hits: int = 2) -> "object":
+    """Gopher-style document quality gate (Rae et al. 2021, §A1.1 rules,
+    re-expressed as pure Column expressions): per-rule boolean flags plus
+    the conjunction, so a pipeline can either hard-filter on
+    ``passes_gopher`` or audit which rule kills which slice of the corpus.
+
+    Rules: word count bounds, mean word length bounds, symbol-to-word
+    ratio (# and ellipsis), alphabetic-word fraction, required-stopword
+    minimum. Everything is one codegen stage over the scan — no shuffle,
+    no UDF — so the gate costs one pass at any corpus size.
+
+    Ratios are single int/int divisions (IEEE-deterministic in every
+    engine), rounded at 6 dp only for display.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_len = sum_len / nd
+    n_hash = F.length(F.regexp_replace(t, r"[^#]", ""))
+    n_ellipsis = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis) / nd
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    alpha_frac = alpha_words / nd
+    stop_hits = stopword_hits(toks, STOPWORDS["en"])
+
+    word_count_ok = (n >= min_words) & (n <= max_words)
+    mean_len_ok = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    symbol_ok = symbol_ratio <= max_symbol_ratio
+    alpha_ok = alpha_frac >= min_alpha_frac
+    stopword_ok = stop_hits >= min_stop_hits
+    return df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("n_stop_hits"),
+        word_count_ok.alias("word_count_ok"),
+        mean_len_ok.alias("mean_len_ok"),
+        symbol_ok.alias("symbol_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stopword_ok.alias("stopword_ok"),
+        (word_count_ok & mean_len_ok & symbol_ok & alpha_ok & stopword_ok)
+        .alias("passes_gopher"),
+    )
+
+
+def chunk_sliding_windows(df, id_col: str, text_col: str,
+                          size: int = 200, stride: int = 150) -> "object":
+    """Overlapping character-window chunker (RAG / context-window prep):
+    each document fans out to ``ceil(max(len-size,0)/stride)+1`` chunks of
+    ``size`` chars starting every ``stride`` chars.
+
+    Distributed shape: ``explode(sequence(0, last_start, stride))`` then
+    ``substring`` — the fan-out happens executor-side inside codegen, one
+    output row per chunk (never per char), and no shuffle at all: chunk
+    rows inherit the scan's partitioning, so a 100 TB corpus chunks in a
+    single map stage. Emits md5 of the chunk text alongside the text so
+    downstream exact-dedup of chunks joins on a fixed-width key.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    t = F.col(text_col)
+    ln = F.length(t)
+    # starts are the stride grid points < len: 0, stride, 2*stride, ...
+    last_start = (
+        F.floor(F.greatest(ln - F.lit(1), F.lit(0)) / F.lit(stride)) * F.lit(stride)
+    ).cast("long")
+    starts = F.sequence(F.lit(0).cast("long"), last_start, F.lit(stride).cast("long"))
+    ex = df.select(
+        F.col(id_col), t.alias("__t"),
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    )
+    chunk = F.substring(F.col("__t"), F.col("chunk_start").cast("int") + 1, size)
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.col("chunk_start"),
+        F.length(chunk).alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
 def dedupe_lines_within_doc(df, id_col: str, text_col: str,
                             delim: str = ". ") -> "object":
     """C4-style intra-document dedup: remove REPEATED segments (lines /

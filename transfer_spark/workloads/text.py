@@ -1024,8 +1024,69 @@ ORDER BY cnt DESC, pair LIMIT 20
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate: per-rule flags + conjunction per doc."""
+    return T.gopher_quality_flags(_docs(spark, sf_dir), "doc_id", "text")
+
+
+ORACLE_GOPHER = f"""
+WITH d AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, text, toks,
+    len(toks) AS n,
+    greatest(len(toks), 1)::DOUBLE AS nd,
+    list_reduce(list_prepend(0::BIGINT,
+      list_transform(toks, w -> length(w)::BIGINT)), (a, x) -> a + x) AS sum_len,
+    length(regexp_replace(text, '[^#]', '', 'g')) AS n_hash,
+    (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis,
+    len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+    {_hits_sql('toks', 'en')} AS stop_hits
+  FROM d
+)
+SELECT doc_id,
+  n AS n_words,
+  round(sum_len / nd, 6) AS mean_word_len,
+  round((n_hash + n_ellipsis) / nd, 6) AS symbol_ratio,
+  round(alpha_words / nd, 6) AS alpha_word_frac,
+  stop_hits AS n_stop_hits,
+  (n >= 10 AND n <= 100000) AS word_count_ok,
+  (sum_len / nd >= 3.0 AND sum_len / nd <= 10.0) AS mean_len_ok,
+  ((n_hash + n_ellipsis) / nd <= 0.1) AS symbol_ok,
+  (alpha_words / nd >= 0.8) AS alpha_ok,
+  (stop_hits >= 2) AS stopword_ok,
+  ((n >= 10 AND n <= 100000) AND (sum_len / nd >= 3.0 AND sum_len / nd <= 10.0)
+   AND ((n_hash + n_ellipsis) / nd <= 0.1) AND (alpha_words / nd >= 0.8)
+   AND (stop_hits >= 2)) AS passes_gopher
+FROM s
+"""
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunker (size 200 / stride 150) over documents."""
+    return T.chunk_sliding_windows(_docs(spark, sf_dir), "doc_id", "text",
+                                   size=200, stride=150)
+
+
+ORACLE_CHUNKS = """
+WITH s AS (
+  SELECT doc_id, text,
+    unnest(range(0, greatest(length(text), 1)::BIGINT, 150)) AS chunk_start
+  FROM documents
+)
+SELECT doc_id,
+  (chunk_start // 150)::INT AS chunk_idx,
+  chunk_start,
+  length(substr(text, chunk_start::INT + 1, 200)) AS chunk_len,
+  md5(substr(text, chunk_start::INT + 1, 200)) AS chunk_md5
+FROM s
+"""
+
+
 QUERIES = {
     "pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
+    "gopher_quality_gate": (q_gopher_quality, ORACLE_GOPHER),
+    "doc_chunk_windows": (q_chunk_windows, ORACLE_CHUNKS),
     "doc_bigram_logprob": (q_bigram_logprob, ORACLE_BIGRAM_LOGPROB),
     "bpe_top_merges": (q_bpe_top_merges, ORACLE_BPE_MERGES),
     "doc_char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
