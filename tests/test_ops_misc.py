@@ -249,3 +249,27 @@ def test_chunk_sliding_windows_layout(spark):
     assert got[(2, 0)].chunk_len == 4
     assert got[(3, 0)].chunk_len == 0
     assert len(got) == 5
+
+
+def test_semantic_dedupe_drops_near_dup_meanings(spark):
+    from transfer_spark.operators.similarity import semantic_dedupe
+
+    # two tight clusters around orthogonal directions; ids 0 and 1 seed
+    # k-means (first-k init), so cluster membership is deterministic
+    base_a = [1.0, 0.0, 0.0, 0.0]
+    base_b = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, base_a),
+        (1, base_b),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (3, [0.0, 0.98, 0.02, 0.0]),   # near-dup of 1
+        (4, [0.6, 0.0, 0.8, 0.0]),     # cluster A but below threshold
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {r.vec_id: r for r in
+           semantic_dedupe(df, k=2, n_iters=1, threshold=0.95).collect()}
+    assert got[0].keep and got[1].keep and got[4].keep
+    assert not got[2].keep and got[2].dup_of == 0
+    assert not got[3].keep and got[3].dup_of == 1
+    # keepers carry NULL dup_of
+    assert got[0].dup_of is None and got[4].dup_of is None

@@ -510,3 +510,89 @@ def hard_negative_mine(
             "rank",
         )
     )
+
+
+def semantic_dedupe(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    n_iters: int = 2,
+    threshold: float = 0.8,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding corpus with k-means, then inside each cluster drop any
+    vector whose cosine similarity to a LOWER-id cluster-mate reaches the
+    threshold — near-duplicate *meanings* that survive exact and MinHash
+    text dedup.
+
+    Distributed shape: centroid assignment is one broadcast argmax over
+    the tiny centroid table (map-side combine, corpus never shuffles for
+    it); the pairwise check shuffles once on cluster id and each cluster
+    verifies only its own members with one numpy matmul — cost is
+    Σ|cluster|², the SemDeDup design point (k bounds the quadratic term;
+    at 100 TB raise k so clusters stay ~10⁴ vectors). No all-pairs stage
+    ever touches the full corpus.
+
+    Returns (vec_id, cid, dup_of, keep): ``dup_of`` is the smallest
+    lower-id near-duplicate in the cluster (NULL for keepers).
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    v = F.col(vec_col).cast("array<double>")
+    e = df.select(F.col(id_col).alias("nid"), v.alias("nv"))
+    cent = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(df, id_col, vec_col, k=k, n_iters=n_iters)
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "nid", "nv",
+            F.struct(
+                cosine(F.col("nv"), F.col("cv")).alias("cos"),
+                (-F.col("cid")).alias("ncid"),
+            ).alias("key"),
+            "cid",
+        )
+        .groupBy("nid")
+        .agg(
+            F.max_by(
+                F.struct(F.col("cid").alias("c"), F.col("nv").alias("v")),
+                F.col("key"),
+            ).alias("s")
+        )
+        .select("nid", F.col("s.c").alias("cid"), F.col("s.v").alias("nv"))
+    )
+    out_schema = StructType.fromDDL(
+        "vec_id bigint, cid bigint, dup_of bigint, keep boolean"
+    )
+
+    def _cluster_dedupe(key, pdf):
+        import numpy as np
+
+        ids = pdf["nid"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.vstack(pdf["nv"].to_numpy()[order])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        # dup_of[j] = smallest earlier id with cos >= threshold
+        hit = sims >= threshold
+        dup_of = []
+        for j in range(len(ids)):
+            earlier = np.nonzero(hit[j, :j])[0]
+            dup_of.append(int(ids[earlier[0]]) if len(earlier) else None)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cid": np.full(len(ids), key[0], dtype="int64"),
+                "dup_of": pd.array(dup_of, dtype="Int64"),
+                "keep": [d is None for d in dup_of],
+            }
+        )
+
+    return assign.groupBy("cid").applyInPandas(_cluster_dedupe, out_schema)

@@ -121,10 +121,10 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4, centroids=cent)
 
 
-def _ivf_kmeans_oracle(
-    k_cent: int = 16, n_iters: int = 2, n_probe: int = 4, topk: int = 5, dim: int = 64
-) -> str:
-    """Mirror kmeans_centroids + ann_ivf_topk: Lloyd unrolled as CTEs."""
+def _lloyd_ctes(k_cent: int, n_iters: int, dim: int) -> tuple[list[str], str]:
+    """Lloyd's k-means unrolled as CTEs (first-k init, argmax-cosine
+    assignment, per-dim mean). Returns (cte parts, final centroid CTE
+    name); shared by the ivf-kmeans and semantic-dedup oracles."""
     mean_list = "[" + ", ".join(f"avg(nv[{i + 1}])" for i in range(dim)) + "]"
     parts = [
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
@@ -144,6 +144,14 @@ def _ivf_kmeans_oracle(
             f"cent{it + 1} AS (SELECT cid, {mean_list} AS cv FROM asg{it} GROUP BY cid)"
         )
         prev = f"cent{it + 1}"
+    return parts, prev
+
+
+def _ivf_kmeans_oracle(
+    k_cent: int = 16, n_iters: int = 2, n_probe: int = 4, topk: int = 5, dim: int = 64
+) -> str:
+    """Mirror kmeans_centroids + ann_ivf_topk: Lloyd unrolled as CTEs."""
+    parts, prev = _lloyd_ctes(k_cent, n_iters, dim)
     body = f"""assigned AS (
   SELECT e.vec_id AS nid, e.v AS nv, c.cid
   FROM e, {prev} c
@@ -166,6 +174,39 @@ SELECT query_id, neighbor_id,
        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
 FROM scored
 QUALIFY rank <= {topk}"""
+    return ",\n".join(parts) + ",\n" + body
+
+
+def q_semantic_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means cluster (trained, 2 Lloyd iters) then drop
+    vectors with a lower-id cluster-mate at cosine ≥ 0.8."""
+    return S.semantic_dedupe(
+        _emb(spark, sf_dir), k=16, n_iters=2, threshold=0.8
+    )
+
+
+def _semantic_dedupe_oracle(
+    k_cent: int = 16, n_iters: int = 2, threshold: float = 0.8, dim: int = 64
+) -> str:
+    """Same unrolled Lloyd CTEs, then the intra-cluster lower-id
+    near-dup self-join."""
+    parts, prev = _lloyd_ctes(k_cent, n_iters, dim)
+    body = f"""assigned AS (
+  SELECT e.vec_id AS nid, e.v AS nv, c.cid
+  FROM e, {prev} c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) = 1
+),
+pairs AS (
+  SELECT a.nid AS vec_id, min(b.nid) AS dup_of
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND b.nid < a.nid
+   AND list_cosine_similarity(a.nv, b.nv) >= {threshold}
+  GROUP BY a.nid
+)
+SELECT a.nid AS vec_id, a.cid, p.dup_of AS dup_of,
+       p.dup_of IS NULL AS keep
+FROM assigned a LEFT JOIN pairs p ON p.vec_id = a.nid"""
     return ",\n".join(parts) + ",\n" + body
 
 
@@ -345,6 +386,7 @@ QUERIES = {
     "ann_lsh_topk": (q_ann_lsh, _lsh_oracle()),
     "ann_ivf_topk": (q_ann_ivf, ORACLE_ANN_IVF),
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, _ivf_kmeans_oracle()),
+    "semantic_dedupe": (q_semantic_dedupe, _semantic_dedupe_oracle()),
     "embedding_neardup": (q_cosine_neardup, ORACLE_COSINE_NEARDUP),
     "embedding_neardup_lsh": (q_cosine_neardup_lsh, _neardup_lsh_oracle()),
     "embedding_neardup_lsh_multi": (
