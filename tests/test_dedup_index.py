@@ -1,0 +1,69 @@
+"""Incremental MinHash dedup index: batch verdicts, cross-batch catches,
+idempotent re-probe, and the availableNow streaming wrapper."""
+
+import json
+import os
+
+from transfer_spark.streaming.dedup_index import (
+    BATCH_DUP,
+    INDEX_DUP,
+    KEPT,
+    MinHashDedupIndex,
+)
+
+DOC = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the afternoon sun"
+)
+OTHER = (
+    "completely different content about distributed query engines and "
+    "shuffle partitioning strategies for very large analytical workloads"
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_intra_and_cross_batch_dedup(spark, tmp_path):
+    idx = MinHashDedupIndex(spark, str(tmp_path / "idx"), n_buckets=8)
+    # batch 0: doc 1 and its exact dup 2, plus unrelated 3
+    v0 = {r.doc_id: r for r in
+          idx.process_batch(_df(spark, [(1, DOC), (2, DOC), (3, OTHER)]),
+                            "doc_id", "text").collect()}
+    assert v0[1].status == KEPT and v0[3].status == KEPT
+    assert v0[2].status == BATCH_DUP and v0[2].dup_of == 1
+    # batch 1: dup of surviving doc 1, dup of OTHER, and a fresh doc
+    fresh = "entirely novel sentences never seen before in any batch here"
+    v1 = {r.doc_id: r for r in
+          idx.process_batch(_df(spark, [(10, DOC), (11, OTHER), (12, fresh)]),
+                            "doc_id", "text").collect()}
+    assert v1[10].status == INDEX_DUP and v1[10].dup_of == 1
+    assert v1[11].status == INDEX_DUP and v1[11].dup_of == 3
+    assert v1[12].status == KEPT
+    # batch 2: dup of batch-1 survivor proves the index accumulated
+    v2 = {r.doc_id: r for r in
+          idx.process_batch(_df(spark, [(20, fresh)]), "doc_id", "text").collect()}
+    assert v2[20].status == INDEX_DUP and v2[20].dup_of == 12
+    # batch-dup docs were NOT indexed: only 1,3,12 live there
+    indexed = {r.doc for r in
+               idx.read_buckets(list(range(8))).select("doc").distinct().collect()}
+    assert indexed == {1, 3, 12}
+
+
+def test_streaming_wrapper_available_now(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        for i, t in [(1, DOC), (2, DOC), (3, OTHER)]:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+    idx = MinHashDedupIndex(spark, str(tmp_path / "idx"), n_buckets=8)
+    got = []
+    stream = spark.readStream.schema("doc_id bigint, text string").json(src)
+    q = idx.start(
+        stream, "doc_id", "text", str(tmp_path / "ckpt"),
+        verdict_sink=lambda df, epoch: got.extend(df.collect()),
+    )
+    q.awaitTermination(120)
+    v = {r.doc_id: r.status for r in got}
+    assert v == {1: KEPT, 2: BATCH_DUP, 3: KEPT}

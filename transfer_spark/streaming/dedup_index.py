@@ -1,0 +1,208 @@
+"""Incremental near-dup filtering at ingest: a persistent MinHash band
+index consulted (and extended) per micro-batch.
+
+Recomputing corpus-wide LSH over 100 TB for every ingest increment is the
+naive shape; the production shape is this one: the *index* — one row per
+(band, band_hash, doc) of every surviving document — lives as a parquet
+table hash-partitioned on the band hash, and each micro-batch
+
+1. computes its documents' band hashes (explode → hash-once → min-agg,
+   the same plan as :func:`transfer_spark.operators.dedupe
+   .minhash_signature_df`),
+2. drops intra-batch near-dups (lower doc id survives),
+3. probes the index with an equi-join on (band, band_hash) — the scan is
+   pruned to the batch's band buckets via the partition column, so a
+   30 k-doc batch touches ~min(4·30 k, n_buckets) bucket directories of
+   an arbitrarily large index, never the whole thing,
+4. appends the *survivors'* bands to the index.
+
+The per-batch work is linear in the batch, not the corpus — the property
+that makes dedup-at-ingest viable at 100 TB. Run it inside
+``foreachBatch`` (see :meth:`MinHashDedupIndex.start`) or call
+:meth:`process_batch` directly from a batch backfill loop.
+
+Reference parity note: the reference engine has no fuzzy dedup; this is a
+beyond-reference operator for training-data pipelines. The index layout
+mirrors :class:`transfer_spark.streaming.pipeline.BucketedParquetTable`'s
+pruned-bucket access pattern.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transfer_spark.operators.dedupe import minhash_bands, minhash_signature_df
+
+KEPT = "kept"
+BATCH_DUP = "batch_dup"
+INDEX_DUP = "index_dup"
+
+
+class MinHashDedupIndex:
+    """Persistent band-hash index with pruned-bucket probe + append."""
+
+    BUCKET_COL = "__band_bucket"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        num_hashes: int = 16,
+        bands: int = 4,
+        shingle_k: int = 3,
+        n_buckets: int = 64,
+    ):
+        self.spark = spark
+        self.path = path
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_k = shingle_k
+        self.n_buckets = n_buckets
+        os.makedirs(path, exist_ok=True)
+
+    # -- banding ---------------------------------------------------------
+    def band_frame(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        """(doc, band, band_hash) — one row per document band."""
+        sigs = minhash_signature_df(
+            df, id_col, text_col, self.num_hashes, self.shingle_k
+        )
+        sig_arr = F.array(*[F.col(f"h{i}") for i in range(self.num_hashes)])
+        rows = self.num_hashes // self.bands
+        return sigs.select(
+            "doc", F.explode(minhash_bands(sig_arr, self.bands, rows)).alias("b")
+        ).select("doc", "b.band", "b.band_hash")
+
+    def _bucket(self) -> F.Column:
+        return F.pmod(F.xxhash64(F.col("band_hash")), F.lit(self.n_buckets)).cast(
+            "int"
+        )
+
+    # -- index IO --------------------------------------------------------
+    def exists(self) -> bool:
+        return any(
+            n.startswith(self.BUCKET_COL + "=") for n in os.listdir(self.path)
+        )
+
+    def read_buckets(self, buckets: list[int]) -> DataFrame:
+        """Index scan pruned to the probe buckets (PartitionFilters on the
+        bucket column — unmatched directories are never opened)."""
+        return (
+            self.spark.read.parquet(self.path)
+            .filter(F.col(self.BUCKET_COL).isin(buckets))
+            .drop(self.BUCKET_COL)
+        )
+
+    def append(self, banded: DataFrame) -> None:
+        (
+            banded.withColumn(self.BUCKET_COL, self._bucket())
+            .write.mode("append")
+            .partitionBy(self.BUCKET_COL)
+            .parquet(self.path)
+        )
+
+    # -- the per-batch step ---------------------------------------------
+    def process_batch(
+        self, df: DataFrame, id_col: str, text_col: str
+    ) -> DataFrame:
+        """Dedup one micro-batch against itself and the index; append the
+        survivors' bands; return per-doc verdicts
+        ``(doc_id, status, dup_of)`` with status ∈ {kept, batch_dup,
+        index_dup} and ``dup_of`` the smallest matched prior doc (NULL
+        when kept).
+        """
+        banded = self.band_frame(df, id_col, text_col).persist()
+        try:
+            # 1. intra-batch: smallest lower-id doc sharing any band
+            left, right = banded.alias("l"), banded.alias("r")
+            intra = (
+                left.join(
+                    right,
+                    (F.col("l.band") == F.col("r.band"))
+                    & (F.col("l.band_hash") == F.col("r.band_hash"))
+                    & (F.col("r.doc") < F.col("l.doc")),
+                )
+                .groupBy(F.col("l.doc").alias("doc"))
+                .agg(F.min(F.col("r.doc")).alias("intra_dup_of"))
+            )
+            # 2. index probe, pruned to this batch's buckets (bounded
+            #    collect: at most n_buckets distinct values)
+            surv_bands = banded.join(intra, "doc", "left_anti")
+            if self.exists():
+                probe_buckets = [
+                    r[0]
+                    for r in surv_bands.select(self._bucket().alias("bk"))
+                    .distinct()
+                    .collect()
+                ]
+                idx = self.read_buckets(probe_buckets).select(
+                    F.col("band").alias("i_band"),
+                    F.col("band_hash").alias("i_hash"),
+                    F.col("doc").alias("i_doc"),
+                )
+                index_hits = (
+                    surv_bands.join(
+                        idx,
+                        (F.col("band") == F.col("i_band"))
+                        & (F.col("band_hash") == F.col("i_hash")),
+                    )
+                    .groupBy("doc")
+                    .agg(F.min("i_doc").alias("index_dup_of"))
+                )
+            else:
+                index_hits = surv_bands.select("doc").limit(0).withColumn(
+                    "index_dup_of", F.lit(None).cast("long")
+                )
+            docs = banded.select("doc").distinct()
+            verdicts = (
+                docs.join(intra, "doc", "left")
+                .join(index_hits, "doc", "left")
+                .select(
+                    F.col("doc").alias("doc_id"),
+                    F.when(F.col("intra_dup_of").isNotNull(), F.lit(BATCH_DUP))
+                    .when(F.col("index_dup_of").isNotNull(), F.lit(INDEX_DUP))
+                    .otherwise(F.lit(KEPT))
+                    .alias("status"),
+                    F.coalesce("intra_dup_of", "index_dup_of").alias("dup_of"),
+                )
+            )
+            # materialize verdicts BEFORE mutating the index they read
+            verdicts = verdicts.localCheckpoint(eager=True)
+            kept_bands = surv_bands.join(
+                index_hits.select("doc"), "doc", "left_anti"
+            )
+            self.append(kept_bands)
+            return verdicts
+        finally:
+            banded.unpersist(blocking=False)
+
+    # -- streaming wrapper ----------------------------------------------
+    def start(
+        self,
+        stream: DataFrame,
+        id_col: str,
+        text_col: str,
+        checkpoint: str,
+        verdict_sink: "callable | None" = None,
+        trigger_once: bool = True,
+    ):
+        """``foreachBatch`` driver: every micro-batch is deduped against
+        the accumulated index; verdicts go to ``verdict_sink(df, epoch)``
+        if given. Exactly-once across restarts comes from the checkpoint
+        (a replayed batch re-derives identical verdicts: band appends are
+        idempotent at the (band_hash, doc) grain and duplicate index rows
+        do not change min-aggregated verdicts)."""
+
+        def _batch(bdf: DataFrame, epoch: int) -> None:
+            v = self.process_batch(bdf, id_col, text_col)
+            if verdict_sink is not None:
+                verdict_sink(v, epoch)
+
+        writer = stream.writeStream.foreachBatch(_batch).option(
+            "checkpointLocation", checkpoint
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -147,7 +147,9 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text")
 
 
-def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
+def _banded_ctes(num_hashes: int = 16, bands: int = 4) -> str:
+    """The d → sigs → banded CTE chain (doc_id, band, band_hash per band);
+    shared by the LSH-pair and streaming-dedup-index oracles."""
     rows = num_hashes // bands
     sig_elems = ", ".join(
         f"list_min(list_transform(sh, s -> "
@@ -160,15 +162,19 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
             f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
         )
         band_structs.append(f"{{'band': {b}, 'band_hash': md5({parts})}}")
-    return f"""
-WITH d AS (
+    return f"""d AS (
   SELECT doc_id, {_SHINGLES} AS sh FROM documents
 ), sigs AS (
   SELECT doc_id, [{sig_elems}] AS sig FROM d
 ), banded AS (
   SELECT doc_id, u.band AS band, u.band_hash AS band_hash
   FROM sigs, UNNEST([{', '.join(band_structs)}]) AS t(u)
-)
+)"""
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    return f"""
+WITH {_banded_ctes(num_hashes, bands)}
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
 FROM banded l JOIN banded r
   ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
@@ -1062,6 +1068,70 @@ FROM s
 """
 
 
+def q_streaming_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-at-ingest: two micro-batches (even doc ids, then odd)
+    through a fresh MinHash band index — verdicts show intra-batch dups,
+    cross-batch index dups, and keepers. The second batch's probe reads
+    ONLY the index buckets its band hashes map to."""
+    import tempfile
+
+    from transfer_spark.streaming.dedup_index import MinHashDedupIndex
+
+    d = _docs(spark, sf_dir)
+    idx = MinHashDedupIndex(
+        spark, tempfile.mkdtemp(prefix="artie_dedup_idx_"), n_buckets=16
+    )
+    v0 = idx.process_batch(
+        d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
+    ).withColumn("batch", F.lit(0))
+    v1 = idx.process_batch(
+        d.filter(F.col("doc_id") % 2 == 1), "doc_id", "text"
+    ).withColumn("batch", F.lit(1))
+    return v0.unionByName(v1)
+
+
+def _streaming_dedup_index_sql() -> str:
+    return f"""
+WITH {_banded_ctes()},
+b0 AS (SELECT * FROM banded WHERE doc_id % 2 = 0),
+b1 AS (SELECT * FROM banded WHERE doc_id % 2 = 1),
+intra0 AS (
+  SELECT l.doc_id AS doc, min(r.doc_id) AS dup
+  FROM b0 l JOIN b0 r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND r.doc_id < l.doc_id
+  GROUP BY l.doc_id
+),
+intra1 AS (
+  SELECT l.doc_id AS doc, min(r.doc_id) AS dup
+  FROM b1 l JOIN b1 r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND r.doc_id < l.doc_id
+  GROUP BY l.doc_id
+),
+idx AS (
+  SELECT * FROM b0 WHERE doc_id NOT IN (SELECT doc FROM intra0)
+),
+ixhit AS (
+  SELECT b.doc_id AS doc, min(i.doc_id) AS dup
+  FROM b1 b JOIN idx i ON b.band = i.band AND b.band_hash = i.band_hash
+  WHERE b.doc_id NOT IN (SELECT doc FROM intra1)
+  GROUP BY b.doc_id
+)
+SELECT d0.doc_id, 0 AS batch,
+  CASE WHEN i.dup IS NOT NULL THEN 'batch_dup' ELSE 'kept' END AS status,
+  i.dup AS dup_of
+FROM (SELECT DISTINCT doc_id FROM b0) d0 LEFT JOIN intra0 i ON i.doc = d0.doc_id
+UNION ALL
+SELECT d1.doc_id, 1 AS batch,
+  CASE WHEN i1.dup IS NOT NULL THEN 'batch_dup'
+       WHEN ix.dup IS NOT NULL THEN 'index_dup'
+       ELSE 'kept' END AS status,
+  coalesce(i1.dup, ix.dup) AS dup_of
+FROM (SELECT DISTINCT doc_id FROM b1) d1
+LEFT JOIN intra1 i1 ON i1.doc = d1.doc_id
+LEFT JOIN ixhit ix ON ix.doc = d1.doc_id
+"""
+
+
 def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunker (size 200 / stride 150) over documents."""
     return T.chunk_sliding_windows(_docs(spark, sf_dir), "doc_id", "text",
@@ -1087,6 +1157,7 @@ QUERIES = {
     "pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
     "gopher_quality_gate": (q_gopher_quality, ORACLE_GOPHER),
     "doc_chunk_windows": (q_chunk_windows, ORACLE_CHUNKS),
+    "streaming_dedup_index": (q_streaming_dedup_index, _streaming_dedup_index_sql()),
     "doc_bigram_logprob": (q_bigram_logprob, ORACLE_BIGRAM_LOGPROB),
     "bpe_top_merges": (q_bpe_top_merges, ORACLE_BPE_MERGES),
     "doc_char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
