@@ -55,18 +55,21 @@ _CORE = [
     # sources — decode paths, NTZ-regression-prone
     "debezium_envelope_decode", "kafka_key_decode",
     "mongo_extjson_decode", "mongo_extjson_generic",
-    # transforms
-    "encode_values", "pk_string_key", "sanitize_columns",
-    "converter_datetime", "column_encryption", "soft_partition_routing",
+    # transforms (sanitize/converter/encryption rotated out: pure
+    # functions pinned by pytest, historically stable)
+    "encode_values", "pk_string_key", "soft_partition_routing",
     # text / dedupe
     "doc_char_entropy", "dedupe_dup_spans",  # historical hash-mismatch pair
     "dedupe_minhash_lsh", "dedupe_exact", "text_stats", "lang_id",
     "split_decontamination_exact", "corpus_sequence_pack",  # new in r5
     "pretraining_corpus_pipeline",  # end-to-end composition (r5)
     "neardup_clusters_star", "knn_label_vote",  # new in r5
-    "hard_negative_mining", "cms_heavy_hitters", "skew_key_report",  # new in r5
+    "hard_negative_mining", "cms_heavy_hitters",  # new in r5
+    "gopher_quality_gate", "doc_chunk_windows",  # new in r5
+    "streaming_dedup_index",  # new in r5
     # vectors
     "ann_bruteforce_topk", "embedding_neardup_lsh", "embedding_quantize_int8",
+    "semantic_dedupe",  # new in r5
     # multimodal
     "multimodal_image_meta", "multimodal_audio_stats",
     # temporal — timestamp-handling canaries
