@@ -273,3 +273,26 @@ def test_semantic_dedupe_drops_near_dup_meanings(spark):
     assert not got[3].keep and got[3].dup_of == 1
     # keepers carry NULL dup_of
     assert got[0].dup_of is None and got[4].dup_of is None
+
+
+def test_corpus_shard_shuffle_determinism_and_coverage(spark):
+    from transfer_spark.operators.text import corpus_shard_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id bigint")
+    a = corpus_shard_shuffle(df, "doc_id", n_shards=8, seed=1)
+    rows = a.collect()
+    # every row assigned, positions are 1..n contiguous per shard
+    assert len(rows) == 200
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos_in_shard)
+    assert set(by_shard) <= set(range(8))
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # rerun identical; different seed permutes
+    b = {(r.doc_id): (r.shard, r.pos_in_shard)
+         for r in corpus_shard_shuffle(df, "doc_id", 8, seed=1).collect()}
+    assert {(r.doc_id): (r.shard, r.pos_in_shard) for r in rows} == b
+    c = {(r.doc_id): (r.shard, r.pos_in_shard)
+         for r in corpus_shard_shuffle(df, "doc_id", 8, seed=2).collect()}
+    assert c != b

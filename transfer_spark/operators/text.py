@@ -330,3 +330,36 @@ def dedupe_lines_within_doc(df, id_col: str, text_col: str,
         F.size(segs).alias("n_segments"),
         (F.size(segs) - F.size(kept)).alias("n_removed"),
     )
+
+
+def corpus_shard_shuffle(df, key_col: str, n_shards: int = 1024,
+                         seed: int = 0) -> "object":
+    """Deterministic global shuffle into training shards: every row gets
+    a (shard, position) from a seeded hash of its key — the reproducible
+    randomized read order a training run needs (change the seed, get an
+    independent permutation; rerun the job, get the identical one).
+
+    Distributed shape: NO global sort. One shuffle on the shard id, then
+    a per-shard window sort on the 60-bit hash — with shards sized to
+    executors (raise n_shards with the corpus) each sort is local and
+    bounded, which is how a 100 TB permutation avoids the total-order
+    range partitioner entirely. Writers then emit one file per shard.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"shuffle:{seed}:"),
+                           F.col(key_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    from pyspark.sql import Window
+
+    out = df.withColumn("__h", h).withColumn(
+        "shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("__h", key_col)
+    return (
+        out.withColumn("pos_in_shard", F.row_number().over(w))
+        .drop("__h")
+    )

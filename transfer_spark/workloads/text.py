@@ -243,6 +243,93 @@ WHERE (sa.split = 'train') != (sb.split = 'train')
 """
 
 
+def q_decontamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-scored fuzzy decontamination: LSH candidates crossing
+    the train/eval boundary, then EXACT shingle containment
+    |train ∩ eval| / |eval| — the score eval-set leakage is actually
+    judged by (a train doc that swallowed an eval doc scores ~1 even
+    when Jaccard is low because the train doc is much longer).
+
+    Scale shape: candidates ≪ n² come from the band join; only the
+    candidate pairs join back to the (doc, distinct-shingle-array) frame,
+    so the quadratic containment work never touches non-candidates. The
+    tiny pair list broadcasts into both shingle joins."""
+    from transfer_spark.operators.text import assign_split
+
+    d = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(d, "doc_id", "text")
+    splits = d.select(
+        "doc_id",
+        assign_split(
+            F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}
+        ).alias("split"),
+    )
+    j = (
+        F.broadcast(pairs)
+        .join(splits.select(F.col("doc_id").alias("doc_a"),
+                            F.col("split").alias("split_a")), "doc_a")
+        .join(splits.select(F.col("doc_id").alias("doc_b"),
+                            F.col("split").alias("split_b")), "doc_b")
+        .filter((F.col("split_a") == "train") != (F.col("split_b") == "train"))
+    )
+    a_is_train = F.col("split_a") == "train"
+    x = j.select(
+        F.when(a_is_train, F.col("doc_a")).otherwise(F.col("doc_b")).alias("train_doc"),
+        F.when(a_is_train, F.col("doc_b")).otherwise(F.col("doc_a")).alias("eval_doc"),
+    )
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(D.shingles(F.col("text"), 3)).alias("sh"),
+    )
+    scored = (
+        F.broadcast(x)
+        .join(sh.select(F.col("doc_id").alias("train_doc"),
+                        F.col("sh").alias("sh_t")), "train_doc")
+        .join(sh.select(F.col("doc_id").alias("eval_doc"),
+                        F.col("sh").alias("sh_e")), "eval_doc")
+    )
+    return scored.select(
+        "train_doc",
+        "eval_doc",
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.size(F.array_intersect("sh_t", "sh_e"))
+            / F.size("sh_e")
+            + F.lit(0.5)
+        ).cast("long").alias("containment_ppm"),
+    )
+
+
+def _decontamination_containment_sql() -> str:
+    return f"""
+WITH pairs AS ({_minhash_sql()}),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 10000 < 9000 THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 10000 < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+sh2 AS (SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM documents),
+x AS (
+  SELECT CASE WHEN sa.split = 'train' THEN p.doc_a ELSE p.doc_b END AS train_doc,
+         CASE WHEN sa.split = 'train' THEN p.doc_b ELSE p.doc_a END AS eval_doc
+  FROM pairs p
+  JOIN splits sa ON sa.doc_id = p.doc_a
+  JOIN splits sb ON sb.doc_id = p.doc_b
+  WHERE (sa.split = 'train') != (sb.split = 'train')
+)
+SELECT x.train_doc, x.eval_doc,
+  floor(1000000.0 * len(list_intersect(st.sh, se.sh)) / len(se.sh) + 0.5)::BIGINT
+    AS containment_ppm
+FROM x
+JOIN sh2 st ON st.doc_id = x.train_doc
+JOIN sh2 se ON se.doc_id = x.eval_doc
+"""
+
+
 _SPLITS_SQL = """
   SELECT doc_id,
          CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
@@ -1132,6 +1219,26 @@ LEFT JOIN ixhit ix ON ix.doc = d1.doc_id
 """
 
 
+def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic shard shuffle: (shard, pos_in_shard) per doc,
+    no global sort — per-shard window sorts only."""
+    out = T.corpus_shard_shuffle(_docs(spark, sf_dir), "doc_id",
+                                 n_shards=32, seed=7)
+    return out.select("doc_id", "shard", "pos_in_shard")
+
+
+ORACLE_SHARD_SHUFFLE = """
+WITH h AS (
+  SELECT doc_id,
+    ('0x' || substr(md5('shuffle:7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+  FROM documents
+)
+SELECT doc_id, (hh % 32)::INT AS shard,
+  row_number() OVER (PARTITION BY hh % 32 ORDER BY hh, doc_id) AS pos_in_shard
+FROM h
+"""
+
+
 def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunker (size 200 / stride 150) over documents."""
     return T.chunk_sliding_windows(_docs(spark, sf_dir), "doc_id", "text",
@@ -1158,6 +1265,11 @@ QUERIES = {
     "gopher_quality_gate": (q_gopher_quality, ORACLE_GOPHER),
     "doc_chunk_windows": (q_chunk_windows, ORACLE_CHUNKS),
     "streaming_dedup_index": (q_streaming_dedup_index, _streaming_dedup_index_sql()),
+    "corpus_shard_shuffle": (q_shard_shuffle, ORACLE_SHARD_SHUFFLE),
+    "split_decontamination_containment": (
+        q_decontamination_containment,
+        _decontamination_containment_sql(),
+    ),
     "doc_bigram_logprob": (q_bigram_logprob, ORACLE_BIGRAM_LOGPROB),
     "bpe_top_merges": (q_bpe_top_merges, ORACLE_BPE_MERGES),
     "doc_char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
