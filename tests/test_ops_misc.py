@@ -296,3 +296,37 @@ def test_corpus_shard_shuffle_determinism_and_coverage(spark):
     c = {(r.doc_id): (r.shard, r.pos_in_shard)
          for r in corpus_shard_shuffle(df, "doc_id", 8, seed=2).collect()}
     assert c != b
+
+
+def test_bm25_topk_matches_reference_formula(spark):
+    import math
+
+    from transfer_spark.operators.text import bm25_topk
+
+    docs = {
+        1: "spark merge spark spark data",
+        2: "merge data table row",
+        3: "row row row row",
+        4: "spark",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    got = {r.doc_id: (r.score_micro, r.rank)
+           for r in bm25_topk(df, "doc_id", "text", ["spark", "merge"], k=3).collect()}
+
+    toks = {d: t.split() for d, t in docs.items()}
+    n, avgdl = len(docs), sum(len(t) for t in toks.values()) / len(docs)
+    dft = {q: sum(q in t for t in toks.values()) for q in ("spark", "merge")}
+    exp = {}
+    for d, t in toks.items():
+        s = 0
+        for q in ("spark", "merge"):
+            tf = t.count(q)
+            if not tf:
+                continue
+            idf = math.log((n - dft[q] + 0.5) / (dft[q] + 0.5) + 1.0)
+            contrib = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+            s += math.floor(contrib * 1e6 + 0.5)
+        if s:
+            exp[d] = s
+    order = sorted(exp, key=lambda d: (-exp[d], d))[:3]
+    assert got == {d: (exp[d], i + 1) for i, d in enumerate(order)}

@@ -363,3 +363,75 @@ def corpus_shard_shuffle(df, key_col: str, n_shards: int = 1024,
         out.withColumn("pos_in_shard", F.row_number().over(w))
         .drop("__h")
     )
+
+
+def bm25_topk(df, id_col: str, text_col: str, query_terms: list[str],
+              k: int = 10, k1: float = 1.2, b: float = 0.75) -> "object":
+    """BM25 ranked retrieval: top-k documents for a bag-of-words query —
+    the search-the-corpus capability next to the vector ANN family.
+
+    Distributed shape: the query-term filter happens INSIDE the token
+    array before any explode (array_filter → explode), so the exploded
+    frame carries only query-term hits — corpus-size-independent per
+    doc. Document length rides along from the same row (no dl join);
+    corpus stats (N, avgdl) and per-term document frequencies are tiny
+    aggregates broadcast back in. Final top-k is orderBy+limit
+    (TakeOrdered — per-partition heaps, no global sort).
+
+    Per-term score contributions are quantized to BIGINT micro-units
+    BEFORE the per-doc sum, so the reduction is order-insensitive and
+    cross-engine reproducible. Returns (doc_id, score_micro, rank).
+    """
+    from pyspark.sql import Window
+
+    qarr = F.array(*[F.lit(t) for t in query_terms])
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(toks).alias("dl"),
+        F.filter(toks, lambda t: F.array_contains(qarr, t)).alias("hits"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        base.select("doc", "dl", F.explode("hits").alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    dft = tf.groupBy("term").agg(F.countDistinct("doc").alias("dft"))
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc",
+            F.floor(
+                F.log(
+                    (F.col("n_docs") - F.col("dft") + F.lit(0.5))
+                    / (F.col("dft") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("doc")
+        .agg(F.sum("c").alias("score_micro"))
+    )
+    top = scored.orderBy(F.desc("score_micro"), F.asc("doc")).limit(k)
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("doc").alias(id_col), "score_micro", "rank"
+    )

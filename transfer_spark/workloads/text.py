@@ -1239,6 +1239,47 @@ FROM h
 """
 
 
+_BM25_TERMS = ["spark", "merge", "vector"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed 3-term query over the corpus."""
+    return T.bm25_topk(_docs(spark, sf_dir), "doc_id", "text",
+                       _BM25_TERMS, k=20)
+
+
+def _bm25_sql(k: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, len({_TOKS}) AS dl,
+         list_filter({_TOKS}, t -> t IN ({terms})) AS hits
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, dl, u AS term, count(*) AS tf
+  FROM base, UNNEST(hits) AS t(u)
+  GROUP BY doc_id, dl, u
+),
+dft AS (SELECT term, count(DISTINCT doc_id) AS dft FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+    sum(floor(
+      ln((s.n_docs - d.dft + 0.5) / (d.dft + 0.5) + 1.0)
+      * (tf.tf * {k1 + 1.0})
+      / (tf.tf + {k1} * ({1.0 - b} + {b} * tf.dl / s.avgdl))
+      * 1000000.0 + 0.5)::BIGINT) AS score_micro
+  FROM tf JOIN dft d USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score_micro,
+       row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
 def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunker (size 200 / stride 150) over documents."""
     return T.chunk_sliding_windows(_docs(spark, sf_dir), "doc_id", "text",
@@ -1270,6 +1311,7 @@ QUERIES = {
         q_decontamination_containment,
         _decontamination_containment_sql(),
     ),
+    "bm25_topk": (q_bm25_topk, _bm25_sql()),
     "doc_bigram_logprob": (q_bigram_logprob, ORACLE_BIGRAM_LOGPROB),
     "bpe_top_merges": (q_bpe_top_merges, ORACLE_BPE_MERGES),
     "doc_char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
