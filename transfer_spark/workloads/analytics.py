@@ -812,8 +812,149 @@ FROM topk CROSS JOIN g
 """
 
 
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted to the schema): orders in one quarter with
+    at least one line shipped AFTER the order date, counted by priority.
+
+    Scale shape: the quarter filter pushes to the orders scan; the
+    existence test is a LEFT SEMI join (equi on the order key + the
+    late-ship residual), so lineitem rows never widen the output, and
+    the count agg runs on the filtered orders only."""
+    q0 = F.lit("1996-01-01").cast("timestamp")
+    q1 = F.lit("1996-04-01").cast("timestamp")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= q0) & (F.col("o_orderdate") < q1)
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "leftsemi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from PROMO parts.
+
+    Scale shape: the month filter pushes to the lineitem scan; part
+    (2 columns) broadcasts; both sums are DECIMAL-exact with one double
+    division at the edge, quantized to ppm for cross-engine hashing."""
+    m0 = F.lit("1996-03-01").cast("timestamp")
+    m1 = F.lit("1996-04-01").cast("timestamp")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= m0) & (F.col("l_shipdate") < m1)
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(38,6)")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(
+            F.lit(0).cast("decimal(38,6)"))).alias("promo"),
+        F.sum(rev).alias("total"),
+    )
+    return agg.select(
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.col("promo").cast("double") / F.col("total").cast("double")
+            + F.lit(0.5)
+        ).cast("long").alias("promo_rev_ppm")
+    )
+
+
+ORACLE_Q14 = """
+WITH j AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(18,2))
+         * (1 - CAST(l_discount AS DECIMAL(18,4))) AS rev, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+)
+SELECT floor(1000000.0
+  * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE)
+  / CAST(SUM(rev) AS DOUBLE) + 0.5)::BIGINT AS promo_rev_ppm
+FROM j
+"""
+
+
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returns in
+    one quarter, with nation name.
+
+    Scale shape: quarter filter pushed to orders, returnflag filter
+    pushed to lineitem; the only big-big join is orders→lineitem on the
+    order key; customer and nation broadcast; top-20 via
+    TakeOrderedAndProject."""
+    q0 = F.lit("1996-01-01").cast("timestamp")
+    q1 = F.lit("1996-04-01").cast("timestamp")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= q0) & (F.col("o_orderdate") < q1)
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(38,6)")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("revenue"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_custkey").alias("custkey"), "c_name", "n_name", "revenue"
+        )
+        .orderBy(F.desc("revenue"), "custkey")
+        .limit(20)
+    )
+
+
+ORACLE_Q10 = """
+SELECT c_custkey AS custkey, c_name, n_name,
+  SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, custkey LIMIT 20
+"""
+
+
 QUERIES = {
     "olap_pricing_summary": (q_pricing_summary, ORACLE_PRICING),
+    "olap_order_priority_check": (q_order_priority_check, ORACLE_Q4),
+    "olap_promo_revenue": (q_promo_revenue, ORACLE_Q14),
+    "olap_returned_item_customers": (q_returned_item_customers, ORACLE_Q10),
     "skew_key_report": (q_skew_report, ORACLE_SKEW_REPORT),
     "revenue_moving_avg": (q_revenue_moving_avg, ORACLE_MOVAVG),
     "basket_part_affinity": (q_basket_affinity, ORACLE_BASKET),
