@@ -67,15 +67,32 @@ def main():
     from transfer_spark.operators.dedupe import minhash_signature_df
     from transfer_spark.operators.packing import sequence_pack
     from transfer_spark.operators.temporal import sessionize
+    from transfer_spark.operators.text import (
+        bm25_topk,
+        chunk_sliding_windows,
+        corpus_shard_shuffle,
+        gopher_quality_flags,
+    )
+
+    # Both scales get the SAME partition count: a genuinely 10x corpus
+    # arrives as ~10x parquet splits, but replicate() inherits the 1x
+    # scan's few partitions — without this, per-row map operators measure
+    # loss-of-parallelism (ratio ≈ rep on one core), not work scaling.
+    nparts = spark.sparkContext.defaultParallelism
 
     def ev(factor):
-        return events if factor == 1 else replicate(events, ["event_id", "user_id"], factor)
+        base = events if factor == 1 else replicate(
+            events, ["event_id", "user_id"], factor)
+        return base.repartition(nparts)
 
     def dc(factor):
-        return docs if factor == 1 else replicate(docs, ["doc_id"], factor)
+        base = docs if factor == 1 else replicate(docs, ["doc_id"], factor)
+        return base.repartition(nparts)
 
     def li(factor):
-        return lineitem if factor == 1 else replicate(lineitem, ["l_orderkey"], factor)
+        base = lineitem if factor == 1 else replicate(
+            lineitem, ["l_orderkey"], factor)
+        return base.repartition(nparts)
 
     results = [
         probe(
@@ -92,6 +109,15 @@ def main():
             ev,
             lambda d: sessionize(d, "user_id", "ts", gap_seconds=1800),
         ),
+        probe("gopher_gate", dc,
+              lambda d: gopher_quality_flags(d, "doc_id", "text")),
+        probe("chunk_windows", dc,
+              lambda d: chunk_sliding_windows(d, "doc_id", "text")),
+        probe("bm25_topk", dc,
+              lambda d: bm25_topk(d, "doc_id", "text",
+                                  ["spark", "merge", "vector"], k=20)),
+        probe("shard_shuffle", dc,
+              lambda d: corpus_shard_shuffle(d, "doc_id", n_shards=256)),
         probe(
             "pricing_summary",
             li,

@@ -67,3 +67,49 @@ def test_streaming_wrapper_available_now(spark, tmp_path):
     q.awaitTermination(120)
     v = {r.doc_id: r.status for r in got}
     assert v == {1: KEPT, 2: BATCH_DUP, 3: KEPT}
+
+
+def test_compact_rewrites_fragmented_buckets(spark, tmp_path):
+    idx = MinHashDedupIndex(spark, str(tmp_path / "idx"), n_buckets=2)
+    texts = [
+        f"unique document number {i} about topic {i} with several words "
+        f"of distinct content and more trailing filler {i}"
+        for i in range(12)
+    ]
+    for i, t in enumerate(texts):
+        idx.process_batch(_df(spark, [(i, t)]), "doc_id", "text")
+    before = idx.read_buckets([0, 1]).count()
+    compacted = idx.compact(max_files_per_bucket=3)
+    assert compacted  # 12 appends over 2 buckets must fragment
+    assert idx.read_buckets([0, 1]).count() == before
+    import os
+    for bk in compacted:
+        bdir = os.path.join(str(tmp_path / "idx"), f"__band_bucket={bk}")
+        assert sum(1 for f in os.listdir(bdir) if f.endswith(".parquet")) == 1
+    # index still functional post-compaction: re-ingest doc 0's text
+    v = idx.process_batch(_df(spark, [(99, texts[0])]), "doc_id", "text").collect()
+    assert v[0].status == INDEX_DUP and v[0].dup_of == 0
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    import os
+
+    from transfer_spark.operators.text import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id bigint, text string"
+    )
+    path = str(tmp_path / "shards")
+    counts = {r.shard: r.n_rows
+              for r in write_training_shards(df, "doc_id", path, n_shards=4,
+                                             seed=3).collect()}
+    assert sum(counts.values()) == 100
+    for shard in counts:
+        sdir = os.path.join(path, f"shard={shard}")
+        files = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+        assert len(files) == 1, shard  # one file per shard
+    # rows inside a shard file are in shuffle order
+    one = sorted(counts)[0]
+    pos = [r.pos_in_shard for r in
+           spark.read.parquet(os.path.join(path, f"shard={one}")).collect()]
+    assert pos == sorted(pos)

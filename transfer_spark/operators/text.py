@@ -435,3 +435,33 @@ def bm25_topk(df, id_col: str, text_col: str, query_terms: list[str],
     return top.withColumn("rank", F.row_number().over(w)).select(
         F.col("doc").alias(id_col), "score_micro", "rank"
     )
+
+
+def write_training_shards(df, key_col: str, path: str, n_shards: int = 1024,
+                          seed: int = 0, payload_cols: "list[str] | None" = None):
+    """Materialize the seeded permutation as training shards on disk:
+    shard=NNNN directories, ONE file per shard, rows inside each file in
+    shuffle order — the layout a data loader streams sequentially.
+
+    ``repartition(shard)`` gives exactly one task (→ one file) per
+    shard; ``sortWithinPartitions(pos)`` orders rows inside the file
+    without any cross-shard sort. Returns the shard row counts.
+    """
+    out = corpus_shard_shuffle(df, key_col, n_shards, seed)
+    cols = payload_cols or [c for c in df.columns if c != key_col]
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("pos_in_shard")
+        .select(key_col, "shard", "pos_in_shard", *cols)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    import pyspark.sql.functions as _F
+
+    spark = df.sparkSession
+    return (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(_F.count(_F.lit(1)).alias("n_rows"))
+    )

@@ -178,6 +178,35 @@ class MinHashDedupIndex:
         finally:
             banded.unpersist(blocking=False)
 
+    def compact(self, max_files_per_bucket: int = 8) -> list[int]:
+        """Rewrite fragmented index buckets: every micro-batch append
+        adds one small file per touched bucket, and at production cadence
+        that is the classic small-file problem — probe cost grows with
+        file count, not data size. Buckets whose file count exceeds the
+        threshold are read back and rewritten as one file each (layout
+        only; contents unchanged). Returns the compacted bucket ids.
+
+        Run it from a maintenance cadence (mirrors
+        ``BucketedParquetTable.compact()``), never inside the hot
+        flush path.
+        """
+        fragged = []
+        for name in os.listdir(self.path):
+            if not name.startswith(self.BUCKET_COL + "="):
+                continue
+            bdir = os.path.join(self.path, name)
+            n_files = sum(
+                1 for f in os.listdir(bdir) if f.endswith(".parquet")
+            )
+            if n_files > max_files_per_bucket:
+                fragged.append(int(name.split("=", 1)[1]))
+        for bk in fragged:
+            bdir = os.path.join(self.path, f"{self.BUCKET_COL}={bk}")
+            rows = self.spark.read.parquet(bdir).coalesce(1)
+            rows = rows.localCheckpoint(eager=True)  # read before rewrite
+            rows.write.mode("overwrite").parquet(bdir)
+        return fragged
+
     # -- streaming wrapper ----------------------------------------------
     def start(
         self,
