@@ -270,3 +270,27 @@ def test_cms_streaming_merge_converges_to_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert state == batch
+
+
+def test_gap_fill_locf_fills_and_carries(spark):
+    from datetime import datetime
+
+    from transfer_spark.operators.temporal import gap_fill_locf
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 10), 1.00),
+        ("a", datetime(2024, 1, 1, 0, 50), 2.00),   # hour 0: 2 events, 300c
+        ("a", datetime(2024, 1, 1, 3, 5), 5.00),    # hours 1,2 missing
+        ("b", datetime(2024, 1, 1, 1, 0), 7.50),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {(r.event_type, r.bucket_us): (r.n_events, r.cents_locf)
+           for r in gap_fill_locf(df, "event_type", "ts", "value").collect()}
+    h = 3_600_000_000
+    base = int(datetime(2024, 1, 1).timestamp()) * 1_000_000
+    assert got[("a", base + 0 * h)] == (2, 300)
+    assert got[("a", base + 1 * h)] == (0, 300)   # gap filled, LOCF carry
+    assert got[("a", base + 2 * h)] == (0, 300)
+    assert got[("a", base + 3 * h)] == (1, 500)
+    assert got[("b", base + 1 * h)] == (1, 750)
+    assert len(got) == 5  # b spans a single hour; no cross-key bleed

@@ -381,3 +381,53 @@ def cms_point_estimate(sketch: DataFrame, keys: DataFrame, value_col: str,
         .groupBy(value_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    unit: str = "hour",
+) -> DataFrame:
+    """Time-series regularization: aggregate to a fixed grain, fill the
+    missing buckets per key, and carry the last observed value forward
+    (LOCF) — the resample-and-interpolate step monitoring and feature
+    pipelines need before any window arithmetic is valid.
+
+    Distributed shape: the grain aggregation is map-side combinable; the
+    dense grid comes from per-key min/max bounds (one tiny row per key)
+    exploded executor-side with ``sequence`` — the raw events are never
+    exploded. The LOCF is one per-key ordered window over grid rows
+    (keys × buckets, far smaller than the input). Values are summed as
+    integer cents so the per-bucket reduction is order-insensitive
+    across engines.
+
+    Returns (key, bucket start, n_events, cents_locf).
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    cents = F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+    agg = (
+        df.select(F.col(key_col).alias("k"), bucket.alias("b"), cents.alias("c"))
+        .groupBy("k", "b")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("c").alias("cents"))
+    )
+    bounds = agg.groupBy("k").agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    step = F.expr(f"INTERVAL 1 {unit}")
+    grid = bounds.select(
+        "k", F.explode(F.sequence(F.col("b0"), F.col("b1"), step)).alias("b")
+    )
+    j = grid.join(agg, ["k", "b"], "left").select(
+        "k", "b", F.coalesce("n_events", F.lit(0)).alias("n_events"), "cents"
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.col("k").alias(key_col),
+        F.unix_micros(F.col("b")).alias("bucket_us"),
+        "n_events",
+        F.last("cents", ignorenulls=True).over(w).alias("cents_locf"),
+    )

@@ -780,8 +780,41 @@ cells AS (
 SELECT lane, bucket, SUM(c) AS cnt FROM cells GROUP BY lane, bucket
 """
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample per event type with zero-filled gaps and LOCF
+    value carry."""
+    ev = read_table(spark, sf_dir, "events")
+    return TP.gap_fill_locf(ev, "event_type", "ts", "value", unit="hour")
+
+
+ORACLE_GAP_FILL = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         count(*) AS n_events,
+         sum(floor(value * 100.0 + 0.5)::BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1 FROM h GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+  FROM b
+),
+j AS (
+  SELECT g.event_type, g.hr,
+         coalesce(h.n_events, 0) AS n_events, h.cents
+  FROM grid g LEFT JOIN h ON h.event_type = g.event_type AND h.hr = g.hr
+)
+SELECT event_type, epoch_us(hr) AS bucket_us, n_events,
+  last_value(cents IGNORE NULLS) OVER (
+    PARTITION BY event_type ORDER BY hr
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_locf
+FROM j
+"""
+
+
 QUERIES = {
     "events_sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+    "events_gap_fill_locf": (q_gap_fill, ORACLE_GAP_FILL),
     "events_funnel": (q_funnel, ORACLE_FUNNEL),
     "events_retention_cohort": (q_retention, ORACLE_RETENTION),
     "events_quantiles": (q_quantiles, ORACLE_QUANTILES),
