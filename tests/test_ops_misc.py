@@ -330,3 +330,29 @@ def test_bm25_topk_matches_reference_formula(spark):
             exp[d] = s
     order = sorted(exp, key=lambda d: (-exp[d], d))[:3]
     assert got == {d: (exp[d], i + 1) for i, d in enumerate(order)}
+
+
+def test_ivf_index_probe_prunes_and_matches_inline(spark, tmp_path):
+    """Disk round-trip == inline IVF with the same centroids; the probe
+    scan's PartitionFilters prune to the probed cids."""
+    import numpy as np
+
+    from transfer_spark.operators.similarity import ann_ivf_topk, kmeans_centroids
+    from transfer_spark.operators.vector_index import IvfIndex
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cent = kmeans_centroids(df, k=4, n_iters=2)
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    idx.build(df, k=4, n_iters=2, centroids=cent)
+    q = df.filter("vec_id < 5")
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in idx.probe(q, k=3, n_probe=2).collect()
+    )
+    exp = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ann_ivf_topk(df, q, k=3, n_probe=2, centroids=cent).collect()
+    )
+    assert got == exp and len(got) == 15

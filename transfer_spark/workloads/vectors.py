@@ -177,6 +177,21 @@ QUALIFY rank <= {topk}"""
     return ",\n".join(parts) + ",\n" + body
 
 
+def q_ann_ivf_persistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probing a DISK-BACKED index: build writes cid-partitioned
+    inverted lists, probe reads only the probed centroids' partitions.
+    Same math as ann_ivf_kmeans, so the same Lloyd-unrolled oracle
+    value-checks the round-trip through the persisted layout."""
+    import tempfile
+
+    from transfer_spark.operators.vector_index import IvfIndex
+
+    emb = _emb(spark, sf_dir)
+    idx = IvfIndex(spark, tempfile.mkdtemp(prefix="artie_ivf_idx_"))
+    idx.build(emb, k=16, n_iters=2)
+    return idx.probe(emb.filter(F.col("vec_id") < 10), k=5, n_probe=4)
+
+
 def q_semantic_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means cluster (trained, 2 Lloyd iters) then drop
     vectors with a lower-id cluster-mate at cosine ≥ 0.8."""
@@ -387,6 +402,7 @@ QUERIES = {
     "ann_ivf_topk": (q_ann_ivf, ORACLE_ANN_IVF),
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, _ivf_kmeans_oracle()),
     "semantic_dedupe": (q_semantic_dedupe, _semantic_dedupe_oracle()),
+    "ann_ivf_persistent": (q_ann_ivf_persistent, _ivf_kmeans_oracle()),
     "embedding_neardup": (q_cosine_neardup, ORACLE_COSINE_NEARDUP),
     "embedding_neardup_lsh": (q_cosine_neardup_lsh, _neardup_lsh_oracle()),
     "embedding_neardup_lsh_multi": (
