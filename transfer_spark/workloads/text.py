@@ -1239,6 +1239,110 @@ FROM h
 """
 
 
+def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: quality-score quartile boundaries (exact
+    percentiles, one tiny agg broadcast back) assign each doc a
+    difficulty bin — the easy→hard ordering signal curriculum training
+    schedules consume. Quality is quantized to micro-units before the
+    percentile so boundary comparisons are integer-exact cross-engine."""
+    d = _docs(spark, sf_dir)
+    qm = F.floor(
+        T.quality_score(F.col("text")) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    scored = d.select("doc_id", qm.alias("q_micro"))
+    bounds = scored.agg(
+        F.expr("percentile(q_micro, 0.25)").alias("p25"),
+        F.expr("percentile(q_micro, 0.5)").alias("p50"),
+        F.expr("percentile(q_micro, 0.75)").alias("p75"),
+    )
+    j = scored.crossJoin(F.broadcast(bounds))
+    return j.select(
+        "doc_id",
+        "q_micro",
+        F.when(F.col("q_micro") <= F.col("p25"), F.lit(0))
+        .when(F.col("q_micro") <= F.col("p50"), F.lit(1))
+        .when(F.col("q_micro") <= F.col("p75"), F.lit(2))
+        .otherwise(F.lit(3))
+        .alias("bin"),
+    )
+
+
+def _curriculum_sql() -> str:
+    q = """round(0.5 * least(len(toks) / 100.0, 1.0)
+      + 0.5 * least(({hits} / CAST(len(toks) AS DOUBLE)) * 4.0, 1.0)
+      - 0.25 * least((length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                      / CAST(length(text) AS DOUBLE)) * 10.0, 1.0), 6)""".format(
+        hits=_hits_sql("toks", "en")
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, floor({q} * 1000000.0 + 0.5)::BIGINT AS q_micro FROM d
+), b AS (
+  SELECT quantile_cont(q_micro, 0.25) AS p25,
+         quantile_cont(q_micro, 0.5) AS p50,
+         quantile_cont(q_micro, 0.75) AS p75
+  FROM s
+)
+SELECT doc_id, q_micro,
+  CASE WHEN q_micro <= p25 THEN 0
+       WHEN q_micro <= p50 THEN 1
+       WHEN q_micro <= p75 THEN 2
+       ELSE 3 END AS bin
+FROM s, b
+"""
+
+
+def q_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: per-source keep rates that move the corpus
+    toward a TARGET token mixture (uniform across sources here). For
+    each source: rate = min(1, target_share · total_tokens /
+    source_tokens) — over-represented sources get downsampled, the rest
+    pass through. One aggregate per source plus one broadcast total;
+    feed the rates into `stratified_keep` for the actual hash-sample."""
+    d = _docs(spark, sf_dir)
+    per_src = (
+        d.select("source", T.token_count(F.col("text")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("src_tokens"))
+    )
+    total = per_src.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    j = per_src.crossJoin(F.broadcast(total))
+    return j.select(
+        "source",
+        "src_tokens",
+        F.least(
+            F.lit(1_000_000),
+            F.floor(
+                F.lit(1_000_000.0)
+                * (F.col("total_tokens") / F.col("n_sources"))
+                / F.col("src_tokens")
+                + F.lit(0.5)
+            ).cast("long"),
+        ).cast("long").alias("keep_rate_ppm"),
+    )
+
+
+ORACLE_MIXTURE = f"""
+WITH t AS (
+  SELECT source, len({_TOKS}) AS n FROM documents
+), per_src AS (
+  SELECT source, sum(n) AS src_tokens FROM t GROUP BY source
+), tot AS (
+  SELECT sum(src_tokens) AS total_tokens, count(*) AS n_sources FROM per_src
+)
+SELECT source, src_tokens,
+  least(1000000,
+        floor(1000000.0 * (total_tokens / n_sources) / src_tokens + 0.5)::BIGINT
+  )::BIGINT AS keep_rate_ppm
+FROM per_src, tot
+"""
+
+
 _BM25_TERMS = ["spark", "merge", "vector"]
 
 
@@ -1312,6 +1416,8 @@ QUERIES = {
         _decontamination_containment_sql(),
     ),
     "bm25_topk": (q_bm25_topk, _bm25_sql()),
+    "curriculum_quality_bins": (q_curriculum_bins, _curriculum_sql()),
+    "corpus_mixture_rates": (q_mixture_rates, ORACLE_MIXTURE),
     "doc_bigram_logprob": (q_bigram_logprob, ORACLE_BIGRAM_LOGPROB),
     "bpe_top_merges": (q_bpe_top_merges, ORACLE_BPE_MERGES),
     "doc_char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
