@@ -356,3 +356,29 @@ def test_ivf_index_probe_prunes_and_matches_inline(spark, tmp_path):
         for r in ann_ivf_topk(df, q, k=3, n_probe=2, centroids=cent).collect()
     )
     assert got == exp and len(got) == 15
+
+
+def test_winnow_guarantees_shared_run_detection(spark):
+    """Any shared run of >= window+k-1 words contributes a common
+    fingerprint (the winnowing guarantee)."""
+    from transfer_spark.operators.dedupe import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = window+k-1
+    a = "intro words here " + shared + " tail of doc one entirely"
+    b = "different opening text " + shared + " and another unrelated end"
+    c = "no overlap with anything else at all in this document text"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id bigint, text string"
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text", shingle_k=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 6-word run must share a fingerprint"
+    # sampling: far fewer fingerprints than shingles
+    assert len(by_doc[3]) < 10
+    pairs = winnow_overlap_pairs(df, "doc_id", "text", min_common=1).collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} == {(1, 2)}

@@ -630,3 +630,62 @@ def neardup_clusters_star(
     out = labels.union(centers).distinct()
     edges.unpersist(blocking=False)
     return out
+
+
+def winnow_fingerprints(df, id_col: str, text_col: str,
+                        shingle_k: int = 3, window: int = 4):
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
+    algorithm): hash every k-shingle, then keep the MINIMUM hash of each
+    sliding window of ``window`` consecutive shingles. The selected set
+    is position-robust: any shared run of at least ``window + k - 1``
+    words between two documents is GUARANTEED to contribute a common
+    fingerprint, while only ~2/(window+1) of all shingle hashes are
+    kept — the sampling rate a whole-corpus overlap join can afford.
+
+    All per-row codegen (transform over a sequence + array_min over
+    slices), no shuffle; returns (doc, fp) exploded rows with fp the
+    winnowed hash — equi-join ready.
+    """
+    toks = tokens(F.col(text_col))
+    n_sh = F.size(toks) - (shingle_k - 1)
+    hs = F.transform(
+        shingles(F.col(text_col), shingle_k), lambda s: _base_hash(s)
+    )
+    n_win = n_sh - (window - 1)
+    fps = F.when(
+        n_win >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda j: F.array_min(F.slice(hs, j, window)),
+            )
+        ),
+    ).otherwise(
+        # shorter than one window: keep the global min so short docs
+        # still fingerprint (matches the paper's boundary handling)
+        F.when(n_sh >= 1, F.array(F.array_min(hs))).otherwise(
+            F.array().cast("array<long>")
+        )
+    )
+    return df.select(F.col(id_col).alias("doc"), F.explode(fps).alias("fp"))
+
+
+def winnow_overlap_pairs(df, id_col: str, text_col: str,
+                         shingle_k: int = 3, window: int = 4,
+                         min_common: int = 2):
+    """Document pairs sharing >= min_common winnowed fingerprints — the
+    copy/overlap detector built on :func:`winnow_fingerprints`. One
+    equi-join on the fingerprint hash (fixed-width key), then a count
+    filter; cost scales with fingerprint collisions, never all pairs."""
+    fps = winnow_fingerprints(df, id_col, text_col, shingle_k, window)
+    left = fps.alias("l")
+    right = fps.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.fp") == F.col("r.fp")) & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .groupBy(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .agg(F.countDistinct("l.fp").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )

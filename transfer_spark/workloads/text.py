@@ -1343,6 +1343,41 @@ FROM per_src, tot
 """
 
 
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) overlap pairs: docs sharing ≥2 winnowed
+    fingerprints, with the common count."""
+    return D.winnow_overlap_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                                  shingle_k=3, window=4, min_common=2)
+
+
+def _winnow_sql(window: int = 4, min_common: int = 2) -> str:
+    w1 = window - 1
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM documents
+), h AS (
+  SELECT doc_id,
+    list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+  FROM d
+), f AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) - {w1} >= 1 THEN
+      list_distinct(list_transform(range(1, len(hs) - {w1} + 1),
+                                   j -> list_min(hs[j:j+{w1}])))
+    WHEN len(hs) >= 1 THEN [list_min(hs)]
+    ELSE []::BIGINT[] END AS fps
+  FROM h
+), e AS (
+  SELECT doc_id, unnest(fps) AS fp FROM f
+)
+SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       count(DISTINCT l.fp) AS n_common
+FROM e l JOIN e r ON l.fp = r.fp AND l.doc_id < r.doc_id
+GROUP BY 1, 2
+HAVING count(DISTINCT l.fp) >= {min_common}
+"""
+
+
 _BM25_TERMS = ["spark", "merge", "vector"]
 
 
@@ -1418,6 +1453,7 @@ QUERIES = {
     "bm25_topk": (q_bm25_topk, _bm25_sql()),
     "curriculum_quality_bins": (q_curriculum_bins, _curriculum_sql()),
     "corpus_mixture_rates": (q_mixture_rates, ORACLE_MIXTURE),
+    "dedupe_winnow_overlap": (q_winnow_overlap, _winnow_sql()),
     "doc_bigram_logprob": (q_bigram_logprob, ORACLE_BIGRAM_LOGPROB),
     "bpe_top_merges": (q_bpe_top_merges, ORACLE_BPE_MERGES),
     "doc_char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
