@@ -1,0 +1,57 @@
+"""Property tests for the chunker and shard shuffle: pure-Python
+reference semantics over arbitrary inputs (Spark evaluated once per
+example batch to keep runtime sane)."""
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from transfer_spark.operators.text import chunk_sliding_windows, corpus_shard_shuffle
+
+texts = st.lists(
+    st.text(alphabet="abcdef g.", min_size=0, max_size=500),
+    min_size=1,
+    max_size=8,
+)
+
+
+def ref_chunks(t: str, size: int, stride: int):
+    starts = list(range(0, max(len(t), 1), stride))
+    return [
+        (i, s, len(t[s:s + size]),
+         hashlib.md5(t[s:s + size].encode()).hexdigest())
+        for i, s in enumerate(starts)
+    ]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(texts, st.integers(2, 64), st.integers(1, 64))
+def test_chunker_matches_python_reference(spark, docs, size, stride):
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id bigint, text string"
+    )
+    got = {}
+    for r in chunk_sliding_windows(df, "doc_id", "text", size, stride).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.chunk_start, r.chunk_len, r.chunk_md5)
+        )
+    for i, t in enumerate(docs):
+        assert sorted(got[i]) == ref_chunks(t, size, stride), (i, t)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.sets(st.integers(0, 10_000), min_size=1, max_size=60),
+       st.integers(1, 16), st.integers(0, 3))
+def test_shard_shuffle_is_permutation(spark, keys, n_shards, seed):
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id bigint")
+    rows = corpus_shard_shuffle(df, "doc_id", n_shards, seed).collect()
+    assert {r.doc_id for r in rows} == keys          # bijection on keys
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r.shard < n_shards
+        by_shard.setdefault(r.shard, []).append(r.pos_in_shard)
+    for ps in by_shard.values():                     # dense 1..n positions
+        assert sorted(ps) == list(range(1, len(ps) + 1))
