@@ -294,3 +294,30 @@ def test_gap_fill_locf_fills_and_carries(spark):
     assert got[("a", base + 3 * h)] == (1, 500)
     assert got[("b", base + 1 * h)] == (1, 750)
     assert len(got) == 5  # b spans a single hour; no cross-key bleed
+
+
+def test_series_correlation_matches_numpy(spark):
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from transfer_spark.operators.temporal import series_correlation_topk
+
+    base = datetime(2024, 1, 1)
+    # user 1 (query): rising; user 2: identical shape; user 3: inverted;
+    # user 4: flat (zero variance -> excluded)
+    series = {1: [1, 2, 3, 4], 2: [2, 4, 6, 8], 3: [4, 3, 2, 1], 4: [5, 5, 5, 5]}
+    rows = []
+    for uid, per_day in series.items():
+        for d, n in enumerate(per_day):
+            for i in range(n):
+                rows.append((uid, base + timedelta(days=d, minutes=i)))
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = {r.user_id: (r.r_ppm, r.rank)
+           for r in series_correlation_topk(df, "user_id", "ts", 1, k=5).collect()}
+    q = np.array(series[1], dtype=float)
+    for uid in (2, 3):
+        x = np.array(series[uid], dtype=float)
+        exp = int(np.floor(np.corrcoef(x, q)[0, 1] * 1e6 + 0.5))
+        assert got[uid][0] == exp, uid
+    assert got[2][1] == 1 and got[3][1] == 2 and 4 not in got

@@ -431,3 +431,73 @@ def gap_fill_locf(
         "n_events",
         F.last("cents", ignorenulls=True).over(w).alias("cents_locf"),
     )
+
+
+def series_correlation_topk(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    query_key,
+    k: int = 10,
+    unit: str = "day",
+) -> DataFrame:
+    """Time-series similarity search: the top-k keys whose activity
+    series (event counts per ``unit``) correlate most with a query
+    key's series — find-users-like-this-one over event streams.
+
+    The trick that makes it scale: Pearson r needs only sufficient
+    statistics, never dense vectors. With x the per-bucket counts and q
+    the query's, Σx, Σx², Σxq are INTEGER sums over the key's sparse
+    observed buckets (zero buckets contribute nothing), and n / Σq / Σq²
+    are global constants — so the whole search is one map-side-combinable
+    aggregate per key plus a broadcast join on the bucket, followed by a
+    fixed-order double expression. Integer sums make the reduction
+    order-insensitive; r is quantized to ppm for cross-engine hashing.
+
+    Returns (key, r_ppm, rank); the query key and zero-variance keys are
+    excluded.
+    """
+    b = F.date_trunc(unit, F.col(ts_col))
+    counts = (
+        df.select(F.col(key_col).alias("k"), b.alias("b"))
+        .groupBy("k", "b")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    span = counts.agg(
+        (F.datediff(F.max("b"), F.min("b")) + F.lit(1)).alias("n_buckets")
+    )
+    q = counts.filter(F.col("k") == query_key).select(
+        F.col("b").alias("qb"), F.col("x").alias("qx")
+    )
+    qstats = q.agg(
+        F.sum("qx").alias("sq"), F.sum(F.col("qx") * F.col("qx")).alias("sqq")
+    )
+    per_key = (
+        counts.filter(F.col("k") != query_key)
+        .join(F.broadcast(q), counts.b == F.col("qb"), "left")
+        .groupBy("k")
+        .agg(
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.coalesce(F.col("qx"), F.lit(0))).alias("sxq"),
+        )
+    )
+    j = per_key.crossJoin(F.broadcast(span)).crossJoin(F.broadcast(qstats))
+    # integer-exact until the one division: n, sums, and products are all
+    # BIGINT on both engines, so num/var are bit-identical inputs
+    n = F.col("n_buckets").cast("long")
+    num = n * F.col("sxq") - F.col("sx") * F.col("sq")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    varq = n * F.col("sqq") - F.col("sq") * F.col("sq")
+    denom = F.sqrt(varx.cast("double")) * F.sqrt(varq.cast("double"))
+    r_ppm = F.floor(
+        F.lit(1_000_000.0) * num.cast("double")
+        / F.nullif(denom, F.lit(0.0))
+        + F.lit(0.5)
+    ).cast("long")
+    scored = j.select(F.col("k").alias(key_col), r_ppm.alias("r_ppm")).filter(
+        F.col("r_ppm").isNotNull()
+    )
+    top = scored.orderBy(F.desc("r_ppm"), key_col).limit(k)
+    w = Window.orderBy(F.desc("r_ppm"), key_col)
+    return top.withColumn("rank", F.row_number().over(w))

@@ -812,9 +812,46 @@ FROM j
 """
 
 
+def q_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users whose daily-activity series correlates most with
+    user 1's (sufficient-statistics Pearson — no dense vectors)."""
+    ev = read_table(spark, sf_dir, "events")
+    return TP.series_correlation_topk(ev, "user_id", "ts", query_key=1, k=10)
+
+
+ORACLE_SERIES_SIM = """
+WITH c AS (
+  SELECT user_id AS k, date_trunc('day', ts) AS b, count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT date_diff('day', min(b), max(b)) + 1 AS n FROM c),
+q AS (SELECT b AS qb, x AS qx FROM c WHERE k = 1),
+qs AS (SELECT sum(qx) AS sq, sum(qx * qx) AS sqq FROM q),
+pk AS (
+  SELECT k, sum(x) AS sx, sum(x * x) AS sxx,
+         sum(x * coalesce(qx, 0)) AS sxq
+  FROM c LEFT JOIN q ON c.b = q.qb
+  WHERE k != 1 GROUP BY k
+),
+s AS (
+  SELECT k,
+    floor(1000000.0 * (n * sxq - sx * sq)
+      / nullif(sqrt((n * sxx - sx * sx)::DOUBLE)
+               * sqrt((n * sqq - sq * sq)::DOUBLE), 0.0)
+      + 0.5)::BIGINT AS r_ppm
+  FROM pk, span, qs
+)
+SELECT k AS user_id, r_ppm,
+       row_number() OVER (ORDER BY r_ppm DESC, user_id) AS rank
+FROM s WHERE r_ppm IS NOT NULL
+QUALIFY rank <= 10
+"""
+
+
 QUERIES = {
     "events_sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "events_gap_fill_locf": (q_gap_fill, ORACLE_GAP_FILL),
+    "events_series_similarity": (q_series_similarity, ORACLE_SERIES_SIM),
     "events_funnel": (q_funnel, ORACLE_FUNNEL),
     "events_retention_cohort": (q_retention, ORACLE_RETENTION),
     "events_quantiles": (q_quantiles, ORACLE_QUANTILES),
