@@ -1056,6 +1056,81 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information: bigrams that
+    co-occur far above chance (min count 5) — the phrase-mining /
+    vocab-extension signal. Same equi-keyed shape as the bigram model:
+    two hash aggregates + broadcast unigram totals; PMI expanded as a
+    fixed-order log2 sum and quantized to micro-units."""
+    d = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    bgs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = d.select(F.explode(bgs).alias("bg"))
+    uni = d.select(F.explode(toks).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    c12 = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    totals = c12.agg(F.sum("c12").alias("nb")).crossJoin(
+        uni.agg(F.sum("cu").alias("nu"))
+    )
+    wa = F.split(F.col("bg"), " ").getItem(0)
+    wb = F.split(F.col("bg"), " ").getItem(1)
+    j = (
+        c12.filter(F.col("c12") >= 5)
+        .join(F.broadcast(uni.selectExpr("w as wa_w", "cu as ca")),
+              wa == F.col("wa_w"))
+        .join(F.broadcast(uni.selectExpr("w as wb_w", "cu as cb")),
+              wb == F.col("wb_w"))
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = (
+        F.log2(F.col("c12")) - F.log2(F.col("nb"))
+        - F.log2(F.col("ca")) - F.log2(F.col("cb"))
+        + F.lit(2.0) * F.log2(F.col("nu"))
+    )
+    scored = j.select(
+        "bg", "c12",
+        F.floor(pmi * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+        .alias("pmi_micro"),
+    )
+    return scored.orderBy(F.desc("pmi_micro"), "bg").limit(20)
+
+
+ORACLE_PMI = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), occ AS (
+  SELECT unnest(CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         ELSE []::VARCHAR[] END) AS bg
+  FROM toks
+), uni AS (
+  SELECT unnest(t) AS w FROM toks
+), cu AS (SELECT w, count(*) AS cu FROM uni GROUP BY w),
+c12 AS (SELECT bg, count(*) AS c12 FROM occ GROUP BY bg),
+tot AS (
+  SELECT (SELECT sum(c12) FROM c12) AS nb, (SELECT sum(cu) FROM cu) AS nu
+)
+SELECT bg, c12,
+  floor((log2(c12) - log2(nb) - log2(ca.cu) - log2(cb.cu) + 2.0 * log2(nu))
+        * 1000000.0 + 0.5)::BIGINT AS pmi_micro
+FROM c12, tot,
+     cu ca, cu cb
+WHERE c12 >= 5
+  AND ca.w = split_part(bg, ' ', 1)
+  AND cb.w = split_part(bg, ' ', 2)
+ORDER BY pmi_micro DESC, bg LIMIT 20
+"""
+
+
 ORACLE_BIGRAM_LOGPROB = f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS} AS t FROM documents
@@ -1454,6 +1529,7 @@ QUERIES = {
     "curriculum_quality_bins": (q_curriculum_bins, _curriculum_sql()),
     "corpus_mixture_rates": (q_mixture_rates, ORACLE_MIXTURE),
     "dedupe_winnow_overlap": (q_winnow_overlap, _winnow_sql()),
+    "pmi_collocations": (q_pmi_collocations, ORACLE_PMI),
     "doc_bigram_logprob": (q_bigram_logprob, ORACLE_BIGRAM_LOGPROB),
     "bpe_top_merges": (q_bpe_top_merges, ORACLE_BPE_MERGES),
     "doc_char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
