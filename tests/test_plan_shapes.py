@@ -125,3 +125,54 @@ def test_salted_enrich_keeps_shuffle_join(spark):
 def test_variant_props_stays_jvm_side(spark):
     plan = _plan(spark, "event_props_variant")
     assert "EvalPython" not in plan
+
+
+def test_gopher_and_chunker_zero_shuffle(spark):
+    """Pure-map text ops must stay in one codegen stage over the scan —
+    no Exchange anywhere (the raw-docs operator form; the workload
+    wrapper adds one repartition only for the single-file local scan)."""
+    from transfer_spark.operators.text import (
+        chunk_sliding_windows,
+        gopher_quality_flags,
+    )
+    from transfer_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    for op in (
+        lambda d: gopher_quality_flags(d, "doc_id", "text"),
+        lambda d: chunk_sliding_windows(d, "doc_id", "text"),
+    ):
+        plan = op(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+
+
+def test_bm25_broadcasts_stats_and_takeordered(spark):
+    plan = _plan(spark, "bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange") >= 2  # dft + corpus stats
+    assert "EvalPython" not in plan
+
+
+def test_q4_semi_join_never_widens(spark):
+    plan = _plan(spark, "olap_order_priority_check")
+    assert "LeftSemi" in plan
+
+
+def test_series_similarity_integer_sufficient_stats(spark):
+    plan = _plan(spark, "events_series_similarity")
+    # per-key aggregate + broadcast query/span/stats; top-k via TakeOrdered
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "EvalPython" not in plan
+
+
+def test_semantic_dedupe_single_cid_shuffle(spark):
+    from transfer_spark.operators.similarity import semantic_dedupe
+    from transfer_spark.session import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    out = semantic_dedupe(emb, k=4, n_iters=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the pairwise stage shuffles ONCE on cid into the pandas verify
+    assert "FlatMapGroupsInPandas" in plan or "ApplyInPandas" in plan
