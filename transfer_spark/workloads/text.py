@@ -1453,6 +1453,65 @@ HAVING count(DISTINCT l.fp) >= {min_common}
 """
 
 
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasheet-for-the-dataset: one pass over the corpus produces the
+    headline numbers a dataset card needs — doc/token/source/language
+    counts, exact-duplicate fraction, quality-score mass, and the median
+    token count. Everything integer or integer-quantized; the dup rate
+    comes from a distinct-text subaggregate, not a self-join."""
+    d = _docs(spark, sf_dir)
+    toks = T.token_count(F.col("text"))
+    qm = F.floor(
+        T.quality_score(F.col("text")) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    base = d.select(
+        "doc_id", "source", "lang", F.col("text"),
+        toks.alias("n_tok"), qm.alias("q_micro"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.sum("q_micro").alias("sum_quality_micro"),
+        F.expr("percentile(n_tok, 0.5)").alias("p50_tokens"),
+    )
+    return agg.select(
+        "n_docs", "total_tokens", "n_sources", "n_langs",
+        (F.col("n_docs") - F.col("n_distinct_texts")).alias("n_exact_dups"),
+        "sum_quality_micro",
+        F.floor(F.col("p50_tokens") + F.lit(0.5)).cast("long")
+        .alias("p50_tokens_rounded"),
+    )
+
+
+def _datasheet_sql() -> str:
+    q = """round(0.5 * least(len(toks) / 100.0, 1.0)
+      + 0.5 * least(({hits} / CAST(len(toks) AS DOUBLE)) * 4.0, 1.0)
+      - 0.25 * least((length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                      / CAST(length(text) AS DOUBLE)) * 10.0, 1.0), 6)""".format(
+        hits=_hits_sql("toks", "en")
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, lang, text, {_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, source, lang, text, len(toks) AS n_tok,
+         floor({q} * 1000000.0 + 0.5)::BIGINT AS q_micro
+  FROM d
+)
+SELECT count(*) AS n_docs,
+       sum(n_tok) AS total_tokens,
+       count(DISTINCT source) AS n_sources,
+       count(DISTINCT lang) AS n_langs,
+       count(*) - count(DISTINCT text) AS n_exact_dups,
+       sum(q_micro) AS sum_quality_micro,
+       floor(quantile_cont(n_tok, 0.5) + 0.5)::BIGINT AS p50_tokens_rounded
+FROM s
+"""
+
+
 _BM25_TERMS = ["spark", "merge", "vector"]
 
 
@@ -1530,6 +1589,7 @@ QUERIES = {
     "corpus_mixture_rates": (q_mixture_rates, ORACLE_MIXTURE),
     "dedupe_winnow_overlap": (q_winnow_overlap, _winnow_sql()),
     "pmi_collocations": (q_pmi_collocations, ORACLE_PMI),
+    "corpus_datasheet": (q_corpus_datasheet, _datasheet_sql()),
     "doc_bigram_logprob": (q_bigram_logprob, ORACLE_BIGRAM_LOGPROB),
     "bpe_top_merges": (q_bpe_top_merges, ORACLE_BPE_MERGES),
     "doc_char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
