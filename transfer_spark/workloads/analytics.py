@@ -950,9 +950,78 @@ ORDER BY revenue DESC, custkey LIMIT 20
 """
 
 
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from a discount-band what-if — one
+    pushed-filter scan, one DECIMAL sum, no joins at all. The canary for
+    filter pushdown + scan pruning on the fact table."""
+    y0 = F.lit("1996-01-01").cast("timestamp")
+    y1 = F.lit("1997-01-01").cast("timestamp")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= y0) & (F.col("l_shipdate") < y1)
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_discount").cast("decimal(18,4)")
+    ).cast("decimal(38,6)")
+    return li.agg(F.sum(rev).alias("revenue_effect"),
+                  F.count(F.lit(1)).alias("n_lines"))
+
+
+ORACLE_Q6 = """
+SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_discount AS DECIMAL(18,4))) AS revenue_effect,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, with the customer attached — group-HAVING on the big
+    table first (map-side combinable), then the tiny survivor set drives
+    broadcast joins back to orders and customer."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"))
+        .filter(F.col("total_qty") > 80)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "c_name", "orderdate_us", "total_qty")
+    )
+
+
+ORACLE_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 80
+)
+SELECT o_orderkey, c_name, epoch_us(o_orderdate) AS orderdate_us, total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 QUERIES = {
     "olap_pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "olap_order_priority_check": (q_order_priority_check, ORACLE_Q4),
+    "olap_forecast_revenue_change": (q_forecast_revenue_change, ORACLE_Q6),
+    "olap_large_volume_orders": (q_large_volume_orders, ORACLE_Q18),
     "olap_promo_revenue": (q_promo_revenue, ORACLE_Q14),
     "olap_returned_item_customers": (q_returned_item_customers, ORACLE_Q10),
     "skew_key_report": (q_skew_report, ORACLE_SKEW_REPORT),

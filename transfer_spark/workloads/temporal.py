@@ -848,10 +848,42 @@ QUALIFY rank <= 10
 """
 
 
+def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: drop events arriving within 60s of the previous event
+    of the same (user, type) — the telemetry noise filter. One lag
+    window per key; survivors keep their original ids."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts"), F.col("event_id")
+    )
+    prev = F.lag(F.col("ts")).over(w)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    return (
+        ev.withColumn("__gap", gap_us)
+        .filter(F.col("__gap").isNull() | (F.col("__gap") >= 60_000_000))
+        .select("event_id", "user_id", "event_type",
+                F.unix_micros(F.col("ts")).alias("ts_us"))
+    )
+
+
+ORACLE_DEBOUNCE = """
+WITH l AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+FROM l
+WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 60000000
+"""
+
+
 QUERIES = {
     "events_sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "events_gap_fill_locf": (q_gap_fill, ORACLE_GAP_FILL),
     "events_series_similarity": (q_series_similarity, ORACLE_SERIES_SIM),
+    "events_debounce": (q_debounce, ORACLE_DEBOUNCE),
     "events_funnel": (q_funnel, ORACLE_FUNNEL),
     "events_retention_cohort": (q_retention, ORACLE_RETENTION),
     "events_quantiles": (q_quantiles, ORACLE_QUANTILES),
