@@ -382,3 +382,24 @@ def test_winnow_guarantees_shared_run_detection(spark):
     assert len(by_doc[3]) < 10
     pairs = winnow_overlap_pairs(df, "doc_id", "text", min_common=1).collect()
     assert {(p.doc_a, p.doc_b) for p in pairs} == {(1, 2)}
+
+
+def test_ivf_index_incremental_add(spark, tmp_path):
+    import numpy as np
+
+    from transfer_spark.operators.vector_index import IvfIndex
+
+    rng = np.random.RandomState(21)
+    base = [(i, [float(x) for x in rng.randn(8)]) for i in range(40)]
+    df = spark.createDataFrame(base, "vec_id bigint, embedding array<double>")
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    idx.build(df, k=4, n_iters=1)
+    # add a vector nearly identical to vec 7 — the probe must surface it
+    near7 = [(100, [x + 1e-6 for x in base[7][1]])]
+    idx.add(spark.createDataFrame(near7, "vec_id bigint, embedding array<double>"))
+    q = df.filter("vec_id = 7")
+    top = idx.probe(q, k=1, n_probe=2).collect()
+    assert top[0].neighbor_id == 100 and top[0].rank == 1
+    # index row count grew by exactly one
+    n = spark.read.parquet(str(tmp_path / "ivf" / "lists")).count()
+    assert n == 41

@@ -127,3 +127,40 @@ class IvfIndex:
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank")
         )
+
+
+    def add(self, new_vectors: DataFrame, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> None:
+        """Incremental index growth: assign NEW vectors to the existing
+        centroids (no retrain — the standard production trade-off; the
+        quantizer drifts slowly, reassignment happens at the next full
+        rebuild) and append them to their lists' partitions. Cost is
+        linear in the new batch: one broadcast argmax + a partitioned
+        append touching only the buckets the batch lands in."""
+        v = F.col(vec_col).cast("array<double>")
+        e = new_vectors.select(F.col(id_col).alias("nid"), v.alias("nv"))
+        cent = self.centroids()
+        assign = (
+            e.crossJoin(F.broadcast(cent))
+            .select(
+                "nid", "nv",
+                F.struct(
+                    cosine(F.col("nv"), F.col("cv")).alias("cos"),
+                    (-F.col("cid")).alias("ncid"),
+                ).alias("key"),
+                "cid",
+            )
+            .groupBy("nid")
+            .agg(
+                F.max_by(
+                    F.struct(F.col("cid").alias("c"), F.col("nv").alias("v")),
+                    F.col("key"),
+                ).alias("s")
+            )
+            .select(F.col("s.c").alias("cid"), "nid", F.col("s.v").alias("nv"))
+        )
+        (
+            assign.write.mode("append")
+            .partitionBy("cid")
+            .parquet(self.lists_path)
+        )
