@@ -403,3 +403,38 @@ def test_ivf_index_incremental_add(spark, tmp_path):
     # index row count grew by exactly one
     n = spark.read.parquet(str(tmp_path / "ivf" / "lists")).count()
     assert n == 41
+
+
+def test_ivf_index_int8_storage_recall(spark, tmp_path):
+    """SQ8-stored lists: ~4x smaller on disk, probe recall@5 >= 4/5 vs
+    the exact index on every query."""
+    import numpy as np
+
+    from transfer_spark.operators.similarity import kmeans_centroids
+    from transfer_spark.operators.vector_index import IvfIndex
+
+    rng = np.random.RandomState(31)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cent = kmeans_centroids(df, k=4, n_iters=1)
+    exact = IvfIndex(spark, str(tmp_path / "f64"))
+    exact.build(df, k=4, n_iters=1, centroids=cent)
+    sq8 = IvfIndex(spark, str(tmp_path / "sq8"))
+    sq8.build(df, k=4, n_iters=1, centroids=cent, store_int8=True)
+
+    q = df.filter("vec_id < 8")
+    def topk(idx):
+        out = {}
+        for r in idx.probe(q, k=5, n_probe=2).collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    te, ts = topk(exact), topk(sq8)
+    for qid in te:
+        assert len(te[qid] & ts[qid]) >= 4, qid
+    # int8 add path follows the stored schema
+    sq8.add(spark.createDataFrame(
+        [(500, rows[0][1])], "vec_id bigint, embedding array<double>"
+    ))
+    got = sq8.probe(df.filter("vec_id = 0"), k=1, n_probe=2).collect()
+    assert got[0].neighbor_id == 500

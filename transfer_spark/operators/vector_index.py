@@ -40,10 +40,18 @@ class IvfIndex:
         k: int = 16,
         n_iters: int = 2,
         centroids: DataFrame | None = None,
+        store_int8: bool = False,
     ) -> None:
         """Train (or take) centroids, assign every corpus vector to its
         argmax-cosine centroid (broadcast join, map-side combine), and
-        write the inverted lists partitioned by cid."""
+        write the inverted lists partitioned by cid.
+
+        ``store_int8=True`` stores symmetric per-vector int8 instead of
+        float64 — ~4x smaller lists, so a probe reads ~4x fewer bytes
+        from the probed partitions (the IO term dominates at corpus
+        scale). Scoring decodes executor-side; ranks can differ from
+        the exact index only within quantization error (recall pinned
+        in tests)."""
         v = F.col(vec_col).cast("array<double>")
         e = corpus.select(F.col(id_col).alias("nid"), v.alias("nv"))
         cent = (
@@ -71,6 +79,14 @@ class IvfIndex:
             .select(F.col("s.c").alias("cid"), "nid", F.col("s.v").alias("nv"))
         )
         cent.write.mode("overwrite").parquet(self.cent_path)
+        if store_int8:
+            from transfer_spark.operators.similarity import quantize_int8
+
+            scale, qv = quantize_int8(F.col("nv"))
+            assign = assign.select(
+                "cid", "nid", scale.alias("scale"),
+                qv.cast("array<tinyint>").alias("qv"),
+            )
         (
             assign.write.mode("overwrite")
             .partitionBy("cid")
@@ -109,6 +125,12 @@ class IvfIndex:
         lists = self.spark.read.parquet(self.lists_path).filter(
             F.col("cid").isin(cids)
         )
+        if "qv" in lists.columns:  # int8-stored lists: decode executor-side
+            nv = F.transform(
+                F.col("qv"),
+                lambda x: x.cast("double") * F.col("scale") / F.lit(127.0),
+            )
+            lists = lists.select("cid", "nid", nv.alias("nv"))
         scored = (
             F.broadcast(probe)
             .join(lists, "cid")
@@ -159,6 +181,14 @@ class IvfIndex:
             )
             .select(F.col("s.c").alias("cid"), "nid", F.col("s.v").alias("nv"))
         )
+        if "qv" in self.spark.read.parquet(self.lists_path).columns:
+            from transfer_spark.operators.similarity import quantize_int8
+
+            scale, qv = quantize_int8(F.col("nv"))
+            assign = assign.select(
+                "cid", "nid", scale.alias("scale"),
+                qv.cast("array<tinyint>").alias("qv"),
+            )
         (
             assign.write.mode("append")
             .partitionBy("cid")
