@@ -93,8 +93,40 @@ ORACLE_IMAGE_FEATURES = "SELECT doc_id, " + " || ',' || ".join(
 ) + " AS features_csv FROM documents"
 
 
+def q_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video frame dedup: sampled frames shared by more than one
+    video, with the canonical (lowest) doc — the video-corpus analog of
+    exact text dedup. Hash-groupBy on the 32-byte frame digest; at scale
+    this is the dedup that removes re-encoded/reposted clips whose
+    containers differ but whose keyframes match."""
+    frames = MM.sample_video_frames(_media(spark, sf_dir), "media", "doc_id", 5)
+    return (
+        frames.groupBy(F.lower(F.hex("frame")).alias("frame_hex"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+ORACLE_FRAME_DEDUP = """
+WITH f AS (
+  SELECT doc_id, text AS txt, octet_length(text::BLOB) AS n FROM documents
+), e AS (
+  SELECT doc_id, sha256(txt || CAST(i AS VARCHAR)) AS frame_hex
+  FROM f, UNNEST(range(0, 1 + n % 5)) AS t(i)
+)
+SELECT frame_hex, count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS canonical_doc
+FROM e GROUP BY frame_hex
+HAVING count(DISTINCT doc_id) > 1
+"""
+
+
 QUERIES = {
     "multimodal_image_meta": (q_image_meta, ORACLE_IMAGE_META),
+    "multimodal_frame_dedup": (q_frame_dedup, ORACLE_FRAME_DEDUP),
     "multimodal_frame_sample": (q_frame_sample, ORACLE_FRAME_SAMPLE),
     "multimodal_audio_stats": (q_audio_stats, ORACLE_AUDIO_STATS),
     "multimodal_image_features": (q_image_features, ORACLE_IMAGE_FEATURES),
