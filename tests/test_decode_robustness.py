@@ -35,3 +35,22 @@ def test_malformed_envelope_yields_null_row_not_failure(spark):
     null_rows = [r for r in out if r.id is None]
     assert len(null_rows) == 2
     assert all(r[DELETE_COLUMN_MARKER] is False for r in null_rows)
+
+
+def test_split_quarantine_routes_dead_letters(spark):
+    from transfer_spark.sources.debezium import split_quarantine
+
+    rows = [
+        ('{"after": {"id": 1}, "op": "c"}',),   # good
+        ("{not json at all",),                   # corrupt -> quarantine
+        ('"scalar"',),                           # non-object -> quarantine
+        (None,),                                 # tombstone -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["value"])
+    good, dead = split_quarantine(df, "value", "struct<id: bigint>")
+    assert [r.value for r in good.collect()] == ['{"after": {"id": 1}, "op": "c"}']
+    dead_rows = dead.collect()
+    assert {r.value for r in dead_rows} == {"{not json at all", '"scalar"'}
+    # raw payload preserved verbatim + reason tagged for replay tooling
+    assert all(r["__quarantine_reason"] == "envelope_parse_failure"
+               for r in dead_rows)

@@ -130,3 +130,35 @@ def parse_key_string(key: Column, pk_names: list[str]) -> Column:
         fields.append(F.regexp_extract(key, pat, 1).alias(name))
     valid = key.startswith("Struct{") & key.endswith("}")
     return F.when(valid, F.struct(*fields))
+
+
+def split_quarantine(
+    df: DataFrame, value_col: str, row_ddl: str
+) -> "tuple[DataFrame, DataFrame]":
+    """Dead-letter routing: split a raw CDC frame into (decodable,
+    quarantined). A row is quarantined when its value is present but the
+    envelope fails to parse — the rows that would otherwise flow through
+    as all-NULL payloads and corrupt downstream folds silently.
+
+    The reference consumer logs-and-skips; a lakehouse pipeline instead
+    lands these in a quarantine table with the RAW payload preserved for
+    replay after a decoder fix. Both sides are lazy frames off the same
+    scan; route the dead letters to an append sink in foreachBatch.
+    """
+    env = F.from_json(F.col(value_col), envelope_ddl(row_ddl))
+    # from_json yields a NULL struct for syntactically invalid JSON, and
+    # an ALL-NULL struct for valid JSON of the wrong shape (a scalar, an
+    # array, an unrelated object) — both are dead letters: a real
+    # envelope always carries op or a before/after image. Tombstones
+    # (NULL value) are dropped from both sides (consumer skip semantics).
+    present = F.col(value_col).isNotNull()
+    parsed = env.isNotNull() & (
+        env["op"].isNotNull()
+        | env["after"].isNotNull()
+        | env["before"].isNotNull()
+    )
+    good = df.filter(present & parsed)
+    dead = df.filter(present & ~parsed).withColumn(
+        "__quarantine_reason", F.lit("envelope_parse_failure")
+    )
+    return good, dead
