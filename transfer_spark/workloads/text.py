@@ -104,6 +104,49 @@ SELECT doc_id, {case} AS lang_guess FROM h
 """
 
 
+def q_lang_id_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID with a confidence margin: (top − second) stopword
+    hits over the top count, in ppm — the gate a router uses to send
+    low-confidence docs to a heavier classifier. Same flat per-language
+    hit counts as lang_id; the margin adds one array_sort of 4 ints."""
+    d = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    codes = sorted(T.STOPWORDS)
+    hs = [T.stopword_hits(toks, T.STOPWORDS[c]).alias(f"h_{c}") for c in codes]
+    base = d.select("doc_id", *hs)
+    arr = F.array(*[F.col(f"h_{c}") for c in codes])
+    top = F.array_max(arr)
+    second = F.element_at(F.reverse(F.array_sort(arr)), 2)
+    return base.select(
+        "doc_id",
+        F.floor(
+            F.lit(1_000_000.0) * (top - second)
+            / F.greatest(top, F.lit(1)).cast("double")
+            + F.lit(0.5)
+        ).cast("long").alias("confidence_ppm"),
+    )
+
+
+def _langid_confidence_sql() -> str:
+    cols = ", ".join(
+        f"{_hits_sql('toks', c)} AS h_{c}" for c in sorted(T.STOPWORDS)
+    )
+    arr = "[" + ", ".join(f"h_{c}" for c in sorted(T.STOPWORDS)) + "]"
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), h AS (
+  SELECT doc_id, {cols} FROM d
+), s AS (
+  SELECT doc_id, list_reverse_sort({arr}) AS a FROM h
+)
+SELECT doc_id,
+  floor(1000000.0 * (a[1] - a[2]) / greatest(a[1], 1)::DOUBLE + 0.5)::BIGINT
+    AS confidence_ppm
+FROM s
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint."""
     d = _docs(spark, sf_dir)
@@ -1614,6 +1657,7 @@ QUERIES = {
     "corpus_clean": (q_corpus_clean, _corpus_clean_sql()),
     "dedupe_lines_within_doc": (q_dedupe_lines, ORACLE_DEDUPE_LINES),
     "lang_id": (q_lang_id, _langid_sql()),
+    "lang_id_confidence": (q_lang_id_confidence, _langid_confidence_sql()),
     "doc_fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
     "dedupe_exact": (q_dedupe_exact, ORACLE_DEDUPE_EXACT),
     "dedupe_minhash_lsh": (q_minhash_lsh_pairs, _minhash_sql()),
