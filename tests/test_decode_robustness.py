@@ -54,3 +54,40 @@ def test_split_quarantine_routes_dead_letters(spark):
     # raw payload preserved verbatim + reason tagged for replay tooling
     assert all(r["__quarantine_reason"] == "envelope_parse_failure"
                for r in dead_rows)
+
+
+def test_quarantining_processor_flushes_good_and_lands_dead(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from transfer_spark.constants import OFFSET_COLUMN
+    from transfer_spark.sources.debezium import decode_envelope
+    from transfer_spark.streaming.pipeline import (
+        ReplicationPipeline,
+        make_quarantining_processor,
+    )
+
+    pipe = ReplicationPipeline(
+        spark, str(tmp_path / "t"), ["id"], OFFSET_COLUMN
+    )
+
+    def decode(df):
+        out = decode_envelope(df, "value", "struct<id: bigint, v: string>")
+        return out.withColumn(OFFSET_COLUMN, F.col("id"))
+
+    proc = make_quarantining_processor(
+        pipe, "value", "struct<id: bigint, v: string>",
+        str(tmp_path / "dead"), decode,
+    )
+    batch = spark.createDataFrame(
+        [
+            ('{"after": {"id": 1, "v": "a"}, "op": "c"}',),
+            ("{broken",),
+            ('{"after": {"id": 2, "v": "b"}, "op": "c"}',),
+        ],
+        ["value"],
+    )
+    proc(batch, 0)
+    table = {r.id: r.v for r in pipe.table.read().collect()}
+    assert table == {1: "a", 2: "b"}
+    dead = spark.read.parquet(str(tmp_path / "dead")).collect()
+    assert len(dead) == 1 and dead[0].value == "{broken"

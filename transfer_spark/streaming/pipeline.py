@@ -790,3 +790,31 @@ class MultiTablePipeline:
             raise
         self._emit("dedupe.completed", {"table": ",".join(sorted(compacted))})
         return compacted
+
+
+def make_quarantining_processor(
+    pipeline: "ReplicationPipeline",
+    value_col: str,
+    row_ddl: str,
+    dead_letter_dir: str,
+    decode,
+):
+    """foreachBatch body with a dead-letter lane: split the raw wire
+    frame (``sources.debezium.split_quarantine``), append quarantined
+    rows — raw payload + reason — to a replayable parquet table, decode
+    only the clean side, and hand it to the pipeline's normal flush.
+
+    Wire it as ``stream.writeStream.foreachBatch(processor)`` in place
+    of ``pipeline.process_batch`` when the source can carry corrupt
+    envelopes; the quarantine append is idempotent-enough for replay
+    (duplicate dead letters are harmless — the table is diagnostic, and
+    replays deduplicate on the offset column if present)."""
+    from transfer_spark.sources.debezium import split_quarantine
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        good, dead = split_quarantine(batch_df, value_col, row_ddl)
+        if dead.limit(1).count():
+            dead.write.mode("append").parquet(dead_letter_dir)
+        pipeline.process_batch(decode(good), epoch_id)
+
+    return _process
