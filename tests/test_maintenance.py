@@ -1,0 +1,65 @@
+"""Unified maintenance pass: every step is layout- or delete-only and
+query results are identical before and after."""
+
+from transfer_spark.operators.temp_tables import temp_table_name
+from transfer_spark.streaming.dedup_index import MinHashDedupIndex
+from transfer_spark.streaming.maintenance import run_maintenance
+from transfer_spark.streaming.pipeline import (
+    BucketedParquetTable,
+    VersionedParquetTable,
+)
+
+
+def test_run_maintenance_full_pass(spark, tmp_path):
+    # fragmented bucketed table: init + several single-bucket overwrites
+    bt = BucketedParquetTable(spark, str(tmp_path / "bt"), ["id"], n_buckets=2)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "id bigint, v string"
+    )
+    bt.init(df)
+    for i in range(6):  # repeated appends fragment the bucket dirs
+        bt.overwrite_buckets(
+            bt.read().unionByName(
+                spark.createDataFrame([(100 + i, "x")], "id bigint, v string")
+            )
+        )
+    before_bt = {(r.id, r.v) for r in bt.read().collect()}
+
+    # versioned table with several snapshots
+    vt = VersionedParquetTable(spark, str(tmp_path / "vt"))
+    for i in range(5):
+        vt.write(spark.createDataFrame([(i,)], "n bigint"))
+    before_vt = [r.n for r in vt.read().collect()]
+
+    # fragmented dedup index
+    idx = MinHashDedupIndex(spark, str(tmp_path / "idx"), n_buckets=2)
+    for i in range(6):
+        idx.process_batch(
+            spark.createDataFrame(
+                [(i, f"wholly unique document {i} with plenty of words "
+                     f"for shingles to exist {i}")],
+                "doc_id bigint, text string",
+            ),
+            "doc_id", "text",
+        )
+    before_idx = idx.read_buckets([0, 1]).count()
+
+    name = temp_table_name("db.t", suffix="ab", now_unix=0, ttl_seconds=10)
+    rep = run_maintenance(
+        temp_table_names=["plain", name],
+        bucketed_tables={"bt": bt},
+        versioned_tables={"vt": vt},
+        dedup_indexes={"idx": idx},
+        max_files_per_bucket=2,
+        keep_last_versions=2,
+        now_unix=10**9,
+    )
+    assert rep.swept_temp_tables == [name]
+    assert rep.compacted_buckets["bt"]          # something was fragmented
+    assert len(rep.vacuumed_versions["vt"]) == 3
+    assert rep.compacted_index_buckets["idx"]
+    assert rep.total_actions() >= 6
+    # results identical after the pass
+    assert {(r.id, r.v) for r in bt.read().collect()} == before_bt
+    assert [r.n for r in vt.read().collect()] == before_vt
+    assert idx.read_buckets([0, 1]).count() == before_idx

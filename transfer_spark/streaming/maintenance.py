@@ -1,0 +1,68 @@
+"""Scheduled maintenance runner: the background hygiene loop a
+continuously-ingesting deployment needs, composed from the engine's
+existing maintenance primitives and run OFF the hot flush path.
+
+One call sweeps everything (reference analog: the ddl/temp-table sweep
+plus the destination's OPTIMIZE/VACUUM cadence, which the reference
+delegates to the warehouse):
+
+- expired temp tables        (operators.temp_tables.sweep)
+- fragmented merge buckets   (BucketedParquetTable.compact, optional
+                              z-order)
+- old snapshots              (VersionedParquetTable.vacuum)
+- fragmented dedup-index     (MinHashDedupIndex.compact)
+
+Every step is layout-only or delete-only — a maintenance pass never
+changes query results, which the test pins.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class MaintenanceReport:
+    swept_temp_tables: list[str] = field(default_factory=list)
+    compacted_buckets: dict[str, list[int]] = field(default_factory=dict)
+    vacuumed_versions: dict[str, list[int]] = field(default_factory=dict)
+    compacted_index_buckets: dict[str, list[int]] = field(default_factory=dict)
+
+    def total_actions(self) -> int:
+        return (
+            len(self.swept_temp_tables)
+            + sum(len(v) for v in self.compacted_buckets.values())
+            + sum(len(v) for v in self.vacuumed_versions.values())
+            + sum(len(v) for v in self.compacted_index_buckets.values())
+        )
+
+
+def run_maintenance(
+    temp_table_names: "list[str] | None" = None,
+    bucketed_tables: "dict[str, object] | None" = None,
+    versioned_tables: "dict[str, object] | None" = None,
+    dedup_indexes: "dict[str, object] | None" = None,
+    max_files_per_bucket: int = 4,
+    keep_last_versions: int = 3,
+    zorder_cols: "tuple[str, str] | None" = None,
+    now_unix: "int | None" = None,
+) -> MaintenanceReport:
+    """Run the full hygiene pass; returns what was touched. Call from a
+    cron/cadence trigger, never from inside foreachBatch (compaction
+    rewrites the directories a concurrent flush reads)."""
+    from transfer_spark.operators.temp_tables import sweep
+
+    rep = MaintenanceReport()
+    if temp_table_names:
+        rep.swept_temp_tables = sweep(temp_table_names, now_unix=now_unix)
+    for name, tbl in (bucketed_tables or {}).items():
+        rep.compacted_buckets[name] = tbl.compact(
+            max_files=max_files_per_bucket, zorder_cols=zorder_cols
+        )
+    for name, tbl in (versioned_tables or {}).items():
+        rep.vacuumed_versions[name] = tbl.vacuum(keep_last=keep_last_versions)
+    for name, idx in (dedup_indexes or {}).items():
+        rep.compacted_index_buckets[name] = idx.compact(
+            max_files_per_bucket=max_files_per_bucket
+        )
+    return rep
