@@ -55,3 +55,53 @@ def test_shard_shuffle_is_permutation(spark, keys, n_shards, seed):
         by_shard.setdefault(r.shard, []).append(r.pos_in_shard)
     for ps in by_shard.values():                     # dense 1..n positions
         assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def ref_gap_fill(rows, unit_s=3600):
+    """Python LOCF reference over (key, epoch_s, cents) rows."""
+    from collections import defaultdict
+
+    per_key = defaultdict(dict)
+    for k, ts, cents in rows:
+        b = (ts // unit_s) * unit_s
+        n, c = per_key[k].get(b, (0, 0))
+        per_key[k][b] = (n + 1, c + cents)
+    out = {}
+    for k, buckets in per_key.items():
+        b0, b1 = min(buckets), max(buckets)
+        locf = None
+        for b in range(b0, b1 + unit_s, unit_s):
+            if b in buckets:
+                n, c = buckets[b]
+                locf = c
+            else:
+                n = 0
+            out[(k, b)] = (n, locf)
+    return out
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(
+    st.tuples(st.sampled_from(["a", "b"]),
+              st.integers(0, 3600 * 50),
+              st.integers(0, 10_000)),
+    min_size=1, max_size=40,
+))
+def test_gap_fill_matches_python_reference(spark, rows):
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from transfer_spark.operators.temporal import gap_fill_locf
+
+    df = spark.createDataFrame(
+        [(k, datetime.fromtimestamp(ts, tz=timezone.utc).replace(tzinfo=None),
+          cents / 100.0) for k, ts, cents in rows],
+        "k string, ts timestamp, value double",
+    )
+    got = {
+        (r.k, r.bucket_us // 1_000_000): (r.n_events, r.cents_locf)
+        for r in gap_fill_locf(df, "k", "ts", "value").collect()
+    }
+    assert got == ref_gap_fill(rows)
