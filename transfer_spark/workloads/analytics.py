@@ -1017,9 +1017,160 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the histogram of orders-per-customer including
+    the zero bucket — LEFT OUTER join so customers without orders
+    survive, then two hash aggregates (per-customer count, then the
+    distribution). Both aggregates are map-side combinable; nothing
+    sorts."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+ORACLE_Q13 = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the maximum revenue in one
+    quarter. Revenue per supplier is one hash aggregate; the max is a
+    one-row broadcast joined back (the view + WHERE total = max(total)
+    formulation, no window over all suppliers)."""
+    q0 = F.lit("1996-01-01").cast("timestamp")
+    q1 = F.lit("1996-04-01").cast("timestamp")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= q0) & (F.col("l_shipdate") < q1)
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(38,6)")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_revenue"))
+    mx = per_supp.agg(F.max("total_revenue").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(F.col("s_suppkey").alias("suppkey"), "s_name", "total_revenue")
+    )
+
+
+ORACLE_Q15 = """
+WITH per_supp AS (
+  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+         * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey AS suppkey, s_name, total_revenue
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM per_supp)
+"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue lost if small-quantity orders
+    (below 20% of the part's average quantity) moved to bulk. The
+    per-part average is its own aggregate joined back on the part key —
+    the correlated subquery decorrelated by hand; at warehouse scale
+    both sides shuffle on partkey and the join reuses that
+    partitioning."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_q = li.groupBy("l_partkey").agg(
+        (F.avg(F.col("l_quantity").cast("double")) * F.lit(0.2)).alias("q_cut")
+    )
+    j = li.join(avg_q, "l_partkey").filter(
+        F.col("l_quantity").cast("double") < F.col("q_cut")
+    )
+    total = j.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return total.select(
+        F.floor(F.col("s").cast("double") / F.lit(7.0) * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("avg_yearly_cents"),
+        "n_lines",
+    )
+
+
+ORACLE_Q17 = """
+WITH avg_q AS (
+  SELECT l_partkey, avg(l_quantity::DOUBLE) * 0.2 AS q_cut
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0 * 100.0 + 0.5)::BIGINT AS avg_yearly_cents,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN avg_q USING (l_partkey)
+WHERE l_quantity::DOUBLE < q_cut
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted): per market segment, customers with an
+    above-average positive balance who never placed an order. The
+    balance cutoff is a one-row broadcast; the no-orders test is a LEFT
+    ANTI join, so orders never widen anything."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    cut = cust.filter(F.col("bal") > 0).agg(
+        F.avg(F.col("bal").cast("double")).alias("cut")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    rich = cust.crossJoin(F.broadcast(cut)).filter(
+        F.col("bal").cast("double") > F.col("cut")
+    )
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("bal").alias("totacctbal"),
+    )
+
+
+ORACLE_Q22 = """
+WITH cut AS (
+  SELECT avg((c_acctbal::DECIMAL(18,2))::DOUBLE) AS cut
+  FROM customer WHERE c_acctbal::DECIMAL(18,2) > 0
+)
+SELECT c_mktsegment,
+       count(*) AS numcust,
+       sum(c_acctbal::DECIMAL(18,2)) AS totacctbal
+FROM customer, cut
+WHERE (c_acctbal::DECIMAL(18,2))::DOUBLE > cut
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "olap_pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "olap_order_priority_check": (q_order_priority_check, ORACLE_Q4),
+    "olap_order_count_distribution": (q_order_count_distribution, ORACLE_Q13),
+    "olap_top_supplier": (q_top_supplier, ORACLE_Q15),
+    "olap_small_quantity_revenue": (q_small_quantity_revenue, ORACLE_Q17),
+    "olap_idle_rich_customers": (q_idle_rich_customers, ORACLE_Q22),
     "olap_forecast_revenue_change": (q_forecast_revenue_change, ORACLE_Q6),
     "olap_large_volume_orders": (q_large_volume_orders, ORACLE_Q18),
     "olap_promo_revenue": (q_promo_revenue, ORACLE_Q14),
