@@ -1164,9 +1164,175 @@ GROUP BY c_mktsegment
 """
 
 
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    year — supplier nation from lineitem's supplier, customer nation
+    through orders; both nation lookups broadcast, the supp/cust nation
+    pair filter rides the joins as a residual. The only big-big join is
+    lineitem→orders on the order key."""
+    n_a, n_b = "NATION_18", "NATION_19"
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    sn = nation.select(F.col("n_nationkey").alias("sk"),
+                       F.col("n_name").alias("supp_nation"))
+    cn = nation.select(F.col("n_nationkey").alias("ck"),
+                       F.col("n_name").alias("cust_nation"))
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(38,6)")
+    j = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("ck"))
+        .filter(
+            ((F.col("supp_nation") == n_a) & (F.col("cust_nation") == n_b))
+            | ((F.col("supp_nation") == n_b) & (F.col("cust_nation") == n_a))
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation",
+            F.year(F.col("l_shipdate")).alias("l_year"),
+        )
+        .agg(F.sum(rev).alias("revenue"))
+    )
+
+
+ORACLE_Q7 = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+   OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18')
+GROUP BY 1, 2, 3
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's PROMO-part
+    market by year — the share is conditional-sum over total inside one
+    aggregation (no second scan), quantized to ppm at the edge."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust_nations = (
+        nation.join(F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey)
+        .select(F.col("n_nationkey").alias("cnk"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(38,6)")
+    target = F.col("s_nationkey") == 1  # NATION_1's share
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("cnk"))
+    )
+    agg = j.groupBy(F.year(F.col("l_shipdate")).alias("o_year")).agg(
+        F.sum(F.when(target, rev).otherwise(F.lit(0).cast("decimal(38,6)")))
+        .alias("nation_rev"),
+        F.sum(rev).alias("total_rev"),
+    )
+    return agg.select(
+        "o_year",
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.col("nation_rev").cast("double") / F.col("total_rev").cast("double")
+            + F.lit(0.5)
+        ).cast("long").alias("mkt_share_ppm"),
+    )
+
+
+ORACLE_Q8 = """
+WITH j AS (
+  SELECT year(l_shipdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,4))) AS rev,
+         s_nationkey
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+)
+SELECT o_year,
+  floor(1000000.0
+    * CAST(SUM(CASE WHEN s_nationkey = 1 THEN rev ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(rev) AS DOUBLE) + 0.5)::BIGINT AS mkt_share_ppm
+FROM j GROUP BY o_year
+"""
+
+
+def q_discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive brand × quantity-band predicate —
+    the filter is pushed into the join as a residual over the broadcast
+    part side, exercising OR-of-ANDs predicate handling."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    q = F.col("l_quantity").cast("double")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#2") & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#3") & (q >= 20) & (q <= 30))
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(38,6)")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).filter(cond)
+    return j.agg(F.sum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+
+
+ORACLE_Q19 = """
+SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity::DOUBLE BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND l_quantity::DOUBLE BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND l_quantity::DOUBLE BETWEEN 20 AND 30)
+"""
+
+
 QUERIES = {
     "olap_pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "olap_order_priority_check": (q_order_priority_check, ORACLE_Q4),
+    "olap_volume_shipping": (q_volume_shipping, ORACLE_Q7),
+    "olap_market_share": (q_market_share, ORACLE_Q8),
+    "olap_discounted_brand_revenue": (q_discounted_brand_revenue, ORACLE_Q19),
     "olap_order_count_distribution": (q_order_count_distribution, ORACLE_Q13),
     "olap_top_supplier": (q_top_supplier, ORACLE_Q15),
     "olap_small_quantity_revenue": (q_small_quantity_revenue, ORACLE_Q17),
