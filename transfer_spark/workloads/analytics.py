@@ -1327,9 +1327,65 @@ WHERE (p_brand = 'Brand#1' AND l_quantity::DOUBLE BETWEEN 1 AND 11)
 """
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the part co-purchase graph — the classic
+    distributed graph statistic (clustering/community density).
+
+    Scale shape: edges come from a self equi-join on the basket key
+    (fan-out bounded by basket size); each edge is stored ONCE in
+    canonical a<b orientation, so the triangle join is the standard
+    ordered two-path + closing-edge equi-join (a<b<c), never an
+    all-pairs product. Both joins key on vertex ids; at volume the
+    known refinement is degree-ordering the orientation so high-degree
+    hubs sit on the small side."""
+    baskets = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+    )
+    return tri.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+    ).crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+
+
+ORACLE_TRIANGLES = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT
+  (SELECT count(*) FROM edges e1
+   JOIN edges e2 ON e1.v = e2.u
+   JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles,
+  (SELECT count(*) FROM edges) AS n_edges
+"""
+
+
 QUERIES = {
     "olap_pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "olap_order_priority_check": (q_order_priority_check, ORACLE_Q4),
+    "graph_triangle_count": (q_triangle_count, ORACLE_TRIANGLES),
     "olap_volume_shipping": (q_volume_shipping, ORACLE_Q7),
     "olap_market_share": (q_market_share, ORACLE_Q8),
     "olap_discounted_brand_revenue": (q_discounted_brand_revenue, ORACLE_Q19),
