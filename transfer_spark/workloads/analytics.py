@@ -1382,9 +1382,57 @@ SELECT
 """
 
 
+def q_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Also-bought top-3 per part: the co-occurrence recommender table.
+    Directed pair counts from the basket self equi-join (both
+    orientations), then a per-part window top-k — ties break on the
+    recommended part id so the cutoff is engine-stable."""
+    baskets = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part"),
+            F.col("b.l_partkey").alias("rec"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    w = Window.partitionBy("part").orderBy(F.desc("n_co"), F.asc("rec"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("part", "rec", "n_co", "rank")
+    )
+
+
+ORACLE_ALSO_BOUGHT = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part, b.l_partkey AS rec, count(*) AS n_co
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part, rec, n_co,
+       row_number() OVER (PARTITION BY part ORDER BY n_co DESC, rec) AS rank
+FROM pairs
+QUALIFY rank <= 3
+"""
+
+
 QUERIES = {
     "olap_pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "olap_order_priority_check": (q_order_priority_check, ORACLE_Q4),
+    "basket_also_bought": (q_also_bought, ORACLE_ALSO_BOUGHT),
     "graph_triangle_count": (q_triangle_count, ORACLE_TRIANGLES),
     "olap_volume_shipping": (q_volume_shipping, ORACLE_Q7),
     "olap_market_share": (q_market_share, ORACLE_Q8),

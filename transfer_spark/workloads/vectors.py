@@ -192,6 +192,90 @@ def q_ann_ivf_persistent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.probe(emb.filter(F.col("vec_id") < 10), k=5, n_probe=4)
 
 
+def q_dim_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QC: vectors with any dimension beyond 3.5 sigma of that
+    dimension's corpus distribution — the garbage-vector detector that
+    still works on unit-normalized embeddings (where the L2-norm is
+    constant by construction and carries no signal).
+
+    Distributed shape: per-dimension moments come from one
+    posexplode → hash aggregate over INTEGER micro-units (map-side
+    combinable, exact); the 64-dim mean/sigma arrays assemble into a
+    single broadcast row, and the per-vector z-scan is one zip_with
+    inside codegen. Only flagged vectors leave the scan."""
+    emb = _emb(spark, sf_dir)
+    xm = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * F.lit(1_000_000.0) + F.lit(0.5)).cast("long"),
+    )
+    ex = emb.select(F.posexplode(xm).alias("pos", "v"))
+    stats = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1") / n
+    sigma = F.sqrt(F.col("s2") / n - mean * mean)
+    arrays = stats.select("pos", mean.alias("m"), sigma.alias("sd")).groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("means"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "sd"))), lambda s: s["sd"]
+        ).alias("sds"),
+    )
+    j = emb.select("vec_id", xm.alias("xm")).crossJoin(F.broadcast(arrays))
+    zs = F.zip_with(
+        F.zip_with(F.col("xm"), F.col("means"), lambda x, m: x - m),
+        F.col("sds"),
+        lambda d, s: d / s,
+    )
+    n_extreme = F.size(F.filter(zs, lambda z: F.abs(z) > F.lit(3.5)))
+    max_abs = F.array_max(F.transform(zs, F.abs))
+    return j.select(
+        "vec_id",
+        n_extreme.alias("n_extreme_dims"),
+        F.floor(max_abs * F.lit(1_000.0) + F.lit(0.5)).cast("long")
+        .alias("max_abs_z_milli"),
+    ).filter(F.col("n_extreme_dims") > 0)
+
+
+ORACLE_DIM_OUTLIERS = """
+WITH xm AS (
+  SELECT vec_id,
+    list_transform(embedding::DOUBLE[],
+                   x -> floor(x * 1000000.0 + 0.5)::BIGINT) AS v
+  FROM embeddings
+), ex AS (
+  SELECT u.i AS pos, v[u.i + 1] AS x
+  FROM xm, (SELECT unnest(range(0, 64)) AS i) u
+), st AS (
+  SELECT pos, count(*) AS n, sum(x) AS s1, sum(x * x) AS s2
+  FROM ex GROUP BY pos
+), arr AS (
+  SELECT
+    list_transform(list_sort(list(struct_pack(p := pos,
+      m := s1 / n::DOUBLE))), s -> s.m) AS means,
+    list_transform(list_sort(list(struct_pack(p := pos,
+      sd := sqrt(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE))))),
+      s -> s.sd) AS sds
+  FROM st
+), z AS (
+  SELECT vec_id,
+    list_transform(range(1, 65),
+      i -> (v[i] - means[i]) / sds[i]) AS zs
+  FROM xm, arr
+)
+SELECT vec_id,
+  len(list_filter(zs, z -> abs(z) > 3.5)) AS n_extreme_dims,
+  floor(list_max(list_transform(zs, z -> abs(z))) * 1000.0 + 0.5)::BIGINT
+    AS max_abs_z_milli
+FROM z
+WHERE len(list_filter(zs, z -> abs(z) > 3.5)) > 0
+"""
+
+
 def q_semantic_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means cluster (trained, 2 Lloyd iters) then drop
     vectors with a lower-id cluster-mate at cosine ≥ 0.8."""
@@ -403,6 +487,7 @@ QUERIES = {
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, _ivf_kmeans_oracle()),
     "semantic_dedupe": (q_semantic_dedupe, _semantic_dedupe_oracle()),
     "ann_ivf_persistent": (q_ann_ivf_persistent, _ivf_kmeans_oracle()),
+    "embedding_dim_outliers": (q_dim_outliers, ORACLE_DIM_OUTLIERS),
     "embedding_neardup": (q_cosine_neardup, ORACLE_COSINE_NEARDUP),
     "embedding_neardup_lsh": (q_cosine_neardup_lsh, _neardup_lsh_oracle()),
     "embedding_neardup_lsh_multi": (
