@@ -1429,10 +1429,46 @@ QUALIFY rank <= 3
 """
 
 
+def _q_revenue_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-spend percentile + decile: percent_rank and
+    ntile over the per-customer aggregate. The global window runs over
+    the CUSTOMER-grain frame (dimension-sized, orders of magnitude
+    smaller than the fact table) — that is what makes a total-order
+    window acceptable here; ranking the raw fact rows would need the
+    range-partitioned sort instead."""
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+    )
+    w = Window.orderBy("spend", "o_custkey")
+    return per_cust.select(
+        F.col("o_custkey").alias("custkey"),
+        "spend",
+        F.floor(F.percent_rank().over(w) * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long").alias("pct_rank_ppm"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
 QUERIES = {
     "olap_pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "olap_order_priority_check": (q_order_priority_check, ORACLE_Q4),
     "basket_also_bought": (q_also_bought, ORACLE_ALSO_BOUGHT),
+    "customer_revenue_percentile": (
+        lambda spark, sf_dir: _q_revenue_percentile(spark, sf_dir),
+        """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(o_totalprice::DECIMAL(18,2)) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey AS custkey, spend,
+  floor(percent_rank() OVER (ORDER BY spend, o_custkey) * 1000000.0 + 0.5)::BIGINT
+    AS pct_rank_ppm,
+  ntile(10) OVER (ORDER BY spend, o_custkey) AS decile
+FROM per_cust
+""",
+    ),
     "graph_triangle_count": (q_triangle_count, ORACLE_TRIANGLES),
     "olap_volume_shipping": (q_volume_shipping, ORACLE_Q7),
     "olap_market_share": (q_market_share, ORACLE_Q8),

@@ -879,9 +879,46 @@ WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 60000000
 """
 
 
+def q_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival latency distribution per event type: lag-diff the
+    per-(user, type) stream, then exact p50/p95/p99 of the gaps — the
+    arrival-process profile capacity planning reads. One window for the
+    lag, one sort-based percentile aggregate per type."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts"), F.col("event_id")
+    )
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gaps = ev.withColumn("gap_us", gap).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.floor(F.expr("percentile(gap_us, 0.5)") + F.lit(0.5)).cast("long").alias("p50_us"),
+        F.floor(F.expr("percentile(gap_us, 0.95)") + F.lit(0.5)).cast("long").alias("p95_us"),
+        F.floor(F.expr("percentile(gap_us, 0.99)") + F.lit(0.5)).cast("long").alias("p99_us"),
+    )
+
+
+ORACLE_INTERARRIVAL = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT event_type, count(*) AS n_gaps,
+       floor(quantile_cont(gap_us, 0.5) + 0.5)::BIGINT AS p50_us,
+       floor(quantile_cont(gap_us, 0.95) + 0.5)::BIGINT AS p95_us,
+       floor(quantile_cont(gap_us, 0.99) + 0.5)::BIGINT AS p99_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "events_gap_fill_locf": (q_gap_fill, ORACLE_GAP_FILL),
+    "events_interarrival_quantiles": (q_interarrival_quantiles,
+                                      ORACLE_INTERARRIVAL),
     "events_series_similarity": (q_series_similarity, ORACLE_SERIES_SIM),
     "events_debounce": (q_debounce, ORACLE_DEBOUNCE),
     "events_funnel": (q_funnel, ORACLE_FUNNEL),
