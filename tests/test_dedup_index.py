@@ -133,3 +133,44 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     v2 = {r.doc_id: r for r in
           idx.process_batch(_df(spark, [(10, DOC)]), "doc_id", "text").collect()}
     assert v2[10].status == INDEX_DUP and v2[10].dup_of == 1
+
+
+def test_probe_reads_only_probed_bucket_files(spark, tmp_path):
+    """The 'per-batch cost is linear in the batch' claim, pinned with
+    file-level evidence: after many batches spread the index across all
+    buckets, a single-doc probe's pruned scan opens files from at most
+    its own band buckets — never the whole index."""
+    import os
+
+    idx = MinHashDedupIndex(spark, str(tmp_path / "idx"), n_buckets=16)
+    for i in range(12):
+        idx.process_batch(
+            _df(spark, [(i, f"document number {i} full of words that are "
+                            f"entirely specific to this very doc {i}")]),
+            "doc_id", "text",
+        )
+    all_files = sum(
+        len([f for f in os.listdir(os.path.join(str(tmp_path / "idx"), d))
+             if f.endswith(".parquet")])
+        for d in os.listdir(str(tmp_path / "idx"))
+        if d.startswith("__band_bucket=")
+    )
+    # one new doc probes at most its 4 band buckets
+    bands = idx.band_frame(_df(spark, [(99, "a wholly new probe doc with "
+                                            "its own fresh words")]),
+                           "doc_id", "text")
+    probe_buckets = [r[0] for r in
+                     bands.select(idx._bucket().alias("b")).distinct().collect()]
+    assert len(probe_buckets) <= 4
+    from pyspark.sql import functions as F
+
+    # input_file_name() AFTER execution = files the pruned scan actually
+    # read (inputFiles() lists the relation pre-pruning and can't tell)
+    opened = [
+        r[0]
+        for r in idx.read_buckets(probe_buckets)
+        .select(F.input_file_name()).distinct().collect()
+    ]
+    assert 0 < len(opened) < all_files
+    for f in opened:  # every opened file belongs to a probed bucket
+        assert any(f"__band_bucket={b}/" in f for b in probe_buckets), f
