@@ -438,3 +438,43 @@ def test_ivf_index_int8_storage_recall(spark, tmp_path):
     ))
     got = sq8.probe(df.filter("vec_id = 0"), k=1, n_probe=2).collect()
     assert got[0].neighbor_id == 500
+
+
+def test_ivf_probe_reads_only_probed_partitions(spark, tmp_path):
+    """File-level evidence for the IVF claim: a probe's list scan reads
+    only files under the probed centroids' cid directories."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from transfer_spark.operators.vector_index import IvfIndex
+
+    rng = np.random.RandomState(41)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    idx.build(df, k=8, n_iters=1)
+    lists_dir = str(tmp_path / "ivf" / "lists")
+    n_cids = sum(1 for d in os.listdir(lists_dir) if d.startswith("cid="))
+    assert n_cids == 8
+
+    q = df.filter("vec_id = 3")
+    cent = idx.centroids()
+    from transfer_spark.operators.similarity import cosine
+    probe_cids = [
+        r.cid for r in
+        q.crossJoin(F.broadcast(cent))
+        .select("cid", cosine(F.col("embedding").cast("array<double>"),
+                              F.col("cv")).alias("c"))
+        .orderBy(F.desc("c"), "cid").limit(2).collect()
+    ]
+    opened = [
+        r[0] for r in
+        spark.read.parquet(lists_dir)
+        .filter(F.col("cid").isin(probe_cids))
+        .select(F.input_file_name()).distinct().collect()
+    ]
+    assert opened
+    for f in opened:
+        assert any(f"cid={c}/" in f for c in probe_cids), f
