@@ -1,0 +1,49 @@
+"""Partitioning-invariance: hash-deterministic operators must produce
+IDENTICAL results regardless of how the input happens to be split —
+the property that makes incremental reruns and cluster-size changes
+safe. Each op runs on the same data under two different partitionings
+and the full result multisets are compared."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from transfer_spark.operators import text as T
+from transfer_spark.operators.cdc_fold import cdc_fold
+from transfer_spark.operators.dedupe import exact_dedupe
+from transfer_spark.session import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _multiset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("p1,p2", [(3, 17)])
+def test_partitioning_invariance(spark, p1, p2):
+    docs = read_table(spark, SF_DIR, "documents")
+    events = read_table(spark, SF_DIR, "events").withColumn(
+        "__artie_delete", F.lit(False)
+    )
+
+    ops = {
+        "exact_dedupe": lambda d: exact_dedupe(d, "text", "doc_id"),
+        "assign_split": lambda d: d.select(
+            "doc_id",
+            T.assign_split(F.col("doc_id"),
+                           {"train": 0.9, "val": 0.05, "test": 0.05})
+            .alias("split"),
+        ),
+        "shard_shuffle": lambda d: T.corpus_shard_shuffle(
+            d.select("doc_id"), "doc_id", n_shards=8, seed=5
+        ),
+        "gopher": lambda d: T.gopher_quality_flags(d, "doc_id", "text"),
+    }
+    for name, op in ops.items():
+        a = _multiset(op(docs.repartition(p1)))
+        b = _multiset(op(docs.repartition(p2)))
+        assert a == b, name
+
+    fold_a = _multiset(cdc_fold(events.repartition(p1), ["user_id"], "event_id"))
+    fold_b = _multiset(cdc_fold(events.repartition(p2), ["user_id"], "event_id"))
+    assert fold_a == fold_b
