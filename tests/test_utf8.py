@@ -27,3 +27,29 @@ def test_replace_invalid_utf8_vectors(spark):
     }
     for i, (_, want) in enumerate(CASES):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_chunker_counts_characters_not_bytes(spark):
+    """substring/length are CHARACTER-based in both engines: a chunk of
+    multibyte text must contain `size` code points, not `size` bytes."""
+    from transfer_spark.operators.text import chunk_sliding_windows
+
+    emoji = "\U0001f600" * 10 + "é" * 10  # 20 chars, 60 bytes in UTF-8
+    df = spark.createDataFrame([(1, emoji)], "doc_id bigint, text string")
+    rows = chunk_sliding_windows(df, "doc_id", "text",
+                                 size=8, stride=8).collect()
+    got = {r.chunk_start: r.chunk_len for r in rows}
+    assert got == {0: 8, 8: 8, 16: 4}
+
+
+def test_gopher_gate_handles_non_ascii(spark):
+    """Non-Latin tokens count as words; the alpha-word rule uses the
+    [a-z] class by design (non-Latin scripts fail it, which is exactly
+    the routing signal for a per-script pipeline)."""
+    from transfer_spark.operators.text import gopher_quality_flags
+
+    cyr = "это просто набор слов на кириллице " * 3
+    df = spark.createDataFrame([(1, cyr)], "doc_id bigint, text string")
+    r = gopher_quality_flags(df, "doc_id", "text").collect()[0]
+    assert r.n_words == 18
+    assert not r.alpha_ok and not r.passes_gopher
