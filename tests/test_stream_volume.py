@@ -85,7 +85,7 @@ def test_volume_microbatches_within_trigger_budget(spark, tmp_path):
         q = mtp.start_json_file_stream(
             src, WIRE_DDL, ckpt, available_now=True, max_files_per_trigger=1
         )
-        q.awaitTermination(300)
+        q.awaitTermination(600)
     finally:
         MultiTablePipeline.process_batch = orig
 
@@ -137,7 +137,7 @@ def test_volume_microbatches_within_trigger_budget(spark, tmp_path):
     q = mtp.start_json_file_stream(
         src, WIRE_DDL, ckpt, available_now=True, max_files_per_trigger=1
     )
-    q.awaitTermination(300)
+    q.awaitTermination(600)
 
     staged_buckets = {
         r[0]
