@@ -1174,6 +1174,128 @@ ORDER BY pmi_micro DESC, bg LIMIT 20
 """
 
 
+_DSIR_BUCKETS = 4096
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much more likely its hashed-bigram features are under a target
+    domain (here the English sub-corpus) than under the raw corpus.
+
+    Hashed n-gram bag-of-features importance estimation exactly as in the
+    public paper: feature = md5-bigram-hash mod 4096; per-feature weight
+    lambda_f = log p_target(f) - log p_raw(f) with add-one smoothing; doc
+    score = sum of its features' weights. Spark shape: one corpus scan
+    fans into the two count aggregates (4096-row state each), the weight
+    table broadcasts back into the exploded scan, one hash aggregate on
+    doc_id. Nothing driver-side and no shuffle wider than the doc keys,
+    so the plan is unchanged at 100 TB. Per-feature weights are quantized
+    to BIGINT micro-units BEFORE the per-doc sum (integer summation is
+    partition-order-insensitive — the doc_char_entropy lesson)."""
+    d = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    bgs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.explode(bgs).alias("bg"),
+    ).select(
+        "doc_id", "lang",
+        (T.word_hash(F.col("bg")) % F.lit(_DSIR_BUCKETS)).alias("f"),
+    )
+    raw = feats.groupBy("f").agg(F.count(F.lit(1)).alias("rf"))
+    tgt = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # every feature a doc can carry appears in raw, so raw LEFT JOIN tgt
+    # covers the whole support; totals ride along as a broadcast 1-row
+    totals = raw.agg(F.sum("rf").alias("rn")).crossJoin(
+        tgt.agg(F.sum("tf").alias("tn"))
+    )
+    v = F.lit(float(_DSIR_BUCKETS))
+    weights = (
+        raw.join(tgt, "f", "left")
+        .withColumn("tf", F.coalesce(F.col("tf"), F.lit(0)))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "f",
+            F.floor(
+                (
+                    F.log2(F.col("tf") + F.lit(1.0)) - F.log2(F.col("tn") + v)
+                    - F.log2(F.col("rf") + F.lit(1.0)) + F.log2(F.col("rn") + v)
+                )
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            ).cast("long").alias("lam_micro"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lam_micro").alias("importance_micro"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.col("importance_micro"), F.lit(0))
+            .alias("importance_micro"),
+        )
+    )
+
+
+ORACLE_DSIR = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_TOKS} AS t FROM documents
+), occ AS (
+  SELECT doc_id, lang,
+    unnest(CASE WHEN len(t) >= 2
+           THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+           ELSE []::VARCHAR[] END) AS bg
+  FROM toks
+), feats AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(bg), 1, 7))::BIGINT % {_DSIR_BUCKETS} AS f
+  FROM occ
+), raw AS (SELECT f, count(*) AS rf FROM feats GROUP BY f),
+tgt AS (SELECT f, count(*) AS tf FROM feats WHERE lang = 'en' GROUP BY f),
+tot AS (
+  SELECT (SELECT sum(rf) FROM raw) AS rn,
+         (SELECT coalesce(sum(tf), 0) FROM tgt) AS tn
+), weights AS (
+  SELECT raw.f,
+    floor((log2(coalesce(tf, 0) + 1.0) - log2(tn + {_DSIR_BUCKETS}.0)
+           - log2(rf + 1.0) + log2(rn + {_DSIR_BUCKETS}.0))
+          * 1000000.0 + 0.5)::BIGINT AS lam_micro
+  FROM raw LEFT JOIN tgt ON raw.f = tgt.f, tot
+), scored AS (
+  SELECT doc_id, count(*) AS n_bigrams, sum(lam_micro) AS importance_micro
+  FROM feats JOIN weights USING (f)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       coalesce(importance_micro, 0) AS importance_micro
+FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+"""
+
+
 ORACLE_BIGRAM_LOGPROB = f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS} AS t FROM documents
@@ -1632,6 +1754,7 @@ QUERIES = {
     "corpus_mixture_rates": (q_mixture_rates, ORACLE_MIXTURE),
     "dedupe_winnow_overlap": (q_winnow_overlap, _winnow_sql()),
     "pmi_collocations": (q_pmi_collocations, ORACLE_PMI),
+    "dsir_importance": (q_dsir_importance, ORACLE_DSIR),
     "corpus_datasheet": (q_corpus_datasheet, _datasheet_sql()),
     "doc_bigram_logprob": (q_bigram_logprob, ORACLE_BIGRAM_LOGPROB),
     "bpe_top_merges": (q_bpe_top_merges, ORACLE_BPE_MERGES),
