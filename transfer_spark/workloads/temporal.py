@@ -914,8 +914,150 @@ GROUP BY event_type
 """
 
 
+_EWMA_H = 19  # horizon: weights 2^-0 .. 2^-19, < 2e-6 beyond → truncated
+
+
+def q_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily revenue smoothed with an exponentially-decaying
+    average (half-life = 1 day, horizon 20 days) — the trend line
+    anomaly thresholds and forecasts read.
+
+    Exact-arithmetic EWMA: daily sums are integer cents, the decay
+    weights are powers of two (2^(H-k) via shiftleft — exact BIGINTs,
+    not float pow), and the normalized average is computed with one
+    integer division at the edge. The weighted sum is therefore a pure
+    BIGINT aggregation: partition-order-insensitive and bit-identical
+    on any engine. Shape: the 20-row-per-day fan-out happens AFTER the
+    daily aggregation (on the dimension-sized frame, never the raw
+    events), then one hash aggregate on (type, day) — the recursive
+    ewma_t = a*x_t + (1-a)*ewma_{t-1} form would serialize the whole
+    history instead. Gap-aware: missing days contribute nothing and the
+    weight mass renormalizes over observed days only. BIGINT headroom:
+    cents * 2^19 * 20 days; beyond ~2^42 daily cents switch the sums to
+    DECIMAL(38,0)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    contrib = daily.select(
+        "event_type", "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_EWMA_H))).alias("k"),
+        F.col("d"),
+    ).select(
+        "event_type", "cents",
+        F.date_add(F.col("d"), F.col("k")).alias("day"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {_EWMA_H} - k)").alias("w"),
+    )
+    agg = contrib.groupBy("event_type", "day").agg(
+        F.sum(F.col("cents") * F.col("w")).alias("numer"),
+        F.sum("w").alias("weight_sum"),
+    )
+    observed = daily.select("event_type", F.col("d").alias("day"))
+    return agg.join(observed, ["event_type", "day"]).select(
+        "event_type", "day", "weight_sum",
+        # round-half-up of 1000 * numer / weight_sum, in pure integers
+        F.expr(
+            "CAST((2000 * numer + weight_sum) DIV (2 * weight_sum) AS BIGINT)"
+        ).alias("ewma_cents_milli"),
+    )
+
+
+ORACLE_EWMA = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS d,
+         sum(floor(value * 100.0 + 0.5)::BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), contrib AS (
+  SELECT event_type, cents, d + k::INTEGER AS day,
+         (1::BIGINT << ({_EWMA_H} - k::INTEGER)) AS w
+  FROM daily, range(0, {_EWMA_H + 1}) t(k)
+), agg AS (
+  SELECT event_type, day, sum(cents * w) AS numer, sum(w) AS weight_sum
+  FROM contrib GROUP BY 1, 2
+)
+SELECT a.event_type, a.day, a.weight_sum,
+       (2000 * numer + weight_sum) // (2 * weight_sum) AS ewma_cents_milli
+FROM agg a JOIN daily o ON a.event_type = o.event_type AND a.day = o.d
+"""
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    latest click by the same user within a 7-day lookback; purchases
+    with no qualifying click are organic. Daily report of attributed /
+    organic counts and attributed revenue.
+
+    Composition of the engine's as-of join (tagged-union + one window —
+    no inequality theta-join, so the 100 TB plan is the same single
+    shuffle on user_id) with the 7-day residual applied AFTER the as-of
+    match: the nearest preceding click either qualifies or the purchase
+    is organic — no second-nearest fallback, which is what makes the
+    window a residual filter instead of a join predicate. Revenue sums
+    in integer cents."""
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("cents"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    j = TP.asof_join(
+        p, c,
+        on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id", "ts"], right_order="event_id",
+    )
+    lookback_us = 7 * 86_400_000_000
+    attributed = (
+        F.col("ts_asof").isNotNull()
+        & (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_asof"))
+           <= F.lit(lookback_us))
+    )
+    return (
+        j.withColumn("attr", attributed)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("attr"), 1).otherwise(0)).alias("attributed"),
+            F.sum(F.when(~F.col("attr"), 1).otherwise(0)).alias("organic"),
+            F.sum(F.when(F.col("attr"), F.col("cents")).otherwise(0))
+            .alias("attributed_cents"),
+        )
+    )
+
+
+ORACLE_ATTRIBUTION = """
+WITH p AS (
+  SELECT event_id, user_id, ts,
+         floor(value * 100.0 + 0.5)::BIGINT AS cents
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), m AS (
+  SELECT p.ts, p.cents, c.ts AS click_ts
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+), f AS (
+  SELECT ts, cents,
+         (click_ts IS NOT NULL
+          AND epoch_us(ts) - epoch_us(click_ts) <= 7 * 86400000000) AS attr
+  FROM m
+)
+SELECT date_trunc('day', ts)::DATE AS day,
+       sum(CASE WHEN attr THEN 1 ELSE 0 END) AS attributed,
+       sum(CASE WHEN NOT attr THEN 1 ELSE 0 END) AS organic,
+       sum(CASE WHEN attr THEN cents ELSE 0 END) AS attributed_cents
+FROM f GROUP BY 1
+"""
+
+
 QUERIES = {
     "events_sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+    "events_ewma_decay": (q_ewma_decay, ORACLE_EWMA),
+    "events_attribution_last_touch": (q_attribution, ORACLE_ATTRIBUTION),
     "events_gap_fill_locf": (q_gap_fill, ORACLE_GAP_FILL),
     "events_interarrival_quantiles": (q_interarrival_quantiles,
                                       ORACLE_INTERARRIVAL),
