@@ -747,6 +747,46 @@ SELECT diff_class, COUNT(*) AS n_rows FROM j GROUP BY diff_class
 """
 
 
+def q_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month content commitment over orders: (n_rows, digest_sum)
+    pairs that certify replica equality without moving rows between
+    systems (see operators/diff.py:partition_content_digest). Floats
+    canonicalize to integer cents and timestamps to epoch_us BEFORE
+    hashing, so source and replica engines hash identical bytes."""
+    from transfer_spark.operators.diff import partition_content_digest
+
+    o = _t(spark, sf_dir, "orders")
+    return partition_content_digest(
+        o,
+        F.date_trunc("month", F.col("o_orderdate")).cast("date"),
+        [
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long"),
+            F.unix_micros(F.col("o_orderdate")),
+            F.col("o_orderpriority"),
+        ],
+    )
+
+
+ORACLE_CONTENT_DIGEST = """
+WITH canon AS (
+  SELECT date_trunc('month', o_orderdate)::DATE AS part,
+    ('0x' || substr(md5(
+       o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' ||
+       o_orderstatus || '|' ||
+       (floor(o_totalprice * 100.0 + 0.5)::BIGINT)::VARCHAR || '|' ||
+       epoch_us(o_orderdate)::VARCHAR || '|' || o_orderpriority
+     ), 1, 15))::BIGINT AS h
+  FROM orders
+)
+SELECT part, count(*) AS n_rows, sum(h)::VARCHAR AS digest_sum
+FROM canon GROUP BY part
+"""
+
+
 def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate: not-null, positive-amount, PK
     uniqueness, and date-range rules over orders, all evaluated in ONE
@@ -1493,6 +1533,7 @@ FROM per_cust
     "events_anomaly_days": (q_anomaly_days, ORACLE_ANOMALY),
     "customer_rfm": (q_customer_rfm, _rfm_oracle()),
     "table_diff_classes": (q_table_diff, ORACLE_TABLE_DIFF),
+    "replication_content_digest": (q_content_digest, ORACLE_CONTENT_DIGEST),
     "dq_violations": (q_dq_violations, ORACLE_DQ),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),
