@@ -478,3 +478,27 @@ def test_ivf_probe_reads_only_probed_partitions(spark, tmp_path):
     assert opened
     for f in opened:
         assert any(f"cid={c}/" in f for c in probe_cids), f
+
+
+# ---------------------------------------------------------------- bloom
+
+def test_bloom_prefilter_no_false_negatives_and_reduces(spark):
+    from transfer_spark.operators.bloom import (
+        bloom_prefilter, bloom_semi_join, build_bloom,
+    )
+
+    big = spark.range(0, 5000).withColumnRenamed("id", "k")
+    small = spark.range(0, 5000, 97).withColumnRenamed("id", "k")  # 52 keys
+    m_bits = 4096
+    bitmaps = build_bloom(small, "k", m_bits=m_bits)
+    pref = bloom_prefilter(big, "k", bitmaps, m_bits)
+    pref_keys = {r.k for r in pref.collect()}
+    member_keys = {r.k for r in small.collect()}
+    # no false negatives: every member survives the prefilter
+    assert member_keys <= pref_keys
+    # the filter actually filters: survivors ≪ the big side
+    assert len(pref_keys) < 1000
+    # end-to-end: bloom semi join == plain semi join
+    exact = {r.k for r in big.join(small, "k", "left_semi").collect()}
+    got = {r.k for r in bloom_semi_join(big, small, "k", "k", m_bits=m_bits).collect()}
+    assert got == exact == member_keys

@@ -1,0 +1,124 @@
+"""Bloom-filter semi-join reduction.
+
+The scan-side filter for the "filter a 100 TB fact table by a key set
+too large to broadcast raw" join: the key set compresses to a
+fixed-size bit array (size chosen up front, independent of key count),
+the big side drops non-members BEFORE its shuffle, and an exact semi
+join afterwards removes the bloom's false positives — so the operator
+is a transparent optimization: byte-identical results to the plain
+semi join, with the shuffle volume of the post-filter survivors only.
+
+Spark's own AQE runtime filters (spark.sql.optimizer.runtimeFilter.*)
+apply the same idea automatically for simple equi-joins; this operator
+makes it explicit, deterministic (md5 lane hashes, not the JVM's
+Murmur3, so any engine builds bit-identical filters), and available to
+plans AQE can't see through (multi-step staging, checkpointed streams).
+
+Scale accounting: the bitmap is ``m_bits`` bits regardless of key
+count (the driver collects m_bits/64 longs per lane — bounded
+metadata, not data). With k independent lanes and n keys the false
+positive rate is (1 - e^(-kn/m))^k; m defaults to 64 Ki-bits =
+8 KiB/lane, good for ~50k keys at ~2% with k=2. Size m ~ 10 bits/key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _lane_pos(key: Column, lane: int, m_bits: int) -> Column:
+    """Deterministic lane hash → bit position in [0, m_bits)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(lane)), key.cast("string"))), 1, 15
+        ),
+        16, 10,
+    ).cast("long")
+    return h % F.lit(m_bits)
+
+
+def build_bloom(
+    small: DataFrame, key_col: str, m_bits: int = 65536, lanes: int = 2
+) -> list[list[int]]:
+    """Aggregate the key set into ``lanes`` bitmaps of ``m_bits`` bits
+    (each a list of m_bits/64 longs). The aggregation is distributed
+    (per-(lane, word) bit_or, at most lanes * m_bits/64 groups); only
+    the finished bitmap words land on the driver — bounded metadata,
+    one job for all lanes."""
+    assert m_bits % 64 == 0
+    n_words = m_bits // 64
+    key = F.col(key_col)
+    lane_structs = F.array(
+        *[
+            F.struct(
+                F.lit(lane).alias("lane"),
+                _lane_pos(key, lane, m_bits).alias("pos"),
+            )
+            for lane in range(lanes)
+        ]
+    )
+    words = (
+        small.select(F.explode(lane_structs).alias("lp"))
+        .select(
+            F.col("lp.lane").alias("lane"),
+            (F.col("lp.pos") / F.lit(64)).cast("int").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(lp.pos % 64 AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("lane", "w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    out = [[0] * n_words for _ in range(lanes)]
+    for r in words:
+        out[r["lane"]][r["w"]] = r["bits"]
+    return out
+
+
+def bloom_prefilter(
+    df: DataFrame, key_col: str, bitmaps: list[list[int]], m_bits: int
+) -> DataFrame:
+    """Keep rows whose key tests positive in every lane's bitmap. Pure
+    codegen: the bitmap words embed as array literals; per lane, one
+    element_at + shiftright + AND (via named temp columns, since the
+    shift amount is itself a column)."""
+    tmp: list[str] = []
+    out = df
+    for lane, bitmap in enumerate(bitmaps):
+        arr = F.array(*[F.lit(w).cast("long") for w in bitmap])
+        pos = _lane_pos(F.col(key_col), lane, m_bits)
+        pcol, wcol = f"__bf_pos{lane}", f"__bf_word{lane}"
+        out = out.withColumn(pcol, pos).withColumn(
+            wcol, F.element_at(arr, (F.col(pcol) / F.lit(64)).cast("int") + F.lit(1))
+        )
+        tmp += [pcol, wcol]
+    cond = F.lit(True)
+    for lane in range(len(bitmaps)):
+        bit = F.expr(
+            f"shiftright(__bf_word{lane}, CAST(__bf_pos{lane} % 64 AS INT)) & 1"
+        )
+        cond = cond & (bit == 1)
+    return out.filter(cond).drop(*tmp)
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    m_bits: int = 65536,
+    lanes: int = 2,
+) -> DataFrame:
+    """``big LEFT SEMI JOIN small`` with a bloom pre-filter on the big
+    side: non-members never enter the semi join's shuffle. Exactly
+    equal to the plain semi join (the semi join clears false
+    positives)."""
+    bitmaps = build_bloom(small, small_key, m_bits=m_bits, lanes=lanes)
+    pref = bloom_prefilter(big, big_key, bitmaps, m_bits)
+    return pref.join(
+        small.select(F.col(small_key).alias(big_key)).distinct(),
+        on=big_key,
+        how="left_semi",
+    )

@@ -787,6 +787,45 @@ FROM canon GROUP BY part
 """
 
 
+def q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly volume of lineitems belonging to urgent 1996 orders,
+    with the order-key set applied to the lineitem scan as a Bloom
+    bitmap BEFORE the semi join's shuffle (operators/bloom.py) — the
+    explicit form of a runtime filter. The bloom is transparent: the
+    oracle is the plain IN-subquery, and the result must match it
+    bit-for-bit (false positives die in the exact semi join)."""
+    from transfer_spark.operators.bloom import bloom_semi_join
+
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.year("o_orderdate") == 1996)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    kept = bloom_semi_join(li, o, "l_orderkey", "o_orderkey")
+    return kept.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+        ).alias("revenue_cents"),
+    )
+
+
+ORACLE_BLOOM_SEMI = """
+SELECT date_trunc('month', l_shipdate)::DATE AS month,
+       count(*) AS n_items,
+       sum(floor(l_extendedprice * 100.0 + 0.5)::BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1996
+)
+GROUP BY 1
+"""
+
+
 def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate: not-null, positive-amount, PK
     uniqueness, and date-range rules over orders, all evaluated in ONE
@@ -1534,6 +1573,7 @@ FROM per_cust
     "customer_rfm": (q_customer_rfm, _rfm_oracle()),
     "table_diff_classes": (q_table_diff, ORACLE_TABLE_DIFF),
     "replication_content_digest": (q_content_digest, ORACLE_CONTENT_DIGEST),
+    "bloom_semi_reduction": (q_bloom_semi, ORACLE_BLOOM_SEMI),
     "dq_violations": (q_dq_violations, ORACLE_DQ),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),
