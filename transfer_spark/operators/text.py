@@ -465,3 +465,44 @@ def write_training_shards(df, key_col: str, path: str, n_shards: int = 1024,
         .groupBy("shard")
         .agg(_F.count(_F.lit(1)).alias("n_rows"))
     )
+
+
+def token_budget_select(
+    df,
+    id_col: str,
+    text_col: str,
+    stratum_col: str,
+    budget_tokens: int,
+):
+    """Greedy quality-first selection under a per-stratum token budget:
+    within each stratum (source/domain), take docs best-quality-first
+    until the next doc would START beyond the budget — the "fill each
+    domain's share of the training mix" step that turns mixture weights
+    into an actual doc list.
+
+    Quality quantizes to micro-units before ranking (integer
+    comparisons, engine-exact); ties break on the id so the selection
+    is a total order. One shuffle on the stratum key + one window
+    cumsum per stratum. At 100 TB the per-stratum sort is fine while
+    strata are domain-sized; for one giant stratum, switch to the
+    threshold form (corpus_mixture_rates) instead of sorting."""
+    from pyspark.sql import Window
+
+    qm = F.floor(
+        quality_score(F.col(text_col)) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    scored = df.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        qm.alias("q_micro"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.desc("q_micro"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.filter(
+        F.col("cum_tokens") - F.col("n_tokens") < F.lit(budget_tokens)
+    )

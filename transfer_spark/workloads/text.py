@@ -1534,6 +1534,46 @@ FROM s, b
 """
 
 
+_TOKEN_BUDGET = 1500
+
+
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget fill: best-quality docs first until each
+    source's 1500-token budget is reached (greedy prefix — a doc is
+    kept iff it STARTS inside the budget). See
+    operators/text.py:token_budget_select."""
+    return T.token_budget_select(
+        _docs(spark, sf_dir), "doc_id", "text", "source",
+        budget_tokens=_TOKEN_BUDGET,
+    )
+
+
+def _token_budget_sql() -> str:
+    q = """round(0.5 * least(len(toks) / 100.0, 1.0)
+      + 0.5 * least(({hits} / CAST(len(toks) AS DOUBLE)) * 4.0, 1.0)
+      - 0.25 * least((length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                      / CAST(length(text) AS DOUBLE)) * 10.0, 1.0), 6)""".format(
+        hits=_hits_sql("toks", "en")
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, text, {_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, source,
+         floor({q} * 1000000.0 + 0.5)::BIGINT AS q_micro,
+         len(toks)::BIGINT AS n_tokens
+  FROM d
+), c AS (
+  SELECT *, sum(n_tokens) OVER (
+    PARTITION BY source ORDER BY q_micro DESC, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM s
+)
+SELECT doc_id, source, q_micro, n_tokens, cum_tokens
+FROM c WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET}
+"""
+
+
 def q_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture rebalancing: per-source keep rates that move the corpus
     toward a TARGET token mixture (uniform across sources here). For
@@ -1755,6 +1795,7 @@ QUERIES = {
     "dedupe_winnow_overlap": (q_winnow_overlap, _winnow_sql()),
     "pmi_collocations": (q_pmi_collocations, ORACLE_PMI),
     "dsir_importance": (q_dsir_importance, ORACLE_DSIR),
+    "corpus_token_budget_select": (q_token_budget_select, _token_budget_sql()),
     "corpus_datasheet": (q_corpus_datasheet, _datasheet_sql()),
     "doc_bigram_logprob": (q_bigram_logprob, ORACLE_BIGRAM_LOGPROB),
     "bpe_top_merges": (q_bpe_top_merges, ORACLE_BPE_MERGES),
