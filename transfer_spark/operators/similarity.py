@@ -596,3 +596,238 @@ def semantic_dedupe(
         )
 
     return assign.groupBy("cid").applyInPandas(_cluster_dedupe, out_schema)
+
+
+# ------------------------------------------------------------------ PQ / ADC
+
+
+def _sub_l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two equal-length sub-vectors as a
+    SEQUENTIAL left-fold — term-for-term the order a SQL list_reduce
+    uses, so the double result is bit-identical cross-engine (the
+    dequant_sq_error convention)."""
+    diffs = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_subvectors(vec: Column, m_sub: int, sub_dim: int) -> Column:
+    """Split a dim = m_sub * sub_dim vector into an array of m_sub
+    sub-vectors (pure slice codegen)."""
+    return F.array(
+        *[F.slice(vec, j * sub_dim + 1, sub_dim) for j in range(m_sub)]
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = 4,
+    k_codes: int = 16,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """Per-subspace codebooks (sub, code, cv): deterministic sampling
+    codebook — the sub-vectors of the first k_codes corpus vectors by
+    id. Production would Lloyd-refine each subspace with
+    kmeans_centroids (same shape per subspace); the sampling codebook
+    keeps the whole PQ pipeline value-checkable in plain SQL, and the
+    encode/ADC mechanics are identical either way."""
+    v = corpus.filter(F.col(id_col) < k_codes).select(
+        F.col(id_col).alias("code"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    return v.select(
+        "code",
+        F.posexplode(pq_subvectors(F.col("v"), m_sub, sub_dim)).alias("sub", "cv"),
+    ).select("sub", "code", "cv")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = 4,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """PQ-encode the corpus: per (vector, subspace), the id of the
+    nearest codebook entry by squared L2 — m_sub codes per vector,
+    i.e. dim floats compress to m_sub small ints (the 64-dim corpus
+    stores in 4 bytes/vector + one shared codebook). Shape: explode to
+    (id, sub, subvec), broadcast-join the codebook (m_sub * k_codes
+    rows), min_by per (id, sub). Ties break to the lower code id; the
+    distance fold is sequential, so assignments are engine-exact."""
+    subs = corpus.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            pq_subvectors(F.col(vec_col).cast("array<double>"), m_sub, sub_dim)
+        ).alias("sub", "sv"),
+    )
+    return (
+        subs.join(F.broadcast(codebooks), "sub")
+        .select(
+            "id", "sub", "code",
+            _sub_l2sq(F.col("sv"), F.col("cv")).alias("d2"),
+        )
+        .groupBy("id", "sub")
+        .agg(
+            F.min_by(
+                F.col("code"), F.struct(F.col("d2"), F.col("code"))
+            ).alias("code")
+        )
+    )
+
+
+def ann_pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    sub_dim: int = 16,
+    rerank: int = 0,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    Search"): the corpus is seen only through its PQ codes; each query
+    builds a (sub, code) → distance lookup table against the codebook,
+    and a candidate's approximate distance is the SUM of its codes'
+    table entries — no corpus vector is ever touched at query time.
+
+    Spark shape: the distance table is |Q| * m_sub * k_codes rows
+    (tiny → broadcast); the encoded corpus (m_sub rows per vector)
+    equi-joins it on (sub, code) and one hash aggregate per
+    (query, vector) sums the parts. Per-entry distances quantize to
+    BIGINT micro-units BEFORE that sum, so the reduction is
+    order-insensitive. At 100 TB the only big-table work is one scan
+    of the 4-byte codes + one aggregation keyed by (query, vector) —
+    the classic memory-resident ADC scan, distributed.
+
+    ``rerank > 0`` adds the standard exact re-rank stage: the ADC scan
+    shortlists ``rerank`` candidates per query, ONLY those fetch their
+    full vectors, and exact cosine orders the final top-k — the recall
+    of exact search at the IO cost of the code scan plus k-ish vector
+    reads. With rerank, returned columns are (query_id, neighbor_id,
+    cos, rank) since the ordering metric is the exact one.
+    """
+    codebooks = pq_codebooks(
+        corpus, id_col, vec_col, m_sub=m_sub, k_codes=k_codes, sub_dim=sub_dim
+    )
+    codes = pq_encode(
+        corpus, codebooks, id_col, vec_col, m_sub=m_sub, sub_dim=sub_dim
+    )
+    qsubs = queries.select(
+        F.col(id_col).alias("qid"),
+        F.posexplode(
+            pq_subvectors(F.col(vec_col).cast("array<double>"), m_sub, sub_dim)
+        ).alias("sub", "qv"),
+    )
+    dist_table = qsubs.join(F.broadcast(codebooks), "sub").select(
+        "qid", "sub", "code",
+        F.floor(
+            _sub_l2sq(F.col("qv"), F.col("cv")) * F.lit(1_000_000.0) + F.lit(0.5)
+        ).cast("long").alias("d2_micro"),
+    )
+    adc = (
+        codes.join(F.broadcast(dist_table), ["sub", "code"])
+        .filter(F.col("id") != F.col("qid"))
+        .groupBy("qid", "id")
+        .agg(F.sum("d2_micro").alias("adc_micro"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_micro"), F.asc("id"))
+    if not rerank:
+        return (
+            adc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col("qid").alias("query_id"),
+                F.col("id").alias("neighbor_id"),
+                "adc_micro",
+                "rank",
+            )
+        )
+    shortlist = (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("qid", "id")
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("cv_full"),
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv_full"),
+    )
+    exact = (
+        shortlist.join(cvec, "id")
+        .join(F.broadcast(qvec), "qid")
+        .select(
+            "qid", "id", cosine(F.col("qv_full"), F.col("cv_full")).alias("cos")
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            "cos",
+            "rank",
+        )
+    )
+
+
+def pq_refine_codebooks(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = 4,
+    sub_dim: int = 16,
+    n_iters: int = 1,
+) -> DataFrame:
+    """Lloyd refinement of PQ codebooks: re-encode under the current
+    codebooks, then re-estimate each (sub, code) entry as the
+    element-wise mean of its assigned sub-vectors — k-means run
+    independently per subspace, which is exactly how PQ codebooks are
+    trained. Codes that attract no sub-vectors keep their previous
+    entry (deterministic; with data-point init each code's own
+    sub-vector assigns to it, so this is a corner case). Per iteration:
+    one encode (broadcast join + min_by) and one (sub, code, pos)
+    mean — m_sub * k_codes * sub_dim aggregate rows, tiny."""
+    cb = codebooks
+    for _ in range(n_iters):
+        codes = pq_encode(
+            corpus, cb, id_col, vec_col, m_sub=m_sub, sub_dim=sub_dim
+        )
+        subs = corpus.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                pq_subvectors(F.col(vec_col).cast("array<double>"), m_sub, sub_dim)
+            ).alias("sub", "sv"),
+        )
+        means = (
+            codes.join(subs, ["id", "sub"])
+            .select("sub", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv_new")
+            )
+        )
+        cb = (
+            cb.join(means, ["sub", "code"], "left")
+            .select(
+                "sub", "code",
+                F.coalesce(F.col("cv_new"), F.col("cv")).alias("cv"),
+            )
+        )
+    return cb

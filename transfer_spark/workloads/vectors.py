@@ -477,8 +477,71 @@ QUALIFY rank <= 5
 """
 
 
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (asymmetric distance): corpus stored as
+    4 sub-codes/vector, queries ranked by summed distance-table lookups
+    — the 16x-compressed scan path (see similarity.ann_pq_adc_topk).
+    Same query set as the other ANN entries for recall comparison."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ann_pq_adc_topk(emb, queries, k=5)
+
+
+def _pq_adc_oracle(m_sub: int = 4, k_codes: int = 16, sub_dim: int = 16,
+                   k: int = 5) -> str:
+    fold = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, {n}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (acc, x) -> acc + x)"
+    )
+    d2_enc = fold.format(n=sub_dim + 1, a="sv", b="cv")
+    d2_q = fold.format(n=sub_dim + 1, a="qv", b="cv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+subs AS (SELECT unnest(range(0, {m_sub})) AS sub),
+cb AS (
+  SELECT sub, vec_id AS code,
+         v[sub * {sub_dim} + 1 : sub * {sub_dim} + {sub_dim}] AS cv
+  FROM e, subs WHERE vec_id < {k_codes}
+),
+esub AS (
+  SELECT vec_id AS id, sub,
+         v[sub * {sub_dim} + 1 : sub * {sub_dim} + {sub_dim}] AS sv
+  FROM e, subs
+),
+enc AS (
+  SELECT id, sub, code FROM (
+    SELECT e2.id, e2.sub, cb.code,
+      row_number() OVER (PARTITION BY e2.id, e2.sub
+                         ORDER BY {d2_enc}, cb.code) AS rn
+    FROM esub e2 JOIN cb ON e2.sub = cb.sub
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS qid, sub,
+         v[sub * {sub_dim} + 1 : sub * {sub_dim} + {sub_dim}] AS qv
+  FROM e, subs WHERE vec_id < 10
+),
+dt AS (
+  SELECT qid, q.sub, cb.code,
+    floor({d2_q} * 1000000.0 + 0.5)::BIGINT AS d2_micro
+  FROM q JOIN cb ON q.sub = cb.sub
+),
+adc AS (
+  SELECT qid, id, sum(d2_micro) AS adc_micro
+  FROM enc JOIN dt ON enc.sub = dt.sub AND enc.code = dt.code
+  WHERE id != qid
+  GROUP BY qid, id
+)
+SELECT qid AS query_id, id AS neighbor_id, adc_micro,
+       row_number() OVER (PARTITION BY qid ORDER BY adc_micro, id) AS rank
+FROM adc
+QUALIFY rank <= {k}
+"""
+
+
 QUERIES = {
     "embedding_quantize_int8": (q_quantize_int8, ORACLE_QUANTIZE),
+    "ann_pq_adc_topk": (q_ann_pq_adc, _pq_adc_oracle()),
     "knn_label_vote": (q_knn_classify, ORACLE_KNN_CLASSIFY),
     "hard_negative_mining": (q_hard_negatives, ORACLE_HARD_NEGATIVES),
     "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
