@@ -157,3 +157,41 @@ def test_salted_fold_equals_plain_on_random_streams(spark):
             for r in cdc_fold_salted(df, ["id"], "off", n_buckets=nb).collect()
         }
         assert salted == plain, f"n_buckets={nb}"
+
+
+def test_aggregate_maintenance_equals_fold_then_aggregate(spark, sf_dir):
+    """The MV-maintenance identity: summing retract/insert deltas equals
+    aggregating the folded final live state, group by group."""
+    from pyspark.sql import functions as F
+
+    from transfer_spark.operators.cdc_fold import (
+        aggregate_maintenance, lww_dedup,
+    )
+    from transfer_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("user_id").alias("id"),
+        F.col("event_id").alias("off"),
+        (F.col("event_type") == "error").alias("is_del"),
+        F.col("event_type").alias("etype"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    mv = {
+        r.etype: (r.n_live, r.value_live)
+        for r in aggregate_maintenance(
+            s, ["id"], "off", "is_del", "etype", "cents"
+        ).collect()
+    }
+    final = lww_dedup(s, ["id"], "off").filter(~F.col("is_del"))
+    direct = {
+        r.etype: (r.n, r.v)
+        for r in final.groupBy("etype")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("v"))
+        .collect()
+    }
+    for g, (n, v) in direct.items():
+        assert mv[g] == (n, v), g
+    for g, (n, v) in mv.items():
+        if g not in direct:
+            assert n == 0 and v == 0, g  # fully-retracted group stays as zeros

@@ -270,3 +270,75 @@ def scd2_versions(
         .withColumnRenamed("__is_current", "is_current")
         .drop(delete_col)
     )
+
+
+def aggregate_maintenance(
+    stream: DataFrame,
+    pk_cols: list[str],
+    order_col: str,
+    delete_col: str,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Incrementally-maintained aggregate (count + sum per group) over a
+    CDC change stream, with RETRACTIONS: an update first retracts the
+    row's previous version from its old group, then inserts the new
+    version into its new group; a delete only retracts. Summing the
+    deltas yields exactly the aggregate of the final live state — the
+    algebraic identity incremental materialized-view maintenance rests
+    on (pinned by test_cdc_fold.py against the fold-then-aggregate
+    form).
+
+    Batch shape: the previous version of each row comes from one lag
+    window per PK (same single shuffle as the fold); each event emits
+    up to two delta rows (retract / insert) via an explode of a
+    2-element array, and one hash aggregate on the group key folds
+    them. The value column must already be integer-quantized (cents) —
+    delta sums are exact and order-insensitive. In streaming, the lag
+    state is the per-PK last-version store (applyInPandasWithState
+    carries it per micro-batch, the same state the stateful fold
+    already keeps); groups whose live count reaches zero remain as
+    explicit zero rows rather than disappearing, which is what lets a
+    downstream merge UPDATE them instead of missing them."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*pk_cols).orderBy(order_col)
+    s = stream.select(
+        *pk_cols, order_col,
+        F.col(delete_col).alias("__del"),
+        F.col(group_col).alias("__g"),
+        F.col(value_col).alias("__v"),
+    ).select(
+        "*",
+        F.lag("__del").over(w).alias("__p_del"),
+        F.lag("__g").over(w).alias("__p_g"),
+        F.lag("__v").over(w).alias("__p_v"),
+    )
+    retract = F.when(
+        F.col("__p_del") == F.lit(False),
+        F.struct(
+            F.col("__p_g").alias("g"),
+            F.lit(-1).cast("long").alias("dn"),
+            (-F.col("__p_v")).alias("dv"),
+        ),
+    )
+    insert = F.when(
+        ~F.col("__del"),
+        F.struct(
+            F.col("__g").alias("g"),
+            F.lit(1).cast("long").alias("dn"),
+            F.col("__v").alias("dv"),
+        ),
+    )
+    deltas = s.select(
+        F.explode(
+            F.filter(F.array(retract, insert), lambda x: x.isNotNull())
+        ).alias("d")
+    )
+    return (
+        deltas.groupBy(F.col("d.g").alias(group_col))
+        .agg(
+            F.sum("d.dn").alias("n_live"),
+            F.sum("d.dv").alias("value_live"),
+        )
+    )

@@ -78,7 +78,11 @@ _CORE = [
     # analytics
     "olap_pricing_summary", "skew_salted_enrich", "olap_top_orders_per_segment",
 ]
-_ROTATE_SLOTS = 12
+# The driver checks the first 50 entries; the rotation window is whatever
+# 50 leaves after the fixed core, and the per-round shift must equal the
+# window size — a larger shift would skip tail segments forever.
+_DRIVER_SLOTS = 50
+_ROTATE_SLOTS = max(1, _DRIVER_SLOTS - len(_CORE))
 
 
 def _round_index() -> int:

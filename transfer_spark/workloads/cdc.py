@@ -411,8 +411,51 @@ FROM v WHERE NOT is_delete
 """
 
 
+def q_aggregate_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance with retractions: the
+    per-event-type (count, cents) aggregate kept exactly current under
+    the change stream's updates and deletes by summing per-event deltas
+    — never re-reading the base table (see
+    operators/cdc_fold.py:aggregate_maintenance; equality with the
+    fold-then-aggregate form is pinned in test_cdc_fold.py)."""
+    from transfer_spark.operators.cdc_fold import aggregate_maintenance
+
+    s = _events(spark, sf_dir).select(
+        F.col("user_id").alias("id"),
+        F.col("event_id").alias(OFF),
+        (F.col("event_type") == "error").alias(DEL),
+        F.col("event_type").alias("etype"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("cents"),
+    )
+    return aggregate_maintenance(s, ["id"], OFF, DEL, "etype", "cents")
+
+
+ORACLE_AGG_MAINTENANCE = """
+WITH s AS (
+  SELECT user_id AS id, event_id AS off, (event_type = 'error') AS is_del,
+         event_type AS etype, floor(value * 100.0 + 0.5)::BIGINT AS cents
+  FROM events
+), l AS (
+  SELECT *,
+         lag(is_del) OVER w AS p_del,
+         lag(etype) OVER w AS p_g,
+         lag(cents) OVER w AS p_v
+  FROM s WINDOW w AS (PARTITION BY id ORDER BY off)
+), d AS (
+  SELECT p_g AS g, (-1)::BIGINT AS dn, -p_v AS dv FROM l WHERE p_del = false
+  UNION ALL
+  SELECT etype, 1::BIGINT, cents FROM l WHERE NOT is_del
+)
+SELECT g AS etype, sum(dn) AS n_live, sum(dv) AS value_live
+FROM d GROUP BY g
+"""
+
+
 QUERIES = {
     "cdc_lww_dedup": (q_lww_dedup, ORACLE_LWW),
+    "cdc_aggregate_maintenance": (q_aggregate_maintenance,
+                                  ORACLE_AGG_MAINTENANCE),
     "cdc_scd2_versions": (q_scd2_versions, ORACLE_SCD2),
     "cdc_fold": (q_cdc_fold, ORACLE_CDC_FOLD),
     "cdc_fold_salted": (q_cdc_fold_salted, ORACLE_CDC_FOLD),
