@@ -501,3 +501,63 @@ def series_correlation_topk(
     top = scored.orderBy(F.desc("r_ppm"), key_col).limit(k)
     w = Window.orderBy(F.desc("r_ppm"), key_col)
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def kmv_sliding_distinct(
+    df: DataFrame,
+    day_col,
+    value_col: str,
+    window_days: int = 7,
+    k: int = 32,
+) -> DataFrame:
+    """Trailing-window distinct count (e.g. weekly active users per day)
+    from per-day KMV partials — the sketch-merge form of the metric
+    every raw-data approach recomputes from scratch per window.
+
+    Per-day partials (k smallest hash fractions per day) are built once
+    from one distinct + per-day top-k; each partial row then fans out
+    to the ``window_days`` target days it participates in — fan-out on
+    the SKETCH rows (days × k doubles), never on raw data — and each
+    target day set-unions its contributing fractions and re-takes the k
+    smallest. Because every member of a union's k smallest is in its
+    own partial's k smallest, the merged sketch equals the sketch of
+    the raw 7-day union exactly (the kmv_merge_distinct guarantee, per
+    window position). Days early in the data simply merge fewer
+    partials. Output keeps only observed days."""
+    frac = hash_frac(F.col(value_col).cast("string"))
+    d = (
+        df.select(day_col.alias("day"), F.col(value_col))
+        .distinct()
+        .select("day", frac.alias("__frac"))
+        .distinct()
+    )
+    w1 = Window.partitionBy("day").orderBy("__frac")
+    partials = (
+        d.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .select("day", "__frac")
+    )
+    fan = partials.select(
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("__o"),
+        "day", "__frac",
+    ).select(
+        F.date_add(F.col("day"), F.col("__o")).alias("day"), "__frac"
+    )
+    merged = fan.distinct()  # same value hash may sit in several partials
+    w2 = Window.partitionBy("day").orderBy("__frac")
+    kept = merged.withColumn("__rn", F.row_number().over(w2)).filter(
+        F.col("__rn") <= k
+    )
+    est = kept.groupBy("day").agg(
+        F.count(F.lit(1)).alias("__n"), F.max("__frac").alias("__kth")
+    ).select(
+        "day",
+        F.round(
+            F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+                F.lit(float(k - 1)) / F.col("__kth")
+            ),
+            4,
+        ).alias("distinct_est"),
+    )
+    observed = partials.select("day").distinct()
+    return est.join(observed, "day")

@@ -1054,8 +1054,49 @@ FROM f GROUP BY 1
 """
 
 
+def q_kmv_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-active-users per day from merged per-day KMV partials —
+    trailing-window cardinality without re-reading raw rows (see
+    operators/temporal.py:kmv_sliding_distinct)."""
+    e = _events(spark, sf_dir)
+    return TP.kmv_sliding_distinct(
+        e, F.to_date("ts"), "user_id", window_days=7, k=_KMV_K
+    )
+
+
+ORACLE_KMV_SLIDING = f"""
+WITH d AS (
+  SELECT DISTINCT date_trunc('day', ts)::DATE AS day,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      / 1152921504606846976.0 AS frac
+  FROM events
+), p AS (
+  SELECT day, frac FROM (
+    SELECT day, frac,
+           row_number() OVER (PARTITION BY day ORDER BY frac) AS rn
+    FROM d
+  ) WHERE rn <= {_KMV_K}
+), fan AS (
+  SELECT DISTINCT day + o::INTEGER AS day, frac
+  FROM p, range(0, 7) t(o)
+), kept AS (
+  SELECT day, frac,
+         row_number() OVER (PARTITION BY day ORDER BY frac) AS rn
+  FROM fan
+), est AS (
+  SELECT day,
+    round(CASE WHEN count(*) < {_KMV_K} THEN count(*)::DOUBLE
+               ELSE {_KMV_K - 1}.0 / max(frac) END, 4) AS distinct_est
+  FROM kept WHERE rn <= {_KMV_K} GROUP BY day
+)
+SELECT est.day, est.distinct_est
+FROM est JOIN (SELECT DISTINCT day FROM p) o ON est.day = o.day
+"""
+
+
 QUERIES = {
     "events_sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+    "kmv_sliding_wau": (q_kmv_sliding, ORACLE_KMV_SLIDING),
     "events_ewma_decay": (q_ewma_decay, ORACLE_EWMA),
     "events_attribution_last_touch": (q_attribution, ORACLE_ATTRIBUTION),
     "events_gap_fill_locf": (q_gap_fill, ORACLE_GAP_FILL),
