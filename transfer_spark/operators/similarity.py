@@ -831,3 +831,88 @@ def pq_refine_codebooks(
             )
         )
     return cb
+
+
+def mmr_diversify_topk(
+    corpus: DataFrame,
+    query_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_candidates: int = 12,
+    k: int = 4,
+    lam_tenths: int = 7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick k results balancing relevance to the query
+    against similarity to what's already picked —
+    score = lam * rel - (1 - lam) * max_sim_to_selected — the
+    diversification stage RAG retrieval runs on its candidate set.
+
+    Scale shape: the corpus-sized work is ONE broadcast-query scan that
+    shortlists ``n_candidates`` (TakeOrdered); everything after runs on
+    that candidate set, which is re-rank-stage-sized by construction
+    (tens of rows), so the k greedy argmax steps are k tiny jobs — the
+    same bounded-metadata budget as the IVF probe's centroid collect.
+    Integer scoring: cosines quantize to micro-units first and
+    lam is in tenths, so score = lam*rel_micro*1 - (10-lam)*
+    max_sim_micro has no float reduction anywhere and ties break on
+    id — the greedy path is engine-exact (the oracle unrolls all k
+    steps in SQL)."""
+    v = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    q = v.filter(F.col("id") == query_id).select(F.col("v").alias("qv"))
+    relm = F.floor(
+        cosine(F.col("v"), F.col("qv")) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    cand = (
+        v.filter(F.col("id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select("id", "v", relm.alias("relm"))
+        .orderBy(F.desc("relm"), F.asc("id"))
+        .limit(n_candidates)
+    ).cache()
+    a = cand.select(F.col("id").alias("ia"), F.col("v").alias("va"))
+    b = cand.select(F.col("id").alias("ib"), F.col("v").alias("vb"))
+    simm = F.floor(
+        cosine(F.col("va"), F.col("vb")) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    sims = (
+        a.join(b, F.col("ia") != F.col("ib"))
+        .select("ia", "ib", simm.alias("simm"))
+    ).cache()
+    lam, inv = lam_tenths, 10 - lam_tenths
+    selected: list[tuple[int, int, int]] = []  # (rank, id, score)
+    for step in range(1, k + 1):
+        chosen_ids = [s[1] for s in selected]
+        rem = cand.filter(~F.col("id").isin(chosen_ids)) if chosen_ids else cand
+        if chosen_ids:
+            ms = (
+                sims.filter(F.col("ib").isin(chosen_ids))
+                .groupBy("ia")
+                .agg(F.max("simm").alias("maxsim"))
+            )
+            scored = (
+                rem.join(ms, rem["id"] == ms["ia"], "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(lam) * F.col("relm")
+                        - F.lit(inv) * F.coalesce(F.col("maxsim"), F.lit(0))
+                    ).alias("score"),
+                )
+            )
+        else:
+            scored = rem.select(
+                "id", (F.lit(lam) * F.col("relm")).alias("score")
+            )
+        top = scored.orderBy(F.desc("score"), F.asc("id")).first()
+        selected.append((step, top["id"], top["score"]))
+    spark = corpus.sparkSession
+    out = spark.createDataFrame(
+        selected, schema="rank int, vec_id long, score long"
+    )
+    cand.unpersist()
+    sims.unpersist()
+    return out

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from transfer_spark.session import read_table
@@ -539,9 +539,142 @@ QUALIFY rank <= {k}
 """
 
 
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-4 for query vector 0 over a 12-candidate
+    shortlist (lambda = 0.7) — greedy relevance-vs-redundancy re-rank
+    (see similarity.mmr_diversify_topk); every greedy step is unrolled
+    and value-checked in the oracle."""
+    return S.mmr_diversify_topk(
+        _emb(spark, sf_dir), query_id=0, n_candidates=12, k=4, lam_tenths=7
+    )
+
+
+def _mmr_oracle(qid: int = 0, n_cand: int = 12, k: int = 4,
+                lam: int = 7, dim: int = 64) -> str:
+    inv = 10 - lam
+
+    def cosm(a: str, b: str) -> str:
+        fold = (
+            "list_reduce(list_prepend(0.0, list_transform(range(1, {n}), "
+            "i -> {x}[i] * {y}[i])), (acc, x) -> acc + x)"
+        )
+        dot = fold.format(n=dim + 1, x=a, y=b)
+        na = "sqrt(" + fold.format(n=dim + 1, x=a, y=a) + ")"
+        nb = "sqrt(" + fold.format(n=dim + 1, x=b, y=b) + ")"
+        return f"floor({dot} / ({na} * {nb}) * 1000000.0 + 0.5)::BIGINT"
+
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"q AS (SELECT v AS qv FROM e WHERE vec_id = {qid})",
+        f"""cand AS (
+  SELECT e.vec_id AS id, e.v, {cosm('e.v', 'qv')} AS relm
+  FROM e, q WHERE e.vec_id != {qid}
+  ORDER BY relm DESC, id LIMIT {n_cand}
+)""",
+        f"""sims AS (
+  SELECT a.id AS ia, b.id AS ib, {cosm('a.v', 'b.v')} AS simm
+  FROM cand a JOIN cand b ON a.id != b.id
+)""",
+        f"sel1 AS (SELECT 1 AS rank, id, {lam} * relm AS score "
+        f"FROM cand ORDER BY {lam} * relm DESC, id LIMIT 1)",
+    ]
+    for step in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT id FROM sel{j}" for j in range(1, step)
+        )
+        parts.append(f"""sel{step} AS (
+  SELECT {step} AS rank, c.id,
+         {lam} * c.relm - {inv} * coalesce(m.maxsim, 0) AS score
+  FROM cand c LEFT JOIN (
+    SELECT ia, max(simm) AS maxsim FROM sims
+    WHERE ib IN ({prev}) GROUP BY ia
+  ) m ON c.id = m.ia
+  WHERE c.id NOT IN ({prev})
+  ORDER BY score DESC, c.id LIMIT 1
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT rank, id AS vec_id, score FROM sel{j}" for j in range(1, k + 1)
+    )
+    return ",\n".join(parts) + "\n" + union
+
+
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: BM25 lexical top-20
+    (terms "spark merge vector" over documents) fused with dense cosine
+    top-20 (query = vector 0; doc_id ≡ vec_id) —
+    RRF(d) = Σ_lists 1/(60 + rank_d), the standard zero-tuning way to
+    combine rankers. Integer form: floor(1e6/(60+rank)) per list,
+    summed — order-insensitive, engine-exact. Each ranker keeps its own
+    optimal plan (BM25: filtered explode + broadcast stats; dense:
+    broadcast query scan); fusion itself touches only 40 rank rows."""
+    from transfer_spark.operators import text as T
+    from transfer_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = _emb(spark, sf_dir)
+    lex = T.bm25_topk(
+        docs, "doc_id", "text", ["spark", "merge", "vector"], k=20
+    ).select(F.col("doc_id").alias("id"), F.col("rank").alias("r"))
+    q = emb.filter(F.col("vec_id") == 0)
+    dense = S.ann_bruteforce_topk(emb, q, k=20).select(
+        F.col("neighbor_id").alias("id"), F.col("rank").alias("r")
+    )
+    both = lex.unionByName(dense)
+    fused = (
+        both.select(
+            "id",
+            F.expr("CAST(1000000 DIV (60 + r) AS BIGINT)").alias("c"),
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("rrf_micro"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_micro"), F.asc("id"))
+    return (
+        fused.orderBy(F.desc("rrf_micro"), F.asc("id")).limit(10)
+        .withColumn("rank", F.row_number().over(w))
+        .select(F.col("id").alias("doc_id"), "rrf_micro", "n_lists", "rank")
+    )
+
+
+def _rrf_oracle() -> str:
+    from transfer_spark.workloads.text import _bm25_sql
+
+    bm25 = _bm25_sql(k=20)
+    dense = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id = 0),
+scored AS (
+  SELECT b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.v, b.v) AS cos
+  FROM q a JOIN e b ON a.vec_id != b.vec_id
+)
+SELECT neighbor_id, row_number() OVER (ORDER BY cos DESC, neighbor_id) AS rank
+FROM scored QUALIFY rank <= 20
+"""
+    return f"""
+WITH lex AS (SELECT doc_id AS id, rank AS r FROM ({bm25})),
+dense AS (SELECT neighbor_id AS id, rank AS r FROM ({dense})),
+both_l AS (SELECT * FROM lex UNION ALL SELECT * FROM dense),
+fused AS (
+  SELECT id, sum(1000000 // (60 + r)) AS rrf_micro,
+         count(*) AS n_lists
+  FROM both_l GROUP BY id
+)
+SELECT id AS doc_id, rrf_micro, n_lists,
+       row_number() OVER (ORDER BY rrf_micro DESC, id) AS rank
+FROM fused
+QUALIFY rank <= 10
+"""
+
+
 QUERIES = {
     "embedding_quantize_int8": (q_quantize_int8, ORACLE_QUANTIZE),
     "ann_pq_adc_topk": (q_ann_pq_adc, _pq_adc_oracle()),
+    "search_mmr_diversify": (q_mmr_diversify, _mmr_oracle()),
+    "search_rrf_hybrid": (q_rrf_hybrid, _rrf_oracle()),
     "knn_label_vote": (q_knn_classify, ORACLE_KNN_CLASSIFY),
     "hard_negative_mining": (q_hard_negatives, ORACLE_HARD_NEGATIVES),
     "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
