@@ -1,0 +1,94 @@
+"""Streaming incremental aggregate MV: multi-batch equality with the
+one-shot batch operator, zero-group persistence, version vacuum."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from transfer_spark.operators.cdc_fold import aggregate_maintenance
+from transfer_spark.session import read_table
+from transfer_spark.streaming.agg_mv import IncrementalAggMV
+
+
+def _stream(spark, sf_dir):
+    return read_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("id"),
+        F.col("event_id").alias("off"),
+        (F.col("event_type") == "error").alias("is_del"),
+        F.col("event_type").alias("etype"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+
+
+def _as_dict(df):
+    return {r.etype: (r.n_live, r.value_live) for r in df.collect()}
+
+
+def test_three_batches_equal_one_shot(spark, sf_dir):
+    s = _stream(spark, sf_dir)
+    hi = s.agg(F.max("off")).first()[0]
+    cuts = [hi // 3, 2 * hi // 3]
+    mv = IncrementalAggMV(
+        spark, tempfile.mkdtemp(prefix="agg_mv_t_"),
+        ["id"], "off", "is_del", "etype", "cents",
+    )
+    mv.apply_batch(s.filter(F.col("off") <= cuts[0]))
+    mv.apply_batch(
+        s.filter((F.col("off") > cuts[0]) & (F.col("off") <= cuts[1]))
+    )
+    mv.apply_batch(s.filter(F.col("off") > cuts[1]))
+    one_shot = aggregate_maintenance(
+        s, ["id"], "off", "is_del", "etype", "cents"
+    )
+    assert _as_dict(mv.mv()) == _as_dict(one_shot)
+
+
+def test_delete_only_batch_retracts_and_zero_groups_persist(spark):
+    rows = [
+        (1, 1, False, "a", 100),
+        (2, 2, False, "a", 50),
+        (1, 3, False, "b", 70),   # user 1 moves a → b
+    ]
+    s = spark.createDataFrame(
+        rows, "id long, off long, is_del boolean, etype string, cents long"
+    )
+    mv = IncrementalAggMV(
+        spark, tempfile.mkdtemp(prefix="agg_mv_t_"),
+        ["id"], "off", "is_del", "etype", "cents",
+    )
+    mv.apply_batch(s)
+    assert _as_dict(mv.mv()) == {"a": (1, 50), "b": (1, 70)}
+    # batch 2: delete user 2 (group a empties) and update user 1 in place
+    s2 = spark.createDataFrame(
+        [(2, 4, True, "a", 0), (1, 5, False, "b", 90)],
+        "id long, off long, is_del boolean, etype string, cents long",
+    )
+    delta = mv.apply_batch(s2)
+    assert {r.etype: (r.d_n, r.d_value) for r in delta.collect()} == {
+        "a": (-1, -50), "b": (0, 20),
+    }
+    # the emptied group stays as an explicit zero row
+    assert _as_dict(mv.mv()) == {"a": (0, 0), "b": (1, 90)}
+
+
+def test_replay_is_noop_and_vacuum_keeps_latest(spark):
+    path = tempfile.mkdtemp(prefix="agg_mv_t_")
+    mv = IncrementalAggMV(
+        spark, path, ["id"], "off", "is_del", "etype", "cents"
+    )
+    schema = "id long, off long, is_del boolean, etype string, cents long"
+    b1 = spark.createDataFrame([(1, 2, False, "a", 20)], schema)
+    mv.apply_batch(b1)
+    mv.apply_batch(spark.createDataFrame([(1, 4, False, "a", 40)], schema))
+    assert _as_dict(mv.mv()) == {"a": (1, 40)}
+    # re-delivered batch 1 (and any straggler at/behind the carried
+    # offset) must be a no-op, not a double count
+    delta = mv.apply_batch(b1)
+    assert delta.count() == 0
+    assert _as_dict(mv.mv()) == {"a": (1, 40)}
+    assert len(mv._versions("mv")) == 3
+    mv.vacuum(keep=1)
+    assert len(mv._versions("mv")) == 1
+    assert _as_dict(mv.mv()) == {"a": (1, 40)}

@@ -279,6 +279,7 @@ def aggregate_maintenance(
     delete_col: str,
     group_col: str,
     value_col: str,
+    seed_col: str | None = None,
 ) -> DataFrame:
     """Incrementally-maintained aggregate (count + sum per group) over a
     CDC change stream, with RETRACTIONS: an update first retracts the
@@ -299,12 +300,22 @@ def aggregate_maintenance(
     carries it per micro-batch, the same state the stateful fold
     already keeps); groups whose live count reaches zero remain as
     explicit zero rows rather than disappearing, which is what lets a
-    downstream merge UPDATE them instead of missing them."""
+    downstream merge UPDATE them instead of missing them.
+
+    ``seed_col``: optional boolean column marking rows that are PRIOR
+    state (the per-PK last version carried from earlier batches): seed
+    rows feed the lag window — so the first real event of a PK in this
+    batch retracts against its carried version — but emit no deltas of
+    their own (they are already reflected in the maintained aggregate).
+    This is what turns the batch operator into the per-micro-batch step
+    of streaming/agg_mv.py."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(*pk_cols).orderBy(order_col)
+    seed = F.col(seed_col) if seed_col else F.lit(False)
     s = stream.select(
         *pk_cols, order_col,
+        seed.alias("__seed"),
         F.col(delete_col).alias("__del"),
         F.col(group_col).alias("__g"),
         F.col(value_col).alias("__v"),
@@ -330,7 +341,7 @@ def aggregate_maintenance(
             F.col("__v").alias("dv"),
         ),
     )
-    deltas = s.select(
+    deltas = s.filter(~F.col("__seed")).select(
         F.explode(
             F.filter(F.array(retract, insert), lambda x: x.isNotNull())
         ).alias("d")

@@ -1,0 +1,159 @@
+"""Streaming incremental aggregate materialized view.
+
+The micro-batch form of ``operators/cdc_fold.aggregate_maintenance``:
+a per-group (count, sum) aggregate kept exactly current across
+micro-batches of a CDC stream, with retractions, without ever
+re-reading earlier batches. Per batch the pipeline:
+
+1. seeds the batch with the carried last-version-per-PK state so the
+   batch's first event per PK retracts against the version a PREVIOUS
+   batch inserted (seed rows emit no deltas of their own),
+2. sums the batch's retract/insert deltas per group,
+3. merges those deltas into the persisted MV (full-outer coalesce —
+   the UPDATE-else-INSERT a warehouse MERGE would run), and
+4. rolls the last-version state forward (LWW over seed ∪ batch).
+
+Persistence is an internal version chain (``v000001/…``) so a batch
+reads version N while writing N+1 — no read-overwrite hazard and a
+free audit trail; ``vacuum`` drops old versions. Per-batch cost is
+O(batch + |groups| + |PKs touched state|): the state table is
+PK-cardinality-sized (the same asymptotic state the stateful fold
+keeps), the MV is group-cardinality-sized, and no step touches prior
+raw batches — the property that makes the MV viable on an unbounded
+stream.
+
+Equality with the batch form over the concatenated stream is pinned by
+the ``cdc_aggregate_maintenance_stream`` oracle entry (same DuckDB SQL
+as the batch entry) and test_streaming_agg_mv.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transfer_spark.operators.cdc_fold import aggregate_maintenance, lww_dedup
+
+
+class IncrementalAggMV:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        pk_cols: list[str],
+        order_col: str,
+        delete_col: str,
+        group_col: str,
+        value_col: str,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.pk_cols = pk_cols
+        self.order_col = order_col
+        self.delete_col = delete_col
+        self.group_col = group_col
+        self.value_col = value_col
+        os.makedirs(os.path.join(path, "state"), exist_ok=True)
+        os.makedirs(os.path.join(path, "mv"), exist_ok=True)
+
+    # ------------------------------------------------------------- versions
+
+    def _versions(self, what: str) -> list[str]:
+        d = os.path.join(self.path, what)
+        return sorted(v for v in os.listdir(d) if v.startswith("v"))
+
+    def _latest(self, what: str) -> DataFrame | None:
+        vs = self._versions(what)
+        if not vs:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, what, vs[-1]))
+
+    def _write_next(self, what: str, df: DataFrame) -> None:
+        vs = self._versions(what)
+        nxt = f"v{(int(vs[-1][1:]) + 1) if vs else 1:06d}"
+        df.write.mode("overwrite").parquet(os.path.join(self.path, what, nxt))
+
+    def vacuum(self, keep: int = 2) -> None:
+        """Drop all but the newest ``keep`` versions of state and mv."""
+        import shutil
+
+        for what in ("state", "mv"):
+            for v in self._versions(what)[:-keep]:
+                shutil.rmtree(os.path.join(self.path, what, v))
+
+    # ----------------------------------------------------------------- api
+
+    def apply_batch(self, batch: DataFrame) -> DataFrame:
+        """Fold one micro-batch into the MV; returns this batch's per-
+        group deltas (the rows a downstream MERGE would apply)."""
+        cols = [
+            *self.pk_cols, self.order_col,
+            self.delete_col, self.group_col, self.value_col,
+        ]
+        b = batch.select(*cols).withColumn("__seed", F.lit(False))
+        state = self._latest("state")
+        if state is not None:
+            # replay protection: a row at or below the PK's carried offset
+            # was already folded in — drop it so re-delivered batches (and
+            # out-of-order stragglers behind the checkpoint) are no-ops
+            # rather than double-counted. Mirrors the dedup index's
+            # replay-idempotence contract.
+            watermark = state.select(
+                *self.pk_cols, F.col(self.order_col).alias("__state_off")
+            )
+            b = (
+                b.join(watermark, self.pk_cols, "left")
+                .filter(
+                    F.col("__state_off").isNull()
+                    | (F.col(self.order_col) > F.col("__state_off"))
+                )
+                .drop("__state_off")
+            )
+        seeded = (
+            state.withColumn("__seed", F.lit(True)).unionByName(b)
+            if state is not None
+            else b
+        )
+        delta = aggregate_maintenance(
+            seeded, self.pk_cols, self.order_col,
+            self.delete_col, self.group_col, self.value_col,
+            seed_col="__seed",
+        ).withColumnRenamed("n_live", "d_n").withColumnRenamed(
+            "value_live", "d_value"
+        )
+        mv_old = self._latest("mv")
+        if mv_old is None:
+            mv_new = delta.select(
+                self.group_col,
+                F.col("d_n").alias("n_live"),
+                F.col("d_value").alias("value_live"),
+            )
+        else:
+            mv_new = (
+                mv_old.join(delta, self.group_col, "full_outer")
+                .select(
+                    self.group_col,
+                    (
+                        F.coalesce(F.col("n_live"), F.lit(0))
+                        + F.coalesce(F.col("d_n"), F.lit(0))
+                    ).alias("n_live"),
+                    (
+                        F.coalesce(F.col("value_live"), F.lit(0))
+                        + F.coalesce(F.col("d_value"), F.lit(0))
+                    ).alias("value_live"),
+                )
+            )
+        new_state = lww_dedup(
+            seeded.drop("__seed"), self.pk_cols, self.order_col
+        ).select(*cols)
+        self._write_next("mv", mv_new)
+        self._write_next("state", new_state)
+        return delta
+
+    def mv(self) -> DataFrame:
+        out = self._latest("mv")
+        if out is None:
+            raise ValueError("no batch applied yet")
+        return out

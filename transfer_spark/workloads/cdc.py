@@ -452,10 +452,41 @@ FROM d GROUP BY g
 """
 
 
+def q_aggregate_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same maintained aggregate built INCREMENTALLY: the change
+    stream split into two offset-ordered micro-batches through
+    streaming/agg_mv.py (carried last-version state, per-batch deltas,
+    MERGE-style MV update) — the final MV must equal the one-shot batch
+    computation, so this entry shares the batch oracle."""
+    import tempfile
+
+    from transfer_spark.streaming.agg_mv import IncrementalAggMV
+
+    s = _events(spark, sf_dir).select(
+        F.col("user_id").alias("id"),
+        F.col("event_id").alias(OFF),
+        (F.col("event_type") == "error").alias(DEL),
+        F.col("event_type").alias("etype"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("cents"),
+    )
+    bounds = s.agg(F.min(OFF).alias("lo"), F.max(OFF).alias("hi")).first()
+    mid = (bounds["lo"] + bounds["hi"]) // 2
+    mv = IncrementalAggMV(
+        spark, tempfile.mkdtemp(prefix="artie_agg_mv_"),
+        ["id"], OFF, DEL, "etype", "cents",
+    )
+    mv.apply_batch(s.filter(F.col(OFF) <= mid))
+    mv.apply_batch(s.filter(F.col(OFF) > mid))
+    return mv.mv()
+
+
 QUERIES = {
     "cdc_lww_dedup": (q_lww_dedup, ORACLE_LWW),
     "cdc_aggregate_maintenance": (q_aggregate_maintenance,
                                   ORACLE_AGG_MAINTENANCE),
+    "cdc_aggregate_maintenance_stream": (q_aggregate_maintenance_stream,
+                                         ORACLE_AGG_MAINTENANCE),
     "cdc_scd2_versions": (q_scd2_versions, ORACLE_SCD2),
     "cdc_fold": (q_cdc_fold, ORACLE_CDC_FOLD),
     "cdc_fold_salted": (q_cdc_fold_salted, ORACLE_CDC_FOLD),
