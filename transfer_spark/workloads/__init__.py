@@ -60,7 +60,9 @@ _CORE = [
     "encode_values", "pk_string_key", "soft_partition_routing",
     # text / dedupe
     "doc_char_entropy", "dedupe_dup_spans",  # historical hash-mismatch pair
-    "dedupe_minhash_lsh", "dedupe_exact", "text_stats", "lang_id",
+    "dedupe_minhash_lsh", "dsir_importance",  # dsir new in r5
+    "cdc_aggregate_maintenance_stream",  # streaming MV, new in r5
+    "ann_pq_adc_topk", "bloom_semi_reduction",  # new in r5
     "split_decontamination_exact", "corpus_sequence_pack",  # new in r5
     "pretraining_corpus_pipeline",  # end-to-end composition (r5)
     "neardup_clusters_star", "knn_label_vote",  # new in r5

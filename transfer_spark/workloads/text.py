@@ -636,6 +636,123 @@ SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def q_neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: distribution of near-dup cluster sizes
+    (how much of the corpus collapses, and into how large groups) —
+    the number a dedup run is judged by. Two tiny aggregates on top of
+    the connected-components output."""
+    pairs = D.minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text")
+    clusters = D.neardup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_docs"),
+    )
+
+
+ORACLE_NEARDUP_SIZES = f"""
+WITH comp AS ({ORACLE_NEARDUP_CLUSTERS}),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT cluster_size, count(*) AS n_clusters,
+       count(*) * cluster_size AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
+def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning curve: docs and tokens per 0.1-wide quality bin
+    plus cumulative mass from the top — the table you read to pick the
+    quality cutoff that yields a target token count. One scan, one
+    13-bin aggregate, one window over the bins."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    qm = F.floor(
+        T.quality_score(F.col("text")) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    binned = d.select(
+        F.floor(qm / F.lit(100_000)).cast("long").alias("q_bin"),
+        T.token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    per_bin = binned.groupBy("q_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    w = Window.orderBy(F.desc("q_bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bin.select(
+        "q_bin", "n_docs", "n_tokens",
+        F.sum("n_docs").over(w).alias("cum_docs"),
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    )
+
+
+def _quality_sweep_sql() -> str:
+    q = """round(0.5 * least(len(toks) / 100.0, 1.0)
+      + 0.5 * least(({hits} / CAST(len(toks) AS DOUBLE)) * 4.0, 1.0)
+      - 0.25 * least((length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                      / CAST(length(text) AS DOUBLE)) * 10.0, 1.0), 6)""".format(
+        hits=_hits_sql("toks", "en")
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), s AS (
+  SELECT floor(floor({q} * 1000000.0 + 0.5) / 100000)::BIGINT AS q_bin,
+         len(toks)::BIGINT AS n_tok
+  FROM d
+), per_bin AS (
+  SELECT q_bin, count(*) AS n_docs, sum(n_tok) AS n_tokens
+  FROM s GROUP BY q_bin
+)
+SELECT q_bin, n_docs, n_tokens,
+  sum(n_docs) OVER (ORDER BY q_bin DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_docs,
+  sum(n_tokens) OVER (ORDER BY q_bin DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+FROM per_bin
+"""
+
+
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword-ish pieces per
+    whitespace word (ppm) — the metric that tells you which languages
+    your tokenizer fragments. Two integer sums per language."""
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("lang").agg(
+        F.sum(T.token_count(F.col("text")).cast("long")).alias("words"),
+        F.sum(T.bpe_ish_token_count(F.col("text"))).alias("pieces"),
+    )
+    return per.select(
+        "lang", "words", "pieces",
+        F.expr("CAST((1000000 * pieces) DIV words AS BIGINT)")
+        .alias("fertility_ppm"),
+    )
+
+
+ORACLE_FERTILITY = f"""
+WITH d AS (
+  SELECT lang, {_TOKS} AS toks FROM documents
+), s AS (
+  SELECT lang, len(toks)::BIGINT AS words,
+    list_reduce(list_prepend(0::BIGINT,
+      list_transform(toks, w -> ceil(length(w) / 6.0)::BIGINT)),
+      (acc, x) -> acc + x) AS pieces
+  FROM d
+), per AS (
+  SELECT lang, sum(words) AS words, sum(pieces) AS pieces
+  FROM s GROUP BY lang
+)
+SELECT lang, words, pieces,
+       (1000000 * pieces) // words AS fertility_ppm
+FROM per
+"""
+
+
 def _cleaned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed cleaning pipeline in ONE lazy plan — language filter →
     quality gate → exact-dedup survivor → near-dup cluster canonical
@@ -1796,6 +1913,10 @@ QUERIES = {
     "pmi_collocations": (q_pmi_collocations, ORACLE_PMI),
     "dsir_importance": (q_dsir_importance, ORACLE_DSIR),
     "corpus_token_budget_select": (q_token_budget_select, _token_budget_sql()),
+    "neardup_cluster_sizes": (q_neardup_cluster_sizes, ORACLE_NEARDUP_SIZES),
+    "quality_threshold_sweep": (q_quality_threshold_sweep,
+                                _quality_sweep_sql()),
+    "token_fertility_by_lang": (q_token_fertility, ORACLE_FERTILITY),
     "corpus_datasheet": (q_corpus_datasheet, _datasheet_sql()),
     "doc_bigram_logprob": (q_bigram_logprob, ORACLE_BIGRAM_LOGPROB),
     "bpe_top_merges": (q_bpe_top_merges, ORACLE_BPE_MERGES),
