@@ -1094,9 +1094,115 @@ FROM est JOIN (SELECT DISTINCT day FROM p) o ON est.day = o.day
 """
 
 
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection per event type: the day where the CUSUM
+    of daily-count deviations from the mean peaks — where the arrival
+    rate shifted. All integer arithmetic: S_t = Σ(n·x_i − total) over
+    days (deviations scaled by n_days so no division happens before
+    the argmax), |S| compared exactly, ties to the earlier day. Shape:
+    daily agg → tiny per-type frame → one window cumsum + one max_by."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    per_type = daily.groupBy("event_type").agg(
+        F.sum("x").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = (
+        daily.join(per_type, "event_type")
+        .withColumn(
+            "dev", F.col("n_days") * F.col("x") - F.col("total")
+        )
+        .withColumn("cusum", F.sum("dev").over(w))
+    )
+    return s.groupBy("event_type").agg(
+        F.max_by(
+            F.col("d"), F.struct(F.abs("cusum"), (-F.unix_date("d")))
+        ).alias("change_day"),
+        F.max(F.abs("cusum")).alias("peak_dev_scaled"),
+        F.first("n_days").alias("n_days"),
+    )
+
+
+ORACLE_CUSUM = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS d, count(*) AS x
+  FROM events GROUP BY 1, 2
+), per_type AS (
+  SELECT event_type, sum(x) AS total, count(*) AS n_days
+  FROM daily GROUP BY 1
+), s AS (
+  SELECT daily.event_type, d,
+    sum(n_days * x - total) OVER (
+      PARTITION BY daily.event_type ORDER BY d
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum,
+    n_days
+  FROM daily JOIN per_type ON daily.event_type = per_type.event_type
+), ranked AS (
+  SELECT event_type, d AS change_day, abs(cusum) AS a, n_days,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY abs(cusum) DESC, d) AS rn
+  FROM s
+)
+SELECT event_type, change_day,
+       (SELECT max(abs(cusum)) FROM s s2
+        WHERE s2.event_type = ranked.event_type) AS peak_dev_scaled,
+       n_days
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions between event types per user
+    stream — the path-analysis matrix (what follows a click?).
+    Transition probability in ppm from integer counts; one lag window
+    per user, two hash aggregates."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outdeg = pairs.groupBy("from_type").agg(F.sum("n").alias("out_n"))
+    return pairs.join(outdeg, "from_type").select(
+        "from_type", "to_type", "n",
+        F.expr("CAST((1000000 * n) DIV out_n AS BIGINT)").alias("p_ppm"),
+    )
+
+
+ORACLE_TRANSITIONS = """
+WITH l AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), pairs AS (
+  SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+  FROM l WHERE prev IS NOT NULL GROUP BY 1, 2
+), outdeg AS (
+  SELECT from_type, sum(n) AS out_n FROM pairs GROUP BY 1
+)
+SELECT pairs.from_type, to_type, n,
+       (1000000 * n) // out_n AS p_ppm
+FROM pairs JOIN outdeg ON pairs.from_type = outdeg.from_type
+"""
+
+
 QUERIES = {
     "events_sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "kmv_sliding_wau": (q_kmv_sliding, ORACLE_KMV_SLIDING),
+    "events_cusum_changepoint": (q_cusum_changepoint, ORACLE_CUSUM),
+    "events_transition_matrix": (q_transition_matrix, ORACLE_TRANSITIONS),
     "events_ewma_decay": (q_ewma_decay, ORACLE_EWMA),
     "events_attribution_last_touch": (q_attribution, ORACLE_ATTRIBUTION),
     "events_gap_fill_locf": (q_gap_fill, ORACLE_GAP_FILL),
