@@ -826,6 +826,80 @@ GROUP BY 1
 """
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle join cardinality estimation from Count-Min sketches:
+    |orders ⋈ lineitem| ≈ min over lanes of the sketch inner product
+    Σ_bucket cntA·cntB — the planner-style estimate you compute from
+    two fixed-size sketches (4 × 256 cells each) WITHOUT shuffling
+    either table, e.g. to pick broadcast vs sort-merge or pre-size
+    shuffle partitions. The inner product only ever overestimates
+    (collisions add mass), so err_ppm ≥ 0 by construction; the exact
+    count rides along for calibration."""
+    from transfer_spark.operators.temporal import count_min_sketch
+
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    sa = count_min_sketch(o, "k")
+    sb = count_min_sketch(li, "k")
+    lane_ip = (
+        sa.select("lane", "bucket", F.col("cnt").alias("ca"))
+        .join(
+            sb.select("lane", "bucket", F.col("cnt").alias("cb")),
+            ["lane", "bucket"],
+        )
+        .groupBy("lane")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+    )
+    est = lane_ip.agg(F.min("ip").alias("cms_estimate"))
+    exact = (
+        o.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
+        .join(li.groupBy("k").agg(F.count(F.lit(1)).alias("cb")), "k")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("exact_rows"))
+    )
+    return exact.crossJoin(est).select(
+        "exact_rows", "cms_estimate",
+        F.expr(
+            "CAST((1000000 * (cms_estimate - exact_rows)) DIV exact_rows"
+            " AS BIGINT)"
+        ).alias("err_ppm"),
+    )
+
+
+def _cms_cells_sql(src: str, depth: int = 4, width: int = 256) -> str:
+    lanes = " UNION ALL ".join(
+        f"SELECT {i} AS lane, ('0x' || substr(md5('cms{i}:' || "
+        f"CAST(k AS VARCHAR)), 1, 15))::BIGINT % {width} AS bucket, c "
+        f"FROM pv_{src}"
+        for i in range(depth)
+    )
+    return lanes
+
+
+ORACLE_JOIN_SIZE = f"""
+WITH pv_o AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+pv_l AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+sa AS (
+  SELECT lane, bucket, sum(c) AS ca FROM ({_cms_cells_sql('o')}) GROUP BY 1, 2
+),
+sb AS (
+  SELECT lane, bucket, sum(c) AS cb FROM ({_cms_cells_sql('l')}) GROUP BY 1, 2
+),
+ip AS (
+  SELECT sa.lane, sum(ca * cb) AS ip
+  FROM sa JOIN sb ON sa.lane = sb.lane AND sa.bucket = sb.bucket
+  GROUP BY sa.lane
+),
+est AS (SELECT min(ip) AS cms_estimate FROM ip),
+exact AS (
+  SELECT sum(pv_o.c * pv_l.c) AS exact_rows
+  FROM pv_o JOIN pv_l ON pv_o.k = pv_l.k
+)
+SELECT exact_rows, cms_estimate,
+       (1000000 * (cms_estimate - exact_rows)) // exact_rows AS err_ppm
+FROM exact, est
+"""
+
+
 def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate: not-null, positive-amount, PK
     uniqueness, and date-range rules over orders, all evaluated in ONE
@@ -1574,6 +1648,7 @@ FROM per_cust
     "table_diff_classes": (q_table_diff, ORACLE_TABLE_DIFF),
     "replication_content_digest": (q_content_digest, ORACLE_CONTENT_DIGEST),
     "bloom_semi_reduction": (q_bloom_semi, ORACLE_BLOOM_SEMI),
+    "cms_join_size_estimate": (q_join_size_estimate, ORACLE_JOIN_SIZE),
     "dq_violations": (q_dq_violations, ORACLE_DQ),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),

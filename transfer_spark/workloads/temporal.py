@@ -1198,11 +1198,52 @@ FROM pairs JOIN outdeg ON pairs.from_type = outdeg.from_type
 """
 
 
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining, order-3: the most common 3-step
+    event-type paths across user streams (the "what journey leads to a
+    purchase" query). Two lags in ONE window pass per user, one hash
+    aggregate, TakeOrdered top-10."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            F.lag("event_type", 2).over(w).alias("s1"),
+            F.lag("event_type", 1).over(w).alias("s2"),
+            F.col("event_type").alias("s3"),
+        )
+        .filter(F.col("s1").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = t.orderBy(F.desc("n"), "s1", "s2", "s3").limit(10)
+    w2 = Window.orderBy(F.desc("n"), "s1", "s2", "s3")
+    return top.withColumn("rank", F.row_number().over(w2))
+
+
+ORACLE_TOP_PATHS = """
+WITH l AS (
+  SELECT lag(event_type, 2) OVER w AS s1,
+         lag(event_type, 1) OVER w AS s2,
+         event_type AS s3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), t AS (
+  SELECT s1, s2, s3, count(*) AS n
+  FROM l WHERE s1 IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT s1, s2, s3, n,
+       row_number() OVER (ORDER BY n DESC, s1, s2, s3) AS rank
+FROM t
+QUALIFY rank <= 10
+"""
+
+
 QUERIES = {
     "events_sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "kmv_sliding_wau": (q_kmv_sliding, ORACLE_KMV_SLIDING),
     "events_cusum_changepoint": (q_cusum_changepoint, ORACLE_CUSUM),
     "events_transition_matrix": (q_transition_matrix, ORACLE_TRANSITIONS),
+    "events_top_paths": (q_top_paths, ORACLE_TOP_PATHS),
     "events_ewma_decay": (q_ewma_decay, ORACLE_EWMA),
     "events_attribution_last_touch": (q_attribution, ORACLE_ATTRIBUTION),
     "events_gap_fill_locf": (q_gap_fill, ORACLE_GAP_FILL),
