@@ -718,6 +718,54 @@ FROM per_bin
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement, 5 docs per
+    source, weight = token count (Efraimidis–Vassilvitskii A-ES scheme:
+    rank by ln(u)/w with u a uniform hash — inclusion probability
+    proportional to weight, but fully reproducible: the "random" u is
+    the doc's salted md5, so every run, partitioning, and engine draws
+    the same sample). One codegen score + one per-stratum top-k window;
+    scores quantize to micro-units before ranking, ties on doc_id."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 15),
+        16, 10,
+    ).cast("double") / F.lit(1152921504606846976.0)
+    wgt = T.token_count(F.col("text")).cast("double")
+    score = F.floor(
+        F.log(u) / wgt * F.lit(1_000_000.0)
+    ).cast("long")
+    scored = d.select("doc_id", "source", score.alias("score_micro"))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH d AS (
+  SELECT doc_id, source, len({_TOKS}) AS w,
+    ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      / 1152921504606846976.0 AS u
+  FROM documents
+), s AS (
+  SELECT doc_id, source,
+         floor(ln(u) / w * 1000000.0)::BIGINT AS score_micro
+  FROM d
+)
+SELECT doc_id, source, score_micro,
+       row_number() OVER (PARTITION BY source
+                          ORDER BY score_micro DESC, doc_id) AS rank
+FROM s
+QUALIFY rank <= 5
+"""
+
+
 def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per language: subword-ish pieces per
     whitespace word (ppm) — the metric that tells you which languages
@@ -1914,6 +1962,7 @@ QUERIES = {
     "dsir_importance": (q_dsir_importance, ORACLE_DSIR),
     "corpus_token_budget_select": (q_token_budget_select, _token_budget_sql()),
     "neardup_cluster_sizes": (q_neardup_cluster_sizes, ORACLE_NEARDUP_SIZES),
+    "corpus_weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     "quality_threshold_sweep": (q_quality_threshold_sweep,
                                 _quality_sweep_sql()),
     "token_fertility_by_lang": (q_token_fertility, ORACLE_FERTILITY),
