@@ -176,3 +176,34 @@ def test_semantic_dedupe_single_cid_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the pairwise stage shuffles ONCE on cid into the pandas verify
     assert "FlatMapGroupsInPandas" in plan or "ApplyInPandas" in plan
+
+
+def test_bloom_prefilter_runs_before_semi_join(spark):
+    plan = _plan(spark, "bloom_semi_reduction")
+    # the bitmap membership test must be a scan-side Filter (shiftright
+    # against the embedded bitmap array), not a post-join predicate
+    assert "shiftright" in plan
+    semi_pos = plan.find("LeftSemi")
+    filt_pos = plan.find("shiftright")
+    assert semi_pos != -1 and filt_pos != -1
+    # physical plans print top-down: the semi join sits ABOVE (before,
+    # textually) the scan-side filter feeding it
+    assert semi_pos < filt_pos, "bloom filter not below the semi join"
+
+
+def test_dsir_broadcasts_weight_table(spark):
+    import re
+
+    plan = _plan(spark, "dsir_importance")
+    # the per-feature weight table must broadcast into the exploded
+    # corpus scan: the join keyed on the feature bucket `f` is a
+    # BroadcastHashJoin (the doc_id-keyed final left join may legally
+    # sort-merge — both sides are corpus-sized)
+    assert re.search(r"BroadcastHashJoin \[f#\d+", plan), plan[:400]
+    assert not re.search(r"SortMergeJoin \[f#\d+", plan)
+
+
+def test_pq_adc_broadcasts_distance_table(spark):
+    plan = _plan(spark, "ann_pq_adc_topk")
+    assert plan.count("BroadcastHashJoin") >= 2  # codebook + dist table
+    assert "CartesianProduct" not in plan
