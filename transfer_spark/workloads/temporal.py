@@ -1238,12 +1238,63 @@ QUALIFY rank <= 10
 """
 
 
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    (type, 6-hour pixel bucket) keep exactly the min, max, first, and
+    last values — the four points that make a line chart render
+    pixel-identically to the raw series at any zoom that maps a bucket
+    to a pixel column. One hash aggregate (min/max/min_by/max_by), all
+    map-side combinable; integer cents; first/last ties break on
+    event_id."""
+    ev = _events(spark, sf_dir)
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    b = ev.select(
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts")) / F.lit(21_600_000_000))
+         .cast("long")).alias("bucket"),
+        cents.alias("cents"),
+        key.alias("k"),
+    )
+    return b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.min_by("cents", F.col("k")).alias("first_cents"),
+        F.max_by("cents", F.col("k")).alias("last_cents"),
+    )
+
+
+ORACLE_M4 = """
+WITH b AS (
+  SELECT event_type,
+         (epoch_us(ts) // 21600000000)::BIGINT AS bucket,
+         floor(value * 100.0 + 0.5)::BIGINT AS cents,
+         ts, event_id
+  FROM events
+), r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts, event_id) AS rf,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts DESC, event_id DESC) AS rl
+  FROM b
+)
+SELECT event_type, bucket, count(*) AS n,
+       min(cents) AS min_cents, max(cents) AS max_cents,
+       max(CASE WHEN rf = 1 THEN cents END) AS first_cents,
+       max(CASE WHEN rl = 1 THEN cents END) AS last_cents
+FROM r GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "kmv_sliding_wau": (q_kmv_sliding, ORACLE_KMV_SLIDING),
     "events_cusum_changepoint": (q_cusum_changepoint, ORACLE_CUSUM),
     "events_transition_matrix": (q_transition_matrix, ORACLE_TRANSITIONS),
     "events_top_paths": (q_top_paths, ORACLE_TOP_PATHS),
+    "events_m4_downsample": (q_m4_downsample, ORACLE_M4),
     "events_ewma_decay": (q_ewma_decay, ORACLE_EWMA),
     "events_attribution_last_touch": (q_attribution, ORACLE_ATTRIBUTION),
     "events_gap_fill_locf": (q_gap_fill, ORACLE_GAP_FILL),

@@ -766,6 +766,50 @@ QUALIFY rank <= 5
 """
 
 
+def q_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-proportion train/val/test split per language stratum:
+    80/10/10 hit EXACTLY (±1 doc) per stratum, unlike the
+    hash-bucket split (corpus_split) whose proportions are only
+    expected values. Docs rank by salted md5 within the stratum
+    (deterministic, reshuffle-stable) and integer rank-vs-count
+    comparisons draw the boundaries — rn*10 <= n*8 is train, etc.
+    One per-stratum window; use the hash-bucket form when a stratum is
+    too large for a per-stratum sort."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    h = F.md5(F.concat(F.lit("sx:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    n = Window.partitionBy("lang")
+    return d.select(
+        "doc_id", "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(n).alias("n"),
+    ).select(
+        "doc_id", "lang",
+        F.when(F.col("rn") * 10 <= F.col("n") * 8, F.lit("train"))
+        .when(F.col("rn") * 10 <= F.col("n") * 9, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+ORACLE_SPLIT_EXACT = """
+WITH r AS (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang
+      ORDER BY md5('sx:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN rn * 10 <= n * 8 THEN 'train'
+       WHEN rn * 10 <= n * 9 THEN 'val'
+       ELSE 'test' END AS split
+FROM r
+"""
+
+
 def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per language: subword-ish pieces per
     whitespace word (ppm) — the metric that tells you which languages
@@ -1963,6 +2007,7 @@ QUERIES = {
     "corpus_token_budget_select": (q_token_budget_select, _token_budget_sql()),
     "neardup_cluster_sizes": (q_neardup_cluster_sizes, ORACLE_NEARDUP_SIZES),
     "corpus_weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
+    "corpus_split_exact": (q_split_exact, ORACLE_SPLIT_EXACT),
     "quality_threshold_sweep": (q_quality_threshold_sweep,
                                 _quality_sweep_sql()),
     "token_fertility_by_lang": (q_token_fertility, ORACLE_FERTILITY),
