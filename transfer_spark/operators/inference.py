@@ -1,0 +1,64 @@
+"""Batched model-inference plumbing.
+
+The "run a classifier over the whole corpus" lane: model weights are
+broadcast once (closure capture — for real checkpoints, ship a path and
+lazy-load per executor), rows stream through the model in Arrow
+batches via ``mapInPandas`` (never per-row Python), and the output is
+one scored row per input. This is the execution shape for
+quality-classifier filtering (FineWeb-Edu-style), toxicity scoring,
+and any cheap learned gate over 100 TB; the linear model here is the
+honest stand-in for a real head (the plumbing — batching, schema,
+weight distribution, determinism — is what the engine provides; swap
+``_forward`` for an ONNX/torch call and nothing else changes).
+
+Determinism: the dot product accumulates dimension-by-dimension in
+index order (a Python loop over 64 columns, vectorized across the
+batch), NOT numpy's pairwise-reduced ``@`` — left-to-right float
+addition is exactly what a SQL list_reduce computes, so scores are
+bit-identical to the oracle's arithmetic before the final ppm
+quantization.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+
+def classifier_score(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    weights: list[float],
+    bias: float = 0.0,
+) -> DataFrame:
+    """Logistic head over a vector column: score = sigmoid(w·x + b),
+    published as BIGINT ppm. Arrow-batched; linear in rows; zero
+    shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    w = [float(x) for x in weights]
+    b = float(bias)
+
+    def _forward(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf[vec_col].values).astype(np.float64)
+            z = np.zeros(len(pdf), dtype=np.float64)
+            for j, wj in enumerate(w):  # left-to-right, fold-order exact
+                z = z + m[:, j] * wj
+            z = z + b
+            p = 1.0 / (1.0 + np.exp(-z))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "score_ppm": np.floor(p * 1e6 + 0.5).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _forward, schema=f"{id_col} long, score_ppm long"
+    )

@@ -549,6 +549,123 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet mining: for each anchor (first 10
+    vectors), the nearest SAME-label vector (positive) and the nearest
+    DIFFERENT-label vector (hard negative) — the (a, p, n) rows an
+    embedding-model fine-tune consumes. One broadcast anchor scan;
+    both argmaxes come out of the same scored frame via conditional
+    max_by, so the corpus is read once. Margin (pos − neg cosine, in
+    micro-units) rides along: negative-margin anchors are the hard
+    cases curricula start from."""
+    emb = _emb(spark, sf_dir)
+    a = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("av"),
+        F.col("label").alias("al"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("cl"),
+    )
+    cosm = F.floor(
+        S.cosine(F.col("av"), F.col("cv")) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        F.broadcast(a)
+        .join(c, F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id",
+            (F.col("al") == F.col("cl")).alias("same"),
+            "cand_id",
+            cosm.alias("cm"),
+        )
+    )
+    key = F.struct(F.col("cm"), (-F.col("cand_id")).alias("nc"))
+    pos = F.when(F.col("same"), F.struct(F.col("cand_id"), F.col("cm")))
+    neg = F.when(~F.col("same"), F.struct(F.col("cand_id"), F.col("cm")))
+    return (
+        scored.groupBy("anchor_id")
+        .agg(
+            F.max_by(pos, F.when(F.col("same"), key)).alias("p"),
+            F.max_by(neg, F.when(~F.col("same"), key)).alias("n"),
+        )
+        .select(
+            "anchor_id",
+            F.col("p.cand_id").alias("positive_id"),
+            F.col("n.cand_id").alias("negative_id"),
+            (F.col("p.cm") - F.col("n.cm")).alias("margin_micro"),
+        )
+    )
+
+
+def _classifier_weights(dim: int = 64, seed: int = 7) -> list[float]:
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return [float(x) for x in rs.randn(dim)]
+
+
+def q_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide classifier scoring: a logistic head over the
+    embedding column via Arrow-batched mapInPandas (see
+    operators/inference.py) — the learned-quality-gate execution shape.
+    Weights are a seeded draw embedded as literals so the oracle runs
+    the identical model."""
+    from transfer_spark.operators.inference import classifier_score
+
+    return classifier_score(
+        _emb(spark, sf_dir), "vec_id", "embedding",
+        _classifier_weights(), bias=0.1,
+    )
+
+
+def _classifier_oracle(dim: int = 64, bias: float = 0.1) -> str:
+    w = _classifier_weights(dim)
+    lit = "[" + ", ".join(repr(x) for x in w) + "]"
+    fold = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
+        f"i -> v[i] * wv[i])), (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {lit}::DOUBLE[] AS wv
+  FROM embeddings
+), z AS (
+  SELECT vec_id, {fold} + {bias!r} AS z FROM e
+)
+SELECT vec_id,
+       floor(1.0 / (1.0 + exp(-z)) * 1000000.0 + 0.5)::BIGINT AS score_ppm
+FROM z
+"""
+
+
+ORACLE_TRIPLETS = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+a AS (SELECT vec_id AS anchor_id, v AS av, label AS al FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT anchor_id, (al = c.label) AS same, c.vec_id AS cand_id,
+    floor(list_cosine_similarity(av, c.v) * 1000000.0 + 0.5)::BIGINT AS cm
+  FROM a JOIN e c ON anchor_id != c.vec_id
+),
+p AS (
+  SELECT anchor_id, cand_id AS positive_id, cm AS pcm FROM scored
+  WHERE same
+  QUALIFY row_number() OVER (PARTITION BY anchor_id
+                             ORDER BY cm DESC, cand_id) = 1
+),
+n AS (
+  SELECT anchor_id, cand_id AS negative_id, cm AS ncm FROM scored
+  WHERE NOT same
+  QUALIFY row_number() OVER (PARTITION BY anchor_id
+                             ORDER BY cm DESC, cand_id) = 1
+)
+SELECT p.anchor_id, positive_id, negative_id, pcm - ncm AS margin_micro
+FROM p JOIN n ON p.anchor_id = n.anchor_id
+"""
+
+
 def _mmr_oracle(qid: int = 0, n_cand: int = 12, k: int = 4,
                 lam: int = 7, dim: int = 64) -> str:
     inv = 10 - lam
@@ -675,6 +792,8 @@ QUERIES = {
     "ann_pq_adc_topk": (q_ann_pq_adc, _pq_adc_oracle()),
     "search_mmr_diversify": (q_mmr_diversify, _mmr_oracle()),
     "search_rrf_hybrid": (q_rrf_hybrid, _rrf_oracle()),
+    "contrastive_triplets": (q_contrastive_triplets, ORACLE_TRIPLETS),
+    "classifier_inference": (q_classifier_inference, _classifier_oracle()),
     "knn_label_vote": (q_knn_classify, ORACLE_KNN_CLASSIFY),
     "hard_negative_mining": (q_hard_negatives, ORACLE_HARD_NEGATIVES),
     "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
