@@ -129,6 +129,31 @@ def main():
             ),
         ),
     ]
+
+    # late round-5 operators
+    from transfer_spark.operators.inference import classifier_score
+    from transfer_spark.operators.similarity import pq_codebooks, pq_encode
+    from transfer_spark.workloads.text import dsir_scores
+    from transfer_spark.workloads.vectors import _classifier_weights
+
+    embeddings = read_table(spark, SF_DIR, "embeddings")
+
+    def em(factor):
+        base = embeddings if factor == 1 else replicate(
+            embeddings, ["vec_id"], factor)
+        return base.repartition(nparts)
+
+    def _pq(d):
+        cb = pq_codebooks(d)
+        return pq_encode(d, cb)
+
+    results += [
+        probe("dsir_scores", dc, dsir_scores),
+        probe("pq_encode", em, _pq),
+        probe("classifier_score", em,
+              lambda d: classifier_score(d, "vec_id", "embedding",
+                                         _classifier_weights())),
+    ]
     worst = max(r["ratio"] for r in results)
     print(json.dumps({"metric": "scale_probe_worst_ratio", "value": worst,
                       "rep": REP, "ops": {r["op"]: r["ratio"] for r in results}}))

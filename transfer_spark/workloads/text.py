@@ -1402,7 +1402,12 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the plan is unchanged at 100 TB. Per-feature weights are quantized
     to BIGINT micro-units BEFORE the per-doc sum (integer summation is
     partition-order-insensitive — the doc_char_entropy lesson)."""
-    d = _docs(spark, sf_dir)
+    return dsir_scores(_docs(spark, sf_dir))
+
+
+def dsir_scores(d: DataFrame) -> DataFrame:
+    """DSIR scoring over any (doc_id, lang, text) frame — split out so
+    the scale probe can drive it on replicated corpora."""
     toks = T.tokens(F.col("text"))
     bgs = F.when(
         F.size(toks) >= 2,
