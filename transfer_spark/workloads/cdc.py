@@ -481,12 +481,139 @@ def q_aggregate_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFram
     return mv.mv()
 
 
+def q_incremental_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication digest kept current BY the change stream itself:
+    because the content digest is an order-insensitive SUM of row
+    hashes (operators/diff.py), it maintains incrementally under
+    updates and deletes with the same retract/insert algebra as any
+    aggregate — digest += h(new) − h(old) — so replica verification
+    never re-scans the table. This is aggregate_maintenance with the
+    canonical row hash as the value column, DECIMAL(38,0) so a
+    partition's hash sum can't overflow. Output digest as a canonical
+    digit string."""
+    from transfer_spark.operators.cdc_fold import aggregate_maintenance
+
+    ev = _events(spark, sf_dir)
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    canon = F.concat_ws(
+        "|",
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        cents.cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
+    s = ev.select(
+        F.col("user_id").alias("id"),
+        F.col("event_id").alias(OFF),
+        (F.col("event_type") == "error").alias(DEL),
+        F.to_date("ts").alias("part_day"),
+        h.alias("h"),
+    )
+    out = aggregate_maintenance(s, ["id"], OFF, DEL, "part_day", "h")
+    return out.select(
+        "part_day",
+        F.col("n_live").alias("n_rows"),
+        F.col("value_live").cast("decimal(38,0)").cast("string")
+        .alias("digest_sum"),
+    )
+
+
+ORACLE_INC_DIGEST = """
+WITH s AS (
+  SELECT user_id AS id, event_id AS off, (event_type = 'error') AS is_del,
+         date_trunc('day', ts)::DATE AS part_day,
+         ('0x' || substr(md5(
+            CAST(user_id AS VARCHAR) || '|' || event_type || '|' ||
+            CAST(floor(value * 100.0 + 0.5)::BIGINT AS VARCHAR)
+          ), 1, 15))::BIGINT AS h
+  FROM events
+), l AS (
+  SELECT *,
+         lag(is_del) OVER w AS p_del,
+         lag(part_day) OVER w AS p_g,
+         lag(h) OVER w AS p_v
+  FROM s WINDOW w AS (PARTITION BY id ORDER BY off)
+), d AS (
+  SELECT p_g AS g, (-1)::BIGINT AS dn, -p_v::HUGEINT AS dv
+  FROM l WHERE p_del = false
+  UNION ALL
+  SELECT part_day, 1::BIGINT, h::HUGEINT FROM l WHERE NOT is_del
+)
+SELECT g AS part_day, sum(dn) AS n_rows, sum(dv)::VARCHAR AS digest_sum
+FROM d GROUP BY g
+"""
+
+
+def q_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension enrichment: each purchase fact picks up the
+    user-dimension attribute that was valid AT its offset (the SCD2
+    "as of transaction time" join). Composed as a backward as-of join
+    on (user, offset) against the dimension's change events — one
+    shuffle, no interval explosion; a delete as the latest prior
+    change means "no dimension row" (attr NULL), exactly the SCD2
+    closed-interval semantics. Output: purchases + revenue per
+    attribute value."""
+    from transfer_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("id"),
+        F.col("event_id").alias("off"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("cents"),
+    )
+    dims = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("id"),
+        F.col("event_id").alias("off"),
+        (F.col("event_type") == "error").alias("ddel"),
+        F.col("event_type").alias("attr"),
+    )
+    j = asof_join(
+        facts, dims,
+        on="id", left_ts="off", right_ts="off",
+        right_cols=["attr", "ddel"], right_order="off",
+    )
+    dim_attr = F.when(
+        F.col("ddel_asof").isNull() | F.col("ddel_asof"), F.lit(None)
+    ).otherwise(F.col("attr_asof"))
+    return (
+        j.select(dim_attr.alias("dim_attr"), "cents")
+        .groupBy("dim_attr")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
+ORACLE_SCD2_JOIN = """
+WITH f AS (
+  SELECT user_id AS id, event_id AS off,
+         floor(value * 100.0 + 0.5)::BIGINT AS cents
+  FROM events WHERE event_type = 'purchase'
+), d AS (
+  SELECT user_id AS id, event_id AS off,
+         (event_type = 'error') AS ddel, event_type AS attr
+  FROM events WHERE event_type != 'purchase'
+), m AS (
+  SELECT f.cents,
+         CASE WHEN d.ddel IS NULL OR d.ddel THEN NULL ELSE d.attr END
+           AS dim_attr
+  FROM f ASOF LEFT JOIN d ON f.id = d.id AND f.off >= d.off
+)
+SELECT dim_attr, count(*) AS n_purchases, sum(cents) AS revenue_cents
+FROM m GROUP BY dim_attr
+"""
+
+
 QUERIES = {
     "cdc_lww_dedup": (q_lww_dedup, ORACLE_LWW),
     "cdc_aggregate_maintenance": (q_aggregate_maintenance,
                                   ORACLE_AGG_MAINTENANCE),
     "cdc_aggregate_maintenance_stream": (q_aggregate_maintenance_stream,
                                          ORACLE_AGG_MAINTENANCE),
+    "cdc_incremental_digest": (q_incremental_digest, ORACLE_INC_DIGEST),
+    "cdc_scd2_temporal_join": (q_scd2_temporal_join, ORACLE_SCD2_JOIN),
     "cdc_scd2_versions": (q_scd2_versions, ORACLE_SCD2),
     "cdc_fold": (q_cdc_fold, ORACLE_CDC_FOLD),
     "cdc_fold_salted": (q_cdc_fold_salted, ORACLE_CDC_FOLD),
