@@ -900,6 +900,110 @@ FROM exact, est
 """
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution core loop: blocked fuzzy matching. Candidate
+    pairs form ONLY within a blocking key (nation — the classic
+    blocking step that turns O(n²) into Σ block²), then the exact
+    Levenshtein residual keeps near-identical names (distance ≤ 2).
+    Levenshtein with unit costs is integer-exact on every engine.
+    Output is the per-block match report; at 100 TB you'd add a second
+    blocking key (name prefix / soundex) to cap block size."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a = c.select(
+        F.col("c_custkey").alias("ka"), F.col("c_name").alias("na"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("kb"), F.col("c_name").alias("nb"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    pairs = a.join(b, "nk").filter(F.col("ka") < F.col("kb"))
+    return (
+        pairs.select(
+            "nk", F.levenshtein(F.col("na"), F.col("nb")).alias("d")
+        )
+        .groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("d") <= 2, 1).otherwise(0)).alias("n_matches"),
+        )
+        .withColumnRenamed("nk", "nationkey")
+    )
+
+
+ORACLE_FUZZY_MATCH = """
+SELECT a.c_nationkey AS nationkey,
+       count(*) AS n_pairs,
+       sum(CASE WHEN levenshtein(a.c_name, b.c_name) <= 2
+                THEN 1 ELSE 0 END) AS n_matches
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+GROUP BY a.c_nationkey
+"""
+
+
+def q_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto): customers ranked by lifetime
+    order value, cut into deciles, each with its revenue mass and the
+    cumulative share from the top — "the top 10% hold X% of revenue".
+    The total-order window runs on the customer-grain aggregate
+    (dimension-sized), never on orders; shares in exact ppm from
+    integer cents."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+        ).alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    ranked = per_cust.select(
+        "cents", F.ntile(10).over(w).alias("decile")
+    )
+    per_dec = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("decile_cents"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_dec.select(
+        "decile", "n_customers", "decile_cents",
+        F.sum("decile_cents").over(wc).alias("cum_cents"),
+    ).crossJoin(
+        F.broadcast(per_cust.agg(F.sum("cents").alias("total_cents")))
+    ).select(
+        "decile", "n_customers", "decile_cents",
+        F.expr("CAST((1000000 * cum_cents) DIV total_cents AS BIGINT)")
+        .alias("cum_share_ppm"),
+    )
+
+
+ORACLE_PARETO = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT) AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT cents,
+         ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+  FROM per_cust
+), per_dec AS (
+  SELECT decile, count(*) AS n_customers, sum(cents) AS decile_cents
+  FROM ranked GROUP BY 1
+), tot AS (SELECT sum(cents) AS total_cents FROM per_cust)
+SELECT decile, n_customers, decile_cents,
+  (1000000 * sum(decile_cents) OVER (ORDER BY decile
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // total_cents
+    AS cum_share_ppm
+FROM per_dec, tot
+"""
+
+
 def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate: not-null, positive-amount, PK
     uniqueness, and date-range rules over orders, all evaluated in ONE
@@ -1649,6 +1753,8 @@ FROM per_cust
     "replication_content_digest": (q_content_digest, ORACLE_CONTENT_DIGEST),
     "bloom_semi_reduction": (q_bloom_semi, ORACLE_BLOOM_SEMI),
     "cms_join_size_estimate": (q_join_size_estimate, ORACLE_JOIN_SIZE),
+    "entity_blocking_fuzzy_match": (q_fuzzy_match, ORACLE_FUZZY_MATCH),
+    "customer_pareto_curve": (q_pareto_curve, ORACLE_PARETO),
     "dq_violations": (q_dq_violations, ORACLE_DQ),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),
