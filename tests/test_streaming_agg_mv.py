@@ -92,3 +92,47 @@ def test_replay_is_noop_and_vacuum_keeps_latest(spark):
     mv.vacuum(keep=1)
     assert len(mv._versions("mv")) == 1
     assert _as_dict(mv.mv()) == {"a": (1, 40)}
+
+
+def test_streaming_wrapper_available_now(spark, tmp_path):
+    """Drive the MV from a real Structured Streaming file source: two
+    source files → availableNow micro-batches → final MV equals the
+    one-shot batch computation over all rows."""
+    import json
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows1 = [(1, 1, False, "a", 100), (2, 2, False, "b", 50)]
+    rows2 = [(1, 3, False, "b", 70), (2, 4, True, "b", 0)]
+    import time
+
+    now = time.time()
+    for age, (fname, rows) in enumerate((("b0.json", rows1), ("b1.json", rows2))):
+        p = os.path.join(src, fname)
+        with open(p, "w") as f:
+            for (i, off, dl, g, v) in rows:
+                f.write(json.dumps({
+                    "id": i, "off": off, "is_del": dl,
+                    "etype": g, "cents": v,
+                }) + "\n")
+        # the file source drains oldest-mtime first; pin b0 before b1 so
+        # the offset watermark sees in-order batches (out-of-order
+        # delivery is covered by test_replay_is_noop...)
+        os.utime(p, (now - 100 + age, now - 100 + age))
+    mv = IncrementalAggMV(
+        spark, str(tmp_path / "mv"), ["id"], "off", "is_del", "etype", "cents",
+    )
+    stream = spark.readStream.schema(
+        "id long, off long, is_del boolean, etype string, cents long"
+    ).option("maxFilesPerTrigger", 1).json(src)
+    q = mv.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    all_rows = spark.createDataFrame(
+        rows1 + rows2,
+        "id long, off long, is_del boolean, etype string, cents long",
+    )
+    expected = _as_dict(aggregate_maintenance(
+        all_rows, ["id"], "off", "is_del", "etype", "cents"
+    ))
+    assert _as_dict(mv.mv()) == expected

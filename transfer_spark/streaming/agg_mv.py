@@ -157,3 +157,28 @@ class IncrementalAggMV:
         if out is None:
             raise ValueError("no batch applied yet")
         return out
+
+    def start(
+        self,
+        stream: DataFrame,
+        checkpoint: str,
+        delta_sink=None,
+        trigger_once: bool = True,
+    ):
+        """``foreachBatch`` driver: every micro-batch folds into the MV;
+        per-batch deltas go to ``delta_sink(df, epoch)`` if given.
+        Restart safety comes from the checkpoint plus the per-PK offset
+        watermark: a replayed batch's rows all sit at or below carried
+        offsets, so the fold is a no-op rather than a double count."""
+
+        def _batch(bdf: DataFrame, epoch: int) -> None:
+            d = self.apply_batch(bdf)
+            if delta_sink is not None:
+                delta_sink(d, epoch)
+
+        writer = stream.writeStream.foreachBatch(_batch).option(
+            "checkpointLocation", checkpoint
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
