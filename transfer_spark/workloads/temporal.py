@@ -1288,6 +1288,60 @@ FROM r GROUP BY 1, 2
 """
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier days per event type: |daily count − median| >
+    2 × MAD (a tight robust gate under the MAD scale — the classic
+    3-sigma rule is 4.4478 × MAD; 2× is deliberately sensitive so the
+    flag fires on real day-to-day variation, immune
+    to the outliers themselves — unlike the z-score variant in
+    events_anomaly_days, one wild day can't inflate its own
+    threshold). Medians quantize via floor(x+0.5) (the
+    events_quantiles cross-engine parity); the comparison runs in
+    integers: 10000·dev > 20000·mad."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    med = daily.groupBy("event_type").agg(
+        F.floor(F.expr("percentile(x, 0.5)") + F.lit(0.5)).cast("long")
+        .alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("x") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.floor(F.expr("percentile(dev, 0.5)") + F.lit(0.5)).cast("long")
+        .alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev") * 10_000 > F.col("mad") * 20_000)
+        .select("event_type", F.col("d").alias("day"), "x", "med", "mad")
+    )
+
+
+ORACLE_MAD = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS day, count(*) AS x
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type,
+         floor(quantile_cont(x, 0.5) + 0.5)::BIGINT AS med
+  FROM daily GROUP BY 1
+), dev AS (
+  SELECT daily.event_type, day, x, med, abs(x - med) AS dev
+  FROM daily JOIN med ON daily.event_type = med.event_type
+), mad AS (
+  SELECT event_type,
+         floor(quantile_cont(dev, 0.5) + 0.5)::BIGINT AS mad
+  FROM dev GROUP BY 1
+)
+SELECT dev.event_type, day, x, med, mad
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+WHERE dev * 10000 > mad * 20000
+"""
+
+
 QUERIES = {
     "events_sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "kmv_sliding_wau": (q_kmv_sliding, ORACLE_KMV_SLIDING),
@@ -1295,6 +1349,7 @@ QUERIES = {
     "events_transition_matrix": (q_transition_matrix, ORACLE_TRANSITIONS),
     "events_top_paths": (q_top_paths, ORACLE_TOP_PATHS),
     "events_m4_downsample": (q_m4_downsample, ORACLE_M4),
+    "events_mad_outliers": (q_mad_outliers, ORACLE_MAD),
     "events_ewma_decay": (q_ewma_decay, ORACLE_EWMA),
     "events_attribution_last_touch": (q_attribution, ORACLE_ATTRIBUTION),
     "events_gap_fill_locf": (q_gap_fill, ORACLE_GAP_FILL),
