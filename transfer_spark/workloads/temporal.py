@@ -1342,6 +1342,98 @@ WHERE dev * 10000 > mad * 20000
 """
 
 
+def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type volume trend: ordinary-least-squares slope of daily
+    counts over the day index, from integer sufficient statistics only
+    (Σx, Σy, Σxy, Σx², all BIGINT — map-side combinable, no per-row
+    state). slope_ppm = 1e6·(nΣxy − ΣxΣy)/(nΣx² − (Σx)²) with one
+    integer division at the edge (round toward zero, both engines'
+    integer-div semantics for the mixed-sign numerator via 2q+1
+    doubling — kept as plain floor-div on the POSITIVE denominator
+    with the numerator sign handled by both engines identically
+    through DIV/// on exact integers)."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.unix_date(F.to_date("ts")).alias("xd")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    base = daily.groupBy("event_type").agg(F.min("xd").alias("x0"))
+    d = daily.join(F.broadcast(base), "event_type").select(
+        "event_type", (F.col("xd") - F.col("x0")).alias("x"), "y"
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "event_type", "n", "sy",
+        F.expr(
+            "CAST((1000000 * (n * sxy - sx * sy)) DIV (n * sxx - sx * sx)"
+            " AS BIGINT)"
+        ).alias("slope_ppm"),
+    )
+
+
+ORACLE_TREND = """
+WITH daily AS (
+  SELECT event_type, date_diff('day', DATE '1970-01-01',
+                               date_trunc('day', ts)::DATE) AS xd,
+         count(*) AS y
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT event_type, min(xd) AS x0 FROM daily GROUP BY 1
+), d AS (
+  SELECT daily.event_type, xd - x0 AS x, y
+  FROM daily JOIN base ON daily.event_type = base.event_type
+), s AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM d GROUP BY 1
+)
+SELECT event_type, n, sy,
+       (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS slope_ppm
+FROM s
+"""
+
+
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day via the first-seen trick: a
+    user contributes to every day at or after their first event, so
+    cumulative-distinct = running sum over per-day first-seen counts —
+    one distinct-scale aggregate plus a 30-row window instead of a
+    per-day DISTINCT re-scan (which would be O(days × users))."""
+    ev = _events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    per_day = first_seen.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        "day", "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+ORACLE_CUMULATIVE_USERS = """
+WITH fs AS (
+  SELECT user_id, min(date_trunc('day', ts)::DATE) AS d0
+  FROM events GROUP BY 1
+), per_day AS (
+  SELECT d0 AS day, count(*) AS new_users FROM fs GROUP BY 1
+)
+SELECT day, new_users,
+  sum(new_users) OVER (ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_users
+FROM per_day
+"""
+
+
 QUERIES = {
     "events_sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "kmv_sliding_wau": (q_kmv_sliding, ORACLE_KMV_SLIDING),
@@ -1350,6 +1442,8 @@ QUERIES = {
     "events_top_paths": (q_top_paths, ORACLE_TOP_PATHS),
     "events_m4_downsample": (q_m4_downsample, ORACLE_M4),
     "events_mad_outliers": (q_mad_outliers, ORACLE_MAD),
+    "events_daily_trend": (q_daily_trend, ORACLE_TREND),
+    "events_cumulative_users": (q_cumulative_users, ORACLE_CUMULATIVE_USERS),
     "events_ewma_decay": (q_ewma_decay, ORACLE_EWMA),
     "events_attribution_last_touch": (q_attribution, ORACLE_ATTRIBUTION),
     "events_gap_fill_locf": (q_gap_fill, ORACLE_GAP_FILL),
