@@ -9,7 +9,7 @@ and hash them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from transfer_spark.operators import multimodal as MM
@@ -124,8 +124,53 @@ HAVING count(DISTINCT doc_id) > 1
 """
 
 
+def q_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the sampled frames: consecutive frames
+    whose perceptual digests differ in ≥ 28 of 60 bits mark a cut (on
+    real codecs the digest would be a pHash; the fake frames exercise
+    the identical plumbing — window lag per video, XOR, popcount, all
+    codegen). Output per video: frames, cuts."""
+    frames = MM.sample_video_frames(_media(spark, sf_dir), "media", "doc_id", 5)
+    h = F.conv(
+        F.substring(F.lower(F.hex("frame")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    d = frames.select("doc_id", "frame_idx", h.alias("h")).withColumn(
+        "prev", F.lag("h").over(w)
+    )
+    cut = F.when(
+        F.col("prev").isNotNull()
+        & (F.bit_count(F.expr("h ^ prev")) >= 28),
+        1,
+    ).otherwise(0)
+    return d.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(cut).alias("n_cuts"),
+    )
+
+
+ORACLE_SCENE_CHANGES = """
+WITH f AS (
+  SELECT doc_id, text AS txt, octet_length(text::BLOB) AS n FROM documents
+), e AS (
+  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+    ('0x' || substr(sha256(txt || CAST(i AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM f, UNNEST(range(0, 1 + n % 5)) AS t(i)
+), l AS (
+  SELECT doc_id, h,
+         lag(h) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+  FROM e
+)
+SELECT doc_id, count(*) AS n_frames,
+  sum(CASE WHEN prev IS NOT NULL AND bit_count(xor(h, prev)) >= 28
+           THEN 1 ELSE 0 END) AS n_cuts
+FROM l GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_image_meta": (q_image_meta, ORACLE_IMAGE_META),
+    "multimodal_scene_changes": (q_scene_changes, ORACLE_SCENE_CHANGES),
     "multimodal_frame_dedup": (q_frame_dedup, ORACLE_FRAME_DEDUP),
     "multimodal_frame_sample": (q_frame_sample, ORACLE_FRAME_SAMPLE),
     "multimodal_audio_stats": (q_audio_stats, ORACLE_AUDIO_STATS),
