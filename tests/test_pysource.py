@@ -101,3 +101,30 @@ def test_fixture_to_pipeline_end_to_end_with_telemetry(spark, tmp_path):
     assert rows_flushed == 300
     flush_tags = [t for n, _, t in metrics.timings if n == "flush"]
     assert flush_tags and flush_tags[0]["table"] == "users"
+
+
+def test_jsonl_sink_roundtrip_and_commit_protocol(spark, tmp_path):
+    """Python DataSource WRITER: staged .tmp files publish atomically on
+    driver commit (part-NNNNN.jsonl + _SUCCESS), and the written rows
+    round-trip through spark.read.json."""
+    import os
+
+    from transfer_spark.sources.pysource import JsonlSinkDataSource
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = str(tmp_path / "out")
+    df = spark.range(0, 100).selectExpr(
+        "id", "concat('name-', id) AS name"
+    ).repartition(4)
+    df.write.format("jsonl_sink").option("path", out).mode("append").save()
+
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files
+    parts = [f for f in files if f.startswith("part-") and f.endswith(".jsonl")]
+    assert len(parts) == 4
+    assert not [f for f in files if f.endswith(".tmp")]  # nothing left staged
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert f.read() == "100"
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == 100
+    assert {r.name for r in back.collect()} == {f"name-{i}" for i in range(100)}

@@ -94,3 +94,80 @@ class DebeziumFixtureDataSource(DataSource):
 
     def reader(self, schema):
         return FixtureReader(self.options)
+
+
+# ---------------------------------------------------------------- writer side
+
+class _Committed:
+    """WriterCommitMessage payload: the task's staged file + row count."""
+
+    def __init__(self, tmp_path: str, rows: int):
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+try:  # WriterCommitMessage is a bare marker class in the Spark 4 API
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    class _Msg(WriterCommitMessage, _Committed):
+        pass
+
+    class JsonlWriter(DataSourceWriter):
+        """Task-commit JSONL sink — the destination-connector write
+        protocol in miniature, mirroring how the reference stages then
+        publishes (staging table → MERGE): every task writes its rows
+        to a task-private ``.tmp`` file (no torn reads, retried tasks
+        just re-stage), and only the DRIVER's ``commit`` renames the
+        staged files into place and drops a ``_SUCCESS`` marker —
+        readers either see the complete output or none of it. ``abort``
+        removes staged files so failed jobs leave no partial output."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("jsonl_sink requires .option('path', ...)")
+
+        def write(self, iterator):
+            import json as _json
+            import os
+            import uuid
+
+            os.makedirs(self.path, exist_ok=True)
+            tmp = os.path.join(self.path, f".stage-{uuid.uuid4().hex}.tmp")
+            n = 0
+            with open(tmp, "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _Msg(tmp, n)
+
+        def commit(self, messages):
+            import os
+
+            total = 0
+            for i, m in enumerate(messages):
+                final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+                os.replace(m.tmp_path, final)
+                total += m.rows
+            with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+                f.write(str(total))
+
+        def abort(self, messages):
+            import os
+
+            for m in messages:
+                try:
+                    os.remove(m.tmp_path)
+                except OSError:
+                    pass
+
+    class JsonlSinkDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return JsonlWriter(self.options)
+
+except ImportError:  # pragma: no cover — older API without writer support
+    JsonlSinkDataSource = None  # type: ignore[assignment]
