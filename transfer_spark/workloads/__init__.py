@@ -49,36 +49,31 @@ _ALL.update(analytics.QUERIES)
 # gets a driver oracle row within a handful of rounds.
 _CORE = [
     # cdc — the engine spine, always checked
-    "cdc_lww_dedup", "cdc_scd2_versions", "cdc_fold", "cdc_fold_salted",
+    "cdc_lww_dedup", "cdc_fold", "cdc_fold_salted",
     "cdc_merge_hard", "cdc_merge_exec", "cdc_merge_soft",
-    "schema_evolution_merge", "multi_step_merge", "dedupe_maintenance",
+    "schema_evolution_merge", "multi_step_merge",
+    "cdc_aggregate_maintenance_stream", "cdc_incremental_digest",
     # sources — decode paths, NTZ-regression-prone
     "debezium_envelope_decode", "kafka_key_decode",
     "mongo_extjson_decode", "mongo_extjson_generic",
     # transforms (sanitize/converter/encryption rotated out: pure
     # functions pinned by pytest, historically stable)
-    "encode_values", "pk_string_key", "soft_partition_routing",
+    "encode_values", "pk_string_key",
     # text / dedupe
     "doc_char_entropy", "dedupe_dup_spans",  # historical hash-mismatch pair
-    "dedupe_minhash_lsh", "dsir_importance",  # dsir new in r5
-    "cdc_aggregate_maintenance_stream",  # streaming MV, new in r5
-    "ann_pq_adc_topk", "bloom_semi_reduction",  # new in r5
-    "split_decontamination_exact", "corpus_sequence_pack",  # new in r5
-    "pretraining_corpus_pipeline",  # end-to-end composition (r5)
-    "neardup_clusters_star", "knn_label_vote",  # new in r5
-    "hard_negative_mining", "cms_heavy_hitters",  # new in r5
-    "gopher_quality_gate", "doc_chunk_windows",  # new in r5
-    "streaming_dedup_index",  # new in r5
+    "dedupe_minhash_lsh", "dsir_importance",
+    "corpus_sequence_pack", "pretraining_corpus_pipeline",
+    "streaming_dedup_index", "gopher_quality_gate",
     # vectors
-    "ann_bruteforce_topk", "embedding_neardup_lsh", "embedding_quantize_int8",
-    "semantic_dedupe",  # new in r5
+    "ann_pq_adc_topk", "ann_bruteforce_topk", "embedding_neardup_lsh",
+    "semantic_dedupe",
     # multimodal
-    "multimodal_image_meta", "multimodal_audio_stats",
+    "multimodal_image_meta", "multimodal_scene_changes",
     # temporal — timestamp-handling canaries
     "events_asof_join", "events_hopping_window", "events_funnel",
-    "events_sessionize",
+    "events_sessionize", "kmv_sliding_wau",
     # analytics
-    "olap_pricing_summary", "skew_salted_enrich", "olap_top_orders_per_segment",
+    "olap_pricing_summary", "skew_salted_enrich", "bloom_semi_reduction",
 ]
 # The driver checks the first 50 entries; the rotation window is whatever
 # 50 leaves after the fixed core, and the per-round shift must equal the
