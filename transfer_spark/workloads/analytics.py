@@ -1004,6 +1004,47 @@ FROM per_dec, tot
 """
 
 
+def q_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment SLA profile: order-to-ship delay (days) p50/p90/p99
+    per order priority — the one big-big equi-join (orders ⋈ lineitem
+    on the key both sides already shuffle by) feeding a sort-based
+    exact percentile per priority. Delay is an integer day count;
+    percentiles go through the floor(q+0.5) parity rule."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long").alias("delay_days"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.floor(F.expr("percentile(delay_days, 0.5)") + F.lit(0.5))
+        .cast("long").alias("p50_days"),
+        F.floor(F.expr("percentile(delay_days, 0.9)") + F.lit(0.5))
+        .cast("long").alias("p90_days"),
+        F.floor(F.expr("percentile(delay_days, 0.99)") + F.lit(0.5))
+        .cast("long").alias("p99_days"),
+    )
+
+
+ORACLE_SHIP_DELAY = """
+WITH j AS (
+  SELECT o_orderpriority,
+         date_diff('day', date_trunc('day', o_orderdate)::DATE,
+                   date_trunc('day', l_shipdate)::DATE) AS delay_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority, count(*) AS n_items,
+       floor(quantile_cont(delay_days, 0.5) + 0.5)::BIGINT AS p50_days,
+       floor(quantile_cont(delay_days, 0.9) + 0.5)::BIGINT AS p90_days,
+       floor(quantile_cont(delay_days, 0.99) + 0.5)::BIGINT AS p99_days
+FROM j GROUP BY o_orderpriority
+"""
+
+
 def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate: not-null, positive-amount, PK
     uniqueness, and date-range rules over orders, all evaluated in ONE
@@ -1755,6 +1796,7 @@ FROM per_cust
     "cms_join_size_estimate": (q_join_size_estimate, ORACLE_JOIN_SIZE),
     "entity_blocking_fuzzy_match": (q_fuzzy_match, ORACLE_FUZZY_MATCH),
     "customer_pareto_curve": (q_pareto_curve, ORACLE_PARETO),
+    "orders_ship_delay_quantiles": (q_ship_delay, ORACLE_SHIP_DELAY),
     "dq_violations": (q_dq_violations, ORACLE_DQ),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),

@@ -1398,6 +1398,42 @@ FROM s
 """
 
 
+def q_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week volume change per event type, ppm (the standard
+    report-card delta). ISO week bucketing via date_trunc('week') —
+    identical Monday anchoring on both engines; one lag over the tiny
+    weekly frame; change = 1e6·(cur − prev)/prev in integers."""
+    ev = _events(spark, sf_dir)
+    weekly = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    return (
+        weekly.withColumn("prev_n", F.lag("n").over(w))
+        .filter(F.col("prev_n").isNotNull())
+        .select(
+            "event_type", "week", "n", "prev_n",
+            F.expr("CAST((1000000 * (n - prev_n)) DIV prev_n AS BIGINT)")
+            .alias("wow_ppm"),
+        )
+    )
+
+
+ORACLE_WOW = """
+WITH weekly AS (
+  SELECT event_type, date_trunc('week', ts)::DATE AS week, count(*) AS n
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT *, lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+  FROM weekly
+)
+SELECT event_type, week, n, prev_n,
+       (1000000 * (n - prev_n)) // prev_n AS wow_ppm
+FROM l WHERE prev_n IS NOT NULL
+"""
+
+
 def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative distinct users per day via the first-seen trick: a
     user contributes to every day at or after their first event, so
@@ -1443,6 +1479,7 @@ QUERIES = {
     "events_m4_downsample": (q_m4_downsample, ORACLE_M4),
     "events_mad_outliers": (q_mad_outliers, ORACLE_MAD),
     "events_daily_trend": (q_daily_trend, ORACLE_TREND),
+    "events_wow_change": (q_wow_change, ORACLE_WOW),
     "events_cumulative_users": (q_cumulative_users, ORACLE_CUMULATIVE_USERS),
     "events_ewma_decay": (q_ewma_decay, ORACLE_EWMA),
     "events_attribution_last_touch": (q_attribution, ORACLE_ATTRIBUTION),
