@@ -106,3 +106,117 @@ def test_sessionize_matches_naive(spark, rows, gap):
                 sid += 1
             prev = s
             assert got[rid] == (k, sid), (rows, gap, rid)
+
+
+# ------------------------------------------------------- EWMA / MV algebra
+
+_daily = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 25), st.integers(0, 10_000)),
+    min_size=1, max_size=12, unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_daily)
+def test_ewma_decay_matches_naive(spark, rows):
+    """The fan-out-after-agg EWMA equals the naive per-day weighted
+    average over the trailing horizon (gap-aware, power-of-two decay,
+    round-half-up)."""
+    import datetime as _dt
+
+    from transfer_spark.workloads.temporal import _EWMA_H
+
+    base = _dt.date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [Row(event_type=str(t), d=base + _dt.timedelta(days=day), cents=c)
+         for (t, day, c) in rows]
+    )
+    # inline the operator body on a pre-aggregated frame
+    from pyspark.sql import functions as F
+    contrib = df.select(
+        "event_type", "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_EWMA_H))).alias("k"),
+        F.col("d"),
+    ).select(
+        "event_type", "cents",
+        F.date_add(F.col("d"), F.col("k")).alias("day"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {_EWMA_H} - k)").alias("w"),
+    )
+    agg = contrib.groupBy("event_type", "day").agg(
+        F.sum(F.col("cents") * F.col("w")).alias("numer"),
+        F.sum("w").alias("weight_sum"),
+    )
+    observed = df.select("event_type", F.col("d").alias("day"))
+    got = {
+        (r.event_type, r.day): r.ewma_cents_milli
+        for r in agg.join(observed, ["event_type", "day"]).select(
+            "event_type", "day",
+            F.expr(
+                "CAST((2000 * numer + weight_sum) DIV (2 * weight_sum)"
+                " AS BIGINT)"
+            ).alias("ewma_cents_milli"),
+        ).collect()
+    }
+    # naive reference
+    series = {}
+    for (t, day, c) in rows:
+        series.setdefault(str(t), {})[day] = c
+    expect = {}
+    for t, days in series.items():
+        for day in days:
+            num = den = 0
+            for past, c in days.items():
+                dist = day - past
+                if 0 <= dist <= _EWMA_H:
+                    wgt = 1 << (_EWMA_H - dist)
+                    num += c * wgt
+                    den += wgt
+            expect[(t, base + _dt.timedelta(days=day))] = (
+                (2000 * num + den) // (2 * den)
+            )
+    assert got == expect
+
+
+_cdc = st.lists(
+    st.tuples(st.integers(0, 2), st.booleans(), st.integers(0, 1),
+              st.integers(0, 500)),
+    min_size=0, max_size=16,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_cdc, nparts=st.integers(1, 5))
+def test_aggregate_maintenance_partition_invariant(spark, rows, nparts):
+    """Retraction-delta MV equals the fold-then-aggregate form on random
+    CDC histories under ANY partitioning — the algebra is shuffle-proof."""
+    from pyspark.sql import functions as F
+
+    from transfer_spark.operators.cdc_fold import (
+        aggregate_maintenance, lww_dedup,
+    )
+
+    data = [
+        Row(id=k, off=i, is_del=d, g=str(g), v=v)
+        for i, (k, d, g, v) in enumerate(rows)
+    ]
+    if not data:
+        return
+    df = spark.createDataFrame(data).repartition(nparts)
+    mv = {
+        r.g: (r.n_live, r.value_live)
+        for r in aggregate_maintenance(
+            df, ["id"], "off", "is_del", "g", "v"
+        ).collect()
+    }
+    final = lww_dedup(df, ["id"], "off").filter(~F.col("is_del"))
+    direct = {
+        r.g: (r.n, r.s)
+        for r in final.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    for g, nv in direct.items():
+        assert mv[g] == nv, (g, mv, direct)
+    for g, (n, v) in mv.items():
+        if g not in direct:
+            assert n == 0 and v in (0, None), (g, mv, direct)
