@@ -552,3 +552,36 @@ def test_pq_adc_recall_and_refinement(spark):
     cb0 = S.pq_codebooks(emb)
     cb1 = S.pq_refine_codebooks(emb, cb0, n_iters=1)
     assert _pq_sse(S, emb, cb1) <= _pq_sse(S, emb, cb0) + 1e-9
+
+
+# ------------------------------------------------------------- bm25 index
+
+def test_bm25_index_probe_prunes_buckets(spark, tmp_path):
+    from transfer_spark.operators.text import bm25_topk
+    from transfer_spark.operators.text_index import (
+        BUCKET_COL, Bm25Index, _py_word_hash,
+    )
+    from transfer_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = Bm25Index(spark, str(tmp_path / "bm25"), n_buckets=16)
+    idx.build(docs, "doc_id", "text")
+    terms = ["spark", "merge", "vector"]
+    # identical results to the per-query recompute operator
+    direct = [(r.doc_id, r.score_micro, r.rank)
+              for r in bm25_topk(docs, "doc_id", "text", terms, k=10).collect()]
+    via_idx = [(r.doc_id, r.score_micro, r.rank)
+               for r in idx.topk(terms, id_col="doc_id", k=10).collect()]
+    assert via_idx == direct
+    # probe opens ONLY the query terms' bucket directories
+    want = {_py_word_hash(t) % 16 for t in terms}
+    opened = [
+        r[0] for r in
+        spark.read.parquet(idx.postings_path)
+        .filter(F.col(BUCKET_COL).isin(sorted(want)))
+        .filter(F.col("term").isin(terms))
+        .select(F.input_file_name()).distinct().collect()
+    ]
+    assert opened
+    for f in opened:
+        assert any(f"{BUCKET_COL}={b}/" in f for b in want), f

@@ -1,0 +1,121 @@
+"""Persistent BM25 inverted index: postings live on disk partitioned by
+term-hash bucket, and a query reads ONLY the buckets its terms map to —
+the text-retrieval twin of ``IvfIndex`` (build once / probe many, vs
+``bm25_topk`` recomputing corpus statistics per query job).
+
+Layout: ``postings/__term_bucket=B/`` holds denormalized rows
+(term, doc, tf, dl, dft) — per-term document frequency is joined in at
+build time so a probe needs no second pass; ``stats/`` holds the
+single (n_docs, avgdl) row. A probe's scan therefore touches
+|query-term buckets| / n_buckets of the index (partition pruning on
+the bucket column — the same pruned-directory access pattern
+``MinHashDedupIndex`` and ``IvfIndex`` use), and scoring is the exact
+arithmetic of ``operators/text.bm25_topk``: per-term contributions
+integer-quantized to micro-units before the per-doc sum.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from transfer_spark.operators.text import tokens, word_hash
+
+BUCKET_COL = "__term_bucket"
+
+
+def _py_word_hash(w: str, hex_chars: int = 7) -> int:
+    """Driver-side twin of text.word_hash (md5-prefix integer)."""
+    return int(hashlib.md5(w.encode()).hexdigest()[:hex_chars], 16)
+
+
+class Bm25Index:
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 64):
+        self.spark = spark
+        self.path = path
+        self.n_buckets = n_buckets
+        self.postings_path = os.path.join(path, "postings")
+        self.stats_path = os.path.join(path, "stats")
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.stats_path, "_SUCCESS"))
+
+    def build(self, df: DataFrame, id_col: str, text_col: str) -> None:
+        toks = tokens(F.col(text_col))
+        base = df.select(
+            F.col(id_col).alias("doc"),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        tf = base.groupBy("doc", "term").agg(
+            F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+        )
+        dft = tf.groupBy("term").agg(F.countDistinct("doc").alias("dft"))
+        postings = tf.join(dft, "term").withColumn(
+            BUCKET_COL, word_hash(F.col("term")) % F.lit(self.n_buckets)
+        )
+        (
+            postings.repartition(BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(self.postings_path)
+        )
+        df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(F.size(toks)).alias("avgdl"),
+        ).write.mode("overwrite").parquet(self.stats_path)
+
+    def topk(
+        self,
+        query_terms: list[str],
+        id_col: str = "doc_id",
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """Exact bm25_topk arithmetic over the pruned postings scan."""
+        buckets = sorted(
+            {_py_word_hash(t) % self.n_buckets for t in query_terms}
+        )
+        p = (
+            self.spark.read.parquet(self.postings_path)
+            .filter(F.col(BUCKET_COL).isin(buckets))
+            .filter(F.col("term").isin(query_terms))
+        )
+        stats = self.spark.read.parquet(self.stats_path)
+        scored = (
+            p.crossJoin(F.broadcast(stats))
+            .select(
+                "doc",
+                F.floor(
+                    F.log(
+                        (F.col("n_docs") - F.col("dft") + F.lit(0.5))
+                        / (F.col("dft") + F.lit(0.5))
+                        + F.lit(1.0)
+                    )
+                    * (F.col("tf") * F.lit(k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b) * F.col("dl") / F.col("avgdl")
+                        )
+                    )
+                    * F.lit(1_000_000.0)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("doc")
+            .agg(F.sum("c").alias("score_micro"))
+        )
+        top = scored.orderBy(F.desc("score_micro"), F.asc("doc")).limit(k)
+        w = Window.orderBy(F.desc("score_micro"), F.asc("doc"))
+        return top.withColumn("rank", F.row_number().over(w)).select(
+            F.col("doc").alias(id_col), "score_micro", "rank"
+        )

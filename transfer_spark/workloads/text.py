@@ -1940,6 +1940,20 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        _BM25_TERMS, k=20)
 
 
+def q_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same BM25 query served from the PERSISTENT inverted index
+    (operators/text_index.py): build writes term-bucket-partitioned
+    postings; the probe reads only the query terms' buckets. Identical
+    arithmetic → shares bm25_topk's oracle."""
+    import tempfile
+
+    from transfer_spark.operators.text_index import Bm25Index
+
+    idx = Bm25Index(spark, tempfile.mkdtemp(prefix="artie_bm25_idx_"))
+    idx.build(_docs(spark, sf_dir), "doc_id", "text")
+    return idx.topk(_BM25_TERMS, id_col="doc_id", k=20)
+
+
 def _bm25_sql(k: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
     terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     return f"""
@@ -2004,6 +2018,7 @@ QUERIES = {
         _decontamination_containment_sql(),
     ),
     "bm25_topk": (q_bm25_topk, _bm25_sql()),
+    "bm25_index_topk": (q_bm25_index, _bm25_sql()),
     "curriculum_quality_bins": (q_curriculum_bins, _curriculum_sql()),
     "corpus_mixture_rates": (q_mixture_rates, ORACLE_MIXTURE),
     "dedupe_winnow_overlap": (q_winnow_overlap, _winnow_sql()),
