@@ -585,3 +585,23 @@ def test_bm25_index_probe_prunes_buckets(spark, tmp_path):
     assert opened
     for f in opened:
         assert any(f"{BUCKET_COL}={b}/" in f for b in want), f
+
+
+def test_bm25_index_incremental_add_matches_single_build(spark, tmp_path):
+    """Segment-merged statistics: build on half the corpus + add the
+    other half == one bm25_topk over the full corpus, score for score."""
+    from transfer_spark.operators.text import bm25_topk
+    from transfer_spark.operators.text_index import Bm25Index
+    from transfer_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = Bm25Index(spark, str(tmp_path / "bm25seg"), n_buckets=16)
+    idx.build(docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text")
+    idx.add(docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text")
+    assert idx._segments() == [0, 1]
+    terms = ["spark", "merge", "vector"]
+    direct = [(r.doc_id, r.score_micro, r.rank)
+              for r in bm25_topk(docs, "doc_id", "text", terms, k=10).collect()]
+    via_idx = [(r.doc_id, r.score_micro, r.rank)
+               for r in idx.topk(terms, id_col="doc_id", k=10).collect()]
+    assert via_idx == direct

@@ -3,14 +3,22 @@ term-hash bucket, and a query reads ONLY the buckets its terms map to —
 the text-retrieval twin of ``IvfIndex`` (build once / probe many, vs
 ``bm25_topk`` recomputing corpus statistics per query job).
 
-Layout: ``postings/__term_bucket=B/`` holds denormalized rows
-(term, doc, tf, dl, dft) — per-term document frequency is joined in at
-build time so a probe needs no second pass; ``stats/`` holds the
-single (n_docs, avgdl) row. A probe's scan therefore touches
-|query-term buckets| / n_buckets of the index (partition pruning on
-the bucket column — the same pruned-directory access pattern
-``MinHashDedupIndex`` and ``IvfIndex`` use), and scoring is the exact
-arithmetic of ``operators/text.bm25_topk``: per-term contributions
+Segment-based like Lucene: every ``build``/``add`` writes an immutable
+segment — postings (term, doc, tf, dl), per-term document-frequency
+partials, and one (n_docs, sum_dl) stats row — and a probe MERGES
+across segments: global n_docs/avgdl are sums over segment stats, dft
+is the sum of per-term partials, and only then does the BM25 formula
+apply. Nothing is rewritten on add (the small-file cost is bounded by
+segment count; compact by re-building). Statistics stay exact because
+everything stored is an integer partial; avgdl = sum_dl / n_docs at
+probe time is the same double every engine computes.
+
+Layout: ``postings/__seg=S/__term_bucket=B/`` and
+``term_stats/__seg=S/__term_bucket=B/`` — a probe's scan touches
+|query-term buckets| / n_buckets of every segment (partition pruning
+on the bucket column, the ``MinHashDedupIndex`` / ``IvfIndex``
+pattern), and the scoring arithmetic is exactly
+``operators/text.bm25_topk``: per-term contributions
 integer-quantized to micro-units before the per-doc sum.
 """
 
@@ -25,6 +33,7 @@ from pyspark.sql import functions as F
 from transfer_spark.operators.text import tokens, word_hash
 
 BUCKET_COL = "__term_bucket"
+SEG_COL = "__seg"
 
 
 def _py_word_hash(w: str, hex_chars: int = 7) -> int:
@@ -38,12 +47,25 @@ class Bm25Index:
         self.path = path
         self.n_buckets = n_buckets
         self.postings_path = os.path.join(path, "postings")
+        self.terms_path = os.path.join(path, "term_stats")
         self.stats_path = os.path.join(path, "stats")
 
-    def exists(self) -> bool:
-        return os.path.exists(os.path.join(self.stats_path, "_SUCCESS"))
+    # ------------------------------------------------------------- segments
 
-    def build(self, df: DataFrame, id_col: str, text_col: str) -> None:
+    def _segments(self) -> list[int]:
+        if not os.path.exists(self.postings_path):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.postings_path)
+            if d.startswith(f"{SEG_COL}=")
+        )
+
+    def exists(self) -> bool:
+        return bool(self._segments())
+
+    def _write_segment(self, df: DataFrame, id_col: str, text_col: str,
+                       seg: int) -> None:
         toks = tokens(F.col(text_col))
         base = df.select(
             F.col(id_col).alias("doc"),
@@ -52,21 +74,51 @@ class Bm25Index:
         )
         tf = base.groupBy("doc", "term").agg(
             F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
-        )
-        dft = tf.groupBy("term").agg(F.countDistinct("doc").alias("dft"))
-        postings = tf.join(dft, "term").withColumn(
+        ).withColumn(
             BUCKET_COL, word_hash(F.col("term")) % F.lit(self.n_buckets)
+        ).withColumn(SEG_COL, F.lit(seg))
+        (
+            tf.repartition(BUCKET_COL)
+            .write.mode("append")
+            .partitionBy(SEG_COL, BUCKET_COL)
+            .parquet(self.postings_path)
+        )
+        dft = (
+            tf.groupBy("term")
+            .agg(F.countDistinct("doc").alias("dft"))
+            .withColumn(
+                BUCKET_COL, word_hash(F.col("term")) % F.lit(self.n_buckets)
+            )
+            .withColumn(SEG_COL, F.lit(seg))
         )
         (
-            postings.repartition(BUCKET_COL)
-            .write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(self.postings_path)
+            dft.repartition(BUCKET_COL)
+            .write.mode("append")
+            .partitionBy(SEG_COL, BUCKET_COL)
+            .parquet(self.terms_path)
         )
         df.agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.avg(F.size(toks)).alias("avgdl"),
-        ).write.mode("overwrite").parquet(self.stats_path)
+            F.sum(F.size(toks).cast("long")).alias("sum_dl"),
+        ).withColumn(SEG_COL, F.lit(seg)).write.mode("append").partitionBy(
+            SEG_COL
+        ).parquet(self.stats_path)
+
+    # ------------------------------------------------------------------ api
+
+    def build(self, df: DataFrame, id_col: str, text_col: str) -> None:
+        """First segment. (Re-building over an existing index: make a
+        fresh path — segments are immutable by design.)"""
+        self._write_segment(df, id_col, text_col, seg=0)
+
+    def add(self, df: DataFrame, id_col: str, text_col: str) -> None:
+        """Incremental add: a new immutable segment. Doc ids must be
+        disjoint from earlier segments (the CDC pipeline's PK
+        discipline); statistics re-merge at probe time so scores are
+        identical to a single-segment build over the union."""
+        segs = self._segments()
+        nxt = (segs[-1] + 1) if segs else 0
+        self._write_segment(df, id_col, text_col, seg=nxt)
 
     def topk(
         self,
@@ -76,7 +128,8 @@ class Bm25Index:
         k1: float = 1.2,
         b: float = 0.75,
     ) -> DataFrame:
-        """Exact bm25_topk arithmetic over the pruned postings scan."""
+        """Exact bm25_topk arithmetic over the pruned postings scan,
+        statistics merged across segments."""
         buckets = sorted(
             {_py_word_hash(t) % self.n_buckets for t in query_terms}
         )
@@ -85,9 +138,23 @@ class Bm25Index:
             .filter(F.col(BUCKET_COL).isin(buckets))
             .filter(F.col("term").isin(query_terms))
         )
-        stats = self.spark.read.parquet(self.stats_path)
+        dft = (
+            self.spark.read.parquet(self.terms_path)
+            .filter(F.col(BUCKET_COL).isin(buckets))
+            .filter(F.col("term").isin(query_terms))
+            .groupBy("term")
+            .agg(F.sum("dft").alias("dft"))
+        )
+        stats = self.spark.read.parquet(self.stats_path).agg(
+            F.sum("n_docs").alias("n_docs"),
+            (
+                F.sum("sum_dl").cast("double")
+                / F.sum("n_docs").cast("double")
+            ).alias("avgdl"),
+        )
         scored = (
-            p.crossJoin(F.broadcast(stats))
+            p.join(F.broadcast(dft), "term")
+            .crossJoin(F.broadcast(stats))
             .select(
                 "doc",
                 F.floor(
