@@ -605,3 +605,21 @@ def test_bm25_index_incremental_add_matches_single_build(spark, tmp_path):
     via_idx = [(r.doc_id, r.score_micro, r.rank)
                for r in idx.topk(terms, id_col="doc_id", k=10).collect()]
     assert via_idx == direct
+
+
+def test_bm25_index_compact_preserves_scores(spark, tmp_path):
+    from transfer_spark.operators.text_index import Bm25Index
+    from transfer_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = Bm25Index(spark, str(tmp_path / "bm25c"), n_buckets=16)
+    for m in range(3):
+        idx.add(docs.filter(F.col("doc_id") % 3 == m), "doc_id", "text")
+    terms = ["spark", "merge", "vector"]
+    before = [(r.doc_id, r.score_micro)
+              for r in idx.topk(terms, k=10).collect()]
+    assert idx.compact() == 3
+    assert idx._segments() == [0]
+    after = [(r.doc_id, r.score_micro)
+             for r in idx.topk(terms, k=10).collect()]
+    assert after == before

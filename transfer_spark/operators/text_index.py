@@ -186,3 +186,51 @@ class Bm25Index:
         return top.withColumn("rank", F.row_number().over(w)).select(
             F.col("doc").alias(id_col), "score_micro", "rank"
         )
+
+    def compact(self) -> int:
+        """Merge all segments into one — the small-file maintenance pass
+        (Lucene's segment merge). Doc sets are disjoint across segments,
+        so postings union as-is, per-term dft partials sum, and stats
+        rows sum; scores are identical before and after (pinned in
+        tests). Returns the number of segments merged. Staged into a
+        sibling directory and swapped in, so a concurrent probe sees
+        the old layout or the new one, never a mix."""
+        import shutil
+
+        segs = self._segments()
+        if len(segs) <= 1:
+            return len(segs)
+        stage = self.path + ".compact-stage"
+        shutil.rmtree(stage, ignore_errors=True)
+        merged = Bm25Index(self.spark, stage, n_buckets=self.n_buckets)
+        p = self.spark.read.parquet(self.postings_path).withColumn(
+            SEG_COL, F.lit(0)
+        )
+        (
+            p.repartition(BUCKET_COL)
+            .write.mode("append")
+            .partitionBy(SEG_COL, BUCKET_COL)
+            .parquet(merged.postings_path)
+        )
+        t = (
+            self.spark.read.parquet(self.terms_path)
+            .groupBy("term", BUCKET_COL)
+            .agg(F.sum("dft").alias("dft"))
+            .withColumn(SEG_COL, F.lit(0))
+        )
+        (
+            t.repartition(BUCKET_COL)
+            .write.mode("append")
+            .partitionBy(SEG_COL, BUCKET_COL)
+            .parquet(merged.terms_path)
+        )
+        s = self.spark.read.parquet(self.stats_path).agg(
+            F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+        ).withColumn(SEG_COL, F.lit(0))
+        s.write.mode("append").partitionBy(SEG_COL).parquet(merged.stats_path)
+        old = self.path + ".compact-old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(self.path, old)
+        os.replace(stage, self.path)
+        shutil.rmtree(old)
+        return len(segs)
