@@ -63,3 +63,24 @@ def test_run_maintenance_full_pass(spark, tmp_path):
     assert {(r.id, r.v) for r in bt.read().collect()} == before_bt
     assert [r.n for r in vt.read().collect()] == before_vt
     assert idx.read_buckets([0, 1]).count() == before_idx
+
+
+def test_maintenance_merges_text_index_segments(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from transfer_spark.operators.text_index import Bm25Index
+    from transfer_spark.session import read_table
+    from transfer_spark.streaming.maintenance import run_maintenance
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = Bm25Index(spark, str(tmp_path / "bm25m"), n_buckets=8)
+    idx.add(docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text")
+    idx.add(docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text")
+    terms = ["spark", "merge"]
+    before = [(r.doc_id, r.score_micro) for r in idx.topk(terms, k=5).collect()]
+    rep = run_maintenance(text_indexes={"docs": idx})
+    assert rep.merged_text_segments == {"docs": 2}
+    assert rep.total_actions() == 1
+    assert idx._segments() == [0]
+    assert [(r.doc_id, r.score_micro)
+            for r in idx.topk(terms, k=5).collect()] == before

@@ -11,6 +11,7 @@ delegates to the warehouse):
                               z-order)
 - old snapshots              (VersionedParquetTable.vacuum)
 - fragmented dedup-index     (MinHashDedupIndex.compact)
+- multi-segment text index   (Bm25Index.compact — Lucene-style merge)
 
 Every step is layout-only or delete-only — a maintenance pass never
 changes query results, which the test pins.
@@ -27,6 +28,7 @@ class MaintenanceReport:
     compacted_buckets: dict[str, list[int]] = field(default_factory=dict)
     vacuumed_versions: dict[str, list[int]] = field(default_factory=dict)
     compacted_index_buckets: dict[str, list[int]] = field(default_factory=dict)
+    merged_text_segments: dict[str, int] = field(default_factory=dict)
 
     def total_actions(self) -> int:
         return (
@@ -34,6 +36,7 @@ class MaintenanceReport:
             + sum(len(v) for v in self.compacted_buckets.values())
             + sum(len(v) for v in self.vacuumed_versions.values())
             + sum(len(v) for v in self.compacted_index_buckets.values())
+            + sum(max(0, n - 1) for n in self.merged_text_segments.values())
         )
 
 
@@ -42,6 +45,7 @@ def run_maintenance(
     bucketed_tables: "dict[str, object] | None" = None,
     versioned_tables: "dict[str, object] | None" = None,
     dedup_indexes: "dict[str, object] | None" = None,
+    text_indexes: "dict[str, object] | None" = None,
     max_files_per_bucket: int = 4,
     keep_last_versions: int = 3,
     zorder_cols: "tuple[str, str] | None" = None,
@@ -65,4 +69,6 @@ def run_maintenance(
         rep.compacted_index_buckets[name] = idx.compact(
             max_files_per_bucket=max_files_per_bucket
         )
+    for name, idx in (text_indexes or {}).items():
+        rep.merged_text_segments[name] = idx.compact()
     return rep
