@@ -1434,6 +1434,88 @@ FROM l WHERE prev_n IS NOT NULL
 """
 
 
+_FUNNEL_WINDOW_US = 3 * 86_400_000_000  # 3 days per stage
+
+
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: signup → NEXT click within 3 days → NEXT
+    purchase within 3 days of that click, per user's FIRST signup —
+    the conversion metric with per-stage deadlines the unbounded
+    funnel (events_funnel) can't express. Composed as two chained
+    forward as-of joins (each one shuffle on user, no interval
+    explosion); the deadline is a residual on the matched row — if the
+    nearest next event misses the window the user drops out, which is
+    exactly "the journey stalled"."""
+    ev = _events(spark, sf_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts"))
+        .select("user_id", "ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    j1 = TP.asof_join(
+        s, c, on="user_id", left_ts="ts", right_ts="cts",
+        right_cols=["cts"], direction="forward",
+    )
+    gap1 = F.unix_micros(F.col("cts_asof")) - F.unix_micros(F.col("ts"))
+    stage2 = j1.withColumn(
+        "clicked",
+        F.col("cts_asof").isNotNull() & (gap1 <= F.lit(_FUNNEL_WINDOW_US)),
+    )
+    clicked = stage2.filter(F.col("clicked")).select(
+        "user_id", F.col("cts_asof").alias("ts2")
+    )
+    j2 = TP.asof_join(
+        clicked, p, on="user_id", left_ts="ts2", right_ts="pts",
+        right_cols=["pts"], direction="forward",
+    )
+    gap2 = F.unix_micros(F.col("pts_asof")) - F.unix_micros(F.col("ts2"))
+    purchased = j2.filter(
+        F.col("pts_asof").isNotNull() & (gap2 <= F.lit(_FUNNEL_WINDOW_US))
+    )
+    return (
+        stage2.agg(
+            F.count(F.lit(1)).alias("signed_up"),
+            F.sum(F.when(F.col("clicked"), 1).otherwise(0))
+            .alias("clicked_3d"),
+        )
+        .crossJoin(purchased.agg(F.count(F.lit(1)).alias("purchased_3d")))
+    )
+
+
+ORACLE_FUNNEL_WINDOWED = f"""
+WITH s AS (
+  SELECT user_id, min(ts) AS ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'
+), j1 AS (
+  SELECT s.user_id, s.ts, c.cts,
+    (c.cts IS NOT NULL AND
+     epoch_us(c.cts) - epoch_us(s.ts) <= {_FUNNEL_WINDOW_US}) AS clicked
+  FROM s ASOF LEFT JOIN c ON s.user_id = c.user_id AND s.ts <= c.cts
+), j2 AS (
+  SELECT j1.user_id, j1.cts AS ts2, p.pts
+  FROM (SELECT * FROM j1 WHERE clicked) j1
+  ASOF LEFT JOIN p ON j1.user_id = p.user_id AND j1.cts <= p.pts
+)
+SELECT
+  (SELECT count(*) FROM j1) AS signed_up,
+  (SELECT sum(CASE WHEN clicked THEN 1 ELSE 0 END) FROM j1) AS clicked_3d,
+  (SELECT count(*) FROM j2
+   WHERE pts IS NOT NULL
+     AND epoch_us(pts) - epoch_us(ts2) <= {_FUNNEL_WINDOW_US}) AS purchased_3d
+"""
+
+
 def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative distinct users per day via the first-seen trick: a
     user contributes to every day at or after their first event, so
@@ -1480,6 +1562,7 @@ QUERIES = {
     "events_mad_outliers": (q_mad_outliers, ORACLE_MAD),
     "events_daily_trend": (q_daily_trend, ORACLE_TREND),
     "events_wow_change": (q_wow_change, ORACLE_WOW),
+    "events_funnel_windowed": (q_funnel_windowed, ORACLE_FUNNEL_WINDOWED),
     "events_cumulative_users": (q_cumulative_users, ORACLE_CUMULATIVE_USERS),
     "events_ewma_decay": (q_ewma_decay, ORACLE_EWMA),
     "events_attribution_last_touch": (q_attribution, ORACLE_ATTRIBUTION),

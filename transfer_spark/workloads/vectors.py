@@ -641,6 +641,64 @@ FROM z
 """
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift check between two corpus snapshots
+    (here: even vs odd vec_ids standing in for yesterday/today): per-
+    dimension mean shift in micro-units, flagged where |shift| exceeds
+    50000 micro (0.05) — the encoder-regression alarm an embedding
+    pipeline runs before publishing a new snapshot. Integer micro sums
+    per (snapshot, dim) — map-side combinable, exact — then one
+    64-row comparison."""
+    emb = _emb(spark, sf_dir)
+    xm = F.posexplode(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("long"),
+        )
+    )
+    d = emb.select(
+        (F.col("vec_id") % 2).alias("snap"), xm.alias("dim", "xm")
+    )
+    per = d.groupBy("snap", "dim").agg(
+        F.sum("xm").alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    a = per.filter(F.col("snap") == 0).select(
+        "dim", F.col("sx").alias("sx0"), F.col("n").alias("n0")
+    )
+    b = per.filter(F.col("snap") == 1).select(
+        "dim", F.col("sx").alias("sx1"), F.col("n").alias("n1")
+    )
+    j = a.join(b, "dim").select(
+        "dim",
+        F.expr("CAST(sx0 DIV n0 AS BIGINT)").alias("mean0_micro"),
+        F.expr("CAST(sx1 DIV n1 AS BIGINT)").alias("mean1_micro"),
+        F.expr("CAST(abs(sx1 DIV n1 - sx0 DIV n0) AS BIGINT)")
+        .alias("shift_micro"),
+    )
+    return j.select(
+        "dim", "mean0_micro", "mean1_micro", "shift_micro",
+        (F.col("shift_micro") > 50_000).alias("drifted"),
+    )
+
+
+ORACLE_DRIFT = """
+WITH e AS (
+  SELECT vec_id % 2 AS snap, d.i - 1 AS dim,
+         floor(embedding[d.i]::DOUBLE * 1000000.0 + 0.5)::BIGINT AS xm
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS d(i)
+), per AS (
+  SELECT snap, dim, sum(xm) AS sx, count(*) AS n
+  FROM e GROUP BY 1, 2
+), a AS (SELECT dim, sx AS sx0, n AS n0 FROM per WHERE snap = 0),
+b AS (SELECT dim, sx AS sx1, n AS n1 FROM per WHERE snap = 1)
+SELECT a.dim, sx0 // n0 AS mean0_micro, sx1 // n1 AS mean1_micro,
+       abs(sx1 // n1 - sx0 // n0) AS shift_micro,
+       abs(sx1 // n1 - sx0 // n0) > 50000 AS drifted
+FROM a JOIN b ON a.dim = b.dim
+"""
+
+
 ORACLE_TRIPLETS = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
 a AS (SELECT vec_id AS anchor_id, v AS av, label AS al FROM e WHERE vec_id < 10),
@@ -794,6 +852,7 @@ QUERIES = {
     "search_rrf_hybrid": (q_rrf_hybrid, _rrf_oracle()),
     "contrastive_triplets": (q_contrastive_triplets, ORACLE_TRIPLETS),
     "classifier_inference": (q_classifier_inference, _classifier_oracle()),
+    "embedding_drift_check": (q_embedding_drift, ORACLE_DRIFT),
     "knn_label_vote": (q_knn_classify, ORACLE_KNN_CLASSIFY),
     "hard_negative_mining": (q_hard_negatives, ORACLE_HARD_NEGATIVES),
     "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
