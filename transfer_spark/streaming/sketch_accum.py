@@ -1,0 +1,74 @@
+"""Streaming sketch accumulation: mergeable-state sketches kept current
+across micro-batches.
+
+Count-Min cells are pure counters — sketch(A ∪ B) = cellwise
+sketch(A) + sketch(B) — so the streaming form needs NO retraction
+machinery: each batch's sparse cells merge into the persisted sketch by
+one (lane, bucket) sum, and the accumulated sketch is BIT-IDENTICAL to
+a single-pass sketch of the whole stream (the oracle checks exactly
+that). State size is fixed (depth × width cells) no matter how much
+stream has passed — the property that makes sketches the right
+unbounded-stream answer where exact counters grow without limit.
+
+Same version-chain persistence as ``IncrementalAggMV`` (read N, write
+N+1, ``vacuum`` drops history).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transfer_spark.operators.temporal import count_min_sketch
+
+
+class CmsAccumulator:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        value_col: str,
+        depth: int = 4,
+        width: int = 256,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.value_col = value_col
+        self.depth = depth
+        self.width = width
+        os.makedirs(path, exist_ok=True)
+
+    def _versions(self) -> list[str]:
+        return sorted(v for v in os.listdir(self.path) if v.startswith("v"))
+
+    def sketch(self) -> DataFrame | None:
+        vs = self._versions()
+        if not vs:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, vs[-1]))
+
+    def vacuum(self, keep: int = 2) -> None:
+        import shutil
+
+        for v in self._versions()[:-keep]:
+            shutil.rmtree(os.path.join(self.path, v))
+
+    def apply_batch(self, batch: DataFrame) -> DataFrame:
+        """Merge one micro-batch's cells into the persisted sketch."""
+        cells = count_min_sketch(
+            batch, self.value_col, depth=self.depth, width=self.width
+        )
+        prev = self.sketch()
+        merged = (
+            cells
+            if prev is None
+            else prev.unionByName(cells)
+            .groupBy("lane", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        vs = self._versions()
+        nxt = f"v{(int(vs[-1][1:]) + 1) if vs else 1:06d}"
+        merged.write.mode("overwrite").parquet(os.path.join(self.path, nxt))
+        return self.sketch()

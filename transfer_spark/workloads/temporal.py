@@ -780,6 +780,39 @@ cells AS (
 SELECT lane, bucket, SUM(c) AS cnt FROM cells GROUP BY lane, bucket
 """
 
+def q_cms_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user_id Count-Min sketch built INCREMENTALLY over two
+    micro-batches (streaming/sketch_accum.py): cells are pure counters,
+    so the accumulated sketch must be cell-for-cell identical to the
+    one-pass sketch of the whole stream — which is this entry's oracle
+    (the same SQL as cms_heavy_hitters' sketch stage)."""
+    import tempfile
+
+    from transfer_spark.streaming.sketch_accum import CmsAccumulator
+
+    ev = read_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        ((F.min("event_id") + F.max("event_id")) / 2).cast("long")
+    ).first()[0]
+    acc = CmsAccumulator(
+        spark, tempfile.mkdtemp(prefix="artie_cms_acc_"), "user_id"
+    )
+    acc.apply_batch(ev.filter(F.col("event_id") <= mid))
+    return acc.apply_batch(ev.filter(F.col("event_id") > mid))
+
+
+ORACLE_CMS_STREAMING = """
+WITH pv AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+cells AS (
+  SELECT 0 AS lane, ('0x' || substr(md5('cms0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket, c FROM pv
+  UNION ALL SELECT 1, ('0x' || substr(md5('cms1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256, c FROM pv
+  UNION ALL SELECT 2, ('0x' || substr(md5('cms2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256, c FROM pv
+  UNION ALL SELECT 3, ('0x' || substr(md5('cms3:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256, c FROM pv
+)
+SELECT lane, bucket, SUM(c) AS cnt FROM cells GROUP BY lane, bucket
+"""
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly resample per event type with zero-filled gaps and LOCF
     value carry."""
@@ -1563,6 +1596,7 @@ QUERIES = {
     "events_daily_trend": (q_daily_trend, ORACLE_TREND),
     "events_wow_change": (q_wow_change, ORACLE_WOW),
     "events_funnel_windowed": (q_funnel_windowed, ORACLE_FUNNEL_WINDOWED),
+    "cms_streaming_accumulation": (q_cms_streaming, ORACLE_CMS_STREAMING),
     "events_cumulative_users": (q_cumulative_users, ORACLE_CUMULATIVE_USERS),
     "events_ewma_decay": (q_ewma_decay, ORACLE_EWMA),
     "events_attribution_last_touch": (q_attribution, ORACLE_ATTRIBUTION),

@@ -810,6 +810,33 @@ FROM r
 """
 
 
+def q_dedupe_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report: doc count, distinct texts, and
+    duplicate fraction (ppm) — the "which feed is resending content"
+    table a crawl operator reads daily. One aggregate; dedup on the
+    md5 of the text so the shuffle carries 16-byte keys, not bodies."""
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_unique"),
+    )
+    return per.select(
+        "source", "n_docs", "n_unique",
+        F.expr(
+            "CAST((1000000 * (n_docs - n_unique)) DIV n_docs AS BIGINT)"
+        ).alias("dup_ppm"),
+    )
+
+
+ORACLE_DEDUPE_RATE = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique,
+       (1000000 * (count(*) - count(DISTINCT md5(text)))) // count(*)
+         AS dup_ppm
+FROM documents GROUP BY source
+"""
+
+
 def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per language: subword-ish pieces per
     whitespace word (ppm) — the metric that tells you which languages
@@ -2028,6 +2055,7 @@ QUERIES = {
     "neardup_cluster_sizes": (q_neardup_cluster_sizes, ORACLE_NEARDUP_SIZES),
     "corpus_weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     "corpus_split_exact": (q_split_exact, ORACLE_SPLIT_EXACT),
+    "dedupe_rate_by_source": (q_dedupe_rate, ORACLE_DEDUPE_RATE),
     "quality_threshold_sweep": (q_quality_threshold_sweep,
                                 _quality_sweep_sql()),
     "token_fertility_by_lang": (q_token_fertility, ORACLE_FERTILITY),
