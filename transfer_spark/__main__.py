@@ -1,0 +1,73 @@
+"""CLI: operate the engine without writing a driver script.
+
+    python -m transfer_spark list [substring]
+    python -m transfer_spark run <query> [--sf DIR] [--show N] [--explain]
+    python -m transfer_spark bench [--sf DIR]
+
+``run`` executes a registered catalog query against the given testdata
+directory and prints row count (+ first N rows with --show); --explain
+prints the formatted physical plan instead of executing — the loop used
+while tuning plan shapes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="transfer_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_list = sub.add_parser("list", help="list catalog queries")
+    p_list.add_argument("substring", nargs="?", default="")
+
+    p_run = sub.add_parser("run", help="run one catalog query")
+    p_run.add_argument("query")
+    p_run.add_argument("--sf", default="/root/testdata/sf0.001")
+    p_run.add_argument("--show", type=int, default=0)
+    p_run.add_argument("--explain", action="store_true")
+    p_run.add_argument("--cpus", type=int, default=8)
+
+    sub.add_parser("bench", help="run the headline bench (bench.py)")
+
+    args = ap.parse_args(argv)
+
+    from transfer_spark.workloads import QUERIES
+
+    if args.cmd == "list":
+        for name in QUERIES:
+            if args.substring in name:
+                print(name)
+        return 0
+
+    if args.cmd == "bench":
+        import runpy
+
+        runpy.run_path("bench.py", run_name="__main__")
+        return 0
+
+    if args.query not in QUERIES:
+        close = [n for n in QUERIES if args.query in n]
+        print(f"unknown query {args.query!r}" + (f"; close: {close}" if close else ""),
+              file=sys.stderr)
+        return 2
+
+    from transfer_spark.session import get_spark
+
+    spark = get_spark("transfer-spark-cli", cpus=args.cpus)
+    fn, _oracle = QUERIES[args.query]
+    df = fn(spark, args.sf)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    n = df.count()
+    print(f"{args.query}: {n} rows")
+    if args.show:
+        df.show(args.show, truncate=40)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
