@@ -1,0 +1,69 @@
+"""Declarative pipeline builder: config-built plans equal the
+hand-written compositions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transfer_spark.session import read_table
+from transfer_spark.workloads.pipeline_config import build_corpus_pipeline
+
+
+def test_config_reproduces_cleaned_docs(spark, sf_dir):
+    from transfer_spark.workloads.text import _cleaned_docs
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = build_corpus_pipeline(
+        docs,
+        {
+            "filters": [{"lang": "en"}, {"min_quality": 0.3}],
+            "dedup": ["exact", "neardup"],
+        },
+    )
+    want = {r.doc_id for r in _cleaned_docs(spark, sf_dir).collect()}
+    assert {r.doc_id for r in got.collect()} == want
+
+
+def test_config_split_and_quota(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    out = build_corpus_pipeline(
+        docs,
+        {
+            "sample": {"per_source_quota": 5},
+            "split": {"train": 0.8, "val": 0.1, "test": 0.1},
+        },
+    ).select("doc_id", "source", "split").collect()
+    per_source = {}
+    for r in out:
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+        assert r.split in ("train", "val", "test")
+    assert per_source and all(v <= 5 for v in per_source.values())
+
+
+def test_config_unknown_stage_raises(spark, sf_dir):
+    import pytest
+
+    docs = read_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        build_corpus_pipeline(docs, {"filters": [{"bogus": 1}]})
+    with pytest.raises(ValueError):
+        build_corpus_pipeline(docs, {"dedup": ["bogus"]})
+
+
+def test_config_gopher_and_min_tokens(spark, sf_dir):
+    from transfer_spark.operators.text import gopher_quality_flags, token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = {
+        r.doc_id
+        for r in build_corpus_pipeline(
+            docs, {"filters": [{"min_tokens": 10}, {"gopher": True}]}
+        ).collect()
+    }
+    base = docs.filter(token_count(F.col("text")) >= 10)
+    want = {
+        r.doc_id
+        for r in gopher_quality_flags(base, "doc_id", "text")
+        .filter(F.col("passes_gopher")).collect()
+    }
+    assert got == want

@@ -1,0 +1,102 @@
+"""Declarative corpus-pipeline builder: a config dict → one composed
+lazy plan.
+
+The reference is config-driven end to end (yaml topic/table configs
+select sources, transforms, and merge behavior); this is the
+training-corpus analog — a user describes WHAT the pipeline does and
+the builder composes the engine's operators in the canonical order,
+producing the identical plan the hand-written workloads build:
+
+    build_corpus_pipeline(docs, {
+        "filters": [{"lang": "en"}, {"min_quality": 0.3}],
+        "dedup": ["exact", "neardup"],
+        "sample": {"per_source_quota": 10},
+        "split": {"train": 0.8, "val": 0.1, "test": 0.1},
+    })
+
+Stages run in the fixed order filters → dedup → sample → split
+(the order every production corpus pipeline uses: cheap row-local
+gates first, then the shuffling dedups over the survivors, then
+sampling, then the split stamp). Everything stays one lazy DataFrame —
+Catalyst fuses the filter stack into the scan, and the only shuffles
+are the dedup joins the config asked for. Equality with the
+hand-written composition is pinned in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from transfer_spark.operators import dedupe as D
+from transfer_spark.operators import text as T
+
+
+def build_corpus_pipeline(
+    docs: DataFrame,
+    config: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    out = docs
+
+    # ---- filters (row-local, fused into the scan) ----
+    for f in config.get("filters", []):
+        if "lang" in f:
+            out = out.filter(T.lang_id(F.col(text_col)) == f["lang"])
+        elif "min_quality" in f:
+            out = out.filter(
+                T.quality_score(F.col(text_col)) >= float(f["min_quality"])
+            )
+        elif "gopher" in f and f["gopher"]:
+            flags = T.gopher_quality_flags(out, id_col, text_col)
+            out = out.join(
+                flags.filter(F.col("passes_gopher")).select(id_col), id_col
+            )
+        elif "min_tokens" in f:
+            out = out.filter(
+                T.token_count(F.col(text_col)) >= int(f["min_tokens"])
+            )
+        else:
+            raise ValueError(f"unknown filter {f!r}")
+
+    # ---- dedup (the shuffling stages) ----
+    for kind in config.get("dedup", []):
+        if kind == "exact":
+            surv = D.exact_dedupe(docs, text_col, id_col).select(
+                F.col(id_col).alias("__surv")
+            )
+            out = out.join(surv, out[id_col] == surv["__surv"]).drop("__surv")
+        elif kind == "neardup":
+            clusters = D.neardup_clusters(
+                D.minhash_lsh_pairs(docs, id_col, text_col)
+            )
+            out = out.join(clusters, id_col, "left").filter(
+                F.col("cluster_id").isNull()
+                | (F.col("cluster_id") == F.col(id_col))
+            ).drop("cluster_id")
+        else:
+            raise ValueError(f"unknown dedup {kind!r}")
+
+    # ---- sampling ----
+    sample = config.get("sample", {})
+    if "per_source_quota" in sample:
+        pref = F.md5(F.concat(F.lit("q:"), F.col(id_col).cast("string")))
+        out = T.source_quota(
+            out, id_col, "source", int(sample["per_source_quota"]),
+            order_cols=[pref, F.col(id_col)],
+        ).drop("stratum_rank")
+    if "stratified_rates" in sample:
+        out = out.filter(
+            T.stratified_keep(
+                F.col(id_col), F.col("lang"), sample["stratified_rates"]
+            )
+        )
+
+    # ---- split stamp ----
+    split = config.get("split")
+    if split:
+        out = out.withColumn(
+            "split", T.assign_split(F.col(id_col), dict(split))
+        )
+    return out
