@@ -72,3 +72,78 @@ class CmsAccumulator:
         nxt = f"v{(int(vs[-1][1:]) + 1) if vs else 1:06d}"
         merged.write.mode("overwrite").parquet(os.path.join(self.path, nxt))
         return self.sketch()
+
+
+class KmvAccumulator:
+    """Streaming KMV distinct sketch: per batch, hash new values and
+    keep the k smallest of (persisted ∪ batch) — the union rule that
+    makes the accumulated sketch EQUAL the one-pass sketch of the whole
+    stream (any member of the union's k smallest is in its side's k
+    smallest). State is k doubles forever; estimates come from
+    ``operators/temporal.kmv_distinct`` arithmetic."""
+
+    def __init__(self, spark: SparkSession, path: str, value_col: str,
+                 k: int = 32) -> None:
+        self.spark = spark
+        self.path = path
+        self.value_col = value_col
+        self.k = k
+        os.makedirs(path, exist_ok=True)
+
+    def _versions(self) -> list[str]:
+        return sorted(v for v in os.listdir(self.path) if v.startswith("v"))
+
+    def fractions(self) -> DataFrame | None:
+        vs = self._versions()
+        if not vs:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, vs[-1]))
+
+    def vacuum(self, keep: int = 2) -> None:
+        import shutil
+
+        for v in self._versions()[:-keep]:
+            shutil.rmtree(os.path.join(self.path, v))
+
+    def apply_batch(self, batch: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        from transfer_spark.operators.temporal import hash_frac
+
+        new = (
+            batch.select(self.value_col)
+            .distinct()
+            .select(hash_frac(F.col(self.value_col).cast("string"))
+                    .alias("frac"))
+        )
+        prev = self.fractions()
+        pool = new if prev is None else prev.unionByName(new)
+        w = Window.orderBy("frac")
+        kept = (
+            pool.distinct()
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= self.k)
+            .select("frac")
+        )
+        vs = self._versions()
+        nxt = f"v{(int(vs[-1][1:]) + 1) if vs else 1:06d}"
+        kept.write.mode("overwrite").parquet(os.path.join(self.path, nxt))
+        return self.fractions()
+
+    def estimate(self) -> DataFrame:
+        """(n_kept, distinct_est) from the persisted sketch — exact below
+        k, (k-1)/kth-smallest beyond."""
+        fr = self.fractions()
+        if fr is None:
+            raise ValueError("no batch applied yet")
+        return fr.agg(
+            F.count(F.lit(1)).alias("n_kept"), F.max("frac").alias("kth")
+        ).select(
+            "n_kept",
+            F.round(
+                F.when(F.col("n_kept") < self.k,
+                       F.col("n_kept").cast("double"))
+                .otherwise(F.lit(float(self.k - 1)) / F.col("kth")),
+                4,
+            ).alias("distinct_est"),
+        )

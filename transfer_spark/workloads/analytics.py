@@ -1045,6 +1045,69 @@ FROM j GROUP BY o_orderpriority
 """
 
 
+def q_revenue_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical percent-of-parent report: per nation, revenue plus
+    its share of the region and of the grand total (ppm) — the drill-
+    down table every BI hierarchy renders. Facts aggregate once at the
+    leaf grain; region and global totals come from re-aggregating that
+    dimension-sized frame (broadcast back), never from re-scanning
+    orders."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    leaf = (
+        o.select("o_custkey", cents.alias("cents"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("cents").alias("nation_cents"))
+    )
+    region = leaf.groupBy("r_name").agg(
+        F.sum("nation_cents").alias("region_cents")
+    )
+    total = leaf.agg(F.sum("nation_cents").alias("total_cents"))
+    return (
+        leaf.join(F.broadcast(region), "r_name")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "r_name", "n_name", "nation_cents",
+            F.expr(
+                "CAST((1000000 * nation_cents) DIV region_cents AS BIGINT)"
+            ).alias("share_of_region_ppm"),
+            F.expr(
+                "CAST((1000000 * nation_cents) DIV total_cents AS BIGINT)"
+            ).alias("share_of_total_ppm"),
+        )
+    )
+
+
+ORACLE_REV_HIERARCHY = """
+WITH leaf AS (
+  SELECT r_name, n_name,
+         sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT) AS nation_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+), reg AS (
+  SELECT r_name, sum(nation_cents) AS region_cents FROM leaf GROUP BY 1
+), tot AS (SELECT sum(nation_cents) AS total_cents FROM leaf)
+SELECT leaf.r_name, n_name, nation_cents,
+       (1000000 * nation_cents) // region_cents AS share_of_region_ppm,
+       (1000000 * nation_cents) // total_cents AS share_of_total_ppm
+FROM leaf JOIN reg ON leaf.r_name = reg.r_name, tot
+"""
+
+
 def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate: not-null, positive-amount, PK
     uniqueness, and date-range rules over orders, all evaluated in ONE
@@ -1797,6 +1860,7 @@ FROM per_cust
     "entity_blocking_fuzzy_match": (q_fuzzy_match, ORACLE_FUZZY_MATCH),
     "customer_pareto_curve": (q_pareto_curve, ORACLE_PARETO),
     "orders_ship_delay_quantiles": (q_ship_delay, ORACLE_SHIP_DELAY),
+    "revenue_share_hierarchy": (q_revenue_hierarchy, ORACLE_REV_HIERARCHY),
     "dq_violations": (q_dq_violations, ORACLE_DQ),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),

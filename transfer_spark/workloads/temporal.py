@@ -813,6 +813,109 @@ SELECT lane, bucket, SUM(c) AS cnt FROM cells GROUP BY lane, bucket
 """
 
 
+_SLO_PPM = 200_000  # error-budget SLO: 20% of events may be errors
+# alert threshold = 1.05x budget in BOTH windows; the synthetic stream's
+# error rate hovers AT the budget, so the rule exercises both branches
+# (a 2x threshold never fires here — on a paging deployment you'd run
+# the SRE-workbook 14.4x/6x fast + 3x/1x slow pairs)
+_THR_PPM = 210_000
+
+
+def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE workbook
+    rule): alert on hours where the error rate exceeds the alert
+    threshold in BOTH the 1-hour and the trailing-6-hour window —
+    the long window keeps one bad minute from paging, the short window
+    keeps the alert fresh. All-integer: rates compare as
+    errors·1e6 > threshold·total, and the trailing window is the
+    fan-out-after-agg pattern (6 rows per hourly aggregate, never per
+    event)."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .alias("errors"),
+    )
+    fan = hourly.select(
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("k"),
+        "hr", "total", "errors",
+    ).select(
+        (F.col("hr") + F.expr("make_interval(0, 0, 0, 0, k, 0, 0)"))
+        .alias("hr"),
+        "total", "errors",
+    )
+    trail = fan.groupBy("hr").agg(
+        F.sum("total").alias("total6"), F.sum("errors").alias("errors6")
+    )
+    j = hourly.join(trail, "hr")
+    thr = _THR_PPM
+    alert = (
+        (F.col("errors") * 1_000_000 > F.lit(thr) * F.col("total"))
+        & (F.col("errors6") * 1_000_000 > F.lit(thr) * F.col("total6"))
+    )
+    return j.filter(alert).select(
+        F.unix_micros(F.col("hr")).alias("hr_us"),
+        "total", "errors", "total6", "errors6",
+    )
+
+
+ORACLE_SLO_BURN = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr, count(*) AS total,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+  FROM events GROUP BY 1
+), fan AS (
+  SELECT hr + k * INTERVAL 1 HOUR AS hr, total, errors
+  FROM hourly, range(0, 6) t(k)
+), trail AS (
+  SELECT hr, sum(total) AS total6, sum(errors) AS errors6
+  FROM fan GROUP BY hr
+)
+SELECT epoch_us(h.hr) AS hr_us, h.total, h.errors, t.total6, t.errors6
+FROM hourly h JOIN trail t ON h.hr = t.hr
+WHERE h.errors * 1000000 > {_THR_PPM} * h.total
+  AND t.errors6 * 1000000 > {_THR_PPM} * t.total6
+"""
+
+
+def q_kmv_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user KMV sketch accumulated over two micro-batches
+    (streaming/sketch_accum.py:KmvAccumulator): union + re-take-k makes
+    the streamed sketch equal the one-pass sketch exactly — the oracle
+    computes the one-pass form."""
+    import tempfile
+
+    from transfer_spark.streaming.sketch_accum import KmvAccumulator
+
+    ev = read_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        ((F.min("event_id") + F.max("event_id")) / 2).cast("long")
+    ).first()[0]
+    acc = KmvAccumulator(
+        spark, tempfile.mkdtemp(prefix="artie_kmv_acc_"), "user_id",
+        k=_KMV_K,
+    )
+    acc.apply_batch(ev.filter(F.col("event_id") <= mid))
+    acc.apply_batch(ev.filter(F.col("event_id") > mid))
+    return acc.estimate()
+
+
+ORACLE_KMV_STREAMING = f"""
+WITH d AS (SELECT DISTINCT user_id FROM events),
+h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS frac
+  FROM d
+), k AS (SELECT frac, row_number() OVER (ORDER BY frac) AS rn FROM h)
+SELECT count(*) AS n_kept,
+  round(CASE WHEN count(*) < {_KMV_K} THEN count(*)::DOUBLE
+             ELSE {_KMV_K - 1}.0 / max(frac) END, 4) AS distinct_est
+FROM k WHERE rn <= {_KMV_K}
+"""
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly resample per event type with zero-filled gaps and LOCF
     value carry."""
@@ -1597,6 +1700,8 @@ QUERIES = {
     "events_wow_change": (q_wow_change, ORACLE_WOW),
     "events_funnel_windowed": (q_funnel_windowed, ORACLE_FUNNEL_WINDOWED),
     "cms_streaming_accumulation": (q_cms_streaming, ORACLE_CMS_STREAMING),
+    "kmv_streaming_accumulation": (q_kmv_streaming, ORACLE_KMV_STREAMING),
+    "events_slo_burn_alerts": (q_slo_burn, ORACLE_SLO_BURN),
     "events_cumulative_users": (q_cumulative_users, ORACLE_CUMULATIVE_USERS),
     "events_ewma_decay": (q_ewma_decay, ORACLE_EWMA),
     "events_attribution_last_touch": (q_attribution, ORACLE_ATTRIBUTION),
