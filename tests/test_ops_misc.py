@@ -623,3 +623,23 @@ def test_bm25_index_compact_preserves_scores(spark, tmp_path):
     after = [(r.doc_id, r.score_micro)
              for r in idx.topk(terms, k=10).collect()]
     assert after == before
+
+
+def test_content_digest_distinguishes_null_positions(spark):
+    """(x, NULL, y) and (x, y, NULL) must digest differently — the case
+    concat_ws-style canonicalization collapses."""
+    from transfer_spark.operators.diff import partition_content_digest
+
+    a = spark.createDataFrame([(1, "x", None, "y")], "id long, a string, b string, c string")
+    b = spark.createDataFrame([(1, "x", "y", None)], "id long, a string, b string, c string")
+
+    def digest(df):
+        return partition_content_digest(
+            df, F.lit(0), [F.col("a"), F.col("b"), F.col("c")]
+        ).collect()[0].digest_sum
+
+    assert digest(a) != digest(b)
+    # and value boundaries can't shift across columns either
+    c = spark.createDataFrame([(1, "xy", "z", None)], "id long, a string, b string, c string")
+    d = spark.createDataFrame([(1, "x", "yz", None)], "id long, a string, b string, c string")
+    assert digest(c) != digest(d)

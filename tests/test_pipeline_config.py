@@ -67,3 +67,32 @@ def test_config_gopher_and_min_tokens(spark, sf_dir):
         .filter(F.col("passes_gopher")).collect()
     }
     assert got == want
+
+
+def test_dedup_scope_survivors_keeps_cluster_representative(spark):
+    """With dedup_scope='survivors', a cluster whose corpus-wide
+    canonical was filtered out still keeps one representative; with
+    the default corpus scope the whole cluster vanishes."""
+    from transfer_spark.workloads.pipeline_config import build_corpus_pipeline
+
+    base_words = [f"w{i}" for i in range(24)]           # 24 tokens
+    near = " ".join(base_words)
+    rows = [
+        (3, " ".join(base_words[:20])),                 # 20 tokens: filtered
+        (7, near + " indeed"),                          # 25 tokens
+        (9, near + " truly"),                           # 25 tokens
+        (50, " ".join(f"z{i}" for i in range(30))),     # distinct, 30 tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    flt = [{"min_tokens": 24}]
+    got = {r.doc_id for r in build_corpus_pipeline(
+        docs, {"filters": flt, "dedup": ["neardup"],
+               "dedup_scope": "survivors"}).collect()}
+    # 3 filtered; {7, 9} near-dup cluster keeps lower id 7; 50 unaffected
+    assert got == {7, 50}
+    got2 = {r.doc_id for r in build_corpus_pipeline(
+        docs, {"filters": flt, "dedup": ["neardup"],
+               "dedup_scope": "corpus"}).collect()}
+    # corpus-wide the cluster is {3, 7, 9} with canonical 3 — filtered
+    # out, so no representative survives (the documented trade-off)
+    assert got2 == {50}

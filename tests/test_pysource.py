@@ -128,3 +128,24 @@ def test_jsonl_sink_roundtrip_and_commit_protocol(spark, tmp_path):
     back = spark.read.json(os.path.join(out, "part-*.jsonl"))
     assert back.count() == 100
     assert {r.name for r in back.collect()} == {f"name-{i}" for i in range(100)}
+
+    # overwrite with FEWER partitions: stale part files must not survive
+    df2 = spark.range(0, 10).selectExpr(
+        "id", "concat('name-', id) AS name"
+    ).repartition(2)
+    df2.write.format("jsonl_sink").option("path", out).mode("overwrite").save()
+    parts2 = [f for f in os.listdir(out)
+              if f.startswith("part-") and f.endswith(".jsonl")]
+    assert len(parts2) == 2
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert f.read() == "10"
+    assert spark.read.json(os.path.join(out, "part-*.jsonl")).count() == 10
+
+    # append: new job's parts coexist, _SUCCESS accumulates
+    df2.write.format("jsonl_sink").option("path", out).mode("append").save()
+    parts3 = [f for f in os.listdir(out)
+              if f.startswith("part-") and f.endswith(".jsonl")]
+    assert len(parts3) == 4
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert f.read() == "20"
+    assert spark.read.json(os.path.join(out, "part-*.jsonl")).count() == 20

@@ -88,9 +88,9 @@ def test_replay_is_noop_and_vacuum_keeps_latest(spark):
     delta = mv.apply_batch(b1)
     assert delta.count() == 0
     assert _as_dict(mv.mv()) == {"a": (1, 40)}
-    assert len(mv._versions("mv")) == 3
+    assert len(mv._versions()) == 3
     mv.vacuum(keep=1)
-    assert len(mv._versions("mv")) == 1
+    assert len(mv._versions()) == 1
     assert _as_dict(mv.mv()) == {"a": (1, 40)}
 
 
@@ -136,3 +136,27 @@ def test_streaming_wrapper_available_now(spark, tmp_path):
         all_rows, ["id"], "off", "is_del", "etype", "cents"
     ))
     assert _as_dict(mv.mv()) == expected
+
+
+def test_crash_between_writes_is_recoverable(spark, tmp_path):
+    """A version directory without its _COMMIT marker (crash mid-batch)
+    is invisible to readers, and the replayed batch lands exactly once."""
+    import os
+
+    schema = "id long, off long, is_del boolean, etype string, cents long"
+    path = str(tmp_path / "mv")
+    mv = IncrementalAggMV(
+        spark, path, ["id"], "off", "is_del", "etype", "cents"
+    )
+    mv.apply_batch(spark.createDataFrame([(1, 1, False, "a", 10)], schema))
+    # simulate the crash: batch 2's writes finished but the commit
+    # marker never landed
+    b2 = spark.createDataFrame([(1, 2, False, "a", 30)], schema)
+    mv.apply_batch(b2)
+    committed = mv._versions()
+    os.remove(os.path.join(path, committed[-1], "_COMMIT"))
+    assert mv._versions() == committed[:-1]
+    assert _as_dict(mv.mv()) == {"a": (1, 10)}  # reader sees the old MV
+    # checkpoint replays batch 2: folded once, against the OLD state
+    mv.apply_batch(b2)
+    assert _as_dict(mv.mv()) == {"a": (1, 30)}

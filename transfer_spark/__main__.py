@@ -43,9 +43,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "bench":
+        import os
         import runpy
 
-        runpy.run_path("bench.py", run_name="__main__")
+        bench = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "bench.py"
+        )
+        runpy.run_path(bench, run_name="__main__")
         return 0
 
     if args.query not in QUERIES:

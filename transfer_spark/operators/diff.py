@@ -81,17 +81,30 @@ def partition_content_digest(
     pair differs is the partition to re-snapshot — no row-by-row diff
     shuffle across systems.
 
-    Each row canonicalizes to a '|'-joined string of pre-normalized
-    columns (caller casts floats to integer cents, timestamps to
-    epoch_us — the canonical forms every engine prints identically),
-    hashes to a 60-bit integer (md5 prefix), and the partition digest is
+    Each row canonicalizes to a concatenation of per-column tokens:
+    ``N`` for NULL, else ``V<length>:<value>`` over the pre-normalized
+    value (caller casts floats to integer cents, timestamps to
+    epoch_us — the canonical forms every engine prints identically).
+    NULL gets its own token and values are length-prefixed, so a NULL
+    column can never collide with a shifted value in another column
+    (plain ``concat_ws`` silently DROPS nulls — (x, NULL, y) and
+    (x, y, NULL) would hash identically — and ``||`` concatenation
+    nulls the whole row; both break replica comparison on nullable
+    columns). The row then hashes to a 60-bit integer (md5 prefix),
+    and the partition digest is
     the plain SUM of those integers in DECIMAL(38,0): summation is
     commutative, so the digest is invariant to row order, partitioning,
     and engine — unlike any concat/fold digest. 60 bits × DECIMAL(38,0)
     headroom = no overflow below 10^20 rows per partition. One scan, one
     hash aggregate on the partition key; collision odds for a
     same-count partition pair are ~n²/2^61."""
-    canon = F.concat_ws("|", *[c.cast("string") for c in canon_cols])
+    def _token(c):
+        s = c.cast("string")
+        return F.when(s.isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("V"), F.length(s).cast("string"), F.lit(":"), s)
+        )
+
+    canon = F.concat(*[_token(c) for c in canon_cols])
     digest = F.conv(
         F.substring(F.md5(canon), 1, digest_hex_chars), 16, 10
     ).cast("decimal(38,0)")

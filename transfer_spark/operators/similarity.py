@@ -908,6 +908,8 @@ def mmr_diversify_topk(
                 "id", (F.lit(lam) * F.col("relm")).alias("score")
             )
         top = scored.orderBy(F.desc("score"), F.asc("id")).first()
+        if top is None:  # fewer candidates than k: return what exists
+            break
         selected.append((step, top["id"], top["score"]))
     spark = corpus.sparkSession
     out = spark.createDataFrame(

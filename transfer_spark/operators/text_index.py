@@ -42,13 +42,47 @@ def _py_word_hash(w: str, hex_chars: int = 7) -> int:
 
 
 class Bm25Index:
+    """All index data lives under a GENERATION directory (``gen-N``)
+    named by the ``CURRENT`` pointer file; readers resolve paths through
+    the pointer, and compaction publishes a fully-built new generation
+    with one atomic pointer rewrite (POSIX rename) — the path never
+    disappears mid-swap and a half-built generation is never visible.
+    The superseded generation is deleted lazily at the START of the
+    next compact, so probes that began before a swap finish against
+    intact files."""
+
     def __init__(self, spark: SparkSession, path: str, n_buckets: int = 64):
         self.spark = spark
         self.path = path
         self.n_buckets = n_buckets
-        self.postings_path = os.path.join(path, "postings")
-        self.terms_path = os.path.join(path, "term_stats")
-        self.stats_path = os.path.join(path, "stats")
+
+    # ----------------------------------------------------------- generations
+
+    def _current(self) -> str:
+        cur = os.path.join(self.path, "CURRENT")
+        if os.path.exists(cur):
+            with open(cur) as f:
+                return f.read().strip()
+        return "gen-0"
+
+    def _set_current(self, gen: str) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(gen)
+        os.replace(tmp, os.path.join(self.path, "CURRENT"))  # atomic
+
+    @property
+    def postings_path(self) -> str:
+        return os.path.join(self.path, self._current(), "postings")
+
+    @property
+    def terms_path(self) -> str:
+        return os.path.join(self.path, self._current(), "term_stats")
+
+    @property
+    def stats_path(self) -> str:
+        return os.path.join(self.path, self._current(), "stats")
 
     # ------------------------------------------------------------- segments
 
@@ -192,17 +226,22 @@ class Bm25Index:
         (Lucene's segment merge). Doc sets are disjoint across segments,
         so postings union as-is, per-term dft partials sum, and stats
         rows sum; scores are identical before and after (pinned in
-        tests). Returns the number of segments merged. Staged into a
-        sibling directory and swapped in, so a concurrent probe sees
-        the old layout or the new one, never a mix."""
+        tests). Returns the number of segments merged. The merged data
+        is built as a NEW generation and published by the atomic
+        ``CURRENT`` pointer rewrite; superseded generations are removed
+        lazily on the next compact (see class docstring)."""
         import shutil
 
         segs = self._segments()
         if len(segs) <= 1:
             return len(segs)
-        stage = self.path + ".compact-stage"
-        shutil.rmtree(stage, ignore_errors=True)
-        merged = Bm25Index(self.spark, stage, n_buckets=self.n_buckets)
+        cur = self._current()
+        # lazy cleanup of generations superseded by earlier compacts
+        for d in os.listdir(self.path):
+            if d.startswith("gen-") and d != cur:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        nxt = f"gen-{int(cur.split('-', 1)[1]) + 1}"
+        nxt_dir = os.path.join(self.path, nxt)
         p = self.spark.read.parquet(self.postings_path).withColumn(
             SEG_COL, F.lit(0)
         )
@@ -210,7 +249,7 @@ class Bm25Index:
             p.repartition(BUCKET_COL)
             .write.mode("append")
             .partitionBy(SEG_COL, BUCKET_COL)
-            .parquet(merged.postings_path)
+            .parquet(os.path.join(nxt_dir, "postings"))
         )
         t = (
             self.spark.read.parquet(self.terms_path)
@@ -222,15 +261,13 @@ class Bm25Index:
             t.repartition(BUCKET_COL)
             .write.mode("append")
             .partitionBy(SEG_COL, BUCKET_COL)
-            .parquet(merged.terms_path)
+            .parquet(os.path.join(nxt_dir, "term_stats"))
         )
         s = self.spark.read.parquet(self.stats_path).agg(
             F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
         ).withColumn(SEG_COL, F.lit(0))
-        s.write.mode("append").partitionBy(SEG_COL).parquet(merged.stats_path)
-        old = self.path + ".compact-old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.replace(self.path, old)
-        os.replace(stage, self.path)
-        shutil.rmtree(old)
+        s.write.mode("append").partitionBy(SEG_COL).parquet(
+            os.path.join(nxt_dir, "stats")
+        )
+        self._set_current(nxt)
         return len(segs)

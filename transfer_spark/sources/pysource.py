@@ -122,10 +122,17 @@ try:  # WriterCommitMessage is a bare marker class in the Spark 4 API
         readers either see the complete output or none of it. ``abort``
         removes staged files so failed jobs leave no partial output."""
 
-        def __init__(self, options):
+        def __init__(self, options, overwrite: bool):
+            import uuid
+
             self.path = options.get("path")
             if not self.path:
                 raise ValueError("jsonl_sink requires .option('path', ...)")
+            self.overwrite = overwrite
+            # per-job prefix: append-mode part files from different jobs
+            # can never collide, so a second append never clobbers or
+            # interleaves with the first job's committed output
+            self.job = uuid.uuid4().hex[:12]
 
         def write(self, iterator):
             import json as _json
@@ -144,9 +151,24 @@ try:  # WriterCommitMessage is a bare marker class in the Spark 4 API
         def commit(self, messages):
             import os
 
-            total = 0
+            os.makedirs(self.path, exist_ok=True)
+            prior = 0
+            if self.overwrite:
+                # honor mode("overwrite"): stale part files from earlier
+                # jobs must not survive next to the new output
+                for f in os.listdir(self.path):
+                    if f.startswith("part-") and f.endswith(".jsonl"):
+                        os.remove(os.path.join(self.path, f))
+            else:
+                success = os.path.join(self.path, "_SUCCESS")
+                if os.path.exists(success):
+                    with open(success) as fh:
+                        prior = int(fh.read() or 0)
+            total = prior
             for i, m in enumerate(messages):
-                final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+                final = os.path.join(
+                    self.path, f"part-{self.job}-{i:05d}.jsonl"
+                )
                 os.replace(m.tmp_path, final)
                 total += m.rows
             with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
@@ -167,7 +189,7 @@ try:  # WriterCommitMessage is a bare marker class in the Spark 4 API
             return "jsonl_sink"
 
         def writer(self, schema, overwrite):
-            return JsonlWriter(self.options)
+            return JsonlWriter(self.options, overwrite)
 
 except ImportError:  # pragma: no cover — older API without writer support
     JsonlSinkDataSource = None  # type: ignore[assignment]

@@ -55,33 +55,56 @@ class IncrementalAggMV:
         self.delete_col = delete_col
         self.group_col = group_col
         self.value_col = value_col
-        os.makedirs(os.path.join(path, "state"), exist_ok=True)
-        os.makedirs(os.path.join(path, "mv"), exist_ok=True)
+        os.makedirs(path, exist_ok=True)
 
     # ------------------------------------------------------------- versions
+    #
+    # mv and state for a batch live in ONE version directory
+    # (vN/mv + vN/state) published by a _COMMIT marker written only
+    # after BOTH parquet writes finish. A crash mid-batch leaves an
+    # uncommitted vN that readers ignore and the next batch overwrites
+    # — so the replayed epoch re-reads the PREVIOUS committed state and
+    # the offset watermark makes the replay a no-op, never a double
+    # count. (Writing mv and state as two independently-versioned
+    # tables would break exactly that: a crash between the two writes
+    # desynchronizes the watermark from the MV.)
 
-    def _versions(self, what: str) -> list[str]:
-        d = os.path.join(self.path, what)
-        return sorted(v for v in os.listdir(d) if v.startswith("v"))
+    def _versions(self, what: str = "mv") -> list[str]:
+        out = []
+        for v in sorted(os.listdir(self.path)):
+            if v.startswith("v") and os.path.exists(
+                os.path.join(self.path, v, "_COMMIT")
+            ):
+                out.append(v)
+        return out
 
     def _latest(self, what: str) -> DataFrame | None:
-        vs = self._versions(what)
+        vs = self._versions()
         if not vs:
             return None
-        return self.spark.read.parquet(os.path.join(self.path, what, vs[-1]))
+        return self.spark.read.parquet(
+            os.path.join(self.path, vs[-1], what)
+        )
 
-    def _write_next(self, what: str, df: DataFrame) -> None:
-        vs = self._versions(what)
+    def _commit_next(self, mv: DataFrame, state: DataFrame) -> None:
+        vs = self._versions()
         nxt = f"v{(int(vs[-1][1:]) + 1) if vs else 1:06d}"
-        df.write.mode("overwrite").parquet(os.path.join(self.path, what, nxt))
+        d = os.path.join(self.path, nxt)
+        mv.write.mode("overwrite").parquet(os.path.join(d, "mv"))
+        state.write.mode("overwrite").parquet(os.path.join(d, "state"))
+        with open(os.path.join(d, "_COMMIT"), "w") as f:
+            f.write("1")
 
     def vacuum(self, keep: int = 2) -> None:
-        """Drop all but the newest ``keep`` versions of state and mv."""
+        """Drop all but the newest ``keep`` committed versions (plus any
+        uncommitted wreckage older than them)."""
         import shutil
 
-        for what in ("state", "mv"):
-            for v in self._versions(what)[:-keep]:
-                shutil.rmtree(os.path.join(self.path, what, v))
+        committed = self._versions()
+        keep_set = set(committed[-keep:])
+        for v in sorted(os.listdir(self.path)):
+            if v.startswith("v") and v not in keep_set:
+                shutil.rmtree(os.path.join(self.path, v))
 
     # ----------------------------------------------------------------- api
 
@@ -148,8 +171,7 @@ class IncrementalAggMV:
         new_state = lww_dedup(
             seeded.drop("__seed"), self.pk_cols, self.order_col
         ).select(*cols)
-        self._write_next("mv", mv_new)
-        self._write_next("state", new_state)
+        self._commit_next(mv_new, new_state)
         return delta
 
     def mv(self) -> DataFrame:

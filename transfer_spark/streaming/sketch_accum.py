@@ -106,8 +106,6 @@ class KmvAccumulator:
             shutil.rmtree(os.path.join(self.path, v))
 
     def apply_batch(self, batch: DataFrame) -> DataFrame:
-        from pyspark.sql import Window
-
         from transfer_spark.operators.temporal import hash_frac
 
         new = (
@@ -118,13 +116,11 @@ class KmvAccumulator:
         )
         prev = self.fractions()
         pool = new if prev is None else prev.unionByName(new)
-        w = Window.orderBy("frac")
-        kept = (
-            pool.distinct()
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= self.k)
-            .select("frac")
-        )
+        # orderBy + limit compiles to TakeOrderedAndProject: parallel
+        # per-partition top-k, never a single-partition global sort (an
+        # unpartitioned row_number window would funnel the whole batch's
+        # distinct set through one task)
+        kept = pool.distinct().orderBy("frac").limit(self.k)
         vs = self._versions()
         nxt = f"v{(int(vs[-1][1:]) + 1) if vs else 1:06d}"
         kept.write.mode("overwrite").parquet(os.path.join(self.path, nxt))

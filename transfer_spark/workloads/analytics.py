@@ -771,14 +771,25 @@ def q_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_CONTENT_DIGEST = """
+def _digest_token_sql(expr: str) -> str:
+    """NULL-safe length-prefixed token (mirror of operators/diff.py)."""
+    return (
+        f"CASE WHEN ({expr}) IS NULL THEN 'N' "
+        f"ELSE 'V' || length(({expr})::VARCHAR)::VARCHAR || ':' "
+        f"|| ({expr})::VARCHAR END"
+    )
+
+
+ORACLE_CONTENT_DIGEST = f"""
 WITH canon AS (
   SELECT date_trunc('month', o_orderdate)::DATE AS part,
     ('0x' || substr(md5(
-       o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' ||
-       o_orderstatus || '|' ||
-       (floor(o_totalprice * 100.0 + 0.5)::BIGINT)::VARCHAR || '|' ||
-       epoch_us(o_orderdate)::VARCHAR || '|' || o_orderpriority
+       {_digest_token_sql("o_orderkey")} ||
+       {_digest_token_sql("o_custkey")} ||
+       {_digest_token_sql("o_orderstatus")} ||
+       {_digest_token_sql("floor(o_totalprice * 100.0 + 0.5)::BIGINT")} ||
+       {_digest_token_sql("epoch_us(o_orderdate)")} ||
+       {_digest_token_sql("o_orderpriority")}
      ), 1, 15))::BIGINT AS h
   FROM orders
 )

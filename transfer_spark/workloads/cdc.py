@@ -495,11 +495,15 @@ def q_incremental_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
-    canon = F.concat_ws(
-        "|",
-        F.col("user_id").cast("string"),
-        F.col("event_type"),
-        cents.cast("string"),
+
+    def _token(c):
+        s = c.cast("string")
+        return F.when(s.isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("V"), F.length(s).cast("string"), F.lit(":"), s)
+        )
+
+    canon = F.concat(
+        _token(F.col("user_id")), _token(F.col("event_type")), _token(cents)
     )
     h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
     s = ev.select(
@@ -523,8 +527,10 @@ WITH s AS (
   SELECT user_id AS id, event_id AS off, (event_type = 'error') AS is_del,
          date_trunc('day', ts)::DATE AS part_day,
          ('0x' || substr(md5(
-            CAST(user_id AS VARCHAR) || '|' || event_type || '|' ||
-            CAST(floor(value * 100.0 + 0.5)::BIGINT AS VARCHAR)
+            'V' || length(user_id::VARCHAR)::VARCHAR || ':' || user_id::VARCHAR ||
+            'V' || length(event_type)::VARCHAR || ':' || event_type ||
+            'V' || length((floor(value * 100.0 + 0.5)::BIGINT)::VARCHAR)::VARCHAR
+                || ':' || (floor(value * 100.0 + 0.5)::BIGINT)::VARCHAR
           ), 1, 15))::BIGINT AS h
   FROM events
 ), l AS (

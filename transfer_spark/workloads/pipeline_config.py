@@ -16,8 +16,11 @@ producing the identical plan the hand-written workloads build:
 
 Stages run in the fixed order filters → dedup → sample → split
 (the order every production corpus pipeline uses: cheap row-local
-gates first, then the shuffling dedups over the survivors, then
-sampling, then the split stamp). Everything stays one lazy DataFrame —
+gates first, then the shuffling dedups, then sampling, then the split
+stamp). Dedup survivor/cluster decisions are corpus-wide by default
+(matching the hand-written pipeline); ``dedup_scope: "survivors"``
+computes them over the filtered stream instead. Everything stays one
+lazy DataFrame —
 Catalyst fuses the filter stack into the scan, and the only shuffles
 are the dedup joins the config asked for. Equality with the
 hand-written composition is pinned in tests.
@@ -39,37 +42,59 @@ def build_corpus_pipeline(
     text_col: str = "text",
 ) -> DataFrame:
     out = docs
+    _KNOWN_FILTERS = {"lang", "min_quality", "gopher", "min_tokens"}
 
     # ---- filters (row-local, fused into the scan) ----
     for f in config.get("filters", []):
+        keys = set(f)
+        unknown = keys - _KNOWN_FILTERS
+        if unknown:
+            raise ValueError(f"unknown filter key(s) {sorted(unknown)} in {f!r}")
+        if len(keys) != 1:
+            # one dict = one filter; silently applying only the first
+            # matching key of {'lang': ..., 'min_quality': ...} would
+            # drop a configured gate without any error
+            raise ValueError(
+                f"each filter dict must hold exactly one key, got {f!r}"
+            )
         if "lang" in f:
             out = out.filter(T.lang_id(F.col(text_col)) == f["lang"])
         elif "min_quality" in f:
             out = out.filter(
                 T.quality_score(F.col(text_col)) >= float(f["min_quality"])
             )
-        elif "gopher" in f and f["gopher"]:
-            flags = T.gopher_quality_flags(out, id_col, text_col)
-            out = out.join(
-                flags.filter(F.col("passes_gopher")).select(id_col), id_col
-            )
+        elif "gopher" in f:
+            if f["gopher"]:  # {'gopher': False} is an explicit no-op
+                flags = T.gopher_quality_flags(out, id_col, text_col)
+                out = out.join(
+                    flags.filter(F.col("passes_gopher")).select(id_col),
+                    id_col,
+                )
         elif "min_tokens" in f:
             out = out.filter(
                 T.token_count(F.col(text_col)) >= int(f["min_tokens"])
             )
-        else:
-            raise ValueError(f"unknown filter {f!r}")
 
     # ---- dedup (the shuffling stages) ----
+    # dedup_scope selects which frame the survivor/cluster decisions are
+    # computed over: "corpus" (default — canonicals chosen corpus-wide
+    # BEFORE filtering, matching the hand-written _cleaned_docs pipeline;
+    # note a cluster whose canonical was filtered out contributes no
+    # docs) or "survivors" (decisions over the filtered stream, so every
+    # surviving cluster keeps a representative).
+    scope = config.get("dedup_scope", "corpus")
+    if scope not in ("corpus", "survivors"):
+        raise ValueError(f"dedup_scope must be corpus|survivors, got {scope!r}")
+    dedup_base = docs if scope == "corpus" else out
     for kind in config.get("dedup", []):
         if kind == "exact":
-            surv = D.exact_dedupe(docs, text_col, id_col).select(
+            surv = D.exact_dedupe(dedup_base, text_col, id_col).select(
                 F.col(id_col).alias("__surv")
             )
             out = out.join(surv, out[id_col] == surv["__surv"]).drop("__surv")
         elif kind == "neardup":
             clusters = D.neardup_clusters(
-                D.minhash_lsh_pairs(docs, id_col, text_col)
+                D.minhash_lsh_pairs(dedup_base, id_col, text_col)
             )
             out = out.join(clusters, id_col, "left").filter(
                 F.col("cluster_id").isNull()
