@@ -880,6 +880,50 @@ WHERE h.errors * 1000000 > {_THR_PPM} * h.total
 """
 
 
+def q_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue per day per type — the most-read line on
+    any revenue dashboard. Built with the fan-out-after-agg pattern
+    (7 rows per DAILY aggregate, never per event) instead of a range
+    window, so days with no events simply contribute nothing and the
+    plan is two hash aggregates; integer cents."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    fan = daily.select(
+        "event_type", "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"), "d",
+    ).select(
+        "event_type", "cents", F.date_add(F.col("d"), F.col("k")).alias("day")
+    )
+    trail = fan.groupBy("event_type", "day").agg(
+        F.sum("cents").alias("rev_7d_cents")
+    )
+    observed = daily.select("event_type", F.col("d").alias("day"))
+    return trail.join(observed, ["event_type", "day"])
+
+
+ORACLE_TRAILING_REV = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS d,
+         sum(floor(value * 100.0 + 0.5)::BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), fan AS (
+  SELECT event_type, cents, d + k::INTEGER AS day
+  FROM daily, range(0, 7) t(k)
+), trail AS (
+  SELECT event_type, day, sum(cents) AS rev_7d_cents
+  FROM fan GROUP BY 1, 2
+)
+SELECT t.event_type, t.day, t.rev_7d_cents
+FROM trail t JOIN daily o ON t.event_type = o.event_type AND t.day = o.d
+"""
+
+
 def q_kmv_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-user KMV sketch accumulated over two micro-batches
     (streaming/sketch_accum.py:KmvAccumulator): union + re-take-k makes
@@ -1702,6 +1746,7 @@ QUERIES = {
     "cms_streaming_accumulation": (q_cms_streaming, ORACLE_CMS_STREAMING),
     "kmv_streaming_accumulation": (q_kmv_streaming, ORACLE_KMV_STREAMING),
     "events_slo_burn_alerts": (q_slo_burn, ORACLE_SLO_BURN),
+    "events_trailing_7d_revenue": (q_trailing_revenue, ORACLE_TRAILING_REV),
     "events_cumulative_users": (q_cumulative_users, ORACLE_CUMULATIVE_USERS),
     "events_ewma_decay": (q_ewma_decay, ORACLE_EWMA),
     "events_attribution_last_touch": (q_attribution, ORACLE_ATTRIBUTION),

@@ -837,6 +837,88 @@ FROM documents GROUP BY source
 """
 
 
+_SRC_SIM_LANES = 16
+
+
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-level content overlap: a MinHash signature per SOURCE (the
+    union of its docs' shingles — min per lane over the whole feed) and
+    pairwise lane-agreement fractions as Jaccard estimates — the
+    "which crawls mirror each other" matrix that decides whether two
+    feeds should share a dedup pass. Corpus-sized work is one explode +
+    one per-source min aggregate; the pairwise join runs on
+    |sources|² signature rows (tiny), never on documents. Same lane
+    constants as doc-level minhash, so feed and doc dedup share one
+    hash family."""
+    d = _docs(spark, sf_dir)
+    ex = d.select(
+        "source", F.explode(D.shingles(F.col("text"), 3)).alias("s")
+    )
+    base = ex.select("source", D._base_hash(F.col("s")).alias("h"))
+    lanes = base.select(
+        "source",
+        *[
+            F.col("h").bitwiseXOR(F.lit(D.lane_constant(i))).alias(f"h{i}")
+            for i in range(_SRC_SIM_LANES)
+        ],
+    )
+    sigs = lanes.groupBy("source").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(_SRC_SIM_LANES)]
+    )
+    a = sigs.select(
+        F.col("source").alias("source_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(_SRC_SIM_LANES)],
+    )
+    b = sigs.select(
+        F.col("source").alias("source_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(_SRC_SIM_LANES)],
+    )
+    matches = None
+    for i in range(_SRC_SIM_LANES):
+        m = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = m if matches is None else matches + m
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a", "source_b",
+            matches.cast("long").alias("n_matches"),
+        )
+        .withColumn(
+            "jaccard_est_ppm",
+            F.expr(f"CAST((1000000 * n_matches) DIV {_SRC_SIM_LANES}"
+                   " AS BIGINT)"),
+        )
+    )
+
+
+def _source_similarity_sql(lanes: int = _SRC_SIM_LANES) -> str:
+    # _SHINGLES already mirrors D.shingles(text, 3): DuckDB's [i:i+2]
+    # slice is INCLUSIVE (3 words) and range(1, len-1) yields len-2
+    # shingles
+    sh3 = _SHINGLES
+    sig = ", ".join(
+        f"min(xor(('0x' || substr(md5(s), 1, 15))::BIGINT,"
+        f" {D.lane_constant(i)})) AS h{i}"
+        for i in range(lanes)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(lanes)
+    )
+    return f"""
+WITH d AS (
+  SELECT source, {sh3} AS sh FROM documents
+), ex AS (
+  SELECT source, unnest(sh) AS s FROM d
+), sigs AS (
+  SELECT source, {sig} FROM ex GROUP BY source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       ({matches})::BIGINT AS n_matches,
+       (1000000 * ({matches})) // {lanes} AS jaccard_est_ppm
+FROM sigs a JOIN sigs b ON a.source < b.source
+"""
+
+
 def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per language: subword-ish pieces per
     whitespace word (ppm) — the metric that tells you which languages
@@ -2056,6 +2138,7 @@ QUERIES = {
     "corpus_weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     "corpus_split_exact": (q_split_exact, ORACLE_SPLIT_EXACT),
     "dedupe_rate_by_source": (q_dedupe_rate, ORACLE_DEDUPE_RATE),
+    "source_similarity_matrix": (q_source_similarity, _source_similarity_sql()),
     "quality_threshold_sweep": (q_quality_threshold_sweep,
                                 _quality_sweep_sql()),
     "token_fertility_by_lang": (q_token_fertility, ORACLE_FERTILITY),
