@@ -23,6 +23,8 @@ ALLPAIRS_OK = {
     "ann_bruteforce_topk",      # broadcast query side x corpus (bounded)
     "hard_negative_mining",     # same bounded-broadcast probe, label-filtered
     "dedupe_lsh_verified",      # verify stage on candidate pairs
+    "source_similarity_matrix",  # pairwise over |sources| signature rows
+                                 # (feed-cardinality, post-aggregation)
 }
 
 
