@@ -643,3 +643,14 @@ def test_content_digest_distinguishes_null_positions(spark):
     c = spark.createDataFrame([(1, "xy", "z", None)], "id long, a string, b string, c string")
     d = spark.createDataFrame([(1, "x", "yz", None)], "id long, a string, b string, c string")
     assert digest(c) != digest(d)
+
+
+def test_plan_report_counts(spark):
+    from transfer_spark.plans.report import plan_report
+
+    a = spark.range(100).withColumnRenamed("id", "k")
+    b = spark.range(10).withColumnRenamed("id", "k")
+    rep = plan_report(a.join(F.broadcast(b), "k").groupBy().count())
+    assert rep["broadcast_joins"] == 1
+    assert rep["nested_loop_joins"] == 0
+    assert rep["exchanges"] >= 1  # the final aggregation shuffle

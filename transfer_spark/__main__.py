@@ -28,6 +28,7 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--sf", default="/root/testdata/sf0.001")
     p_run.add_argument("--show", type=int, default=0)
     p_run.add_argument("--explain", action="store_true")
+    p_run.add_argument("--plan-report", action="store_true")
     p_run.add_argument("--cpus", type=int, default=8)
 
     sub.add_parser("bench", help="run the headline bench (bench.py)")
@@ -65,6 +66,13 @@ def main(argv: list[str] | None = None) -> int:
     df = fn(spark, args.sf)
     if args.explain:
         df.explain("formatted")
+        return 0
+    if args.plan_report:
+        import json
+
+        from transfer_spark.plans.report import plan_report
+
+        print(json.dumps(plan_report(df), indent=2))
         return 0
     n = df.count()
     print(f"{args.query}: {n} rows")

@@ -1,0 +1,33 @@
+"""Plan inspection report: the shuffle/broadcast/scan audit as data.
+
+``plan_report(df)`` parses the executed physical plan into the counts
+an engineer checks before signing off a query for the big cluster —
+how many Exchanges (shuffles) it runs, whether the small sides
+broadcast, whether filters reached the parquet scan, and whether any
+nested-loop join snuck in. The same properties the plan-shape test
+suite pins one by one, exposed as a programmatic report (and via
+``python -m transfer_spark run NAME --plan-report``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def plan_report(df: DataFrame) -> dict:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "exchanges": plan.count("Exchange "),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "nested_loop_joins": plan.count("BroadcastNestedLoopJoin")
+        + plan.count("CartesianProduct"),
+        "take_ordered": plan.count("TakeOrderedAndProject"),
+        "pushed_filters": "PushedFilters: [" in plan
+        and "PushedFilters: []" not in plan,
+        "whole_stage_codegen": plan.count("WholeStageCodegen"),
+        "python_stages": plan.count("ArrowEvalPython")
+        + plan.count("FlatMapGroupsInPandas")
+        + plan.count("MapInPandas")
+        + plan.count("BatchEvalPython"),
+    }
