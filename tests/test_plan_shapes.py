@@ -209,3 +209,34 @@ def test_pq_adc_broadcasts_distance_table(spark):
     plan = _plan(spark, "ann_pq_adc_topk")
     assert plan.count("BroadcastHashJoin") >= 2  # codebook + dist table
     assert "CartesianProduct" not in plan
+
+
+# Queries whose CONTRACT includes a Python stage: media codecs, numpy
+# matmul verify cells, arbitrary-shape ext-JSON, model inference. Every
+# other catalog entry must stay entirely JVM-side — a Python stage
+# sneaking into a hot path is a 10-100x regression at corpus scale.
+PYTHON_OK = {
+    "classifier_inference",        # the model forward IS the Python stage
+    "embedding_neardup",           # per-cell numpy matmul verify
+    "embedding_neardup_lsh",
+    "embedding_neardup_lsh_multi",
+    "mongo_extjson_generic",       # arbitrary-shape ext-JSON fallback
+    "multimodal_audio_stats",      # stubbed codecs, Arrow-batched
+    "multimodal_frame_dedup",
+    "multimodal_frame_sample",
+    "multimodal_image_features",
+    "multimodal_image_meta",
+    "multimodal_scene_changes",
+    "semantic_dedupe",             # per-cluster numpy dedup kernel
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_catalog_stays_jvm_side(spark, name):
+    from transfer_spark.plans.report import plan_report
+
+    fn, _ = QUERIES[name]
+    rep = plan_report(fn(spark, SF_DIR))
+    if name in PYTHON_OK:
+        pytest.skip("Python stage is this operator's contract")
+    assert rep["python_stages"] == 0, f"{name} runs Python in the hot path"
