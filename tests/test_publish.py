@@ -1,0 +1,52 @@
+"""Write-audit-publish: clean data promotes, dirty data never becomes
+visible, staged wreckage is cleaned up."""
+
+from __future__ import annotations
+
+import tempfile
+
+from transfer_spark.operators.publish import audit, write_audit_publish
+from transfer_spark.streaming.pipeline import VersionedParquetTable
+
+RULES = {
+    "not_null": ["name"],
+    "positive": ["amount"],
+    "unique": ["id"],
+    "range": {"amount": (0, 1000)},
+}
+SCHEMA = "id long, name string, amount double"
+
+
+def test_clean_snapshot_publishes(spark, tmp_path):
+    t = VersionedParquetTable(spark, str(tmp_path / "t"))
+    ok, report = write_audit_publish(
+        t, spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)], SCHEMA),
+        RULES,
+    )
+    assert ok and all(n == 0 for _, n in report)
+    assert t.current_version() == 1
+    assert t.read().count() == 2
+
+
+def test_dirty_snapshot_never_becomes_visible(spark, tmp_path):
+    t = VersionedParquetTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, "a", 10.0)], SCHEMA))  # good v1
+    bad = spark.createDataFrame(
+        [(2, None, 20.0), (3, "c", -5.0), (3, "d", 2000.0)], SCHEMA
+    )
+    ok, report = write_audit_publish(t, bad, RULES)
+    assert not ok
+    got = dict(report)
+    assert got["not_null:name"] == 1
+    assert got["positive:amount"] == 1
+    assert got["range:amount"] == 2  # -5 and 2000 both out of bounds
+    assert got["unique:id"] == 1
+    # consumers still read the good snapshot; the staged dir is gone
+    assert t.current_version() == 1
+    assert t.read().count() == 1
+    assert t.versions() == [1]
+
+
+def test_audit_empty_rules_is_clean(spark):
+    df = spark.createDataFrame([(1, "a", 1.0)], SCHEMA)
+    assert audit(df, {}) == []

@@ -1,0 +1,73 @@
+"""Write-Audit-Publish: the lakehouse promotion gate.
+
+The pattern (Iceberg's audit-publish / staging branches): a new
+snapshot is STAGED where auditors can read it but consumers cannot,
+declarative data-quality rules run against the staged bytes (not the
+in-memory frame — what you audit is exactly what you'd publish), and
+only a clean audit flips the atomic CURRENT pointer. A dirty audit
+discards the staged version and the previous snapshot stays live — bad
+data never becomes visible, which is the whole point.
+
+Rules evaluate in ONE scan of the staged snapshot (conditional counts
++ a rows-minus-distinct uniqueness term, the dq_violations shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def audit(df: DataFrame, rules: dict) -> list[tuple[str, int]]:
+    """Evaluate declarative rules; returns (rule_name, violations).
+
+    rules = {
+      "not_null": [col, ...],
+      "positive": [col, ...],
+      "unique":   [pk_col, ...],          # composite PK uniqueness
+      "range":    {col: (lo, hi), ...},   # inclusive bounds
+    }
+    """
+    aggs = []
+    names = []
+    for c in rules.get("not_null", []):
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)))
+        names.append(f"not_null:{c}")
+    for c in rules.get("positive", []):
+        aggs.append(F.sum(F.when(F.col(c) <= 0, 1).otherwise(0)))
+        names.append(f"positive:{c}")
+    for c, (lo, hi) in rules.get("range", {}).items():
+        aggs.append(
+            F.sum(
+                F.when((F.col(c) < lo) | (F.col(c) > hi), 1).otherwise(0)
+            )
+        )
+        names.append(f"range:{c}")
+    pk = rules.get("unique")
+    if pk:
+        aggs.append(
+            F.count(F.lit(1))
+            - F.countDistinct(*[F.col(c) for c in pk])
+        )
+        names.append("unique:" + ",".join(pk))
+    if not aggs:
+        return []
+    row = df.agg(*[a.alias(f"r{i}") for i, a in enumerate(aggs)]).first()
+    return [(names[i], int(row[f"r{i}"] or 0)) for i in range(len(names))]
+
+
+def write_audit_publish(
+    table, df: DataFrame, rules: dict
+) -> tuple[bool, list[tuple[str, int]]]:
+    """Stage ``df`` as the next snapshot of a ``VersionedParquetTable``,
+    audit the STAGED data, and publish only if every rule is clean.
+    Returns (published, report); on failure the staged version is
+    discarded and CURRENT is untouched."""
+    v = table.stage(df)
+    staged = table.read(version=v)
+    report = audit(staged, rules)
+    if all(n == 0 for _, n in report):
+        table.publish(v)
+        return True, report
+    table.discard_staged(v)
+    return False, report

@@ -79,13 +79,34 @@ class VersionedParquetTable:
             if (m := re.fullmatch(r"v(\d{6})", d)) and os.path.isdir(os.path.join(self.path, d))
         )
 
-    def write(self, df: DataFrame) -> None:
+    def stage(self, df: DataFrame) -> int:
+        """Write the next snapshot WITHOUT flipping the pointer — the
+        'write' step of write-audit-publish: the staged version is
+        readable (for auditing) but invisible to CURRENT readers until
+        :meth:`publish`."""
         v = (self.current_version() or 0) + 1
         df.write.mode("overwrite").parquet(os.path.join(self.path, f"v{v:06d}"))
+        return v
+
+    def publish(self, v: int) -> None:
+        """Atomically point CURRENT at a staged version."""
+        if not os.path.isdir(os.path.join(self.path, f"v{v:06d}")):
+            raise ValueError(f"version {v} is not staged at {self.path}")
         tmp = os.path.join(self.path, _CURRENT + ".tmp")
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, os.path.join(self.path, _CURRENT))
+
+    def discard_staged(self, v: int) -> None:
+        """Drop a staged (unpublished) version — the audit-failed path."""
+        import shutil
+
+        if v == self.current_version():
+            raise ValueError("refusing to discard the published version")
+        shutil.rmtree(os.path.join(self.path, f"v{v:06d}"), ignore_errors=True)
+
+    def write(self, df: DataFrame) -> None:
+        self.publish(self.stage(df))
 
     def vacuum(self, keep_last: int = 3) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshots (never the
