@@ -50,3 +50,33 @@ def test_dirty_snapshot_never_becomes_visible(spark, tmp_path):
 def test_audit_empty_rules_is_clean(spark):
     df = spark.createDataFrame([(1, "a", 1.0)], SCHEMA)
     assert audit(df, {}) == []
+
+
+def test_pipeline_flush_honors_audit_gate(spark, tmp_path):
+    """A ReplicationPipeline with audit_rules refuses to publish a flush
+    whose merged snapshot violates a rule, and the target keeps the
+    last good snapshot."""
+    import pytest
+
+    from transfer_spark.streaming.pipeline import ReplicationPipeline
+
+    path = str(tmp_path / "t")
+    pipe = ReplicationPipeline(
+        spark, path, ["id"], "off",
+        audit_rules={"positive": ["amount"]},
+    )
+    good = spark.createDataFrame(
+        [(1, 1, False, 10.0)],
+        "id long, off long, __artie_delete boolean, amount double",
+    )
+    pipe.process_batch(good, 0)
+    assert pipe.table.read().count() == 1
+    bad = spark.createDataFrame(
+        [(2, 2, False, -4.0)],
+        "id long, off long, __artie_delete boolean, amount double",
+    )
+    with pytest.raises(RuntimeError, match="failed audit"):
+        pipe.process_batch(bad, 1)
+    # consumers still see only the good row
+    rows = pipe.table.read().collect()
+    assert [r.id for r in rows] == [1]

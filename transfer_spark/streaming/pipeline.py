@@ -342,6 +342,7 @@ class ReplicationPipeline:
         history_mode: bool = False,
         table_format: str = "versioned",
         n_buckets: int = 64,
+        audit_rules: "dict | None" = None,
     ):
         self.spark = spark
         if history_mode:
@@ -359,6 +360,24 @@ class ReplicationPipeline:
         self.order_col = order_col
         self.soft_delete = soft_delete
         self.history_mode = history_mode
+        # write-audit-publish: when rules are configured (versioned
+        # format only), every flush stages, audits the staged snapshot,
+        # and publishes only if clean — a dirty batch raises and leaves
+        # the previous snapshot live (operators/publish.py)
+        self.audit_rules = audit_rules
+        if audit_rules and not isinstance(self.table, VersionedParquetTable):
+            raise ValueError("audit_rules require table_format='versioned'")
+
+    def _write_target(self, df: DataFrame) -> None:
+        if not self.audit_rules:
+            self.table.write(df)
+            return
+        from transfer_spark.operators.publish import write_audit_publish
+
+        ok, report = write_audit_publish(self.table, df, self.audit_rules)
+        if not ok:
+            bad = [(r, n) for r, n in report if n]
+            raise RuntimeError(f"flush failed audit, not published: {bad}")
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -395,7 +414,7 @@ class ReplicationPipeline:
         target = self.table.read()
         if target is None:
             # create-table mode: first flush materializes the fold result
-            self.table.write(self._first_flush(folded))
+            self._write_target(self._first_flush(folded))
             return
         target, staging = align_schemas(target, folded)
         merged = merge_dataframes(
@@ -405,7 +424,7 @@ class ReplicationPipeline:
             soft_delete=self.soft_delete,
             toast_cols=self._detect_toast_cols(staging),
         )
-        self.table.write(merged)
+        self._write_target(merged)
 
     def _first_flush(self, folded: DataFrame) -> DataFrame:
         from pyspark.sql import functions as F
