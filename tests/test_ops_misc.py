@@ -652,5 +652,10 @@ def test_plan_report_counts(spark):
     b = spark.range(10).withColumnRenamed("id", "k")
     rep = plan_report(a.join(F.broadcast(b), "k").groupBy().count())
     assert rep["broadcast_joins"] == 1
+    assert rep["broadcast_exchanges"] == 1
     assert rep["nested_loop_joins"] == 0
-    assert rep["exchanges"] >= 1  # the final aggregation shuffle
+    assert rep["shuffle_exchanges"] == 1  # ONLY the final aggregation
+    # a broadcast-only join plans zero shuffles
+    rep2 = plan_report(a.join(F.broadcast(b), "k"))
+    assert rep2["shuffle_exchanges"] == 0
+    assert rep2["broadcast_exchanges"] == 1

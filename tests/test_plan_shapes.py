@@ -235,8 +235,8 @@ PYTHON_OK = {
 def test_catalog_stays_jvm_side(spark, name):
     from transfer_spark.plans.report import plan_report
 
-    fn, _ = QUERIES[name]
-    rep = plan_report(fn(spark, SF_DIR))
     if name in PYTHON_OK:
         pytest.skip("Python stage is this operator's contract")
+    fn, _ = QUERIES[name]
+    rep = plan_report(fn(spark, SF_DIR))
     assert rep["python_stages"] == 0, f"{name} runs Python in the hot path"

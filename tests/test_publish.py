@@ -80,3 +80,37 @@ def test_pipeline_flush_honors_audit_gate(spark, tmp_path):
     # consumers still see only the good row
     rows = pipe.table.read().collect()
     assert [r.id for r in rows] == [1]
+
+
+def test_audit_rejects_unknown_rule_keys(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a", 1.0)], SCHEMA)
+    with pytest.raises(ValueError, match="unknown audit rule"):
+        audit(df, {"notnull": ["name"]})
+
+
+def test_failed_audit_does_not_leak_staged_version(spark, tmp_path):
+    import pytest
+
+    t = VersionedParquetTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, "a", 1.0)], SCHEMA))
+    with pytest.raises(Exception):
+        write_audit_publish(
+            t, spark.createDataFrame([(2, "b", 2.0)], SCHEMA),
+            {"positive": ["amuont"]},  # misspelled column → audit raises
+        )
+    assert t.versions() == [1]
+    assert t.current_version() == 1
+
+
+def test_discard_staged_refuses_published_versions(spark, tmp_path):
+    import pytest
+
+    t = VersionedParquetTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, "a", 1.0)], SCHEMA))
+    t.write(spark.createDataFrame([(1, "a", 2.0)], SCHEMA))
+    for v in (1, 2):
+        with pytest.raises(ValueError, match="published/retained"):
+            t.discard_staged(v)
+    assert t.versions() == [1, 2]

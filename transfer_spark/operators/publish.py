@@ -27,7 +27,14 @@ def audit(df: DataFrame, rules: dict) -> list[tuple[str, int]]:
       "unique":   [pk_col, ...],          # composite PK uniqueness
       "range":    {col: (lo, hi), ...},   # inclusive bounds
     }
+
+    Unknown rule keys raise: a typo like "notnull" silently disabling a
+    check would let the gate pass vacuously — the opposite of its job.
     """
+    known = {"not_null", "positive", "unique", "range"}
+    unknown = set(rules) - known
+    if unknown:
+        raise ValueError(f"unknown audit rule(s) {sorted(unknown)}")
     aggs = []
     names = []
     for c in rules.get("not_null", []):
@@ -64,8 +71,14 @@ def write_audit_publish(
     Returns (published, report); on failure the staged version is
     discarded and CURRENT is untouched."""
     v = table.stage(df)
-    staged = table.read(version=v)
-    report = audit(staged, rules)
+    try:
+        staged = table.read(version=v)
+        report = audit(staged, rules)
+    except Exception:
+        # a failed audit (bad rule, missing column) must not leak the
+        # staged version into the table's retained-snapshot set
+        table.discard_staged(v)
+        raise
     if all(n == 0 for _, n in report):
         table.publish(v)
         return True, report

@@ -2,10 +2,12 @@
 
 ``plan_report(df)`` parses the executed physical plan into the counts
 an engineer checks before signing off a query for the big cluster —
-how many Exchanges (shuffles) it runs, whether the small sides
-broadcast, whether filters reached the parquet scan, and whether any
-nested-loop join snuck in. The same properties the plan-shape test
-suite pins one by one, exposed as a programmatic report (and via
+how many SHUFFLE Exchanges it runs (broadcast/reused exchanges counted
+separately: a broadcast is not a shuffle), whether any nested-loop
+join snuck in, and per-scan filter pushdown (counts, not a global
+boolean — a query with a filtered fact scan and a legitimately
+unfiltered dimension scan is fine). The same properties the plan-shape
+test suite pins one by one, exposed as a programmatic report (and via
 ``python -m transfer_spark run NAME --plan-report``).
 """
 
@@ -16,16 +18,23 @@ from pyspark.sql import DataFrame
 
 def plan_report(df: DataFrame) -> dict:
     plan = df._jdf.queryExecution().executedPlan().toString()
+    broadcast_ex = plan.count("BroadcastExchange")
+    reused_ex = plan.count("ReusedExchange")
     return {
-        "exchanges": plan.count("Exchange "),
+        # shuffle exchanges only: the substring "Exchange " also occurs
+        # inside BroadcastExchange/ReusedExchange node names
+        "shuffle_exchanges": plan.count("Exchange ")
+        - broadcast_ex
+        - reused_ex,
+        "broadcast_exchanges": broadcast_ex,
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "nested_loop_joins": plan.count("BroadcastNestedLoopJoin")
         + plan.count("CartesianProduct"),
         "take_ordered": plan.count("TakeOrderedAndProject"),
-        "pushed_filters": "PushedFilters: [" in plan
-        and "PushedFilters: []" not in plan,
-        "whole_stage_codegen": plan.count("WholeStageCodegen"),
+        "scans_with_pushed_filters": plan.count("PushedFilters: [")
+        - plan.count("PushedFilters: []"),
+        "scans_without_pushed_filters": plan.count("PushedFilters: []"),
         "python_stages": plan.count("ArrowEvalPython")
         + plan.count("FlatMapGroupsInPandas")
         + plan.count("MapInPandas")

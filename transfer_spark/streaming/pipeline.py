@@ -98,11 +98,17 @@ class VersionedParquetTable:
         os.replace(tmp, os.path.join(self.path, _CURRENT))
 
     def discard_staged(self, v: int) -> None:
-        """Drop a staged (unpublished) version — the audit-failed path."""
+        """Drop a staged (unpublished) version — the audit-failed path.
+        Only versions ABOVE the current pointer can be staged; anything
+        at or below it is a published/retained snapshot that only
+        ``vacuum`` may remove."""
         import shutil
 
-        if v == self.current_version():
-            raise ValueError("refusing to discard the published version")
+        if v <= (self.current_version() or 0):
+            raise ValueError(
+                f"version {v} is published/retained, not staged — "
+                "use vacuum() for retention"
+            )
         shutil.rmtree(os.path.join(self.path, f"v{v:06d}"), ignore_errors=True)
 
     def write(self, df: DataFrame) -> None:
