@@ -1119,6 +1119,50 @@ FROM leaf JOIN reg ON leaf.r_name = reg.r_name, tot
 """
 
 
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (region, nation): all four grains — leaf,
+    per-region, per-nation, grand total — in ONE aggregation pass
+    (complements the hypertable GROUPING SETS rollup with the other
+    multi-grain surface). grouping_id disambiguates subtotal rows from
+    real NULLs; integer cents."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    leaf = (
+        o.select("o_custkey", cents.alias("cents"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        leaf.cube("r_name", "n_name")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
+ORACLE_REV_CUBE = """
+SELECT r_name, n_name, grouping(r_name) * 2 + grouping(n_name) AS gid,
+       count(*) AS n_orders,
+       sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT) AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, n_name)
+"""
+
+
 def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate: not-null, positive-amount, PK
     uniqueness, and date-range rules over orders, all evaluated in ONE
@@ -1872,6 +1916,7 @@ FROM per_cust
     "customer_pareto_curve": (q_pareto_curve, ORACLE_PARETO),
     "orders_ship_delay_quantiles": (q_ship_delay, ORACLE_SHIP_DELAY),
     "revenue_share_hierarchy": (q_revenue_hierarchy, ORACLE_REV_HIERARCHY),
+    "revenue_cube": (q_revenue_cube, ORACLE_REV_CUBE),
     "dq_violations": (q_dq_violations, ORACLE_DQ),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),

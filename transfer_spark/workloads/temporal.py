@@ -880,6 +880,36 @@ WHERE h.errors * 1000000 > {_THR_PPM} * h.total
 """
 
 
+def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: volume and share
+    of the type's week (ppm) per ISO weekday — the baseline a seasonal
+    anomaly rule subtracts. One hash aggregate + a broadcast per-type
+    total; dayofweek is ISO-normalized (Mon=1) identically on both
+    engines."""
+    ev = _events(spark, sf_dir)
+    dow = F.expr("((dayofweek(ts) + 5) % 7) + 1")  # Spark Sun=1 → ISO Mon=1
+    per = ev.groupBy(
+        "event_type", dow.cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = per.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return per.join(F.broadcast(tot), "event_type").select(
+        "event_type", "dow", "n",
+        F.expr("CAST((1000000 * n) DIV total AS BIGINT)").alias("share_ppm"),
+    )
+
+
+ORACLE_DOW_PROFILE = """
+WITH per AS (
+  SELECT event_type, isodow(ts)::INT AS dow, count(*) AS n
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, sum(n) AS total FROM per GROUP BY 1
+)
+SELECT per.event_type, dow, n, (1000000 * n) // total AS share_ppm
+FROM per JOIN tot ON per.event_type = tot.event_type
+"""
+
+
 def q_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day revenue per day per type — the most-read line on
     any revenue dashboard. Built with the fan-out-after-agg pattern
@@ -1747,6 +1777,7 @@ QUERIES = {
     "kmv_streaming_accumulation": (q_kmv_streaming, ORACLE_KMV_STREAMING),
     "events_slo_burn_alerts": (q_slo_burn, ORACLE_SLO_BURN),
     "events_trailing_7d_revenue": (q_trailing_revenue, ORACLE_TRAILING_REV),
+    "events_dow_profile": (q_dow_profile, ORACLE_DOW_PROFILE),
     "events_cumulative_users": (q_cumulative_users, ORACLE_CUMULATIVE_USERS),
     "events_ewma_decay": (q_ewma_decay, ORACLE_EWMA),
     "events_attribution_last_touch": (q_attribution, ORACLE_ATTRIBUTION),
