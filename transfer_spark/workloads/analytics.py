@@ -1163,6 +1163,59 @@ GROUP BY CUBE (r_name, n_name)
 """
 
 
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation (ppm): leaf aggregate at
+    (nation, year) grain, one lag window over the dimension-sized frame,
+    integer growth ratio. The multi-year trend table a revenue review
+    opens with."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    leaf = (
+        o.select("o_custkey", F.year("o_orderdate").alias("yr"),
+                 cents.alias("cents"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "yr")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    return (
+        leaf.withColumn("prev", F.lag("rev_cents").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "n_name", "yr", "rev_cents", "prev",
+            F.expr("CAST((1000000 * (rev_cents - prev)) DIV prev AS BIGINT)")
+            .alias("yoy_ppm"),
+        )
+    )
+
+
+ORACLE_YOY = """
+WITH leaf AS (
+  SELECT n_name, year(o_orderdate) AS yr,
+         sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT) AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), l AS (
+  SELECT *, lag(rev_cents) OVER (PARTITION BY n_name ORDER BY yr) AS prev
+  FROM leaf
+)
+SELECT n_name, yr, rev_cents, prev,
+       (1000000 * (rev_cents - prev)) // prev AS yoy_ppm
+FROM l WHERE prev IS NOT NULL
+"""
+
+
 def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate: not-null, positive-amount, PK
     uniqueness, and date-range rules over orders, all evaluated in ONE
@@ -1917,6 +1970,7 @@ FROM per_cust
     "orders_ship_delay_quantiles": (q_ship_delay, ORACLE_SHIP_DELAY),
     "revenue_share_hierarchy": (q_revenue_hierarchy, ORACLE_REV_HIERARCHY),
     "revenue_cube": (q_revenue_cube, ORACLE_REV_CUBE),
+    "nation_yoy_growth": (q_yoy_growth, ORACLE_YOY),
     "dq_violations": (q_dq_violations, ORACLE_DQ),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),

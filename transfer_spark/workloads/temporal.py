@@ -880,6 +880,58 @@ WHERE h.errors * 1000000 > {_THR_PPM} * h.total
 """
 
 
+def q_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral lift matrix: for each ordered event-type pair (a, b),
+    P(user does b | user does a) / P(user does b) in ppm — "users who
+    error also purchase?" association mining at the user grain. The
+    self-join runs on the (user, type) DISTINCT frame (≤ 5 rows per
+    user), and the probability ratio is exact integer arithmetic:
+    lift_ppm = 1e6 · n_ab · N / (n_a · n_b)."""
+    ev = _events(spark, sf_dir)
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ut.select("user_id").distinct().count()
+    per_type = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        ut.select("user_id", F.col("event_type").alias("a"))
+        .join(ut.select("user_id", F.col("event_type").alias("b")), "user_id")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(per_type.select(F.col("event_type").alias("a"),
+                                        F.col("n").alias("n_a"))), "a")
+        .join(
+            F.broadcast(per_type.select(F.col("event_type").alias("b"),
+                                        F.col("n").alias("n_b"))), "b")
+        .select(
+            "a", "b", "n_ab",
+            F.expr(
+                f"CAST((1000000 * n_ab * {n_users}) DIV (n_a * n_b)"
+                " AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+ORACLE_TYPE_LIFT = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n_users AS (SELECT count(DISTINCT user_id) AS nu FROM ut),
+per_type AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+pairs AS (
+  SELECT l.event_type AS a, r.event_type AS b, count(*) AS n_ab
+  FROM ut l JOIN ut r ON l.user_id = r.user_id
+                     AND l.event_type != r.event_type
+  GROUP BY 1, 2
+)
+SELECT a, b, n_ab,
+       (1000000 * n_ab * nu) // (ta.n * tb.n) AS lift_ppm
+FROM pairs, n_users, per_type ta, per_type tb
+WHERE ta.event_type = a AND tb.event_type = b
+"""
+
+
 def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonality profile per event type: volume and share
     of the type's week (ppm) per ISO weekday — the baseline a seasonal
@@ -1778,6 +1830,7 @@ QUERIES = {
     "events_slo_burn_alerts": (q_slo_burn, ORACLE_SLO_BURN),
     "events_trailing_7d_revenue": (q_trailing_revenue, ORACLE_TRAILING_REV),
     "events_dow_profile": (q_dow_profile, ORACLE_DOW_PROFILE),
+    "events_type_lift": (q_type_lift, ORACLE_TYPE_LIFT),
     "events_cumulative_users": (q_cumulative_users, ORACLE_CUMULATIVE_USERS),
     "events_ewma_decay": (q_ewma_decay, ORACLE_EWMA),
     "events_attribution_last_touch": (q_attribution, ORACLE_ATTRIBUTION),
