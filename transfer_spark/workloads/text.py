@@ -837,6 +837,74 @@ FROM documents GROUP BY source
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction (ppm) of a doc's DISTINCT
+    bigrams that appear in NO other document — high for original
+    content, near zero for boilerplate and templated spam; the inverse
+    signal of doc_repetition, computed corpus-wide. Two hash aggregates
+    on (bigram) and (doc): a bigram is unique-to-the-doc when its
+    corpus doc-frequency is 1."""
+    d = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    bgs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_bg = d.select("doc_id", F.explode(bgs).alias("bg")).distinct()
+    dfreq = doc_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("dfreq"))
+    per_doc = (
+        doc_bg.join(dfreq, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("dfreq") == 1, 1).otherwise(0))
+            .alias("n_unique"),
+        )
+    )
+    return (
+        d.select("doc_id").join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.col("n_unique"), F.lit(0)).alias("n_unique"),
+            F.coalesce(
+                F.expr("CAST((1000000 * n_unique) DIV n_bigrams AS BIGINT)"),
+                F.lit(0),
+            ).alias("novelty_ppm"),
+        )
+    )
+
+
+ORACLE_NOVELTY = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), occ AS (
+  SELECT DISTINCT doc_id,
+    unnest(CASE WHEN len(t) >= 2
+           THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+           ELSE []::VARCHAR[] END) AS bg
+  FROM toks
+), dfreq AS (
+  SELECT bg, count(*) AS dfreq FROM occ GROUP BY bg
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         sum(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) AS n_unique
+  FROM occ JOIN dfreq USING (bg)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       coalesce(n_unique, 0) AS n_unique,
+       coalesce((1000000 * n_unique) // n_bigrams, 0) AS novelty_ppm
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+"""
+
+
 _SRC_SIM_LANES = 16
 
 
@@ -2139,6 +2207,7 @@ QUERIES = {
     "corpus_split_exact": (q_split_exact, ORACLE_SPLIT_EXACT),
     "dedupe_rate_by_source": (q_dedupe_rate, ORACLE_DEDUPE_RATE),
     "source_similarity_matrix": (q_source_similarity, _source_similarity_sql()),
+    "doc_ngram_novelty": (q_ngram_novelty, ORACLE_NOVELTY),
     "quality_threshold_sweep": (q_quality_threshold_sweep,
                                 _quality_sweep_sql()),
     "token_fertility_by_lang": (q_token_fertility, ORACLE_FERTILITY),
