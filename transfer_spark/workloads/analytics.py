@@ -1216,6 +1216,51 @@ FROM l WHERE prev IS NOT NULL
 """
 
 
+def q_segment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment unit economics: customers, orders, orders per
+    customer (milli), and average order value (cents) per segment —
+    exact integer ratios off one fact aggregate + one broadcast dim
+    join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    j = o.select("o_custkey", cents.alias("cents")).join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    per = j.groupBy("c_mktsegment").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    return per.select(
+        "c_mktsegment", "n_customers", "n_orders",
+        F.expr("CAST((1000 * n_orders) DIV n_customers AS BIGINT)")
+        .alias("orders_per_customer_milli"),
+        F.expr("CAST(rev_cents DIV n_orders AS BIGINT)")
+        .alias("avg_order_cents"),
+    )
+
+
+ORACLE_SEGMENT_PROFILE = """
+WITH j AS (
+  SELECT c_mktsegment, o_custkey,
+         floor(o_totalprice * 100.0 + 0.5)::BIGINT AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), per AS (
+  SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_customers,
+         count(*) AS n_orders, sum(cents) AS rev_cents
+  FROM j GROUP BY 1
+)
+SELECT c_mktsegment, n_customers, n_orders,
+       (1000 * n_orders) // n_customers AS orders_per_customer_milli,
+       rev_cents // n_orders AS avg_order_cents
+FROM per
+"""
+
+
 def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate: not-null, positive-amount, PK
     uniqueness, and date-range rules over orders, all evaluated in ONE
@@ -1971,6 +2016,7 @@ FROM per_cust
     "revenue_share_hierarchy": (q_revenue_hierarchy, ORACLE_REV_HIERARCHY),
     "revenue_cube": (q_revenue_cube, ORACLE_REV_CUBE),
     "nation_yoy_growth": (q_yoy_growth, ORACLE_YOY),
+    "segment_order_profile": (q_segment_profile, ORACLE_SEGMENT_PROFILE),
     "dq_violations": (q_dq_violations, ORACLE_DQ),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),

@@ -880,6 +880,43 @@ WHERE h.errors * 1000000 > {_THR_PPM} * h.total
 """
 
 
+def q_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-depth distribution: how many sessions have 1, 2, 3…
+    events — the histogram product analytics reads first. Composes the
+    gap-based sessionizer (same 6h gap as events_sessionize) with one
+    histogram aggregate over the session-grain frame."""
+    e = _events(spark, sf_dir)
+    s = TP.session_stats(
+        e, "user_id", "ts", gap_seconds=_GAP_S,
+        order_col="event_id", value_col="value",
+    )
+    return s.groupBy(F.col("n_events").alias("session_depth")).agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+
+
+ORACLE_SESSION_DEPTH = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+), flagged AS (
+  SELECT user_id, event_id, t,
+    CASE WHEN lag(t) OVER w IS NULL
+           OR t - lag(t) OVER w > {_GAP_S * 1_000_000} THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), numbered AS (
+  SELECT user_id,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM numbered GROUP BY 1, 2
+)
+SELECT n_events AS session_depth, count(*) AS n_sessions
+FROM sessions GROUP BY 1
+"""
+
+
 def q_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral lift matrix: for each ordered event-type pair (a, b),
     P(user does b | user does a) / P(user does b) in ppm — "users who
@@ -1831,6 +1868,7 @@ QUERIES = {
     "events_trailing_7d_revenue": (q_trailing_revenue, ORACLE_TRAILING_REV),
     "events_dow_profile": (q_dow_profile, ORACLE_DOW_PROFILE),
     "events_type_lift": (q_type_lift, ORACLE_TYPE_LIFT),
+    "events_session_depth": (q_session_depth, ORACLE_SESSION_DEPTH),
     "events_cumulative_users": (q_cumulative_users, ORACLE_CUMULATIVE_USERS),
     "events_ewma_decay": (q_ewma_decay, ORACLE_EWMA),
     "events_attribution_last_touch": (q_attribution, ORACLE_ATTRIBUTION),
