@@ -1261,6 +1261,31 @@ FROM per
 """
 
 
+def q_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition shift over time: each priority's share of the year's
+    orders (ppm) — the mix-shift report that explains a total moving
+    while every segment is flat. Two hash aggregates, integer shares."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy(
+        F.year("o_orderdate").alias("yr"), "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = per.groupBy("yr").agg(F.sum("n").alias("total"))
+    return per.join(F.broadcast(tot), "yr").select(
+        "yr", "o_orderpriority", "n",
+        F.expr("CAST((1000000 * n) DIV total AS BIGINT)").alias("share_ppm"),
+    )
+
+
+ORACLE_PRIORITY_MIX = """
+WITH per AS (
+  SELECT year(o_orderdate) AS yr, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY 1, 2
+), tot AS (SELECT yr, sum(n) AS total FROM per GROUP BY 1)
+SELECT per.yr, o_orderpriority, n, (1000000 * n) // total AS share_ppm
+FROM per JOIN tot ON per.yr = tot.yr
+"""
+
+
 def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate: not-null, positive-amount, PK
     uniqueness, and date-range rules over orders, all evaluated in ONE
@@ -2017,6 +2042,7 @@ FROM per_cust
     "revenue_cube": (q_revenue_cube, ORACLE_REV_CUBE),
     "nation_yoy_growth": (q_yoy_growth, ORACLE_YOY),
     "segment_order_profile": (q_segment_profile, ORACLE_SEGMENT_PROFILE),
+    "priority_mix_by_year": (q_priority_mix, ORACLE_PRIORITY_MIX),
     "dq_violations": (q_dq_violations, ORACLE_DQ),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),

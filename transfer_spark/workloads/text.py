@@ -905,6 +905,31 @@ FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
 """
 
 
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus shape: doc counts and token mass per power-of-two
+    character-length bucket — the length distribution every dataset
+    card plots (and the number that catches truncation bugs: a cliff at
+    one bucket means something clipped). One aggregate; bucket =
+    floor(log2(n_chars))."""
+    d = _docs(spark, sf_dir)
+    bucket = F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1)))).cast("int")
+    return d.groupBy(bucket.alias("log2_chars")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(F.col("text")).cast("long")).alias("n_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+ORACLE_LENGTH_HIST = f"""
+SELECT floor(log2(greatest(n_chars, 1)))::INT AS log2_chars,
+       count(*) AS n_docs,
+       sum(len({_TOKS})::BIGINT) AS n_tokens,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY 1
+"""
+
+
 _SRC_SIM_LANES = 16
 
 
@@ -2208,6 +2233,7 @@ QUERIES = {
     "dedupe_rate_by_source": (q_dedupe_rate, ORACLE_DEDUPE_RATE),
     "source_similarity_matrix": (q_source_similarity, _source_similarity_sql()),
     "doc_ngram_novelty": (q_ngram_novelty, ORACLE_NOVELTY),
+    "doc_length_histogram": (q_length_histogram, ORACLE_LENGTH_HIST),
     "quality_threshold_sweep": (q_quality_threshold_sweep,
                                 _quality_sweep_sql()),
     "token_fertility_by_lang": (q_token_fertility, ORACLE_FERTILITY),
