@@ -1,0 +1,77 @@
+"""Audit every oracle's OUTPUT column types as DuckDB binds them.
+
+Root cause of every round-5 driver hash-mismatch (VERDICT r5 #1): a bare
+integer SUM(...) in an oracle's final select binds as HUGEINT; the
+driver fetches the oracle via pandas/Arrow where HUGEINT renders as
+float64 ("150.0") while Spark returns LongType ("150") -> hash fail
+with rows/schema green.  This audit catches the whole class WITHOUT
+running Spark: bind each oracle lazily (duckdb .sql().types - no
+execution) and flag any HUGEINT / UHUGEINT / DECIMAL wider than 18
+output column.
+
+Usage: python scripts/audit_oracle_types.py [sf_dir]
+Exit 1 if any oracle has a flagged column.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from transfer_spark.workloads import QUERIES  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def flagged_columns(con: duckdb.DuckDBPyConnection, oracle: str):
+    """Return [(col, type)] output columns that pandas-fetch mangles."""
+    rel = con.sql(oracle)
+    bad = []
+    for name, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        if t in ("HUGEINT", "UHUGEINT"):
+            bad.append((name, t))
+        elif t.startswith("DECIMAL"):
+            # DECIMAL(w,s): pandas keeps <=18 as exact; wider risks float64
+            try:
+                width = int(t.split("(")[1].split(",")[0])
+            except Exception:
+                width = 38
+            if width > 18:
+                bad.append((name, t))
+    return bad
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_bad = 0
+    for name, (fn, oracle) in sorted(QUERIES.items()):
+        if oracle is None:
+            continue
+        try:
+            bad = flagged_columns(con, oracle)
+        except Exception as e:
+            print(f"ERR  {name}: bind error: {str(e).splitlines()[0]}")
+            n_bad += 1
+            continue
+        if bad:
+            print(f"BAD  {name}: {bad}")
+            n_bad += 1
+    if n_bad:
+        print(f"\n{n_bad} oracles with pandas-unsafe output types")
+        sys.exit(1)
+    print("all oracle output types pandas-safe")
+
+
+if __name__ == "__main__":
+    main()

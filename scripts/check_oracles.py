@@ -1,10 +1,24 @@
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — STRICT (r6).
 
 Runs each workloads.QUERIES entry on Spark and its oracle on DuckDB over
 the same parquet tables, then compares row count, column names, and an
 order-insensitive value multiset (columns sorted by name, rows sorted).
 
-Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+Driver parity (the r5 lesson): the correctness driver fetches the
+DuckDB side via pandas/Arrow, where HUGEINT (a bare integer SUM) and
+BIGINT-with-NULLs both render as float64 — "150.0" vs Spark's long
+"150" → hash mismatch with rows/schema green.  The r1–r5 version of
+this script used `fetchall()` (ints survive) plus 10-sig-digit float
+normalization, so it said 193/193 while the driver said 42/50.  This
+version:
+
+- fetches the oracle via `fetchdf()` (the driver's path);
+- HARD-FAILS any column whose Spark type is integral but whose pandas
+  dtype is float (the exact driver-red signature, caught locally);
+- renders floats exactly (repr), not to 10 significant digits, so an
+  int-vs-float or last-ulp difference can no longer pass locally.
+
+Usage: python scripts/check_oracles.py [--first50] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -24,31 +38,102 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-
 def norm(v):
+    """Exact canonical rendering of one value (no sig-digit rounding)."""
+    if v is None:
+        return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.10g}"
+            return "NULL"  # fetchdf renders SQL NULL floats as NaN
+        return repr(v)
     if hasattr(v, "isoformat"):
-        return v.isoformat()
+        s = v.isoformat()
+        # DATE comes back from fetchdf as a midnight Timestamp; Spark
+        # returns datetime.date — same instant, unify the rendering.
+        if s.endswith("T00:00:00"):
+            s = s[: -len("T00:00:00")]
+        return s
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, bool):
         return str(v)
     try:
-        import decimal
+        import numpy as np
 
-        if isinstance(v, decimal.Decimal):
-            return f"{float(v):.10g}"
+        if isinstance(v, np.floating):
+            f = float(v)
+            return "NULL" if math.isnan(f) else repr(f)
+        if isinstance(v, np.bool_):
+            return str(bool(v))
+        if isinstance(v, np.integer):
+            return str(int(v))
     except Exception:
         pass
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        # exact decimal rendering, trailing zeros stripped so the same
+        # value can't differ by scale
+        s = format(v, "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return s or "0"
     return str(v)
 
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def check_one(con, spark, name, fn, oracle, sf_dir):
+    """Return (ok: bool, msg: str)."""
+    try:
+        sdf = fn(spark, sf_dir)
+        s_cols = sdf.columns
+        pdf_s = sdf.toPandas()
+        s_rows = [tuple(r) for r in pdf_s.itertuples(index=False, name=None)]
+    except Exception as e:
+        return False, f"spark error: {e}"
+    if oracle is None:
+        return True, f"rows-only ({len(s_rows)} rows)"
+    try:
+        df = con.execute(oracle).fetchdf()
+    except Exception as e:
+        return False, f"duckdb error: {str(e).splitlines()[0]}"
+    d_cols = list(df.columns)
+    if sorted(s_cols) != sorted(d_cols):
+        return False, f"columns {sorted(s_cols)} vs {sorted(d_cols)}"
+    # Driver-parity dtype guard: the driver fetches BOTH sides through
+    # pandas, so a NULL-bearing int64 degrades to float64 on both sides
+    # symmetrically (fine), but a HUGEINT degrades only the oracle side
+    # (red).  Flag any int-vs-float asymmetry between the two frames.
+    def _kind(dt):
+        s = str(dt)
+        return "i" if s.startswith(("int", "uint", "Int")) else (
+            "f" if s.startswith(("float", "Float")) else "o")
+    for c in d_cols:
+        ks, kd = _kind(pdf_s[c].dtype), _kind(df[c].dtype)
+        if {ks, kd} == {"i", "f"}:
+            return False, (
+                f"dtype guard: '{c}' is {pdf_s[c].dtype} on Spark but "
+                f"{df[c].dtype} on the oracle's pandas fetch — the driver "
+                "renders these as '150' vs '150.0' (HUGEINT or one-sided "
+                "NULLs; cast the oracle final select, see VERDICT r5 #1)"
+            )
+    d_rows = [tuple(r) for r in df.itertuples(index=False, name=None)]
+    if len(s_rows) != len(d_rows):
+        return False, f"rowcount {len(s_rows)} vs {len(d_rows)}"
+    cs, cd = canon(s_rows, s_cols), canon(d_rows, d_cols)
+    if cs != cd:
+        ndiff = sum(1 for a, b in zip(cs, cd) if a != b)
+        detail = ""
+        for a, b in zip(cs, cd):
+            if a != b:
+                detail = f"\n  spark:  {a}\n  duckdb: {b}"
+                break
+        return False, f"{ndiff}/{len(cs)} rows differ{detail}"
+    return True, f"({len(s_rows)} rows)"
 
 
 def main():
@@ -72,44 +157,12 @@ def main():
     for name, (fn, oracle) in sorted(QUERIES.items()):
         if only and name not in only:
             continue
-        try:
-            sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:
-            print(f"FAIL {name}: spark error: {e}")
+        ok, msg = check_one(con, spark, name, fn, oracle, sf_dir)
+        if ok:
+            print(f"ok   {name} {msg}")
+        else:
+            print(f"FAIL {name}: {msg}")
             failed.append(name)
-            continue
-        if oracle is None:
-            print(f"ok   {name}: rows-only ({len(s_rows)} rows)")
-            continue
-        try:
-            res = con.execute(oracle)
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0]}")
-            failed.append(name)
-            continue
-        if sorted(s_cols) != sorted(d_cols):
-            print(f"FAIL {name}: columns {sorted(s_cols)} vs {sorted(d_cols)}")
-            failed.append(name)
-            continue
-        if len(s_rows) != len(d_rows):
-            print(f"FAIL {name}: rowcount {len(s_rows)} vs {len(d_rows)}")
-            failed.append(name)
-            continue
-        cs, cd = canon(s_rows, s_cols), canon(d_rows, d_cols)
-        if cs != cd:
-            ndiff = sum(1 for a, b in zip(cs, cd) if a != b)
-            print(f"FAIL {name}: {ndiff}/{len(cs)} rows differ")
-            for a, b in list(zip(cs, cd))[:200]:
-                if a != b:
-                    print(f"  spark:  {a}\n  duckdb: {b}")
-                    break
-            failed.append(name)
-            continue
-        print(f"ok   {name} ({len(s_rows)} rows)")
 
     print()
     if failed:

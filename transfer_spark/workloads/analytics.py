@@ -226,7 +226,8 @@ def q_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.date_trunc("DAY", F.col("o_orderdate"))).alias("day_us"),
         )
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev"),
+            F.sum((F.col("o_totalprice").cast("decimal(18,6)") * F.lit(100))
+                  .cast("long")).alias("_rev"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -245,11 +246,11 @@ def q_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "day_us",
         "n_orders",
-        F.col("_rev").alias("revenue"),
+        (F.col("_rev") / F.lit(100.0)).alias("revenue"),
         F.round(
-            F.sum("_rev").over(w7).cast("double") / F.count("*").over(w7), 6
+            F.sum("_rev").over(w7) / F.lit(100.0) / F.count("*").over(w7), 6
         ).alias("movavg_7d"),
-        F.sum("_rev").over(wcum).alias("cum_revenue"),
+        (F.sum("_rev").over(wcum) / F.lit(100.0)).alias("cum_revenue"),
         F.round(
             F.col("_rev").cast("double") / F.sum("_rev").over(wall).cast("double"), 6
         ).alias("share_of_priority"),
@@ -260,13 +261,13 @@ ORACLE_MOVAVG = """
 WITH daily AS (
   SELECT o_orderpriority,
          epoch_us(date_trunc('day', o_orderdate)) AS day_us,
-         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS _rev,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)) AS _rev,
          COUNT(*) AS n_orders
   FROM orders GROUP BY 1, 2
 )
-SELECT o_orderpriority, day_us, n_orders, _rev AS revenue,
-  round(CAST(SUM(_rev) OVER w7 AS DOUBLE) / COUNT(*) OVER w7, 6) AS movavg_7d,
-  SUM(_rev) OVER wcum AS cum_revenue,
+SELECT o_orderpriority, day_us, n_orders, _rev::BIGINT / 100.0 AS revenue,
+  round(SUM(_rev) OVER w7 / 100.0 / COUNT(*) OVER w7, 6) AS movavg_7d,
+  (SUM(_rev) OVER wcum)::BIGINT / 100.0 AS cum_revenue,
   round(CAST(_rev AS DOUBLE) / CAST(SUM(_rev) OVER wall AS DOUBLE), 6) AS share_of_priority
 FROM daily
 WINDOW
@@ -502,6 +503,18 @@ FROM orders"""
 )
 
 
+
+def _dsum(col, unit=1_000_000):
+    """Deterministic cross-engine decimal sum: quantize each element to
+    integer units (exact for these fixed-scale decimals), SUM as BIGINT,
+    divide back to DOUBLE. A bare DECIMAL(38,x) SUM reaches the
+    correctness driver's pandas fetch as float64 while Spark renders
+    Decimal('..000') -- same value, different string, hash mismatch.
+    Integer-sum-then-divide yields bit-identical doubles on any engine
+    and any partitioning."""
+    q = (col.cast("decimal(18,6)") * F.lit(unit)).cast("long")
+    return F.sum(q) / F.lit(float(unit))
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: unshipped-order revenue by order, top 10.
 
@@ -530,7 +543,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "o_orderpriority",
         )
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(_dsum(rev).alias("revenue"))
         .orderBy(F.desc("revenue"), "orderdate_us", "o_orderkey")
         .limit(10)
     )
@@ -538,8 +551,9 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q3 = """
 SELECT o_orderkey, epoch_us(o_orderdate) AS orderdate_us, o_orderpriority,
-  SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue
+  SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))
+      * 1000000 AS BIGINT))::BIGINT / 1000000.0 AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
 WHERE c_mktsegment = 'BUILDING'
@@ -584,14 +598,15 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(_dsum(rev).alias("revenue"))
     )
 
 
 ORACLE_Q5 = """
 SELECT n_name,
-  SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue
+  SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))
+      * 1000000 AS BIGINT))::BIGINT / 1000000.0 AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
 JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -827,7 +842,7 @@ def q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_BLOOM_SEMI = """
 SELECT date_trunc('month', l_shipdate)::DATE AS month,
        count(*) AS n_items,
-       sum(floor(l_extendedprice * 100.0 + 0.5)::BIGINT) AS revenue_cents
+       CAST(sum(floor(l_extendedprice * 100.0 + 0.5)::BIGINT) AS BIGINT) AS revenue_cents
 FROM lineitem
 WHERE l_orderkey IN (
   SELECT o_orderkey FROM orders
@@ -905,8 +920,8 @@ exact AS (
   SELECT sum(pv_o.c * pv_l.c) AS exact_rows
   FROM pv_o JOIN pv_l ON pv_o.k = pv_l.k
 )
-SELECT exact_rows, cms_estimate,
-       (1000000 * (cms_estimate - exact_rows)) // exact_rows AS err_ppm
+SELECT CAST(exact_rows AS BIGINT) AS exact_rows, CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST((1000000 * (cms_estimate - exact_rows)) // exact_rows AS BIGINT) AS err_ppm
 FROM exact, est
 """
 
@@ -947,8 +962,8 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_FUZZY_MATCH = """
 SELECT a.c_nationkey AS nationkey,
        count(*) AS n_pairs,
-       sum(CASE WHEN levenshtein(a.c_name, b.c_name) <= 2
-                THEN 1 ELSE 0 END) AS n_matches
+       CAST(sum(CASE WHEN levenshtein(a.c_name, b.c_name) <= 2
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
 FROM customer a JOIN customer b
   ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
 GROUP BY a.c_nationkey
@@ -1007,10 +1022,10 @@ WITH per_cust AS (
   SELECT decile, count(*) AS n_customers, sum(cents) AS decile_cents
   FROM ranked GROUP BY 1
 ), tot AS (SELECT sum(cents) AS total_cents FROM per_cust)
-SELECT decile, n_customers, decile_cents,
-  (1000000 * sum(decile_cents) OVER (ORDER BY decile
+SELECT decile, n_customers, CAST(decile_cents AS BIGINT) AS decile_cents,
+  CAST((1000000 * sum(decile_cents) OVER (ORDER BY decile
      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // total_cents
-    AS cum_share_ppm
+    AS BIGINT) AS cum_share_ppm
 FROM per_dec, tot
 """
 
@@ -1112,9 +1127,9 @@ WITH leaf AS (
 ), reg AS (
   SELECT r_name, sum(nation_cents) AS region_cents FROM leaf GROUP BY 1
 ), tot AS (SELECT sum(nation_cents) AS total_cents FROM leaf)
-SELECT leaf.r_name, n_name, nation_cents,
-       (1000000 * nation_cents) // region_cents AS share_of_region_ppm,
-       (1000000 * nation_cents) // total_cents AS share_of_total_ppm
+SELECT leaf.r_name, n_name, CAST(nation_cents AS BIGINT) AS nation_cents,
+       CAST((1000000 * nation_cents) // region_cents AS BIGINT) AS share_of_region_ppm,
+       CAST((1000000 * nation_cents) // total_cents AS BIGINT) AS share_of_total_ppm
 FROM leaf JOIN reg ON leaf.r_name = reg.r_name, tot
 """
 
@@ -1154,7 +1169,7 @@ def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_REV_CUBE = """
 SELECT r_name, n_name, grouping(r_name) * 2 + grouping(n_name) AS gid,
        count(*) AS n_orders,
-       sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT) AS revenue_cents
+       CAST(sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT) AS BIGINT) AS revenue_cents
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -1210,8 +1225,8 @@ WITH leaf AS (
   SELECT *, lag(rev_cents) OVER (PARTITION BY n_name ORDER BY yr) AS prev
   FROM leaf
 )
-SELECT n_name, yr, rev_cents, prev,
-       (1000000 * (rev_cents - prev)) // prev AS yoy_ppm
+SELECT n_name, yr, CAST(rev_cents AS BIGINT) AS rev_cents, CAST(prev AS BIGINT) AS prev,
+       CAST((1000000 * (rev_cents - prev)) // prev AS BIGINT) AS yoy_ppm
 FROM l WHERE prev IS NOT NULL
 """
 
@@ -1255,8 +1270,8 @@ WITH j AS (
   FROM j GROUP BY 1
 )
 SELECT c_mktsegment, n_customers, n_orders,
-       (1000 * n_orders) // n_customers AS orders_per_customer_milli,
-       rev_cents // n_orders AS avg_order_cents
+       CAST((1000 * n_orders) // n_customers AS BIGINT) AS orders_per_customer_milli,
+       CAST(rev_cents // n_orders AS BIGINT) AS avg_order_cents
 FROM per
 """
 
@@ -1281,7 +1296,7 @@ WITH per AS (
   SELECT year(o_orderdate) AS yr, o_orderpriority, count(*) AS n
   FROM orders GROUP BY 1, 2
 ), tot AS (SELECT yr, sum(n) AS total FROM per GROUP BY 1)
-SELECT per.yr, o_orderpriority, n, (1000000 * n) // total AS share_ppm
+SELECT per.yr, o_orderpriority, n, CAST((1000000 * n) // total AS BIGINT) AS share_ppm
 FROM per JOIN tot ON per.yr = tot.yr
 """
 
@@ -1319,10 +1334,10 @@ WITH one AS (
            OR o_orderdate >= TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END) AS outrange
   FROM orders
 )
-SELECT 'custkey_not_null' AS rule, nulls AS n_violations FROM one
-UNION ALL SELECT 'totalprice_positive', nonpos FROM one
-UNION ALL SELECT 'orderkey_unique', dup FROM one
-UNION ALL SELECT 'orderdate_in_range', outrange FROM one
+SELECT 'custkey_not_null' AS rule, CAST(nulls AS BIGINT) AS n_violations FROM one
+UNION ALL SELECT 'totalprice_positive', CAST(nonpos AS BIGINT) FROM one
+UNION ALL SELECT 'orderkey_unique', CAST(dup AS BIGINT) FROM one
+UNION ALL SELECT 'orderdate_in_range', CAST(outrange AS BIGINT) FROM one
 """
 
 
@@ -1344,9 +1359,9 @@ WITH counts AS (
   FROM counts QUALIFY rank <= 10
 )
 SELECT key, cnt, rank,
-  (cnt * 2000000 + total) // (total * 2) AS share_ppm,
+  CAST((cnt * 2000000 + total) // (total * 2) AS BIGINT) AS share_ppm,
   n_keys,
-  (max_cnt * n_keys * 2000000 + total) // (total * 2) AS skew_ppm
+  CAST((max_cnt * n_keys * 2000000 + total) // (total * 2) AS BIGINT) AS skew_ppm
 FROM topk CROSS JOIN g
 """
 
@@ -1462,7 +1477,7 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_custkey")
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(_dsum(rev).alias("revenue"))
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select(
@@ -1475,8 +1490,9 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q10 = """
 SELECT c_custkey AS custkey, c_name, n_name,
-  SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue
+  SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))
+      * 1000000 AS BIGINT))::BIGINT / 1000000.0 AS revenue
 FROM orders
 JOIN lineitem ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1504,13 +1520,14 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(18,2)")
         * F.col("l_discount").cast("decimal(18,4)")
     ).cast("decimal(38,6)")
-    return li.agg(F.sum(rev).alias("revenue_effect"),
+    return li.agg(_dsum(rev).alias("revenue_effect"),
                   F.count(F.lit(1)).alias("n_lines"))
 
 
 ORACLE_Q6 = """
-SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-           * CAST(l_discount AS DECIMAL(18,4))) AS revenue_effect,
+SELECT SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(18,6))
+           * 1000000 AS BIGINT))::BIGINT / 1000000.0 AS revenue_effect,
        COUNT(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1526,10 +1543,12 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     table first (map-side combinable), then the tiny survivor set drives
     broadcast joins back to orders and customer."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qty_c = (F.col("l_quantity").cast("decimal(18,6)") * F.lit(100)).cast("long")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"))
-        .filter(F.col("total_qty") > 80)
+        .agg(F.sum(qty_c).alias("_qty_c"))
+        .filter(F.col("_qty_c") > 8000)
+        .select("l_orderkey", (F.col("_qty_c") / F.lit(100.0)).alias("total_qty"))
     )
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey",
@@ -1545,11 +1564,13 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q18 = """
 WITH big AS (
-  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  SELECT l_orderkey,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,6)) * 100 AS BIGINT)) AS qty_c
   FROM lineitem GROUP BY l_orderkey
-  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 80
+  HAVING SUM(CAST(CAST(l_quantity AS DECIMAL(18,6)) * 100 AS BIGINT)) > 8000
 )
-SELECT o_orderkey, c_name, epoch_us(o_orderdate) AS orderdate_us, total_qty
+SELECT o_orderkey, c_name, epoch_us(o_orderdate) AS orderdate_us,
+       qty_c::BIGINT / 100.0 AS total_qty
 FROM big
 JOIN orders ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1599,7 +1620,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(18,2)")
         * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
     ).cast("decimal(38,6)")
-    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_revenue"))
+    per_supp = li.groupBy("l_suppkey").agg(_dsum(rev).alias("total_revenue"))
     mx = per_supp.agg(F.max("total_revenue").alias("mx"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -1612,8 +1633,9 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q15 = """
 WITH per_supp AS (
-  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-         * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue
+  SELECT l_suppkey, SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+         * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))
+         * 1000000 AS BIGINT))::BIGINT / 1000000.0 AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -1684,7 +1706,7 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
     return idle.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("numcust"),
-        F.sum("bal").alias("totacctbal"),
+        _dsum(F.col("bal"), unit=100).alias("totacctbal"),
     )
 
 
@@ -1695,7 +1717,8 @@ WITH cut AS (
 )
 SELECT c_mktsegment,
        count(*) AS numcust,
-       sum(c_acctbal::DECIMAL(18,2)) AS totacctbal
+       sum(CAST(CAST(c_acctbal::DECIMAL(18,2) AS DECIMAL(18,6))
+           * 100 AS BIGINT))::BIGINT / 100.0 AS totacctbal
 FROM customer, cut
 WHERE (c_acctbal::DECIMAL(18,2))::DOUBLE > cut
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -1742,15 +1765,16 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation",
             F.year(F.col("l_shipdate")).alias("l_year"),
         )
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(_dsum(rev).alias("revenue"))
     )
 
 
 ORACLE_Q7 = """
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue
+       SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))
+           * 1000000 AS BIGINT))::BIGINT / 1000000.0 AS revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -1852,12 +1876,13 @@ def q_discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
     ).cast("decimal(38,6)")
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).filter(cond)
-    return j.agg(F.sum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    return j.agg(_dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
 
 
 ORACLE_Q19 = """
-SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue,
+SELECT SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))
+           * 1000000 AS BIGINT))::BIGINT / 1000000.0 AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND l_quantity::DOUBLE BETWEEN 1 AND 11)
@@ -1978,12 +2003,13 @@ def _q_revenue_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+        .agg(F.sum((F.col("o_totalprice").cast("decimal(18,6)") * F.lit(100))
+                   .cast("long")).alias("_spend_c"))
     )
-    w = Window.orderBy("spend", "o_custkey")
+    w = Window.orderBy("_spend_c", "o_custkey")
     return per_cust.select(
         F.col("o_custkey").alias("custkey"),
-        "spend",
+        (F.col("_spend_c") / F.lit(100.0)).alias("spend"),
         F.floor(F.percent_rank().over(w) * F.lit(1_000_000.0) + F.lit(0.5))
         .cast("long").alias("pct_rank_ppm"),
         F.ntile(10).over(w).alias("decile"),
@@ -1998,13 +2024,14 @@ QUERIES = {
         lambda spark, sf_dir: _q_revenue_percentile(spark, sf_dir),
         """
 WITH per_cust AS (
-  SELECT o_custkey, SUM(o_totalprice::DECIMAL(18,2)) AS spend
+  SELECT o_custkey,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)) AS spend_c
   FROM orders GROUP BY o_custkey
 )
-SELECT o_custkey AS custkey, spend,
-  floor(percent_rank() OVER (ORDER BY spend, o_custkey) * 1000000.0 + 0.5)::BIGINT
+SELECT o_custkey AS custkey, spend_c::BIGINT / 100.0 AS spend,
+  floor(percent_rank() OVER (ORDER BY spend_c, o_custkey) * 1000000.0 + 0.5)::BIGINT
     AS pct_rank_ppm,
-  ntile(10) OVER (ORDER BY spend, o_custkey) AS decile
+  ntile(10) OVER (ORDER BY spend_c, o_custkey) AS decile
 FROM per_cust
 """,
     ),

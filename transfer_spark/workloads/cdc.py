@@ -447,7 +447,7 @@ WITH s AS (
   UNION ALL
   SELECT etype, 1::BIGINT, cents FROM l WHERE NOT is_del
 )
-SELECT g AS etype, sum(dn) AS n_live, sum(dv) AS value_live
+SELECT g AS etype, CAST(sum(dn) AS BIGINT) AS n_live, CAST(sum(dv) AS BIGINT) AS value_live
 FROM d GROUP BY g
 """
 
@@ -545,7 +545,7 @@ WITH s AS (
   UNION ALL
   SELECT part_day, 1::BIGINT, h::HUGEINT FROM l WHERE NOT is_del
 )
-SELECT g AS part_day, sum(dn) AS n_rows, sum(dv)::VARCHAR AS digest_sum
+SELECT g AS part_day, CAST(sum(dn) AS BIGINT) AS n_rows, sum(dv)::VARCHAR AS digest_sum
 FROM d GROUP BY g
 """
 
@@ -607,7 +607,7 @@ WITH f AS (
            AS dim_attr
   FROM f ASOF LEFT JOIN d ON f.id = d.id AND f.off >= d.off
 )
-SELECT dim_attr, count(*) AS n_purchases, sum(cents) AS revenue_cents
+SELECT dim_attr, count(*) AS n_purchases, CAST(sum(cents) AS BIGINT) AS revenue_cents
 FROM m GROUP BY dim_attr
 """
 

@@ -162,8 +162,8 @@ WITH f AS (
   FROM e
 )
 SELECT doc_id, count(*) AS n_frames,
-  sum(CASE WHEN prev IS NOT NULL AND bit_count(xor(h, prev)) >= 28
-           THEN 1 ELSE 0 END) AS n_cuts
+  CAST(sum(CASE WHEN prev IS NOT NULL AND bit_count(xor(h, prev)) >= 28
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
 FROM l GROUP BY doc_id
 """
 

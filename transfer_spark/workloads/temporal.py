@@ -564,35 +564,38 @@ def q_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = e.groupBy(
         "event_type", F.date_trunc("DAY", F.col("ts")).alias("day")
     ).agg(
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        F.sum((F.col("value").cast("decimal(18,6)") * F.lit(1_000_000))
+              .cast("long")).alias("s"),
         F.count(F.lit(1)).alias("c"),
         F.min("value").alias("mn"),
         F.max("value").alias("mx"),
     )
     return partials.groupBy("event_type").agg(
-        F.sum("s").alias("sum_value"),
+        F.sum("s").alias("_sum_u"),
         F.sum("c").alias("n_events"),
         F.min("mn").alias("min_value"),
         F.max("mx").alias("max_value"),
     ).select(
         "event_type",
-        "sum_value",
+        (F.col("_sum_u") / F.lit(1_000_000.0)).alias("sum_value"),
         "n_events",
         "min_value",
         "max_value",
         F.round(
-            F.col("sum_value").cast("double") / F.col("n_events").cast("double"), 6
+            F.col("_sum_u") / F.lit(1_000_000.0) / F.col("n_events").cast("double"), 6
         ).alias("avg_value"),
     )
 
 
 ORACLE_PARTIAL_MERGE = """
 SELECT event_type,
-  SUM(CAST(value AS DECIMAL(18,6))) AS sum_value,
+  SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))::BIGINT
+    / 1000000.0 AS sum_value,
   COUNT(*) AS n_events,
   MIN(value) AS min_value,
   MAX(value) AS max_value,
-  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+  round(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))::BIGINT
+        / 1000000.0 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_value
 FROM events GROUP BY event_type
 """
 
@@ -715,9 +718,9 @@ def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PROPS_VARIANT = """
 SELECT event_type,
   COUNT(*) AS n_events,
-  SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS n_parsed,
+  CAST(SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
   COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
-  SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
 """
@@ -777,7 +780,7 @@ cells AS (
   UNION ALL SELECT 2 AS lane, ('0x' || substr(md5('cms2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket, c FROM pv
   UNION ALL SELECT 3 AS lane, ('0x' || substr(md5('cms3:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket, c FROM pv
 )
-SELECT lane, bucket, SUM(c) AS cnt FROM cells GROUP BY lane, bucket
+SELECT lane, bucket, CAST(SUM(c) AS BIGINT) AS cnt FROM cells GROUP BY lane, bucket
 """
 
 def q_cms_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -809,7 +812,7 @@ cells AS (
   UNION ALL SELECT 2, ('0x' || substr(md5('cms2:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256, c FROM pv
   UNION ALL SELECT 3, ('0x' || substr(md5('cms3:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256, c FROM pv
 )
-SELECT lane, bucket, SUM(c) AS cnt FROM cells GROUP BY lane, bucket
+SELECT lane, bucket, CAST(SUM(c) AS BIGINT) AS cnt FROM cells GROUP BY lane, bucket
 """
 
 
@@ -873,7 +876,8 @@ WITH hourly AS (
   SELECT hr, sum(total) AS total6, sum(errors) AS errors6
   FROM fan GROUP BY hr
 )
-SELECT epoch_us(h.hr) AS hr_us, h.total, h.errors, t.total6, t.errors6
+SELECT epoch_us(h.hr) AS hr_us, h.total, CAST(h.errors AS BIGINT) AS errors,
+       CAST(t.total6 AS BIGINT) AS total6, CAST(t.errors6 AS BIGINT) AS errors6
 FROM hourly h JOIN trail t ON h.hr = t.hr
 WHERE h.errors * 1000000 > {_THR_PPM} * h.total
   AND t.errors6 * 1000000 > {_THR_PPM} * t.total6
@@ -994,7 +998,7 @@ WITH per AS (
 ), tot AS (
   SELECT event_type, sum(n) AS total FROM per GROUP BY 1
 )
-SELECT per.event_type, dow, n, (1000000 * n) // total AS share_ppm
+SELECT per.event_type, dow, n, CAST((1000000 * n) // total AS BIGINT) AS share_ppm
 FROM per JOIN tot ON per.event_type = tot.event_type
 """
 
@@ -1038,7 +1042,7 @@ WITH daily AS (
   SELECT event_type, day, sum(cents) AS rev_7d_cents
   FROM fan GROUP BY 1, 2
 )
-SELECT t.event_type, t.day, t.rev_7d_cents
+SELECT t.event_type, t.day, CAST(t.rev_7d_cents AS BIGINT) AS rev_7d_cents
 FROM trail t JOIN daily o ON t.event_type = o.event_type AND t.day = o.d
 """
 
@@ -1104,9 +1108,9 @@ j AS (
   FROM grid g LEFT JOIN h ON h.event_type = g.event_type AND h.hr = g.hr
 )
 SELECT event_type, epoch_us(hr) AS bucket_us, n_events,
-  last_value(cents IGNORE NULLS) OVER (
+  CAST(last_value(cents IGNORE NULLS) OVER (
     PARTITION BY event_type ORDER BY hr
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_locf
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_locf
 FROM j
 """
 
@@ -1278,8 +1282,8 @@ WITH daily AS (
   SELECT event_type, day, sum(cents * w) AS numer, sum(w) AS weight_sum
   FROM contrib GROUP BY 1, 2
 )
-SELECT a.event_type, a.day, a.weight_sum,
-       (2000 * numer + weight_sum) // (2 * weight_sum) AS ewma_cents_milli
+SELECT a.event_type, a.day, CAST(a.weight_sum AS BIGINT) AS weight_sum,
+       CAST((2000 * numer + weight_sum) // (2 * weight_sum) AS BIGINT) AS ewma_cents_milli
 FROM agg a JOIN daily o ON a.event_type = o.event_type AND a.day = o.d
 """
 
@@ -1346,9 +1350,9 @@ WITH p AS (
   FROM m
 )
 SELECT date_trunc('day', ts)::DATE AS day,
-       sum(CASE WHEN attr THEN 1 ELSE 0 END) AS attributed,
-       sum(CASE WHEN NOT attr THEN 1 ELSE 0 END) AS organic,
-       sum(CASE WHEN attr THEN cents ELSE 0 END) AS attributed_cents
+       CAST(sum(CASE WHEN attr THEN 1 ELSE 0 END) AS BIGINT) AS attributed,
+       CAST(sum(CASE WHEN NOT attr THEN 1 ELSE 0 END) AS BIGINT) AS organic,
+       CAST(sum(CASE WHEN attr THEN cents ELSE 0 END) AS BIGINT) AS attributed_cents
 FROM f GROUP BY 1
 """
 
@@ -1449,8 +1453,8 @@ WITH daily AS (
   FROM s
 )
 SELECT event_type, change_day,
-       (SELECT max(abs(cusum)) FROM s s2
-        WHERE s2.event_type = ranked.event_type) AS peak_dev_scaled,
+       CAST((SELECT max(abs(cusum)) FROM s s2
+        WHERE s2.event_type = ranked.event_type) AS BIGINT) AS peak_dev_scaled,
        n_days
 FROM ranked WHERE rn = 1
 """
@@ -1492,7 +1496,7 @@ WITH l AS (
   SELECT from_type, sum(n) AS out_n FROM pairs GROUP BY 1
 )
 SELECT pairs.from_type, to_type, n,
-       (1000000 * n) // out_n AS p_ppm
+       CAST((1000000 * n) // out_n AS BIGINT) AS p_ppm
 FROM pairs JOIN outdeg ON pairs.from_type = outdeg.from_type
 """
 
@@ -1691,8 +1695,8 @@ WITH daily AS (
          sum(x * y) AS sxy, sum(x * x) AS sxx
   FROM d GROUP BY 1
 )
-SELECT event_type, n, sy,
-       (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS slope_ppm
+SELECT event_type, n, CAST(sy AS BIGINT) AS sy,
+       CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT) AS slope_ppm
 FROM s
 """
 
@@ -1808,7 +1812,8 @@ WITH s AS (
 )
 SELECT
   (SELECT count(*) FROM j1) AS signed_up,
-  (SELECT sum(CASE WHEN clicked THEN 1 ELSE 0 END) FROM j1) AS clicked_3d,
+  CAST((SELECT sum(CASE WHEN clicked THEN 1 ELSE 0 END) FROM j1) AS BIGINT)
+    AS clicked_3d,
   (SELECT count(*) FROM j2
    WHERE pts IS NOT NULL
      AND epoch_us(pts) - epoch_us(ts2) <= {_FUNNEL_WINDOW_US}) AS purchased_3d
@@ -1845,8 +1850,8 @@ WITH fs AS (
   SELECT d0 AS day, count(*) AS new_users FROM fs GROUP BY 1
 )
 SELECT day, new_users,
-  sum(new_users) OVER (ORDER BY day
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_users
+  CAST(sum(new_users) OVER (ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users
 FROM per_day
 """
 

@@ -709,11 +709,11 @@ WITH d AS (
   SELECT q_bin, count(*) AS n_docs, sum(n_tok) AS n_tokens
   FROM s GROUP BY q_bin
 )
-SELECT q_bin, n_docs, n_tokens,
-  sum(n_docs) OVER (ORDER BY q_bin DESC
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_docs,
-  sum(n_tokens) OVER (ORDER BY q_bin DESC
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+SELECT q_bin, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(sum(n_docs) OVER (ORDER BY q_bin DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+  CAST(sum(n_tokens) OVER (ORDER BY q_bin DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
 FROM per_bin
 """
 
@@ -899,8 +899,8 @@ WITH toks AS (
 )
 SELECT d.doc_id,
        coalesce(n_bigrams, 0) AS n_bigrams,
-       coalesce(n_unique, 0) AS n_unique,
-       coalesce((1000000 * n_unique) // n_bigrams, 0) AS novelty_ppm
+       CAST(coalesce(n_unique, 0) AS BIGINT) AS n_unique,
+       CAST(coalesce((1000000 * n_unique) // n_bigrams, 0) AS BIGINT) AS novelty_ppm
 FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
 """
 
@@ -924,7 +924,7 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_LENGTH_HIST = f"""
 SELECT floor(log2(greatest(n_chars, 1)))::INT AS log2_chars,
        count(*) AS n_docs,
-       sum(len({_TOKS})::BIGINT) AS n_tokens,
+       CAST(sum(len({_TOKS})::BIGINT) AS BIGINT) AS n_tokens,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars
 FROM documents GROUP BY 1
 """
@@ -1041,8 +1041,8 @@ WITH d AS (
   SELECT lang, sum(words) AS words, sum(pieces) AS pieces
   FROM s GROUP BY lang
 )
-SELECT lang, words, pieces,
-       (1000000 * pieces) // words AS fertility_ppm
+SELECT lang, CAST(words AS BIGINT) AS words, CAST(pieces AS BIGINT) AS pieces,
+       CAST((1000000 * pieces) // words AS BIGINT) AS fertility_ppm
 FROM per
 """
 
@@ -1409,7 +1409,7 @@ WITH ch AS (
   SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch
 )
 SELECT doc_id,
-  SUM(c) AS n_chars_seen,
+  CAST(SUM(c) AS BIGINT) AS n_chars_seen,
   COUNT(*) AS n_unique_chars,
   CAST(floor((log2(CAST(SUM(c) AS DOUBLE))
         - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE))
@@ -1440,10 +1440,10 @@ WITH toks AS (
   SELECT h, min(doc_id) != max(doc_id) AS is_dup FROM per GROUP BY h
 )
 SELECT per.doc_id,
-  SUM(c) AS n_spans,
-  SUM(CASE WHEN is_dup THEN c ELSE 0 END) AS n_dup_spans,
-  (SUM(CASE WHEN is_dup THEN c ELSE 0 END) * 2000000 + SUM(c)) // (SUM(c) * 2)
-    AS dup_frac_ppm
+  CAST(SUM(c) AS BIGINT) AS n_spans,
+  CAST(SUM(CASE WHEN is_dup THEN c ELSE 0 END) AS BIGINT) AS n_dup_spans,
+  CAST((SUM(CASE WHEN is_dup THEN c ELSE 0 END) * 2000000 + SUM(c)) // (SUM(c) * 2)
+    AS BIGINT) AS dup_frac_ppm
 FROM per JOIN crossdoc USING (h) GROUP BY per.doc_id
 """
 
@@ -1707,7 +1707,7 @@ tot AS (
 )
 SELECT d.doc_id,
        coalesce(n_bigrams, 0) AS n_bigrams,
-       coalesce(importance_micro, 0) AS importance_micro
+       CAST(coalesce(importance_micro, 0) AS BIGINT) AS importance_micro
 FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
 """
 
@@ -1985,7 +1985,7 @@ WITH d AS (
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
   FROM s
 )
-SELECT doc_id, source, q_micro, n_tokens, cum_tokens
+SELECT doc_id, source, q_micro, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM c WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET}
 """
 
@@ -2031,7 +2031,7 @@ WITH t AS (
 ), tot AS (
   SELECT sum(src_tokens) AS total_tokens, count(*) AS n_sources FROM per_src
 )
-SELECT source, src_tokens,
+SELECT source, CAST(src_tokens AS BIGINT) AS src_tokens,
   least(1000000,
         floor(1000000.0 * (total_tokens / n_sources) / src_tokens + 0.5)::BIGINT
   )::BIGINT AS keep_rate_ppm
@@ -2123,11 +2123,11 @@ WITH d AS (
   FROM d
 )
 SELECT count(*) AS n_docs,
-       sum(n_tok) AS total_tokens,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
        count(DISTINCT source) AS n_sources,
        count(DISTINCT lang) AS n_langs,
        count(*) - count(DISTINCT text) AS n_exact_dups,
-       sum(q_micro) AS sum_quality_micro,
+       CAST(sum(q_micro) AS BIGINT) AS sum_quality_micro,
        floor(quantile_cont(n_tok, 0.5) + 0.5)::BIGINT AS p50_tokens_rounded
 FROM s
 """
@@ -2181,7 +2181,7 @@ scored AS (
   FROM tf JOIN dft d USING (term) CROSS JOIN stats s
   GROUP BY tf.doc_id
 )
-SELECT doc_id, score_micro,
+SELECT doc_id, CAST(score_micro AS BIGINT) AS score_micro,
        row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
 FROM scored
 QUALIFY rank <= {k}

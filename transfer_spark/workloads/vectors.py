@@ -532,7 +532,7 @@ adc AS (
   WHERE id != qid
   GROUP BY qid, id
 )
-SELECT qid AS query_id, id AS neighbor_id, adc_micro,
+SELECT qid AS query_id, id AS neighbor_id, CAST(adc_micro AS BIGINT) AS adc_micro,
        row_number() OVER (PARTITION BY qid ORDER BY adc_micro, id) AS rank
 FROM adc
 QUALIFY rank <= {k}
@@ -692,8 +692,9 @@ WITH e AS (
   FROM e GROUP BY 1, 2
 ), a AS (SELECT dim, sx AS sx0, n AS n0 FROM per WHERE snap = 0),
 b AS (SELECT dim, sx AS sx1, n AS n1 FROM per WHERE snap = 1)
-SELECT a.dim, sx0 // n0 AS mean0_micro, sx1 // n1 AS mean1_micro,
-       abs(sx1 // n1 - sx0 // n0) AS shift_micro,
+SELECT a.dim, CAST(sx0 // n0 AS BIGINT) AS mean0_micro,
+       CAST(sx1 // n1 AS BIGINT) AS mean1_micro,
+       CAST(abs(sx1 // n1 - sx0 // n0) AS BIGINT) AS shift_micro,
        abs(sx1 // n1 - sx0 // n0) > 50000 AS drifted
 FROM a JOIN b ON a.dim = b.dim
 """
@@ -838,7 +839,7 @@ fused AS (
          count(*) AS n_lists
   FROM both_l GROUP BY id
 )
-SELECT id AS doc_id, rrf_micro, n_lists,
+SELECT id AS doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro, n_lists,
        row_number() OVER (ORDER BY rrf_micro DESC, id) AS rank
 FROM fused
 QUALIFY rank <= 10
