@@ -96,3 +96,18 @@ def test_dedup_scope_survivors_keeps_cluster_representative(spark):
     # corpus-wide the cluster is {3, 7, 9} with canonical 3 — filtered
     # out, so no representative survives (the documented trade-off)
     assert got2 == {50}
+
+
+def test_unknown_top_level_and_sample_keys_raise(spark):
+    """A typo like 'per_src_quota' must raise, not silently disable a
+    configured stage — same strictness as the filter/dedup sections."""
+    import pytest
+
+    from transfer_spark.workloads.pipeline_config import build_corpus_pipeline
+
+    docs = spark.createDataFrame([("d1", "hello world", "en", "web")],
+                                 "doc_id string, text string, lang string, source string")
+    with pytest.raises(ValueError, match="unknown config key"):
+        build_corpus_pipeline(docs, {"fliters": []})
+    with pytest.raises(ValueError, match="unknown sample key"):
+        build_corpus_pipeline(docs, {"sample": {"per_src_quota": 5}})

@@ -238,5 +238,8 @@ def test_catalog_stays_jvm_side(spark, name):
     if name in PYTHON_OK:
         pytest.skip("Python stage is this operator's contract")
     fn, _ = QUERIES[name]
-    rep = plan_report(fn(spark, SF_DIR))
+    # static plan: Python stages never appear or disappear under AQE,
+    # and executing all ~200 catalog entries here would multiply the
+    # suite's wall time for no additional signal
+    rep = plan_report(fn(spark, SF_DIR), execute=False)
     assert rep["python_stages"] == 0, f"{name} runs Python in the hot path"

@@ -114,3 +114,19 @@ def test_discard_staged_refuses_published_versions(spark, tmp_path):
         with pytest.raises(ValueError, match="published/retained"):
             t.discard_staged(v)
     assert t.versions() == [1, 2]
+
+
+def test_audit_counts_null_as_violation_in_positive_and_range(spark):
+    """Three-valued logic must not let NULLs through a positive/range
+    gate: `col <= 0` is NULL for NULL, and when(NULL,1).otherwise(0)
+    counts clean — the audit treats NULL as a violation instead."""
+    from transfer_spark.operators.publish import audit
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -1.0), (4, 200.0)],
+        "id int, amount double",
+    )
+    report = dict(audit(df, {"positive": ["amount"]}))
+    assert report["positive:amount"] == 2  # NULL + (-1)
+    report = dict(audit(df, {"range": {"amount": (0, 100)}}))
+    assert report["range:amount"] == 3  # NULL + (-1 below) + (200 above)

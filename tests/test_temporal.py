@@ -321,3 +321,33 @@ def test_series_correlation_matches_numpy(spark):
         exp = int(np.floor(np.corrcoef(x, q)[0, 1] * 1e6 + 0.5))
         assert got[uid][0] == exp, uid
     assert got[2][1] == 1 and got[3][1] == 2 and 4 not in got
+
+
+def test_sketch_accumulator_skips_uncommitted_version(spark, tmp_path):
+    """Crash-safety of the sketch version chain: a directory without
+    Spark's atomic _SUCCESS marker (a crash mid parquet write) must be
+    invisible to sketch() and get overwritten by the next batch —
+    the _COMMIT protocol of IncrementalAggMV with _SUCCESS as marker."""
+    from transfer_spark.streaming.sketch_accum import CmsAccumulator
+
+    acc = CmsAccumulator(spark, str(tmp_path / "cms"), "v", depth=2, width=16)
+    b1 = spark.createDataFrame([("a",), ("b",), ("a",)], "v string")
+    acc.apply_batch(b1)
+    committed = {
+        (r.lane, r.bucket): r.cnt for r in acc.sketch().collect()
+    }
+
+    # simulate a crash: partial newest version, no _SUCCESS
+    wreck = tmp_path / "cms" / "v000002"
+    wreck.mkdir()
+    (wreck / "part-00000.parquet").write_bytes(b"\x00not parquet")
+    assert acc._versions() == ["v000001"]
+    after = {(r.lane, r.bucket): r.cnt for r in acc.sketch().collect()}
+    assert after == committed  # reader never selects the wreckage
+
+    # next batch overwrites the wreckage and commits as v000002
+    b2 = spark.createDataFrame([("a",), ("c",)], "v string")
+    acc.apply_batch(b2)
+    assert acc._versions() == ["v000001", "v000002"]
+    merged = {(r.lane, r.bucket): r.cnt for r in acc.sketch().collect()}
+    assert sum(merged.values()) == sum(committed.values()) + 2 * 2  # depth=2

@@ -40,13 +40,23 @@ def audit(df: DataFrame, rules: dict) -> list[tuple[str, int]]:
     for c in rules.get("not_null", []):
         aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)))
         names.append(f"not_null:{c}")
+    # positive/range treat NULL as a violation: `col <= 0` is NULL for
+    # NULL inputs and F.when(NULL, 1).otherwise(0) counts it as CLEAN —
+    # a gate configured only with positive/range would publish NULL-laden
+    # batches vacuously (the opposite of its job). Callers who want
+    # NULLs through must pair an explicit not_null-less schema decision,
+    # not rely on three-valued logic.
     for c in rules.get("positive", []):
-        aggs.append(F.sum(F.when(F.col(c) <= 0, 1).otherwise(0)))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull() | (F.col(c) <= 0), 1).otherwise(0))
+        )
         names.append(f"positive:{c}")
     for c, (lo, hi) in rules.get("range", {}).items():
         aggs.append(
             F.sum(
-                F.when((F.col(c) < lo) | (F.col(c) > hi), 1).otherwise(0)
+                F.when(
+                    F.col(c).isNull() | (F.col(c) < lo) | (F.col(c) > hi), 1
+                ).otherwise(0)
             )
         )
         names.append(f"range:{c}")

@@ -1,14 +1,25 @@
 """Plan inspection report: the shuffle/broadcast/scan audit as data.
 
-``plan_report(df)`` parses the executed physical plan into the counts
-an engineer checks before signing off a query for the big cluster —
-how many SHUFFLE Exchanges it runs (broadcast/reused exchanges counted
+``plan_report(df)`` parses the physical plan into the counts an
+engineer checks before signing off a query for the big cluster — how
+many SHUFFLE Exchanges it runs (broadcast/reused exchanges counted
 separately: a broadcast is not a shuffle), whether any nested-loop
 join snuck in, and per-scan filter pushdown (counts, not a global
 boolean — a query with a filtered fact scan and a legitimately
 unfiltered dimension scan is fine). The same properties the plan-shape
 test suite pins one by one, exposed as a programmatic report (and via
 ``python -m transfer_spark run NAME --plan-report``).
+
+AQE caveat (and why ``execute=True`` is the default): with adaptive
+execution on, ``executedPlan`` before any action prints
+``AdaptiveSparkPlan isFinalPlan=false`` — the INITIAL plan, blind to
+runtime re-optimizations (sort-merge→broadcast demotion, coalesced
+exchanges, skew splits).  ``plan_report`` therefore runs the plan
+through the frame's OWN QueryExecution (``executedPlan().execute()``
+over the InternalRow RDD — distributed count, nothing materializes on
+the driver) so the string it parses is the FINAL adaptive plan that
+actually executed.  Pass ``execute=False`` to audit the static plan
+without running the query; the report then reflects pre-AQE shape only.
 """
 
 from __future__ import annotations
@@ -16,8 +27,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def plan_report(df: DataFrame) -> dict:
-    plan = df._jdf.queryExecution().executedPlan().toString()
+def plan_report(df: DataFrame, execute: bool = True) -> dict:
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    if execute and "isFinalPlan=false" in plan:
+        try:
+            # run through THIS QueryExecution so AQE finalizes in place
+            # (df.count()/noop-write would build a separate execution and
+            # leave this one un-finalized)
+            qe.executedPlan().execute().count()
+            plan = qe.executedPlan().toString()
+            # the finalized AdaptiveSparkPlan prints BOTH "== Final
+            # Plan ==" and "== Initial Plan ==" sections — keep only
+            # the final one or every node double-counts
+            cut = plan.find("== Initial Plan ==")
+            if cut != -1:
+                plan = plan[:cut]
+        except Exception:
+            pass  # keep the static plan; counts below still valid pre-AQE
     broadcast_ex = plan.count("BroadcastExchange")
     reused_ex = plan.count("ReusedExchange")
     return {
@@ -39,4 +66,5 @@ def plan_report(df: DataFrame) -> dict:
         + plan.count("FlatMapGroupsInPandas")
         + plan.count("MapInPandas")
         + plan.count("BatchEvalPython"),
+        "is_final_adaptive_plan": "isFinalPlan=false" not in plan,
     }

@@ -11,7 +11,12 @@ stream has passed — the property that makes sketches the right
 unbounded-stream answer where exact counters grow without limit.
 
 Same version-chain persistence as ``IncrementalAggMV`` (read N, write
-N+1, ``vacuum`` drops history).
+N+1, ``vacuum`` drops history).  Crash safety uses Spark's own atomic
+publish marker: the parquet committer writes ``_SUCCESS`` only after
+every part file is committed, so ``_versions()`` lists only directories
+carrying it — a crash mid-write leaves an unmarked newest version that
+readers skip and the next ``apply_batch`` overwrites (the ``_COMMIT``
+protocol of ``IncrementalAggMV``, with ``_SUCCESS`` as the marker).
 """
 
 from __future__ import annotations
@@ -41,7 +46,14 @@ class CmsAccumulator:
         os.makedirs(path, exist_ok=True)
 
     def _versions(self) -> list[str]:
-        return sorted(v for v in os.listdir(self.path) if v.startswith("v"))
+        # only versions whose parquet job committed (_SUCCESS is written
+        # last); a partial newest version from a crash is invisible here
+        # and gets overwritten by the next apply_batch
+        return sorted(
+            v for v in os.listdir(self.path)
+            if v.startswith("v")
+            and os.path.exists(os.path.join(self.path, v, "_SUCCESS"))
+        )
 
     def sketch(self) -> DataFrame | None:
         vs = self._versions()
@@ -91,7 +103,14 @@ class KmvAccumulator:
         os.makedirs(path, exist_ok=True)
 
     def _versions(self) -> list[str]:
-        return sorted(v for v in os.listdir(self.path) if v.startswith("v"))
+        # only versions whose parquet job committed (_SUCCESS is written
+        # last); a partial newest version from a crash is invisible here
+        # and gets overwritten by the next apply_batch
+        return sorted(
+            v for v in os.listdir(self.path)
+            if v.startswith("v")
+            and os.path.exists(os.path.join(self.path, v, "_SUCCESS"))
+        )
 
     def fractions(self) -> DataFrame | None:
         vs = self._versions()

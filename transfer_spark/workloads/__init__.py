@@ -23,6 +23,7 @@ from transfer_spark.workloads import (
     sources,
     temporal,
     text,
+    tpch_supplement,
     transforms,
     vectors,
 )
@@ -38,46 +39,38 @@ _ALL.update(vectors.QUERIES)
 _ALL.update(multimodal.QUERIES)
 _ALL.update(temporal.QUERIES)
 _ALL.update(analytics.QUERIES)
+_ALL.update(tpch_supplement.QUERIES)
 
 # The correctness driver oracle-checks at most the FIRST 50 entries in dict
-# order. With 96 registered queries, naive module order left the
-# vectors/multimodal/temporal/analytics tail permanently unchecked (flagged
-# in VERDICT r4). Order is therefore curated: a fixed core that covers every
-# family and every regression-prone operator, followed by a 12-slot window
-# that rotates through the remaining queries each round (round index = number
-# of CORRECTNESS_r*.json artifacts committed by the driver), so every query
-# gets a driver oracle row within a handful of rounds.
+# order. Order is therefore curated: a fixed core (spine + every entry that
+# has EVER been driver-red, kept until proven driver-green) followed by a
+# rotation window over the remaining queries, shifted each round by the
+# window size (round index = number of CORRECTNESS_r*.json artifacts).
+#
+# r6 coverage math (VERDICT r5 #9): core shrunk 38 -> 25 (the decode/merge
+# spine was driver-green two rounds running; pure functions stay pinned by
+# pytest), so the window is 50-25 = 25 slots. With ~200 registered queries
+# the tail is ~175 names -> full-registry driver coverage in ceil(175/25)
+# = 7 rounds instead of 13.
 _CORE = [
-    # cdc — the engine spine, always checked
-    "cdc_lww_dedup", "cdc_fold", "cdc_fold_salted",
-    "cdc_merge_hard", "cdc_merge_exec", "cdc_merge_soft",
-    "schema_evolution_merge", "multi_step_merge",
+    # cdc spine
+    "cdc_fold", "cdc_merge_hard", "cdc_merge_soft", "multi_step_merge",
+    # every driver-red entry of r3-r5 (one shared cause: oracle output
+    # typing, fixed r6) -- stays core until the driver shows them green
     "cdc_aggregate_maintenance_stream", "cdc_incremental_digest",
-    # sources — decode paths, NTZ-regression-prone
-    "debezium_envelope_decode", "kafka_key_decode",
-    "mongo_extjson_decode", "mongo_extjson_generic",
-    # transforms (sanitize/converter/encryption rotated out: pure
-    # functions pinned by pytest, historically stable)
-    "encode_values", "pk_string_key",
-    # text / dedupe
-    "doc_char_entropy", "dedupe_dup_spans",  # historical hash-mismatch pair
-    "dedupe_minhash_lsh", "dsir_importance",
-    "corpus_sequence_pack", "pretraining_corpus_pipeline",
-    "streaming_dedup_index", "gopher_quality_gate",
-    # vectors
-    "ann_pq_adc_topk", "ann_bruteforce_topk", "embedding_neardup_lsh",
-    "semantic_dedupe",
-    # multimodal
-    "multimodal_image_meta", "multimodal_scene_changes",
-    # temporal — timestamp-handling canaries
-    "events_asof_join", "events_hopping_window", "events_funnel",
-    "events_sessionize", "kmv_sliding_wau",
-    # analytics
-    "olap_pricing_summary", "skew_salted_enrich", "bloom_semi_reduction",
+    "doc_char_entropy", "dedupe_dup_spans", "dsir_importance",
+    "ann_pq_adc_topk", "multimodal_scene_changes", "bloom_semi_reduction",
+    # decode canaries (NTZ-regression-prone)
+    "debezium_envelope_decode", "mongo_extjson_decode",
+    # one representative per family
+    "encode_values", "dedupe_minhash_lsh", "pretraining_corpus_pipeline",
+    "streaming_dedup_index", "ann_bruteforce_topk", "semantic_dedupe",
+    "multimodal_image_meta", "events_asof_join", "events_sessionize",
+    "olap_pricing_summary",
+    # r6 decimal-output rework representative (12 queries changed to
+    # integer-unit sums; this one is the TPC-H top-k shape among them)
+    "olap_shipping_priority",
 ]
-# The driver checks the first 50 entries; the rotation window is whatever
-# 50 leaves after the fixed core, and the per-round shift must equal the
-# window size — a larger shift would skip tail segments forever.
 _DRIVER_SLOTS = 50
 _ROTATE_SLOTS = max(1, _DRIVER_SLOTS - len(_CORE))
 

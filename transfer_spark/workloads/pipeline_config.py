@@ -43,6 +43,13 @@ def build_corpus_pipeline(
 ) -> DataFrame:
     out = docs
     _KNOWN_FILTERS = {"lang", "min_quality", "gopher", "min_tokens"}
+    # strict config surface: an unknown top-level or sample key (a typo
+    # like 'per_src_quota') must raise, not silently disable a stage —
+    # the same rule the filter/dedup sections already enforce
+    _KNOWN_TOP = {"filters", "dedup", "dedup_scope", "sample", "split"}
+    unknown_top = set(config) - _KNOWN_TOP
+    if unknown_top:
+        raise ValueError(f"unknown config key(s) {sorted(unknown_top)}")
 
     # ---- filters (row-local, fused into the scan) ----
     for f in config.get("filters", []):
@@ -105,6 +112,10 @@ def build_corpus_pipeline(
 
     # ---- sampling ----
     sample = config.get("sample", {})
+    _KNOWN_SAMPLE = {"per_source_quota", "stratified_rates"}
+    unknown_sample = set(sample) - _KNOWN_SAMPLE
+    if unknown_sample:
+        raise ValueError(f"unknown sample key(s) {sorted(unknown_sample)}")
     if "per_source_quota" in sample:
         pref = F.md5(F.concat(F.lit("q:"), F.col(id_col).cast("string")))
         out = T.source_quota(

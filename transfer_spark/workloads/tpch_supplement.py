@@ -1,0 +1,573 @@
+"""The 7 TPC-H shapes whose inputs the driver's generator doesn't ship.
+
+Q2/Q9/Q11/Q16/Q20 need `partsupp`; Q12 needs `l_shipmode`; Q21 needs
+`l_commitdate`/`l_receiptdate`.  Rather than committing binary parquet
+per scale factor, the missing inputs are DERIVED deterministically from
+the base tables with pure integer arithmetic — the same closed formulas
+evaluated on both engines (Spark DataFrame ops here, a shared SQL CTE in
+the oracles), so any SF (including the 100 TB deployment) gets the
+supplement for free at scan time, fully pushdown/codegen-friendly:
+
+- partsupp: 4 suppliers per part, ``ps_suppkey = (p_partkey*4 + i) % S
+  + 1`` (consecutive residues → always 4 distinct suppliers);
+  ``ps_availqty`` and ``ps_supplycost_cents`` are hash-free affine
+  residues of the key pair.  Cost is integer CENTS end-to-end so every
+  downstream sum stays BIGINT (cross-engine exact; see the r5 verdict on
+  pandas-fetch typing).
+- lineitem extras: ``l_shipmode`` from a 7-way residue over
+  (orderkey, linenumber); commit/receipt dates as day offsets from
+  l_shipdate carried in EPOCH MICROSECONDS (integer math, no interval
+  semantics to reconcile across engines).
+
+Reference parity: these close SURVEY §2.8's remaining TPC-H rows
+(reference analog: the warehouses execute arbitrary analyst SQL after
+merge; TPC-H is the standard proxy — see SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transfer_spark.session import read_table
+
+_US_PER_DAY = 86_400_000_000
+
+# ---------------------------------------------------------------------------
+# derived inputs
+# ---------------------------------------------------------------------------
+
+#: SQL CTE bodies shared by every oracle below (DuckDB dialect; `//` is
+#: truncating integer division there, matching Spark's `DIV`).
+PARTSUPP_SQL = """
+scnt AS (SELECT count(*) AS cnt FROM supplier),
+ps0 AS (
+  SELECT p_partkey AS ps_partkey,
+         ((p_partkey * 4 + i.i) % scnt.cnt) + 1 AS ps_suppkey
+  FROM part, scnt, (VALUES (0), (1), (2), (3)) AS i(i)
+),
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         ((ps_partkey * 23 + ps_suppkey * 7) % 9999) + 1 AS ps_availqty,
+         ((ps_partkey * 31 + ps_suppkey * 17) % 100000) + 1 AS ps_supplycost_cents
+  FROM ps0
+)
+"""
+
+LINEITEM_EXT_SQL = """
+lineitem_ext AS (
+  SELECT *,
+    ['MAIL','SHIP','AIR','TRUCK','RAIL','FOB','REG AIR']
+      [1 + (l_orderkey * 7 + l_linenumber * 3) % 7] AS l_shipmode,
+    epoch_us(l_shipdate)
+      + ((l_orderkey + 5 * l_linenumber) % 61 - 30) * 86400000000
+      AS l_commit_us,
+    epoch_us(l_shipdate)
+      + (1 + (3 * l_orderkey + l_linenumber) % 30) * 86400000000
+      AS l_receipt_us
+  FROM lineitem
+)
+"""
+
+_MODES = ["MAIL", "SHIP", "AIR", "TRUCK", "RAIL", "FOB", "REG AIR"]
+
+
+def partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp: (ps_partkey, ps_suppkey, ps_availqty,
+    ps_supplycost_cents).  One scan of part × a broadcast one-row
+    supplier count × a 4-element inline array — pure codegen, |part|×4
+    rows, no shuffle."""
+    part = read_table(spark, sf_dir, "part").select("p_partkey")
+    scnt = read_table(spark, sf_dir, "supplier").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ps = (
+        part.crossJoin(F.broadcast(scnt))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+            "cnt",
+        )
+        .select(
+            "ps_partkey",
+            ((F.col("ps_partkey") * 4 + F.col("i")) % F.col("cnt") + 1)
+            .alias("ps_suppkey"),
+        )
+    )
+    return ps.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 23 + F.col("ps_suppkey") * 7) % 9999 + 1)
+        .alias("ps_availqty"),
+        ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 100000 + 1)
+        .alias("ps_supplycost_cents"),
+    )
+
+
+def lineitem_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem + derived l_shipmode / l_commit_us / l_receipt_us.
+    Column-append projections only; scan pushdown unaffected."""
+    li = read_table(spark, sf_dir, "lineitem")
+    ship_us = F.unix_micros(F.col("l_shipdate"))
+    mode_idx = (F.col("l_orderkey") * 7 + F.col("l_linenumber") * 3) % 7
+    return (
+        li.withColumn(
+            "l_shipmode",
+            F.array(*[F.lit(m) for m in _MODES])[mode_idx.cast("int")],
+        )
+        .withColumn(
+            "l_commit_us",
+            ship_us
+            + ((F.col("l_orderkey") + 5 * F.col("l_linenumber")) % 61 - 30)
+            * F.lit(_US_PER_DAY),
+        )
+        .withColumn(
+            "l_receipt_us",
+            ship_us
+            + (1 + (3 * F.col("l_orderkey") + F.col("l_linenumber")) % 30)
+            * F.lit(_US_PER_DAY),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — min-cost supplier per part in a region
+# ---------------------------------------------------------------------------
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted to available columns): for LARGE-type
+    parts of size ≥ 40, the EUROPE supplier(s) quoting the minimum
+    supply cost, with account balance and nation.
+
+    Scale shape: partsupp is derived per-scan (|part|×4); region→nation→
+    supplier broadcast; the per-part MIN is a hash aggregate re-joined
+    by (partkey, cost) equality — the decorrelated form of the spec's
+    correlated subquery.  No sort, no window over the fact."""
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    nation = read_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") >= 40)
+    ).select("p_partkey", "p_brand")
+    ps = partsupp(spark, sf_dir)
+    eligible = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+    )
+    min_cost = eligible.groupBy(F.col("ps_partkey").alias("mk")).agg(
+        F.min("ps_supplycost_cents").alias("min_cents")
+    )
+    return (
+        eligible.join(
+            F.broadcast(min_cost),
+            (eligible.ps_partkey == min_cost.mk)
+            & (eligible.ps_supplycost_cents == min_cost.min_cents),
+        )
+        .select(
+            "ps_partkey", "p_brand", "s_name", "n_name",
+            (F.col("s_acctbal").cast("decimal(18,6)") * 100).cast("long")
+            .alias("s_acctbal_cents"),
+            F.col("ps_supplycost_cents").alias("supplycost_cents"),
+        )
+    )
+
+
+ORACLE_Q2 = f"""
+WITH {PARTSUPP_SQL.strip().rstrip()},
+eligible AS (
+  SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost_cents,
+         p.p_brand, s.s_name, s.s_acctbal, n.n_name
+  FROM partsupp ps
+  JOIN part p ON ps.ps_partkey = p.p_partkey
+   AND p.p_type = 'LARGE' AND p.p_size >= 40
+  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+),
+mc AS (
+  SELECT ps_partkey, min(ps_supplycost_cents) AS min_cents
+  FROM eligible GROUP BY ps_partkey
+)
+SELECT e.ps_partkey, e.p_brand, e.s_name, e.n_name,
+       CAST(CAST(e.s_acctbal AS DECIMAL(18,6)) * 100 AS BIGINT)
+         AS s_acctbal_cents,
+       e.ps_supplycost_cents AS supplycost_cents
+FROM eligible e JOIN mc ON e.ps_partkey = mc.ps_partkey
+ AND e.ps_supplycost_cents = mc.min_cents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year
+# ---------------------------------------------------------------------------
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit = revenue − supply cost, by supplier
+    nation × order year, for PROMO-type parts.
+
+    Scale shape: part filter broadcasts into lineitem; the derived
+    partsupp joins on the composite (partkey, suppkey) equi-key (at
+    sf it broadcasts; at 100 TB it's |part|×4 — still dimension-sized);
+    orders→lineitem is the lone big-big join on the order key.  All
+    money stays integer micro-units until the output divide."""
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    ps = partsupp(spark, sf_dir).select(
+        "ps_partkey", "ps_suppkey", "ps_supplycost_cents"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    rev_micro = F.expr(
+        "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))"
+        " * 1000000 AS BIGINT)"
+    )
+    qty_centi = F.expr(
+        "CAST(CAST(l_quantity AS DECIMAL(18,6)) * 100 AS BIGINT)"
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(ps),
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    profit_micro = rev_micro - F.col("ps_supplycost_cents") * qty_centi * 100
+    return (
+        j.groupBy("n_name", "o_year")
+        .agg(F.sum(profit_micro).alias("_pm"))
+        .select(
+            F.col("n_name").alias("nation"), "o_year",
+            (F.col("_pm") / F.lit(1_000_000.0)).alias("profit"),
+        )
+    )
+
+
+ORACLE_Q9 = f"""
+WITH {PARTSUPP_SQL.strip()}
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+  SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))
+        * 1000000 AS BIGINT)
+      - ps_supplycost_cents
+        * CAST(CAST(l_quantity AS DECIMAL(18,6)) * 100 AS BIGINT)
+        * 100)::BIGINT / 1000000.0 AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock identification
+# ---------------------------------------------------------------------------
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose stock value at NATION_7's suppliers
+    exceeds 0.1% of that nation's total stock value.  The total is a
+    one-row broadcast; the HAVING comparison is exact integer cents
+    (10000 · part_value > total_value ⇔ value > 0.01% … scaled to the
+    spec's 0.0001 fraction via integer cross-multiplication)."""
+    nation = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    ).select("n_nationkey")
+    supp = read_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    ps = partsupp(spark, sf_dir).join(
+        F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    val = F.col("ps_supplycost_cents") * F.col("ps_availqty")
+    per_part = ps.groupBy("ps_partkey").agg(F.sum(val).alias("value_cents"))
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 10000 > F.col("total_cents"))
+        .select("ps_partkey", "value_cents")
+    )
+
+
+ORACLE_Q11 = f"""
+WITH {PARTSUPP_SQL.strip()},
+nat_ps AS (
+  SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS v
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+),
+per_part AS (
+  SELECT ps_partkey, sum(v) AS value_cents FROM nat_ps GROUP BY ps_partkey
+),
+tot AS (SELECT sum(value_cents) AS total_cents FROM per_part)
+SELECT ps_partkey, CAST(value_cents AS BIGINT) AS value_cents
+FROM per_part, tot
+WHERE value_cents * 10000 > total_cents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping modes and order priority
+# ---------------------------------------------------------------------------
+
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: for MAIL/SHIP lines received in 1996 that were
+    committed late (ship < commit < receipt), how many high- vs
+    low-priority orders they carried.  The mode + date filters are
+    pure-codegen projections over the derived columns and cut the fact
+    before the single big-big join to orders."""
+    li = lineitem_ext(spark, sf_dir)
+    y0, y1 = 820454400000000, 852076800000000  # 1996-01-01 / 1997-01-01 UTC µs
+    li = li.filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commit_us") < F.col("l_receipt_us"))
+        & (F.unix_micros(F.col("l_shipdate")) < F.col("l_commit_us"))
+        & (F.col("l_receipt_us") >= y0)
+        & (F.col("l_receipt_us") < y1)
+    ).select("l_orderkey", "l_shipmode")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_Q12 = f"""
+WITH {LINEITEM_EXT_SQL.strip()}
+SELECT l_shipmode,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem_ext JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipmode IN ('MAIL', 'SHIP')
+  AND l_commit_us < l_receipt_us
+  AND epoch_us(l_shipdate) < l_commit_us
+  AND l_receipt_us >= 820454400000000
+  AND l_receipt_us < 852076800000000
+GROUP BY l_shipmode
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 — parts/supplier relationship
+# ---------------------------------------------------------------------------
+
+def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type,
+    size) for selected sizes, excluding one brand and any supplier in
+    bad standing (negative balance — the spec's complaints NOT IN
+    subquery, expressed as a broadcast LEFT ANTI join).  Two hash
+    aggregates; partsupp never shuffles (derived, dimension-sized)."""
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    ps = partsupp(spark, sf_dir)
+    return (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_Q16 = f"""
+WITH {PARTSUPP_SQL.strip()}
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand != 'Brand#1'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion
+# ---------------------------------------------------------------------------
+
+def q_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: NATION_3 suppliers overstocked on PROMO parts —
+    availqty > half the 1996 shipped quantity of that (part, supplier).
+    The shipped-quantity aggregate runs on the filtered fact keyed by
+    the composite (partkey, suppkey); the comparison is exact integer
+    cross-multiplication (200·availqty > shipped_centi); the surviving
+    partsupp keys SEMI-join back to suppliers."""
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    y0, y1 = 820454400000000, 852076800000000
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.unix_micros(F.col("l_shipdate")) >= y0)
+        & (F.unix_micros(F.col("l_shipdate")) < y1)
+    )
+    qty_centi = F.expr(
+        "CAST(CAST(l_quantity AS DECIMAL(18,6)) * 100 AS BIGINT)"
+    )
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("l_partkey").alias("sk_part"),
+            F.col("l_suppkey").alias("sk_supp"),
+        )
+        .agg(F.sum(qty_centi).alias("shipped_centi"))
+    )
+    ps = partsupp(spark, sf_dir)
+    over = ps.join(
+        shipped,
+        (ps.ps_partkey == shipped.sk_part)
+        & (ps.ps_suppkey == shipped.sk_supp),
+    ).filter(F.col("ps_availqty") * 200 > F.col("shipped_centi"))
+    nation = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    ).select("n_nationkey")
+    supp = read_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    return supp.join(
+        over.select("ps_suppkey").distinct(),
+        supp.s_suppkey == F.col("ps_suppkey"),
+        "left_semi",
+    ).select("s_suppkey", "s_name")
+
+
+ORACLE_Q20 = f"""
+WITH {PARTSUPP_SQL.strip()},
+shipped AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(CAST(l_quantity AS DECIMAL(18,6)) * 100 AS BIGINT))
+           AS shipped_centi
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  WHERE epoch_us(l_shipdate) >= 820454400000000
+    AND epoch_us(l_shipdate) < 852076800000000
+  GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+WHERE s_suppkey IN (
+  SELECT ps_suppkey
+  FROM partsupp
+  JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  WHERE ps_availqty * 200 > shipped_centi
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting
+# ---------------------------------------------------------------------------
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: NATION_5 suppliers who delivered late on a
+    finalized multi-supplier order where every OTHER supplier delivered
+    on time.  The two correlated EXISTS / NOT EXISTS collapse into one
+    per-order aggregate (suppliers present, late suppliers) broadcast
+    back onto the late lines — one pass over the fact instead of three
+    self-joins."""
+    li = lineitem_ext(spark, sf_dir).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_receipt_us") > F.col("l_commit_us")).alias("late"),
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "late"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey")))
+        .alias("n_late_supp"),
+    )
+    nation = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    ).select("n_nationkey")
+    supp = read_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    waiting = (
+        li.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .select("l_orderkey", "l_suppkey").distinct()
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+    )
+    return waiting.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+
+
+ORACLE_Q21 = f"""
+WITH {LINEITEM_EXT_SQL.strip()},
+f AS (
+  SELECT l_orderkey, l_suppkey, l_receipt_us > l_commit_us AS late
+  FROM lineitem_ext
+  JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+  FROM f GROUP BY l_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM (
+  SELECT DISTINCT f.l_orderkey, f.l_suppkey
+  FROM f JOIN per_order USING (l_orderkey)
+  WHERE f.late AND per_order.n_supp > 1 AND per_order.n_late_supp = 1
+) w
+JOIN supplier ON w.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_5'
+GROUP BY s_name
+"""
+
+
+QUERIES = {
+    "olap_min_cost_supplier": (q_min_cost_supplier, ORACLE_Q2),
+    "olap_product_type_profit": (q_product_profit, ORACLE_Q9),
+    "olap_important_stock": (q_important_stock, ORACLE_Q11),
+    "olap_shipmode_priority": (q_shipmode_priority, ORACLE_Q12),
+    "olap_parts_supplier_counts": (q_parts_supplier_counts, ORACLE_Q16),
+    "olap_promotion_suppliers": (q_promotion_suppliers, ORACLE_Q20),
+    "olap_waiting_suppliers": (q_waiting_suppliers, ORACLE_Q21),
+}
