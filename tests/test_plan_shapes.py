@@ -243,3 +243,21 @@ def test_catalog_stays_jvm_side(spark, name):
     # suite's wall time for no additional signal
     rep = plan_report(fn(spark, SF_DIR), execute=False)
     assert rep["python_stages"] == 0, f"{name} runs Python in the hot path"
+
+
+def test_revenue_percentile_no_global_window(spark):
+    """VERDICT r5 #7 pin: the distributed-ranking rewrite must keep
+    every WindowExec PARTITIONED — a plan line `Window [fns], [order]`
+    (one bracket group after the functions) is the single-partition
+    global sort this query used to run; partitioned windows print
+    `Window [fns], [partcols], [order]`."""
+    from transfer_spark.workloads import QUERIES
+
+    fn, _ = QUERIES["customer_revenue_percentile"]
+    plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert line.count("], [") >= 2, (
+                "unpartitioned WindowExec in customer_revenue_percentile:\n"
+                + line
+            )

@@ -342,10 +342,16 @@ def test_flush_telemetry_counters(spark, tmp_path):
 
     flushes = [(n, tags) for n, _, tags in metrics.timings if n == "flush"]
     assert len(flushes) == 2
+    # tag-parity with the reference (flush.go:98-103 + :116/:124): every
+    # flush timing carries EXACTLY mode/table/database/schema/reason/what
+    REF_TAGS = {"mode", "table", "database", "schema", "reason", "what"}
     for _, tags in flushes:
+        assert set(tags) == REF_TAGS
         assert tags["what"] == "success"
         assert tags["mode"] == "replication"
         assert tags["table"] in ("a", "b")
+        assert tags["database"] == "base"  # defaulted from base_path leaf
+        assert tags["schema"] == "public"
         # 4 rows/table is far under the 30k row trigger: the flush is
         # attributed to the time trigger, mirroring Args.Reason
         assert tags["reason"] == "time"
@@ -367,8 +373,11 @@ def test_flush_telemetry_counters(spark, tmp_path):
             mtp.process_batch(df, 1)
     finally:
         ReplicationPipeline.process_batch = orig
-    err = [t for n, _, t in metrics.timings if n == "flush" and t.get("what") == "error"]
+    # failure exit path tags what=merge_fail (flush.go:173/:180 literal)
+    err = [t for n, _, t in metrics.timings
+           if n == "flush" and t.get("what") == "merge_fail"]
     assert err and err[0]["table"] == "b"
+    assert set(err[0]) == REF_TAGS
 
 
 def test_kafka_frame_to_wire(spark):

@@ -109,7 +109,16 @@ def neardup_clusters(
         .withColumn("cluster_id", F.col("id"))
         .cache()
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
+        if it and it % 5 == 0:
+            # truncate lineage: each round's cache shortcuts RECOMPUTE
+            # but the logical plan still chains one join per round —
+            # at depth 20+ analysis/optimization time dominates and a
+            # cache eviction would replay the whole chain.
+            # localCheckpoint(eager) pins the rows and resets the plan
+            # to a scan of them (executor-local blocks — acceptable for
+            # an intermediate both paths can rebuild from `pairs`).
+            labels = labels.localCheckpoint(eager=True)
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -611,7 +620,9 @@ def neardup_clusters_star(
         .cache()
     )
     sig = _sig(edges)
-    for _ in range(max_iters):
+    for it in range(max_iters):
+        if it and it % 5 == 0:
+            edges = edges.localCheckpoint(eager=True)  # see neardup_clusters
         nxt = _small_star(_large_star(edges)).cache()
         nsig = _sig(nxt)
         edges.unpersist()

@@ -45,7 +45,12 @@ def pagerank(
     """
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
     ranks = deg.select(F.col(src).alias("node"), F.lit(1.0).alias("pr"))
-    for _ in range(iterations):
+    for it in range(iterations):
+        if it and it % 5 == 0:
+            # deep runs: one join+agg round per iteration chains the
+            # plan; truncate lineage every 5 rounds so 20+ iterations
+            # keep constant analysis cost (node-sized frame — cheap)
+            ranks = ranks.localCheckpoint(eager=True)
         # node-sized join first (pr/deg), then the edge-sized fan-out
         share = ranks.join(deg, F.col("node") == F.col(src)).select(
             F.col(src), (F.col("pr") / F.col("deg")).alias("w")

@@ -360,7 +360,11 @@ def kmeans_centroids(
     cent = v.filter(F.col("id") < k).select(
         F.col("id").alias("cid"), F.col("v").alias("cv")
     )
-    for _ in range(n_iters):
+    for it in range(n_iters):
+        if it and it % 5 == 0:
+            # centroids are k x dim rows; eager localCheckpoint resets
+            # the per-iteration plan chain for deep Lloyd runs
+            cent = cent.localCheckpoint(eager=True)
         assign = (
             v.crossJoin(F.broadcast(cent))
             .select(

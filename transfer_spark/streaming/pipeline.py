@@ -616,9 +616,19 @@ class MultiTablePipeline:
         flush_retry=None,
         track_batch_bytes: bool = False,
         heartbeat_after_s: "float | None" = None,
+        database: str | None = None,
+        schema_name: str = "public",
     ):
         self.spark = spark
         self.base_path = base_path
+        # telemetry identity (reference flush.go:98-103 tags every flush
+        # with database+schema from the topic config): default database
+        # to the base path's leaf so multi-pipeline deployments are
+        # distinguishable without extra configuration
+        self.database = database or os.path.basename(
+            os.path.normpath(base_path)
+        )
+        self.schema_name = schema_name
         self.table_col = table_col
         self.pk_cols = pk_cols
         self.order_col = order_col
@@ -745,7 +755,15 @@ class MultiTablePipeline:
                 # policy), else 'time' (the trigger interval fired first)
                 mode = "history" if pipes[t].history_mode else "replication"
                 crossed, why = should_flush(stats[t][0], stats[t][2])
-                tags = {"mode": mode, "table": t, "reason": why if crossed else "time"}
+                # full reference tag set (flush.go:98-103):
+                # mode/table/database/schema/reason, then what on exit
+                tags = {
+                    "mode": mode,
+                    "table": t,
+                    "database": self.database,
+                    "schema": self.schema_name,
+                    "reason": why if crossed else "time",
+                }
                 start = _time.monotonic()
                 sub = batch_df.filter(F.col(self.table_col) == t).drop(self.table_col)
 
@@ -779,8 +797,11 @@ class MultiTablePipeline:
                     # + error (client scrubs both); the exception still
                     # propagates so the batch aborts before checkpoint
                     self._emit("replication.error", {"table": t, "error": str(e)})
+                    # reference flush.go:173/180 tags the failure exit
+                    # path what:merge_fail (append and merge branches both)
                     self.metrics_client.timing(
-                        "flush", _time.monotonic() - start, {**tags, "what": "error"}
+                        "flush", _time.monotonic() - start,
+                        {**tags, "what": "merge_fail"},
                     )
                     raise
                 n_rows, max_ord, n_bytes = stats[t]

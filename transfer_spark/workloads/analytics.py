@@ -1994,25 +1994,73 @@ QUALIFY rank <= 3
 
 
 def _q_revenue_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer lifetime-spend percentile + decile: percent_rank and
-    ntile over the per-customer aggregate. The global window runs over
-    the CUSTOMER-grain frame (dimension-sized, orders of magnitude
-    smaller than the fact table) — that is what makes a total-order
-    window acceptable here; ranking the raw fact rows would need the
-    range-partitioned sort instead."""
+    """Customer lifetime-spend percentile + decile WITHOUT a
+    single-partition window (VERDICT r5 #7): the classic distributed
+    total-order ranking —
+
+    1. range-repartition the customer-grain frame on (spend, custkey)
+       so partition i's rows all precede partition i+1's in sort order;
+    2. row_number per partition (WindowExec partitioned by pid — never
+       funnels the frame through one task);
+    3. per-partition counts -> prefix offsets via a triangle self-join
+       over the ≤N_parts count rows (no window, no collect);
+    4. global rank = offset + local rank; percent_rank and ntile are
+       closed-form arithmetic over (rank, n) — exactly the values the
+       oracle's window functions produce, since (spend, custkey) is a
+       total order (rank == row_number, no tie handling to diverge).
+
+    Scales to fact-grain inputs unchanged — the only global structure
+    is the N_parts-row offset table."""
     per_cust = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum((F.col("o_totalprice").cast("decimal(18,6)") * F.lit(100))
                    .cast("long")).alias("_spend_c"))
     )
-    w = Window.orderBy("_spend_c", "o_custkey")
-    return per_cust.select(
+    local = (
+        per_cust.repartitionByRange(32, "_spend_c", "o_custkey")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "lrank",
+            F.row_number().over(
+                Window.partitionBy("pid").orderBy("_spend_c", "o_custkey")
+            ),
+        )
+    )
+    pc = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    off = (
+        pc.alias("a")
+        .join(pc.alias("b"), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid2"))
+        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("offset"))
+    )
+    tot = pc.agg(F.sum("cnt").alias("n"))
+    ranked = (
+        local.join(F.broadcast(off), local.pid == F.col("pid2"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.col("offset") + F.col("lrank"))
+    )
+    # ntile(b): first n%b buckets hold n DIV b + 1 rows (SQL standard,
+    # identical in Spark and DuckDB); closed form over (rank, n)
+    tile = F.expr(
+        "CASE WHEN rank <= (n DIV 10 + 1) * (n % 10) "
+        "THEN (rank - 1) DIV (n DIV 10 + 1) + 1 "
+        "ELSE n % 10 + (rank - 1 - (n DIV 10 + 1) * (n % 10)) DIV (n DIV 10) + 1 "
+        "END"
+    )
+    pct = F.when(
+        F.col("n") > 1,
+        F.floor(
+            (F.col("rank") - 1).cast("double") / (F.col("n") - 1).cast("double")
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    return ranked.select(
         F.col("o_custkey").alias("custkey"),
         (F.col("_spend_c") / F.lit(100.0)).alias("spend"),
-        F.floor(F.percent_rank().over(w) * F.lit(1_000_000.0) + F.lit(0.5))
-        .cast("long").alias("pct_rank_ppm"),
-        F.ntile(10).over(w).alias("decile"),
+        pct.alias("pct_rank_ppm"),
+        tile.cast("int").alias("decile"),
     )
 
 
