@@ -41,11 +41,21 @@ def replicate(df: DataFrame, key_cols: list[str], n: int) -> DataFrame:
 
 
 def probe(name, build, run):
+    from transfer_spark.plans.report import plan_report
+
     out = {}
     for label, factor in (("t1", 1), ("tN", REP)):
         df = build(factor)
+        frame = run(df)
+        # static plan counts (pre-AQE): the scale question is whether
+        # the SHAPE changes with volume — a flat shuffle count and zero
+        # Python stages at both factors is the pass condition; AQE then
+        # only re-tunes partition counts within that shape
+        rep = plan_report(frame, execute=False)
+        out[f"shuffles_{label}"] = rep["shuffle_exchanges"]
+        out[f"python_{label}"] = rep["python_stages"]
         t0 = time.perf_counter()
-        run(df).write.format("noop").mode("overwrite").save()
+        frame.write.format("noop").mode("overwrite").save()
         out[label] = round(time.perf_counter() - t0, 2)
     out["op"] = name
     out["rep"] = REP
@@ -156,7 +166,8 @@ def main():
     ]
     worst = max(r["ratio"] for r in results)
     print(json.dumps({"metric": "scale_probe_worst_ratio", "value": worst,
-                      "rep": REP, "ops": {r["op"]: r["ratio"] for r in results}}))
+                      "rep": REP, "ops": {r["op"]: r["ratio"] for r in results},
+                      "results": results}))
 
 
 if __name__ == "__main__":
