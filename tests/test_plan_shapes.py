@@ -261,3 +261,16 @@ def test_revenue_percentile_no_global_window(spark):
                 "unpartitioned WindowExec in customer_revenue_percentile:\n"
                 + line
             )
+
+
+def test_decontamination_bloom_prefilter_before_verify_join(spark):
+    """The bloom membership test (shiftright against the embedded
+    bitmap) must filter the corpus span stream BEFORE the exact
+    broadcast verify join — physical plans print top-down, so the
+    join node appears above (earlier than) the filter."""
+    plan = _plan(spark, "split_decontamination_bloom")
+    assert "shiftright" in plan
+    join_pos = plan.find("BroadcastHashJoin")
+    filt_pos = plan.find("shiftright")
+    assert join_pos != -1 and filt_pos != -1
+    assert join_pos < filt_pos, "bloom prefilter sits above the verify join"

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from transfer_spark.operators.text import tokens
+from transfer_spark.operators.text import token_count, tokens
 
 MINHASH_MOD = 2305843009213693951  # 2^61 - 1, fits int64
 
@@ -514,6 +514,76 @@ def dup_spans(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> DataFram
     )
 
 
+def scrub_dup_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Span-level dedup REWRITE: remove cross-document duplicated
+    n-token spans from every document except the first (min-id) owner —
+    the exact-substring removal step of "Deduplicating Training Data
+    Makes Language Models Better" (Lee et al., 2022), where
+    :func:`dup_spans` only SCORES the duplication this operator scrubs.
+
+    Ownership is deterministic (min doc id per span hash); in the owner
+    document every occurrence survives, elsewhere every token covered by
+    a duplicated-span occurrence is dropped and the text is rebuilt from
+    the surviving tokens (whitespace canonicalized to single spaces —
+    the same normalization the span hashes use).
+
+    Distributed shape, all equi-keyed and linear in token count:
+    span-hash explode -> per-hash owner aggregate (map-side combinable,
+    constant state) -> join back on the hash (reuses that partitioning)
+    -> covered-position explode (n rows per duplicated occurrence, never
+    per token of the corpus) -> LEFT ANTI join against the token stream
+    -> per-doc ordered rebuild. No all-pairs stage anywhere; the rebuild
+    groups by doc id, the same key the scan is already partitioned by at
+    scale. Returns (id, text_scrubbed, n_tokens, n_removed).
+    """
+    doc = F.col(id_col)
+    tok = df.select(doc.alias("doc"), F.posexplode(tokens(F.col(text_col))).alias("idx", "tok"))
+    spans = df.select(
+        doc.alias("doc"),
+        F.posexplode(
+            F.transform(shingles(F.col(text_col), n), _base_hash)
+        ).alias("pos", "h"),
+    )
+    owners = spans.groupBy("h").agg(
+        F.min("doc").alias("odoc"),
+        (F.min("doc") != F.max("doc")).alias("is_cross"),
+    )
+    bad = (
+        spans.join(owners, "h")
+        .filter(F.col("is_cross") & (F.col("doc") != F.col("odoc")))
+        .select("doc", "pos")
+    )
+    cov = bad.select(
+        "doc",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("idx"),
+    ).distinct()
+    kept = tok.join(cov, ["doc", "idx"], "left_anti")
+    reb = kept.groupBy("doc").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_scrubbed"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    base = df.select(doc.alias("doc"), token_count(F.col(text_col)).cast("long").alias("n_tokens"))
+    return (
+        base.join(reb, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("text_scrubbed"), F.lit("")).alias("text_scrubbed"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def ngram_collisions(
     train_df: DataFrame,
     eval_df: DataFrame,
@@ -551,6 +621,47 @@ def ngram_collisions(
     )
     return (
         tr.join(F.broadcast(ev), "h")
+        .groupBy("train_doc")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+
+
+def ngram_collisions_bloom(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    m_bits: int = 65536,
+    lanes: int = 2,
+) -> DataFrame:
+    """:func:`ngram_collisions` with a Bloom prefilter — the 100 TB
+    decontamination path. The eval span-hash set compresses to a
+    fixed-size bitmap (8 KiB/lane regardless of eval size) that embeds
+    in the TRAIN scan as pure codegen, so the corpus's span stream is
+    cut to near-survivors BEFORE the per-doc dedup and the broadcast
+    verify join — the dominant cost at scale is the span explode, and
+    everything downstream of it shrinks by the non-contaminated
+    fraction (~all of it). The exact broadcast join afterwards removes
+    the bloom's false positives, so results are byte-identical to
+    :func:`ngram_collisions` (they share an oracle).
+    """
+    from transfer_spark.operators.bloom import bloom_prefilter, build_bloom
+
+    ev = (
+        eval_df.select(F.explode(shingles(F.col(text_col), n)).alias("__sp"))
+        .select(_base_hash(F.col("__sp")).alias("h"))
+        .distinct()
+    )
+    bitmaps = build_bloom(ev, "h", m_bits=m_bits, lanes=lanes)
+    tr = train_df.select(
+        F.col(id_col).alias("train_doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("__sp"),
+    ).select("train_doc", _base_hash(F.col("__sp")).alias("h"))
+    tr = bloom_prefilter(tr, "h", bitmaps, m_bits)
+    return (
+        tr.dropDuplicates(["train_doc", "h"])
+        .join(F.broadcast(ev), "h")
         .groupBy("train_doc")
         .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
     )

@@ -404,6 +404,27 @@ def q_decontamination_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact 8-gram decontamination served through the Bloom
+    scan-side prefilter (operators/dedupe.py:ngram_collisions_bloom) —
+    byte-identical results (false positives removed by the exact verify
+    join), so it shares ORACLE_DECONTAM_EXACT; the bitmap membership
+    test cuts the corpus span stream before any shuffle."""
+    from transfer_spark.operators.text import assign_split
+
+    d = _docs(spark, sf_dir).withColumn(
+        "split",
+        assign_split(F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}),
+    )
+    return D.ngram_collisions_bloom(
+        d.filter(F.col("split") == "train"),
+        d.filter(F.col("split") != "train"),
+        "doc_id",
+        "text",
+        n=8,
+    )
+
+
 ORACLE_DECONTAM_EXACT = f"""
 WITH splits AS ({_SPLITS_SQL}),
 toks AS (
@@ -634,6 +655,76 @@ reach(id, r) AS (
 )
 SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 """
+
+
+def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection per near-dup cluster by QUALITY: instead
+    of the min-id canonical, keep the member with the best quality score
+    (ties -> min doc id) — the selection rule production dedup actually
+    wants (the boilerplate-laden copy should lose to the clean one).
+    Per-cluster window, partitioned by cluster_id — never global."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(d, "doc_id", "text")
+    clusters = D.neardup_clusters(pairs)
+    qm = d.select(
+        "doc_id",
+        F.floor(T.quality_score(F.col("text")) * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long").alias("q_micro"),
+    )
+    j = clusters.join(qm, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("q_micro"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id", F.col("doc_id").alias("keep_doc_id"),
+            "q_micro", "n_members",
+        )
+    )
+
+
+def _keep_best_oracle() -> str:
+    q = """round(0.5 * least(len(toks) / 100.0, 1.0)
+      + 0.5 * least(({hits} / CAST(len(toks) AS DOUBLE)) * 4.0, 1.0)
+      - 0.25 * least((length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                      / CAST(length(text) AS DOUBLE)) * 10.0, 1.0), 6)""".format(
+        hits=_hits_sql("toks", "en")
+    )
+    return f"""
+WITH RECURSIVE cand AS ({_minhash_sql()}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION ALL
+  SELECT doc_b, doc_a FROM cand
+),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id
+),
+clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+d AS (SELECT doc_id, text, {{toks}} AS toks FROM documents),
+qm AS (SELECT doc_id, floor({q} * 1000000.0 + 0.5)::BIGINT AS q_micro FROM d),
+j AS (SELECT c.cluster_id, c.doc_id, q_micro FROM clusters c JOIN qm USING (doc_id)),
+rk AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY cluster_id ORDER BY q_micro DESC, doc_id) AS rn,
+    count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM j
+)
+SELECT cluster_id, doc_id AS keep_doc_id, q_micro,
+       CAST(n_members AS BIGINT) AS n_members
+FROM rk WHERE rn = 1
+""".replace("{toks}", _TOKS)
+
+
+ORACLE_NEARDUP_KEEP_BEST = _keep_best_oracle()
 
 
 def q_neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1448,6 +1539,49 @@ FROM per JOIN crossdoc USING (h) GROUP BY per.doc_id
 """
 
 
+def q_scrub_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup rewrite: cross-document duplicated 8-token spans
+    removed everywhere except the min-id owner document (the scrubbing
+    counterpart of `dedupe_dup_spans`, which only scores)."""
+    return D.scrub_dup_spans(_docs(spark, sf_dir), "doc_id", "text", n=8)
+
+
+ORACLE_SCRUB_DUP_SPANS = f"""
+WITH t0 AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), tok AS (
+  SELECT doc_id, u.i - 1 AS idx, t[u.i] AS tok
+  FROM t0, UNNEST(range(1, len(t) + 1)) AS u(i)
+), sp AS (
+  SELECT doc_id, u.i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(t[u.i:u.i+7], ' ')), 1, 15))::BIGINT AS h
+  FROM t0, UNNEST(range(1, len(t) - 6)) AS u(i)
+  WHERE len(t) >= 8
+), owners AS (
+  SELECT h, min(doc_id) AS odoc, min(doc_id) != max(doc_id) AS is_cross
+  FROM sp GROUP BY h
+), bad AS (
+  SELECT sp.doc_id, pos FROM sp JOIN owners USING (h)
+  WHERE is_cross AND sp.doc_id != odoc
+), cov AS (
+  SELECT DISTINCT doc_id, pos + v.k AS idx
+  FROM bad, UNNEST(range(0, 8)) AS v(k)
+), kept AS (
+  SELECT tok.doc_id, idx, tok FROM tok ANTI JOIN cov USING (doc_id, idx)
+), reb AS (
+  SELECT doc_id,
+         array_to_string(list(tok ORDER BY idx), ' ') AS text_scrubbed,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.text_scrubbed, '') AS text_scrubbed,
+       len({_TOKS})::BIGINT AS n_tokens,
+       (len({_TOKS}) - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc_id
+"""
+
+
 def q_group_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fixed-size sample per language: rank by md5(doc_id)
     within the stratum, keep the first 20 — the hash-ordered analog of a
@@ -2242,7 +2376,10 @@ QUERIES = {
     "bpe_top_merges": (q_bpe_top_merges, ORACLE_BPE_MERGES),
     "doc_char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
     "dedupe_dup_spans": (q_dup_spans, ORACLE_DUP_SPANS),
+    "dedupe_span_scrub": (q_scrub_dup_spans, ORACLE_SCRUB_DUP_SPANS),
+    "neardup_keep_best": (q_neardup_keep_best, ORACLE_NEARDUP_KEEP_BEST),
     "split_decontamination_exact": (q_decontamination_exact, ORACLE_DECONTAM_EXACT),
+    "split_decontamination_bloom": (q_decontamination_bloom, ORACLE_DECONTAM_EXACT),
     "corpus_sequence_pack": (q_sequence_pack, ORACLE_SEQUENCE_PACK),
     "pretraining_corpus_pipeline": (q_pretraining_corpus, ORACLE_PRETRAINING_CORPUS),
     "corpus_sample_per_group": (q_group_sample_fixed, ORACLE_GROUP_SAMPLE),
