@@ -659,3 +659,26 @@ def test_plan_report_counts(spark):
     rep2 = plan_report(a.join(F.broadcast(b), "k"))
     assert rep2["shuffle_exchanges"] == 0
     assert rep2["broadcast_exchanges"] == 1
+
+
+def test_scrub_dup_spans_removes_copied_passage_keeps_owner(spark):
+    """Crafted corpus: docB embeds an 8+-token passage verbatim from
+    docA (the min-id owner). After scrubbing, docA is unchanged and
+    docB retains only its unique tokens; docC (no overlap) untouched."""
+    from transfer_spark.operators.dedupe import scrub_dup_spans
+
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel"
+    a = passage + " india juliet"
+    b = "kilo lima " + passage + " mike november"
+    c = "oscar papa quebec romeo sierra tango uniform victor whiskey"
+    df = spark.createDataFrame(
+        [("a", a), ("b", b), ("c", c)], "doc_id string, text string"
+    )
+    out = {r.doc_id: r for r in scrub_dup_spans(df, "doc_id", "text", n=8).collect()}
+    assert out["a"].text_scrubbed == a  # owner keeps everything
+    assert out["a"].n_removed == 0
+    # b loses exactly the 8 copied tokens (the single dup span covers
+    # positions 2..9); its unique prefix/suffix survive in order
+    assert out["b"].text_scrubbed == "kilo lima mike november"
+    assert out["b"].n_removed == 8
+    assert out["c"].n_removed == 0

@@ -73,3 +73,32 @@ def test_oracle_output_types_pandas_safe(con, name, oracle):
 # driver-green).  Only a ONE-SIDED degradation is red — that asymmetry
 # needs the live Spark frame, so it is guarded in
 # scripts/check_oracles.py (dtype guard), not here.
+
+
+def test_strict_checker_rejects_hugeint_oracle(spark):
+    """Guard of the guard: scripts/check_oracles.py must FAIL a
+    value-equal pair whose oracle final select binds HUGEINT — the
+    exact driver-red signature r3–r5 shipped because the old fetchall
+    checker passed it."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracles", "/root/repo/scripts/check_oracles.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    con = duckdb.connect()
+
+    def fn(spark, sf_dir):
+        return spark.createDataFrame([(150,)], "n bigint")
+
+    bad_oracle = "SELECT sum(x) AS n FROM (SELECT 75 AS x UNION ALL SELECT 75)"
+    ok, msg = mod.check_one(con, spark, "t", fn, bad_oracle, "unused")
+    assert not ok and "dtype guard" in msg
+
+    good_oracle = (
+        "SELECT sum(x)::BIGINT AS n FROM (SELECT 75 AS x UNION ALL SELECT 75)"
+    )
+    ok, msg = mod.check_one(con, spark, "t", fn, good_oracle, "unused")
+    assert ok, msg

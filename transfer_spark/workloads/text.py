@@ -2124,6 +2124,207 @@ FROM c WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET}
 """
 
 
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report on top of `corpus_sequence_pack`:
+    per bucket, chunks produced, docs packed, tokens used, nominal
+    capacity, and the fill rate in ppm — the utilization number a
+    pretraining pipeline tracks per shard (tail chunks are the only
+    underfilled ones by construction; the report proves it)."""
+    from transfer_spark.operators.packing import sequence_pack
+
+    packed = sequence_pack(_docs(spark, sf_dir), "doc_id", "text",
+                           cap=256, n_buckets=8)
+    per = packed.groupBy("bucket").agg(
+        F.countDistinct("chunk_id").alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("used_tokens"),
+    )
+    cap = F.col("n_chunks") * F.lit(256)
+    return per.select(
+        "bucket", "n_chunks", "n_docs", "used_tokens",
+        cap.cast("long").alias("capacity_tokens"),
+        F.expr("(used_tokens * 1000000) DIV (n_chunks * 256)")
+        .alias("fill_ppm"),
+    )
+
+
+ORACLE_PACK_EFFICIENCY = f"""
+WITH packed AS ({ORACLE_SEQUENCE_PACK}),
+per AS (
+  SELECT bucket,
+         count(DISTINCT chunk_id) AS n_chunks,
+         count(DISTINCT doc_id) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS used_tokens
+  FROM packed GROUP BY bucket
+)
+SELECT bucket, n_chunks, n_docs, used_tokens,
+       CAST(n_chunks * 256 AS BIGINT) AS capacity_tokens,
+       CAST((used_tokens * 1000000) // (n_chunks * 256) AS BIGINT) AS fill_ppm
+FROM per
+"""
+
+
+def q_decontamination_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-side view of exact decontamination: for every val/test
+    document, how many TRAIN documents share a verbatim 8-token span
+    with it and how many distinct spans leak — the report that decides
+    whether an eval set is still usable, not just which train docs to
+    drop. Same broadcast shape as the exact probe (eval side tiny, the
+    corpus never shuffles on anything but the span hash)."""
+    from transfer_spark.operators.text import assign_split
+
+    d = _docs(spark, sf_dir).withColumn(
+        "split",
+        assign_split(F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}),
+    )
+    tr = (
+        d.filter(F.col("split") == "train")
+        .select(F.col("doc_id").alias("train_doc"),
+                F.explode(D.shingles(F.col("text"), 8)).alias("__sp"))
+        .select("train_doc", D._base_hash(F.col("__sp")).alias("h"))
+        .dropDuplicates(["train_doc", "h"])
+    )
+    ev = (
+        d.filter(F.col("split") != "train")
+        .select(F.col("doc_id").alias("eval_doc"),
+                F.explode(D.shingles(F.col("text"), 8)).alias("__sp"))
+        .select("eval_doc", D._base_hash(F.col("__sp")).alias("h"))
+        .dropDuplicates(["eval_doc", "h"])
+    )
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("eval_doc")
+        .agg(
+            F.countDistinct("train_doc").alias("n_train_docs"),
+            F.countDistinct("h").alias("n_leaked_spans"),
+        )
+    )
+
+
+ORACLE_DECONTAM_EVAL_REPORT = f"""
+WITH splits AS ({_SPLITS_SQL}),
+toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sp AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(t) >= 8
+           THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+           ELSE []::VARCHAR[] END) AS sp
+  FROM toks
+), h AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(sp), 1, 15))::BIGINT AS h FROM sp
+), ev AS (
+  SELECT h.doc_id AS eval_doc, h.h FROM h JOIN splits USING (doc_id)
+  WHERE splits.split != 'train'
+), tr AS (
+  SELECT h.doc_id AS train_doc, h.h FROM h JOIN splits USING (doc_id)
+  WHERE splits.split = 'train'
+)
+SELECT eval_doc,
+       count(DISTINCT train_doc) AS n_train_docs,
+       count(DISTINCT ev.h) AS n_leaked_spans
+FROM tr JOIN ev USING (h) GROUP BY eval_doc
+"""
+
+
+def q_dup_span_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-replication histogram: for k = number of DISTINCT documents
+    containing a given 8-token span, how many spans replicate k times —
+    the diagnostic that sizes boilerplate before running the scrub
+    (`dedupe_span_scrub`). Two hash aggregates on the span hash."""
+    d = _docs(spark, sf_dir)
+    sp = (
+        d.select(F.col("doc_id"),
+                 F.explode(D.shingles(F.col("text"), 8)).alias("__sp"))
+        .select("doc_id", D._base_hash(F.col("__sp")).alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+    )
+    per_span = sp.groupBy("h").agg(F.count(F.lit(1)).alias("k"))
+    return per_span.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans")
+    )
+
+
+ORACLE_DUP_SPAN_HISTOGRAM = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sp AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(t) >= 8
+           THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+           ELSE []::VARCHAR[] END) AS sp
+  FROM toks
+), h AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(sp), 1, 15))::BIGINT AS h FROM sp
+), per_span AS (
+  SELECT h, count(*) AS k FROM h GROUP BY h
+)
+SELECT k, CAST(count(*) AS BIGINT) AS n_spans FROM per_span GROUP BY k
+"""
+
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed mixture (alpha = 0.5): per-source sampling
+    probability proportional to sqrt(source tokens) — the exponential
+    smoothing multilingual pretraining uses to lift low-resource
+    sources without flattening the mixture entirely (alpha=1 is
+    proportional, alpha=0 uniform; sqrt is the cross-engine-exact
+    point on that curve: IEEE sqrt is correctly rounded, so both
+    engines see bit-identical weights — a pow(x, 0.3) would not be).
+    Weights quantize to micro-units BEFORE the normalizing sum, then
+    the keep rate derives from exact integers with one identical
+    double-op sequence."""
+    d = _docs(spark, sf_dir)
+    per_src = (
+        d.select("source", T.token_count(F.col("text")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("src_tokens"))
+    )
+    w = F.floor(F.sqrt(F.col("src_tokens").cast("double")) * F.lit(1_000_000.0)
+                + F.lit(0.5)).cast("long")
+    weighted = per_src.select("source", "src_tokens", w.alias("w_micro"))
+    tot = weighted.agg(
+        F.sum("w_micro").cast("long").alias("w_total"),
+        F.sum("src_tokens").cast("long").alias("t_total"),
+    )
+    j = weighted.crossJoin(F.broadcast(tot))
+    rate = F.floor(
+        (F.col("w_micro").cast("double") / F.col("w_total").cast("double"))
+        * (F.col("t_total").cast("double") / F.col("src_tokens").cast("double"))
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return j.select(
+        "source", "src_tokens", "w_micro",
+        F.least(F.lit(1_000_000).cast("long"), rate).alias("keep_rate_ppm"),
+    )
+
+
+ORACLE_MIXTURE_TEMPERATURE = f"""
+WITH t AS (
+  SELECT source, len({_TOKS}) AS n FROM documents
+), per_src AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS src_tokens FROM t GROUP BY source
+), weighted AS (
+  SELECT source, src_tokens,
+         floor(sqrt(CAST(src_tokens AS DOUBLE)) * 1000000.0 + 0.5)::BIGINT
+           AS w_micro
+  FROM per_src
+), tot AS (
+  SELECT CAST(sum(w_micro) AS BIGINT) AS w_total,
+         CAST(sum(src_tokens) AS BIGINT) AS t_total
+  FROM weighted
+)
+SELECT source, src_tokens, w_micro,
+  least(1000000::BIGINT,
+    floor((CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE))
+          * (CAST(t_total AS DOUBLE) / CAST(src_tokens AS DOUBLE))
+          * 1000000.0 + 0.5)::BIGINT
+  ) AS keep_rate_ppm
+FROM weighted, tot
+"""
+
+
 def q_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture rebalancing: per-source keep rates that move the corpus
     toward a TARGET token mixture (uniform across sources here). For
@@ -2357,6 +2558,11 @@ QUERIES = {
     "bm25_index_topk": (q_bm25_index, _bm25_sql()),
     "curriculum_quality_bins": (q_curriculum_bins, _curriculum_sql()),
     "corpus_mixture_rates": (q_mixture_rates, ORACLE_MIXTURE),
+    "corpus_mixture_temperature": (q_mixture_temperature, ORACLE_MIXTURE_TEMPERATURE),
+    "corpus_pack_efficiency": (q_pack_efficiency, ORACLE_PACK_EFFICIENCY),
+    "split_decontamination_eval_report": (
+        q_decontamination_eval_report, ORACLE_DECONTAM_EVAL_REPORT),
+    "dedupe_span_histogram": (q_dup_span_histogram, ORACLE_DUP_SPAN_HISTOGRAM),
     "dedupe_winnow_overlap": (q_winnow_overlap, _winnow_sql()),
     "pmi_collocations": (q_pmi_collocations, ORACLE_PMI),
     "dsir_importance": (q_dsir_importance, ORACLE_DSIR),
