@@ -1,0 +1,93 @@
+"""StreamingCorpusIngest: dedup-at-ingest corpus builder end-to-end."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transfer_spark.streaming.corpus_ingest import StreamingCorpusIngest
+
+LONG_A = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew strong potions under a pale autumn moon tonight"
+)
+LONG_A_NEAR = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew strong potions under a pale autumn moon today"
+)
+LONG_B = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution pipelines here"
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_streaming_corpus_ingest_stages_and_replay(spark, tmp_path):
+    ing = StreamingCorpusIngest(spark, str(tmp_path / "ing"), min_tokens=5)
+
+    # batch 0: a keeper, its exact copy (intra-batch), a short doc (gate)
+    v0 = {
+        r.doc_id: r
+        for r in ing.process_batch(
+            _df(spark, [(1, LONG_A), (2, LONG_A), (3, "too short")]),
+            "doc_id", "text", batch_id=0,
+        ).collect()
+    }
+    assert v0[1].status == "kept"
+    assert v0[2].status == "exact_batch_dup" and v0[2].dup_of == 1
+    assert v0[3].status == "gated_out"
+
+    # batch 1: exact copy of an INDEXED doc, a near-dup of it, a new doc
+    v1 = {
+        r.doc_id: r
+        for r in ing.process_batch(
+            _df(spark, [(10, LONG_A), (11, LONG_A_NEAR), (12, LONG_B)]),
+            "doc_id", "text", batch_id=1,
+        ).collect()
+    }
+    assert v1[10].status == "exact_index_dup" and v1[10].dup_of == 1
+    assert v1[11].status == "index_dup" and v1[11].dup_of == 1
+    assert v1[12].status == "kept"
+
+    corpus = {r.doc_id for r in ing.corpus().collect()}
+    assert corpus == {1, 12}
+
+    # replay of batch 1 (checkpoint-recovery redelivery): no-op
+    assert (
+        ing.process_batch(
+            _df(spark, [(10, LONG_A), (11, LONG_A_NEAR), (12, LONG_B)]),
+            "doc_id", "text", batch_id=1,
+        )
+        is None
+    )
+    assert ing.corpus().count() == 2  # no double-append
+
+    # batch 2 still advances normally after the replay
+    v2 = {
+        r.doc_id: r
+        for r in ing.process_batch(
+            _df(spark, [(20, LONG_B), (21, LONG_B + " extra tokens appended")]),
+            "doc_id", "text", batch_id=2,
+        ).collect()
+    }
+    assert v2[20].status == "exact_index_dup" and v2[20].dup_of == 12
+    assert v2[21].status == "index_dup" and v2[21].dup_of == 12
+    assert {r.doc_id for r in ing.corpus().collect()} == {1, 12}
+
+
+def test_streaming_corpus_quality_gate(spark, tmp_path):
+    ing = StreamingCorpusIngest(
+        spark, str(tmp_path / "ing"), min_tokens=3, min_quality=0.2
+    )
+    junk = "!!! ??? ;;; ::: ,,, !!!"  # punctuation-dense -> low quality
+    v = {
+        r.doc_id: r
+        for r in ing.process_batch(
+            _df(spark, [(1, LONG_A), (2, junk)]), "doc_id", "text", batch_id=0
+        ).collect()
+    }
+    assert v[1].status == "kept"
+    assert v[2].status == "gated_out"
+    assert {r.doc_id for r in ing.corpus().collect()} == {1}

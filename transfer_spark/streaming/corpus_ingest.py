@@ -1,0 +1,211 @@
+"""Dedup-at-ingest corpus builder: the streaming end of the
+training-data pipeline.
+
+Batch corpus construction (``workloads/pipeline_config.py``) assumes
+the whole corpus is visible at once; at production cadence documents
+arrive continuously and re-cleaning 100 TB per delivery is not a plan.
+This composer maintains the cleaned corpus INCREMENTALLY — each
+micro-batch pays cost proportional to the batch, never the corpus:
+
+1. **Gate** (row-local codegen): token floor + optional quality floor —
+   the cheap filters run before anything stateful.
+2. **Exact stage**: a persistent content-hash index (md5-keyed,
+   hash-bucket-partitioned parquet). The batch probes ONLY the buckets
+   its own hashes map to (bounded-metadata bucket list, same pruning
+   pattern as :class:`MinHashDedupIndex`); intra-batch ties keep the
+   min id.
+3. **Near-dup stage**: the surviving docs probe the persistent MinHash
+   band index (:class:`MinHashDedupIndex.process_batch` — bucket-pruned
+   reads, band equi-joins, never all-pairs).
+4. **Append**: survivors land in the corpus store; their content hashes
+   and bands join the indexes. Greedy first-arrival semantics — the
+   standard production dedup contract (earlier kept doc wins; a later
+   doc near-duplicating ONLY a dropped doc is kept, unlike batch
+   connected-components closure).
+
+Replay safety mirrors ``streaming/agg_mv.py``: a ``_BATCH`` high-water
+mark makes a replayed epoch a no-op (checkpoint-recovery re-delivers
+the last micro-batch after a crash; without the watermark the corpus
+would double-append).
+
+Reference parity: this is the training-corpus analog of the reference's
+consumer loop — continuous ingest, per-batch flush, persistent state
+(processes/consumer/flush.go) — re-expressed over Spark micro-batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transfer_spark.operators.text import token_count, quality_score
+from transfer_spark.streaming.dedup_index import MinHashDedupIndex
+
+GATED_OUT = "gated_out"
+EXACT_BATCH_DUP = "exact_batch_dup"
+EXACT_INDEX_DUP = "exact_index_dup"
+
+
+class StreamingCorpusIngest:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        min_tokens: int = 5,
+        min_quality: float | None = None,
+        n_buckets: int = 16,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.min_tokens = min_tokens
+        self.min_quality = min_quality
+        self.n_buckets = n_buckets
+        self.exact_path = os.path.join(path, "exact")
+        self.corpus_path = os.path.join(path, "corpus")
+        self.minhash = MinHashDedupIndex(
+            spark, os.path.join(path, "bands"), n_buckets=n_buckets
+        )
+        os.makedirs(path, exist_ok=True)
+
+    # -- replay watermark ----------------------------------------------
+    def _watermark(self) -> int:
+        p = os.path.join(self.path, "_BATCH")
+        if not os.path.exists(p):
+            return -1
+        with open(p) as f:
+            return int(f.read().strip() or -1)
+
+    def _commit_watermark(self, batch_id: int) -> None:
+        p = os.path.join(self.path, "_BATCH")
+        with open(p + ".tmp", "w") as f:
+            f.write(str(batch_id))
+        os.replace(p + ".tmp", p)  # atomic on POSIX
+
+    # -- state readers --------------------------------------------------
+    def corpus(self) -> DataFrame | None:
+        if not os.path.exists(self.corpus_path):
+            return None
+        return self.spark.read.parquet(self.corpus_path)
+
+    def _exact_index_hits(self, hashed: DataFrame) -> DataFrame:
+        """(doc, exact_index_dup_of) for batch docs whose content hash is
+        already indexed — reads only the batch's hash buckets."""
+        if not os.path.exists(self.exact_path):
+            return hashed.select("doc").limit(0).withColumn(
+                "exact_index_dup_of", F.lit(None).cast("long")
+            )
+        buckets = [
+            r[0]
+            for r in hashed.select((F.col("h") % self.n_buckets).alias("bk"))
+            .distinct()
+            .collect()
+        ]
+        if not buckets:
+            return hashed.select("doc").limit(0).withColumn(
+                "exact_index_dup_of", F.lit(None).cast("long")
+            )
+        idx = self.spark.read.parquet(self.exact_path).filter(
+            F.col("__bucket").isin(buckets)
+        )
+        return (
+            hashed.join(idx.select(F.col("h").alias("i_h"),
+                                   F.col("doc").alias("i_doc")),
+                        F.col("h") == F.col("i_h"))
+            .groupBy("doc")
+            .agg(F.min("i_doc").alias("exact_index_dup_of"))
+        )
+
+    # -- the per-batch step ---------------------------------------------
+    def process_batch(
+        self,
+        df: DataFrame,
+        id_col: str,
+        text_col: str,
+        batch_id: int | None = None,
+    ) -> DataFrame | None:
+        """Run one micro-batch; returns per-doc verdicts
+        ``(doc_id, status, dup_of)`` with status ∈ {gated_out,
+        exact_batch_dup, exact_index_dup, batch_dup, index_dup, kept}
+        (the last three from the MinHash stage). Returns None when
+        ``batch_id`` is at or below the committed watermark (replay)."""
+        if batch_id is not None and batch_id <= self._watermark():
+            return None  # replayed epoch: state already reflects it
+
+        gate = token_count(F.col(text_col)) >= self.min_tokens
+        if self.min_quality is not None:
+            gate = gate & (quality_score(F.col(text_col)) >= self.min_quality)
+        stamped = df.select(
+            F.col(id_col).alias("doc"), F.col(text_col).alias("text"),
+            gate.alias("__pass"),
+            token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        ).localCheckpoint(eager=True)  # pin inputs before index mutation
+        gated = stamped.filter(F.col("__pass"))
+
+        hashed = gated.select(
+            "doc", "text", "n_tokens",
+            F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10)
+            .cast("long").alias("h"),
+        )
+        # intra-batch exact: min id per hash keeps
+        intra = (
+            hashed.alias("l")
+            .join(
+                hashed.alias("r"),
+                (F.col("l.h") == F.col("r.h"))
+                & (F.col("r.doc") < F.col("l.doc")),
+            )
+            .groupBy(F.col("l.doc").alias("doc"))
+            .agg(F.min(F.col("r.doc")).alias("exact_batch_dup_of"))
+        )
+        exact_surv = hashed.join(intra, "doc", "left_anti")
+        index_hits = self._exact_index_hits(exact_surv)
+        exact_kept = exact_surv.join(index_hits.select("doc"), "doc", "left_anti")
+
+        # near-dup stage over exact survivors (mutates the band index)
+        mh_verdicts = self.minhash.process_batch(
+            exact_kept.select(F.col("doc").alias("doc_id"), "text"),
+            "doc_id", "text",
+        ).select(F.col("doc_id").alias("doc"), "status", "dup_of")
+
+        verdicts = (
+            stamped.select("doc")
+            .join(intra, "doc", "left")
+            .join(index_hits, "doc", "left")
+            .join(mh_verdicts, "doc", "left")
+            .join(stamped.select("doc", "__pass"), "doc")
+            .select(
+                F.col("doc").alias("doc_id"),
+                F.when(~F.col("__pass"), F.lit(GATED_OUT))
+                .when(F.col("exact_batch_dup_of").isNotNull(),
+                      F.lit(EXACT_BATCH_DUP))
+                .when(F.col("exact_index_dup_of").isNotNull(),
+                      F.lit(EXACT_INDEX_DUP))
+                .otherwise(F.col("status"))
+                .alias("status"),
+                F.coalesce(
+                    "exact_batch_dup_of", "exact_index_dup_of", "dup_of"
+                ).alias("dup_of"),
+            )
+            .localCheckpoint(eager=True)  # materialize before appends
+        )
+
+        kept = verdicts.filter(F.col("status") == "kept").select("doc_id")
+        kept_rows = hashed.join(
+            kept, hashed.doc == kept.doc_id
+        ).select("doc", "text", "n_tokens", "h")
+        (
+            kept_rows.select(
+                "h", "doc", (F.col("h") % self.n_buckets).alias("__bucket")
+            )
+            .write.mode("append").partitionBy("__bucket")
+            .parquet(self.exact_path)
+        )
+        (
+            kept_rows.select(F.col("doc").alias("doc_id"), "text", "n_tokens")
+            .write.mode("append").parquet(self.corpus_path)
+        )
+        if batch_id is not None:
+            self._commit_watermark(batch_id)
+        return verdicts

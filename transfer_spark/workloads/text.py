@@ -2009,6 +2009,107 @@ LEFT JOIN ixhit ix ON ix.doc = d1.doc_id
 """
 
 
+def q_streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup-at-ingest composer (streaming/corpus_ingest.py):
+    two micro-batches (even ids, then odd) through gate -> persistent
+    exact-hash index -> persistent MinHash band index -> corpus append.
+    Greedy first-arrival semantics, so the two-batch run is expressible
+    stage-by-stage in SQL (the oracle below mirrors each stage)."""
+    import tempfile
+
+    from transfer_spark.streaming.corpus_ingest import StreamingCorpusIngest
+
+    d = _docs(spark, sf_dir)
+    ing = StreamingCorpusIngest(
+        spark, tempfile.mkdtemp(prefix="artie_corpus_ing_"),
+        min_tokens=30, n_buckets=16,
+    )
+    v0 = ing.process_batch(
+        d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", batch_id=0
+    ).withColumn("batch", F.lit(0))
+    v1 = ing.process_batch(
+        d.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", batch_id=1
+    ).withColumn("batch", F.lit(1))
+    return v0.unionByName(v1)
+
+
+def _streaming_corpus_ingest_sql() -> str:
+    return f"""
+WITH {_banded_ctes()},
+base AS (SELECT doc_id, text, len({_TOKS}) AS n_tok FROM documents),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+  FROM base WHERE n_tok >= 30
+),
+h0 AS (SELECT * FROM hashed WHERE doc_id % 2 = 0),
+h1 AS (SELECT * FROM hashed WHERE doc_id % 2 = 1),
+ei0 AS (
+  SELECT l.doc_id AS doc, min(r.doc_id) AS dup
+  FROM h0 l JOIN h0 r ON l.h = r.h AND r.doc_id < l.doc_id
+  GROUP BY l.doc_id
+),
+ek0 AS (SELECT * FROM h0 WHERE doc_id NOT IN (SELECT doc FROM ei0)),
+ei1 AS (
+  SELECT l.doc_id AS doc, min(r.doc_id) AS dup
+  FROM h1 l JOIN h1 r ON l.h = r.h AND r.doc_id < l.doc_id
+  GROUP BY l.doc_id
+),
+eh1 AS (
+  SELECT b.doc_id AS doc, min(i.doc_id) AS dup
+  FROM h1 b JOIN ek0 i ON b.h = i.h
+  WHERE b.doc_id NOT IN (SELECT doc FROM ei1)
+  GROUP BY b.doc_id
+),
+ek1 AS (
+  SELECT * FROM h1
+  WHERE doc_id NOT IN (SELECT doc FROM ei1)
+    AND doc_id NOT IN (SELECT doc FROM eh1)
+),
+b0 AS (SELECT banded.* FROM banded JOIN ek0 USING (doc_id)),
+b1 AS (SELECT banded.* FROM banded JOIN ek1 USING (doc_id)),
+mi0 AS (
+  SELECT l.doc_id AS doc, min(r.doc_id) AS dup
+  FROM b0 l JOIN b0 r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND r.doc_id < l.doc_id
+  GROUP BY l.doc_id
+),
+mk0 AS (SELECT * FROM b0 WHERE doc_id NOT IN (SELECT doc FROM mi0)),
+mi1 AS (
+  SELECT l.doc_id AS doc, min(r.doc_id) AS dup
+  FROM b1 l JOIN b1 r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND r.doc_id < l.doc_id
+  GROUP BY l.doc_id
+),
+mh1 AS (
+  SELECT b.doc_id AS doc, min(i.doc_id) AS dup
+  FROM b1 b JOIN mk0 i ON b.band = i.band AND b.band_hash = i.band_hash
+  WHERE b.doc_id NOT IN (SELECT doc FROM mi1)
+  GROUP BY b.doc_id
+),
+verd AS (
+  SELECT base.doc_id, base.doc_id % 2 AS batch,
+    CASE WHEN base.n_tok < 30 THEN 'gated_out'
+         WHEN ei0.dup IS NOT NULL OR ei1.dup IS NOT NULL THEN 'exact_batch_dup'
+         WHEN eh1.dup IS NOT NULL THEN 'exact_index_dup'
+         WHEN mi0.dup IS NOT NULL OR mi1.dup IS NOT NULL THEN 'batch_dup'
+         WHEN mh1.dup IS NOT NULL THEN 'index_dup'
+         ELSE 'kept' END AS status,
+    coalesce(ei0.dup, ei1.dup, eh1.dup, mi0.dup, mi1.dup, mh1.dup) AS dup_of
+  FROM base
+  LEFT JOIN ei0 ON ei0.doc = base.doc_id
+  LEFT JOIN ei1 ON ei1.doc = base.doc_id
+  LEFT JOIN eh1 ON eh1.doc = base.doc_id
+  LEFT JOIN mi0 ON mi0.doc = base.doc_id
+  LEFT JOIN mi1 ON mi1.doc = base.doc_id
+  LEFT JOIN mh1 ON mh1.doc = base.doc_id
+)
+SELECT doc_id, CAST(batch AS INT) AS batch, status, dup_of FROM verd
+"""
+
+
+ORACLE_STREAMING_CORPUS_INGEST = _streaming_corpus_ingest_sql()
+
+
 def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded deterministic shard shuffle: (shard, pos_in_shard) per doc,
     no global sort — per-shard window sorts only."""
@@ -2549,6 +2650,7 @@ QUERIES = {
     "gopher_quality_gate": (q_gopher_quality, ORACLE_GOPHER),
     "doc_chunk_windows": (q_chunk_windows, ORACLE_CHUNKS),
     "streaming_dedup_index": (q_streaming_dedup_index, _streaming_dedup_index_sql()),
+    "streaming_corpus_ingest": (q_streaming_corpus_ingest, ORACLE_STREAMING_CORPUS_INGEST),
     "corpus_shard_shuffle": (q_shard_shuffle, ORACLE_SHARD_SHUFFLE),
     "split_decontamination_containment": (
         q_decontamination_containment,
