@@ -209,3 +209,55 @@ class StreamingCorpusIngest:
         if batch_id is not None:
             self._commit_watermark(batch_id)
         return verdicts
+
+    # -- maintenance ----------------------------------------------------
+    def run_maintenance(self, max_files_per_bucket: int = 8) -> dict:
+        """Compact fragmented index buckets — every micro-batch append
+        adds one small file per touched bucket in BOTH indexes, and
+        probe cost grows with file count, not data size. Layout-only
+        (contents unchanged); run from a maintenance cadence, never the
+        hot ingest path. Returns per-index compacted bucket lists."""
+        bands = self.minhash.compact(max_files_per_bucket)
+        exact = []
+        if os.path.exists(self.exact_path):
+            for name in os.listdir(self.exact_path):
+                if not name.startswith("__bucket="):
+                    continue
+                bdir = os.path.join(self.exact_path, name)
+                n_files = sum(
+                    1 for f in os.listdir(bdir) if f.endswith(".parquet")
+                )
+                if n_files > max_files_per_bucket:
+                    exact.append(int(name.split("=", 1)[1]))
+        for bk in exact:
+            bdir = os.path.join(self.exact_path, f"__bucket={bk}")
+            rows = self.spark.read.parquet(bdir).coalesce(1)
+            rows = rows.localCheckpoint(eager=True)  # read before rewrite
+            rows.write.mode("overwrite").parquet(bdir)
+        return {"bands": bands, "exact": exact}
+
+    # -- streaming wrapper ----------------------------------------------
+    def start(
+        self,
+        stream: DataFrame,
+        id_col: str,
+        text_col: str,
+        checkpoint: str,
+        verdict_sink: "callable | None" = None,
+        trigger_once: bool = True,
+    ):
+        """``foreachBatch`` driver over a real streaming source; the
+        epoch id feeds the _BATCH watermark, so checkpoint-recovery
+        redelivery of the last epoch is a structural no-op."""
+
+        def _batch(bdf, epoch: int) -> None:
+            v = self.process_batch(bdf, id_col, text_col, batch_id=epoch)
+            if v is not None and verdict_sink is not None:
+                verdict_sink(v, epoch)
+
+        writer = stream.writeStream.foreachBatch(_batch).option(
+            "checkpointLocation", checkpoint
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
