@@ -274,3 +274,28 @@ def test_decontamination_bloom_prefilter_before_verify_join(spark):
     filt_pos = plan.find("shiftright")
     assert join_pos != -1 and filt_pos != -1
     assert join_pos < filt_pos, "bloom prefilter sits above the verify join"
+
+
+def test_q12_pushes_implied_shipdate_bounds(spark):
+    """Q12's receipt filter is on a DERIVED column; the implied
+    redundant l_shipdate window must reach the parquet scan so the
+    fact table prunes to ~one year at scale."""
+    plan = _plan(spark, "olap_shipmode_priority")
+    # (the plan string truncates long filter lists with '...', so match
+    # the leading bound only — IsNotNull + the range open both print)
+    assert "IsNotNull(l_shipdate)" in plan
+    assert "GreaterThanOrEqual(l_ship" in plan
+
+
+def test_q21_single_big_join(spark):
+    """Q21 (waiting suppliers): the per-order aggregate collapses both
+    correlated EXISTS into one pass — exactly one non-broadcast join
+    (lineitem->orders); dims broadcast."""
+    plan = _plan(spark, "olap_waiting_suppliers")
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_excludes_bad_suppliers_with_anti_join(spark):
+    plan = _plan(spark, "olap_parts_supplier_counts")
+    assert "LeftAnti" in plan
