@@ -105,3 +105,52 @@ def test_gap_fill_matches_python_reference(spark, rows):
         for r in gap_fill_locf(df, "k", "ts", "value").collect()
     }
     assert got == ref_gap_fill(rows)
+
+
+def _ref_scrub(docs: dict, n: int = 3):
+    """Pure-Python reference of scrub_dup_spans semantics."""
+    import re
+
+    toks = {d: re.split(r"\s+", t.lower().strip()) for d, t in docs.items()}
+    owner = {}
+    for d in sorted(toks):
+        for i in range(max(len(toks[d]) - n + 1, 0)):
+            sp = " ".join(toks[d][i:i + n])
+            owner.setdefault(sp, d)
+    crossdoc = set()
+    for d in sorted(toks):
+        for i in range(max(len(toks[d]) - n + 1, 0)):
+            sp = " ".join(toks[d][i:i + n])
+            if owner[sp] != d:
+                crossdoc.add(sp)
+    out = {}
+    for d, t in toks.items():
+        covered = set()
+        for i in range(max(len(t) - n + 1, 0)):
+            sp = " ".join(t[i:i + n])
+            if sp in crossdoc and owner[sp] != d:
+                covered.update(range(i, i + n))
+        kept = [tok for j, tok in enumerate(t) if j not in covered]
+        out[d] = (" ".join(kept), len(t), len(t) - len(kept))
+    return out
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(st.sampled_from("abcde"), min_size=0, max_size=12)
+                .map(lambda ws: " ".join(ws)),
+                min_size=1, max_size=6))
+def test_scrub_dup_spans_matches_python_reference(spark, docs_texts):
+    """Tiny 5-word alphabet + 3-token spans force heavy cross-doc span
+    collisions; the Spark scrubber must match the sequential Python
+    reference exactly (owner keeps, others drop covered tokens)."""
+    from transfer_spark.operators.dedupe import scrub_dup_spans
+
+    docs = {f"d{i:02d}": t for i, t in enumerate(docs_texts)}
+    df = spark.createDataFrame(list(docs.items()), "doc_id string, text string")
+    got = {
+        r.doc_id: (r.text_scrubbed, r.n_tokens, r.n_removed)
+        for r in scrub_dup_spans(df, "doc_id", "text", n=3).collect()
+    }
+    want = _ref_scrub(docs, n=3)
+    assert got == want
