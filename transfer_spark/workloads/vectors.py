@@ -846,7 +846,68 @@ QUALIFY rank <= 10
 """
 
 
+def q_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: how much of each embedding's energy
+    the first 16 of 64 dims retain — the number that decides whether
+    MRL-style truncated vectors can serve the cheap ANN tier (cosine of
+    a vector with its own truncation = sqrt(energy ratio), so energy_ppm
+    is the retrieval-fidelity proxy).
+
+    Cross-engine exact by the house recipe: per-element micro
+    quantization -> exact BIGINT sums of squares -> ONE double division
+    and a correctly-rounded sqrt (identical bits on any engine; a
+    float sum of squares would be partition-order-dependent)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    xm = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * F.lit(1_000_000.0) + F.lit(0.5)).cast("long"),
+    )
+    def _n2(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda a, x: a + x * x
+        )
+    q = e.select(
+        "vec_id",
+        _n2(xm).alias("full_n2"),
+        _n2(F.slice(xm, 1, 16)).alias("trunc_n2"),
+    )
+    ratio = F.col("trunc_n2").cast("double") / F.col("full_n2").cast("double")
+    return q.select(
+        "vec_id", "full_n2", "trunc_n2",
+        F.when(
+            F.col("full_n2") > 0,
+            F.floor(F.sqrt(ratio) * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias("cos_retained_ppm"),
+    )
+
+
+ORACLE_MATRYOSHKA = """
+WITH e AS (
+  SELECT vec_id,
+    list_transform(embedding,
+                   x -> floor(x::DOUBLE * 1000000.0 + 0.5)::BIGINT) AS xm
+  FROM embeddings
+), n AS (
+  SELECT vec_id,
+    list_reduce(list_prepend(0::BIGINT, list_transform(xm, x -> x * x)),
+                (a, b) -> a + b) AS full_n2,
+    list_reduce(list_prepend(0::BIGINT, list_transform(xm[1:16], x -> x * x)),
+                (a, b) -> a + b) AS trunc_n2
+  FROM e
+)
+SELECT vec_id, CAST(full_n2 AS BIGINT) AS full_n2,
+       CAST(trunc_n2 AS BIGINT) AS trunc_n2,
+       CASE WHEN full_n2 > 0 THEN
+         floor(sqrt(CAST(trunc_n2 AS DOUBLE) / CAST(full_n2 AS DOUBLE))
+               * 1000000.0 + 0.5)::BIGINT
+       ELSE 0 END AS cos_retained_ppm
+FROM n
+"""
+
+
 QUERIES = {
+    "embedding_matryoshka_audit": (q_matryoshka_audit, ORACLE_MATRYOSHKA),
     "embedding_quantize_int8": (q_quantize_int8, ORACLE_QUANTIZE),
     "ann_pq_adc_topk": (q_ann_pq_adc, _pq_adc_oracle()),
     "search_mmr_diversify": (q_mmr_diversify, _mmr_oracle()),
