@@ -100,11 +100,18 @@ def test_streaming_corpus_ingest_via_readstream_and_maintenance(spark, tmp_path)
     verdict-relevant contents."""
     import json
 
+    import os
+    import time
+
     src = tmp_path / "src"
     src.mkdir()
-    (src / "b0.json").write_text(json.dumps({"doc_id": 1, "text": LONG_A}))
-    (src / "b1.json").write_text(json.dumps({"doc_id": 2, "text": LONG_A}))
-    (src / "b2.json").write_text(json.dumps({"doc_id": 3, "text": LONG_B}))
+    # the file source orders batches by MODIFICATION TIME; same-instant
+    # writes tie arbitrarily, so pin distinct mtimes for a stable order
+    now = time.time()
+    for i, (doc, txt) in enumerate([(1, LONG_A), (2, LONG_A), (3, LONG_B)]):
+        p = src / f"b{i}.json"
+        p.write_text(json.dumps({"doc_id": doc, "text": txt}))
+        os.utime(p, (now + i, now + i))
 
     ing = StreamingCorpusIngest(spark, str(tmp_path / "ing"), min_tokens=5)
     seen = []
@@ -135,3 +142,38 @@ def test_streaming_corpus_ingest_via_readstream_and_maintenance(spark, tmp_path)
         ).collect()
     }
     assert v[9] == "exact_index_dup"
+
+
+def test_crash_between_appends_and_watermark_replays_cleanly(spark, tmp_path):
+    """The torn-batch case: indexes and corpus were appended but the
+    watermark never committed (crash), so checkpoint recovery replays
+    the SAME batch. Self-exclusion in both index probes means the batch
+    must not see its own half-appended rows as duplicates, and the
+    per-batch corpus partition overwrite means no double rows."""
+    import os
+
+    ing = StreamingCorpusIngest(spark, str(tmp_path / "ing"), min_tokens=5)
+    batch = _df(spark, [(1, LONG_A), (2, LONG_B)])
+    v_first = {
+        r.doc_id: r.status
+        for r in ing.process_batch(batch, "doc_id", "text", batch_id=0).collect()
+    }
+    assert v_first == {1: "kept", 2: "kept"}
+
+    os.remove(os.path.join(str(tmp_path / "ing"), "_BATCH"))  # simulate crash
+    v_replay = {
+        r.doc_id: r.status
+        for r in ing.process_batch(batch, "doc_id", "text", batch_id=0).collect()
+    }
+    assert v_replay == {1: "kept", 2: "kept"}  # never a dup of itself
+    rows = ing.corpus().groupBy("doc_id").count().collect()
+    assert {r.doc_id: r["count"] for r in rows} == {1: 1, 2: 1}  # no doubles
+
+    # later batches still dedup against the (replayed) state
+    v1 = {
+        r.doc_id: r.status
+        for r in ing.process_batch(
+            _df(spark, [(7, LONG_A)]), "doc_id", "text", batch_id=1
+        ).collect()
+    }
+    assert v1[7] == "exact_index_dup"

@@ -110,9 +110,15 @@ class StreamingCorpusIngest:
             F.col("__bucket").isin(buckets)
         )
         return (
-            hashed.join(idx.select(F.col("h").alias("i_h"),
-                                   F.col("doc").alias("i_doc")),
-                        F.col("h") == F.col("i_h"))
+            hashed.join(
+                idx.select(F.col("h").alias("i_h"),
+                           F.col("doc").alias("i_doc")),
+                (F.col("h") == F.col("i_h"))
+                # self-exclusion: a crash between the index append and
+                # the watermark commit replays the batch against its own
+                # half-appended hashes — never a duplicate of itself
+                & (F.col("i_doc") != F.col("doc")),
+            )
             .groupBy("doc")
             .agg(F.min("i_doc").alias("exact_index_dup_of"))
         )
@@ -202,12 +208,21 @@ class StreamingCorpusIngest:
             .write.mode("append").partitionBy("__bucket")
             .parquet(self.exact_path)
         )
-        (
-            kept_rows.select(F.col("doc").alias("doc_id"), "text", "n_tokens")
-            .write.mode("append").parquet(self.corpus_path)
+        corpus_rows = kept_rows.select(
+            F.col("doc").alias("doc_id"), "text", "n_tokens"
         )
         if batch_id is not None:
+            # idempotent corpus landing: each batch owns one static
+            # partition, and a crash-replay OVERWRITES it instead of
+            # double-appending (the index appends are harmlessly
+            # duplicated — (h,doc)/(band,doc) rows are min-aggregated
+            # and self-excluded on probe)
+            corpus_rows.write.mode("overwrite").parquet(
+                os.path.join(self.corpus_path, f"ingest_batch={batch_id}")
+            )
             self._commit_watermark(batch_id)
+        else:
+            corpus_rows.write.mode("append").parquet(self.corpus_path)
         return verdicts
 
     # -- maintenance ----------------------------------------------------

@@ -146,7 +146,12 @@ class MinHashDedupIndex:
                     surv_bands.join(
                         idx,
                         (F.col("band") == F.col("i_band"))
-                        & (F.col("band_hash") == F.col("i_hash")),
+                        & (F.col("band_hash") == F.col("i_hash"))
+                        # self-exclusion: after a crash BETWEEN the band
+                        # append and the caller's commit, the replayed
+                        # batch probes its own half-appended rows — a
+                        # doc must never be a duplicate of itself
+                        & (F.col("i_doc") != F.col("doc")),
                     )
                     .groupBy("doc")
                     .agg(F.min("i_doc").alias("index_dup_of"))
