@@ -117,18 +117,19 @@ def test_write_training_shards_layout(spark, tmp_path):
 
 def test_replayed_batch_is_idempotent(spark, tmp_path):
     """Exactly-once story: reprocessing the same batch (checkpoint
-    replay) appends duplicate band rows, but verdicts for later batches
-    are unchanged — min-aggregated probes are idempotent at the
-    (band_hash, doc) grain."""
+    replay) appends duplicate band rows, but re-derives IDENTICAL
+    verdicts — the probe excludes self-matches (r6: a doc must never
+    read its own previously-appended bands as a duplicate-of-itself),
+    and min-aggregated probes are idempotent at the (band_hash, doc)
+    grain, so later batches are also unchanged."""
     idx = MinHashDedupIndex(spark, str(tmp_path / "idx"), n_buckets=4)
     batch = _df(spark, [(1, DOC), (2, OTHER)])
     v_first = {r.doc_id: r.status
                for r in idx.process_batch(batch, "doc_id", "text").collect()}
     v_replay = {r.doc_id: r.status
                 for r in idx.process_batch(batch, "doc_id", "text").collect()}
-    # the replay itself flags everything as index-dup (already ingested)
     assert v_first == {1: KEPT, 2: KEPT}
-    assert v_replay == {1: INDEX_DUP, 2: INDEX_DUP}
+    assert v_replay == v_first  # identical verdicts, never dup-of-self
     # a later probe sees identical verdicts regardless of the replay
     v2 = {r.doc_id: r for r in
           idx.process_batch(_df(spark, [(10, DOC)]), "doc_id", "text").collect()}
