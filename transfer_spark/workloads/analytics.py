@@ -1301,6 +1301,55 @@ FROM per JOIN tot ON per.yr = tot.yr
 """
 
 
+def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the replicated star: for each
+    FK relation, how many child rows point at a missing parent — the
+    first thing a CDC operator checks when a replica "looks wrong"
+    (orphans mean the parent table's stream lagged or dropped deletes
+    out of order; reference analog: the row-count/content checks around
+    every merge, extended to cross-table consistency).
+
+    Scale shape: each relation is ONE left-anti join; parent key sets
+    are dimension-sized and broadcast (orders->customer, customer->
+    nation), and the single fact-sized check (lineitem->orders) is the
+    plain PK equi-join the merge path already shuffles on."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey")
+
+    def _orphans(child, key, parent, pkey, rel):
+        n = (
+            child.join(parent, child[key] == parent[pkey], "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        )
+        return n.select(F.lit(rel).alias("relation"), "n_orphans")
+
+    return (
+        _orphans(li, "l_orderkey", orders.select("o_orderkey"), "o_orderkey",
+                 "lineitem->orders")
+        .unionByName(_orphans(orders, "o_custkey", cust.select("c_custkey"),
+                              "c_custkey", "orders->customer"))
+        .unionByName(_orphans(cust, "c_nationkey", nation, "n_nationkey",
+                              "customer->nation"))
+    )
+
+
+ORACLE_FK_ORPHANS = """
+SELECT 'lineitem->orders' AS relation,
+       CAST(count(*) AS BIGINT) AS n_orphans
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'orders->customer',
+       CAST(count(*) AS BIGINT)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'customer->nation',
+       CAST(count(*) AS BIGINT)
+FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+"""
+
+
 def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate: not-null, positive-amount, PK
     uniqueness, and date-range rules over orders, all evaluated in ONE
@@ -2119,6 +2168,7 @@ FROM per_cust
     "segment_order_profile": (q_segment_profile, ORACLE_SEGMENT_PROFILE),
     "priority_mix_by_year": (q_priority_mix, ORACLE_PRIORITY_MIX),
     "dq_violations": (q_dq_violations, ORACLE_DQ),
+    "dq_fk_orphans": (q_fk_orphans, ORACLE_FK_ORPHANS),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),
     "top_events_global": (q_top_events_global, ORACLE_TOP_GLOBAL),

@@ -612,7 +612,64 @@ FROM m GROUP BY dim_attr
 """
 
 
+def q_offset_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-side offset-gap audit: per partition, find holes in the
+    committed offset sequence — the diagnostic for "did we drop
+    messages?" after a filter mishap, a compacted topic, or an
+    out-of-order restart (reference analog: the duplicate-offset skip
+    and offset bookkeeping in processes/consumer/kafka.go — this is the
+    complementary MISSING-offset check).
+
+    The stream here is the events table mapped onto dense per-partition
+    offsets (partition = event_id % 8, offset = event_id DIV 8 — dense
+    by construction) with 'error' events dropped to simulate loss; the
+    audit reports each partition's committed range, hole count, and
+    missing-offset mass. One window partitioned by the partition key —
+    never global."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") != "error"
+    )
+    m = e.select(
+        (F.col("event_id") % 8).alias("part"),
+        F.expr("event_id DIV 8").alias("off"),
+    ).dropDuplicates(["part", "off"])
+    w = Window.partitionBy("part").orderBy("off")
+    g = m.withColumn("prev", F.lag("off").over(w))
+    gap = F.col("off") - F.col("prev") - 1
+    return g.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_offsets"),
+        F.min("off").alias("min_off"),
+        F.max("off").alias("max_off"),
+        F.sum(F.when(gap > 0, 1).otherwise(0)).cast("long").alias("n_gaps"),
+        F.sum(F.when(gap > 0, gap).otherwise(0)).cast("long")
+        .alias("n_missing"),
+    )
+
+
+ORACLE_OFFSET_GAPS = """
+WITH m AS (
+  SELECT DISTINCT event_id % 8 AS part, event_id // 8 AS off
+  FROM events WHERE event_type != 'error'
+), g AS (
+  SELECT part, off,
+         lag(off) OVER (PARTITION BY part ORDER BY off) AS prev
+  FROM m
+)
+SELECT part,
+  CAST(count(*) AS BIGINT) AS n_offsets,
+  min(off) AS min_off, max(off) AS max_off,
+  CAST(sum(CASE WHEN off - prev - 1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_gaps,
+  CAST(sum(CASE WHEN off - prev - 1 > 0 THEN off - prev - 1 ELSE 0 END)
+    AS BIGINT) AS n_missing
+FROM g GROUP BY part
+"""
+
+
 QUERIES = {
+    "cdc_offset_gap_audit": (q_offset_gap_audit, ORACLE_OFFSET_GAPS),
     "cdc_lww_dedup": (q_lww_dedup, ORACLE_LWW),
     "cdc_aggregate_maintenance": (q_aggregate_maintenance,
                                   ORACLE_AGG_MAINTENANCE),
