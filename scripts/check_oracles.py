@@ -18,6 +18,15 @@ version:
 - renders floats exactly (repr), not to 10 significant digits, so an
   int-vs-float or last-ulp difference can no longer pass locally.
 
+Validation (r6): running THIS checker against the round-5 tree
+(commit b0e167e) reproduces exactly the driver's 8 hash-failures —
+ann_pq_adc_topk, bloom_semi_reduction, cdc_aggregate_maintenance_stream,
+cdc_incremental_digest, dedupe_dup_spans, doc_char_entropy,
+dsir_importance, multimodal_scene_changes — each via the dtype guard,
+while control entries (cdc_fold, events_sessionize,
+olap_pricing_summary) pass. Local green can no longer coexist with a
+red driver gate.
+
 Usage: python scripts/check_oracles.py [--first50] [sf_dir] [query ...]
 """
 
