@@ -1539,6 +1539,139 @@ FROM per JOIN crossdoc USING (h) GROUP BY per.doc_id
 """
 
 
+def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What would each dedup tier save, measured independently on the
+    raw corpus — the planning report read before choosing which tiers
+    to run (exact is nearly free; near-dup costs a signature pass; span
+    scrub rewrites text). One row per tier:
+
+    - exact: bytes of every non-canonical byte-identical copy;
+    - neardup: bytes of every non-canonical member of an LSH
+      connected component (closure semantics, min-id canonical);
+    - span_scrub: canonical-whitespace characters removed by
+      cross-document 8-token span scrubbing (owner keeps).
+
+    Tiers overlap by construction (an exact copy is also a near-dup);
+    the report shows each tier's standalone yield, not a partition."""
+    d = _docs(spark, sf_dir)
+
+    # exact tier: per content group, every doc beyond the canonical
+    exact = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(
+            (F.count(F.lit(1)) - 1).alias("n_dupes"),
+            ((F.count(F.lit(1)) - 1) * F.min(F.octet_length("text")))
+            .alias("b"),
+        )
+        .agg(
+            F.sum("n_dupes").cast("long").alias("n_units"),
+            F.sum("b").cast("long").alias("bytes_saved"),
+        )
+        .select(F.lit("exact").alias("tier"), "n_units", "bytes_saved")
+    )
+
+    # near-dup tier: non-canonical cluster members
+    clusters = D.neardup_clusters(
+        D.minhash_lsh_pairs(d, "doc_id", "text")
+    )
+    neardup = (
+        clusters.filter(F.col("cluster_id") != F.col("doc_id"))
+        .join(d.select("doc_id", F.octet_length("text").alias("b")), "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum("b").cast("long").alias("bytes_saved"),
+        )
+        .select(F.lit("neardup").alias("tier"), "n_units", "bytes_saved")
+    )
+
+    # span tier: canonical-whitespace chars removed by the scrub
+    scrub = D.scrub_dup_spans(d, "doc_id", "text", n=8)
+    canon_len = F.length(F.concat_ws(" ", T.tokens(F.col("text"))))
+    span = (
+        scrub.join(d.select("doc_id", canon_len.alias("lc")), "doc_id")
+        .agg(
+            F.sum("n_removed").cast("long").alias("n_units"),
+            F.sum(F.col("lc") - F.length("text_scrubbed")).cast("long")
+            .alias("bytes_saved"),
+        )
+        .select(F.lit("span_scrub").alias("tier"), "n_units", "bytes_saved")
+    )
+    return exact.unionByName(neardup).unionByName(span)
+
+
+def _dedup_savings_oracle() -> str:
+    return f"""
+WITH RECURSIVE cand AS ({_minhash_sql()}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION ALL SELECT doc_b, doc_a FROM cand
+),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id
+),
+clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+exact_g AS (
+  SELECT md5(text) AS h, count(*) - 1 AS n_dupes,
+         (count(*) - 1) * min(strlen(text)) AS b
+  FROM documents GROUP BY md5(text)
+),
+t0 AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+tok AS (
+  SELECT doc_id, u.i - 1 AS idx, t[u.i] AS tok
+  FROM t0, UNNEST(range(1, len(t) + 1)) AS u(i)
+), sp AS (
+  SELECT doc_id, u.i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(t[u.i:u.i+7], ' ')), 1, 15))::BIGINT AS h
+  FROM t0, UNNEST(range(1, len(t) - 6)) AS u(i)
+  WHERE len(t) >= 8
+), owners AS (
+  SELECT h, min(doc_id) AS odoc, min(doc_id) != max(doc_id) AS is_cross
+  FROM sp GROUP BY h
+), bad AS (
+  SELECT sp.doc_id, pos FROM sp JOIN owners USING (h)
+  WHERE is_cross AND sp.doc_id != odoc
+), cov AS (
+  SELECT DISTINCT doc_id, pos + v.k AS idx
+  FROM bad, UNNEST(range(0, 8)) AS v(k)
+), kept AS (
+  SELECT tok.doc_id, idx, tok FROM tok ANTI JOIN cov USING (doc_id, idx)
+), reb AS (
+  SELECT doc_id,
+         length(array_to_string(list(tok ORDER BY idx), ' ')) AS len_scrubbed,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+span_docs AS (
+  SELECT t0.doc_id,
+         length(array_to_string(t, ' ')) AS lc,
+         len(t) AS n_tok,
+         coalesce(reb.len_scrubbed, 0) AS ls,
+         coalesce(reb.n_kept, 0) AS nk
+  FROM t0 LEFT JOIN reb ON t0.doc_id = reb.doc_id
+)
+SELECT 'exact' AS tier,
+       CAST(sum(n_dupes) AS BIGINT) AS n_units,
+       CAST(sum(b) AS BIGINT) AS bytes_saved
+FROM exact_g
+UNION ALL
+SELECT 'neardup',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(strlen(text)) AS BIGINT)
+FROM clusters JOIN documents USING (doc_id)
+WHERE cluster_id != doc_id
+UNION ALL
+SELECT 'span_scrub',
+       CAST(sum(n_tok - nk) AS BIGINT),
+       CAST(sum(lc - ls) AS BIGINT)
+FROM span_docs
+"""
+
+
+ORACLE_DEDUP_SAVINGS = _dedup_savings_oracle()
+
+
 def q_scrub_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level dedup rewrite: cross-document duplicated 8-token spans
     removed everywhere except the min-id owner document (the scrubbing
@@ -2685,6 +2818,7 @@ QUERIES = {
     "doc_char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
     "dedupe_dup_spans": (q_dup_spans, ORACLE_DUP_SPANS),
     "dedupe_span_scrub": (q_scrub_dup_spans, ORACLE_SCRUB_DUP_SPANS),
+    "dedupe_savings_report": (q_dedup_savings_report, ORACLE_DEDUP_SAVINGS),
     "neardup_keep_best": (q_neardup_keep_best, ORACLE_NEARDUP_KEEP_BEST),
     "split_decontamination_exact": (q_decontamination_exact, ORACLE_DECONTAM_EXACT),
     "split_decontamination_bloom": (q_decontamination_bloom, ORACLE_DECONTAM_EXACT),
