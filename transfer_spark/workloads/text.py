@@ -1539,6 +1539,40 @@ FROM per JOIN crossdoc USING (h) GROUP BY per.doc_id
 """
 
 
+_BLOCKLIST = ["casino", "viagra", "lottery", "xxx", "darknet"]
+
+
+def q_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist safety gate: per document, how many distinct
+    blocklisted terms appear as WHOLE TOKENS (substring matching would
+    flag 'classic' for 'ass' — the canonical blocklist false-positive)
+    and the verdict. Pure codegen over the token array (one
+    array_intersect per row, no join — the list is a literal; a
+    10k-term production list would broadcast the same expression)."""
+    d = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    hits = F.array_intersect(
+        toks, F.array(*[F.lit(t) for t in _BLOCKLIST])
+    )
+    return d.select(
+        "doc_id",
+        F.size(hits).cast("long").alias("n_blocked_terms"),
+        (F.size(hits) == 0).alias("passes_blocklist"),
+    )
+
+
+ORACLE_BLOCKLIST = f"""
+SELECT doc_id,
+  CAST(len(list_intersect({_TOKS},
+       ['casino', 'viagra', 'lottery', 'xxx', 'darknet'])) AS BIGINT)
+    AS n_blocked_terms,
+  len(list_intersect({_TOKS},
+      ['casino', 'viagra', 'lottery', 'xxx', 'darknet'])) = 0
+    AS passes_blocklist
+FROM documents
+"""
+
+
 def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """What would each dedup tier save, measured independently on the
     raw corpus — the planning report read before choosing which tiers
@@ -2819,6 +2853,7 @@ QUERIES = {
     "dedupe_dup_spans": (q_dup_spans, ORACLE_DUP_SPANS),
     "dedupe_span_scrub": (q_scrub_dup_spans, ORACLE_SCRUB_DUP_SPANS),
     "dedupe_savings_report": (q_dedup_savings_report, ORACLE_DEDUP_SAVINGS),
+    "corpus_blocklist_gate": (q_blocklist_gate, ORACLE_BLOCKLIST),
     "neardup_keep_best": (q_neardup_keep_best, ORACLE_NEARDUP_KEEP_BEST),
     "split_decontamination_exact": (q_decontamination_exact, ORACLE_DECONTAM_EXACT),
     "split_decontamination_bloom": (q_decontamination_bloom, ORACLE_DECONTAM_EXACT),
