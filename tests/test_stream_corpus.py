@@ -144,6 +144,79 @@ def test_streaming_corpus_ingest_via_readstream_and_maintenance(spark, tmp_path)
     assert v[9] == "exact_index_dup"
 
 
+def test_exact_index_covers_minhash_dropped_docs(spark, tmp_path):
+    """Contract pin (r6 ADVICE): the exact index records every
+    EXACT-stage survivor, including docs the MinHash stage then drops.
+    A later byte-identical copy of a near-dup-dropped doc is
+    'exact_index_dup' (dup_of = the dropped doc), never re-shingled."""
+    ing = StreamingCorpusIngest(spark, str(tmp_path / "ing"), min_tokens=5)
+    v0 = {
+        r.doc_id: r
+        for r in ing.process_batch(
+            _df(spark, [(1, LONG_A), (2, LONG_A_NEAR)]),
+            "doc_id", "text", batch_id=0,
+        ).collect()
+    }
+    assert v0[1].status == "kept"
+    assert v0[2].status == "batch_dup" and v0[2].dup_of == 1  # MinHash drop
+
+    v1 = {
+        r.doc_id: r
+        for r in ing.process_batch(
+            _df(spark, [(10, LONG_A_NEAR)]), "doc_id", "text", batch_id=1
+        ).collect()
+    }
+    # byte-identical to doc 2 (exact-stage survivor, MinHash-dropped,
+    # absent from the corpus): short-circuits at the exact stage
+    assert v1[10].status == "exact_index_dup" and v1[10].dup_of == 2
+    assert {r.doc_id for r in ing.corpus().collect()} == {1}
+
+
+def test_intra_batch_hot_key_stays_linear(spark, tmp_path):
+    """One content hash shared by thousands of docs in a single batch
+    (boilerplate flood): the intra-batch exact stage is groupBy-min +
+    join-back, not a self-join, so the hot group costs O(g) rows, not
+    O(g^2) pairs."""
+    ing = StreamingCorpusIngest(spark, str(tmp_path / "ing"), min_tokens=5)
+    n = 10_000
+    rows = [(i, LONG_A) for i in range(n)] + [(n, LONG_B)]
+    v = ing.process_batch(_df(spark, rows), "doc_id", "text", batch_id=0)
+    agg = {r.status: r["count"] for r in v.groupBy("status").count().collect()}
+    assert agg == {"kept": 2, "exact_batch_dup": n - 1}
+    dup_targets = (
+        v.filter(F.col("status") == "exact_batch_dup")
+        .select("dup_of").distinct().collect()
+    )
+    assert [r.dup_of for r in dup_targets] == [0]  # min id wins
+    assert {r.doc_id for r in ing.corpus().collect()} == {0, n}
+
+
+def test_unnumbered_batches_share_partitioned_layout(spark, tmp_path):
+    """batch_id=None is 'the next sequential batch': it lands in an
+    ingest_batch=N partition like numbered batches (never flat files),
+    so partition discovery over the corpus root keeps working when the
+    two call styles mix."""
+    ing = StreamingCorpusIngest(spark, str(tmp_path / "ing"), min_tokens=5)
+    ing.process_batch(_df(spark, [(1, LONG_A)]), "doc_id", "text", batch_id=0)
+    ing.process_batch(_df(spark, [(2, LONG_B)]), "doc_id", "text")  # None
+    assert {r.doc_id for r in ing.corpus().collect()} == {1, 2}
+    # numbered batches continue past the synthesized id
+    v = ing.process_batch(
+        _df(spark, [(3, "entirely unrelated prose about mountain trail "
+                        "weather patterns and alpine flora surveys")]),
+        "doc_id", "text", batch_id=5,
+    )
+    assert {r.doc_id for r in v.collect()} == {3}
+    assert {r.doc_id for r in ing.corpus().collect()} == {1, 2, 3}
+
+
+def test_min_tokens_below_shingle_width_rejected(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="shingle width"):
+        StreamingCorpusIngest(spark, str(tmp_path / "ing"), min_tokens=2)
+
+
 def test_crash_between_appends_and_watermark_replays_cleanly(spark, tmp_path):
     """The torn-batch case: indexes and corpus were appended but the
     watermark never committed (crash), so checkpoint recovery replays

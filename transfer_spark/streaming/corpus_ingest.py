@@ -17,10 +17,15 @@ micro-batch pays cost proportional to the batch, never the corpus:
 3. **Near-dup stage**: the surviving docs probe the persistent MinHash
    band index (:class:`MinHashDedupIndex.process_batch` — bucket-pruned
    reads, band equi-joins, never all-pairs).
-4. **Append**: survivors land in the corpus store; their content hashes
-   and bands join the indexes. Greedy first-arrival semantics — the
-   standard production dedup contract (earlier kept doc wins; a later
-   doc near-duplicating ONLY a dropped doc is kept, unlike batch
+4. **Append**: MinHash-kept survivors land in the corpus store and the
+   band index; the exact-hash index records EVERY exact-stage survivor
+   — including docs the MinHash stage then drops — so a byte-identical
+   copy of a near-dup-dropped doc short-circuits at the cheap exact
+   stage instead of re-paying shingling (its ``dup_of`` names a doc
+   that may itself be absent from the corpus; both are content-dropped
+   either way). Greedy first-arrival semantics — the standard
+   production dedup contract (earlier seen doc wins; a later doc
+   near-duplicating ONLY a dropped doc is kept, unlike batch
    connected-components closure).
 
 Replay safety mirrors ``streaming/agg_mv.py``: a ``_BATCH`` high-water
@@ -67,6 +72,18 @@ class StreamingCorpusIngest:
         self.minhash = MinHashDedupIndex(
             spark, os.path.join(path, "bands"), n_buckets=n_buckets
         )
+        # A doc with fewer tokens than the MinHash shingle width produces
+        # no bands, so it would get no verdict from the near-dup stage.
+        # The gate must therefore be at least as strict as shingling
+        # (verdict synthesis below still coalesces a missing MinHash
+        # verdict to 'kept' as defense in depth, in case the shingle
+        # tokenizer and the gate tokenizer ever disagree on a boundary).
+        if min_tokens < self.minhash.shingle_k:
+            raise ValueError(
+                f"min_tokens={min_tokens} < shingle width "
+                f"{self.minhash.shingle_k}: gated-in docs could produce "
+                "no MinHash bands"
+            )
         os.makedirs(path, exist_ok=True)
 
     # -- replay watermark ----------------------------------------------
@@ -154,16 +171,17 @@ class StreamingCorpusIngest:
             F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10)
             .cast("long").alias("h"),
         )
-        # intra-batch exact: min id per hash keeps
+        # intra-batch exact: min id per hash keeps. groupBy-min + join
+        # back, NOT a self-join on h — a hot content hash (thousands of
+        # boilerplate/empty docs in one delivery) makes a self-join's
+        # per-group cost quadratic; this stays O(group).
+        first_per_hash = hashed.groupBy("h").agg(
+            F.min("doc").alias("__first_doc")
+        )
         intra = (
-            hashed.alias("l")
-            .join(
-                hashed.alias("r"),
-                (F.col("l.h") == F.col("r.h"))
-                & (F.col("r.doc") < F.col("l.doc")),
-            )
-            .groupBy(F.col("l.doc").alias("doc"))
-            .agg(F.min(F.col("r.doc")).alias("exact_batch_dup_of"))
+            hashed.join(first_per_hash, "h")
+            .filter(F.col("doc") != F.col("__first_doc"))
+            .select("doc", F.col("__first_doc").alias("exact_batch_dup_of"))
         )
         exact_surv = hashed.join(intra, "doc", "left_anti")
         index_hits = self._exact_index_hits(exact_surv)
@@ -188,7 +206,10 @@ class StreamingCorpusIngest:
                       F.lit(EXACT_BATCH_DUP))
                 .when(F.col("exact_index_dup_of").isNotNull(),
                       F.lit(EXACT_INDEX_DUP))
-                .otherwise(F.col("status"))
+                # a doc that produced no MinHash bands (defensive: the
+                # __init__ guard should make this unreachable) has no
+                # near-dup verdict -> kept, matching the oracle's ELSE
+                .otherwise(F.coalesce(F.col("status"), F.lit("kept")))
                 .alias("status"),
                 F.coalesce(
                     "exact_batch_dup_of", "exact_index_dup_of", "dup_of"
@@ -197,32 +218,40 @@ class StreamingCorpusIngest:
             .localCheckpoint(eager=True)  # materialize before appends
         )
 
-        kept = verdicts.filter(F.col("status") == "kept").select("doc_id")
-        kept_rows = hashed.join(
-            kept, hashed.doc == kept.doc_id
-        ).select("doc", "text", "n_tokens", "h")
+        # exact index records EVERY exact-stage survivor (incl. docs the
+        # MinHash stage drops) — the oracle's eh1 contract, and the cheap
+        # short-circuit for byte-identical copies of near-dup-dropped
+        # docs. Derived from the checkpointed verdicts so the append
+        # never reads exact_path while writing to it.
+        exact_surv_ids = verdicts.filter(
+            ~F.col("status").isin(GATED_OUT, EXACT_BATCH_DUP, EXACT_INDEX_DUP)
+        ).select("doc_id")
         (
-            kept_rows.select(
+            hashed.join(exact_surv_ids, hashed.doc == exact_surv_ids.doc_id)
+            .select(
                 "h", "doc", (F.col("h") % self.n_buckets).alias("__bucket")
             )
             .write.mode("append").partitionBy("__bucket")
             .parquet(self.exact_path)
         )
-        corpus_rows = kept_rows.select(
-            F.col("doc").alias("doc_id"), "text", "n_tokens"
+        kept = verdicts.filter(F.col("status") == "kept").select("doc_id")
+        corpus_rows = hashed.join(
+            kept, hashed.doc == kept.doc_id
+        ).select(F.col("doc").alias("doc_id"), "text", "n_tokens")
+        if batch_id is None:
+            # one layout for both modes: an un-numbered call is "the next
+            # sequential batch" — mixing flat files and ingest_batch=N
+            # directories under one root breaks partition discovery
+            batch_id = self._watermark() + 1
+        # idempotent corpus landing: each batch owns one static
+        # partition, and a crash-replay OVERWRITES it instead of
+        # double-appending (the index appends are harmlessly
+        # duplicated — (h,doc)/(band,doc) rows are min-aggregated
+        # and self-excluded on probe)
+        corpus_rows.write.mode("overwrite").parquet(
+            os.path.join(self.corpus_path, f"ingest_batch={batch_id}")
         )
-        if batch_id is not None:
-            # idempotent corpus landing: each batch owns one static
-            # partition, and a crash-replay OVERWRITES it instead of
-            # double-appending (the index appends are harmlessly
-            # duplicated — (h,doc)/(band,doc) rows are min-aggregated
-            # and self-excluded on probe)
-            corpus_rows.write.mode("overwrite").parquet(
-                os.path.join(self.corpus_path, f"ingest_batch={batch_id}")
-            )
-            self._commit_watermark(batch_id)
-        else:
-            corpus_rows.write.mode("append").parquet(self.corpus_path)
+        self._commit_watermark(batch_id)
         return verdicts
 
     # -- maintenance ----------------------------------------------------

@@ -42,51 +42,59 @@ _ALL.update(analytics.QUERIES)
 _ALL.update(tpch_supplement.QUERIES)
 
 # The correctness driver oracle-checks at most the FIRST 50 entries in dict
-# order. Order is therefore curated: a fixed core (spine + every entry that
-# has EVER been driver-red, kept until proven driver-green) followed by a
-# rotation window over the remaining queries, shifted each round by the
-# window size (round index = number of CORRECTNESS_r*.json artifacts).
+# order. Order is therefore curated: a fixed core spine followed by a
+# least-recently-adjudicated queue over the remaining queries.
 #
-# r6 coverage math (VERDICT r5 #9): core shrunk 38 -> 25 (the decode/merge
-# spine was driver-green two rounds running; pure functions stay pinned by
-# pytest), so the window is 50-25 = 25 slots. With ~200 registered queries
-# the tail is ~175 names -> full-registry driver coverage in ceil(175/25)
-# = 7 rounds instead of 13.
+# r7 coverage math (VERDICT r6 #1): CORRECTNESS_r06.json was the first
+# all-green driver artifact, so the 8 historical reds of r3-r5 (single
+# shared oracle-typing cause, fixed r6) rotate out of the core per the
+# stated contract ("stays core until the driver shows them green"). Core
+# is now the 13-name spine (merge/fold/decode canaries + one per family),
+# window = 50-13 = 37 slots. The tail is ordered by the round each name
+# was LAST driver-adjudicated (never-seen first, ties by name), read from
+# the committed CORRECTNESS_r*.json artifacts — so each round's window
+# automatically sinks to the back once its artifact lands. As of r7,
+# 106/213 names have ever been adjudicated; the remaining 107 clear in
+# ceil(107/37) = 3 rounds, then the queue cycles by staleness.
 _CORE = [
     # cdc spine
-    "cdc_fold", "cdc_merge_hard", "cdc_merge_soft", "multi_step_merge",
-    # every driver-red entry of r3-r5 (one shared cause: oracle output
-    # typing, fixed r6) -- stays core until the driver shows them green
-    "cdc_aggregate_maintenance_stream", "cdc_incremental_digest",
-    "doc_char_entropy", "dedupe_dup_spans", "dsir_importance",
-    "ann_pq_adc_topk", "multimodal_scene_changes", "bloom_semi_reduction",
+    "cdc_fold", "cdc_merge_hard", "multi_step_merge",
     # decode canaries (NTZ-regression-prone)
     "debezium_envelope_decode", "mongo_extjson_decode",
     # one representative per family
     "encode_values", "dedupe_minhash_lsh", "pretraining_corpus_pipeline",
-    "streaming_dedup_index", "ann_bruteforce_topk", "semantic_dedupe",
-    "multimodal_image_meta", "events_asof_join", "events_sessionize",
-    "olap_pricing_summary",
-    # r6 decimal-output rework representative (12 queries changed to
-    # integer-unit sums; this one is the TPC-H top-k shape among them)
-    "olap_shipping_priority",
+    "streaming_dedup_index", "ann_bruteforce_topk",
+    "multimodal_image_meta", "events_sessionize", "olap_pricing_summary",
 ]
 _DRIVER_SLOTS = 50
 _ROTATE_SLOTS = max(1, _DRIVER_SLOTS - len(_CORE))
 
 
-def _round_index() -> int:
+def _last_adjudicated() -> dict[str, int]:
+    """Round each query name last appeared in a committed driver artifact."""
     import glob
+    import json
 
     repo_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
-    return len(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
+    seen: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+            names = json.load(open(path))
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name in names:
+            seen[name] = max(seen.get(name, 0), rnd)
+    return seen
 
 
 _missing = [n for n in _CORE if n not in _ALL]
 assert not _missing, f"_CORE names not registered: {_missing}"
 
-_tail = [n for n in _ALL if n not in _CORE]
-_shift = (_round_index() * _ROTATE_SLOTS) % len(_tail) if _tail else 0
-_rotated = _tail[_shift:] + _tail[:_shift]
+_seen = _last_adjudicated()
+_tail = sorted(
+    (n for n in _ALL if n not in _CORE),
+    key=lambda n: (_seen.get(n, -1), n),
+)
 
-QUERIES: dict[str, Entry] = {n: _ALL[n] for n in [*_CORE, *_rotated]}
+QUERIES: dict[str, Entry] = {n: _ALL[n] for n in [*_CORE, *_tail]}

@@ -1312,18 +1312,30 @@ def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each relation is ONE left-anti join; parent key sets
     are dimension-sized and broadcast (orders->customer, customer->
     nation), and the single fact-sized check (lineitem->orders) is the
-    plain PK equi-join the merge path already shuffles on."""
+    plain PK equi-join the merge path already shuffles on.
+
+    NULL FKs are counted separately (``n_null_fk``), never as orphans:
+    a left-anti join drops NULL keys structurally while SQL ``NOT IN``
+    would drop them by three-valued logic — making the split explicit
+    keeps both engines agreeing if NULL FKs ever appear (the adjacent
+    dq_violations 'custkey_not_null' rule contemplates exactly that)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey")
 
     def _orphans(child, key, parent, pkey, rel):
+        nulls = child.filter(F.col(key).isNull()).agg(
+            F.count(F.lit(1)).cast("long").alias("n_null_fk")
+        )
         n = (
-            child.join(parent, child[key] == parent[pkey], "left_anti")
+            child.filter(F.col(key).isNotNull())
+            .join(parent, child[key] == parent[pkey], "left_anti")
             .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
         )
-        return n.select(F.lit(rel).alias("relation"), "n_orphans")
+        return n.crossJoin(nulls).select(
+            F.lit(rel).alias("relation"), "n_orphans", "n_null_fk"
+        )
 
     return (
         _orphans(li, "l_orderkey", orders.select("o_orderkey"), "o_orderkey",
@@ -1337,16 +1349,27 @@ def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_FK_ORPHANS = """
 SELECT 'lineitem->orders' AS relation,
-       CAST(count(*) AS BIGINT) AS n_orphans
-FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+       CAST(count(*) FILTER (WHERE l_orderkey IS NOT NULL
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_orderkey = l_orderkey)) AS BIGINT)
+         AS n_orphans,
+       CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
+         AS n_null_fk
+FROM lineitem
 UNION ALL
 SELECT 'orders->customer',
-       CAST(count(*) AS BIGINT)
-FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+       CAST(count(*) FILTER (WHERE o_custkey IS NOT NULL
+         AND NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o_custkey)) AS BIGINT),
+       CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+FROM orders
 UNION ALL
 SELECT 'customer->nation',
-       CAST(count(*) AS BIGINT)
-FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+       CAST(count(*) FILTER (WHERE c_nationkey IS NOT NULL
+         AND NOT EXISTS (SELECT 1 FROM nation n
+                         WHERE n.n_nationkey = c_nationkey)) AS BIGINT),
+       CAST(count(*) FILTER (WHERE c_nationkey IS NULL) AS BIGINT)
+FROM customer
 """
 
 
