@@ -54,6 +54,26 @@ HEADLINE = [
     "multimodal_image_meta",
 ]
 
+# Second headline (frozen round 7): the LLM-training-data center of mass
+# — span-level dedup, decontamination, packing, importance resampling,
+# retrieval indexes, corpus ingest. Tracked as its own total so the
+# original 22-query trend line stays comparable across rounds while
+# regressions in the newer operator families become visible.
+LLM_HEADLINE = [
+    "dedupe_span_scrub",
+    "dedupe_dup_spans",
+    "split_decontamination_bloom",
+    "corpus_sequence_pack",
+    "corpus_pack_efficiency",
+    "corpus_token_budget_select",
+    "corpus_mixture_temperature",
+    "dsir_importance",
+    "gopher_quality_gate",
+    "ann_pq_adc_topk",
+    "bm25_index_topk",
+    "streaming_corpus_ingest",
+]
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -72,26 +92,35 @@ def main() -> None:
         print(f"bench: warm-up failed: {exc}", file=sys.stderr)
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        # Fault-isolated: a raising query records null and the bench still
-        # publishes every other number (r4's artifact was empty because one
-        # query aborted the whole run).
-        try:
-            fn, _oracle = QUERIES[name]
-            best = float("inf")
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                _force(fn(spark, sf_dir))
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
-        except Exception as exc:  # noqa: BLE001 — isolation is the point
-            timings[name] = None
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+
+    def _run_set(names: list[str]) -> dict[str, float | None]:
+        timings: dict[str, float | None] = {}
+        for name in names:
+            # Fault-isolated: a raising query records null and the bench
+            # still publishes every other number (r4's artifact was empty
+            # because one query aborted the whole run).
+            try:
+                fn, _oracle = QUERIES[name]
+                best = float("inf")
+                for _ in range(runs):
+                    t0 = time.perf_counter()
+                    _force(fn(spark, sf_dir))
+                    best = min(best, time.perf_counter() - t0)
+                timings[name] = round(best, 3)
+            except Exception as exc:  # noqa: BLE001 — isolation is the point
+                timings[name] = None
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+        return timings
+
+    timings = _run_set(HEADLINE)
+    llm_timings = _run_set(LLM_HEADLINE)
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
+    llm_total = round(
+        sum(v for v in llm_timings.values() if v is not None), 3
+    )
     print(
         json.dumps(
             {
@@ -99,6 +128,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "llm_total": llm_total,
+                "llm_queries": llm_timings,
                 "sf": sf,
                 **({"errors": errors} if errors else {}),
             }
