@@ -1,0 +1,113 @@
+"""The statefs seam: persistent streaming state through both filesystem
+implementations.
+
+LocalStateFS is the default and is exercised by every other streaming
+test; here the SAME store logic runs through HadoopStateFS (Hadoop
+``FileSystem`` via the Spark JVM gateway, resolved per-path — the
+object-store deployment path), proving the 100 TB story is a
+constructor argument, not a rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transfer_spark.streaming.statefs import HadoopStateFS, LocalStateFS
+
+LONG_A = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew strong potions under a pale autumn moon tonight"
+)
+LONG_B = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution pipelines here"
+)
+
+
+def test_hadoop_statefs_primitives(spark, tmp_path):
+    fs = HadoopStateFS(spark)
+    root = str(tmp_path / "store")
+    fs.makedirs(root + "/sub")
+    assert fs.exists(root + "/sub")
+    fs.write_text_atomic(root + "/_MARK", "41")
+    fs.write_text_atomic(root + "/_MARK", "42")  # overwrite via rename
+    assert fs.read_text(root + "/_MARK") == "42"
+    assert sorted(fs.listdir(root)) == ["_MARK", "sub"]
+    fs.rmtree(root + "/sub")
+    assert not fs.exists(root + "/sub")
+    # interchangeable with the local impl on the same tree (the local
+    # view additionally sees Hadoop's hidden .crc sidecars — dotfiles,
+    # which every store-side listing consumer filters by prefix)
+    lfs = LocalStateFS()
+    assert lfs.read_text(root + "/_MARK") == "42"
+    assert [n for n in lfs.listdir(root) if not n.startswith(".")] == ["_MARK"]
+
+
+def test_corpus_ingest_through_hadoop_fs(spark, tmp_path):
+    """Full dedup-at-ingest lifecycle (watermark, exact index probe,
+    replay no-op, maintenance listing) with every metadata operation on
+    the Hadoop FileSystem API instead of os."""
+    from transfer_spark.streaming.corpus_ingest import StreamingCorpusIngest
+
+    fs = HadoopStateFS(spark)
+    ing = StreamingCorpusIngest(
+        spark, str(tmp_path / "ing"), min_tokens=5, fs=fs
+    )
+
+    def _df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    v0 = {
+        r.doc_id: r.status
+        for r in ing.process_batch(
+            _df([(1, LONG_A), (2, LONG_A)]), "doc_id", "text", batch_id=0
+        ).collect()
+    }
+    assert v0 == {1: "kept", 2: "exact_batch_dup"}
+    # replay is a no-op through the Hadoop-read watermark
+    assert ing.process_batch(
+        _df([(1, LONG_A)]), "doc_id", "text", batch_id=0
+    ) is None
+    v1 = {
+        r.doc_id: r.status
+        for r in ing.process_batch(
+            _df([(10, LONG_A), (11, LONG_B)]), "doc_id", "text", batch_id=1
+        ).collect()
+    }
+    assert v1 == {10: "exact_index_dup", 11: "kept"}
+    assert {r.doc_id for r in ing.corpus().collect()} == {1, 11}
+    report = ing.run_maintenance(max_files_per_bucket=0)
+    assert isinstance(report["exact"], list)
+    assert {r.doc_id for r in ing.corpus().collect()} == {1, 11}
+
+
+def test_accumulators_through_hadoop_fs(spark, tmp_path):
+    from transfer_spark.streaming.sketch_accum import KmvAccumulator
+
+    fs = HadoopStateFS(spark)
+    acc = KmvAccumulator(spark, str(tmp_path / "kmv"), "v", k=8, fs=fs)
+    acc.apply_batch(spark.range(20).select(F.col("id").alias("v")))
+    acc.apply_batch(spark.range(10, 30).select(F.col("id").alias("v")))
+    assert acc.fractions().count() == 8
+    acc.vacuum(keep=1)
+    assert len(acc._versions()) == 1
+    assert acc.fractions().count() == 8
+
+
+def test_agg_mv_through_hadoop_fs(spark, tmp_path):
+    from transfer_spark.streaming.agg_mv import IncrementalAggMV
+
+    fs = HadoopStateFS(spark)
+    mv = IncrementalAggMV(
+        spark, str(tmp_path / "mv"), pk_cols=["pk"], order_col="ts",
+        delete_col="deleted", group_col="g", value_col="amt", fs=fs,
+    )
+    b = spark.createDataFrame(
+        [(1, 1, False, "a", 10), (2, 1, False, "a", 5), (3, 1, False, "b", 7)],
+        "pk long, ts long, deleted boolean, g string, amt long",
+    )
+    mv.apply_batch(b)
+    got = {r.g: r for r in mv.mv().collect()}
+    assert got["a"].value_live == 15 and got["b"].value_live == 7
+    mv.vacuum(keep=1)
+    assert {r.g: r.value_live for r in mv.mv().collect()} == {"a": 15, "b": 7}

@@ -34,6 +34,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from transfer_spark.streaming.statefs import LocalStateFS
+
 from transfer_spark.operators.cdc_fold import aggregate_maintenance, lww_dedup
 
 
@@ -47,6 +49,7 @@ class IncrementalAggMV:
         delete_col: str,
         group_col: str,
         value_col: str,
+        fs=None,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -55,7 +58,11 @@ class IncrementalAggMV:
         self.delete_col = delete_col
         self.group_col = group_col
         self.value_col = value_col
-        os.makedirs(path, exist_ok=True)
+        # metadata IO (version listing, _COMMIT markers) goes through
+        # the statefs seam so an object-store-backed MV is a config,
+        # not a rewrite
+        self.fs = fs if fs is not None else LocalStateFS()
+        self.fs.makedirs(path)
 
     # ------------------------------------------------------------- versions
     #
@@ -71,8 +78,8 @@ class IncrementalAggMV:
 
     def _versions(self, what: str = "mv") -> list[str]:
         out = []
-        for v in sorted(os.listdir(self.path)):
-            if v.startswith("v") and os.path.exists(
+        for v in sorted(self.fs.listdir(self.path)):
+            if v.startswith("v") and self.fs.exists(
                 os.path.join(self.path, v, "_COMMIT")
             ):
                 out.append(v)
@@ -92,19 +99,16 @@ class IncrementalAggMV:
         d = os.path.join(self.path, nxt)
         mv.write.mode("overwrite").parquet(os.path.join(d, "mv"))
         state.write.mode("overwrite").parquet(os.path.join(d, "state"))
-        with open(os.path.join(d, "_COMMIT"), "w") as f:
-            f.write("1")
+        self.fs.write_text_atomic(os.path.join(d, "_COMMIT"), "1")
 
     def vacuum(self, keep: int = 2) -> None:
         """Drop all but the newest ``keep`` committed versions (plus any
         uncommitted wreckage older than them)."""
-        import shutil
-
         committed = self._versions()
         keep_set = set(committed[-keep:])
-        for v in sorted(os.listdir(self.path)):
+        for v in sorted(self.fs.listdir(self.path)):
             if v.startswith("v") and v not in keep_set:
-                shutil.rmtree(os.path.join(self.path, v))
+                self.fs.rmtree(os.path.join(self.path, v))
 
     # ----------------------------------------------------------------- api
 

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from transfer_spark.operators.text import token_count, quality_score
 from transfer_spark.streaming.dedup_index import MinHashDedupIndex
+from transfer_spark.streaming.statefs import LocalStateFS
 
 GATED_OUT = "gated_out"
 EXACT_BATCH_DUP = "exact_batch_dup"
@@ -61,16 +62,20 @@ class StreamingCorpusIngest:
         min_tokens: int = 5,
         min_quality: float | None = None,
         n_buckets: int = 16,
+        fs=None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.min_tokens = min_tokens
         self.min_quality = min_quality
         self.n_buckets = n_buckets
+        # metadata IO (markers, listings) goes through the statefs seam
+        # so an object-store-backed store is a config, not a rewrite
+        self.fs = fs if fs is not None else LocalStateFS()
         self.exact_path = os.path.join(path, "exact")
         self.corpus_path = os.path.join(path, "corpus")
         self.minhash = MinHashDedupIndex(
-            spark, os.path.join(path, "bands"), n_buckets=n_buckets
+            spark, os.path.join(path, "bands"), n_buckets=n_buckets, fs=self.fs
         )
         # A doc with fewer tokens than the MinHash shingle width produces
         # no bands, so it would get no verdict from the near-dup stage.
@@ -84,32 +89,30 @@ class StreamingCorpusIngest:
                 f"{self.minhash.shingle_k}: gated-in docs could produce "
                 "no MinHash bands"
             )
-        os.makedirs(path, exist_ok=True)
+        self.fs.makedirs(path)
 
     # -- replay watermark ----------------------------------------------
     def _watermark(self) -> int:
         p = os.path.join(self.path, "_BATCH")
-        if not os.path.exists(p):
+        if not self.fs.exists(p):
             return -1
-        with open(p) as f:
-            return int(f.read().strip() or -1)
+        return int(self.fs.read_text(p).strip() or -1)
 
     def _commit_watermark(self, batch_id: int) -> None:
-        p = os.path.join(self.path, "_BATCH")
-        with open(p + ".tmp", "w") as f:
-            f.write(str(batch_id))
-        os.replace(p + ".tmp", p)  # atomic on POSIX
+        self.fs.write_text_atomic(
+            os.path.join(self.path, "_BATCH"), str(batch_id)
+        )
 
     # -- state readers --------------------------------------------------
     def corpus(self) -> DataFrame | None:
-        if not os.path.exists(self.corpus_path):
+        if not self.fs.exists(self.corpus_path):
             return None
         return self.spark.read.parquet(self.corpus_path)
 
     def _exact_index_hits(self, hashed: DataFrame) -> DataFrame:
         """(doc, exact_index_dup_of) for batch docs whose content hash is
         already indexed — reads only the batch's hash buckets."""
-        if not os.path.exists(self.exact_path):
+        if not self.fs.exists(self.exact_path):
             return hashed.select("doc").limit(0).withColumn(
                 "exact_index_dup_of", F.lit(None).cast("long")
             )
@@ -263,13 +266,13 @@ class StreamingCorpusIngest:
         hot ingest path. Returns per-index compacted bucket lists."""
         bands = self.minhash.compact(max_files_per_bucket)
         exact = []
-        if os.path.exists(self.exact_path):
-            for name in os.listdir(self.exact_path):
+        if self.fs.exists(self.exact_path):
+            for name in self.fs.listdir(self.exact_path):
                 if not name.startswith("__bucket="):
                     continue
                 bdir = os.path.join(self.exact_path, name)
                 n_files = sum(
-                    1 for f in os.listdir(bdir) if f.endswith(".parquet")
+                    1 for f in self.fs.listdir(bdir) if f.endswith(".parquet")
                 )
                 if n_files > max_files_per_bucket:
                     exact.append(int(name.split("=", 1)[1]))

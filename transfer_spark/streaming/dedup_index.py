@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transfer_spark.operators.dedupe import minhash_bands, minhash_signature_df
+from transfer_spark.streaming.statefs import LocalStateFS
 
 KEPT = "kept"
 BATCH_DUP = "batch_dup"
@@ -54,6 +55,7 @@ class MinHashDedupIndex:
         bands: int = 4,
         shingle_k: int = 3,
         n_buckets: int = 64,
+        fs=None,
     ):
         self.spark = spark
         self.path = path
@@ -61,7 +63,10 @@ class MinHashDedupIndex:
         self.bands = bands
         self.shingle_k = shingle_k
         self.n_buckets = n_buckets
-        os.makedirs(path, exist_ok=True)
+        # metadata IO (listings, markers) goes through the statefs seam so
+        # an object-store-backed index is a config, not a rewrite
+        self.fs = fs if fs is not None else LocalStateFS()
+        self.fs.makedirs(path)
 
     # -- banding ---------------------------------------------------------
     def band_frame(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -83,7 +88,7 @@ class MinHashDedupIndex:
     # -- index IO --------------------------------------------------------
     def exists(self) -> bool:
         return any(
-            n.startswith(self.BUCKET_COL + "=") for n in os.listdir(self.path)
+            n.startswith(self.BUCKET_COL + "=") for n in self.fs.listdir(self.path)
         )
 
     def read_buckets(self, buckets: list[int]) -> DataFrame:
@@ -115,17 +120,20 @@ class MinHashDedupIndex:
         """
         banded = self.band_frame(df, id_col, text_col).persist()
         try:
-            # 1. intra-batch: smallest lower-id doc sharing any band
-            left, right = banded.alias("l"), banded.alias("r")
+            # 1. intra-batch: smallest lower-id doc sharing any band.
+            # Per-band-group min + join back, NOT a self-join — a hot
+            # band (boilerplate flood) makes a self-join quadratic in
+            # the group. Equivalent: the smallest doc sharing any band
+            # with l below l.doc IS some band-group's min, and every
+            # band-group min below l.doc is itself such a doc.
+            first_per_band = banded.groupBy("band", "band_hash").agg(
+                F.min("doc").alias("__first_doc")
+            )
             intra = (
-                left.join(
-                    right,
-                    (F.col("l.band") == F.col("r.band"))
-                    & (F.col("l.band_hash") == F.col("r.band_hash"))
-                    & (F.col("r.doc") < F.col("l.doc")),
-                )
-                .groupBy(F.col("l.doc").alias("doc"))
-                .agg(F.min(F.col("r.doc")).alias("intra_dup_of"))
+                banded.join(first_per_band, ["band", "band_hash"])
+                .filter(F.col("__first_doc") < F.col("doc"))
+                .groupBy("doc")
+                .agg(F.min("__first_doc").alias("intra_dup_of"))
             )
             # 2. index probe, pruned to this batch's buckets (bounded
             #    collect: at most n_buckets distinct values)
@@ -196,12 +204,12 @@ class MinHashDedupIndex:
         flush path.
         """
         fragged = []
-        for name in os.listdir(self.path):
+        for name in self.fs.listdir(self.path):
             if not name.startswith(self.BUCKET_COL + "="):
                 continue
             bdir = os.path.join(self.path, name)
             n_files = sum(
-                1 for f in os.listdir(bdir) if f.endswith(".parquet")
+                1 for f in self.fs.listdir(bdir) if f.endswith(".parquet")
             )
             if n_files > max_files_per_bucket:
                 fragged.append(int(name.split("=", 1)[1]))

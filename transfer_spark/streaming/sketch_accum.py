@@ -26,6 +26,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from transfer_spark.streaming.statefs import LocalStateFS
+
 from transfer_spark.operators.temporal import count_min_sketch
 
 
@@ -37,22 +39,24 @@ class CmsAccumulator:
         value_col: str,
         depth: int = 4,
         width: int = 256,
+        fs=None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.value_col = value_col
         self.depth = depth
         self.width = width
-        os.makedirs(path, exist_ok=True)
+        self.fs = fs if fs is not None else LocalStateFS()
+        self.fs.makedirs(path)
 
     def _versions(self) -> list[str]:
         # only versions whose parquet job committed (_SUCCESS is written
         # last); a partial newest version from a crash is invisible here
         # and gets overwritten by the next apply_batch
         return sorted(
-            v for v in os.listdir(self.path)
+            v for v in self.fs.listdir(self.path)
             if v.startswith("v")
-            and os.path.exists(os.path.join(self.path, v, "_SUCCESS"))
+            and self.fs.exists(os.path.join(self.path, v, "_SUCCESS"))
         )
 
     def sketch(self) -> DataFrame | None:
@@ -62,10 +66,8 @@ class CmsAccumulator:
         return self.spark.read.parquet(os.path.join(self.path, vs[-1]))
 
     def vacuum(self, keep: int = 2) -> None:
-        import shutil
-
         for v in self._versions()[:-keep]:
-            shutil.rmtree(os.path.join(self.path, v))
+            self.fs.rmtree(os.path.join(self.path, v))
 
     def apply_batch(self, batch: DataFrame) -> DataFrame:
         """Merge one micro-batch's cells into the persisted sketch."""
@@ -95,21 +97,22 @@ class KmvAccumulator:
     ``operators/temporal.kmv_distinct`` arithmetic."""
 
     def __init__(self, spark: SparkSession, path: str, value_col: str,
-                 k: int = 32) -> None:
+                 k: int = 32, fs=None) -> None:
         self.spark = spark
         self.path = path
         self.value_col = value_col
         self.k = k
-        os.makedirs(path, exist_ok=True)
+        self.fs = fs if fs is not None else LocalStateFS()
+        self.fs.makedirs(path)
 
     def _versions(self) -> list[str]:
         # only versions whose parquet job committed (_SUCCESS is written
         # last); a partial newest version from a crash is invisible here
         # and gets overwritten by the next apply_batch
         return sorted(
-            v for v in os.listdir(self.path)
+            v for v in self.fs.listdir(self.path)
             if v.startswith("v")
-            and os.path.exists(os.path.join(self.path, v, "_SUCCESS"))
+            and self.fs.exists(os.path.join(self.path, v, "_SUCCESS"))
         )
 
     def fractions(self) -> DataFrame | None:
@@ -119,10 +122,8 @@ class KmvAccumulator:
         return self.spark.read.parquet(os.path.join(self.path, vs[-1]))
 
     def vacuum(self, keep: int = 2) -> None:
-        import shutil
-
         for v in self._versions()[:-keep]:
-            shutil.rmtree(os.path.join(self.path, v))
+            self.fs.rmtree(os.path.join(self.path, v))
 
     def apply_batch(self, batch: DataFrame) -> DataFrame:
         from transfer_spark.operators.temporal import hash_frac

@@ -1,0 +1,121 @@
+"""Filesystem seam for persistent streaming state (indexes, MVs,
+watermarks).
+
+The streaming state stores (:mod:`corpus_ingest`, :mod:`dedup_index`,
+:mod:`agg_mv`, :mod:`sketch_accum`) need five tiny metadata operations
+outside Spark's own parquet IO: directory listing (file-count probes for
+compaction, version discovery), existence checks, and small atomic
+marker files (``_BATCH`` / ``_COMMIT`` / ``_SUCCESS`` watermarks). On a
+laptop those are ``os`` calls; on a 100 TB deployment the state lives on
+HDFS or an object store, where ``os`` sees nothing.
+
+This module makes that a configuration, not a rewrite:
+
+- :class:`LocalStateFS` — ``os``/``shutil``, the default, byte-for-byte
+  today's behavior.
+- :class:`HadoopStateFS` — the same five operations through Hadoop's
+  ``FileSystem`` API via the Spark JVM gateway, so any scheme Spark can
+  write parquet to (``hdfs://``, ``s3a://``, ``gs://``, ``abfs://``)
+  serves the markers too. Marker atomicity maps to ``rename``, which is
+  atomic on HDFS; on S3-family stores it is copy+delete — last-writer-
+  wins, which the single-writer watermark contract already assumes
+  (exactly one driver advances a given store's watermark).
+
+Every store takes ``fs=`` in its constructor and defaults to
+:class:`LocalStateFS`; tests exercise both implementations against the
+same store logic.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+
+class LocalStateFS:
+    """Direct POSIX implementation — the single-box default."""
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)  # atomic on POSIX
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path)
+
+
+class HadoopStateFS:
+    """Hadoop ``FileSystem`` implementation via the Spark JVM gateway.
+
+    Resolves the concrete filesystem per-path from the active Hadoop
+    configuration, so one instance serves mixed schemes (``file://`` in
+    tests, ``s3a://``/``hdfs://`` in production) exactly the way Spark's
+    own writers do.
+    """
+
+    def __init__(self, spark) -> None:
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    def _fs(self, path: str):
+        jpath = self._jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(self._conf), jpath
+
+    def makedirs(self, path: str) -> None:
+        fs, p = self._fs(path)
+        fs.mkdirs(p)
+
+    def exists(self, path: str) -> bool:
+        fs, p = self._fs(path)
+        return bool(fs.exists(p))
+
+    def listdir(self, path: str) -> list[str]:
+        fs, p = self._fs(path)
+        # drop dot-prefixed entries (Hadoop's hidden-file convention —
+        # e.g. the local ChecksumFileSystem's .crc sidecars); markers
+        # like _SUCCESS/_COMMIT use '_' and stay visible
+        return [
+            name
+            for st in fs.listStatus(p)
+            if not (name := st.getPath().getName()).startswith(".")
+        ]
+
+    def read_text(self, path: str) -> str:
+        fs, p = self._fs(path)
+        stream = fs.open(p)
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        fs, p = self._fs(path)
+        _, tmp = self._fs(path + ".tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        if fs.exists(p):
+            fs.delete(p, False)  # HDFS rename refuses existing targets
+        fs.rename(tmp, p)
+
+    def rmtree(self, path: str) -> None:
+        fs, p = self._fs(path)
+        fs.delete(p, True)
