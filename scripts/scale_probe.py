@@ -164,6 +164,114 @@ def main():
               lambda d: classifier_score(d, "vec_id", "embedding",
                                          _classifier_weights())),
     ]
+    # round-7 additions (VERDICT r6 #4): the r6 operators
+    from transfer_spark.operators.dedupe import (
+        ngram_collisions_bloom,
+        scrub_dup_spans,
+    )
+
+    eval_docs = docs.limit(50).select("doc_id", "text").localCheckpoint()
+
+    results += [
+        # covered-position explode must stay per-duplicated-occurrence
+        probe("span_scrub", dc,
+              lambda d: scrub_dup_spans(d, "doc_id", "text")),
+        # the 8 KiB bitmap cuts the span stream in the scan; the eval
+        # suite stays FIXED as the train side grows (the real contract)
+        probe("decon_bloom", dc,
+              lambda d: ngram_collisions_bloom(d, eval_docs,
+                                               "doc_id", "text")),
+    ]
+
+    # corpus-ingest probe cost must track the BATCH, not the corpus
+    # (VERDICT r6 #4): seed the persistent indexes from a 1x vs 10x
+    # corpus, then time the SAME fixed-size batch against each.
+    import tempfile
+
+    from transfer_spark.streaming.corpus_ingest import StreamingCorpusIngest
+
+    ing_out = {"op": "corpus_ingest_probe", "rep": REP}
+    probe_batch = (
+        docs.limit(200)
+        .select((F.col("doc_id") + F.lit(5_000_000_000)).alias("doc_id"),
+                "text")
+        .localCheckpoint()
+    )
+    for label, factor in (("t1", 1), ("tN", REP)):
+        ing = StreamingCorpusIngest(
+            spark, tempfile.mkdtemp(prefix="scale_ing_"), min_tokens=5
+        )
+        ing.process_batch(
+            dc(factor).select("doc_id", "text"), "doc_id", "text", batch_id=0
+        )  # index build cost is NOT the measurement
+        t0 = time.perf_counter()
+        v = ing.process_batch(probe_batch, "doc_id", "text", batch_id=1)
+        v.count()
+        ing_out[label] = round(time.perf_counter() - t0, 2)
+    ing_out["ratio"] = round(ing_out["tN"] / ing_out["t1"], 2)
+    print(json.dumps(ing_out), flush=True)
+    results.append(ing_out)
+
+    # Zipf-skew stress for the big-big order-key join (VERDICT r6 #8):
+    # 30% of lineitem rows collapse onto ONE hot orderkey; broadcast is
+    # disabled so the join takes the 100 TB sort-merge path, and AQE's
+    # skew split must keep the wall ratio in the same family as the
+    # uniform join's. The final-adaptive-plan report records whether the
+    # skew handler actually engaged.
+    from transfer_spark.plans.report import plan_report
+
+    orders = read_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+
+    def orders_scaled(factor):
+        base = orders if factor == 1 else replicate(
+            orders, ["o_orderkey"], factor)
+        return base.repartition(nparts)
+
+    def _join(lines, factor):
+        return (
+            lines.join(orders_scaled(factor).hint("shuffle_merge"),
+                       lines.l_orderkey == F.col("o_orderkey"))
+            .groupBy("o_orderdate")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n"))
+        )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        skew_out = {"op": "orderkey_join_skew", "rep": REP}
+        for label, factor in (("t1_uniform", 1), ("tN_uniform", REP),
+                              ("t1_skew", 1), ("tN_skew", REP)):
+            lines = li(factor)
+            if label.endswith("_skew"):
+                lines = lines.withColumn(
+                    "l_orderkey",
+                    F.when(
+                        F.pmod(F.xxhash64("l_orderkey"), F.lit(10)) < 3,
+                        F.lit(1),
+                    ).otherwise(F.col("l_orderkey")),
+                )
+            frame = _join(lines, factor)
+            t0 = time.perf_counter()
+            frame.write.format("noop").mode("overwrite").save()
+            skew_out[label] = round(time.perf_counter() - t0, 2)
+            if label == "tN_skew":
+                skew_out["skew_joins_final_plan"] = plan_report(
+                    _join(lines, factor), execute=True
+                )["skew_joins"]
+        skew_out["ratio_uniform"] = round(
+            skew_out["tN_uniform"] / skew_out["t1_uniform"], 2)
+        skew_out["ratio_skew"] = round(
+            skew_out["tN_skew"] / skew_out["t1_skew"], 2)
+        skew_out["ratio"] = skew_out["ratio_skew"]
+        print(json.dumps(skew_out), flush=True)
+        results.append(skew_out)
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024)
+        )
+
     worst = max(r["ratio"] for r in results)
     print(json.dumps({"metric": "scale_probe_worst_ratio", "value": worst,
                       "rep": REP, "ops": {r["op"]: r["ratio"] for r in results},

@@ -1,0 +1,158 @@
+"""Crash-at-every-boundary soak: end-state equivalence under torn
+batches (SURVEY §5's e2e idea — the crash run must converge to the
+no-crash run's exact state).
+
+Two stateful surfaces:
+
+- ``StreamingCorpusIngest``: its append sequence is bands → exact index
+  → corpus partition → watermark. A crash is injected AFTER each write
+  (failpoints in ``process_batch``), the same batch is re-delivered (as
+  checkpoint recovery does), the run continues, and the final corpus +
+  per-batch verdicts must equal the clean run's.
+- ``MultiTablePipeline``: the flush fan-out aborts before the
+  checkpoint commit when any table's flush raises. A crash is injected
+  after each (batch, table) flush, the whole batch is re-delivered to a
+  FRESH pipeline object (process restart), and every table's end state
+  must equal the clean run's.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transfer_spark.constants import DELETE_COLUMN_MARKER, OFFSET_COLUMN
+from transfer_spark.streaming.corpus_ingest import StreamingCorpusIngest
+from transfer_spark.streaming.pipeline import MultiTablePipeline
+
+# ---------------------------------------------------------------- corpus
+
+DOCS = {
+    1: "the quick brown fox jumps over the lazy dog while seven wizards "
+       "brew strong potions under a pale autumn moon tonight",
+    2: "the quick brown fox jumps over the lazy dog while seven wizards "
+       "brew strong potions under a pale autumn moon today",  # near-dup of 1
+    3: "completely different content about distributed query engines and "
+       "columnar storage formats with vectorized execution pipelines here",
+}
+BATCHES = [
+    [(1, DOCS[1]), (2, DOCS[2])],                   # kept + batch near-dup
+    [(10, DOCS[1]), (11, DOCS[3])],                 # exact index dup + kept
+    [(20, DOCS[2]), (21, DOCS[3] + " and more"),    # exact dup of dropped 2
+     (22, "fresh prose on tidal marsh ecology and sediment transport "
+          "dynamics in estuarine systems observed over two decades")],
+]
+
+
+def _run_corpus(spark, path, crash: "tuple[int, str] | None"):
+    """Apply all batches; when ``crash=(j, tag)`` the j-th batch raises
+    at the tag'd failpoint and is then re-delivered (same batch_id) on a
+    fresh object over the same store. Returns (verdicts, corpus_ids)."""
+    verdicts: dict[int, dict] = {}
+    ing = StreamingCorpusIngest(spark, path, min_tokens=5)
+    for j, rows in enumerate(BATCHES):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        if crash is not None and crash[0] == j:
+            ing._crash_at = {crash[1]}
+            with pytest.raises(RuntimeError, match="injected crash"):
+                ing.process_batch(df, "doc_id", "text", batch_id=j)
+            # process restart: fresh object, same store, same batch again
+            ing = StreamingCorpusIngest(spark, path, min_tokens=5)
+        v = ing.process_batch(df, "doc_id", "text", batch_id=j)
+        assert v is not None, f"batch {j} wrongly treated as replay"
+        verdicts[j] = {r.doc_id: (r.status, r.dup_of) for r in v.collect()}
+    return verdicts, {r.doc_id for r in ing.corpus().collect()}
+
+
+def test_corpus_ingest_crash_at_every_boundary(spark, tmp_path):
+    ref_v, ref_corpus = _run_corpus(spark, str(tmp_path / "ref"), None)
+    # sanity: the scripted batches exercise every stage
+    statuses = {s for per in ref_v.values() for s, _ in per.values()}
+    assert statuses >= {"kept", "batch_dup", "exact_index_dup"}
+
+    scenarios = [
+        (j, tag)
+        for j in range(len(BATCHES))
+        for tag in ("bands_appended", "exact_appended", "corpus_written")
+    ]
+    for i, (j, tag) in enumerate(scenarios):
+        got_v, got_corpus = _run_corpus(
+            spark, str(tmp_path / f"c{i}"), (j, tag)
+        )
+        assert got_v == ref_v, f"verdicts diverge: crash at {tag} in batch {j}"
+        assert got_corpus == ref_corpus, (
+            f"corpus diverges: crash at {tag} in batch {j}"
+        )
+
+
+# -------------------------------------------------------------- pipeline
+
+WIRE_DDL = (
+    f"tbl string, id bigint, {OFFSET_COLUMN} bigint, "
+    f"{DELETE_COLUMN_MARKER} boolean, val string"
+)
+MT_TABLES = ["t1", "t2"]
+
+
+def _mt_batch(spark, j: int):
+    rows = []
+    for ti, t in enumerate(MT_TABLES):
+        for i in range(6):
+            if j == 2 and i == 0:
+                continue  # keep batch 1's hard delete of id 0 final
+            off = j * 1000 + ti * 100 + i
+            is_del = j == 1 and i == 0  # batch 1 hard-deletes id 0
+            rows.append((t, i, off, is_del, None if is_del else f"b{j}v{i}"))
+    return spark.createDataFrame(rows, WIRE_DDL)
+
+
+def _mt_state(mtp):
+    # the fold drops the order column before merge, so the target
+    # table's observable state is (id, val) per table
+    out = {}
+    for t in MT_TABLES:
+        df = mtp._pipeline_for(t).table.read()
+        out[t] = sorted(
+            (r.id, r.val) for r in df.select("id", "val").collect()
+        ) if df is not None else None
+    return out
+
+
+def _run_pipeline(spark, base, crash: "tuple[int, str] | None"):
+    """Apply 3 batches; when ``crash=(j, t)`` table t's flush succeeds
+    then raises during batch j (torn fan-out: t landed, the batch
+    aborted before checkpoint), and the WHOLE batch is re-delivered to a
+    fresh pipeline object."""
+
+    def _mk():
+        return MultiTablePipeline(
+            spark, base, "tbl", ["id"], OFFSET_COLUMN,
+            table_format="bucketed", n_buckets=4,
+        )
+
+    mtp = _mk()
+    for j in range(3):
+        df = _mt_batch(spark, j)
+        if crash is not None and crash[0] == j:
+            victim = mtp._pipeline_for(crash[1])
+            orig = victim.process_batch
+
+            def _flush_then_die(bdf, bid, _orig=orig):
+                _orig(bdf, bid)
+                raise RuntimeError("injected crash after flush")
+
+            victim.process_batch = _flush_then_die
+            with pytest.raises(RuntimeError, match="injected crash"):
+                mtp.process_batch(df, j)
+            mtp = _mk()  # process restart; checkpoint re-delivers batch j
+        mtp.process_batch(df, j)
+    return _mt_state(mtp)
+
+
+def test_multitable_crash_at_every_flush_boundary(spark, tmp_path):
+    ref = _run_pipeline(spark, str(tmp_path / "ref"), None)
+    assert ref["t1"] is not None and len(ref["t1"]) == 5  # id 0 deleted
+    scenarios = [(j, t) for j in range(3) for t in MT_TABLES]
+    for i, (j, t) in enumerate(scenarios):
+        got = _run_pipeline(spark, str(tmp_path / f"p{i}"), (j, t))
+        assert got == ref, f"state diverges: crash after {t} flush, batch {j}"

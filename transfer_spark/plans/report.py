@@ -67,4 +67,7 @@ def plan_report(df: DataFrame, execute: bool = True) -> dict:
         + plan.count("MapInPandas")
         + plan.count("BatchEvalPython"),
         "is_final_adaptive_plan": "isFinalPlan=false" not in plan,
+        # AQE skew-join handling in the FINAL plan (SortMergeJoin prints
+        # skew=true / isSkewJoin=true when the hot partitions were split)
+        "skew_joins": plan.lower().count("skew=true"),
     }

@@ -90,6 +90,16 @@ class StreamingCorpusIngest:
                 "no MinHash bands"
             )
         self.fs.makedirs(path)
+        # crash-injection points for the torn-batch soak test: tags in
+        # this set raise AFTER the corresponding write lands, simulating
+        # a crash at every boundary of the append sequence (bands ->
+        # exact index -> corpus partition -> watermark). Empty in
+        # production; replay safety must hold at every point.
+        self._crash_at: set[str] = set()
+
+    def _fp(self, tag: str) -> None:
+        if tag in self._crash_at:
+            raise RuntimeError(f"injected crash at {tag}")
 
     # -- replay watermark ----------------------------------------------
     def _watermark(self) -> int:
@@ -195,6 +205,7 @@ class StreamingCorpusIngest:
             exact_kept.select(F.col("doc").alias("doc_id"), "text"),
             "doc_id", "text",
         ).select(F.col("doc_id").alias("doc"), "status", "dup_of")
+        self._fp("bands_appended")
 
         verdicts = (
             stamped.select("doc")
@@ -237,6 +248,7 @@ class StreamingCorpusIngest:
             .write.mode("append").partitionBy("__bucket")
             .parquet(self.exact_path)
         )
+        self._fp("exact_appended")
         kept = verdicts.filter(F.col("status") == "kept").select("doc_id")
         corpus_rows = hashed.join(
             kept, hashed.doc == kept.doc_id
@@ -254,6 +266,7 @@ class StreamingCorpusIngest:
         corpus_rows.write.mode("overwrite").parquet(
             os.path.join(self.corpus_path, f"ingest_batch={batch_id}")
         )
+        self._fp("corpus_written")
         self._commit_watermark(batch_id)
         return verdicts
 
