@@ -1,0 +1,66 @@
+"""Render a check_oracles sweep log into a committed markdown artifact.
+
+Usage: python scripts/render_sweep.py SWEEP_LOG OUT_MD SF_LABEL
+
+The sf0.1 sweep (VERDICT r6 #7) proves oracle agreement at 10x the
+driver's gate scale for the WHOLE registry, not just the round's
+touched set; this renders its log (one `ok NAME (rows) [wall]` line per
+query) into a table with totals so the evidence is a repo artifact,
+like SCALE.md.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+
+def main() -> None:
+    log, out, sf = sys.argv[1], sys.argv[2], sys.argv[3]
+    rows, fails = [], []
+    for line in open(log):
+        m = re.match(
+            r"(ok|FAIL)\s+(\S+):?\s+(?:\((\d+) rows\)|(.*?))\s*\[([\d.]+)s\]",
+            line.strip(),
+        )
+        if not m:
+            continue
+        status, name, nrows, detail, wall = m.groups()
+        if status == "ok":
+            rows.append((name, int(nrows or 0), float(wall)))
+        else:
+            fails.append((name, detail, float(wall)))
+
+    total_wall = sum(w for _, _, w in rows) + sum(w for _, _, w in fails)
+    slow = sorted(rows, key=lambda r: -r[2])[:15]
+    with open(out, "w") as f:
+        f.write(f"# SWEEP — full-registry oracle agreement at {sf}\n\n")
+        f.write(
+            "Every registered query run on Spark and compared against its\n"
+            "DuckDB oracle (row count + columns + order-insensitive value\n"
+            "multiset, driver-parity fetchdf path) at 10x the correctness\n"
+            "driver's gate scale. `scripts/check_oracles.py "
+            f"/root/testdata/{sf}`.\n\n"
+        )
+        f.write(f"- queries checked: **{len(rows) + len(fails)}**\n")
+        f.write(f"- matching: **{len(rows)}**\n")
+        f.write(f"- failing: **{len(fails)}**\n")
+        f.write(f"- total wall: **{total_wall/60:.1f} min**\n\n")
+        if fails:
+            f.write("## Failures\n\n")
+            for name, detail, wall in fails:
+                f.write(f"- `{name}`: {detail} [{wall:.1f}s]\n")
+            f.write("\n")
+        f.write("## Slowest 15 (all-pairs verifiers expected here)\n\n")
+        f.write("| query | rows | wall s |\n|---|---|---|\n")
+        for name, nrows, wall in slow:
+            f.write(f"| {name} | {nrows} | {wall:.1f} |\n")
+        f.write("\n## Full results\n\n")
+        f.write("| query | rows | wall s |\n|---|---|---|\n")
+        for name, nrows, wall in sorted(rows):
+            f.write(f"| {name} | {nrows} | {wall:.1f} |\n")
+    print(f"wrote {out}: {len(rows)} ok, {len(fails)} fail")
+
+
+if __name__ == "__main__":
+    main()
