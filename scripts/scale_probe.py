@@ -239,6 +239,13 @@ def main():
         )
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # AQE's skew split only triggers above 256 MB/partition by default —
+    # production scale. This corpus is MBs, so scale the thresholds down
+    # proportionally to demonstrate the mechanism itself (the final-plan
+    # report must show the skew join engaged).
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
     try:
         skew_out = {"op": "orderkey_join_skew", "rep": REP}
         for label, factor in (("t1_uniform", 1), ("tN_uniform", REP),
@@ -271,6 +278,9 @@ def main():
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024)
         )
+        spark.conf.unset(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
 
     worst = max(r["ratio"] for r in results)
     print(json.dumps({"metric": "scale_probe_worst_ratio", "value": worst,
