@@ -162,15 +162,19 @@ def main():
 
     spark = get_spark("check-oracles", cpus=16)
 
+    import time
+
     failed = []
     for name, (fn, oracle) in sorted(QUERIES.items()):
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         ok, msg = check_one(con, spark, name, fn, oracle, sf_dir)
+        wall = time.perf_counter() - t0
         if ok:
-            print(f"ok   {name} {msg}")
+            print(f"ok   {name} {msg} [{wall:.1f}s]", flush=True)
         else:
-            print(f"FAIL {name}: {msg}")
+            print(f"FAIL {name}: {msg} [{wall:.1f}s]", flush=True)
             failed.append(name)
 
     print()

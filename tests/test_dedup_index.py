@@ -175,3 +175,28 @@ def test_probe_reads_only_probed_bucket_files(spark, tmp_path):
     assert 0 < len(opened) < all_files
     for f in opened:  # every opened file belongs to a probed bucket
         assert any(f"__band_bucket={b}/" in f for b in probe_buckets), f
+
+
+def test_hot_band_intra_batch_stays_linear(spark, tmp_path):
+    """Thousands of byte-identical docs in one batch share every band
+    (the hottest possible band group): the intra-batch stage is
+    per-band group-min + join-back, not a self-join, so the group costs
+    O(g) rows, not O(g^2) pairs — and the verdicts still pin min-id
+    first-arrival."""
+    from transfer_spark.streaming.dedup_index import MinHashDedupIndex
+
+    idx = MinHashDedupIndex(spark, str(tmp_path / "idx"), n_buckets=8)
+    n = 5_000
+    text = ("boilerplate footer text repeated across a crawl shard with "
+            "enough tokens to shingle properly and band consistently")
+    rows = [(i, text) for i in range(n)]
+    v = idx.process_batch(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    agg = {r.status: r["count"] for r in v.groupBy("status").count().collect()}
+    assert agg == {"kept": 1, "batch_dup": n - 1}
+    from pyspark.sql import functions as F
+
+    dups = v.filter(F.col("status") == "batch_dup").select("dup_of").distinct()
+    assert [r.dup_of for r in dups.collect()] == [0]

@@ -1,0 +1,96 @@
+"""Property test: StreamingCorpusIngest's cross-batch greedy exact-dedup
+must equal a sequential first-arrival simulation on arbitrary batch
+splits of a collision-heavy corpus.
+
+The docs are built from UNIQUE random token sets (pairwise Jaccard ~0),
+so the MinHash stage never fires and the property isolates the exact
+pipeline: gate -> intra-batch min-id -> persistent exact-hash index ->
+append — including the index semantics pinned in r7 (every exact-stage
+survivor is indexed). Collisions come from a tiny pool of duplicate
+slots: many doc ids intentionally share identical text across and
+within batches.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from transfer_spark.streaming.corpus_ingest import StreamingCorpusIngest
+
+# 6 long, mutually-dissimilar texts; doc content = pool[slot]
+POOL = [
+    " ".join(f"u{i}w{j}" for j in range(12)) for i in range(4)
+] + ["short", "x y"]  # the last two fail the min_tokens=5 gate
+
+
+def reference_greedy(batches):
+    """Sequential first-arrival: per content, first gated-in doc keeps;
+    later docs are dups of the first seen (intra- or cross-batch)."""
+    first_seen: dict[str, int] = {}
+    out = {}
+    for rows in batches:
+        batch_first: dict[str, int] = {}
+        for doc, slot in sorted(rows):
+            text = POOL[slot]
+            if len(text.split()) < 5:
+                out[doc] = ("gated_out", None)
+                continue
+            if text in batch_first:
+                # intra-batch min-id wins even when that min doc is
+                # itself an index dup — the intra stage runs first
+                out[doc] = ("exact_batch_dup", batch_first[text])
+                continue
+            batch_first[text] = doc
+            if text in first_seen:
+                out[doc] = ("exact_index_dup", first_seen[text])
+            else:
+                out[doc] = ("kept", None)
+        for text, doc in batch_first.items():
+            first_seen.setdefault(text, doc)
+    return out
+
+
+batches_strategy = st.lists(
+    st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=6),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches_strategy)
+def test_cross_batch_exact_greedy_matches_sequential(spark, tmp_path_factory, batches):
+    # assign globally increasing doc ids across batches
+    doc = 0
+    rows_per_batch = []
+    for slots in batches:
+        rows = []
+        for slot in slots:
+            rows.append((doc, slot))
+            doc += 1
+        rows_per_batch.append(rows)
+
+    ing = StreamingCorpusIngest(
+        spark,
+        str(tmp_path_factory.mktemp("ing_prop")),
+        min_tokens=5,
+    )
+    got = {}
+    for j, rows in enumerate(rows_per_batch):
+        df = spark.createDataFrame(
+            [(d, POOL[s]) for d, s in rows], "doc_id long, text string"
+        )
+        v = ing.process_batch(df, "doc_id", "text", batch_id=j)
+        got.update({r.doc_id: (r.status, r.dup_of) for r in v.collect()})
+
+    assert got == reference_greedy(rows_per_batch)
+    # corpus = exactly the kept docs (no store at all when nothing kept)
+    kept = {d for d, (s, _) in got.items() if s == "kept"}
+    corpus = ing.corpus()
+    assert ({r.doc_id for r in corpus.collect()} if corpus is not None
+            else set()) == kept

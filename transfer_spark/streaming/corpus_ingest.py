@@ -122,7 +122,14 @@ class StreamingCorpusIngest:
     def _exact_index_hits(self, hashed: DataFrame) -> DataFrame:
         """(doc, exact_index_dup_of) for batch docs whose content hash is
         already indexed — reads only the batch's hash buckets."""
-        if not self.fs.exists(self.exact_path):
+        # partition-dir check, not bare dir-exists: an all-gated batch's
+        # append would leave a _SUCCESS-only directory whose parquet read
+        # fails schema inference (same contract as MinHashDedupIndex
+        # .exists(); the empty append itself is also skipped below, this
+        # is defense for stores written by older code)
+        if not self.fs.exists(self.exact_path) or not any(
+            n.startswith("__bucket=") for n in self.fs.listdir(self.exact_path)
+        ):
             return hashed.select("doc").limit(0).withColumn(
                 "exact_index_dup_of", F.lit(None).cast("long")
             )
@@ -240,14 +247,16 @@ class StreamingCorpusIngest:
         exact_surv_ids = verdicts.filter(
             ~F.col("status").isin(GATED_OUT, EXACT_BATCH_DUP, EXACT_INDEX_DUP)
         ).select("doc_id")
-        (
-            hashed.join(exact_surv_ids, hashed.doc == exact_surv_ids.doc_id)
-            .select(
-                "h", "doc", (F.col("h") % self.n_buckets).alias("__bucket")
+        exact_rows = hashed.join(
+            exact_surv_ids, hashed.doc == exact_surv_ids.doc_id
+        ).select("h", "doc", (F.col("h") % self.n_buckets).alias("__bucket"))
+        # skip the write job entirely when the batch indexes nothing
+        # (all gated/dups): an empty partitionBy-append writes only a
+        # _SUCCESS marker, tripping naive dir-exists probes
+        if not exact_rows.isEmpty():
+            exact_rows.write.mode("append").partitionBy("__bucket").parquet(
+                self.exact_path
             )
-            .write.mode("append").partitionBy("__bucket")
-            .parquet(self.exact_path)
-        )
         self._fp("exact_appended")
         kept = verdicts.filter(F.col("status") == "kept").select("doc_id")
         corpus_rows = hashed.join(
@@ -262,10 +271,16 @@ class StreamingCorpusIngest:
         # partition, and a crash-replay OVERWRITES it instead of
         # double-appending (the index appends are harmlessly
         # duplicated — (h,doc)/(band,doc) rows are min-aggregated
-        # and self-excluded on probe)
-        corpus_rows.write.mode("overwrite").parquet(
-            os.path.join(self.corpus_path, f"ingest_batch={batch_id}")
-        )
+        # and self-excluded on probe). A batch that keeps NOTHING
+        # (all gated/dups — common at production cadence) writes no
+        # partition at all: an empty overwrite leaves a schema-less
+        # directory that breaks corpus() inference, and replay is
+        # still safe because verdicts are deterministic (the replayed
+        # batch keeps nothing again).
+        if not corpus_rows.isEmpty():
+            corpus_rows.write.mode("overwrite").parquet(
+                os.path.join(self.corpus_path, f"ingest_batch={batch_id}")
+            )
         self._fp("corpus_written")
         self._commit_watermark(batch_id)
         return verdicts
