@@ -1,0 +1,145 @@
+"""Crafted-input tests for the r7 corpus-audit operators: cross-doc
+boilerplate removal, per-source unigram KL, MinHash calibration, and the
+ANN recall audit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transfer_spark.operators.text import boilerplate_chunk_removal
+
+
+def _rows(v):
+    return {r.doc_id: r for r in v.collect()}
+
+
+def test_boilerplate_removed_cross_doc_kept_in_order(spark):
+    # "x y" is the 2-token boilerplate chunk present in 3 docs; with
+    # min_docs=3 it is removed everywhere, the rest stays in order
+    docs = [
+        (1, "a b x y c d"),
+        (2, "x y e f"),
+        (3, "g h x y"),
+        (4, "a b c d"),  # clean doc untouched
+    ]
+    out = _rows(
+        boilerplate_chunk_removal(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id", "text", width=2, min_docs=3,
+        )
+    )
+    assert out[1].text_clean == "a b c d" and out[1].n_removed == 1
+    assert out[2].text_clean == "e f" and out[2].n_removed == 1
+    assert out[3].text_clean == "g h" and out[3].n_removed == 1
+    assert out[4].text_clean == "a b c d" and out[4].n_removed == 0
+    assert out[1].n_chunks == 3
+
+
+def test_boilerplate_doc_fully_removed_yields_empty_string(spark):
+    docs = [(i, "x y") for i in range(1, 4)]
+    out = _rows(
+        boilerplate_chunk_removal(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id", "text", width=2, min_docs=3,
+        )
+    )
+    for i in range(1, 4):
+        assert out[i].text_clean == "" and out[i].n_removed == 1
+    # below threshold nothing is removed
+    out2 = _rows(
+        boilerplate_chunk_removal(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id", "text", width=2, min_docs=4,
+        )
+    )
+    assert all(out2[i].text_clean == "x y" for i in range(1, 4))
+
+
+def test_boilerplate_duplicate_chunk_within_one_doc_counts_once(spark):
+    # "x y" appears twice in doc 1 but that is ONE distinct doc — with
+    # min_docs=2 only a second document's use makes it hot
+    docs = [(1, "x y x y"), (2, "a b")]
+    out = _rows(
+        boilerplate_chunk_removal(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id", "text", width=2, min_docs=2,
+        )
+    )
+    assert out[1].text_clean == "x y x y" and out[1].n_removed == 0
+
+
+def test_source_token_kl_zero_for_identical_distribution(spark, sf_dir):
+    from transfer_spark.workloads.text import q_source_token_kl
+    import transfer_spark.workloads.text as wt
+
+    # two sources with identical unigram distributions -> KL == 0 for
+    # both (every per-term contribution quantizes to 0 micro-nats)
+    docs = [
+        (1, "a a b", "s1"), (2, "c", "s1"),
+        (3, "a b a", "s2"), (4, "c", "s2"),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    )
+    orig = wt._docs
+    wt._docs = lambda _s, _d: df
+    try:
+        out = {r.source: r for r in q_source_token_kl(spark, "unused").collect()}
+    finally:
+        wt._docs = orig
+    assert out["s1"].kl_micronats == 0 and out["s2"].kl_micronats == 0
+    assert out["s1"].n_tokens == 4 and out["s1"].vocab == 3
+
+
+def test_source_token_kl_positive_for_skewed_source(spark):
+    from transfer_spark.workloads.text import q_source_token_kl
+    import transfer_spark.workloads.text as wt
+
+    docs = [
+        (1, "a a a a a a a a", "skewed"),
+        (2, "a b c d e f g h", "uniform"),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    )
+    orig = wt._docs
+    wt._docs = lambda _s, _d: df
+    try:
+        out = {r.source: r for r in q_source_token_kl(spark, "unused").collect()}
+    finally:
+        wt._docs = orig
+    assert out["skewed"].kl_micronats > 0
+    assert out["uniform"].kl_micronats > 0
+
+
+def test_minhash_calibration_identical_docs_exact(spark):
+    from transfer_spark.workloads.text import q_minhash_calibration
+    import transfer_spark.workloads.text as wt
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    orig = wt._docs
+    wt._docs = lambda _s, _d: df
+    try:
+        rows = q_minhash_calibration(spark, "unused").collect()
+    finally:
+        wt._docs = orig
+    assert len(rows) == 1  # only the identical pair collides in a band
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.est_ppm == 1_000_000 and r.true_ppm == 1_000_000
+    assert r.abs_err_ppm == 0
+
+
+def test_ann_recall_bounds_and_self_consistency(spark, sf_dir):
+    from transfer_spark.workloads.vectors import q_ann_recall
+
+    rows = q_ann_recall(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.n_exact == 5
+        assert 0 <= r.n_hit <= min(r.n_exact, max(r.n_approx, 0))
+        assert r.recall_ppm == int(1_000_000 * r.n_hit / r.n_exact + 0.5)

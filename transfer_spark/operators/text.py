@@ -332,6 +332,69 @@ def dedupe_lines_within_doc(df, id_col: str, text_col: str,
     )
 
 
+def boilerplate_chunk_removal(df, id_col: str, text_col: str,
+                              width: int = 2, min_docs: int = 20) -> "object":
+    """CCNet-style CROSS-document boilerplate removal: drop segments that
+    recur in ≥ ``min_docs`` distinct documents corpus-wide (cookie
+    banners, nav bars, license footers), keeping each doc's remaining
+    segments in original order. Complements
+    :func:`dedupe_lines_within_doc` (intra-doc repeats) and whole-doc
+    dedup — a segment can be boilerplate across the corpus while every
+    containing page is unique.
+
+    The segment grain here is a non-overlapping ``width``-token window
+    (the corpus is unstructured token text); with newline-structured
+    corpora the same mechanics apply with lines as segments.
+
+    Distributed shape: one explode (doc × chunk), one agg building the
+    global segment-frequency table whose OUTPUT is filtered to the hot
+    set before it leaves the agg — boilerplate by definition concentrates
+    into few distinct segments, so the hot set broadcasts; then one
+    groupBy(doc) reassembly. The corpus is never joined against itself,
+    and no shuffle carries full document text — only (doc, pos, segment)
+    rows. Returns (doc_id, text_clean, n_chunks, n_removed).
+    """
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(width))).cast("int")
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.concat_ws(
+            " ", F.slice(F.col("__toks"), F.col("pos") * width + 1, width)
+        ).alias("seg"),
+    )
+    hot = (
+        ex.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("seg", F.lit(True).alias("__hot"))
+    )
+    marked = ex.join(F.broadcast(hot), "seg", "left")
+    kept_sorted = F.filter(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("pos"),
+                    F.col("seg"),
+                    F.coalesce(F.col("__hot"), F.lit(False)).alias("h"),
+                )
+            )
+        ),
+        lambda s: ~s.h,
+    )
+    return marked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(kept_sorted, lambda s: s.seg), " "
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count("__hot").alias("n_removed"),
+    )
+
+
 def corpus_shard_shuffle(df, key_col: str, n_shards: int = 1024,
                          seed: int = 0) -> "object":
     """Deterministic global shuffle into training shards: every row gets

@@ -2812,6 +2812,178 @@ FROM s
 """
 
 
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document boilerplate removal: 2-token segments
+    recurring in ≥20 distinct docs are dropped corpus-wide, each doc's
+    survivors rejoined in order. One explode + one freq agg (output
+    filtered to the tiny hot set → broadcast anti-mark) + one per-doc
+    reassembly — the corpus never joins itself."""
+    return T.boilerplate_chunk_removal(
+        _docs(spark, sf_dir), "doc_id", "text", width=2, min_docs=20
+    )
+
+
+ORACLE_BOILERPLATE_SCRUB = f"""
+WITH s AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), ch AS (
+  SELECT doc_id, CAST(c - 1 AS INT) AS pos,
+    array_to_string(toks[(c-1)*2+1 : (c-1)*2+2], ' ') AS seg
+  FROM s, unnest(generate_series(1, CAST(ceil(len(toks) / 2.0) AS BIGINT))) AS t(c)
+), hot AS (
+  SELECT seg FROM ch GROUP BY seg HAVING count(DISTINCT doc_id) >= 20
+)
+SELECT ch.doc_id,
+  coalesce(string_agg(CASE WHEN hot.seg IS NULL THEN ch.seg END,
+                      ' ' ORDER BY ch.pos), '') AS text_clean,
+  count(*) AS n_chunks,
+  count(hot.seg) AS n_removed
+FROM ch LEFT JOIN hot ON ch.seg = hot.seg
+GROUP BY ch.doc_id
+"""
+
+
+def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence vs the corpus mixture — the
+    balance diagnostic a data recipe is tuned against (a source whose
+    token distribution diverges hard from the blend shifts the mixture).
+
+    Determinism: each (source, term) contribution is quantized to
+    micro-nats BEFORE the per-source sum, so the reduction is an integer
+    sum (order-insensitive on both engines). Scale shape: one explode →
+    (source, term) agg with map-side combine; the per-term corpus table
+    is vocabulary-sized → broadcast; corpus total is a broadcast
+    single-row crossJoin. Shuffle keys are (source, term) / term —
+    fixed-width, skew bounded by vocabulary."""
+    d = _docs(spark, sf_dir)
+    ex = d.select("source", F.explode(T.tokens(F.col("text"))).alias("term"))
+    per = ex.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    stot = per.groupBy("source").agg(F.sum("c").alias("st"))
+    gterm = per.groupBy("term").agg(F.sum("c").alias("gc"))
+    gtot = per.agg(F.sum("c").alias("gt"))
+    p = F.col("c").cast("double") / F.col("st").cast("double")
+    q = F.col("gc").cast("double") / F.col("gt").cast("double")
+    contrib = F.floor(
+        F.lit(1_000_000.0) * p * F.log(p / q) + F.lit(0.5)
+    ).cast("long")
+    return (
+        per.join(stot, "source")
+        .join(F.broadcast(gterm), "term")
+        .crossJoin(F.broadcast(gtot))
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(contrib).alias("kl_micronats"),
+        )
+    )
+
+
+ORACLE_SOURCE_TOKEN_KL = f"""
+WITH ex AS (
+  SELECT source, unnest({_TOKS}) AS term FROM documents
+), per AS (
+  SELECT source, term, count(*) AS c FROM ex GROUP BY 1, 2
+), stot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS st FROM per GROUP BY 1
+), g AS (
+  SELECT term, CAST(sum(c) AS BIGINT) AS gc FROM per GROUP BY 1
+), gt AS (
+  SELECT CAST(sum(c) AS BIGINT) AS gt FROM per
+)
+SELECT per.source,
+  CAST(sum(c) AS BIGINT) AS n_tokens,
+  count(*) AS vocab,
+  CAST(sum(CAST(floor(
+    1000000.0 * (CAST(c AS DOUBLE) / st)
+    * ln((CAST(c AS DOUBLE) / st) / (CAST(gc AS DOUBLE) / gt)) + 0.5
+  ) AS BIGINT)) AS BIGINT) AS kl_micronats
+FROM per
+JOIN stot USING (source)
+JOIN g USING (term)
+CROSS JOIN gt
+GROUP BY per.source
+"""
+
+
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-calibration audit for the MinHash signatures: for every
+    LSH candidate pair, the signature-agreement Jaccard estimate
+    (matching lanes / 16) next to the TRUE distinct-shingle Jaccard, and
+    the absolute error — the evidence behind choosing num_hashes/bands
+    (more lanes → tighter estimates → fewer false candidates surviving
+    to the verify stage).
+
+    Scale shape: pairwise work only on band-collision candidates (≪ n²);
+    the tiny pair list broadcasts into the signature and shingle-set
+    joins. All ratios quantized to ppm before compare."""
+    d = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(d, "doc_id", "text")
+    sigs = D.minhash_signature_df(d, "doc_id", "text", 16, 3)
+    sig_arr = F.array(*[F.col(f"h{i}") for i in range(16)])
+    sa = sigs.select(F.col("doc").alias("doc_a"), sig_arr.alias("sig_a"))
+    sb = sigs.select(F.col("doc").alias("doc_b"), sig_arr.alias("sig_b"))
+    sh = d.select(
+        "doc_id", F.array_distinct(D.shingles(F.col("text"), 3)).alias("sh")
+    )
+    j = (
+        F.broadcast(pairs)
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(sh.select(F.col("doc_id").alias("doc_a"),
+                        F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"),
+                        F.col("sh").alias("sh_b")), "doc_b")
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    est = F.floor(
+        F.lit(1_000_000.0) * n_match / F.lit(16) + F.lit(0.5)
+    ).cast("long")
+    true = F.floor(
+        F.lit(1_000_000.0) * inter / union + F.lit(0.5)
+    ).cast("long")
+    return j.select(
+        "doc_a", "doc_b",
+        est.alias("est_ppm"),
+        true.alias("true_ppm"),
+        F.abs(est - true).alias("abs_err_ppm"),
+    )
+
+
+def _minhash_calibration_sql() -> str:
+    return f"""
+WITH {_banded_ctes()},
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+),
+shd AS (SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM documents),
+scored AS (
+  SELECT p.doc_a, p.doc_b,
+    CAST(floor(1000000.0 * len(list_filter(range(1, 17),
+         i -> a.sig[i] = b.sig[i])) / 16 + 0.5) AS BIGINT) AS est_ppm,
+    CAST(floor(1000000.0 * len(list_intersect(x.sh, y.sh))
+         / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+         + 0.5) AS BIGINT) AS true_ppm
+  FROM pairs p
+  JOIN sigs a ON p.doc_a = a.doc_id
+  JOIN sigs b ON p.doc_b = b.doc_id
+  JOIN shd x ON p.doc_a = x.doc_id
+  JOIN shd y ON p.doc_b = y.doc_id
+)
+SELECT doc_a, doc_b, est_ppm, true_ppm,
+  abs(est_ppm - true_ppm) AS abs_err_ppm
+FROM scored
+"""
+
+
 QUERIES = {
     "pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
     "gopher_quality_gate": (q_gopher_quality, ORACLE_GOPHER),
@@ -2852,6 +3024,9 @@ QUERIES = {
     "doc_char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
     "dedupe_dup_spans": (q_dup_spans, ORACLE_DUP_SPANS),
     "dedupe_span_scrub": (q_scrub_dup_spans, ORACLE_SCRUB_DUP_SPANS),
+    "corpus_boilerplate_scrub": (q_boilerplate_scrub, ORACLE_BOILERPLATE_SCRUB),
+    "source_token_kl": (q_source_token_kl, ORACLE_SOURCE_TOKEN_KL),
+    "minhash_calibration_audit": (q_minhash_calibration, _minhash_calibration_sql()),
     "dedupe_savings_report": (q_dedup_savings_report, ORACLE_DEDUP_SAVINGS),
     "corpus_blocklist_gate": (q_blocklist_gate, ORACLE_BLOCKLIST),
     "neardup_keep_best": (q_neardup_keep_best, ORACLE_NEARDUP_KEEP_BEST),

@@ -906,7 +906,73 @@ FROM n
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH index against exact brute force on the shared
+    10-query battery — the acceptance eval every ANN rollout is judged
+    by before it replaces an exact scan. Both sides are the registered
+    operators; the audit set-intersects their top-k lists per query.
+
+    Scale shape: each side keeps its own plan (brute force is the
+    verifier, LSH the production path); the k-rows-per-query result
+    sets are tiny → broadcast join, ratios quantized to ppm."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = (
+        S.ann_bruteforce_topk(emb, queries, k=5)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.collect_set("neighbor_id").alias("es"),
+        )
+    )
+    approx = (
+        S.ann_lsh_topk(emb, queries, k=5, n_planes=4, dim=64, seed=42)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_approx"),
+            F.collect_set("neighbor_id").alias("aps"),
+        )
+    )
+    j = exact.join(F.broadcast(approx), "query_id", "left")
+    n_hit = F.size(
+        F.array_intersect(
+            "es", F.coalesce("aps", F.array().cast("array<long>"))
+        )
+    )
+    return j.select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_approx", F.lit(0).cast("long")).alias("n_approx"),
+        n_hit.cast("long").alias("n_hit"),
+        F.floor(
+            F.lit(1_000_000.0) * n_hit / F.col("n_exact") + F.lit(0.5)
+        ).cast("long").alias("recall_ppm"),
+    )
+
+
+def _ann_recall_sql() -> str:
+    return f"""
+WITH bf AS ({ORACLE_ANN_BRUTEFORCE}),
+lsh AS ({_lsh_oracle()}),
+bf_g AS (
+  SELECT query_id, count(*) AS n_exact, list(neighbor_id) AS es
+  FROM bf GROUP BY 1
+),
+lsh_g AS (
+  SELECT query_id, count(*) AS n_approx, list(neighbor_id) AS aps
+  FROM lsh GROUP BY 1
+)
+SELECT b.query_id, b.n_exact,
+  coalesce(l.n_approx, 0) AS n_approx,
+  CAST(len(list_intersect(b.es, coalesce(l.aps, []))) AS BIGINT) AS n_hit,
+  CAST(floor(1000000.0 * len(list_intersect(b.es, coalesce(l.aps, [])))
+       / b.n_exact + 0.5) AS BIGINT) AS recall_ppm
+FROM bf_g b LEFT JOIN lsh_g l USING (query_id)
+"""
+
+
 QUERIES = {
+    "ann_recall_audit": (q_ann_recall, _ann_recall_sql()),
     "embedding_matryoshka_audit": (q_matryoshka_audit, ORACLE_MATRYOSHKA),
     "embedding_quantize_int8": (q_quantize_int8, ORACLE_QUANTIZE),
     "ann_pq_adc_topk": (q_ann_pq_adc, _pq_adc_oracle()),
