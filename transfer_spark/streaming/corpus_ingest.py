@@ -215,11 +215,10 @@ class StreamingCorpusIngest:
         self._fp("bands_appended")
 
         verdicts = (
-            stamped.select("doc")
+            stamped.select("doc", "__pass")
             .join(intra, "doc", "left")
             .join(index_hits, "doc", "left")
             .join(mh_verdicts, "doc", "left")
-            .join(stamped.select("doc", "__pass"), "doc")
             .select(
                 F.col("doc").alias("doc_id"),
                 F.when(~F.col("__pass"), F.lit(GATED_OUT))
@@ -244,18 +243,33 @@ class StreamingCorpusIngest:
         # short-circuit for byte-identical copies of near-dup-dropped
         # docs. Derived from the checkpointed verdicts so the append
         # never reads exact_path while writing to it.
+        # one bounded-metadata collect over the checkpointed verdicts
+        # guards BOTH appends (replacing per-write isEmpty probes — each
+        # its own job): a batch that keeps/indexes nothing must not
+        # write, because an empty partitionBy-append / empty overwrite
+        # leaves a _SUCCESS-only directory that breaks parquet schema
+        # inference on later reads
+        status_counts = {
+            r["status"]: r["n"]
+            for r in verdicts.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_exact_surv = sum(
+            n for s, n in status_counts.items()
+            if s not in (GATED_OUT, EXACT_BATCH_DUP, EXACT_INDEX_DUP)
+        )
         exact_surv_ids = verdicts.filter(
             ~F.col("status").isin(GATED_OUT, EXACT_BATCH_DUP, EXACT_INDEX_DUP)
         ).select("doc_id")
-        exact_rows = hashed.join(
-            exact_surv_ids, hashed.doc == exact_surv_ids.doc_id
-        ).select("h", "doc", (F.col("h") % self.n_buckets).alias("__bucket"))
-        # skip the write job entirely when the batch indexes nothing
-        # (all gated/dups): an empty partitionBy-append writes only a
-        # _SUCCESS marker, tripping naive dir-exists probes
-        if not exact_rows.isEmpty():
-            exact_rows.write.mode("append").partitionBy("__bucket").parquet(
-                self.exact_path
+        if n_exact_surv:
+            (
+                hashed.join(exact_surv_ids, hashed.doc == exact_surv_ids.doc_id)
+                .select(
+                    "h", "doc", (F.col("h") % self.n_buckets).alias("__bucket")
+                )
+                .write.mode("append").partitionBy("__bucket")
+                .parquet(self.exact_path)
             )
         self._fp("exact_appended")
         kept = verdicts.filter(F.col("status") == "kept").select("doc_id")
@@ -271,13 +285,11 @@ class StreamingCorpusIngest:
         # partition, and a crash-replay OVERWRITES it instead of
         # double-appending (the index appends are harmlessly
         # duplicated — (h,doc)/(band,doc) rows are min-aggregated
-        # and self-excluded on probe). A batch that keeps NOTHING
-        # (all gated/dups — common at production cadence) writes no
-        # partition at all: an empty overwrite leaves a schema-less
-        # directory that breaks corpus() inference, and replay is
-        # still safe because verdicts are deterministic (the replayed
-        # batch keeps nothing again).
-        if not corpus_rows.isEmpty():
+        # and self-excluded on probe). A keep-nothing batch (all
+        # gated/dups — common at production cadence) writes no
+        # partition at all; replay is still safe because verdicts are
+        # deterministic (the replayed batch keeps nothing again).
+        if status_counts.get("kept", 0):
             corpus_rows.write.mode("overwrite").parquet(
                 os.path.join(self.corpus_path, f"ingest_batch={batch_id}")
             )
