@@ -16,6 +16,7 @@ Prints one JSON line per operator: {"op", "t1", "tN", "ratio"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -40,9 +41,16 @@ def replicate(df: DataFrame, key_cols: list[str], n: int) -> DataFrame:
     return c.drop("__copy")
 
 
+_ONLY = {
+    s for s in os.environ.get("SCALE_PROBE_ONLY", "").split(",") if s
+}
+
+
 def probe(name, build, run):
     from transfer_spark.plans.report import plan_report
 
+    if _ONLY and name not in _ONLY:
+        return {"op": name, "skipped": True}
     out = {}
     for label, factor in (("t1", 1), ("tN", REP)):
         df = build(factor)
@@ -183,9 +191,29 @@ def main():
                                                "doc_id", "text")),
     ]
 
+    # round-7 additions: the r7 corpus-audit operators
+    from transfer_spark.operators.text import (
+        boilerplate_chunk_removal,
+        source_unigram_kl,
+    )
+
+    results += [
+        # global segment-frequency agg + broadcast hot set; the hot-set
+        # size is threshold-bound, not corpus-bound
+        probe("boilerplate_scrub", dc,
+              lambda d: boilerplate_chunk_removal(d, "doc_id", "text",
+                                                  width=2, min_docs=20)),
+        # (source, term) agg + vocab-sized broadcast; vocabulary does
+        # not grow with replication, so the broadcast stays fixed
+        probe("source_token_kl", dc,
+              lambda d: source_unigram_kl(d, "source", "text")),
+    ]
+
     # corpus-ingest probe cost must track the BATCH, not the corpus
     # (VERDICT r6 #4): seed the persistent indexes from a 1x vs 10x
     # corpus, then time the SAME fixed-size batch against each.
+    if _ONLY and "corpus_ingest_probe" not in _ONLY:
+        return
     import tempfile
 
     from transfer_spark.streaming.corpus_ingest import StreamingCorpusIngest

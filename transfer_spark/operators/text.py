@@ -395,6 +395,45 @@ def boilerplate_chunk_removal(df, id_col: str, text_col: str,
     )
 
 
+def source_unigram_kl(df, source_col: str, text_col: str) -> "object":
+    """Per-source unigram KL divergence vs the whole-corpus mixture —
+    the balance diagnostic a data recipe is tuned against.
+
+    Determinism contract: each (source, term) contribution is quantized
+    to micro-nats BEFORE the per-source sum, so the reduction is an
+    integer sum (order-insensitive on any engine/partitioning). Scale
+    shape: one explode → (source, term) agg with map-side combine; the
+    per-term corpus table is vocabulary-sized → broadcast; the corpus
+    total is a broadcast single-row crossJoin. Shuffle keys are
+    (source, term) / term — fixed-width, skew bounded by vocabulary.
+    Returns (source, n_tokens, vocab, kl_micronats).
+    """
+    ex = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    per = ex.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    stot = per.groupBy("source").agg(F.sum("c").alias("st"))
+    gterm = per.groupBy("term").agg(F.sum("c").alias("gc"))
+    gtot = per.agg(F.sum("c").alias("gt"))
+    p = F.col("c").cast("double") / F.col("st").cast("double")
+    q = F.col("gc").cast("double") / F.col("gt").cast("double")
+    contrib = F.floor(
+        F.lit(1_000_000.0) * p * F.log(p / q) + F.lit(0.5)
+    ).cast("long")
+    return (
+        per.join(stot, "source")
+        .join(F.broadcast(gterm), "term")
+        .crossJoin(F.broadcast(gtot))
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(contrib).alias("kl_micronats"),
+        )
+    )
+
+
 def corpus_shard_shuffle(df, key_col: str, n_shards: int = 1024,
                          seed: int = 0) -> "object":
     """Deterministic global shuffle into training shards: every row gets

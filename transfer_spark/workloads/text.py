@@ -2848,35 +2848,9 @@ def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance diagnostic a data recipe is tuned against (a source whose
     token distribution diverges hard from the blend shifts the mixture).
 
-    Determinism: each (source, term) contribution is quantized to
-    micro-nats BEFORE the per-source sum, so the reduction is an integer
-    sum (order-insensitive on both engines). Scale shape: one explode →
-    (source, term) agg with map-side combine; the per-term corpus table
-    is vocabulary-sized → broadcast; corpus total is a broadcast
-    single-row crossJoin. Shuffle keys are (source, term) / term —
-    fixed-width, skew bounded by vocabulary."""
-    d = _docs(spark, sf_dir)
-    ex = d.select("source", F.explode(T.tokens(F.col("text"))).alias("term"))
-    per = ex.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
-    stot = per.groupBy("source").agg(F.sum("c").alias("st"))
-    gterm = per.groupBy("term").agg(F.sum("c").alias("gc"))
-    gtot = per.agg(F.sum("c").alias("gt"))
-    p = F.col("c").cast("double") / F.col("st").cast("double")
-    q = F.col("gc").cast("double") / F.col("gt").cast("double")
-    contrib = F.floor(
-        F.lit(1_000_000.0) * p * F.log(p / q) + F.lit(0.5)
-    ).cast("long")
-    return (
-        per.join(stot, "source")
-        .join(F.broadcast(gterm), "term")
-        .crossJoin(F.broadcast(gtot))
-        .groupBy("source")
-        .agg(
-            F.sum("c").alias("n_tokens"),
-            F.count(F.lit(1)).alias("vocab"),
-            F.sum(contrib).alias("kl_micronats"),
-        )
-    )
+    Shape + determinism contract documented on the operator
+    (:func:`transfer_spark.operators.text.source_unigram_kl`)."""
+    return T.source_unigram_kl(_docs(spark, sf_dir), "source", "text")
 
 
 ORACLE_SOURCE_TOKEN_KL = f"""
