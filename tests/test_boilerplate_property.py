@@ -1,0 +1,61 @@
+"""Property test: boilerplate_chunk_removal must equal a sequential
+Python reference on arbitrary small corpora drawn from a tiny token
+pool (maximum chunk collision pressure)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from transfer_spark.operators.text import boilerplate_chunk_removal
+
+WIDTH = 2
+MIN_DOCS = 2
+POOL = ["a", "b", "c"]
+
+
+def reference(docs: dict[int, str]) -> dict[int, tuple[str, int, int]]:
+    chunks = {
+        d: [
+            " ".join(t.split()[i * WIDTH:(i + 1) * WIDTH])
+            for i in range((len(t.split()) + WIDTH - 1) // WIDTH)
+        ]
+        for d, t in docs.items()
+    }
+    freq: dict[str, set[int]] = {}
+    for d, cs in chunks.items():
+        for c in cs:
+            freq.setdefault(c, set()).add(d)
+    hot = {c for c, ds in freq.items() if len(ds) >= MIN_DOCS}
+    out = {}
+    for d, cs in chunks.items():
+        kept = [c for c in cs if c not in hot]
+        out[d] = (" ".join(kept), len(cs), len(cs) - len(kept))
+    return out
+
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(POOL), min_size=1, max_size=7).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs_strategy)
+def test_matches_sequential_reference(spark, texts):
+    docs = {i: t for i, t in enumerate(texts)}
+    out = {
+        r.doc_id: (r.text_clean, r.n_chunks, r.n_removed)
+        for r in boilerplate_chunk_removal(
+            spark.createDataFrame(
+                list(docs.items()), "doc_id long, text string"
+            ),
+            "doc_id", "text", width=WIDTH, min_docs=MIN_DOCS,
+        ).collect()
+    }
+    assert out == reference(docs)

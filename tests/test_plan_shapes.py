@@ -299,3 +299,21 @@ def test_q21_single_big_join(spark):
 def test_q16_excludes_bad_suppliers_with_anti_join(spark):
     plan = _plan(spark, "olap_parts_supplier_counts")
     assert "LeftAnti" in plan
+
+
+def test_boilerplate_scrub_hot_set_broadcasts(spark):
+    """The cross-doc segment-frequency hot set must come back as a
+    broadcast (it is threshold-bound, never corpus-sized); the corpus
+    must not join itself with a shuffle join."""
+    plan = _plan(spark, "corpus_boilerplate_scrub")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_source_kl_stats_broadcast(spark):
+    """Mixture-balance KL: the vocabulary-sized per-term table and the
+    single-row corpus total both broadcast — no shuffle join anywhere
+    (the only exchanges are the partial-combined aggregations)."""
+    plan = _plan(spark, "source_token_kl")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
