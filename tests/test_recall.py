@@ -56,3 +56,39 @@ def test_sign_lsh_recall_floor_and_multi_seed_gain(spark, emb):
     assert r2 > r1         # the amplifier must amplify
     # no false positives: LSH output is verified against the threshold
     assert one <= exact and two <= exact
+
+
+def test_simhash_hamming_bands_are_lossless_for_radius(spark):
+    """Pigeonhole completeness: the banded candidate join must find
+    EVERY pair within the Hamming radius that brute force finds (and the
+    popcount verify must drop everything outside it)."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from transfer_spark.operators.dedupe import simhash_hamming_pairs
+
+    rng = random.Random(7)
+    base = [rng.getrandbits(32) for _ in range(40)]
+    # plant guaranteed near-pairs: flip 1..3 bits of some bases
+    planted = [
+        h ^ sum(1 << b for b in rng.sample(range(32), k))
+        for h, k in zip(base[:12], itertools.cycle([1, 2, 3]))
+    ]
+    hashes = base + planted
+    rows = [(i, h) for i, h in enumerate(hashes)]
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_hamming_pairs(
+            spark.createDataFrame(rows, "doc long, simhash long"),
+            "doc", "simhash", bits=32, radius=3,
+        ).collect()
+    }
+    expect = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(hashes), 2):
+        d = bin(a ^ b).count("1")
+        if d <= 3:
+            expect[(i, j)] = d
+    assert got == expect
+    assert len(expect) >= 12  # the planted pairs are actually in play

@@ -444,6 +444,77 @@ def simhash_df(
     return sums.select("doc", out.alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 32,
+    radius: int = 3,
+) -> DataFrame:
+    """Hamming-ball pair search over fingerprint columns via multi-index
+    banding (Manku, Jain & Sarma, "Detecting Near-Duplicates for Web
+    Crawling", WWW 2007 — the production simhash-dedup retrieval shape):
+    split each ``bits``-wide hash into ``radius+1`` contiguous bands; by
+    pigeonhole, two hashes within Hamming distance ≤ ``radius`` agree
+    EXACTLY on at least one band, so an equi-join on (band, band_key)
+    yields every qualifying pair as a candidate, and a popcount on the
+    XOR verifies. Never all-pairs: candidate volume is governed by band
+    key width (bits/(radius+1)), and the verify is one codegen
+    expression per candidate.
+
+    Works on any integer fingerprint (simhash, pHash, aHash) — the
+    multimodal family uses it for perceptual image hashes. Returns
+    (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    n_bands = radius + 1
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    h = F.col(hash_col).cast("long")
+    banded = df.select(
+        F.col(id_col).alias("doc"),
+        h.alias("__h"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    # the last band absorbs the remainder bits so the
+                    # union of bands covers the whole hash
+                    (
+                        F.shiftright(h, b * width).bitwiseAND(
+                            F.lit(
+                                (1 << (bits - b * width)) - 1
+                                if b == n_bands - 1
+                                else mask
+                            )
+                        )
+                    ).alias("key"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("doc", "__h", "bk.band", "bk.key")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("doc_a"),
+            F.col("r.doc").alias("doc_b"),
+            F.col("l.__h").alias("h_a"),
+            F.col("r.__h").alias("h_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
+    return cand.filter(hamming <= radius).select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5
 ) -> DataFrame:

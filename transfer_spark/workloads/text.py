@@ -523,6 +523,46 @@ SELECT doc_id, {total} AS simhash FROM d
 """
 
 
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup retrieval the Manku-et-al way: 32-bit
+    fingerprints, Hamming radius 3, multi-index banding (4 bands of 8
+    bits; pigeonhole makes the band equi-join lossless for the radius),
+    popcount-verified. The retrieval stage the bare `dedupe_simhash`
+    fingerprints exist to feed."""
+    d = _docs(spark, sf_dir)
+    sh = D.simhash_df(d, "doc_id", "text", 32)
+    return D.simhash_hamming_pairs(sh, "doc", "simhash", bits=32, radius=3)
+
+
+def _simhash_hamming_sql(radius: int = 3, bits: int = 32) -> str:
+    n_bands = radius + 1
+    width = bits // n_bands
+    bands_src = ", ".join(str(b) for b in range(n_bands))
+    key = (
+        f"(simhash >> (band * {width})) & "
+        f"(CASE WHEN band = {n_bands - 1} "
+        f"THEN (1::BIGINT << ({bits} - band * {width})) - 1 "
+        f"ELSE {(1 << width) - 1}::BIGINT END)"
+    )
+    return f"""
+WITH sh AS ({_simhash_sql(bits)}),
+banded AS (
+  SELECT doc_id, simhash, band, {key} AS key
+  FROM sh, unnest([{bands_src}]) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         l.simhash AS h_a, r.simhash AS h_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(h_a, h_b)) <= {radius}
+"""
+
+
 def q_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates → exact Jaccard verify (the scale path: pairwise
     work only on bucket-collision candidates)."""
@@ -3031,4 +3071,5 @@ QUERIES = {
     "dedupe_minhash_lsh": (q_minhash_lsh_pairs, _minhash_sql()),
     "dedupe_ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "dedupe_simhash": (q_simhash, _simhash_sql()),
+    "dedupe_simhash_hamming": (q_simhash_hamming, _simhash_hamming_sql()),
 }
