@@ -168,7 +168,49 @@ FROM l GROUP BY doc_id
 """
 
 
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup: the Arrow-batched feature
+    extractor (real decode would be a DCT pHash; the stub quantizes the
+    16 fake features at 0.5) assembles a 16-bit fingerprint per image,
+    then the Manku-et-al multi-index Hamming join
+    (:func:`transfer_spark.operators.dedupe.simhash_hamming_pairs`)
+    retrieves every pair within radius 2 — re-encoded/re-hosted images
+    whose bytes differ but whose perceptual content matches.
+
+    Scale shape: one declared Arrow stage for the decode, then
+    pigeonhole band equi-joins + popcount verify — never all-pairs."""
+    from transfer_spark.operators.dedupe import simhash_hamming_pairs
+
+    feats = MM.extract_image_features(_media(spark, sf_dir), "media", "doc_id", 16)
+    ph = F.lit(0).cast("long")
+    for i in range(16):
+        ph = ph + F.shiftleft(
+            F.when(F.col("features")[i] > 0.5, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long")),
+            i,
+        )
+    hashed = feats.select("doc_id", ph.alias("phash"))
+    return simhash_hamming_pairs(hashed, "doc_id", "phash", bits=16, radius=2)
+
+
+def _phash_neardup_sql() -> str:
+    from transfer_spark.workloads.text import _simhash_hamming_sql
+
+    # bit i of the fake pHash = (digest byte i > 128) — byte i is hex
+    # chars 2i+1..2i+2 of sha256(text), exactly ORACLE_IMAGE_FEATURES'
+    # feature k with f = k/256, so f > 0.5 <=> k > 128 with no float
+    # boundary ambiguity
+    bits = " + ".join(
+        f"(CASE WHEN ('0x' || substr(sha256(text), {2 * i + 1}, 2))::BIGINT > 128 "
+        f"THEN 1::BIGINT ELSE 0::BIGINT END << {i})"
+        for i in range(16)
+    )
+    src = f"SELECT doc_id, {bits} AS simhash FROM documents"
+    return _simhash_hamming_sql(radius=2, bits=16, source_sql=src)
+
+
 QUERIES = {
+    "multimodal_phash_neardup": (q_phash_neardup, _phash_neardup_sql()),
     "multimodal_image_meta": (q_image_meta, ORACLE_IMAGE_META),
     "multimodal_scene_changes": (q_scene_changes, ORACLE_SCENE_CHANGES),
     "multimodal_frame_dedup": (q_frame_dedup, ORACLE_FRAME_DEDUP),

@@ -534,7 +534,12 @@ def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_hamming_pairs(sh, "doc", "simhash", bits=32, radius=3)
 
 
-def _simhash_hamming_sql(radius: int = 3, bits: int = 32) -> str:
+def _simhash_hamming_sql(
+    radius: int = 3, bits: int = 32, source_sql: "str | None" = None
+) -> str:
+    """Oracle for the multi-index Hamming-ball join; ``source_sql`` is
+    any SELECT yielding (doc_id, simhash) — defaults to the text
+    simhash, the multimodal pHash entry passes its own."""
     n_bands = radius + 1
     width = bits // n_bands
     bands_src = ", ".join(str(b) for b in range(n_bands))
@@ -545,7 +550,7 @@ def _simhash_hamming_sql(radius: int = 3, bits: int = 32) -> str:
         f"ELSE {(1 << width) - 1}::BIGINT END)"
     )
     return f"""
-WITH sh AS ({_simhash_sql(bits)}),
+WITH sh AS ({source_sql if source_sql is not None else _simhash_sql(bits)}),
 banded AS (
   SELECT doc_id, simhash, band, {key} AS key
   FROM sh, unnest([{bands_src}]) AS t(band)
