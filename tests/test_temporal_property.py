@@ -220,3 +220,44 @@ def test_aggregate_maintenance_partition_invariant(spark, rows, nparts):
     for g, (n, v) in mv.items():
         if g not in direct:
             assert n == 0 and v in (0, None), (g, mv, direct)
+
+
+def test_holt_forecast_matches_sequential_reference(spark, sf_dir):
+    """The distributed Holt fold must equal the sequential recursion
+    run in plain Python over the same daily series."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from transfer_spark.session import read_table
+    from transfer_spark.workloads.temporal import q_holt_forecast
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "d")
+        .collect()
+    )
+    ser = defaultdict(list)
+    for r in daily:
+        ser[r.event_type].append(r.n)
+    expect = {}
+    for t, xs in ser.items():
+        l, b = float(xs[0]), 0.0
+        for x in xs[1:]:
+            nl = 0.5 * x + 0.5 * (l + b)
+            b = 0.25 * (nl - l) + 0.75 * b
+            l = nl
+        expect[t] = (
+            len(xs),
+            math.floor(l * 1e6 + 0.5),
+            math.floor(b * 1e6 + 0.5),
+            math.floor((l + b) * 1e6 + 0.5),
+        )
+    got = {
+        r.event_type: (r.n_days, r.level_micro, r.trend_micro, r.forecast_micro)
+        for r in q_holt_forecast(spark, sf_dir).collect()
+    }
+    assert got == expect

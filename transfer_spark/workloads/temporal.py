@@ -1288,6 +1288,94 @@ FROM agg a JOIN daily o ON a.event_type = o.event_type AND a.day = o.d
 """
 
 
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per event type over the daily
+    count series (level + linear trend, α=0.5 β=0.25 — dyadic constants)
+    with a one-step forecast: the trend-aware sibling of the EWMA entry
+    for series where a drifting mean alone underfits.
+
+    Holt's recursion is inherently sequential, so unlike the EWMA (which
+    is re-expressed as an order-insensitive weighted sum) this runs as a
+    literal fold — but over the DIMENSION-grain daily series (array
+    length bounded by the calendar, one array per type), built after the
+    (type, day) aggregation; raw events are never serialized. The fold
+    is `F.aggregate` ↔ DuckDB `list_reduce` with identical operation
+    order, so the doubles are bit-identical cross-engine (the repo's
+    sequential-float-fold recipe); outputs quantize to micro-units at
+    the edge. Init: level = first observation, trend = 0."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ser = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "n"))),
+            lambda s: F.struct(
+                s["n"].cast("double").alias("l"), F.lit(0.0).alias("b")
+            ),
+        ).alias("xs"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+    def _step(acc, v):
+        new_l = F.lit(0.5) * v["l"] + F.lit(0.5) * (acc["l"] + acc["b"])
+        return F.struct(
+            new_l.alias("l"),
+            (F.lit(0.25) * (new_l - acc["l"]) + F.lit(0.75) * acc["b"])
+            .alias("b"),
+        )
+
+    st = ser.select(
+        "event_type", "n_days",
+        F.aggregate(
+            F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+            F.element_at(F.col("xs"), 1),
+            _step,
+        ).alias("s"),
+    )
+    micro = lambda c: F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")  # noqa: E731
+    return st.select(
+        "event_type", "n_days",
+        micro(F.col("s.l")).alias("level_micro"),
+        micro(F.col("s.b")).alias("trend_micro"),
+        micro(F.col("s.l") + F.col("s.b")).alias("forecast_micro"),
+    )
+
+
+ORACLE_HOLT = """
+-- The fold is a WITH RECURSIVE unroll, NOT list_reduce: DuckDB's
+-- list_reduce updates a struct accumulator field-by-field, so the 'b'
+-- expression sees the already-overwritten 'l' and chained steps
+-- diverge. Constants are cast to DOUBLE (bare 0.5 is DECIMAL and
+-- would run the recursion in scale-1 decimal arithmetic).
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS d, count(*) AS n
+  FROM events GROUP BY 1, 2
+), ser AS (
+  SELECT event_type,
+         list(CAST(n AS DOUBLE) ORDER BY d) AS xs,
+         count(*) AS n_days
+  FROM daily GROUP BY 1
+), steps AS (
+  SELECT event_type, n_days, xs, 1 AS i,
+         xs[1] AS l, CAST(0 AS DOUBLE) AS b
+  FROM ser
+  UNION ALL
+  SELECT event_type, n_days, xs, i + 1,
+         0.5::DOUBLE * xs[i + 1] + 0.5::DOUBLE * (l + b),
+         0.25::DOUBLE * ((0.5::DOUBLE * xs[i + 1]
+                          + 0.5::DOUBLE * (l + b)) - l)
+         + 0.75::DOUBLE * b
+  FROM steps WHERE i < len(xs)
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+  CAST(floor(l * 1000000.0 + 0.5) AS BIGINT) AS level_micro,
+  CAST(floor(b * 1000000.0 + 0.5) AS BIGINT) AS trend_micro,
+  CAST(floor((l + b) * 1000000.0 + 0.5) AS BIGINT) AS forecast_micro
+FROM steps WHERE i = len(xs)
+"""
+
+
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch marketing attribution: each purchase credits the
     latest click by the same user within a 7-day lookback; purchases
@@ -1876,6 +1964,7 @@ QUERIES = {
     "events_session_depth": (q_session_depth, ORACLE_SESSION_DEPTH),
     "events_cumulative_users": (q_cumulative_users, ORACLE_CUMULATIVE_USERS),
     "events_ewma_decay": (q_ewma_decay, ORACLE_EWMA),
+    "events_holt_forecast": (q_holt_forecast, ORACLE_HOLT),
     "events_attribution_last_touch": (q_attribution, ORACLE_ATTRIBUTION),
     "events_gap_fill_locf": (q_gap_fill, ORACLE_GAP_FILL),
     "events_interarrival_quantiles": (q_interarrival_quantiles,
