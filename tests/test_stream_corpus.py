@@ -250,3 +250,48 @@ def test_crash_between_appends_and_watermark_replays_cleanly(spark, tmp_path):
         ).collect()
     }
     assert v1[7] == "exact_index_dup"
+
+
+def test_decontamination_gate_refuses_before_dedup(spark, tmp_path):
+    """A doc quoting a verbatim eval 8-gram is 'contaminated' even when
+    it arrives FIRST (content policy outranks first-arrival); its
+    byte-identical copy in a later batch is also contaminated (never an
+    index dup — refused docs enter no index); clean docs are untouched
+    and the corpus holds exactly the kept set."""
+    from transfer_spark.streaming.corpus_ingest import (
+        EvalNgramIndex,
+        StreamingCorpusIngest,
+    )
+
+    eval_text = ("benchmark question alpha beta gamma delta epsilon zeta "
+                 "eta theta")
+    leaky = "some page quoting alpha beta gamma delta epsilon zeta eta theta verbatim"
+    clean = "an unrelated page with enough tokens to pass the floor easily today"
+
+    ev = EvalNgramIndex(spark, str(tmp_path / "ev"), n=8, n_buckets=4)
+    ev.build(
+        spark.createDataFrame([(0, eval_text)], "doc_id long, text string"),
+        "text",
+    )
+    ing = StreamingCorpusIngest(
+        spark, str(tmp_path / "store"), min_tokens=5, eval_index=ev
+    )
+    v0 = ing.process_batch(
+        spark.createDataFrame(
+            [(1, leaky), (2, clean)], "doc_id long, text string"
+        ),
+        "doc_id", "text", batch_id=0,
+    )
+    got0 = {r.doc_id: r.status for r in v0.collect()}
+    assert got0 == {1: "contaminated", 2: "kept"}
+
+    v1 = ing.process_batch(
+        spark.createDataFrame(
+            [(3, leaky), (4, clean)], "doc_id long, text string"
+        ),
+        "doc_id", "text", batch_id=1,
+    )
+    got1 = {r.doc_id: (r.status, r.dup_of) for r in v1.collect()}
+    assert got1[3] == ("contaminated", None)  # not exact_index_dup
+    assert got1[4] == ("exact_index_dup", 2)
+    assert {r.doc_id for r in ing.corpus().collect()} == {2}

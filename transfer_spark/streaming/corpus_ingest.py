@@ -50,8 +50,89 @@ from transfer_spark.streaming.dedup_index import MinHashDedupIndex
 from transfer_spark.streaming.statefs import LocalStateFS
 
 GATED_OUT = "gated_out"
+CONTAMINATED = "contaminated"
 EXACT_BATCH_DUP = "exact_batch_dup"
 EXACT_INDEX_DUP = "exact_index_dup"
+
+
+class EvalNgramIndex:
+    """Persistent eval-suite n-gram hash set for at-ingest exact
+    decontamination: the streaming sibling of
+    :func:`transfer_spark.operators.dedupe.ngram_collisions`. The batch
+    form broadcasts the eval span set into every job; at production
+    cadence the eval suite is static, so this builds the distinct span
+    hashes ONCE into a hash-bucket-partitioned parquet store and every
+    micro-batch probes only the buckets its own spans map to — the same
+    pruning contract as the ingest composer's exact-hash index.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n: int = 8,
+        n_buckets: int = 16,
+        fs=None,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.n = n
+        self.n_buckets = n_buckets
+        self.fs = fs if fs is not None else LocalStateFS()
+
+    def _spans(self, df: DataFrame, text_col: str) -> DataFrame:
+        from transfer_spark.operators.dedupe import _base_hash, shingles
+
+        return df.select(
+            F.explode(shingles(F.col(text_col), self.n)).alias("__sp")
+        ).select(_base_hash(F.col("__sp")).alias("h"))
+
+    def build(self, eval_df: DataFrame, text_col: str) -> None:
+        """(Re)build the span-hash store from the full eval suite —
+        overwrite semantics, so suite updates are one rebuild away."""
+        (
+            self._spans(eval_df, text_col)
+            .distinct()
+            .withColumn("__bucket", F.col("h") % self.n_buckets)
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(self.path)
+        )
+
+    def exists(self) -> bool:
+        return self.fs.exists(self.path) and any(
+            n.startswith("__bucket=") for n in self.fs.listdir(self.path)
+        )
+
+    def probe_ids(
+        self, df: DataFrame, id_col: str, text_col: str
+    ) -> DataFrame:
+        """Distinct ids of docs sharing ≥1 exact n-gram with the eval
+        suite — reads only the batch's span buckets."""
+        from transfer_spark.operators.dedupe import _base_hash, shingles
+
+        sp = df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingles(F.col(text_col), self.n)).alias("__sp"),
+        ).select("doc", _base_hash(F.col("__sp")).alias("h"))
+        if not self.exists():
+            return sp.select("doc").limit(0)
+        buckets = [
+            r[0]
+            for r in sp.select((F.col("h") % self.n_buckets).alias("bk"))
+            .distinct()
+            .collect()
+        ]
+        if not buckets:
+            return sp.select("doc").limit(0)
+        idx = self.spark.read.parquet(self.path).filter(
+            F.col("__bucket").isin(buckets)
+        )
+        return (
+            sp.join(idx.select("h"), "h")
+            .select("doc")
+            .distinct()
+        )
 
 
 class StreamingCorpusIngest:
@@ -63,12 +144,18 @@ class StreamingCorpusIngest:
         min_quality: float | None = None,
         n_buckets: int = 16,
         fs=None,
+        eval_index: "EvalNgramIndex | None" = None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.min_tokens = min_tokens
         self.min_quality = min_quality
         self.n_buckets = n_buckets
+        # optional at-ingest decontamination: a doc sharing an exact
+        # n-gram with the eval suite is refused BEFORE the dedup stages,
+        # so a contaminated doc can never become a kept representative
+        # (and never enters the indexes or the corpus)
+        self.eval_index = eval_index
         # metadata IO (markers, listings) goes through the statefs seam
         # so an object-store-backed store is a config, not a rewrite
         self.fs = fs if fs is not None else LocalStateFS()
@@ -186,6 +273,19 @@ class StreamingCorpusIngest:
         ).localCheckpoint(eager=True)  # pin inputs before index mutation
         gated = stamped.filter(F.col("__pass"))
 
+        # decontamination gate (optional): content-policy refusal runs
+        # before dedup so the greedy first-arrival semantics never crown
+        # a contaminated doc as the kept representative. The eval index
+        # is static (built once, never mutated by ingest), so replay
+        # determinism is unaffected.
+        if self.eval_index is not None:
+            contaminated = self.eval_index.probe_ids(
+                gated, "doc", "text"
+            ).withColumn("__cont", F.lit(True)).localCheckpoint(eager=True)
+            gated = gated.join(contaminated.select("doc"), "doc", "left_anti")
+        else:
+            contaminated = None
+
         hashed = gated.select(
             "doc", "text", "n_tokens",
             F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10)
@@ -214,14 +314,20 @@ class StreamingCorpusIngest:
         ).select(F.col("doc_id").alias("doc"), "status", "dup_of")
         self._fp("bands_appended")
 
+        v = stamped.select("doc", "__pass")
+        if contaminated is not None:
+            v = v.join(contaminated, "doc", "left")
+        else:
+            v = v.withColumn("__cont", F.lit(None).cast("boolean"))
         verdicts = (
-            stamped.select("doc", "__pass")
+            v
             .join(intra, "doc", "left")
             .join(index_hits, "doc", "left")
             .join(mh_verdicts, "doc", "left")
             .select(
                 F.col("doc").alias("doc_id"),
                 F.when(~F.col("__pass"), F.lit(GATED_OUT))
+                .when(F.col("__cont"), F.lit(CONTAMINATED))
                 .when(F.col("exact_batch_dup_of").isNotNull(),
                       F.lit(EXACT_BATCH_DUP))
                 .when(F.col("exact_index_dup_of").isNotNull(),
@@ -257,10 +363,12 @@ class StreamingCorpusIngest:
         }
         n_exact_surv = sum(
             n for s, n in status_counts.items()
-            if s not in (GATED_OUT, EXACT_BATCH_DUP, EXACT_INDEX_DUP)
+            if s not in (GATED_OUT, CONTAMINATED, EXACT_BATCH_DUP,
+                         EXACT_INDEX_DUP)
         )
         exact_surv_ids = verdicts.filter(
-            ~F.col("status").isin(GATED_OUT, EXACT_BATCH_DUP, EXACT_INDEX_DUP)
+            ~F.col("status").isin(GATED_OUT, CONTAMINATED,
+                                  EXACT_BATCH_DUP, EXACT_INDEX_DUP)
         ).select("doc_id")
         if n_exact_surv:
             (

@@ -2322,6 +2322,141 @@ SELECT doc_id, CAST(batch AS INT) AS batch, status, dup_of FROM verd
 ORACLE_STREAMING_CORPUS_INGEST = _streaming_corpus_ingest_sql()
 
 
+def q_streaming_ingest_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest composer with the at-ingest decontamination gate: the
+    eval suite (every 7th doc) is indexed ONCE as a persistent 8-gram
+    hash store (bucket-pruned probes), and the remaining docs stream
+    through in two micro-batches. A doc sharing a verbatim 8-gram with
+    the eval suite is refused before the dedup stages — content policy
+    outranks first-arrival, so a contaminated doc can never become the
+    kept representative, and it never touches the indexes or corpus."""
+    import tempfile
+
+    from transfer_spark.streaming.corpus_ingest import (
+        EvalNgramIndex,
+        StreamingCorpusIngest,
+    )
+
+    d = _docs(spark, sf_dir)
+    is_eval = F.col("doc_id") % 7 == 3
+    root = tempfile.mkdtemp(prefix="artie_corpus_decon_")
+    ev_idx = EvalNgramIndex(spark, root + "/eval_ngrams", n=8, n_buckets=16)
+    ev_idx.build(d.filter(is_eval), "text")
+    ing = StreamingCorpusIngest(
+        spark, root + "/store", min_tokens=30, n_buckets=16,
+        eval_index=ev_idx,
+    )
+    stream = d.filter(~is_eval)
+    v0 = ing.process_batch(
+        stream.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", batch_id=0
+    ).withColumn("batch", F.lit(0))
+    v1 = ing.process_batch(
+        stream.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", batch_id=1
+    ).withColumn("batch", F.lit(1))
+    return v0.unionByName(v1)
+
+
+def _streaming_ingest_decon_sql() -> str:
+    """The two-batch ingest oracle with the decontamination stage:
+    ingest docs are doc_id % 7 != 3, the eval suite is the rest;
+    'contaminated' outranks every dedup status and contaminated docs
+    are excluded from the exact/MinHash populations."""
+    return f"""
+WITH {_banded_ctes()},
+base AS (SELECT doc_id, text, len({_TOKS}) AS n_tok FROM documents
+         WHERE doc_id % 7 != 3),
+evsp AS (
+  SELECT DISTINCT ('0x' || substr(md5(sp), 1, 15))::BIGINT AS h FROM (
+    SELECT unnest(CASE WHEN len({_TOKS}) >= 8
+           THEN list_transform(range(1, len({_TOKS}) - 6),
+                i -> array_to_string(({_TOKS})[i:i+7], ' '))
+           ELSE []::VARCHAR[] END) AS sp
+    FROM documents WHERE doc_id % 7 = 3)
+),
+cont AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id,
+      ('0x' || substr(md5(sp), 1, 15))::BIGINT AS h FROM (
+      SELECT doc_id,
+        unnest(CASE WHEN len({_TOKS}) >= 8
+               THEN list_transform(range(1, len({_TOKS}) - 6),
+                    i -> array_to_string(({_TOKS})[i:i+7], ' '))
+               ELSE []::VARCHAR[] END) AS sp
+      FROM documents WHERE doc_id % 7 != 3 AND len({_TOKS}) >= 30)
+  ) s JOIN evsp USING (h)
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+  FROM base WHERE n_tok >= 30
+    AND doc_id NOT IN (SELECT doc_id FROM cont)
+),
+h0 AS (SELECT * FROM hashed WHERE doc_id % 2 = 0),
+h1 AS (SELECT * FROM hashed WHERE doc_id % 2 = 1),
+ei0 AS (
+  SELECT l.doc_id AS doc, min(r.doc_id) AS dup
+  FROM h0 l JOIN h0 r ON l.h = r.h AND r.doc_id < l.doc_id
+  GROUP BY l.doc_id
+),
+ek0 AS (SELECT * FROM h0 WHERE doc_id NOT IN (SELECT doc FROM ei0)),
+ei1 AS (
+  SELECT l.doc_id AS doc, min(r.doc_id) AS dup
+  FROM h1 l JOIN h1 r ON l.h = r.h AND r.doc_id < l.doc_id
+  GROUP BY l.doc_id
+),
+eh1 AS (
+  SELECT b.doc_id AS doc, min(i.doc_id) AS dup
+  FROM h1 b JOIN ek0 i ON b.h = i.h
+  WHERE b.doc_id NOT IN (SELECT doc FROM ei1)
+  GROUP BY b.doc_id
+),
+ek1 AS (
+  SELECT * FROM h1
+  WHERE doc_id NOT IN (SELECT doc FROM ei1)
+    AND doc_id NOT IN (SELECT doc FROM eh1)
+),
+b0 AS (SELECT banded.* FROM banded JOIN ek0 USING (doc_id)),
+b1 AS (SELECT banded.* FROM banded JOIN ek1 USING (doc_id)),
+mi0 AS (
+  SELECT l.doc_id AS doc, min(r.doc_id) AS dup
+  FROM b0 l JOIN b0 r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND r.doc_id < l.doc_id
+  GROUP BY l.doc_id
+),
+mk0 AS (SELECT * FROM b0 WHERE doc_id NOT IN (SELECT doc FROM mi0)),
+mi1 AS (
+  SELECT l.doc_id AS doc, min(r.doc_id) AS dup
+  FROM b1 l JOIN b1 r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND r.doc_id < l.doc_id
+  GROUP BY l.doc_id
+),
+mh1 AS (
+  SELECT b.doc_id AS doc, min(i.doc_id) AS dup
+  FROM b1 b JOIN mk0 i ON b.band = i.band AND b.band_hash = i.band_hash
+  WHERE b.doc_id NOT IN (SELECT doc FROM mi1)
+  GROUP BY b.doc_id
+),
+verd AS (
+  SELECT base.doc_id, base.doc_id % 2 AS batch,
+    CASE WHEN base.n_tok < 30 THEN 'gated_out'
+         WHEN base.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+         WHEN ei0.dup IS NOT NULL OR ei1.dup IS NOT NULL THEN 'exact_batch_dup'
+         WHEN eh1.dup IS NOT NULL THEN 'exact_index_dup'
+         WHEN mi0.dup IS NOT NULL OR mi1.dup IS NOT NULL THEN 'batch_dup'
+         WHEN mh1.dup IS NOT NULL THEN 'index_dup'
+         ELSE 'kept' END AS status,
+    coalesce(ei0.dup, ei1.dup, eh1.dup, mi0.dup, mi1.dup, mh1.dup) AS dup_of
+  FROM base
+  LEFT JOIN ei0 ON ei0.doc = base.doc_id
+  LEFT JOIN ei1 ON ei1.doc = base.doc_id
+  LEFT JOIN eh1 ON eh1.doc = base.doc_id
+  LEFT JOIN mi0 ON mi0.doc = base.doc_id
+  LEFT JOIN mi1 ON mi1.doc = base.doc_id
+  LEFT JOIN mh1 ON mh1.doc = base.doc_id
+)
+SELECT doc_id, CAST(batch AS INT) AS batch, status, dup_of FROM verd
+"""
+
+
 def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded deterministic shard shuffle: (shard, pos_in_shard) per doc,
     no global sort — per-shard window sorts only."""
@@ -3077,4 +3212,6 @@ QUERIES = {
     "dedupe_ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "dedupe_simhash": (q_simhash, _simhash_sql()),
     "dedupe_simhash_hamming": (q_simhash_hamming, _simhash_hamming_sql()),
+    "streaming_ingest_decon": (q_streaming_ingest_decon,
+                               _streaming_ingest_decon_sql()),
 }
