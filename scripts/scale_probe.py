@@ -209,6 +209,28 @@ def main():
               lambda d: source_unigram_kl(d, "source", "text")),
     ]
 
+    # at-ingest decontamination: probe cost must track the BATCH even
+    # as the EVAL SUITE grows 10x (bucket-pruned span-index reads) —
+    # time the same fixed batch against a 1x vs 10x eval index.
+    if not _ONLY or "decon_probe" in _ONLY:
+        import tempfile as _tf
+
+        from transfer_spark.streaming.corpus_ingest import EvalNgramIndex
+
+        probe_docs = docs.limit(200).select("doc_id", "text").localCheckpoint()
+        decon_out = {"op": "decon_probe", "rep": REP}
+        for label, factor in (("t1", 1), ("tN", REP)):
+            ev = EvalNgramIndex(
+                spark, _tf.mkdtemp(prefix="scale_ev_") + "/idx"
+            )
+            ev.build(dc(factor).select("doc_id", "text"), "text")
+            t0 = time.perf_counter()
+            ev.probe_ids(probe_docs, "doc_id", "text").count()
+            decon_out[label] = round(time.perf_counter() - t0, 2)
+        decon_out["ratio"] = round(decon_out["tN"] / decon_out["t1"], 2)
+        print(json.dumps(decon_out), flush=True)
+        results.append(decon_out)
+
     # corpus-ingest probe cost must track the BATCH, not the corpus
     # (VERDICT r6 #4): seed the persistent indexes from a 1x vs 10x
     # corpus, then time the SAME fixed-size batch against each.
