@@ -1,0 +1,45 @@
+"""Leakage-free split: near-dup clusters move as a unit.
+
+Reference analog: the reference's dataflow has no train/test splitting
+(it is a CDC engine); this is part of the LLM-training-data surface the
+engine adds. Semantics modeled on group-aware splitting as practiced in
+dataset decontamination work (Lee et al. 2022 §5: near-duplicates
+straddling a split inflate eval).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from transfer_spark.operators import dedupe as D
+from transfer_spark.workloads.text import q_corpus_split, q_split_leakage_free
+
+
+def test_no_lsh_pair_straddles_the_split(spark, sf_dir):
+    assign = q_split_leakage_free(spark, sf_dir).cache()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text")
+    a = assign.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    b = assign.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    straddle = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddle == 0
+    assert assign.count() == docs.count()
+    assign.unpersist()
+
+
+def test_singletons_get_the_plain_per_doc_split(spark, sf_dir):
+    assign = q_split_leakage_free(spark, sf_dir)
+    plain = q_corpus_split(spark, sf_dir).withColumnRenamed("split", "plain_split")
+    singles = assign.filter(F.col("cluster_id") == F.col("doc_id"))
+    # every doc that is its own representative hashes exactly like the
+    # plain split (same key, same bucket formula)
+    diff = (
+        singles.join(plain, "doc_id")
+        .filter(F.col("split") != F.col("plain_split"))
+        .count()
+    )
+    assert diff == 0

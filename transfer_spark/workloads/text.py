@@ -649,6 +649,70 @@ FROM b
 """
 
 
+def q_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware (leakage-free) train/val/test split: near-dup
+    clusters (connected components over the MinHash-LSH candidate pairs)
+    are routed as a UNIT by hashing the cluster representative, so two
+    near-duplicate documents can never land on opposite sides of the
+    split — the contamination mode a plain per-doc hash split permits
+    (an eval doc's near-twin sitting in train). Docs with no candidate
+    pair hash by their own id, which degenerates to the plain split.
+
+    Scale: the cluster pass is the same band-join + min-label CC used by
+    dedup (no all-pairs work); the assignment itself is pure codegen on
+    the cluster key — one broadcast-free left join on doc_id."""
+    from transfer_spark.operators.text import assign_split
+
+    d = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(d, "doc_id", "text")
+    clusters = D.neardup_clusters(pairs)
+    withc = (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    return withc.select(
+        "doc_id",
+        "cluster_id",
+        assign_split(
+            F.col("cluster_id"), {"train": 0.9, "val": 0.05, "test": 0.05}
+        ).alias("split"),
+    )
+
+
+ORACLE_SPLIT_LEAKAGE_FREE = f"""
+WITH RECURSIVE cand AS ({_minhash_sql()}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION ALL
+  SELECT doc_b, doc_a FROM cand
+),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id
+),
+comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+c AS (
+  SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp USING (doc_id)
+),
+b AS (
+  SELECT doc_id, cluster_id,
+         ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bk
+  FROM c
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN bk < 9000 THEN 'train'
+            WHEN bk < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-200 tokens by frequency (tie → token asc) —
     the vocab-building pass of a tokenizer pipeline."""
@@ -3199,6 +3263,7 @@ QUERIES = {
     "dedupe_exact_normalized": (q_dedupe_exact_normalized, ORACLE_DEDUPE_EXACT_NORMALIZED),
     "token_vocab": (q_token_vocab, ORACLE_TOKEN_VOCAB),
     "corpus_split": (q_corpus_split, ORACLE_CORPUS_SPLIT),
+    "split_leakage_free": (q_split_leakage_free, ORACLE_SPLIT_LEAKAGE_FREE),
     "split_decontamination": (q_split_decontamination, _decontamination_sql()),
     "neardup_clusters": (q_neardup_clusters, ORACLE_NEARDUP_CLUSTERS),
     "neardup_clusters_star": (q_neardup_clusters_star, ORACLE_NEARDUP_CLUSTERS),
