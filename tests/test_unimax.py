@@ -1,0 +1,63 @@
+"""UniMax allocation fold vs a sequential Python reference.
+
+The crafted mixtures force BOTH greedy branches: tiny sources where the
+epoch cap binds (releasing slack to the rest) and large sources taking
+the uniform share.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from transfer_spark.operators.text import unimax_allocations
+
+
+def _reference(sizes: dict[str, int], epochs: int, num: int, den: int):
+    total = sum(sizes.values())
+    rem = total * num // den
+    ordered = sorted(sizes.items(), key=lambda kv: (kv[1], kv[0]))
+    out = {}
+    left = len(ordered)
+    for src, n in ordered:
+        alloc = min(epochs * n, rem // left)
+        out[src] = alloc
+        rem -= alloc
+        left -= 1
+    return out
+
+
+@pytest.mark.parametrize(
+    "sizes",
+    [
+        # epoch cap binds on the two tiny sources; slack flows upward
+        {"a": 10, "b": 20, "c": 5000, "d": 7000, "e": 9000},
+        # uniform sizes: nothing caps, pure budget shares
+        {"a": 1000, "b": 1000, "c": 1000, "d": 1000},
+        # one giant source absorbing all released slack
+        {"tiny": 1, "small": 3, "giant": 100000},
+        # single source
+        {"only": 123},
+    ],
+)
+def test_fold_matches_sequential_reference(spark, sizes):
+    per_src = spark.createDataFrame(
+        [(k, v) for k, v in sizes.items()], "source string, src_tokens long"
+    )
+    got = {
+        r["source"]: r["alloc_tokens"]
+        for r in unimax_allocations(per_src, 2, 3, 4).collect()
+    }
+    assert got == _reference(sizes, 2, 3, 4)
+
+
+def test_allocation_respects_budget_and_cap(spark):
+    sizes = {"a": 7, "b": 5500, "c": 8123, "d": 91}
+    per_src = spark.createDataFrame(
+        [(k, v) for k, v in sizes.items()], "source string, src_tokens long"
+    )
+    rows = unimax_allocations(per_src, 2, 3, 4).collect()
+    total = sum(sizes.values())
+    assert sum(r["alloc_tokens"] for r in rows) <= total * 3 // 4
+    for r in rows:
+        assert r["alloc_tokens"] <= 2 * sizes[r["source"]]
+        assert r["epochs_ppm"] <= 2_000_000

@@ -608,3 +608,62 @@ def token_budget_select(
     return cum.filter(
         F.col("cum_tokens") - F.col("n_tokens") < F.lit(budget_tokens)
     )
+
+
+def unimax_allocations(
+    per_src,
+    max_epochs: int = 2,
+    budget_num: int = 3,
+    budget_den: int = 4,
+):
+    """UniMax budget allocation (Chung et al. 2023): distribute a total
+    token budget across sources as uniformly as possible subject to a
+    per-source epoch cap. Greedy over sources ASCENDING by size: each
+    source gets ``min(max_epochs * its_tokens, remaining DIV
+    sources_left)`` — a small source that can't absorb its uniform share
+    (the epoch cap binds) releases the slack to the larger sources.
+
+    ``per_src`` is ``(source, src_tokens)``; the budget is
+    ``total * budget_num DIV budget_den``. All arithmetic is integer
+    (Spark ``DIV`` == DuckDB ``//``, both truncate), so the allocation
+    is engine-exact with no quantization step.
+
+    Scale: the per-source counts come from a distributed agg; the greedy
+    itself is a sequential fold over the SOURCE dimension (tens of rows,
+    never data-grain), expressed as one JVM-side ``aggregate`` over a
+    collected dimension array — the same dimension-fold shape as the
+    Holt smoother. Output: source, src_tokens, alloc_tokens,
+    epochs_ppm."""
+    one = per_src.agg(
+        F.array_sort(F.collect_list(F.struct("src_tokens", "source"))).alias("xs"),
+        F.sum("src_tokens").cast("long").alias("t_total"),
+    )
+    fold = F.expr(
+        f"""
+      aggregate(
+        xs,
+        named_struct(
+          'rem', CAST(t_total * {budget_num} DIV {budget_den} AS BIGINT),
+          'n_left', CAST(size(xs) AS BIGINT),
+          'out', CAST(array() AS ARRAY<STRUCT<source: STRING, alloc: BIGINT>>)),
+        (acc, x) -> named_struct(
+          'rem', acc.rem - least({max_epochs} * x.src_tokens, acc.rem DIV acc.n_left),
+          'n_left', acc.n_left - 1,
+          'out', concat(acc.out, array(named_struct(
+            'source', x.source,
+            'alloc', least({max_epochs} * x.src_tokens, acc.rem DIV acc.n_left))))),
+        acc -> acc.out)
+    """
+    )
+    allocs = one.select(F.explode(fold).alias("a")).select(
+        F.col("a.source").alias("source"),
+        F.col("a.alloc").alias("alloc_tokens"),
+    )
+    return allocs.join(per_src, "source").select(
+        "source",
+        "src_tokens",
+        "alloc_tokens",
+        F.expr("CAST(alloc_tokens * 1000000 DIV src_tokens AS BIGINT)").alias(
+            "epochs_ppm"
+        ),
+    )

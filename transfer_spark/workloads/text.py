@@ -2837,6 +2837,52 @@ FROM weighted, tot
 """
 
 
+def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language/source sampling (Chung et al. 2023): spread a
+    token budget (3/4 of the corpus) as uniformly as possible across
+    sources, capping every source at 2 epochs — the published
+    alternative to temperature smoothing that never over-repeats
+    low-resource sources. Greedy over sources ascending by size;
+    integer arithmetic end-to-end (no float quantization needed).
+    Counts are a distributed agg; the greedy folds over the tiny source
+    dimension JVM-side (Holt-style dimension fold, never data-grain)."""
+    d = _docs(spark, sf_dir)
+    per_src = (
+        d.select("source", T.token_count(F.col("text")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("src_tokens"))
+    )
+    return T.unimax_allocations(per_src, max_epochs=2, budget_num=3, budget_den=4)
+
+
+ORACLE_UNIMAX = f"""
+WITH RECURSIVE t AS (
+  SELECT source, len({_TOKS}) AS n FROM documents
+), per_src AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS src_tokens FROM t GROUP BY source
+), ord AS (
+  SELECT source, src_tokens,
+         row_number() OVER (ORDER BY src_tokens, source) AS rn,
+         count(*) OVER () AS k
+  FROM per_src
+), tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS t_total FROM per_src),
+rec(rn, rem) AS (
+  SELECT 0, (SELECT t_total * 3 // 4 FROM tot)
+  UNION ALL
+  SELECT o.rn, r.rem - least(2 * o.src_tokens, r.rem // (o.k - o.rn + 1))
+  FROM rec r JOIN ord o ON o.rn = r.rn + 1
+),
+alloc AS (
+  SELECT o.source, o.src_tokens,
+         least(2 * o.src_tokens, r.rem // (o.k - o.rn + 1)) AS alloc_tokens
+  FROM ord o JOIN rec r ON r.rn = o.rn - 1
+)
+SELECT source, src_tokens, CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+       CAST(alloc_tokens * 1000000 // src_tokens AS BIGINT) AS epochs_ppm
+FROM alloc
+"""
+
+
 def q_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture rebalancing: per-source keep rates that move the corpus
     toward a TARGET token mixture (uniform across sources here). For
@@ -3218,6 +3264,7 @@ QUERIES = {
     "curriculum_quality_bins": (q_curriculum_bins, _curriculum_sql()),
     "corpus_mixture_rates": (q_mixture_rates, ORACLE_MIXTURE),
     "corpus_mixture_temperature": (q_mixture_temperature, ORACLE_MIXTURE_TEMPERATURE),
+    "corpus_mixture_unimax": (q_unimax_mixture, ORACLE_UNIMAX),
     "corpus_pack_efficiency": (q_pack_efficiency, ORACLE_PACK_EFFICIENCY),
     "split_decontamination_eval_report": (
         q_decontamination_eval_report, ORACLE_DECONTAM_EVAL_REPORT),
