@@ -1,0 +1,55 @@
+"""HLL sketch: accuracy envelope, merge-equals-single-pass, rank edge cases."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from transfer_spark.operators.temporal import hll_estimate, hll_registers
+
+
+def test_estimate_within_error_envelope(spark):
+    # 5000 known-distinct keys; HLL(p=8) std error is 1.04/sqrt(256) = 6.5%
+    df = spark.range(5000).select(
+        F.lit("g").alias("g"), F.concat(F.lit("user-"), F.col("id")).alias("u")
+    )
+    reg = hll_registers(df, ["g"], "u", p=8)
+    est = hll_estimate(reg, ["g"], p=8).collect()[0]
+    assert abs(est["hll_est"] - 5000) / 5000 < 0.2
+
+
+def test_duplicates_do_not_move_the_estimate(spark):
+    base = spark.range(2000).select(
+        F.lit("g").alias("g"), F.concat(F.lit("u"), F.col("id")).alias("u")
+    )
+    doubled = base.union(base).union(base)
+    e1 = hll_estimate(hll_registers(base, ["g"], "u"), ["g"]).collect()[0]
+    e2 = hll_estimate(hll_registers(doubled, ["g"], "u"), ["g"]).collect()[0]
+    assert e1["hll_est"] == e2["hll_est"]
+
+
+def test_partial_merge_equals_single_pass(spark):
+    df = spark.range(4000).select(
+        F.lit("g").alias("g"),
+        (F.col("id") % 7).alias("part"),
+        F.concat(F.lit("u"), (F.col("id") % 1500)).alias("u"),
+    )
+    single = hll_estimate(hll_registers(df, ["g"], "u"), ["g"]).collect()[0]
+    partials = hll_registers(df, ["g", "part"], "u")
+    merged_reg = partials.groupBy("g", "bucket").agg(
+        F.max("m_rank").alias("m_rank")
+    )
+    merged = hll_estimate(merged_reg, ["g"]).collect()[0]
+    assert single["hll_est"] == merged["hll_est"]
+    assert single["n_zero_registers"] == merged["n_zero_registers"]
+
+
+def test_rank_bounds(spark):
+    # every rank must fall in [1, 53] whatever the hash looks like
+    df = spark.range(20000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("u")
+    )
+    reg = hll_registers(df, ["g"], "u", p=8)
+    mm = reg.agg(F.min("m_rank").alias("lo"), F.max("m_rank").alias("hi")).collect()[0]
+    assert 1 <= mm["lo"] <= mm["hi"] <= 53
+    assert reg.filter(F.col("bucket") < 0).count() == 0
+    assert reg.filter(F.col("bucket") > 255).count() == 0

@@ -30,6 +30,79 @@ def hash_frac(v: Column) -> Column:
     )
 
 
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 8
+) -> DataFrame:
+    """HyperLogLog register build (Flajolet et al. 2007): hash each value
+    with md5, route it to one of ``m = 2**p`` registers by its first
+    ``p/4`` hex chars, and keep the MAX rank (position of the leading
+    1-bit in the next 52 hash bits) per register.
+
+    This is the sketch the 100 TB path wants for distinct counts:
+    unlike KMV's per-group top-k window, the register build is a plain
+    ``groupBy(group, bucket).agg(max)`` — fully map-side combinable,
+    fixed ``m`` longs of state per group, and partials merge by
+    register-wise max (associative), so per-day/per-partition sketches
+    union without revisiting rows. Rank extraction is string ops +
+    CASE on the first non-zero nibble — deterministic on any engine
+    with md5 (register layout here is pinned, unlike library HLLs).
+    """
+    assert p % 4 == 0, "p must be a multiple of 4 (hex-char bucketing)"
+    hx = F.md5(F.col(value_col).cast("string"))
+    bucket = F.conv(F.substring(hx, 1, p // 4), 16, 10).cast("int")
+    hex13 = F.substring(hx, p // 4 + 1, 13)
+    rem = F.regexp_replace(hex13, "^0+", "")
+    lzc = F.lit(13) - F.length(rem)
+    v = F.conv(F.substring(rem, 1, 1), 16, 10).cast("int")
+    nib = (
+        F.when(v >= 8, 0).when(v >= 4, 1).when(v >= 2, 2).otherwise(3)
+    )
+    rank = F.when(F.length(rem) == 0, F.lit(53)).otherwise(
+        lzc * F.lit(4) + nib + F.lit(1)
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("m_rank"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """Raw HLL estimate from a register frame: ``alpha_m * m^2 /
+    sum(2^-M_j)`` with absent registers counting ``2^0``.
+
+    The 2^-M terms are integer-scaled by 2^53 (``shiftleft``), so the
+    register sum is an exact BIGINT and the final estimate is ONE
+    double expression over exact integers — bit-identical cross-engine
+    with no transcendental (the linear-counting small-range branch is
+    deliberately not applied; ``n_zero_registers`` is emitted so a
+    consumer can, and the estimator's own regime is what a 100 TB
+    distinct count lives in)."""
+    m = 1 << p
+    terms = registers.groupBy(*group_cols).agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m_rank)"))
+        .cast("long")
+        .alias("s_present"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    s_scaled = (
+        F.col("s_present")
+        + (F.lit(m).cast("long") - F.col("n_buckets"))
+        * F.lit(1 << 53).cast("long")
+    )
+    est = F.expr(
+        f"round(0.7213 / (1.0 + 1.079 / {m}.0) * {m}.0 * {m}.0 "
+        f"* 9007199254740992.0 / CAST(s_scaled AS DOUBLE), 4)"
+    )
+    return terms.withColumn("s_scaled", s_scaled).select(
+        *group_cols,
+        est.alias("hll_est"),
+        (F.lit(m).cast("long") - F.col("n_buckets")).alias("n_zero_registers"),
+    )
+
+
 def sessionize(
     df: DataFrame,
     user_col: str,

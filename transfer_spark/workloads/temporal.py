@@ -736,6 +736,107 @@ def q_kmv_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TP.kmv_merge_distinct(e, "event_type", "day_us", "user_id", k=_KMV_K)
 
 
+# Shared register-build SQL for the HLL entries (p=8, m=256): bucket =
+# first 2 md5 hex chars; rank = leading-zero bits of the next 52 + 1,
+# via string ops + a CASE on the first non-zero nibble — mirrors
+# operators/temporal.py:hll_registers exactly.
+_HLL_REG_SQL = """
+h AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+), rr AS (
+  SELECT event_type,
+         ('0x' || substr(hx, 1, 2))::INT AS bucket,
+         regexp_replace(substr(hx, 3, 13), '^0+', '') AS rem
+  FROM h
+), rk AS (
+  SELECT event_type, bucket,
+    CASE WHEN length(rem) = 0 THEN 53
+         ELSE (13 - length(rem)) * 4
+              + CASE WHEN ('0x' || substr(rem, 1, 1))::INT >= 8 THEN 0
+                     WHEN ('0x' || substr(rem, 1, 1))::INT >= 4 THEN 1
+                     WHEN ('0x' || substr(rem, 1, 1))::INT >= 2 THEN 2
+                     ELSE 3 END + 1 END AS rank
+  FROM rr
+), reg AS (
+  SELECT event_type, bucket, max(rank) AS m_rank
+  FROM rk GROUP BY event_type, bucket
+), hagg AS (
+  SELECT event_type,
+         CAST(sum(1::BIGINT << (53 - m_rank)) AS BIGINT) AS s_present,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM reg GROUP BY event_type
+), hest AS (
+  SELECT event_type,
+    round(0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+          * 9007199254740992.0
+          / CAST(s_present + (256 - n_buckets) * 9007199254740992
+                 AS DOUBLE), 4) AS hll_est,
+    CAST(256 - n_buckets AS BIGINT) AS n_zero_registers
+  FROM hagg
+)
+"""
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-user estimate per event type, alongside the exact
+    count. The register build is a plain map-side-combinable
+    groupBy-max (no per-group top-k window like KMV) — the sketch shape
+    that scales to 100 TB with 256 longs of state per group."""
+    e = _events(spark, sf_dir)
+    reg = TP.hll_registers(e, ["event_type"], "user_id", p=8)
+    est = TP.hll_estimate(reg, ["event_type"], p=8)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type", "hll_est", "n_zero_registers", "n_exact"
+    )
+
+
+ORACLE_HLL = f"""
+WITH {_HLL_REG_SQL},
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT hest.event_type, hest.hll_est, hest.n_zero_registers, exact.n_exact
+FROM hest JOIN exact ON hest.event_type = exact.event_type
+"""
+
+
+def q_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day HLL register partials merged by register-wise max into
+    the per-type estimate. Register max is associative, so the merged
+    sketch is EXACTLY the single-pass sketch — which is what the oracle
+    computes; the partial/merge split only changes where the work
+    happens (per-day near the data, 256 longs per partial upward)."""
+    e = _events(spark, sf_dir).withColumn(
+        "day_us", F.unix_micros(F.date_trunc("DAY", F.col("ts")))
+    )
+    partials = TP.hll_registers(e, ["event_type", "day_us"], "user_id", p=8)
+    merged = partials.groupBy("event_type", "bucket").agg(
+        F.max("m_rank").alias("m_rank")
+    )
+    est = TP.hll_estimate(merged, ["event_type"], p=8)
+    np = e.groupBy("event_type").agg(
+        F.countDistinct("day_us").alias("n_partials")
+    )
+    return est.join(F.broadcast(np), "event_type").select(
+        "event_type", "n_partials", "hll_est"
+    )
+
+
+ORACLE_HLL_MERGE = f"""
+WITH {_HLL_REG_SQL},
+np AS (
+  SELECT event_type, COUNT(DISTINCT date_trunc('day', ts)) AS n_partials
+  FROM events GROUP BY event_type
+)
+SELECT hest.event_type, np.n_partials, hest.hll_est
+FROM hest JOIN np ON hest.event_type = np.event_type
+"""
+
+
 ORACLE_KMV_MERGE = f"""
 WITH d AS (
   SELECT DISTINCT event_type, user_id FROM events
@@ -1982,6 +2083,8 @@ QUERIES = {
     "events_range_join": (q_range_join, ORACLE_RANGE),
     "events_rollup": (q_rollup, ORACLE_ROLLUP),
     "kmv_distinct_users": (q_kmv_distinct, ORACLE_KMV),
+    "hll_distinct_users": (q_hll_distinct, ORACLE_HLL),
+    "hll_merge_daily": (q_hll_merge_daily, ORACLE_HLL_MERGE),
     "cms_heavy_hitters": (q_cms_sketch, ORACLE_CMS),
     "kmv_merge_daily": (q_kmv_merge_daily, ORACLE_KMV_MERGE),
     "partial_agg_merge": (q_partial_agg_merge, ORACLE_PARTIAL_MERGE),
