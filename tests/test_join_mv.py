@@ -1,0 +1,55 @@
+"""join_agg_maintenance: incremental delta-join == full recompute.
+
+Crafted cases cover the corners the big-table oracle may not hit:
+a key that exists only in the delta batch, a dim move for a key with
+no fact rows at all, and a retraction (negative measure) in the delta.
+"""
+
+from __future__ import annotations
+
+from transfer_spark.operators.cdc_fold import join_agg_maintenance
+
+
+def _frames(spark):
+    s1_old = spark.createDataFrame(
+        [(1, 2, 100), (2, 1, 50)], "custkey long, n long, v long"
+    )
+    # key 3 appears only in the delta; key 2 gets a retraction of -10
+    s1_delta = spark.createDataFrame(
+        [(2, 1, 25), (2, -1, -10), (3, 1, 10)], "custkey long, n long, v long"
+    )
+    dim_old = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "B")], "custkey long, g string"
+    )
+    # key 2 moves A -> B; key 4 (no fact rows) moves B -> A
+    dim_delta = spark.createDataFrame(
+        [(2, "A", -1), (2, "B", 1), (4, "B", -1), (4, "A", 1)],
+        "custkey long, g string, weight long",
+    )
+    return s1_old, s1_delta, dim_old, dim_delta
+
+
+def test_incremental_equals_recompute(spark):
+    s1_old, s1_delta, dim_old, dim_delta = _frames(spark)
+    out = {
+        r["g"]: (r["n"], r["v"])
+        for r in join_agg_maintenance(
+            s1_old, s1_delta, dim_old, dim_delta, "custkey", "g", ["n", "v"]
+        ).collect()
+    }
+    # final state: key1=(2,100)@A, key2=(1,65)@B, key3=(1,10)@B, key4 empty@A
+    assert out == {"A": (2, 100), "B": (2, 75)}
+
+
+def test_empty_deltas_reproduce_the_old_view(spark):
+    s1_old, _, dim_old, _ = _frames(spark)
+    empty_s1 = s1_old.limit(0)
+    empty_dim = spark.createDataFrame([], "custkey long, g string, weight long")
+    out = {
+        r["g"]: (r["n"], r["v"])
+        for r in join_agg_maintenance(
+            s1_old, empty_s1, dim_old, empty_dim, "custkey", "g", ["n", "v"]
+        ).collect()
+    }
+    # key 3 has no rows in s1_old, so the old view has no B group at all
+    assert out == {"A": (3, 150)}

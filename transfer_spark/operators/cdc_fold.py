@@ -353,3 +353,70 @@ def aggregate_maintenance(
             F.sum("d.dv").alias("value_live"),
         )
     )
+
+
+def join_agg_maintenance(
+    s1_old: DataFrame,
+    s1_delta: DataFrame,
+    dim_old: DataFrame,
+    dim_delta: DataFrame,
+    key_col: str,
+    group_col: str,
+    measure_cols: list[str],
+) -> DataFrame:
+    """Incremental maintenance of a JOIN-aggregate view ``V = S1 ⋈ dim
+    GROUP BY dim.group`` when BOTH sides change — the delta-join rule
+    behind keeping a "revenue by nation" view current while orders
+    stream in and customers occasionally move between nations.
+
+    Inputs: ``s1_old`` / ``s1_delta`` are per-key partial aggregates
+    (key + integer measures; the delta may retract via negative
+    measures), ``dim_old`` is the key→group assignment before the
+    change, ``dim_delta`` is a ±1-``weight`` frame (retract the old
+    assignment, insert the new). Using the bag-algebra identity
+
+        ΔV = ΔS1 ⋈ dim_old  +  S1_new ⋈ Δdim
+
+    the view moves to the exact post-change state without re-reading
+    either base table: each delta term touches only changed keys, and
+    the dim joins broadcast (a dimension by definition). Equality with
+    full recomputation is this operator's oracle/test contract.
+
+    Returns the UPDATED view (group + measures), i.e. ``V_old`` +
+    deltas already folded in, where ``V_old`` is derived from
+    ``s1_old ⋈ dim_old`` — callers holding a materialized V_old should
+    instead merge the two delta terms; the algebra is identical."""
+    measures = [F.col(c) for c in measure_cols]
+    s1_new = (
+        s1_old.unionByName(s1_delta)
+        .groupBy(key_col)
+        .agg(*[F.sum(c).alias(c) for c in measure_cols])
+    )
+    v_old = (
+        s1_old.join(F.broadcast(dim_old.select(key_col, group_col)), key_col)
+        .groupBy(group_col)
+        .agg(*[F.sum(c).alias(c) for c in measure_cols])
+    )
+    dv1 = (
+        s1_delta.join(F.broadcast(dim_old.select(key_col, group_col)), key_col)
+        .groupBy(group_col)
+        .agg(*[F.sum(c).alias(c) for c in measure_cols])
+    )
+    dv2 = (
+        s1_new.join(
+            F.broadcast(dim_delta.select(key_col, group_col, "weight")), key_col
+        )
+        .groupBy(group_col)
+        .agg(
+            *[
+                F.sum(F.col(c) * F.col("weight")).alias(c)
+                for c in measure_cols
+            ]
+        )
+    )
+    return (
+        v_old.unionByName(dv1)
+        .unionByName(dv2)
+        .groupBy(group_col)
+        .agg(*[F.sum(c).cast("long").alias(c) for c in measure_cols])
+    )

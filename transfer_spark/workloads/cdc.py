@@ -550,6 +550,75 @@ FROM d GROUP BY g
 """
 
 
+def q_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-aggregate view maintenance with BOTH sides
+    changing: a per-nation order-revenue view kept current while (a) a
+    second batch of orders lands and (b) a slice of customers moves
+    between nations (custkey % 10 == 3 shifts one nation over). The
+    implementation applies the delta-join rule ΔV = ΔS1⋈dim_old +
+    S1_new⋈Δdim (operators/cdc_fold.py:join_agg_maintenance) — the
+    oracle recomputes the view from final state directly, so the gate
+    checks the algebraic identity itself. Dim joins broadcast; the only
+    big-data shuffles are the per-custkey partial aggregates."""
+    from transfer_spark.operators.cdc_fold import join_agg_maintenance
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    mid = int(hi) // 2
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    part = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("ok"),
+        cents.alias("cents"),
+    )
+
+    def _s1(df):
+        return df.groupBy("custkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents_total"),
+        )
+
+    s1_old = _s1(part.filter(F.col("ok") <= mid))
+    s1_delta = _s1(part.filter(F.col("ok") > mid))
+    dim_old = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+    )
+    moved = dim_old.filter(F.col("custkey") % 10 == 3)
+    dim_delta = moved.select(
+        "custkey", "nationkey", F.lit(-1).cast("long").alias("weight")
+    ).unionByName(
+        moved.select(
+            "custkey",
+            ((F.col("nationkey") + 1) % 25).alias("nationkey"),
+            F.lit(1).cast("long").alias("weight"),
+        )
+    )
+    return join_agg_maintenance(
+        s1_old, s1_delta, dim_old, dim_delta,
+        "custkey", "nationkey", ["n_orders", "cents_total"],
+    )
+
+
+ORACLE_JOIN_MAINTENANCE = """
+WITH dim_new AS (
+  SELECT c_custkey AS custkey,
+         (CASE WHEN c_custkey % 10 = 3 THEN (c_nationkey + 1) % 25
+               ELSE c_nationkey END)::BIGINT AS nationkey
+  FROM customer
+), o AS (
+  SELECT o_custkey AS custkey,
+         floor(o_totalprice * 100.0 + 0.5)::BIGINT AS cents
+  FROM orders
+)
+SELECT nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS cents_total
+FROM o JOIN dim_new USING (custkey)
+GROUP BY nationkey
+"""
+
+
 def q_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal dimension enrichment: each purchase fact picks up the
     user-dimension attribute that was valid AT its offset (the SCD2
@@ -676,6 +745,7 @@ QUERIES = {
     "cdc_aggregate_maintenance_stream": (q_aggregate_maintenance_stream,
                                          ORACLE_AGG_MAINTENANCE),
     "cdc_incremental_digest": (q_incremental_digest, ORACLE_INC_DIGEST),
+    "cdc_join_maintenance": (q_join_view_maintenance, ORACLE_JOIN_MAINTENANCE),
     "cdc_scd2_temporal_join": (q_scd2_temporal_join, ORACLE_SCD2_JOIN),
     "cdc_scd2_versions": (q_scd2_versions, ORACLE_SCD2),
     "cdc_fold": (q_cdc_fold, ORACLE_CDC_FOLD),
