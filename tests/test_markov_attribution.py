@@ -1,0 +1,104 @@
+"""Markov removal-effect attribution vs an independent Python reference.
+
+The reference rebuilds the chain and runs the identical integer power
+iteration sequentially — catching any shared Spark/oracle bug in the
+delta algebra (both of those mirror each other by construction).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pyspark.sql.functions as F
+
+from transfer_spark.operators.temporal import markov_removal_attribution
+
+# (user, seq of event types); journeys exercising all branches:
+# direct conversion, conversion via middle channels, dead ends,
+# post-purchase continuation, and a never-converting user.
+STREAMS = {
+    1: ["view", "click", "purchase"],
+    2: ["view", "purchase"],
+    3: ["click", "view", "click"],
+    4: ["signup", "view", "purchase", "view"],
+    5: ["view", "view", "click", "purchase"],
+    6: ["signup"],
+    7: ["click", "purchase", "click", "purchase"],
+}
+
+
+def _reference(streams, k=12, conv="purchase"):
+    cnt = defaultdict(int)
+    tot = defaultdict(int)
+    for _u, seq in streams.items():
+        cnt[("START", seq[0])] += 1
+        tot["START"] += 1
+        for a, b in zip(seq, seq[1:]):
+            if a != conv:
+                cnt[(a, b)] += 1
+        for e in seq:
+            if e != conv:
+                tot[e] += 1
+    states = sorted(tot)
+    channels = [s for s in states if s != "START"]
+
+    def iterate(removed):
+        p = {s: 0 for s in states if s != removed}
+        for _ in range(k):
+            nxt = {}
+            for s in p:
+                acc = cnt.get((s, conv), 0) * 1_000_000
+                for t in channels:
+                    if t != removed and (s, t) in cnt:
+                        acc += cnt[(s, t)] * p[t]
+                nxt[s] = acc // tot[s]
+            p = nxt
+        return p["START"]
+
+    base = iterate(None)
+    eff = {c: ((base - iterate(c)) * 1_000_000) // base for c in channels}
+    s = sum(eff.values())
+    return {
+        c: (base, base - (base - iterate(c)), eff[c], (eff[c] * 1_000_000) // s)
+        for c in channels
+    }
+
+
+def test_matches_sequential_reference(spark):
+    rows = []
+    for u, seq in STREAMS.items():
+        for i, t in enumerate(seq):
+            rows.append((u, t, i))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts long").select(
+        "user_id", "event_type", "ts", F.col("ts").alias("event_id")
+    )
+    got = {
+        r["channel"]: (
+            r["p_base_ppm"],
+            r["p_removed_ppm"],
+            r["removal_effect_ppm"],
+            r["attribution_ppm"],
+        )
+        for r in markov_removal_attribution(
+            df, "user_id", "event_type", "ts", "event_id", k=12
+        ).collect()
+    }
+    want = _reference(STREAMS, k=12)
+    want = {
+        c: (b, rem, e, a) for c, (b, rem, e, a) in want.items()
+    }
+    assert got == want
+
+
+def test_removal_never_raises_conversion(spark, sf_dir):
+    from transfer_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    out = markov_removal_attribution(
+        ev, "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    assert len(out) == 4
+    for r in out:
+        assert 0 <= r["p_removed_ppm"] <= r["p_base_ppm"] <= 1_000_000
+        assert r["removal_effect_ppm"] >= 0
+    assert sum(r["attribution_ppm"] for r in out) <= 1_000_000

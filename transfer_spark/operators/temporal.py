@@ -30,6 +30,143 @@ def hash_frac(v: Column) -> Column:
     )
 
 
+def markov_removal_attribution(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    order_col: str,
+    conv: str = "purchase",
+    k: int = 12,
+) -> DataFrame:
+    """Markov-chain (removal-effect) multi-touch attribution: estimate a
+    first-order journey chain from user event streams, then credit each
+    channel by how much the K-step conversion probability from START
+    drops when that channel is removed (transitions into it become lost
+    mass) — the data-driven alternative to last-touch.
+
+    Numerics are engine-exact: transition mass stays as integer counts,
+    conversion probabilities are ppm BIGINTs, and each power-iteration
+    step is ``(conv*1e6 + Σ cnt·p) DIV tot`` — integer sums are
+    order-insensitive and Spark ``DIV`` == DuckDB ``//``, so a 12-step
+    iteration matches an unrolled SQL oracle bit-for-bit.
+
+    Scale shape: ONE lag window over the event stream + two hash aggs
+    build the chain (that is the only data-grain work); the iteration
+    runs on the (removed-variant × state) frame — tens of rows
+    regardless of input size — with the chain frames cached and the
+    vector frame localCheckpoint'ed every few rounds to bound plan
+    depth, like the CC loop."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    lagd = df.select(
+        user_col,
+        F.col(type_col).alias("to_s"),
+        F.lag(type_col).over(w).alias("from_s"),
+    )
+    starts = lagd.filter(F.col("from_s").isNull()).select(
+        F.lit("START").alias("from_s"), "to_s"
+    )
+    mids = lagd.filter(
+        F.col("from_s").isNotNull() & (F.col("from_s") != conv)
+    ).select("from_s", "to_s")
+    cnts = (
+        starts.unionByName(mids)
+        .groupBy("from_s", "to_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .cache()
+    )
+    tot_ch = (
+        df.filter(F.col(type_col) != conv)
+        .groupBy(F.col(type_col).alias("state"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tot"))
+    )
+    tot_start = (
+        df.agg(F.countDistinct(user_col).cast("long").alias("tot"))
+        .select(F.lit("START").alias("state"), "tot")
+    )
+    conv_cnt = cnts.filter(F.col("to_s") == conv).select(
+        F.col("from_s").alias("state"), F.col("cnt").alias("conv_cnt")
+    )
+    states0 = (
+        tot_ch.unionByName(tot_start)
+        .join(conv_cnt, "state", "left")
+        .fillna(0, ["conv_cnt"])
+        .cache()
+    )
+    variants = (
+        states0.filter(F.col("state") != "START")
+        .select(F.col("state").alias("removed"))
+        .unionByName(
+            df.sparkSession.range(1).select(F.lit("__base__").alias("removed"))
+        )
+    )
+    states = (
+        variants.crossJoin(states0)
+        .filter(F.col("state") != F.col("removed"))
+        .localCheckpoint(eager=True)
+    )
+    trans = (
+        variants.crossJoin(cnts.filter(F.col("to_s") != conv))
+        .filter(
+            (F.col("from_s") != F.col("removed"))
+            & (F.col("to_s") != F.col("removed"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    p = states.select("removed", "state", F.lit(0).cast("long").alias("p_ppm"))
+    for i in range(k):
+        if i and i % 2 == 0:
+            # the vector frame is ~25 rows; eager checkpointing is
+            # near-free and keeps the per-iteration task binary small
+            # (at cadence 4 the serialized plan reached ~16 MB)
+            p = p.localCheckpoint(eager=True)
+        p_in = p.select(
+            "removed", F.col("state").alias("to_s"), "p_ppm"
+        )
+        contrib = (
+            trans.join(F.broadcast(p_in), ["removed", "to_s"])
+            .groupBy("removed", F.col("from_s").alias("state"))
+            .agg(F.sum(F.col("cnt") * F.col("p_ppm")).alias("c"))
+        )
+        p = states.join(F.broadcast(contrib), ["removed", "state"], "left").select(
+            "removed",
+            "state",
+            F.expr(
+                "CAST((conv_cnt * 1000000 + COALESCE(c, CAST(0 AS BIGINT)))"
+                " DIV tot AS BIGINT)"
+            ).alias("p_ppm"),
+        )
+    fin = p.filter(F.col("state") == "START").select("removed", "p_ppm").cache()
+    base = fin.filter(F.col("removed") == "__base__").select(
+        F.col("p_ppm").alias("p_base_ppm")
+    )
+    eff = (
+        fin.filter(F.col("removed") != "__base__")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("removed").alias("channel"),
+            "p_base_ppm",
+            F.col("p_ppm").alias("p_removed_ppm"),
+            F.expr(
+                "CAST(((p_base_ppm - p_ppm) * 1000000) DIV p_base_ppm"
+                " AS BIGINT)"
+            ).alias("removal_effect_ppm"),
+        )
+    )
+    tot_eff = eff.agg(
+        F.sum("removal_effect_ppm").cast("long").alias("eff_total")
+    )
+    return eff.crossJoin(F.broadcast(tot_eff)).select(
+        "channel",
+        "p_base_ppm",
+        "p_removed_ppm",
+        "removal_effect_ppm",
+        F.expr(
+            "CAST((removal_effect_ppm * 1000000) DIV eff_total AS BIGINT)"
+        ).alias("attribution_ppm"),
+    )
+
+
 def hll_registers(
     df: DataFrame, group_cols: list[str], value_col: str, p: int = 8
 ) -> DataFrame:

@@ -1690,6 +1690,89 @@ FROM pairs JOIN outdeg ON pairs.from_type = outdeg.from_type
 """
 
 
+def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution over user journeys (see
+    operators/temporal.py:markov_removal_attribution): each channel is
+    credited by how much K-step conversion probability from START drops
+    when the channel is removed from the estimated journey chain. The
+    oracle is the same 12-step integer power iteration UNROLLED as 12
+    chained SQL CTEs — ppm BIGINTs at every step, so both engines agree
+    bit-for-bit."""
+    return TP.markov_removal_attribution(
+        _events(spark, sf_dir), "user_id", "event_type", "ts", "event_id",
+        conv="purchase", k=12,
+    )
+
+
+def _markov_sql(k: int = 12) -> str:
+    head = """
+WITH lagd AS (
+  SELECT user_id, event_type AS to_s,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_s
+  FROM events
+), raw_pairs AS (
+  SELECT 'START' AS from_s, to_s FROM lagd WHERE from_s IS NULL
+  UNION ALL
+  SELECT from_s, to_s FROM lagd
+  WHERE from_s IS NOT NULL AND from_s != 'purchase'
+), cnts AS MATERIALIZED (
+  SELECT from_s, to_s, CAST(count(*) AS BIGINT) AS cnt
+  FROM raw_pairs GROUP BY 1, 2
+), tot_ch AS (
+  SELECT event_type AS state, CAST(count(*) AS BIGINT) AS tot
+  FROM events WHERE event_type != 'purchase' GROUP BY 1
+  UNION ALL
+  SELECT 'START', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+), conv AS (
+  SELECT from_s AS state, cnt AS conv_cnt FROM cnts WHERE to_s = 'purchase'
+), states0 AS MATERIALIZED (
+  SELECT t.state, COALESCE(c.conv_cnt, 0)::BIGINT AS conv_cnt, t.tot
+  FROM tot_ch t LEFT JOIN conv c USING (state)
+), variants AS (
+  SELECT state AS removed FROM states0 WHERE state != 'START'
+  UNION ALL SELECT '__base__'
+), states AS MATERIALIZED (
+  SELECT v.removed, s.state, s.conv_cnt, s.tot
+  FROM variants v, states0 s WHERE s.state != v.removed
+), trans AS MATERIALIZED (
+  SELECT v.removed, c.from_s, c.to_s, c.cnt
+  FROM variants v, cnts c
+  WHERE c.to_s != 'purchase' AND c.from_s != v.removed AND c.to_s != v.removed
+), p0 AS (SELECT removed, state, 0::BIGINT AS p_ppm FROM states)"""
+    steps = "".join(
+        f""",
+p{i} AS (
+  SELECT s.removed, s.state,
+         CAST((s.conv_cnt * 1000000 + COALESCE(sum(tr.cnt * pp.p_ppm), 0))
+              // s.tot AS BIGINT) AS p_ppm
+  FROM states s
+  LEFT JOIN trans tr ON tr.removed = s.removed AND tr.from_s = s.state
+  LEFT JOIN p{i - 1} pp ON pp.removed = tr.removed AND pp.state = tr.to_s
+  GROUP BY s.removed, s.state, s.conv_cnt, s.tot
+)"""
+        for i in range(1, k + 1)
+    )
+    tail = f""",
+fin AS (SELECT removed, p_ppm FROM p{k} WHERE state = 'START'),
+eff AS (
+  SELECT f.removed AS channel, b.p_ppm AS p_base_ppm, f.p_ppm AS p_removed_ppm,
+         CAST(((b.p_ppm - f.p_ppm) * 1000000) // b.p_ppm AS BIGINT)
+           AS removal_effect_ppm
+  FROM fin f, (SELECT p_ppm FROM fin WHERE removed = '__base__') b
+  WHERE f.removed != '__base__'
+)
+SELECT channel, p_base_ppm, p_removed_ppm, removal_effect_ppm,
+       CAST((removal_effect_ppm * 1000000)
+            // (SELECT CAST(sum(removal_effect_ppm) AS BIGINT) FROM eff)
+            AS BIGINT) AS attribution_ppm
+FROM eff"""
+    return head + steps + tail
+
+
+ORACLE_ATTRIBUTION_MARKOV = _markov_sql(12)
+
+
 def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential pattern mining, order-3: the most common 3-step
     event-type paths across user streams (the "what journey leads to a
@@ -2067,6 +2150,7 @@ QUERIES = {
     "events_ewma_decay": (q_ewma_decay, ORACLE_EWMA),
     "events_holt_forecast": (q_holt_forecast, ORACLE_HOLT),
     "events_attribution_last_touch": (q_attribution, ORACLE_ATTRIBUTION),
+    "events_attribution_markov": (q_attribution_markov, ORACLE_ATTRIBUTION_MARKOV),
     "events_gap_fill_locf": (q_gap_fill, ORACLE_GAP_FILL),
     "events_interarrival_quantiles": (q_interarrival_quantiles,
                                       ORACLE_INTERARRIVAL),
