@@ -102,3 +102,32 @@ def test_removal_never_raises_conversion(spark, sf_dir):
         assert 0 <= r["p_removed_ppm"] <= r["p_base_ppm"] <= 1_000_000
         assert r["removal_effect_ppm"] >= 0
     assert sum(r["attribution_ppm"] for r in out) <= 1_000_000
+
+
+def test_position_attribution_u_shape(spark):
+    # one user, journey of 4 touches then a 100.00 purchase:
+    # first/last get 40 cents each per dollar... i.e. 4000/4000/1000/1000
+    from transfer_spark.workloads.temporal import q_attribution_position
+    import os
+    import tempfile
+
+    rows = [
+        (1, 100, "view", 1.0), (1, 101, "click", 1.0),
+        (1, 102, "signup", 1.0), (1, 103, "error", 1.0),
+        (1, 104, "purchase", 100.0),
+    ]
+    df = spark.createDataFrame(
+        [(u, e, t, v, e * 1_000_000) for (u, e, t, v) in rows],
+        "user_id long, event_id long, event_type string, value double, us long",
+    ).select(
+        "user_id", "event_id", "event_type", "value",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r["channel"]: r["credited_cents"]
+            for r in q_attribution_position(spark, d).collect()
+        }
+    # 10000 cents: 40% / 20%/2 / 40% over (view, click, signup, error)
+    assert out == {"view": 4000, "click": 1000, "signup": 1000, "error": 4000}

@@ -1690,6 +1690,92 @@ FROM pairs JOIN outdeg ON pairs.from_type = outdeg.from_type
 """
 
 
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each purchase's
+    revenue splits over the touches in its journey (everything by the
+    same user since their previous purchase) — 40% to the first touch,
+    40% to the last, 20% spread over the middle (100% / 50-50 for 1- and
+    2-touch journeys). Journey segmentation is a cumulative purchase
+    count per user — window-only, one shuffle on user_id; credit is
+    integer ppm × cents DIV, so both engines agree to the penny."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_p = (F.col("event_type") == "purchase").cast("long")
+    o = ev.select(
+        "user_id", "event_id", "event_type", "ts",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("cents"),
+    ).withColumn("cum_p", F.sum(is_p).over(w))
+    touches = o.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "ts", "event_id",
+        F.col("cum_p").alias("jid"),
+    )
+    wt = Window.partitionBy("user_id", "jid").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id", "jid")
+    tn = touches.withColumn("rn", F.row_number().over(wt)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    wpt = tn.select(
+        "user_id", "jid", "event_type",
+        F.expr(
+            "CAST(CASE WHEN n = 1 THEN 1000000"
+            "          WHEN n = 2 THEN 500000"
+            "          WHEN rn = 1 OR rn = n THEN 400000"
+            "          ELSE 200000 DIV (n - 2) END AS BIGINT)"
+        ).alias("w_ppm"),
+    )
+    purch = o.filter(F.col("event_type") == "purchase").select(
+        "user_id", (F.col("cum_p") - 1).alias("jid"), "cents"
+    )
+    cr = wpt.join(purch, ["user_id", "jid"]).select(
+        "event_type",
+        F.expr("CAST(cents * w_ppm DIV 1000000 AS BIGINT)").alias("credit"),
+    )
+    return cr.groupBy(F.col("event_type").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_credited_touches"),
+        F.sum("credit").cast("long").alias("credited_cents"),
+    )
+
+
+ORACLE_ATTRIBUTION_POSITION = """
+WITH o AS (
+  SELECT user_id, event_id, event_type, ts,
+         floor(value * 100.0 + 0.5)::BIGINT AS cents,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p
+  FROM events
+), touches AS (
+  SELECT user_id, event_type, ts, event_id, cum_p AS jid
+  FROM o WHERE event_type != 'purchase'
+), tn AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY user_id, jid ORDER BY ts, event_id) AS rn,
+    count(*) OVER (PARTITION BY user_id, jid) AS n
+  FROM touches
+), wpt AS (
+  SELECT user_id, jid, event_type,
+     CAST(CASE WHEN n = 1 THEN 1000000
+               WHEN n = 2 THEN 500000
+               WHEN rn = 1 OR rn = n THEN 400000
+               ELSE 200000 // (n - 2) END AS BIGINT) AS w_ppm
+  FROM tn
+), purch AS (
+  SELECT user_id, cum_p - 1 AS jid, cents FROM o WHERE event_type = 'purchase'
+), cr AS (
+  SELECT w.event_type, p.cents * w.w_ppm // 1000000 AS credit
+  FROM wpt w JOIN purch p ON w.user_id = p.user_id AND w.jid = p.jid
+)
+SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS n_credited_touches,
+       CAST(sum(credit) AS BIGINT) AS credited_cents
+FROM cr GROUP BY 1
+"""
+
+
 def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov removal-effect attribution over user journeys (see
     operators/temporal.py:markov_removal_attribution): each channel is
@@ -2151,6 +2237,7 @@ QUERIES = {
     "events_holt_forecast": (q_holt_forecast, ORACLE_HOLT),
     "events_attribution_last_touch": (q_attribution, ORACLE_ATTRIBUTION),
     "events_attribution_markov": (q_attribution_markov, ORACLE_ATTRIBUTION_MARKOV),
+    "events_attribution_position": (q_attribution_position, ORACLE_ATTRIBUTION_POSITION),
     "events_gap_fill_locf": (q_gap_fill, ORACLE_GAP_FILL),
     "events_interarrival_quantiles": (q_interarrival_quantiles,
                                       ORACLE_INTERARRIVAL),
