@@ -53,3 +53,37 @@ def test_rank_bounds(spark):
     assert 1 <= mm["lo"] <= mm["hi"] <= 53
     assert reg.filter(F.col("bucket") < 0).count() == 0
     assert reg.filter(F.col("bucket") > 255).count() == 0
+
+
+def test_streaming_accumulator_replay_is_idempotent(spark, tmp_path):
+    """Register-wise max is idempotent: replaying the SAME batch after a
+    restart cannot move the sketch — the replay-tolerance property that
+    lets the accumulator sit behind an at-least-once source."""
+    from transfer_spark.streaming.sketch_accum import HllAccumulator
+
+    acc = HllAccumulator(spark, str(tmp_path / "hll"), "g", "u")
+    b1 = spark.createDataFrame(
+        [("g", f"u{i}") for i in range(500)], "g string, u string"
+    )
+    acc.apply_batch(b1)
+    est1 = acc.estimate().collect()[0]
+    acc.apply_batch(b1)  # replay
+    est2 = acc.estimate().collect()[0]
+    assert (est1["hll_est"], est1["n_zero_registers"]) == (
+        est2["hll_est"], est2["n_zero_registers"]
+    )
+
+
+def test_streaming_accumulator_matches_one_pass(spark, tmp_path):
+    from transfer_spark.operators.temporal import hll_estimate, hll_registers
+    from transfer_spark.streaming.sketch_accum import HllAccumulator
+
+    full = spark.createDataFrame(
+        [("g", f"u{i}") for i in range(1200)], "g string, u string"
+    )
+    acc = HllAccumulator(spark, str(tmp_path / "hll2"), "g", "u")
+    acc.apply_batch(full.filter(F.substring("u", 2, 10).cast("long") < 600))
+    acc.apply_batch(full.filter(F.substring("u", 2, 10).cast("long") >= 600))
+    streamed = acc.estimate().collect()[0]
+    single = hll_estimate(hll_registers(full, ["g"], "u"), ["g"]).collect()[0]
+    assert streamed["hll_est"] == single["hll_est"]

@@ -163,3 +163,66 @@ class KmvAccumulator:
                 4,
             ).alias("distinct_est"),
         )
+
+
+class HllAccumulator:
+    """Streaming HyperLogLog distinct sketch per group: per batch, build
+    the batch's registers and merge into the persisted ones by
+    register-wise MAX — max is associative and idempotent, so the
+    accumulated registers are IDENTICAL to a single-pass build over the
+    whole stream (replaying a batch cannot move them, making the merge
+    naturally replay-tolerant). State is ≤ m rows of (group, bucket,
+    rank) forever; estimates come from ``operators/temporal``'s pinned
+    integer-scaled arithmetic."""
+
+    def __init__(self, spark: SparkSession, path: str, group_col: str,
+                 value_col: str, p: int = 8, fs=None) -> None:
+        self.spark = spark
+        self.path = path
+        self.group_col = group_col
+        self.value_col = value_col
+        self.p = p
+        self.fs = fs if fs is not None else LocalStateFS()
+        self.fs.makedirs(path)
+
+    def _versions(self) -> list[str]:
+        return sorted(
+            v for v in self.fs.listdir(self.path)
+            if v.startswith("v")
+            and self.fs.exists(os.path.join(self.path, v, "_SUCCESS"))
+        )
+
+    def registers(self) -> DataFrame | None:
+        vs = self._versions()
+        if not vs:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, vs[-1]))
+
+    def vacuum(self, keep: int = 2) -> None:
+        for v in self._versions()[:-keep]:
+            self.fs.rmtree(os.path.join(self.path, v))
+
+    def apply_batch(self, batch: DataFrame) -> DataFrame:
+        from transfer_spark.operators.temporal import hll_registers
+
+        cells = hll_registers(batch, [self.group_col], self.value_col, self.p)
+        prev = self.registers()
+        merged = (
+            cells
+            if prev is None
+            else prev.unionByName(cells)
+            .groupBy(self.group_col, "bucket")
+            .agg(F.max("m_rank").alias("m_rank"))
+        )
+        vs = self._versions()
+        nxt = f"v{(int(vs[-1][1:]) + 1) if vs else 1:06d}"
+        merged.write.mode("overwrite").parquet(os.path.join(self.path, nxt))
+        return self.registers()
+
+    def estimate(self) -> DataFrame:
+        from transfer_spark.operators.temporal import hll_estimate
+
+        reg = self.registers()
+        if reg is None:
+            raise ValueError("no batch applied yet")
+        return hll_estimate(reg, [self.group_col], self.p)

@@ -1148,6 +1148,34 @@ FROM trail t JOIN daily o ON t.event_type = o.event_type AND t.day = o.d
 """
 
 
+def q_hll_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type HLL registers accumulated over two micro-batches
+    (streaming/sketch_accum.py:HllAccumulator): register-wise max makes
+    the streamed sketch equal the one-pass sketch exactly — the oracle
+    computes the one-pass form."""
+    import tempfile
+
+    from transfer_spark.streaming.sketch_accum import HllAccumulator
+
+    ev = read_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        ((F.min("event_id") + F.max("event_id")) / 2).cast("long")
+    ).first()[0]
+    acc = HllAccumulator(
+        spark, tempfile.mkdtemp(prefix="artie_hll_acc_"), "event_type",
+        "user_id",
+    )
+    acc.apply_batch(ev.filter(F.col("event_id") <= mid))
+    acc.apply_batch(ev.filter(F.col("event_id") > mid))
+    return acc.estimate()
+
+
+ORACLE_HLL_STREAMING = f"""
+WITH {_HLL_REG_SQL}
+SELECT event_type, hll_est, n_zero_registers FROM hest
+"""
+
+
 def q_kmv_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-user KMV sketch accumulated over two micro-batches
     (streaming/sketch_accum.py:KmvAccumulator): union + re-take-k makes
@@ -2227,6 +2255,7 @@ QUERIES = {
     "events_funnel_windowed": (q_funnel_windowed, ORACLE_FUNNEL_WINDOWED),
     "cms_streaming_accumulation": (q_cms_streaming, ORACLE_CMS_STREAMING),
     "kmv_streaming_accumulation": (q_kmv_streaming, ORACLE_KMV_STREAMING),
+    "hll_streaming_accumulation": (q_hll_streaming, ORACLE_HLL_STREAMING),
     "events_slo_burn_alerts": (q_slo_burn, ORACLE_SLO_BURN),
     "events_trailing_7d_revenue": (q_trailing_revenue, ORACLE_TRAILING_REV),
     "events_dow_profile": (q_dow_profile, ORACLE_DOW_PROFILE),
