@@ -649,6 +649,44 @@ FROM b
 """
 
 
+def q_dedupe_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    NEAR-duplicate doc pairs link them — the report that tells a corpus
+    owner which feeds mirror each other (diagonal = a source's internal
+    duplication). Built on the MinHash-LSH candidate pairs (this corpus
+    has no byte-identical dupes; near-dup is the duplication signal),
+    so the pair stream is already band-bounded — two doc_id equi-joins
+    to attach sources, one count aggregate, no all-pairs work."""
+    d = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(d, "doc_id", "text")
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+    )
+
+
+ORACLE_DEDUPE_CROSS_SOURCE = f"""
+WITH cand AS ({_minhash_sql()}),
+m AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM cand
+  JOIN documents da ON da.doc_id = cand.doc_a
+  JOIN documents db ON db.doc_id = cand.doc_b
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+FROM m GROUP BY 1, 2
+"""
+
+
 def q_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware (leakage-free) train/val/test split: near-dup
     clusters (connected components over the MinHash-LSH candidate pairs)
@@ -3277,6 +3315,7 @@ QUERIES = {
     "corpus_weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     "corpus_split_exact": (q_split_exact, ORACLE_SPLIT_EXACT),
     "dedupe_rate_by_source": (q_dedupe_rate, ORACLE_DEDUPE_RATE),
+    "dedupe_cross_source_matrix": (q_dedupe_cross_source, ORACLE_DEDUPE_CROSS_SOURCE),
     "source_similarity_matrix": (q_source_similarity, _source_similarity_sql()),
     "doc_ngram_novelty": (q_ngram_novelty, ORACLE_NOVELTY),
     "doc_length_histogram": (q_length_histogram, ORACLE_LENGTH_HIST),
