@@ -209,6 +209,115 @@ def main():
               lambda d: source_unigram_kl(d, "source", "text")),
     ]
 
+    # round-7 (late) additions: HLL sketch, Markov attribution, the
+    # incremental join-MV, and the cluster-aware split
+    from transfer_spark.operators.cdc_fold import join_agg_maintenance
+    from transfer_spark.operators.temporal import (
+        hll_estimate,
+        hll_registers,
+        markov_removal_attribution,
+    )
+
+    results += [
+        # register build is a map-side-combinable groupBy-max — one
+        # exchange on (group, bucket), 256 longs of state per group
+        probe(
+            "hll_distinct",
+            ev,
+            lambda d: hll_estimate(
+                hll_registers(d, ["event_type"], "user_id"), ["event_type"]
+            ),
+        ),
+        # chain build (one lag window + two aggs) is the only
+        # data-grain work; the 12-step iteration runs on the
+        # variant x state dimension frame regardless of input size
+        probe(
+            "markov_attribution",
+            ev,
+            lambda d: markov_removal_attribution(
+                d, "user_id", "event_type", "ts", "event_id"
+            ),
+        ),
+    ]
+
+    orders_full = read_table(spark, SF_DIR, "orders")
+    customer_t = read_table(spark, SF_DIR, "customer")
+
+    def od(factor):
+        # replicate on the ORDER key only: 10x orders per customer —
+        # per-key partial groups grow, the dim side stays fixed
+        base = orders_full if factor == 1 else replicate(
+            orders_full, ["o_orderkey"], factor)
+        return base.repartition(nparts)
+
+    def _jmv(d):
+        cents = F.floor(
+            F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+        ).cast("long")
+        part = d.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("ok"),
+            cents.alias("cents"),
+        )
+
+        def _s1(df):
+            return df.groupBy("custkey").agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("cents_total"),
+            )
+
+        dim_old = customer_t.select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+        )
+        moved = dim_old.filter(F.col("custkey") % 10 == 3)
+        dim_delta = moved.select(
+            "custkey", "nationkey", F.lit(-1).cast("long").alias("weight")
+        ).unionByName(
+            moved.select(
+                "custkey",
+                ((F.col("nationkey") + 1) % 25).alias("nationkey"),
+                F.lit(1).cast("long").alias("weight"),
+            )
+        )
+        return join_agg_maintenance(
+            _s1(part.filter(F.col("ok") % 2 == 0)),
+            _s1(part.filter(F.col("ok") % 2 == 1)),
+            dim_old, dim_delta,
+            "custkey", "nationkey", ["n_orders", "cents_total"],
+        )
+
+    results += [probe("join_mv_maintenance", od, _jmv)]
+
+    # cluster-aware split: the CC loop's convergence checks execute
+    # during construction, so time the WHOLE build+assign end-to-end
+    if not _ONLY or "leakage_split" in _ONLY:
+        from transfer_spark.operators import dedupe as _D
+        from transfer_spark.operators.text import assign_split
+
+        leak_out = {"op": "leakage_split", "rep": REP}
+        for label, factor in (("t1", 1), ("tN", REP)):
+            d = dc(factor)
+            t0 = time.perf_counter()
+            pairs = _D.minhash_lsh_pairs(d, "doc_id", "text")
+            clusters = _D.neardup_clusters(pairs)
+            assign = (
+                d.select("doc_id")
+                .join(clusters, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    assign_split(
+                        F.coalesce("cluster_id", F.col("doc_id")),
+                        {"train": 0.9, "val": 0.05, "test": 0.05},
+                    ).alias("split"),
+                )
+            )
+            assign.write.format("noop").mode("overwrite").save()
+            leak_out[label] = round(time.perf_counter() - t0, 2)
+        leak_out["ratio"] = round(leak_out["tN"] / leak_out["t1"], 2)
+        print(json.dumps(leak_out), flush=True)
+        results.append(leak_out)
+
     # at-ingest decontamination: probe cost must track the BATCH even
     # as the EVAL SUITE grows 10x (bucket-pruned span-index reads) —
     # time the same fixed batch against a 1x vs 10x eval index.
