@@ -351,3 +351,20 @@ def test_sketch_accumulator_skips_uncommitted_version(spark, tmp_path):
     assert acc._versions() == ["v000001", "v000002"]
     merged = {(r.lane, r.bucket): r.cnt for r in acc.sketch().collect()}
     assert sum(merged.values()) == sum(committed.values()) + 2 * 2  # depth=2
+
+
+def test_stl_decomposition_reconstructs_exactly(spark, sf_dir):
+    """trend + seasonal + residual == n * 1e6 by construction — the
+    identity that makes the decomposition lossless."""
+    import pyspark.sql.functions as F
+
+    from transfer_spark.workloads.temporal import q_stl_decompose
+
+    out = q_stl_decompose(spark, sf_dir)
+    bad = out.filter(
+        F.col("trend_micro") + F.col("seasonal_micro") + F.col("resid_micro")
+        != F.col("n") * F.lit(1_000_000)
+    ).count()
+    assert bad == 0
+    # one row per (type, day)
+    assert out.count() == out.select("event_type", "d").distinct().count()

@@ -1718,6 +1718,75 @@ FROM pairs JOIN outdeg ON pairs.from_type = outdeg.from_type
 """
 
 
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style decomposition of the per-type daily count series into
+    trend + day-of-week seasonal + residual: trend is a centered 7-day
+    moving average, seasonal the per-weekday mean of the detrended
+    series, residual the rest — the classic seasonality split, done
+    with integer micro-unit arithmetic at every division so both
+    engines agree exactly (DIV truncation is identical, incl.
+    negatives). Weekday comes from epoch-day mod 7, not a calendar API
+    (engine-neutral). Two windows + one agg per type — all on the
+    dimension-grain daily series, one shuffle on event_type."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wtr = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    t = daily.withColumn("w_sum", F.sum("n").over(wtr)).withColumn(
+        "w_cnt", F.count("n").over(wtr)
+    ).select(
+        "event_type", "d", "n",
+        F.expr("CAST((w_sum * 1000000) DIV w_cnt AS BIGINT)").alias(
+            "trend_micro"
+        ),
+    )
+    det = t.withColumn(
+        "det_micro", F.col("n") * F.lit(1_000_000) - F.col("trend_micro")
+    ).withColumn(
+        "dow", F.pmod(F.datediff(F.col("d"), F.lit("1970-01-01")), F.lit(7))
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        F.expr("CAST(sum(det_micro) DIV count(*) AS BIGINT)").alias(
+            "seasonal_micro"
+        )
+    )
+    return det.join(seas, ["event_type", "dow"]).select(
+        "event_type", "d", "n", "trend_micro", "seasonal_micro",
+        (F.col("det_micro") - F.col("seasonal_micro")).alias("resid_micro"),
+    )
+
+
+ORACLE_STL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, d, n,
+    CAST((sum(n) OVER w * 1000000) // count(n) OVER w AS BIGINT)
+      AS trend_micro
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), det AS (
+  SELECT *, n * 1000000 - trend_micro AS det_micro,
+         ((d - DATE '1970-01-01') % 7 + 7) % 7 AS dow
+  FROM t
+), seas AS (
+  SELECT event_type, dow,
+         CAST(sum(det_micro) // count(*) AS BIGINT) AS seasonal_micro
+  FROM det GROUP BY 1, 2
+)
+SELECT det.event_type, det.d, det.n, det.trend_micro, seas.seasonal_micro,
+       CAST(det.det_micro - seas.seasonal_micro AS BIGINT) AS resid_micro
+FROM det JOIN seas ON det.event_type = seas.event_type AND det.dow = seas.dow
+"""
+
+
 def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Position-based (U-shaped) multi-touch attribution: each purchase's
     revenue splits over the touches in its journey (everything by the
@@ -2267,6 +2336,7 @@ QUERIES = {
     "events_attribution_last_touch": (q_attribution, ORACLE_ATTRIBUTION),
     "events_attribution_markov": (q_attribution_markov, ORACLE_ATTRIBUTION_MARKOV),
     "events_attribution_position": (q_attribution_position, ORACLE_ATTRIBUTION_POSITION),
+    "events_stl_decompose": (q_stl_decompose, ORACLE_STL),
     "events_gap_fill_locf": (q_gap_fill, ORACLE_GAP_FILL),
     "events_interarrival_quantiles": (q_interarrival_quantiles,
                                       ORACLE_INTERARRIVAL),
