@@ -53,3 +53,20 @@ def test_empty_deltas_reproduce_the_old_view(spark):
     }
     # key 3 has no rows in s1_old, so the old view has no B group at all
     assert out == {"A": (3, 150)}
+
+
+def test_backfill_chunks_partition_the_table(spark):
+    import pyspark.sql.functions as F
+
+    from transfer_spark.workloads.cdc import q_backfill_chunks
+
+    sf = "/root/testdata/sf0.01"
+    out = q_backfill_chunks(spark, sf).orderBy("chunk_id").collect()
+    total = spark.read.parquet(f"{sf}/orders.parquet").count()
+    assert sum(r["n_rows"] for r in out) == total  # full coverage
+    assert [r["chunk_id"] for r in out] == list(range(len(out)))
+    for a, b in zip(out, out[1:]):
+        assert a["hi_key"] < b["lo_key"]  # disjoint, ordered ranges
+    # exact-percentile balance: every chunk within 2x of the mean
+    mean = total / len(out)
+    assert all(0.5 * mean <= r["n_rows"] <= 2 * mean for r in out)

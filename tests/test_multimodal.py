@@ -67,3 +67,22 @@ def test_metadata_only_projection_prunes_binary(spark, tmp_path):
     df = spark.read.parquet(path).select("doc_id")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "media" not in plan
+
+
+def test_keyframe_one_per_scene_and_sharpest(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from transfer_spark.workloads.multimodal import q_keyframe_select
+
+    out = q_keyframe_select(spark, sf_dir).cache()
+    # exactly one keyframe per (video, scene)
+    assert (
+        out.groupBy("doc_id", "scene_id").count().filter("count > 1").count()
+        == 0
+    )
+    # scene ids are dense from 0 per video
+    mx = out.groupBy("doc_id").agg(
+        F.max("scene_id").alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    assert mx.filter(F.col("n") != F.col("mx") + 1).count() == 0
+    out.unpersist()

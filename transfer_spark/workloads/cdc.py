@@ -550,6 +550,59 @@ FROM d GROUP BY g
 """
 
 
+def q_backfill_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-backfill chunk plan (the DBZ-style incremental-snapshot
+    prelude; reference backfills flow through the same merge path —
+    `lib/cdc/event.go` 'r' ops): split the orders table into 16
+    key-range chunks balanced by EXACT o_orderkey percentiles, and
+    report each chunk's row count and key bounds — the plan a backfill
+    executor walks chunk-by-chunk while live CDC continues. Boundary
+    math uses the repo's percentile parity recipe (Spark `percentile`
+    ↔ DuckDB `quantile_cont`, floor(q+0.5)); chunk assignment is a
+    15-element broadcast array filter — pure codegen, one aggregate."""
+    orders = read_table(spark, sf_dir, "orders")
+    fracs = ", ".join(str(i / 16.0) for i in range(1, 16))
+    bnds = orders.agg(
+        F.expr(
+            f"transform(percentile(o_orderkey, array({fracs})),"
+            " q -> CAST(floor(q + 0.5) AS BIGINT))"
+        ).alias("bnds")
+    )
+    j = orders.select("o_orderkey").crossJoin(F.broadcast(bnds))
+    return (
+        j.select(
+            F.expr(
+                "CAST(size(filter(bnds, x -> x <= o_orderkey)) AS BIGINT)"
+            ).alias("chunk_id"),
+            "o_orderkey",
+        )
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("o_orderkey").alias("lo_key"),
+            F.max("o_orderkey").alias("hi_key"),
+        )
+    )
+
+
+ORACLE_BACKFILL_CHUNKS = """
+WITH b AS (
+  SELECT quantile_cont(o_orderkey,
+           [{fracs}]) AS qs
+  FROM orders
+), bn AS (
+  SELECT list_transform(qs, q -> floor(q + 0.5)::BIGINT) AS bnds FROM b
+)
+SELECT CAST(len(list_filter(bn.bnds, x -> x <= o_orderkey)) AS BIGINT)
+         AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(o_orderkey) AS lo_key,
+       max(o_orderkey) AS hi_key
+FROM orders, bn
+GROUP BY 1
+""".format(fracs=", ".join(str(i / 16.0) for i in range(1, 16)))
+
+
 def q_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental JOIN-aggregate view maintenance with BOTH sides
     changing: a per-nation order-revenue view kept current while (a) a
@@ -746,6 +799,7 @@ QUERIES = {
                                          ORACLE_AGG_MAINTENANCE),
     "cdc_incremental_digest": (q_incremental_digest, ORACLE_INC_DIGEST),
     "cdc_join_maintenance": (q_join_view_maintenance, ORACLE_JOIN_MAINTENANCE),
+    "cdc_backfill_chunks": (q_backfill_chunks, ORACLE_BACKFILL_CHUNKS),
     "cdc_scd2_temporal_join": (q_scd2_temporal_join, ORACLE_SCD2_JOIN),
     "cdc_scd2_versions": (q_scd2_versions, ORACLE_SCD2),
     "cdc_fold": (q_cdc_fold, ORACLE_CDC_FOLD),

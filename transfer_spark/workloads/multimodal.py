@@ -168,6 +168,78 @@ FROM l GROUP BY doc_id
 """
 
 
+def q_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection: segment each video into scenes (cumulative
+    count of the same ≥28-bit perceptual cuts as `multimodal_scene_changes`)
+    and keep the SHARPEST frame per scene (sharpness = a deterministic
+    digest-derived score standing in for a Laplacian-variance measure;
+    ties → earliest frame) — the frame-sampling policy a video training
+    pipeline wants instead of every-Nth-frame. Window-only: one lag +
+    one running sum + one per-scene rank, all inside the per-video
+    partition, zero extra shuffles over the frame stream."""
+    frames = MM.sample_video_frames(_media(spark, sf_dir), "media", "doc_id", 5)
+    hx = F.lower(F.hex("frame"))
+    h = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+    sharp = F.conv(F.substring(hx, 16, 8), 16, 10).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    d = frames.select(
+        "doc_id", "frame_idx", h.alias("h"), sharp.alias("sharp")
+    ).withColumn("prev", F.lag("h").over(w))
+    cut = F.when(
+        F.col("prev").isNotNull()
+        & (F.bit_count(F.expr("h ^ prev")) >= 28),
+        1,
+    ).otherwise(0)
+    seg = d.withColumn(
+        "scene_id",
+        F.sum(cut).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    ws = Window.partitionBy("doc_id", "scene_id").orderBy(
+        F.desc("sharp"), F.asc("frame_idx")
+    )
+    return (
+        seg.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", "scene_id",
+            F.col("frame_idx").alias("keyframe_idx"),
+            F.col("sharp").alias("sharpness"),
+        )
+    )
+
+
+ORACLE_KEYFRAME_SELECT = """
+WITH f AS (
+  SELECT doc_id, text AS txt, octet_length(text::BLOB) AS n FROM documents
+), e AS (
+  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+    ('0x' || substr(sha256(txt || CAST(i AS VARCHAR)), 1, 15))::BIGINT AS h,
+    ('0x' || substr(sha256(txt || CAST(i AS VARCHAR)), 16, 8))::BIGINT AS sharp
+  FROM f, UNNEST(range(0, 1 + n % 5)) AS t(i)
+), l AS (
+  SELECT doc_id, frame_idx, h, sharp,
+         lag(h) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+  FROM e
+), seg AS (
+  SELECT doc_id, frame_idx, sharp,
+    CAST(sum(CASE WHEN prev IS NOT NULL AND bit_count(xor(h, prev)) >= 28
+             THEN 1 ELSE 0 END)
+         OVER (PARTITION BY doc_id ORDER BY frame_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS BIGINT) AS scene_id
+  FROM l
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, scene_id
+                               ORDER BY sharp DESC, frame_idx) AS rn
+  FROM seg
+)
+SELECT doc_id, scene_id, frame_idx AS keyframe_idx, sharp AS sharpness
+FROM rk WHERE rn = 1
+"""
+
+
 def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup: the Arrow-batched feature
     extractor (real decode would be a DCT pHash; the stub quantizes the
@@ -213,6 +285,7 @@ QUERIES = {
     "multimodal_phash_neardup": (q_phash_neardup, _phash_neardup_sql()),
     "multimodal_image_meta": (q_image_meta, ORACLE_IMAGE_META),
     "multimodal_scene_changes": (q_scene_changes, ORACLE_SCENE_CHANGES),
+    "multimodal_keyframe_select": (q_keyframe_select, ORACLE_KEYFRAME_SELECT),
     "multimodal_frame_dedup": (q_frame_dedup, ORACLE_FRAME_DEDUP),
     "multimodal_frame_sample": (q_frame_sample, ORACLE_FRAME_SAMPLE),
     "multimodal_audio_stats": (q_audio_stats, ORACLE_AUDIO_STATS),
