@@ -92,3 +92,30 @@ def test_simhash_hamming_bands_are_lossless_for_radius(spark):
             expect[(i, j)] = d
     assert got == expect
     assert len(expect) >= 12  # the planted pairs are actually in play
+
+
+def test_ivfadc_is_probe_restricted_pq(spark, sf_dir):
+    """IVFADC == plain PQ-ADC restricted to the probed lists: for every
+    returned neighbor, its ADC distance must equal the full PQ scan's
+    distance for that (query, neighbor) pair (the coarse stage only
+    PRUNES, never rescores)."""
+    import pyspark.sql.functions as F
+
+    from transfer_spark.operators.similarity import (
+        ann_ivf_pq_topk,
+        ann_pq_adc_topk,
+    )
+    from transfer_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivfadc = ann_ivf_pq_topk(emb, queries, k=5)
+    # full scan, large k so every probed candidate appears
+    full = ann_pq_adc_topk(emb, queries, k=10_000).select(
+        "query_id", "neighbor_id", F.col("adc_micro").alias("full_micro")
+    )
+    joined = ivfadc.join(full, ["query_id", "neighbor_id"], "left")
+    assert joined.filter(
+        F.col("full_micro").isNull()
+        | (F.col("full_micro") != F.col("adc_micro"))
+    ).count() == 0

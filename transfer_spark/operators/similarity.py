@@ -922,3 +922,97 @@ def mmr_diversify_topk(
     cand.unpersist()
     sims.unpersist()
     return out
+
+
+def ann_ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """IVF + PQ combined (the IVFADC scheme of Jégou et al. 2011 §IV):
+    the coarse quantizer restricts each query to its ``n_probe``
+    inverted lists, and within those lists candidates are ranked by the
+    PQ asymmetric distance — the composition production billion-scale
+    ANN actually deploys (FAISS ``IVFx,PQy``): the code scan touches
+    ~n_probe/n_centroids of the corpus, and touches it only through
+    4-byte codes.
+
+    Spark shape: both quantizers come from the existing pieces —
+    broadcast-centroid argmax for the lists, broadcast codebook/
+    distance-table equi-joins for ADC — so the only big-table work is
+    the probed slice of the code table flowing into one (query, vector)
+    hash aggregate. Every distance quantizes to BIGINT micro-units
+    before summation (order-insensitive, engine-exact)."""
+    v = F.col(vec_col).cast("array<double>")
+    e = corpus.select(F.col(id_col).alias("nid"), v.alias("nv"))
+    cent = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), v.alias("cv")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "nid",
+            F.struct(
+                cosine(F.col("nv"), F.col("cv")).alias("cos"),
+                (-F.col("cid")).alias("ncid"),
+            ).alias("key"),
+            "cid",
+        )
+        .groupBy("nid")
+        .agg(F.max_by(F.col("cid"), F.col("key")).alias("cid"))
+    )
+    codebooks = pq_codebooks(
+        corpus, id_col, vec_col, m_sub=m_sub, k_codes=k_codes, sub_dim=sub_dim
+    )
+    codes = pq_encode(
+        corpus, codebooks, id_col, vec_col, m_sub=m_sub, sub_dim=sub_dim
+    )
+    listed = codes.join(
+        assign.select(F.col("nid").alias("id"), "cid"), "id"
+    )
+    q = queries.select(F.col(id_col).alias("qid"), v.alias("qv"))
+    w_probe = Window.partitionBy("qid").orderBy(F.col("pcos").desc(), F.col("cid"))
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("pcos"))
+        .withColumn("prank", F.row_number().over(w_probe))
+        .filter(F.col("prank") <= n_probe)
+        .select("qid", "cid")
+    )
+    qsubs = queries.select(
+        F.col(id_col).alias("qid"),
+        F.posexplode(
+            pq_subvectors(F.col(vec_col).cast("array<double>"), m_sub, sub_dim)
+        ).alias("sub", "qsv"),
+    )
+    dist_table = qsubs.join(F.broadcast(codebooks), "sub").select(
+        "qid", "sub", "code",
+        F.floor(
+            _sub_l2sq(F.col("qsv"), F.col("cv")) * F.lit(1_000_000.0) + F.lit(0.5)
+        ).cast("long").alias("d2_micro"),
+    )
+    adc = (
+        listed.join(F.broadcast(probe), "cid")
+        .filter(F.col("id") != F.col("qid"))
+        .join(F.broadcast(dist_table), ["qid", "sub", "code"])
+        .groupBy("qid", "id")
+        .agg(F.sum("d2_micro").alias("adc_micro"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_micro"), F.asc("id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            "adc_micro",
+            "rank",
+        )
+    )

@@ -539,6 +539,88 @@ QUALIFY rank <= {k}
 """
 
 
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV, the FAISS ``IVFx,PQy`` layout):
+    coarse IVF probe (4 of 16 lists) + PQ asymmetric-distance ranking
+    within the probed lists — the production composition of the two
+    registered quantizers, value-checked end-to-end (coarse argmax,
+    codebook encode, distance table, probed ADC scan all in the SQL)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ann_ivf_pq_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
+def _ivf_pq_oracle(n_centroids: int = 16, n_probe: int = 4, m_sub: int = 4,
+                   k_codes: int = 16, sub_dim: int = 16, k: int = 5) -> str:
+    fold = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, {n}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (acc, x) -> acc + x)"
+    )
+    d2_enc = fold.format(n=sub_dim + 1, a="sv", b="cv")
+    d2_q = fold.format(n=sub_dim + 1, a="qsv", b="cv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS centv FROM e WHERE vec_id < {n_centroids}),
+assigned AS (
+  SELECT e.vec_id AS nid, cid
+  FROM e, cent
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.v, cent.centv) DESC, cid) = 1
+),
+subs AS (SELECT unnest(range(0, {m_sub})) AS sub),
+cb AS (
+  SELECT sub, vec_id AS code,
+         v[sub * {sub_dim} + 1 : sub * {sub_dim} + {sub_dim}] AS cv
+  FROM e, subs WHERE vec_id < {k_codes}
+),
+esub AS (
+  SELECT vec_id AS id, sub,
+         v[sub * {sub_dim} + 1 : sub * {sub_dim} + {sub_dim}] AS sv
+  FROM e, subs
+),
+enc AS (
+  SELECT id, sub, code FROM (
+    SELECT e2.id, e2.sub, cb.code,
+      row_number() OVER (PARTITION BY e2.id, e2.sub
+                         ORDER BY {d2_enc}, cb.code) AS rn
+    FROM esub e2 JOIN cb ON e2.sub = cb.sub
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+probe AS (
+  SELECT qid, cid
+  FROM q, cent
+  QUALIFY row_number() OVER (PARTITION BY qid
+      ORDER BY list_cosine_similarity(qv, cent.centv) DESC, cid) <= {n_probe}
+),
+qsub AS (
+  SELECT qid, sub, qv[sub * {sub_dim} + 1 : sub * {sub_dim} + {sub_dim}] AS qsv
+  FROM q, subs
+),
+dt AS (
+  SELECT qid, qsub.sub, cb.code,
+    floor({d2_q} * 1000000.0 + 0.5)::BIGINT AS d2_micro
+  FROM qsub JOIN cb ON qsub.sub = cb.sub
+),
+cand AS (
+  SELECT p.qid, a.nid AS id
+  FROM probe p JOIN assigned a ON p.cid = a.cid AND a.nid != p.qid
+),
+adc AS (
+  SELECT c.qid, c.id, sum(d2_micro) AS adc_micro
+  FROM cand c
+  JOIN enc ON enc.id = c.id
+  JOIN dt ON dt.qid = c.qid AND dt.sub = enc.sub AND dt.code = enc.code
+  GROUP BY c.qid, c.id
+)
+SELECT qid AS query_id, id AS neighbor_id,
+       CAST(adc_micro AS BIGINT) AS adc_micro,
+       row_number() OVER (PARTITION BY qid ORDER BY adc_micro, id) AS rank
+FROM adc
+QUALIFY rank <= {k}
+"""
+
+
 def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-4 for query vector 0 over a 12-candidate
     shortlist (lambda = 0.7) — greedy relevance-vs-redundancy re-rank
@@ -976,6 +1058,7 @@ QUERIES = {
     "embedding_matryoshka_audit": (q_matryoshka_audit, ORACLE_MATRYOSHKA),
     "embedding_quantize_int8": (q_quantize_int8, ORACLE_QUANTIZE),
     "ann_pq_adc_topk": (q_ann_pq_adc, _pq_adc_oracle()),
+    "ann_ivf_pq_topk": (q_ann_ivf_pq, _ivf_pq_oracle()),
     "search_mmr_diversify": (q_mmr_diversify, _mmr_oracle()),
     "search_rrf_hybrid": (q_rrf_hybrid, _rrf_oracle()),
     "contrastive_triplets": (q_contrastive_triplets, ORACLE_TRIPLETS),
