@@ -87,3 +87,48 @@ def test_streaming_accumulator_matches_one_pass(spark, tmp_path):
     streamed = acc.estimate().collect()[0]
     single = hll_estimate(hll_registers(full, ["g"], "u"), ["g"]).collect()[0]
     assert streamed["hll_est"] == single["hll_est"]
+
+
+def test_hll_accumulator_behind_a_readstream(spark, tmp_path):
+    """End-to-end Structured Streaming: the HLL accumulator as a
+    foreachBatch sink over a file stream — the accumulated registers
+    after the stream drains must equal a single-pass build over all
+    the files' rows."""
+    import json
+    import os
+    import time
+
+    from transfer_spark.operators.temporal import hll_estimate, hll_registers
+    from transfer_spark.streaming.sketch_accum import HllAccumulator
+
+    src = tmp_path / "src"
+    src.mkdir()
+    now = time.time()
+    all_rows = []
+    for i in range(3):
+        rows = [{"g": "g", "u": f"u{i}-{j}"} for j in range(300)]
+        all_rows += rows
+        p = src / f"b{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        os.utime(p, (now + i, now + i))
+
+    acc = HllAccumulator(spark, str(tmp_path / "hll"), "g", "u")
+    stream = (
+        spark.readStream.schema("g string, u string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = stream.writeStream.foreachBatch(
+        lambda batch, _bid: (acc.apply_batch(batch), None)[1]
+    ).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    streamed = acc.estimate().collect()[0]
+    full = spark.createDataFrame(
+        [(r["g"], r["u"]) for r in all_rows], "g string, u string"
+    )
+    single = hll_estimate(hll_registers(full, ["g"], "u"), ["g"]).collect()[0]
+    assert streamed["hll_est"] == single["hll_est"]
+    assert streamed["n_zero_registers"] == single["n_zero_registers"]
