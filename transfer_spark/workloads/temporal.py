@@ -1718,6 +1718,133 @@ FROM pairs JOIN outdeg ON pairs.from_type = outdeg.from_type
 """
 
 
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-to-stage conversion latency for the ordered funnel: for
+    users who progressed, the p50/p90 of the time spent between stages
+    (signup→click, click→purchase, and end-to-end) — the number a
+    growth team reads next to the conversion rate. Reuses the funnel's
+    chained first-event frames (user-cardinality), then one exact
+    percentile per stage pair (the `percentile` ↔ `quantile_cont`
+    parity recipe, floor(q+0.5) micro-seconds)."""
+    fun = q_funnel(spark, sf_dir)
+    pairs = None
+    for name, a, b in (
+        ("signup_to_click", "t_signup", "t_click"),
+        ("click_to_purchase", "t_click", "t_purchase"),
+        ("signup_to_purchase", "t_signup", "t_purchase"),
+    ):
+        p = fun.filter(F.col(b).isNotNull()).select(
+            F.lit(name).alias("stage_pair"),
+            (F.col(b) - F.col(a)).alias("delta_us"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.groupBy("stage_pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.floor(F.expr("percentile(delta_us, 0.5)") + F.lit(0.5))
+        .cast("long").alias("p50_us"),
+        F.floor(F.expr("percentile(delta_us, 0.9)") + F.lit(0.5))
+        .cast("long").alias("p90_us"),
+    )
+
+
+ORACLE_FUNNEL_TTC = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+), s AS (
+  SELECT user_id, min(t) AS t_signup FROM e WHERE event_type = 'signup' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(t) AS t_click
+  FROM e JOIN s USING (user_id)
+  WHERE event_type = 'click' AND t > t_signup GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(t) AS t_purchase
+  FROM e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND t > t_click GROUP BY 1
+), fun AS (
+  SELECT s.user_id, t_signup, t_click, t_purchase
+  FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+), d AS (
+  SELECT 'signup_to_click' AS stage_pair, t_click - t_signup AS delta_us
+  FROM fun WHERE t_click IS NOT NULL
+  UNION ALL
+  SELECT 'click_to_purchase', t_purchase - t_click
+  FROM fun WHERE t_purchase IS NOT NULL
+  UNION ALL
+  SELECT 'signup_to_purchase', t_purchase - t_signup
+  FROM fun WHERE t_purchase IS NOT NULL
+)
+SELECT stage_pair, CAST(count(*) AS BIGINT) AS n_converted,
+       floor(quantile_cont(delta_us, 0.5) + 0.5)::BIGINT AS p50_us,
+       floor(quantile_cont(delta_us, 0.9) + 0.5)::BIGINT AS p90_us
+FROM d GROUP BY 1
+"""
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month, revenue tracked by months-since-first-order, with the
+    running cumulative — the LTV table under every retention deck.
+    Month index is year*12+month (engine-neutral integer arithmetic,
+    no calendar interval math); money stays integer cents; the
+    cumulative is a per-cohort window over the already-aggregated
+    (cohort × age) grid — dimension-sized, one shuffle on custkey."""
+    orders = read_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("d").alias("first_d"))
+    j = o.join(first, "o_custkey").select(
+        "o_custkey", "cents",
+        F.trunc("first_d", "month").alias("cohort_month"),
+        (
+            (F.year("d") * 12 + F.month("d"))
+            - (F.year("first_d") * 12 + F.month("first_d"))
+        ).cast("long").alias("age_months"),
+    )
+    grid = j.groupBy("cohort_month", "age_months").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_active"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    wc = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.withColumn(
+        "cum_cents", F.sum("cents").over(wc).cast("long")
+    )
+
+
+ORACLE_COHORT_LTV = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate AS d,
+         floor(o_totalprice * 100.0 + 0.5)::BIGINT AS cents
+  FROM orders
+), f AS (
+  SELECT o_custkey, min(d) AS first_d FROM o GROUP BY 1
+), j AS (
+  SELECT o.o_custkey, cents,
+         date_trunc('month', first_d)::DATE AS cohort_month,
+         CAST((year(d) * 12 + month(d))
+              - (year(first_d) * 12 + month(first_d)) AS BIGINT) AS age_months
+  FROM o JOIN f USING (o_custkey)
+), grid AS (
+  SELECT cohort_month, age_months,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM j GROUP BY 1, 2
+)
+SELECT cohort_month, age_months, n_active, cents,
+       CAST(sum(cents) OVER (PARTITION BY cohort_month ORDER BY age_months
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_cents
+FROM grid
+"""
+
+
 def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STL-style decomposition of the per-type daily count series into
     trend + day-of-week seasonal + residual: trend is a centered 7-day
@@ -2337,6 +2464,8 @@ QUERIES = {
     "events_attribution_markov": (q_attribution_markov, ORACLE_ATTRIBUTION_MARKOV),
     "events_attribution_position": (q_attribution_position, ORACLE_ATTRIBUTION_POSITION),
     "events_stl_decompose": (q_stl_decompose, ORACLE_STL),
+    "events_funnel_ttc": (q_funnel_time_to_convert, ORACLE_FUNNEL_TTC),
+    "orders_cohort_ltv": (q_cohort_ltv, ORACLE_COHORT_LTV),
     "events_gap_fill_locf": (q_gap_fill, ORACLE_GAP_FILL),
     "events_interarrival_quantiles": (q_interarrival_quantiles,
                                       ORACLE_INTERARRIVAL),
