@@ -53,9 +53,10 @@ _ALL.update(tpch_supplement.QUERIES)
 # window = 50-13 = 37 slots. The tail is ordered by the round each name
 # was LAST driver-adjudicated (never-seen first, ties by name), read from
 # the committed CORRECTNESS_r*.json artifacts — so each round's window
-# automatically sinks to the back once its artifact lands. As of r7,
-# 106/213 names have ever been adjudicated; the remaining 107 clear in
-# ceil(107/37) = 3 rounds, then the queue cycles by staleness.
+# automatically sinks to the back once its artifact lands. After the r7
+# registry growth (213 → 236, all strict-checker green at sf0.01 and
+# sf0.1), 106 names have ever been adjudicated; the 130 never-seen clear
+# in ceil(130/37) = 4 rounds, then the queue cycles by staleness.
 _CORE = [
     # cdc spine
     "cdc_fold", "cdc_merge_hard", "multi_step_merge",

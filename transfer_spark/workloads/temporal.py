@@ -1718,6 +1718,57 @@ FROM pairs JOIN outdeg ON pairs.from_type = outdeg.from_type
 """
 
 
+def q_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark diagnostics: treating event_id as arrival order, a row
+    is LATE if its event time sits more than 10 minutes behind the
+    stream's high watermark at its arrival (max event time of prior
+    arrivals in its user stream) — the per-key accounting that tells
+    you what a streaming watermark of 10 minutes would drop, before
+    you commit to it. One preceding-frame max per user stream, one
+    aggregate; lateness in exact micros."""
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = F.unix_micros(F.col("ts"))
+    d = e.select(
+        "event_type", t.alias("t"),
+        F.max(t).over(w).alias("hwm"),
+    )
+    late = F.col("hwm").isNotNull() & (
+        F.col("t") < F.col("hwm") - F.lit(600_000_000)
+    )
+    return d.withColumn("late", late).groupBy("event_type").agg(
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).cast("long").alias("n_late"),
+        F.sum(F.when(~F.col("late"), 1).otherwise(0)).cast("long")
+        .alias("n_ontime"),
+        F.max(F.when(F.col("late"), F.col("hwm") - F.col("t"))).alias(
+            "max_lateness_us"
+        ),
+    )
+
+
+ORACLE_LATE_ARRIVALS = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) AS t,
+         max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+  FROM events
+), l AS (
+  SELECT event_type, t, hwm,
+         (hwm IS NOT NULL AND t < hwm - 600000000) AS late
+  FROM d
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(sum(CASE WHEN NOT late THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime,
+       max(CASE WHEN late THEN hwm - t END) AS max_lateness_us
+FROM l GROUP BY 1
+"""
+
+
 def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage-to-stage conversion latency for the ordered funnel: for
     users who progressed, the p50/p90 of the time spent between stages
@@ -2465,6 +2516,7 @@ QUERIES = {
     "events_attribution_position": (q_attribution_position, ORACLE_ATTRIBUTION_POSITION),
     "events_stl_decompose": (q_stl_decompose, ORACLE_STL),
     "events_funnel_ttc": (q_funnel_time_to_convert, ORACLE_FUNNEL_TTC),
+    "events_late_arrivals": (q_late_arrivals, ORACLE_LATE_ARRIVALS),
     "orders_cohort_ltv": (q_cohort_ltv, ORACLE_COHORT_LTV),
     "events_gap_fill_locf": (q_gap_fill, ORACLE_GAP_FILL),
     "events_interarrival_quantiles": (q_interarrival_quantiles,

@@ -539,6 +539,68 @@ QUALIFY rank <= {k}
 """
 
 
+def q_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means training diagnostics: the clustering objective (sum of
+    per-vector 1−cos-to-nearest-centroid, micro-quantized BEFORE the
+    sum) after 0, 1, and 2 Lloyd iterations — the convergence curve a
+    quantizer trainer is monitored by. Each iteration's centroids come
+    from the same deterministic trainer the IVF entries use; the
+    oracle replays the full Lloyd unroll in SQL, so the audit checks
+    the TRAINER, not just the final assignment. Per-iteration cost is
+    one broadcast-centroid scan + one agg; vectors never move to the
+    driver."""
+    emb = _emb(spark, sf_dir)
+    out = None
+    for it in range(3):
+        cent = S.kmeans_centroids(emb, k=16, n_iters=it)
+        v = emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        best = (
+            v.crossJoin(F.broadcast(cent))
+            .select("id", S.cosine(F.col("v"), F.col("cv")).alias("cos"))
+            .groupBy("id")
+            .agg(F.max("cos").alias("best_cos"))
+        )
+        row = best.agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum(
+                F.floor(
+                    (F.lit(1.0) - F.col("best_cos")) * F.lit(1_000_000.0)
+                    + F.lit(0.5)
+                ).cast("long")
+            ).cast("long").alias("inertia_micro"),
+        ).select(F.lit(it).cast("long").alias("iteration"), "*")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _kmeans_inertia_oracle(k_cent: int = 16, n_iters: int = 2,
+                           dim: int = 64) -> str:
+    parts, _final = _lloyd_ctes(k_cent, n_iters, dim)
+    its = []
+    for i in range(n_iters + 1):
+        its.append(
+            f"""best{i} AS (
+  SELECT e.vec_id, max(list_cosine_similarity(e.v, c.cv)) AS best_cos
+  FROM e, cent{i} c GROUP BY 1
+)"""
+        )
+        its.append(
+            f"""row{i} AS (
+  SELECT {i}::BIGINT AS iteration, CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(sum(floor((1.0 - best_cos) * 1000000.0 + 0.5)::BIGINT)
+              AS BIGINT) AS inertia_micro
+  FROM best{i}
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM row{i}" for i in range(n_iters + 1)
+    )
+    return ",\n".join(parts + its) + "\n" + union
+
+
 def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV, the FAISS ``IVFx,PQy`` layout):
     coarse IVF probe (4 of 16 lists) + PQ asymmetric-distance ranking
@@ -1059,6 +1121,7 @@ QUERIES = {
     "embedding_quantize_int8": (q_quantize_int8, ORACLE_QUANTIZE),
     "ann_pq_adc_topk": (q_ann_pq_adc, _pq_adc_oracle()),
     "ann_ivf_pq_topk": (q_ann_ivf_pq, _ivf_pq_oracle()),
+    "ann_kmeans_inertia": (q_kmeans_inertia, _kmeans_inertia_oracle()),
     "search_mmr_diversify": (q_mmr_diversify, _mmr_oracle()),
     "search_rrf_hybrid": (q_rrf_hybrid, _rrf_oracle()),
     "contrastive_triplets": (q_contrastive_triplets, ORACLE_TRIPLETS),
