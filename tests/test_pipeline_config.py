@@ -111,3 +111,37 @@ def test_unknown_top_level_and_sample_keys_raise(spark):
         build_corpus_pipeline(docs, {"fliters": []})
     with pytest.raises(ValueError, match="unknown sample key"):
         build_corpus_pipeline(docs, {"sample": {"per_src_quota": 5}})
+
+
+def test_leakage_free_split_mode_matches_registered_query(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from transfer_spark.workloads.pipeline_config import build_corpus_pipeline
+    from transfer_spark.workloads.text import q_split_leakage_free
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    piped = build_corpus_pipeline(
+        docs,
+        {"split": {"train": 0.9, "val": 0.05, "test": 0.05},
+         "split_mode": "leakage_free"},
+    ).select("doc_id", "split")
+    want = q_split_leakage_free(spark, sf_dir).select(
+        "doc_id", F.col("split").alias("want")
+    )
+    assert piped.join(want, "doc_id").filter("split != want").count() == 0
+    assert piped.count() == docs.count()
+
+
+def test_split_mode_requires_split_and_valid_value(spark, sf_dir):
+    import pytest
+
+    from transfer_spark.workloads.pipeline_config import build_corpus_pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="requires a split"):
+        build_corpus_pipeline(docs, {"split_mode": "leakage_free"})
+    with pytest.raises(ValueError, match="split_mode"):
+        build_corpus_pipeline(
+            docs,
+            {"split": {"train": 1.0}, "split_mode": "cluster"},
+        )

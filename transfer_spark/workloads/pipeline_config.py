@@ -46,7 +46,8 @@ def build_corpus_pipeline(
     # strict config surface: an unknown top-level or sample key (a typo
     # like 'per_src_quota') must raise, not silently disable a stage —
     # the same rule the filter/dedup sections already enforce
-    _KNOWN_TOP = {"filters", "dedup", "dedup_scope", "sample", "split"}
+    _KNOWN_TOP = {"filters", "dedup", "dedup_scope", "sample", "split",
+                  "split_mode"}
     unknown_top = set(config) - _KNOWN_TOP
     if unknown_top:
         raise ValueError(f"unknown config key(s) {sorted(unknown_top)}")
@@ -131,8 +132,33 @@ def build_corpus_pipeline(
 
     # ---- split stamp ----
     split = config.get("split")
+    mode = config.get("split_mode", "doc")
+    if mode not in ("doc", "leakage_free"):
+        raise ValueError(f"split_mode must be doc|leakage_free, got {mode!r}")
     if split:
-        out = out.withColumn(
-            "split", T.assign_split(F.col(id_col), dict(split))
-        )
+        if mode == "leakage_free":
+            # cluster-aware split (the split_leakage_free contract):
+            # near-dup clusters are computed over the FULL corpus — a
+            # filtered-out near-twin must still pull its survivors to
+            # one side — and the whole cluster hashes by its
+            # representative, so no candidate pair straddles the split
+            clusters = D.neardup_clusters(
+                D.minhash_lsh_pairs(docs, id_col, text_col)
+            )
+            out = (
+                out.join(clusters, id_col, "left")
+                .withColumn(
+                    "split",
+                    T.assign_split(
+                        F.coalesce("cluster_id", F.col(id_col)), dict(split)
+                    ),
+                )
+                .drop("cluster_id")
+            )
+        else:
+            out = out.withColumn(
+                "split", T.assign_split(F.col(id_col), dict(split))
+            )
+    elif mode != "doc":
+        raise ValueError("split_mode requires a split section")
     return out
