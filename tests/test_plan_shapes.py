@@ -226,6 +226,7 @@ PYTHON_OK = {
     "multimodal_frame_sample",
     "multimodal_image_features",
     "multimodal_image_meta",
+    "multimodal_keyframe_select",  # same Arrow decode stage as scene_changes
     "multimodal_phash_neardup",     # Arrow decode stage feeds the JVM hamming join
     "multimodal_scene_changes",
     "semantic_dedupe",             # per-cluster numpy dedup kernel
