@@ -1718,6 +1718,93 @@ FROM pairs JOIN outdeg ON pairs.from_type = outdeg.from_type
 """
 
 
+def q_sessions_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP self-join: for every user session, how many
+    OTHER users' sessions overlap it in time (platform concurrency —
+    the capacity-planning number). Distinct from the point-in-interval
+    range join: both sides are intervals. Shape: sessions explode onto
+    the hour buckets they cover, candidate pairs come from the bucket
+    equi-join (never a time theta-join), a residual filter keeps true
+    overlaps, and distinct() collapses pairs that met in several
+    buckets. Output stays per-session; pair fan-out is bounded by
+    per-hour concurrency — which is exactly the quantity being
+    measured."""
+    e = _events(spark, sf_dir)
+    sz = TP.sessionize(
+        e, "user_id", "ts", gap_seconds=_GAP_S, order_col="event_id"
+    )
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    s = sz.groupBy("user_id", "session_id").agg(
+        F.min(t).alias("t0"), F.max(t).alias("t1")
+    )
+    hour = 3_600_000_000
+    b = s.select(
+        "user_id", "session_id", "t0", "t1",
+        F.explode(
+            F.sequence(
+                F.expr(f"t0 DIV {hour}"), F.expr(f"t1 DIV {hour}")
+            )
+        ).alias("bk"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.bk") == F.col("c.bk"))
+            & (F.col("a.user_id") != F.col("c.user_id")),
+        )
+        .filter(
+            (F.col("a.t0") <= F.col("c.t1")) & (F.col("c.t0") <= F.col("a.t1"))
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.session_id").alias("session_id"),
+            F.col("c.user_id").alias("ou"),
+            F.col("c.session_id").alias("os"),
+        )
+        .distinct()
+    )
+    cnt = pairs.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_concurrent")
+    )
+    return s.join(cnt, ["user_id", "session_id"], "left").select(
+        "user_id",
+        "session_id",
+        F.col("t0").alias("t0_us"),
+        F.col("t1").alias("t1_us"),
+        F.coalesce("n_concurrent", F.lit(0).cast("long")).alias("n_concurrent"),
+    )
+
+
+ORACLE_SESSIONS_CONCURRENCY = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+), flagged AS (
+  SELECT user_id, event_id, t,
+    CASE WHEN lag(t) OVER w IS NULL
+           OR t - lag(t) OVER w > {_GAP_S * 1_000_000} THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), numbered AS (
+  SELECT user_id, t,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), s AS (
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         min(t) AS t0, max(t) AS t1
+  FROM numbered GROUP BY 1, 2
+), p AS (
+  SELECT a.user_id, a.session_id, count(*) AS n
+  FROM s a JOIN s b
+    ON a.user_id != b.user_id AND a.t0 <= b.t1 AND b.t0 <= a.t1
+  GROUP BY 1, 2
+)
+SELECT s.user_id, s.session_id, s.t0 AS t0_us, s.t1 AS t1_us,
+       CAST(COALESCE(p.n, 0) AS BIGINT) AS n_concurrent
+FROM s LEFT JOIN p USING (user_id, session_id)
+"""
+
+
 def q_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark diagnostics: treating event_id as arrival order, a row
     is LATE if its event time sits more than 10 minutes behind the
@@ -2517,6 +2604,7 @@ QUERIES = {
     "events_stl_decompose": (q_stl_decompose, ORACLE_STL),
     "events_funnel_ttc": (q_funnel_time_to_convert, ORACLE_FUNNEL_TTC),
     "events_late_arrivals": (q_late_arrivals, ORACLE_LATE_ARRIVALS),
+    "sessions_concurrency": (q_sessions_concurrency, ORACLE_SESSIONS_CONCURRENCY),
     "orders_cohort_ltv": (q_cohort_ltv, ORACLE_COHORT_LTV),
     "events_gap_fill_locf": (q_gap_fill, ORACLE_GAP_FILL),
     "events_interarrival_quantiles": (q_interarrival_quantiles,
