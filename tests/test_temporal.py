@@ -368,3 +368,42 @@ def test_stl_decomposition_reconstructs_exactly(spark, sf_dir):
     assert bad == 0
     # one row per (type, day)
     assert out.count() == out.select("event_type", "d").distinct().count()
+
+
+def test_skyline_matches_bruteforce_on_crafted_points(spark):
+    import pyspark.sql.functions as F
+
+    from transfer_spark.workloads.analytics import q_part_skyline  # noqa: F401
+    # exercise the two-phase front directly on a crafted cloud with a
+    # wide pareto front, duplicates, and cross-bucket dominance
+    pts = [(x, ((x * 7919) % 50) + 1) for x in range(1, 400)] + [
+        (10, 3), (10, 3), (500, 1), (1, 50)
+    ]
+    df = spark.createDataFrame(pts, "price_c long, size long")
+
+    from pyspark.sql import Window
+
+    def front(d, *p):
+        w = Window.partitionBy(*p).orderBy("price_c", "size")
+        rm = F.min("size").over(w.rowsBetween(Window.unboundedPreceding, -1))
+        return (
+            d.withColumn("rm", rm)
+            .filter(F.col("rm").isNull() | (F.col("rm") > F.col("size")))
+            .drop("rm")
+        )
+
+    dedup = df.distinct()
+    local = front(
+        dedup.withColumn("bk", F.expr("price_c DIV 37")), "bk"
+    ).drop("bk")
+    got = {(r.price_c, r.size) for r in front(local).collect()}
+
+    rows = {(p, s) for p, s in pts}
+    want = {
+        (p, s)
+        for (p, s) in rows
+        if not any(
+            qp <= p and qs <= s and (qp < p or qs < s) for (qp, qs) in rows
+        )
+    }
+    assert got == want

@@ -2136,6 +2136,125 @@ def _q_revenue_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front): parts not dominated on
+    (price, size) — no other part is both cheaper-or-equal AND
+    smaller-or-equal with at least one strict (the classic Börzsönyi
+    et al. 2001 operator relational engines lack). Two-phase
+    distributed shape: a LOCAL skyline per price bucket (running-min
+    window inside the bucket partition) prunes the data-grain input to
+    per-bucket fronts, then the identical running-min pass over the
+    tiny survivor set yields the global front — the standard
+    divide-prune-merge skyline plan; the only global sort touches
+    survivors, never the full table. Dedup on the value pair first so
+    dominance is well-defined under duplicates; money in integer
+    cents."""
+    part = read_table(spark, sf_dir, "part")
+    pts = part.select(
+        F.floor(F.col("p_retailprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("price_c"),
+        F.col("p_size").cast("long").alias("size"),
+    ).distinct()
+
+    def _front(df, *partition):
+        w = Window.partitionBy(*partition).orderBy("price_c", "size")
+        runmin = F.min("size").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            df.withColumn("__rm", runmin)
+            .filter(F.col("__rm").isNull() | (F.col("__rm") > F.col("size")))
+            .drop("__rm")
+        )
+
+    local = _front(
+        pts.withColumn("__bk", F.expr("price_c DIV 100000")), "__bk"
+    ).drop("__bk")
+    return _front(local).select("price_c", "size")
+
+
+def q_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line backlog curve: how many orders are OPEN on each day —
+    the interval-counting query (also inventory on-hand, concurrent
+    jobs, active subscriptions) answered without ever materializing a
+    day×order grid: each order contributes a +1 delta at open and a −1
+    at close, one aggregate nets the deltas per day, and a cumulative
+    sum over the DAY dimension (thousands of rows however big the fact
+    table is) is the curve. Close dates are derived deterministically
+    from the order key (the tpch_supplement convention — the base table
+    ships no ship date; closed-form integer arithmetic, identical on
+    both engines)."""
+    orders = read_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_orderdate").cast("date").alias("d0"),
+        F.expr(
+            "date_add(CAST(o_orderdate AS DATE),"
+            " CAST(o_orderkey % 60 + 1 AS INT))"
+        ).alias("d1"),
+    )
+    deltas = o.select(
+        F.col("d0").alias("day"), F.lit(1).cast("long").alias("delta")
+    ).unionByName(
+        o.select(F.col("d1").alias("day"), F.lit(-1).cast("long").alias("delta"))
+    )
+    net = deltas.groupBy("day").agg(
+        F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).cast("long")
+        .alias("n_opened"),
+        F.sum(F.when(F.col("delta") < 0, 1).otherwise(0)).cast("long")
+        .alias("n_closed"),
+        F.sum("delta").cast("long").alias("net"),
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # cumulative over the DAY dimension: a single-partition window is
+    # the documented dimension-grain exception (a few thousand rows)
+    return net.select(
+        "day", "n_opened", "n_closed",
+        F.sum("net").over(w).cast("long").alias("backlog"),
+    )
+
+
+ORACLE_BACKLOG_CURVE = """
+WITH o AS (
+  SELECT o_orderdate::DATE AS d0,
+         o_orderdate::DATE + CAST(o_orderkey % 60 + 1 AS INT) AS d1
+  FROM orders
+), deltas AS (
+  SELECT d0 AS day, 1::BIGINT AS delta FROM o
+  UNION ALL
+  SELECT d1, -1::BIGINT FROM o
+), net AS (
+  SELECT day,
+         CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_opened,
+         CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+         CAST(sum(delta) AS BIGINT) AS net
+  FROM deltas GROUP BY 1
+)
+SELECT day, n_opened, n_closed,
+       CAST(sum(net) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS backlog
+FROM net
+"""
+
+
+ORACLE_PART_SKYLINE = """
+WITH pts AS (
+  SELECT DISTINCT floor(p_retailprice * 100.0 + 0.5)::BIGINT AS price_c,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+)
+SELECT price_c, size FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.price_c <= p.price_c AND q.size <= p.size
+    AND (q.price_c < p.price_c OR q.size < p.size)
+)
+"""
+
+
 QUERIES = {
     "olap_pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "olap_order_priority_check": (q_order_priority_check, ORACLE_Q4),
@@ -2184,6 +2303,8 @@ FROM per_cust
     "cms_join_size_estimate": (q_join_size_estimate, ORACLE_JOIN_SIZE),
     "entity_blocking_fuzzy_match": (q_fuzzy_match, ORACLE_FUZZY_MATCH),
     "customer_pareto_curve": (q_pareto_curve, ORACLE_PARETO),
+    "part_skyline": (q_part_skyline, ORACLE_PART_SKYLINE),
+    "orders_backlog_curve": (q_backlog_curve, ORACLE_BACKLOG_CURVE),
     "orders_ship_delay_quantiles": (q_ship_delay, ORACLE_SHIP_DELAY),
     "revenue_share_hierarchy": (q_revenue_hierarchy, ORACLE_REV_HIERARCHY),
     "revenue_cube": (q_revenue_cube, ORACLE_REV_CUBE),
