@@ -289,6 +289,54 @@ def main():
 
     results += [probe("join_mv_maintenance", od, _jmv)]
 
+    from transfer_spark.operators.similarity import ann_ivf_pq_topk
+    from transfer_spark.operators.temporal import sessionize as _sess
+
+    def _ivfadc(d):
+        # queries fixed (10 vectors); corpus grows — the scan is the
+        # probed slice of the 4-byte code table
+        qs = embeddings.filter(F.col("vec_id") < 10)
+        return ann_ivf_pq_topk(d, qs, k=5)
+
+    def _concur(d):
+        sz = _sess(d, "user_id", "ts", gap_seconds=1800, order_col="event_id")
+        t = F.unix_micros(F.col("ts").cast("timestamp"))
+        s = sz.groupBy("user_id", "session_id").agg(
+            F.min(t).alias("t0"), F.max(t).alias("t1")
+        )
+        hour = 3_600_000_000
+        b = s.select(
+            "user_id", "session_id", "t0", "t1",
+            F.explode(F.sequence(
+                F.expr(f"t0 DIV {hour}"), F.expr(f"t1 DIV {hour}")
+            )).alias("bk"),
+        )
+        a, c = b.alias("a"), b.alias("c")
+        pairs = (
+            a.join(
+                c,
+                (F.col("a.bk") == F.col("c.bk"))
+                & (F.col("a.user_id") != F.col("c.user_id")),
+            )
+            .filter((F.col("a.t0") <= F.col("c.t1"))
+                    & (F.col("c.t0") <= F.col("a.t1")))
+            .select(
+                F.col("a.user_id").alias("user_id"),
+                F.col("a.session_id").alias("session_id"),
+                F.col("c.user_id").alias("ou"),
+                F.col("c.session_id").alias("os"),
+            )
+            .distinct()
+        )
+        return pairs.groupBy("user_id", "session_id").agg(
+            F.count(F.lit(1)).alias("n_concurrent")
+        )
+
+    results += [
+        probe("ivfadc", em, _ivfadc),
+        probe("sessions_concurrency", ev, _concur),
+    ]
+
     # cluster-aware split: the CC loop's convergence checks execute
     # during construction, so time the WHOLE build+assign end-to-end
     if not _ONLY or "leakage_split" in _ONLY:

@@ -1776,6 +1776,59 @@ def q_sessions_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessions_active_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-scale sibling of `sessions_concurrency`: sessions ACTIVE
+    in each hour bucket (the capacity curve). No pair enumeration at
+    all — sessions explode onto covered hours, one count per hour —
+    so cost is linear in session-hours even when concurrency spikes
+    (the pairwise form is quadratic in per-hour concurrency, which is
+    fine when you need per-session counts and exactly the thing to
+    avoid when you only need the curve)."""
+    e = _events(spark, sf_dir)
+    sz = TP.sessionize(
+        e, "user_id", "ts", gap_seconds=_GAP_S, order_col="event_id"
+    )
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    s = sz.groupBy("user_id", "session_id").agg(
+        F.min(t).alias("t0"), F.max(t).alias("t1")
+    )
+    hour = 3_600_000_000
+    return (
+        s.select(
+            F.explode(
+                F.sequence(F.expr(f"t0 DIV {hour}"), F.expr(f"t1 DIV {hour}"))
+            ).alias("hour_bucket")
+        )
+        .groupBy("hour_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+
+
+ORACLE_SESSIONS_PER_HOUR = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+), flagged AS (
+  SELECT user_id, event_id, t,
+    CASE WHEN lag(t) OVER w IS NULL
+           OR t - lag(t) OVER w > {_GAP_S * 1_000_000} THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), numbered AS (
+  SELECT user_id, t,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), s AS (
+  SELECT user_id, session_id, min(t) AS t0, max(t) AS t1
+  FROM numbered GROUP BY 1, 2
+), h AS (
+  SELECT unnest(range(t0 // 3600000000, t1 // 3600000000 + 1)) AS hour_bucket
+  FROM s
+)
+SELECT hour_bucket, CAST(count(*) AS BIGINT) AS n_active
+FROM h GROUP BY 1
+"""
+
+
 ORACLE_SESSIONS_CONCURRENCY = f"""
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS t FROM events
@@ -2605,6 +2658,7 @@ QUERIES = {
     "events_funnel_ttc": (q_funnel_time_to_convert, ORACLE_FUNNEL_TTC),
     "events_late_arrivals": (q_late_arrivals, ORACLE_LATE_ARRIVALS),
     "sessions_concurrency": (q_sessions_concurrency, ORACLE_SESSIONS_CONCURRENCY),
+    "sessions_active_per_hour": (q_sessions_active_per_hour, ORACLE_SESSIONS_PER_HOUR),
     "orders_cohort_ltv": (q_cohort_ltv, ORACLE_COHORT_LTV),
     "events_gap_fill_locf": (q_gap_fill, ORACLE_GAP_FILL),
     "events_interarrival_quantiles": (q_interarrival_quantiles,
