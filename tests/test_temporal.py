@@ -182,6 +182,28 @@ def test_kmv_sketch_accuracy(spark):
     assert 750 <= r.distinct_est <= 1250
 
 
+def test_kmv_set_intersect_exact_when_unsaturated(spark):
+    # neither sketch saturated -> theta = 1.0 and both estimates exact
+    rows = [Row(g="a", v=i) for i in range(10)] + [
+        Row(g="b", v=i) for i in range(5, 17)
+    ]
+    out = TP.kmv_set_intersect(spark.createDataFrame(rows), "g", "v", k=32)
+    r = out.collect()[0]
+    assert (r.group_a, r.group_b) == ("a", "b")
+    assert r.union_est == 17.0   # |A ∪ B| = 0..16
+    assert r.inter_est == 5.0    # |A ∩ B| = 5..9
+
+
+def test_kmv_set_intersect_disjoint_and_accuracy(spark):
+    # disjoint sets -> inter_est 0.0; saturated union estimate stays sane
+    rows = [Row(g="a", v=i) for i in range(500)] + [
+        Row(g="b", v=i + 10_000) for i in range(500)
+    ]
+    r = TP.kmv_set_intersect(spark.createDataFrame(rows), "g", "v", k=64).collect()[0]
+    assert r.inter_est == 0.0
+    assert 700 <= r.union_est <= 1300
+
+
 def test_cms_sketch_merges_and_bounds_estimates(spark):
     """Count-Min contract: (a) sketch(A ∪ B) == cell-sum of sketch(A) +
     sketch(B) (mergeability — the property that makes it streaming- and

@@ -511,6 +511,106 @@ def kmv_merge_distinct(
     )
 
 
+def kmv_set_intersect(
+    df: DataFrame, group_col: str, value_col: str, k: int = 32
+) -> DataFrame:
+    """Theta-sketch-style SET ALGEBRA over per-group KMV sketches: for
+    every group pair (a < b), estimate ``|A ∪ B|`` and ``|A ∩ B|``
+    without ever joining the raw membership sets.
+
+    This is the sketch answer to "how many users did BOTH X and Y" at
+    100 TB: each group keeps only its k smallest hashes, and set
+    operations happen on those k-row sketches. Union = set-union of kept
+    hashes, re-take k smallest, standard ``(k-1)/kth`` estimate.
+    Intersection = the theta rule (Dasgupta et al., the DataSketches
+    formulation): theta = min of the two per-group thresholds (kth
+    smallest when the sketch is saturated, else 1.0); count the hash
+    values below theta present in BOTH sketches; estimate = count/theta.
+    When neither sketch is saturated theta is 1.0 and the estimate is
+    the exact intersection cardinality.
+
+    Deterministic md5 hashing (same family as :func:`kmv_distinct`) so
+    any engine reproduces the estimates bit-for-bit.
+
+    Plan shape: ONE distinct over (group, value) — map-side combinable —
+    then per-group top-k windows; everything after operates on ≤ k rows
+    per group (the pair join input is groups × k rows, broadcastable at
+    any corpus size). The raw table is scanned exactly once.
+    """
+    frac = hash_frac(F.col(value_col).cast("string"))
+    d = (
+        df.select(F.col(group_col), F.col(value_col))
+        .distinct()
+        .select(F.col(group_col).alias("__g"), frac.alias("__frac"))
+    )
+    w = Window.partitionBy("__g").orderBy("__frac")
+    kept = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("__g", "__frac")
+    )
+    # per-group threshold: kth smallest when saturated, else 1.0 (exact)
+    thetas = kept.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__n"), F.max("__frac").alias("__kth")
+    ).select(
+        "__g",
+        F.when(F.col("__n") < k, F.lit(1.0)).otherwise(F.col("__kth")).alias("__theta"),
+    )
+    ta = thetas.select(F.col("__g").alias("ga"), F.col("__theta").alias("__theta_a"))
+    tb = thetas.select(F.col("__g").alias("gb"), F.col("__theta").alias("__theta_b"))
+    # hash equality ⇔ value equality (md5 over the same string), so the
+    # sketch intersection is an equi-join of two ≤k-row-per-group frames
+    ka = kept.select(F.col("__g").alias("ga"), "__frac")
+    kb = kept.select(F.col("__g").alias("gb"), "__frac")
+    common = (
+        ka.join(kb, "__frac")
+        .filter(F.col("ga") < F.col("gb"))
+        .join(F.broadcast(ta), "ga")
+        .join(F.broadcast(tb), "gb")
+        .withColumn("__theta", F.least("__theta_a", "__theta_b"))
+        .filter(F.col("__frac") < F.col("__theta"))
+        .groupBy("ga", "gb", "__theta")
+        .agg(F.count(F.lit(1)).alias("__n_common"))
+        .select(
+            "ga", "gb",
+            F.round(F.col("__n_common") / F.col("__theta"), 4).alias("inter_est"),
+        )
+    )
+    # union sketch per pair: union kept hashes, re-take k smallest
+    pairs = ta.select("ga").crossJoin(tb.select("gb")).filter(F.col("ga") < F.col("gb"))
+    u = (
+        pairs.join(ka, "ga")
+        .select("ga", "gb", "__frac")
+        .union(pairs.join(kb, "gb").select("ga", "gb", "__frac"))
+        .distinct()
+    )
+    wu = Window.partitionBy("ga", "gb").orderBy("__frac")
+    union_est = (
+        u.withColumn("__rn", F.row_number().over(wu))
+        .filter(F.col("__rn") <= k)
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("__n"), F.max("__frac").alias("__kth"))
+        .select(
+            "ga", "gb",
+            F.round(
+                F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+                    F.lit(float(k - 1)) / F.col("__kth")
+                ),
+                4,
+            ).alias("union_est"),
+        )
+    )
+    return (
+        union_est.join(common, ["ga", "gb"], "left")
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "union_est",
+            F.coalesce("inter_est", F.lit(0.0)).alias("inter_est"),
+        )
+    )
+
+
 def count_min_sketch(
     df: DataFrame,
     value_col: str,

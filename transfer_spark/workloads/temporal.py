@@ -285,6 +285,81 @@ FROM est JOIN exact ON est.event_type = exact.event_type
 """
 
 
+def q_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: |A ∪ B| and |A ∩ B| of per-event-type user
+    sets estimated from the KMV sketches alone (theta rule), audited
+    against the exact intersection — "how many users did BOTH click and
+    purchase" from k-row sketches, never joining the raw sets. The audit
+    join is the verifier the sketch path replaces at scale."""
+    e = _events(spark, sf_dir)
+    est = TP.kmv_set_intersect(e, "event_type", "user_id", k=_KMV_K)
+    d = e.select("event_type", "user_id").distinct()
+    exact = (
+        d.select(F.col("event_type").alias("group_a"), "user_id")
+        .join(d.select(F.col("event_type").alias("group_b"), "user_id"), "user_id")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_inter"))
+    )
+    return est.join(exact, ["group_a", "group_b"], "left").select(
+        "group_a", "group_b", "union_est", "inter_est",
+        F.coalesce("n_exact_inter", F.lit(0).cast("long")).alias("n_exact_inter"),
+    )
+
+
+ORACLE_KMV_SET_INTERSECTION = f"""
+WITH d AS (
+  SELECT DISTINCT event_type AS g, user_id AS v FROM events
+), h AS (
+  SELECT g,
+    ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT
+      / 1152921504606846976.0 AS frac
+  FROM d
+), kept AS (
+  SELECT g, frac FROM (
+    SELECT g, frac, row_number() OVER (PARTITION BY g ORDER BY frac) AS rn
+    FROM h
+  ) WHERE rn <= {_KMV_K}
+), thetas AS (
+  SELECT g,
+    CASE WHEN count(*) < {_KMV_K} THEN 1.0 ELSE max(frac) END AS theta
+  FROM kept GROUP BY g
+), common AS (
+  SELECT ka.g AS ga, kb.g AS gb,
+    round(count(*) / min(least(ta.theta, tb.theta)), 4) AS inter_est
+  FROM kept ka JOIN kept kb ON ka.frac = kb.frac AND ka.g < kb.g
+  JOIN thetas ta ON ta.g = ka.g
+  JOIN thetas tb ON tb.g = kb.g
+  WHERE ka.frac < least(ta.theta, tb.theta)
+  GROUP BY ka.g, kb.g
+), pairs AS (
+  SELECT a.g AS ga, b.g AS gb FROM thetas a JOIN thetas b ON a.g < b.g
+), u AS (
+  SELECT DISTINCT p.ga, p.gb, k.frac
+  FROM pairs p JOIN kept k ON k.g = p.ga OR k.g = p.gb
+), uk AS (
+  SELECT ga, gb, frac,
+    row_number() OVER (PARTITION BY ga, gb ORDER BY frac) AS rn
+  FROM u
+), union_est AS (
+  SELECT ga, gb,
+    round(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+               ELSE {_KMV_K - 1}.0 / max(frac) END, 4) AS union_est
+  FROM uk WHERE rn <= {_KMV_K} GROUP BY ga, gb
+), exact AS (
+  SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS n_exact_inter
+  FROM d a JOIN d b ON a.v = b.v AND a.g < b.g
+  GROUP BY a.g, b.g
+)
+SELECT ue.ga AS group_a, ue.gb AS group_b, ue.union_est,
+  COALESCE(c.inter_est, 0.0) AS inter_est,
+  COALESCE(e.n_exact_inter, 0) AS n_exact_inter
+FROM union_est ue
+LEFT JOIN common c ON c.ga = ue.ga AND c.gb = ue.gb
+LEFT JOIN exact e ON e.ga = ue.ga AND e.gb = ue.gb
+"""
+
+
 # --------------------------------------------------------------------------
 # Semi-structured props extraction: JSON path into typed aggregation.
 # --------------------------------------------------------------------------
@@ -2659,6 +2734,7 @@ QUERIES = {
     "events_late_arrivals": (q_late_arrivals, ORACLE_LATE_ARRIVALS),
     "sessions_concurrency": (q_sessions_concurrency, ORACLE_SESSIONS_CONCURRENCY),
     "sessions_active_per_hour": (q_sessions_active_per_hour, ORACLE_SESSIONS_PER_HOUR),
+    "kmv_set_intersection": (q_kmv_set_intersection, ORACLE_KMV_SET_INTERSECTION),
     "orders_cohort_ltv": (q_cohort_ltv, ORACLE_COHORT_LTV),
     "events_gap_fill_locf": (q_gap_fill, ORACLE_GAP_FILL),
     "events_interarrival_quantiles": (q_interarrival_quantiles,
