@@ -682,3 +682,42 @@ def test_scrub_dup_spans_removes_copied_passage_keeps_owner(spark):
     assert out["b"].text_scrubbed == "kilo lima mike november"
     assert out["b"].n_removed == 8
     assert out["c"].n_removed == 0
+
+
+def test_weighted_median_crossing_rule(spark):
+    """Lower weighted median: first value in order whose cumulative
+    weight reaches half the total — including the exact-half tie."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [("g", 10, 1), ("g", 20, 1), ("g", 30, 2),   # total 4, half at 20
+         ("h", 5, 9), ("h", 100, 1)],                # mass concentrated low
+        "brand string, price_c long, w long",
+    )
+    wo = (
+        Window.partitionBy("brand").orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("brand")
+    out = {
+        r.brand: r.med
+        for r in df.withColumn("cw", F.sum("w").over(wo))
+        .withColumn("tot", F.sum("w").over(wt))
+        .filter(F.col("cw") * 2 >= F.col("tot"))
+        .groupBy("brand")
+        .agg(F.min("price_c").alias("med"))
+        .collect()
+    }
+    # g: cw(10)=1 (<2), cw(20)=2 (==half) -> 20 ; h: cw(5)=9 >= 5 -> 5
+    assert out == {"g": 20, "h": 5}
+
+
+def test_benford_expected_masses_sum_to_unity(spark):
+    """The embedded integer Benford table must cover ~all of ppm space
+    (floor can lose at most 9 ppm total) and decrease monotonically."""
+    from transfer_spark.workloads.analytics import _BENFORD_PPM
+
+    vals = [_BENFORD_PPM[d] for d in range(1, 10)]
+    assert vals == sorted(vals, reverse=True)
+    assert 999_990 <= sum(vals) <= 1_000_000
+    assert _BENFORD_PPM[1] == 301_029  # log10(2) floor-microscaled

@@ -1413,6 +1413,129 @@ UNION ALL SELECT 'orderdate_in_range', CAST(outrange AS BIGINT) FROM one
 """
 
 
+# Benford expected first-digit mass, floor(log10(1+1/d) * 1e6): computed
+# once at import in Python, embedded as INTEGER literals in both engines —
+# no transcendental evaluated inside either engine, so no ulp risk.
+_BENFORD_PPM = {
+    d: int(__import__("math").floor(__import__("math").log10(1 + 1 / d) * 1e6))
+    for d in range(1, 10)
+}
+
+
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law DQ audit on order amounts: first-significant-digit
+    distribution vs the log10(1+1/d) expectation, deviation in ppm —
+    the fraud/synthetic-data smell test auditors run on money columns.
+    (Synthetic TPC-H amounts are roughly uniform, so the deviations are
+    LARGE here — the point is the report, not conformance.)
+
+    Scale shape: one scan, digit extracted from the integer-cents
+    STRING (no log10 in-engine), 9-group hash agg; expected masses are
+    compile-time integer literals."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    expected = F.create_map(
+        *[x for d, p in _BENFORD_PPM.items() for x in (F.lit(d), F.lit(p))]
+    )
+    digits = (
+        o.select(cents.alias("cents"))
+        .filter(F.col("cents") > 0)
+        .select(F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("digit"))
+    )
+    g = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    total = g.agg(F.sum("n_orders").alias("total"))
+    return (
+        g.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_orders",
+            F.expr("n_orders * 1000000 DIV total").alias("observed_ppm"),
+            expected[F.col("digit")].cast("long").alias("expected_ppm"),
+        )
+        .withColumn("dev_ppm", F.col("observed_ppm") - F.col("expected_ppm"))
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+)
+
+ORACLE_DQ_BENFORD = f"""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE floor(o_totalprice * 100.0 + 0.5) > 0
+), d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit FROM c
+), g AS (
+  SELECT digit, count(*) AS n_orders FROM d GROUP BY digit
+), t AS (SELECT SUM(n_orders) AS total FROM g)
+SELECT digit, n_orders,
+  CAST(n_orders * 1000000 // total AS BIGINT) AS observed_ppm,
+  CAST(CASE digit {_BENFORD_CASE} END AS BIGINT) AS expected_ppm,
+  CAST(n_orders * 1000000 // total AS BIGINT)
+    - CAST(CASE digit {_BENFORD_CASE} END AS BIGINT) AS dev_ppm
+FROM g CROSS JOIN t
+"""
+
+
+def q_brand_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median (and total mass) of line price per brand,
+    weighted by quantity — the aggregate Spark lacks natively (both
+    `percentile` and `approx_percentile` are unweighted). Classic
+    cumulative-weight crossing rule: first value in price order whose
+    running weight reaches half the total (lower weighted median).
+
+    Scale shape: pre-aggregate to (brand, price) grain FIRST — the
+    map-side-combinable reduction — so the per-brand window sorts the
+    distinct-price frame, never raw lineitem; part joins in broadcast.
+    All arithmetic in integer cents/units: exact on every engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cents = F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    g = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("p_brand").alias("brand"), cents.alias("price_c"), qty.alias("w"))
+        .groupBy("brand", "price_c")
+        .agg(F.sum("w").alias("w"))
+    )
+    wo = (
+        Window.partitionBy("brand")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("brand")
+    return (
+        g.withColumn("cw", F.sum("w").over(wo))
+        .withColumn("total_qty", F.sum("w").over(wt))
+        .filter(F.col("cw") * 2 >= F.col("total_qty"))
+        .groupBy("brand", "total_qty")
+        .agg(F.min("price_c").alias("w_median_cents"))
+        .select("brand", "w_median_cents", "total_qty")
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH g AS (
+  SELECT p.p_brand AS brand,
+    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_c,
+    SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS w
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+), c AS (
+  SELECT brand, price_c, w,
+    SUM(w) OVER (PARTITION BY brand ORDER BY price_c
+                 ROWS UNBOUNDED PRECEDING) AS cw,
+    SUM(w) OVER (PARTITION BY brand) AS total_qty
+  FROM g
+)
+SELECT brand, min(price_c) AS w_median_cents,
+  CAST(total_qty AS BIGINT) AS total_qty
+FROM c WHERE cw * 2 >= total_qty
+GROUP BY brand, total_qty
+"""
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-distribution diagnostic over events.user_id — the report read
     before choosing broadcast / salt / AQE for a join on that key."""
@@ -2313,6 +2436,8 @@ FROM per_cust
     "priority_mix_by_year": (q_priority_mix, ORACLE_PRIORITY_MIX),
     "dq_violations": (q_dq_violations, ORACLE_DQ),
     "dq_fk_orphans": (q_fk_orphans, ORACLE_FK_ORPHANS),
+    "dq_benford_digits": (q_dq_benford, ORACLE_DQ_BENFORD),
+    "brand_weighted_median": (q_brand_weighted_median, ORACLE_WEIGHTED_MEDIAN),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),
     "top_events_global": (q_top_events_global, ORACLE_TOP_GLOBAL),
