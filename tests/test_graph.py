@@ -124,3 +124,28 @@ def test_deep_component_bounded_plan(spark):
     # lines; after checkpointing the final plan is scan-of-checkpoint
     plan = labels._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("\n") < 200, f"plan grew with iterations:\n{plan[:2000]}"
+
+
+def test_identity_stitch_is_transitive_not_pairwise(spark):
+    """The chain u1—dA—u2—dB—u3 must land in ONE identity even though
+    u1 and u3 share no device — the single-join 'same device' rule
+    provably under-merges here, the CC path must not."""
+    from pyspark.sql import functions as F
+
+    from transfer_spark.operators.dedupe import neardup_clusters_star
+
+    edges = spark.createDataFrame(
+        [(1, 100), (2, 100),       # u1,u2 share device 100
+         (2, 200), (3, 200),       # u2,u3 share device 200
+         (9, 900)],                # isolated user
+        "u long, d long",
+    ).select((F.col("u") * 2).alias("a"), (F.col("d") * 2 + 1).alias("b"))
+    cl = neardup_clusters_star(edges, "a", "b")
+    users = {
+        r.u: r.cluster_id
+        for r in cl.filter(F.col("doc_id") % 2 == 0)
+        .select(F.expr("doc_id DIV 2").alias("u"), "cluster_id")
+        .collect()
+    }
+    assert users[1] == users[2] == users[3]   # stitched through the chain
+    assert users[9] != users[1]               # isolation preserved

@@ -182,6 +182,30 @@ def test_kmv_sketch_accuracy(spark):
     assert 750 <= r.distinct_est <= 1250
 
 
+def test_asof_tolerance_boundary(spark):
+    """gap == tolerance is kept; one µs over is nulled, not carried to
+    an older (even staler) match."""
+    left = spark.createDataFrame(
+        [Row(k=1, lt=_ts(100), lid=10), Row(k=2, lt=_ts(100), lid=20)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, rt=_ts(40), rid=1),    # gap 60s == tol -> kept
+         Row(k=2, rt=_ts(39), rid=2),    # gap 61s > tol -> NULL
+         Row(k=2, rt=_ts(10), rid=3)]    # older match must NOT resurface
+    )
+    j = TP.asof_join(
+        left, right, on="k", left_ts="lt", right_ts="rt",
+        right_cols=["rid", "rt"], right_order="rid",
+    )
+    gap = F.unix_micros(F.col("lt")) - F.unix_micros(F.col("rt_asof"))
+    fresh = gap <= F.lit(60 * 1_000_000)
+    out = {
+        r.k: r.click
+        for r in j.select("k", F.when(fresh, F.col("rid_asof")).alias("click")).collect()
+    }
+    assert out == {1: 1, 2: None}
+
+
 def test_kmv_set_intersect_exact_when_unsaturated(spark):
     # neither sketch saturated -> theta = 1.0 and both estimates exact
     rows = [Row(g="a", v=i) for i in range(10)] + [

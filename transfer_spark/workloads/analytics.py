@@ -1422,6 +1422,79 @@ _BENFORD_PPM = {
 }
 
 
+def q_identity_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-device identity stitching: users sharing a device belong to
+    one identity — connected components over the bipartite (user,
+    device) graph, every user labeled with the MIN user id reachable
+    (the canonical identity) plus the identity's user count. The
+    household/cross-device resolution step of every ads/analytics
+    pipeline, and a second production consumer of the CC machinery.
+
+    Device links are derived deterministically from user ids (same
+    closed-form arithmetic on both engines — the TPC-H supplement's
+    derived-input pattern): every user logs into household device
+    `u DIV 3`; every 6th user also touches the PREVIOUS household's
+    device and every 30th a device two households back — so identities
+    only emerge transitively (u ∈ g sees u' ∈ g-1 only through the
+    shared device), sizes stay bounded (≤ 12 users) at every scale
+    factor, and a naive single-join "same device" rule provably
+    under-merges. Scale shape: edges = ONE distinct over the events
+    scan; components via large-star/small-star (O(log n) rounds,
+    diameter-proof); per-identity labels via one window on the user
+    frame. Node ids are user*2 / device*2+1 so the two id spaces share
+    one CC label space without collision."""
+    from transfer_spark.operators import dedupe as D
+
+    e = read_table(spark, sf_dir, "events")
+    u = F.col("user_id")
+    d1 = F.expr("user_id DIV 3")
+    d2 = F.when((u % 6 == 0) & (u > 0), F.expr("user_id DIV 3") - 1)
+    d3 = F.when((u % 30 == 0) & (u > 0), F.expr("user_id DIV 3") - 2)
+    edges = (
+        e.select(u.alias("u"), F.explode(F.array(d1, d2, d3)).alias("d"))
+        .filter(F.col("d").isNotNull())
+        .select((F.col("u") * 2).alias("a"), (F.col("d") * 2 + 1).alias("b"))
+        .distinct()
+    )
+    cl = D.neardup_clusters_star(edges, "a", "b")
+    users = cl.filter(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id DIV 2").alias("user_id"), "cluster_id"
+    )
+    w = Window.partitionBy("cluster_id")
+    return users.select(
+        "user_id",
+        F.min("user_id").over(w).alias("identity_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_users"),
+    )
+
+
+ORACLE_IDENTITY_STITCH = """
+WITH RECURSIVE du AS (
+  SELECT DISTINCT user_id AS u FROM events
+), e0 AS (
+  SELECT u * 2 AS a, (u // 3) * 2 + 1 AS b FROM du
+  UNION
+  SELECT u * 2, (u // 3 - 1) * 2 + 1 FROM du WHERE u % 6 = 0 AND u > 0
+  UNION
+  SELECT u * 2, (u // 3 - 2) * 2 + 1 FROM du WHERE u % 30 = 0 AND u > 0
+), edges AS (
+  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+), reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id
+), lab AS (
+  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+), users AS (
+  SELECT id // 2 AS user_id, cluster_id FROM lab WHERE id % 2 = 0
+)
+SELECT user_id,
+  min(user_id) OVER (PARTITION BY cluster_id) AS identity_id,
+  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_users
+FROM users
+"""
+
+
 def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law DQ audit on order amounts: first-significant-digit
     distribution vs the log10(1+1/d) expectation, deviation in ppm —
@@ -2438,6 +2511,7 @@ FROM per_cust
     "dq_fk_orphans": (q_fk_orphans, ORACLE_FK_ORPHANS),
     "dq_benford_digits": (q_dq_benford, ORACLE_DQ_BENFORD),
     "brand_weighted_median": (q_brand_weighted_median, ORACLE_WEIGHTED_MEDIAN),
+    "identity_stitch": (q_identity_stitch, ORACLE_IDENTITY_STITCH),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),
     "top_events_global": (q_top_events_global, ORACLE_TOP_GLOBAL),

@@ -130,6 +130,50 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a MAX-STALENESS bound (pandas ``merge_asof``'s
+    `tolerance`): each purchase takes the latest prior click only if it
+    is at most 1h old — older matches are dropped to NULL, not carried.
+    The guard production attribution actually needs (a click from last
+    month should not claim today's purchase).
+
+    Same one-shuffle tagged-union plan as the unbounded as-of; the
+    tolerance is a pure post-window codegen null-out, so bounding
+    staleness costs nothing extra."""
+    e = _events(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    j = TP.asof_join(
+        p, c,
+        on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id", "ts"], right_order="event_id",
+    )
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_asof"))
+    fresh = gap <= F.lit(_RANGE_S * 1_000_000)
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.when(fresh, F.col("event_id_asof")).alias("click_id"),
+        F.when(fresh, gap).alias("gap_us"),
+    )
+
+
+ORACLE_ASOF_TOLERANCE = f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+  WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+  WHERE event_type = 'click'
+)
+SELECT p.event_id AS purchase_id, p.user_id, p.t AS t_us,
+  CASE WHEN p.t - c.t <= {_RANGE_S * 1_000_000} THEN c.event_id END AS click_id,
+  CASE WHEN p.t - c.t <= {_RANGE_S * 1_000_000} THEN p.t - c.t END AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
+"""
+
+
 ORACLE_ASOF_FORWARD = """
 WITH s AS (
   SELECT event_id, user_id, epoch_us(ts) AS t FROM events
@@ -2735,6 +2779,7 @@ QUERIES = {
     "sessions_concurrency": (q_sessions_concurrency, ORACLE_SESSIONS_CONCURRENCY),
     "sessions_active_per_hour": (q_sessions_active_per_hour, ORACLE_SESSIONS_PER_HOUR),
     "kmv_set_intersection": (q_kmv_set_intersection, ORACLE_KMV_SET_INTERSECTION),
+    "events_asof_tolerance": (q_asof_tolerance, ORACLE_ASOF_TOLERANCE),
     "orders_cohort_ltv": (q_cohort_ltv, ORACLE_COHORT_LTV),
     "events_gap_fill_locf": (q_gap_fill, ORACLE_GAP_FILL),
     "events_interarrival_quantiles": (q_interarrival_quantiles,
