@@ -281,8 +281,82 @@ def _phash_neardup_sql() -> str:
     return _simhash_hamming_sql(radius=2, bits=16, source_sql=src)
 
 
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style audio activity segmentation: per-frame energies (stub:
+    one digest byte per 24 frames — a real codec would integrate PCM
+    windows) gated at half-scale, maximal active runs become speech
+    segments with start/end/length/peak. The segmentation that feeds
+    ASR/caption alignment in an audio training pipeline.
+
+    Shape: the sessionize composition on the frame axis — explode a
+    fixed 24-frame grid (fan-out 24×, declared), one lag + running-sum
+    window per doc, one aggregate; all codegen, no Python."""
+    d = _media(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        F.sha2(F.col("media"), 256).alias("sha"),
+        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("f"),
+    )
+    e = base.select(
+        "doc_id", "f",
+        F.conv(F.expr("substring(sha, f*2+1, 2)"), 16, 10).cast("int").alias("energy"),
+    ).withColumn("active", F.col("energy") >= 128)
+    w = Window.partitionBy("doc_id").orderBy("f")
+    run = Window.partitionBy("doc_id").orderBy("f").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seg = (
+        e.withColumn(
+            "is_start",
+            (F.col("active") & ~F.coalesce(F.lag("active").over(w), F.lit(False)))
+            .cast("int"),
+        )
+        .withColumn("seg_id", F.sum("is_start").over(run).cast("long"))
+    )
+    return (
+        seg.filter("active")
+        .groupBy("doc_id", "seg_id")
+        .agg(
+            F.min("f").alias("start_frame"),
+            F.max("f").alias("end_frame"),
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.max("energy").alias("peak_energy"),
+        )
+    )
+
+
+ORACLE_AUDIO_SEGMENTS = """
+WITH fr AS (
+  SELECT doc_id, sha256(text) AS sha, unnest(range(0, 24)) AS f
+  FROM documents
+), e AS (
+  SELECT doc_id, f,
+    ('0x' || substr(sha, CAST(f*2+1 AS INT), 2))::INT AS energy
+  FROM fr
+), a AS (
+  SELECT doc_id, f, energy, energy >= 128 AS active,
+    CASE WHEN energy >= 128
+           AND COALESCE(lag(energy >= 128) OVER w, FALSE) = FALSE
+         THEN 1 ELSE 0 END AS is_start
+  FROM e WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+), s AS (
+  SELECT doc_id, f, energy, active,
+    SUM(is_start) OVER (PARTITION BY doc_id ORDER BY f
+                        ROWS UNBOUNDED PRECEDING) AS seg_id
+  FROM a
+)
+SELECT doc_id, CAST(seg_id AS BIGINT) AS seg_id,
+  CAST(min(f) AS INT) AS start_frame,
+  CAST(max(f) AS INT) AS end_frame,
+  CAST(count(*) AS BIGINT) AS n_frames,
+  CAST(max(energy) AS INT) AS peak_energy
+FROM s WHERE active GROUP BY doc_id, seg_id
+"""
+
+
 QUERIES = {
     "multimodal_phash_neardup": (q_phash_neardup, _phash_neardup_sql()),
+    "multimodal_audio_segments": (q_audio_segments, ORACLE_AUDIO_SEGMENTS),
     "multimodal_image_meta": (q_image_meta, ORACLE_IMAGE_META),
     "multimodal_scene_changes": (q_scene_changes, ORACLE_SCENE_CHANGES),
     "multimodal_keyframe_select": (q_keyframe_select, ORACLE_KEYFRAME_SELECT),

@@ -807,6 +807,43 @@ GROUP BY event_type, lo, hi, p
 """
 
 
+def q_histogram_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-calibration audit for the histogram quantile sketch:
+    per (type, p), the fixed-bin estimate next to the exact sort-based
+    quantile and the absolute error in micro-units — the evidence
+    behind choosing the bin count (same audit family as
+    `minhash_calibration_audit` / `ann_recall_audit`: both sides ARE
+    the registered plans, composed). Error bound: one bin width.
+
+    Scale: the exact side is the verifier (sort-based percentile); at
+    100 TB you run the histogram side alone and this audit on a sample."""
+    exact = q_quantiles(spark, sf_dir).selectExpr(
+        "event_type",
+        "stack(3, 0.5D, p50, 0.95D, p95, 0.99D, p99) as (p, q_exact)",
+    )
+    est = q_histogram_quantiles(spark, sf_dir)
+    return exact.join(est, ["event_type", "p"]).select(
+        "event_type", "p", "q_exact", "q_est",
+        F.floor(F.abs(F.col("q_est") - F.col("q_exact")) * 1_000_000 + 0.5)
+        .cast("long").alias("abs_err_micro"),
+    )
+
+
+ORACLE_HISTOGRAM_Q_ERROR = f"""
+WITH exact AS ({ORACLE_QUANTILES}),
+est AS ({ORACLE_HISTOGRAM_Q}),
+ex AS (
+  SELECT event_type, p,
+    CASE WHEN p = 0.5 THEN p50 WHEN p = 0.95 THEN p95 ELSE p99 END AS q_exact
+  FROM exact CROSS JOIN (VALUES (0.5::DOUBLE), (0.95::DOUBLE), (0.99::DOUBLE)) t(p)
+)
+SELECT ex.event_type, ex.p, ex.q_exact, est.q_est,
+  CAST(floor(abs(est.q_est - ex.q_exact) * 1000000 + 0.5) AS BIGINT)
+    AS abs_err_micro
+FROM ex JOIN est ON ex.event_type = est.event_type AND ex.p = est.p
+"""
+
+
 def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props via Spark 4 VARIANT: parse once
     (`try_parse_json`), typed path extraction (`try_variant_get`) — the
@@ -2803,5 +2840,6 @@ QUERIES = {
     "kmv_merge_daily": (q_kmv_merge_daily, ORACLE_KMV_MERGE),
     "partial_agg_merge": (q_partial_agg_merge, ORACLE_PARTIAL_MERGE),
     "histogram_quantiles": (q_histogram_quantiles, ORACLE_HISTOGRAM_Q),
+    "histogram_quantile_error": (q_histogram_quantile_error, ORACLE_HISTOGRAM_Q_ERROR),
     "event_props_variant": (q_props_variant, ORACLE_PROPS_VARIANT),
 }

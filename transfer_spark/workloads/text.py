@@ -6,7 +6,7 @@ term, so correctness is checked end-to-end (not just row counts).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from transfer_spark.session import read_table
@@ -770,6 +770,94 @@ WITH t AS (
 )
 SELECT tok, count(*) AS n FROM t GROUP BY tok
 ORDER BY n DESC, tok ASC LIMIT 200
+"""
+
+
+def q_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the vocabulary: OLS slope of ln(freq) on
+    ln(rank) for the top-200 terms — natural text sits near slope −1;
+    a corpus that drifts far off is a tokenization or synthetic-data
+    smell (this synthetic corpus reads ≈ −0.4: flat, by construction).
+
+    Determinism: ln evaluated on small exact integers then
+    milli-quantized (floor(ln·1e3 + 0.5)) BEFORE any sum — the same
+    quantize-before-reduce contract as `source_token_kl` — so the OLS
+    runs on BIGINT sufficient statistics; slope in ppm via one integer
+    division (DIV and DuckDB // both truncate toward zero, so the
+    negative numerator is safe), r² in ppm from the same exact stats
+    through identically-shaped double arithmetic (every input < 2^53,
+    IEEE ops exactly rounded → bit-identical on both engines).
+
+    Scale shape: the corpus-wide term count is the only big aggregate
+    (map-side combinable); everything after `limit(200)` is a k-row
+    frame on one partition."""
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(200)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    xy = counts.select(
+        F.floor(F.log(F.row_number().over(w).cast("double")) * 1000.0 + 0.5)
+        .cast("long").alias("x"),
+        F.floor(F.log(F.col("n").cast("double")) * 1000.0 + 0.5)
+        .cast("long").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return s.select(
+        "n_terms",
+        F.expr(
+            "CAST((1000000 * (n_terms * sxy - sx * sy))"
+            " DIV (n_terms * sxx - sx * sx) AS BIGINT)"
+        ).alias("slope_ppm"),
+        F.expr(
+            "CAST(floor(1000000.0 * CAST(n_terms * sxy - sx * sy AS DOUBLE)"
+            " * CAST(n_terms * sxy - sx * sy AS DOUBLE)"
+            " / (CAST(n_terms * sxx - sx * sx AS DOUBLE)"
+            "    * CAST(n_terms * syy - sy * sy AS DOUBLE)) + 0.5) AS BIGINT)"
+        ).alias("r2_ppm"),
+    )
+
+
+ORACLE_VOCAB_ZIPF = f"""
+WITH t AS (
+  SELECT unnest({_TOKS}) AS tok FROM documents
+), counts AS (
+  SELECT tok, count(*) AS n FROM t GROUP BY tok
+  ORDER BY n DESC, tok ASC LIMIT 200
+), xy AS (
+  SELECT
+    CAST(floor(ln(CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS DOUBLE))
+               * 1000.0 + 0.5) AS BIGINT) AS x,
+    CAST(floor(ln(CAST(n AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS y
+  FROM counts
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * y) AS BIGINT) AS sxy,
+    CAST(sum(x * x) AS BIGINT) AS sxx,
+    CAST(sum(y * y) AS BIGINT) AS syy
+  FROM xy
+)
+SELECT n_terms,
+  CAST((1000000 * (n_terms * sxy - sx * sy))
+       // (n_terms * sxx - sx * sx) AS BIGINT) AS slope_ppm,
+  CAST(floor(1000000.0 * CAST(n_terms * sxy - sx * sy AS DOUBLE)
+             * CAST(n_terms * sxy - sx * sy AS DOUBLE)
+             / (CAST(n_terms * sxx - sx * sx AS DOUBLE)
+                * CAST(n_terms * syy - sy * sy AS DOUBLE)) + 0.5) AS BIGINT)
+    AS r2_ppm
+FROM s
 """
 
 
@@ -3348,6 +3436,7 @@ QUERIES = {
     "dedupe_exact_hashed": (q_dedupe_exact_hashed, ORACLE_DEDUPE_EXACT_HASHED),
     "dedupe_exact_normalized": (q_dedupe_exact_normalized, ORACLE_DEDUPE_EXACT_NORMALIZED),
     "token_vocab": (q_token_vocab, ORACLE_TOKEN_VOCAB),
+    "vocab_zipf_fit": (q_vocab_zipf_fit, ORACLE_VOCAB_ZIPF),
     "corpus_split": (q_corpus_split, ORACLE_CORPUS_SPLIT),
     "split_leakage_free": (q_split_leakage_free, ORACLE_SPLIT_LEAKAGE_FREE),
     "split_decontamination": (q_split_decontamination, _decontamination_sql()),
