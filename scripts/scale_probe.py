@@ -337,6 +337,105 @@ def main():
         probe("sessions_concurrency", ev, _concur),
     ]
 
+    # round-7 sixth wave: sketch set algebra, weighted median, audio
+    # segmentation (identity stitching is special-cased below — its CC
+    # loop executes during construction, like leakage_split)
+    from pyspark.sql import Window as _W
+
+    from transfer_spark.operators.temporal import kmv_set_intersect
+
+    part_t = read_table(spark, SF_DIR, "part")
+
+    def _wmedian(d):
+        cents = F.floor(
+            F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
+        ).cast("long")
+        qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+        g = (
+            d.join(F.broadcast(part_t), d.l_partkey == part_t.p_partkey)
+            .select(F.col("p_brand").alias("brand"),
+                    cents.alias("price_c"), qty.alias("w"))
+            .groupBy("brand", "price_c")
+            .agg(F.sum("w").alias("w"))
+        )
+        wo = _W.partitionBy("brand").orderBy("price_c").rowsBetween(
+            _W.unboundedPreceding, _W.currentRow
+        )
+        return (
+            g.withColumn("cw", F.sum("w").over(wo))
+            .withColumn("tot", F.sum("w").over(_W.partitionBy("brand")))
+            .filter(F.col("cw") * 2 >= F.col("tot"))
+            .groupBy("brand", "tot")
+            .agg(F.min("price_c").alias("med"))
+        )
+
+    def _audio_seg(d):
+        base = d.select(
+            "doc_id",
+            F.sha2(F.encode(F.col("text"), "UTF-8"), 256).alias("sha"),
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("f"),
+        )
+        e2 = base.select(
+            "doc_id", "f",
+            F.conv(F.expr("substring(sha, f*2+1, 2)"), 16, 10)
+            .cast("int").alias("energy"),
+        ).withColumn("active", F.col("energy") >= 128)
+        w2 = _W.partitionBy("doc_id").orderBy("f")
+        run2 = w2.rowsBetween(_W.unboundedPreceding, _W.currentRow)
+        seg = e2.withColumn(
+            "is_start",
+            (F.col("active") & ~F.coalesce(F.lag("active").over(w2), F.lit(False)))
+            .cast("int"),
+        ).withColumn("seg_id", F.sum("is_start").over(run2))
+        return (
+            seg.filter("active")
+            .groupBy("doc_id", "seg_id")
+            .agg(F.min("f").alias("s"), F.max("f").alias("e"),
+                 F.max("energy").alias("peak"))
+        )
+
+    results += [
+        # one distinct scan; the per-group top-k window input is the
+        # distinct (type, user) frame — user cardinality grows 10x,
+        # sketch work after the window is k rows per group forever
+        probe("kmv_set_algebra", ev,
+              lambda d: kmv_set_intersect(d, "event_type", "user_id", k=32)),
+        # the window sorts the pre-reduced (brand, price) grain — the
+        # distinct-price frame, which grows sub-linearly vs raw rows
+        probe("weighted_median", li, _wmedian),
+        # declared 24x frame fan-out, then the sessionize composition
+        # per doc — one shuffle, codegen only
+        probe("audio_segments", dc, _audio_seg),
+    ]
+
+    # identity stitching: star-CC rounds execute during construction,
+    # so time the whole edges+CC+label end-to-end (leakage_split style)
+    if not _ONLY or "identity_stitch" in _ONLY:
+        from transfer_spark.operators.dedupe import neardup_clusters_star
+
+        st_out = {"op": "identity_stitch", "rep": REP}
+        for label, factor in (("t1", 1), ("tN", REP)):
+            d = ev(factor)
+            t0 = time.perf_counter()
+            u = F.col("user_id")
+            dv1 = F.expr("user_id DIV 3")
+            dv2 = F.when((u % 6 == 0) & (u > 0), F.expr("user_id DIV 3") - 1)
+            dv3 = F.when((u % 30 == 0) & (u > 0), F.expr("user_id DIV 3") - 2)
+            edges = (
+                d.select(u.alias("u"),
+                         F.explode(F.array(dv1, dv2, dv3)).alias("dv"))
+                .filter(F.col("dv").isNotNull())
+                .select((F.col("u") * 2).alias("a"),
+                        (F.col("dv") * 2 + 1).alias("b"))
+                .distinct()
+            )
+            cl = neardup_clusters_star(edges, "a", "b")
+            cl.write.format("noop").mode("overwrite").save()
+            st_out[label] = round(time.perf_counter() - t0, 2)
+        st_out["ratio"] = round(st_out["tN"] / st_out["t1"], 2)
+        print(json.dumps(st_out), flush=True)
+        results.append(st_out)
+
     # cluster-aware split: the CC loop's convergence checks execute
     # during construction, so time the WHOLE build+assign end-to-end
     if not _ONLY or "leakage_split" in _ONLY:
