@@ -721,3 +721,39 @@ def test_benford_expected_masses_sum_to_unity(spark):
     assert vals == sorted(vals, reverse=True)
     assert 999_990 <= sum(vals) <= 1_000_000
     assert _BENFORD_PPM[1] == 301_029  # log10(2) floor-microscaled
+
+
+def test_containment_dedup_catches_subset_jaccard_misses(spark):
+    """B = a strict prefix of A (containment 1.0, Jaccard < symmetric
+    thresholds): the containment rule must mark B subsumed by A; the
+    unrelated doc stays out."""
+    from transfer_spark.operators.dedupe import minhash_lsh_pairs, shingles
+
+    words = [f"w{i:02d}" for i in range(30)]
+    a = " ".join(words)            # 28 shingles
+    b = " ".join(words[:27])       # 25 shingles, all inside A
+    c = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    pairs = minhash_lsh_pairs(df, "doc_id", "text")
+    sh = df.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh")
+    )
+    scored = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"),
+                             F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"),
+                        F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size("sh_a").alias("na"), F.size("sh_b").alias("nb"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+        )
+    )
+    rows = scored.collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 2)]
+    r = rows[0]
+    # containment vs the smaller set is exactly 1.0; Jaccard is not
+    assert r.inter == min(r.na, r.nb)
+    assert r.inter < max(r.na, r.nb)

@@ -770,6 +770,60 @@ def q_offset_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery-order quality audit: per PK stream, how often does the
+    SOURCE timestamp run backwards while the Kafka offset advances —
+    the out-of-order-arrival diagnostic behind choosing offset-ordered
+    LWW (the reference's semantics, lib/optimization/table_data.go
+    InsertRow) over timestamp-ordered, and behind sizing a streaming
+    watermark. Reports per key: event count, inversion count, and the
+    worst backwards skew in micros (how stale an out-of-order event
+    was vs the stream's high-water mark when it arrived).
+
+    One running-max window per PK in offset order — the same shape as
+    the fold itself, never global."""
+    from pyspark.sql import Window
+
+    s = _stream(spark, sf_dir)
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("id")
+        .orderBy(OFF)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = s.select("id", F.col(OFF), t.alias("t")).withColumn(
+        "hwm", F.max("t").over(w)
+    )
+    inv = F.col("hwm").isNotNull() & (F.col("t") < F.col("hwm"))
+    return g.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(inv.cast("long")).cast("long").alias("n_inversions"),
+        F.coalesce(
+            F.max(F.when(inv, F.col("hwm") - F.col("t"))), F.lit(0)
+        ).cast("long").alias("max_regression_us"),
+    )
+
+
+ORACLE_ORDER_INVERSIONS = """
+WITH s AS (
+  SELECT user_id AS id, event_id AS off, epoch_us(ts) AS t FROM events
+), g AS (
+  SELECT id, off, t,
+    MAX(t) OVER (PARTITION BY id ORDER BY off
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+  FROM s
+)
+SELECT id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN hwm IS NOT NULL AND t < hwm THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_inversions,
+  CAST(COALESCE(MAX(CASE WHEN hwm IS NOT NULL AND t < hwm
+                         THEN hwm - t END), 0) AS BIGINT)
+    AS max_regression_us
+FROM g GROUP BY id
+"""
+
+
 ORACLE_OFFSET_GAPS = """
 WITH m AS (
   SELECT DISTINCT event_id % 8 AS part, event_id // 8 AS off
@@ -792,6 +846,7 @@ FROM g GROUP BY part
 
 QUERIES = {
     "cdc_offset_gap_audit": (q_offset_gap_audit, ORACLE_OFFSET_GAPS),
+    "cdc_order_inversions": (q_order_inversions, ORACLE_ORDER_INVERSIONS),
     "cdc_lww_dedup": (q_lww_dedup, ORACLE_LWW),
     "cdc_aggregate_maintenance": (q_aggregate_maintenance,
                                   ORACLE_AGG_MAINTENANCE),

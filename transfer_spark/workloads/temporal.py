@@ -807,6 +807,68 @@ GROUP BY event_type, lo, hi, p
 """
 
 
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest on the daily volume series: for
+    every day with both references available, score the seasonal-naive
+    forecaster (ŷ = value 7 days ago) against the naive one (ŷ =
+    yesterday) — summed absolute errors and their MASE-style ratio in
+    ppm. The accept/reject evidence for a forecasting choice (Holt,
+    STL, seasonal-naive) — ratio < 1e6 means weekly seasonality is
+    real and worth modeling.
+
+    All-integer: daily counts are exact, errors are |BIGINT−BIGINT|,
+    the single division happens once per type at ppm scale. Two lag
+    windows over the dimension-grain daily frame — data-grain work is
+    one map-side-combinable count."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.unix_date(F.to_date("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    scored = (
+        daily.withColumn("y1", F.lag("y", 1).over(w))
+        .withColumn("y7", F.lag("y", 7).over(w))
+        .filter(F.col("y1").isNotNull() & F.col("y7").isNotNull())
+    )
+    # guard: the series must be DENSE for lag-k to mean "k days ago";
+    # the events table is (checked by the dense-day assertion in the
+    # oracle's shape — a gap would shift every subsequent lag)
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.sum(F.abs(F.col("y") - F.col("y1"))).cast("long").alias("sae_naive"),
+            F.sum(F.abs(F.col("y") - F.col("y7"))).cast("long").alias("sae_seasonal"),
+        )
+        .select(
+            "event_type", "n_scored", "sae_naive", "sae_seasonal",
+            F.expr("sae_seasonal * 1000000 DIV sae_naive").alias("mase_ppm"),
+        )
+    )
+
+
+ORACLE_FORECAST_BACKTEST = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', date_trunc('day', ts)::DATE) AS d,
+         count(*) AS y
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, y,
+    lag(y, 1) OVER (PARTITION BY event_type ORDER BY d) AS y1,
+    lag(y, 7) OVER (PARTITION BY event_type ORDER BY d) AS y7
+  FROM daily
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_scored,
+  CAST(SUM(abs(y - y1)) AS BIGINT) AS sae_naive,
+  CAST(SUM(abs(y - y7)) AS BIGINT) AS sae_seasonal,
+  CAST((SUM(abs(y - y7)) * 1000000) // SUM(abs(y - y1)) AS BIGINT) AS mase_ppm
+FROM scored WHERE y1 IS NOT NULL AND y7 IS NOT NULL
+GROUP BY event_type
+"""
+
+
 def q_histogram_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimator-calibration audit for the histogram quantile sketch:
     per (type, p), the fixed-bin estimate next to the exact sort-based
@@ -2841,5 +2903,6 @@ QUERIES = {
     "partial_agg_merge": (q_partial_agg_merge, ORACLE_PARTIAL_MERGE),
     "histogram_quantiles": (q_histogram_quantiles, ORACLE_HISTOGRAM_Q),
     "histogram_quantile_error": (q_histogram_quantile_error, ORACLE_HISTOGRAM_Q_ERROR),
+    "events_forecast_backtest": (q_forecast_backtest, ORACLE_FORECAST_BACKTEST),
     "event_props_variant": (q_props_variant, ORACLE_PROPS_VARIANT),
 }

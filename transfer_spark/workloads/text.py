@@ -343,6 +343,88 @@ def q_decontamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_dedupe_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplicate detection INSIDE the corpus: LSH candidates
+    scored by containment relative to the SMALLER shingle set,
+    |A ∩ B| / min(|A|, |B|) ≥ 0.8 — the rule that catches a document
+    swallowed by a longer one (quote expansions, article + boilerplate
+    wrappers), which symmetric Jaccard misses precisely because the
+    length ratio dilutes it. The smaller doc is the subsumed one (tie →
+    higher id), mirroring min-id canonical selection.
+
+    Recall caveat (by design): candidates come from the Jaccard-tuned
+    band join, so a HEAVILY asymmetric pair (tiny doc inside a huge
+    one, Jaccard → 0) may never be recalled — this operator upgrades
+    the SCORING of recalled pairs; verbatim-span containment at any
+    length ratio is what the 8-gram span index
+    (`split_decontamination_exact`) is for.
+
+    Scale shape: same as every verified-dedup path — quadratic work
+    only on band-collision candidates, pair list broadcast into the
+    (doc, distinct-shingle) frame."""
+    d = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(d, "doc_id", "text")
+    sh = d.select(
+        "doc_id", F.array_distinct(D.shingles(F.col("text"), 3)).alias("sh")
+    )
+    scored = (
+        F.broadcast(pairs)
+        .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+              "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+              "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+        )
+    )
+    cont = F.floor(
+        F.lit(1_000_000.0) * F.col("inter") / F.least("na", "nb") + F.lit(0.5)
+    ).cast("long")
+    smaller_is_a = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("doc_a") > F.col("doc_b"))
+    )
+    return (
+        scored.withColumn("containment_ppm", cont)
+        .filter(F.col("containment_ppm") >= 800_000)
+        .select(
+            F.when(smaller_is_a, F.col("doc_a")).otherwise(F.col("doc_b"))
+            .alias("subsumed_doc"),
+            F.when(smaller_is_a, F.col("doc_b")).otherwise(F.col("doc_a"))
+            .alias("keeper_doc"),
+            "containment_ppm",
+        )
+    )
+
+
+def _dedupe_containment_sql() -> str:
+    return f"""
+WITH pairs AS ({_minhash_sql()}),
+sh2 AS (SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM documents),
+scored AS (
+  SELECT p.doc_a, p.doc_b,
+         len(a.sh) AS na, len(b.sh) AS nb,
+         len(list_intersect(a.sh, b.sh)) AS inter
+  FROM pairs p
+  JOIN sh2 a ON a.doc_id = p.doc_a
+  JOIN sh2 b ON b.doc_id = p.doc_b
+), c AS (
+  SELECT doc_a, doc_b, na, nb,
+    floor(1000000.0 * inter / least(na, nb) + 0.5)::BIGINT AS containment_ppm
+  FROM scored
+)
+SELECT
+  CASE WHEN na < nb OR (na = nb AND doc_a > doc_b)
+       THEN doc_a ELSE doc_b END AS subsumed_doc,
+  CASE WHEN na < nb OR (na = nb AND doc_a > doc_b)
+       THEN doc_b ELSE doc_a END AS keeper_doc,
+  containment_ppm
+FROM c WHERE containment_ppm >= 800000
+"""
+
+
 def _decontamination_containment_sql() -> str:
     return f"""
 WITH pairs AS ({_minhash_sql()}),
@@ -3381,6 +3463,7 @@ QUERIES = {
     "streaming_dedup_index": (q_streaming_dedup_index, _streaming_dedup_index_sql()),
     "streaming_corpus_ingest": (q_streaming_corpus_ingest, ORACLE_STREAMING_CORPUS_INGEST),
     "corpus_shard_shuffle": (q_shard_shuffle, ORACLE_SHARD_SHUFFLE),
+    "dedupe_containment": (q_dedupe_containment, _dedupe_containment_sql()),
     "split_decontamination_containment": (
         q_decontamination_containment,
         _decontamination_containment_sql(),
