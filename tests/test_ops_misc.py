@@ -757,3 +757,21 @@ def test_containment_dedup_catches_subset_jaccard_misses(spark):
     # containment vs the smaller set is exactly 1.0; Jaccard is not
     assert r.inter == min(r.na, r.nb)
     assert r.inter < max(r.na, r.nb)
+
+
+def test_json_schema_profile_promotion_rules(spark):
+    """parse.go-style promotion: any string wins, mixed numerics widen
+    to double, all-null stays `invalid`, presence counted per key."""
+    from transfer_spark.operators.transforms import json_schema_profile
+
+    rows = [
+        ('{"a":1,"b":1.5,"c":null,"d":true}',),
+        ('{"a":2.5,"b":"x","d":false}',),   # a: int+double, b: num+string
+        ('{"c":null}',),                    # c stays all-null
+    ]
+    df = spark.createDataFrame(rows, "j string")
+    out = {r.key: r for r in json_schema_profile(df, "j").collect()}
+    assert out["a"].inferred_kind == "double" and out["a"].n_present == 2
+    assert out["b"].inferred_kind == "string"
+    assert out["c"].inferred_kind == "invalid" and out["c"].n_null == 2
+    assert out["d"].inferred_kind == "bool" and out["d"].n_bool == 2

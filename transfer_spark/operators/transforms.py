@@ -233,3 +233,75 @@ def future_partition_rows(
 
 def skip_operations(df: DataFrame, skipped: list[str], op_col: str = OPERATION_COLUMN) -> DataFrame:
     return df.filter(~F.col(op_col).isin(skipped))
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured schema profiling: the reference's per-value type
+# inference (lib/typing/parse.go:23-67) + schema accumulation
+# (models/event/event.go:241-330) re-expressed as a distributed AUDIT:
+# one pass over a JSON column -> per-key presence and value-shape
+# counts + the promoted kind the schema accumulator would land on.
+# ---------------------------------------------------------------------------
+
+
+def json_schema_profile(df: DataFrame, json_col: str) -> DataFrame:
+    """Schema-drift report over a semi-structured column: explode each
+    document's key set (`json_object_keys` — JVM-side), classify every
+    present value by SHAPE (int / double / bool / null / string — the
+    reference's string-heuristic inference, parse.go), and promote per
+    key exactly as the schema accumulator would: any string wins, mixed
+    numerics widen to double, all-null stays `invalid` (retained but
+    excluded from DDL until typed — columns.go:258-278).
+
+    Extraction uses `get_json_object`, which renders scalars unquoted —
+    so a JSON string "5" and the number 5 both read back as '5'. That
+    conflation is the reference's own string-parse behavior (a string
+    holding a number parses as numeric); byte-exact on both engines.
+
+    Scale shape: explode is per (row, key) — bounded by document width,
+    not corpus size — then ONE hash aggregate on the key dimension.
+    Everything is codegen; no Python, no driver-side schema state.
+    """
+    keyed = df.select(
+        F.col(json_col).alias("__j"),
+        F.explode(F.json_object_keys(F.col(json_col))).alias("key"),
+    )
+    v = F.expr("get_json_object(__j, concat('$.', key))")
+    classified = keyed.select(
+        "key",
+        v.alias("v"),
+    ).select(
+        "key",
+        F.col("v").isNull().cast("long").alias("is_null"),
+        # rlike(NULL) is NULL, which would poison the per-key sums for
+        # all-null keys — gate on presence explicitly
+        (F.col("v").isNotNull() & F.col("v").rlike("^-?[0-9]+$"))
+        .cast("long").alias("is_int"),
+        (F.col("v").isNotNull() & F.col("v").rlike("^-?[0-9]+\\.[0-9]+$"))
+        .cast("long").alias("is_double"),
+        F.coalesce(F.col("v").isin("true", "false"), F.lit(False))
+        .cast("long").alias("is_bool"),
+    )
+    g = classified.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.sum("is_null").cast("long").alias("n_null"),
+        F.sum("is_int").cast("long").alias("n_int"),
+        F.sum("is_double").cast("long").alias("n_double"),
+        F.sum("is_bool").cast("long").alias("n_bool"),
+    )
+    n_string = (
+        F.col("n_present") - F.col("n_null") - F.col("n_int")
+        - F.col("n_double") - F.col("n_bool")
+    )
+    kind = (
+        F.when(n_string > 0, F.lit("string"))
+        .when(F.col("n_double") > 0, F.lit("double"))
+        .when(F.col("n_int") > 0, F.lit("int"))
+        .when(F.col("n_bool") > 0, F.lit("bool"))
+        .otherwise(F.lit("invalid"))
+    )
+    return g.select(
+        "key", "n_present", "n_null", "n_int", "n_double", "n_bool",
+        n_string.alias("n_string"),
+        kind.alias("inferred_kind"),
+    )

@@ -297,3 +297,96 @@ QUERIES = {
     "event_tracking_decode": (q_event_tracking_decode, ORACLE_EVENT_TRACKING),
     "skipped_operations": (q_skipped_operations, ORACLE_SKIPPED_OPERATIONS),
 }
+
+
+def _drift_json_spark() -> F.Column:
+    """Closed-form variant JSON per order (identical concat on both
+    engines — the TPC-H-supplement derived-input pattern): fields that
+    appear, disappear, change type, and go null across rows, so the
+    profiler has real drift to report."""
+    k = F.col("o_orderkey")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return F.concat(
+        F.lit('{"id":'), k.cast("string"),
+        F.when(k % 3 != 0, F.concat(F.lit(',"price_cents":'), cents.cast("string")))
+        .otherwise(F.lit("")),
+        F.lit(',"status":"'), F.col("o_orderstatus"), F.lit('"'),
+        F.when(k % 5 < 2,
+               F.concat(F.lit(',"flag":'),
+                        F.when(k % 2 == 0, F.lit("true")).otherwise(F.lit("false"))))
+        .otherwise(F.lit("")),
+        F.when(k % 7 == 0, F.lit(',"note":null')).otherwise(F.lit("")),
+        F.when(k % 2 == 0, F.concat(F.lit(',"v":'), (k % 100).cast("string")))
+        .otherwise(F.concat(F.lit(',"v":"x'), (k % 100).cast("string"), F.lit('"'))),
+        F.lit("}"),
+    )
+
+
+def q_json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1/§2 schema-inference parity as an audit: per-value type
+    inference + per-key schema accumulation (parse.go:23-67,
+    event.go:241-330) over a drifting semi-structured column — keys
+    that come and go (`price_cents`, `flag`), a key that flips between
+    number and string (`v` → promoted to string, the accumulator's
+    rule), and an always-null key (`note` → `invalid`: retained but
+    never DDL'd, columns.go:258-278)."""
+    o = read_table(spark, sf_dir, "orders")
+    return T.json_schema_profile(
+        o.select(_drift_json_spark().alias("j")), "j"
+    )
+
+
+_DRIFT_JSON_SQL = """
+  SELECT '{"id":' || o_orderkey
+    || CASE WHEN o_orderkey % 3 != 0
+            THEN ',"price_cents":' ||
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+            ELSE '' END
+    || ',"status":"' || o_orderstatus || '"'
+    || CASE WHEN o_orderkey % 5 < 2
+            THEN ',"flag":' || CASE WHEN o_orderkey % 2 = 0
+                                    THEN 'true' ELSE 'false' END
+            ELSE '' END
+    || CASE WHEN o_orderkey % 7 = 0 THEN ',"note":null' ELSE '' END
+    || CASE WHEN o_orderkey % 2 = 0 THEN ',"v":' || (o_orderkey % 100)
+            ELSE ',"v":"x' || (o_orderkey % 100) || '"' END
+    || '}' AS j
+  FROM orders
+"""
+
+ORACLE_JSON_SCHEMA_DRIFT = f"""
+WITH src AS ({_DRIFT_JSON_SQL}),
+keyed AS (
+  SELECT j, unnest(json_keys(j)) AS key FROM src
+), c AS (
+  SELECT key, json_extract_string(j, '$.' || key) AS v FROM keyed
+), cls AS (
+  SELECT key,
+    CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_null,
+    CASE WHEN v IS NOT NULL AND regexp_full_match(v, '-?[0-9]+')
+         THEN 1 ELSE 0 END AS is_int,
+    CASE WHEN v IS NOT NULL AND regexp_full_match(v, '-?[0-9]+\\.[0-9]+')
+         THEN 1 ELSE 0 END AS is_double,
+    CASE WHEN v IN ('true', 'false') THEN 1 ELSE 0 END AS is_bool
+  FROM c
+), g AS (
+  SELECT key,
+    CAST(count(*) AS BIGINT) AS n_present,
+    CAST(SUM(is_null) AS BIGINT) AS n_null,
+    CAST(SUM(is_int) AS BIGINT) AS n_int,
+    CAST(SUM(is_double) AS BIGINT) AS n_double,
+    CAST(SUM(is_bool) AS BIGINT) AS n_bool
+  FROM cls GROUP BY key
+)
+SELECT key, n_present, n_null, n_int, n_double, n_bool,
+  n_present - n_null - n_int - n_double - n_bool AS n_string,
+  CASE WHEN n_present - n_null - n_int - n_double - n_bool > 0 THEN 'string'
+       WHEN n_double > 0 THEN 'double'
+       WHEN n_int > 0 THEN 'int'
+       WHEN n_bool > 0 THEN 'bool'
+       ELSE 'invalid' END AS inferred_kind
+FROM g
+"""
+
+# registered after definition (the dict literal predates these symbols)
+QUERIES["json_schema_drift"] = (q_json_schema_drift, ORACLE_JSON_SCHEMA_DRIFT)
