@@ -487,6 +487,54 @@ def main():
         print(json.dumps(decon_out), flush=True)
         results.append(decon_out)
 
+    # incremental identity index: batch cost must track the BATCH as the
+    # seeded member store grows 10x — bucket-pruned member probes +
+    # broadcast redirects, never a full-store scan.
+    if not _ONLY or "identity_probe" in _ONLY:
+        import tempfile as _tf2
+
+        from transfer_spark.streaming.identity_index import (
+            IncrementalIdentityIndex,
+        )
+
+        idp_out = {"op": "identity_probe", "rep": REP}
+
+        def _household_edges(src):
+            u = F.col("user_id")
+            dv1 = F.expr("user_id DIV 3")
+            dv2 = F.when((u % 6 == 0) & (u > 0), F.expr("user_id DIV 3") - 1)
+            return (
+                src.select(u.alias("u"),
+                           F.explode(F.array(dv1, dv2)).alias("dv"))
+                .filter(F.col("dv").isNotNull())
+                .select((F.col("u") * 2).alias("a"),
+                        (F.col("dv") * 2 + 1).alias("b"))
+                .distinct()
+            )
+
+        # fixed probe batch: 200 users that exist in BOTH seeds (so the
+        # probe resolves stored labels) + 100 brand-new bridging users
+        probe_users = spark.range(200).select(
+            F.col("id").alias("user_id")
+        ).union(
+            spark.range(100).select(
+                (F.col("id") + F.lit(7_000_000_000)).alias("user_id")
+            )
+        ).localCheckpoint()
+        probe_edges = _household_edges(probe_users).localCheckpoint()
+
+        for label, factor in (("t1", 1), ("tN", REP)):
+            idx = IncrementalIdentityIndex(
+                spark, _tf2.mkdtemp(prefix="scale_idid_"), n_buckets=64
+            )
+            idx.process_batch(_household_edges(ev(factor)))  # seed ≠ timed
+            t0 = time.perf_counter()
+            idx.process_batch(probe_edges)
+            idp_out[label] = round(time.perf_counter() - t0, 2)
+        idp_out["ratio"] = round(idp_out["tN"] / idp_out["t1"], 2)
+        print(json.dumps(idp_out), flush=True)
+        results.append(idp_out)
+
     # corpus-ingest probe cost must track the BATCH, not the corpus
     # (VERDICT r6 #4): seed the persistent indexes from a 1x vs 10x
     # corpus, then time the SAME fixed-size batch against each.

@@ -1,0 +1,103 @@
+"""IncrementalIdentityIndex: N-batch incremental CC must equal one-shot
+CC over the union of all edges; redirects fold away under compaction."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from transfer_spark.operators.dedupe import neardup_clusters_star
+from transfer_spark.streaming.identity_index import IncrementalIdentityIndex
+
+
+def _labels(idx) -> dict[int, int]:
+    return {r.node: r.label for r in idx.labels().collect()}
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a long, b long")
+
+
+def test_cross_batch_merge_via_redirect(spark):
+    idx = IncrementalIdentityIndex(
+        spark, tempfile.mkdtemp(prefix="ididx_"), n_buckets=8
+    )
+    r1 = idx.process_batch(_edges(spark, [(1, 2), (3, 4)]))
+    assert r1 == {"new_nodes": 4, "merged_labels": 0}
+    assert _labels(idx) == {1: 1, 2: 1, 3: 3, 4: 3}
+    # the bridging edge merges two EXISTING components -> one redirect,
+    # no member rewrite
+    r2 = idx.process_batch(_edges(spark, [(2, 3)]))
+    assert r2 == {"new_nodes": 0, "merged_labels": 1}
+    assert _labels(idx) == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_noop_batch_inside_one_component(spark):
+    idx = IncrementalIdentityIndex(
+        spark, tempfile.mkdtemp(prefix="ididx_"), n_buckets=8
+    )
+    idx.process_batch(_edges(spark, [(5, 6), (6, 7)]))
+    r = idx.process_batch(_edges(spark, [(5, 7)]))  # already same component
+    assert r == {"new_nodes": 0, "merged_labels": 0}
+    assert _labels(idx) == {5: 5, 6: 5, 7: 5}
+
+
+def test_multi_batch_equals_one_shot(spark):
+    # chain + star + singles arriving interleaved across 3 batches
+    all_edges = [
+        (10, 11), (11, 12), (12, 13),          # chain
+        (20, 21), (20, 22), (20, 23),          # star
+        (30, 31),                              # pair
+        (13, 20),                              # chain-star bridge
+    ]
+    batches = [all_edges[0::3], all_edges[1::3], all_edges[2::3]]
+    idx = IncrementalIdentityIndex(
+        spark, tempfile.mkdtemp(prefix="ididx_"), n_buckets=8
+    )
+    for b in batches:
+        idx.process_batch(_edges(spark, b))
+    got = _labels(idx)
+    want = {
+        r.doc_id: r.cluster_id
+        for r in neardup_clusters_star(_edges(spark, all_edges), "a", "b").collect()
+    }
+    assert got == want
+
+
+def test_compact_folds_redirects_and_preserves_labels(spark):
+    idx = IncrementalIdentityIndex(
+        spark, tempfile.mkdtemp(prefix="ididx_"), n_buckets=8
+    )
+    idx.process_batch(_edges(spark, [(1, 2), (3, 4), (5, 6)]))
+    idx.process_batch(_edges(spark, [(2, 3)]))
+    idx.process_batch(_edges(spark, [(4, 5)]))  # chains 5->3->1 territory
+    before = _labels(idx)
+    assert before == {n: 1 for n in range(1, 7)}
+    folded = idx.compact()
+    assert folded >= 2
+    assert _labels(idx) == before          # labels unchanged
+    assert not idx._redirects_exist()      # chains folded away
+    # a fresh batch against the compacted store still resolves
+    idx.process_batch(_edges(spark, [(6, 7)]))
+    assert _labels(idx)[7] == 1
+
+
+def test_redirect_chain_bound_raises(spark):
+    idx = IncrementalIdentityIndex(
+        spark, tempfile.mkdtemp(prefix="ididx_"), n_buckets=8
+    )
+    idx.process_batch(_edges(spark, [(1, 2), (3, 4)]))
+    idx.process_batch(_edges(spark, [(2, 3)]))  # creates a redirect
+    assert idx._redirects_exist()
+    m = spark.read.parquet(idx.members_path).drop(idx.BUCKET_COL)
+    with pytest.raises(RuntimeError, match="compact"):
+        idx._resolve(m, "label", max_hops=0)
+
+
+def test_labels_empty_store(spark):
+    idx = IncrementalIdentityIndex(
+        spark, tempfile.mkdtemp(prefix="ididx_"), n_buckets=8
+    )
+    assert idx.labels().count() == 0

@@ -84,3 +84,24 @@ def test_maintenance_merges_text_index_segments(spark, tmp_path):
     assert idx._segments() == [0]
     assert [(r.doc_id, r.score_micro)
             for r in idx.topk(terms, k=5).collect()] == before
+
+
+def test_maintenance_folds_identity_redirects(spark, tmp_path):
+    """Identity-index compaction runs from the maintenance pass and is
+    semantics-free: labels before == labels after, redirects gone."""
+    from pyspark.sql import functions as F
+
+    from transfer_spark.streaming.identity_index import IncrementalIdentityIndex
+    from transfer_spark.streaming.maintenance import run_maintenance
+
+    idx = IncrementalIdentityIndex(spark, str(tmp_path / "ididx"), n_buckets=4)
+    idx.process_batch(
+        spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+    )
+    idx.process_batch(spark.createDataFrame([(2, 3)], "a long, b long"))
+    before = {r.node: r.label for r in idx.labels().collect()}
+    rep = run_maintenance(identity_indexes={"ids": idx})
+    assert rep.folded_identity_redirects["ids"] >= 1
+    assert rep.total_actions() >= 1
+    assert {r.node: r.label for r in idx.labels().collect()} == before
+    assert not idx._redirects_exist()

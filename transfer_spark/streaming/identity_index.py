@@ -1,0 +1,246 @@
+"""Incremental identity stitching: connected components maintained BY
+the edge stream — a persistent label store consulted and extended per
+micro-batch.
+
+Recomputing corpus-wide CC over every identity graph update is the naive
+shape; the production shape is this one (the same index discipline as
+:class:`transfer_spark.streaming.dedup_index.MinHashDedupIndex`):
+
+- **members** — one row per (node, label), parquet hash-partitioned on
+  the node so a batch's lookups prune to its own buckets;
+- **redirects** — a tiny (old_label → new_label) table appended when a
+  batch MERGES two existing components. Members of the losing component
+  are never rewritten in the hot path — reads follow the redirect chain,
+  and :meth:`compact` folds chains back into the member rows on a
+  maintenance cadence.
+
+Per batch: resolve the batch nodes' current labels (bucket-pruned probe
++ redirect resolution), CONTRACT each edge endpoint to its resolved
+label, run star-CC on the contracted graph — whose size is batch-bound,
+never corpus-bound — then append new members and the redirects for any
+label the batch dethroned. The canonical label stays "min node id
+reachable", so N batches land on exactly the labels one batch over the
+union of all edges would produce (pinned by test and by the registered
+query's oracle, which IS the one-shot recursive-CTE CC).
+
+Reference parity note: beyond-reference operator (the reference has no
+graph surface); the persistence layout mirrors the other streaming
+indexes and routes metadata IO through the statefs seam.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transfer_spark.operators.dedupe import neardup_clusters_star
+from transfer_spark.streaming.statefs import LocalStateFS
+
+
+class IncrementalIdentityIndex:
+    """Persistent CC label store with batch-bound incremental updates."""
+
+    BUCKET_COL = "__node_bucket"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int = 64,
+        fs=None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.members_path = os.path.join(path, "members")
+        self.redirects_path = os.path.join(path, "redirects")
+        self.n_buckets = n_buckets
+        self.fs = fs if fs is not None else LocalStateFS()
+        self.fs.makedirs(self.members_path)
+        self.fs.makedirs(self.redirects_path)
+
+    # -- storage ---------------------------------------------------------
+    def _bucket(self) -> F.Column:
+        return F.pmod(F.col("node"), F.lit(self.n_buckets)).cast("int")
+
+    def _members_exist(self) -> bool:
+        return any(
+            n.startswith(self.BUCKET_COL + "=")
+            for n in self.fs.listdir(self.members_path)
+        )
+
+    def _redirects_exist(self) -> bool:
+        return any(
+            n.endswith(".parquet") for n in self.fs.listdir(self.redirects_path)
+        )
+
+    def _read_members_for(self, nodes: DataFrame) -> DataFrame:
+        """(node, label) for the given nodes — scan pruned to their
+        buckets via PartitionFilters, then a semi-ish equi-join."""
+        if not self._members_exist():
+            return self.spark.createDataFrame([], "node long, label long")
+        buckets = [
+            r[0]
+            for r in nodes.select(
+                F.pmod(F.col("node"), F.lit(self.n_buckets)).cast("int").alias("b")
+            ).distinct().collect()  # bounded: ≤ n_buckets ints
+        ]
+        m = self.spark.read.parquet(self.members_path).filter(
+            F.col(self.BUCKET_COL).isin(buckets)
+        ).drop(self.BUCKET_COL)
+        return m.join(nodes, "node")
+
+    def _redirects(self) -> DataFrame:
+        if not self._redirects_exist():
+            return self.spark.createDataFrame([], "old_label long, new_label long")
+        return self.spark.read.parquet(self.redirects_path)
+
+    def _resolve(
+        self, df: DataFrame, label_col: str, max_hops: int = 20
+    ) -> DataFrame:
+        """Follow the redirect chain to each label's current root. Chains
+        grow at most one hop per batch between compactions; hitting the
+        bound means compaction has been skipped pathologically long —
+        raise rather than return stale labels."""
+        redirects = self._redirects()
+        if redirects.isEmpty():
+            return df
+        r = F.broadcast(
+            redirects.groupBy("old_label").agg(F.min("new_label").alias("__nl"))
+        )
+        for _ in range(max_hops):
+            stepped = df.join(
+                r, df[label_col] == r["old_label"], "left"
+            ).select(
+                *[c for c in df.columns if c != label_col],
+                F.coalesce("__nl", F.col(label_col)).alias(label_col),
+            )
+            moved = stepped.join(
+                r, stepped[label_col] == r["old_label"], "left_semi"
+            ).limit(1).count()
+            df = stepped
+            if moved == 0:
+                return df
+        raise RuntimeError(
+            f"redirect chain deeper than {max_hops} hops — run compact()"
+        )
+
+    # -- the per-batch step ---------------------------------------------
+    def process_batch(self, edges: DataFrame, a: str = "a", b: str = "b") -> dict:
+        """Apply one batch of identity edges. Returns counts:
+        ``{"new_nodes": n, "merged_labels": m}``."""
+        e = edges.select(
+            F.col(a).cast("long").alias("a"), F.col(b).cast("long").alias("b")
+        ).distinct().persist()
+        pinned = [e]
+        try:
+            nodes = (
+                e.select(F.col("a").alias("node"))
+                .union(e.select(F.col("b").alias("node")))
+                .distinct()
+                .persist()
+            )
+            pinned.append(nodes)
+            existing = self._resolve(
+                self._read_members_for(nodes), "label"
+            ).persist()
+            pinned.append(existing)
+            # contract endpoints to their resolved labels (new nodes map
+            # to themselves); CC then runs on a batch-bound graph
+            ra = existing.select(
+                F.col("node").alias("a"), F.col("label").alias("ra")
+            )
+            rb = existing.select(
+                F.col("node").alias("b"), F.col("label").alias("rb")
+            )
+            contracted = (
+                e.join(ra, "a", "left")
+                .join(rb, "b", "left")
+                .select(
+                    F.coalesce("ra", F.col("a")).alias("u"),
+                    F.coalesce("rb", F.col("b")).alias("v"),
+                )
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            if contracted.isEmpty():
+                canon = self.spark.createDataFrame([], "cid long, canon long")
+            else:
+                canon = neardup_clusters_star(contracted, "u", "v").select(
+                    F.col("doc_id").alias("cid"), F.col("cluster_id").alias("canon")
+                )
+            # node -> contracted id -> canonical label
+            node_cid = nodes.join(
+                existing, "node", "left"
+            ).select(
+                "node", F.coalesce("label", F.col("node")).alias("cid")
+            )
+            node_canon = node_cid.join(F.broadcast(canon), "cid", "left").select(
+                "node", "cid", F.coalesce("canon", F.col("cid")).alias("canon")
+            ).persist()
+            pinned.append(node_canon)
+
+            new_members = node_canon.join(
+                existing.select("node"), "node", "left_anti"
+            ).select("node", F.col("canon").alias("label"))
+            n_new = new_members.count()
+            if n_new:
+                (
+                    new_members.withColumn(self.BUCKET_COL, self._bucket())
+                    .write.mode("append")
+                    .partitionBy(self.BUCKET_COL)
+                    .parquet(self.members_path)
+                )
+            # labels the batch dethroned: an EXISTING label whose
+            # canonical moved (new nodes also have cid != canon when
+            # they join an older component, but they were written with
+            # the final label already — no redirect needed or wanted)
+            dethroned = (
+                node_canon.filter(F.col("cid") != F.col("canon"))
+                .join(
+                    existing.select(F.col("label").alias("cid")).distinct(),
+                    "cid",
+                    "left_semi",
+                )
+                .select(
+                    F.col("cid").alias("old_label"),
+                    F.col("canon").alias("new_label"),
+                )
+                .distinct()
+            )
+            n_merged = dethroned.count()
+            if n_merged:
+                dethroned.write.mode("append").parquet(self.redirects_path)
+            return {"new_nodes": n_new, "merged_labels": n_merged}
+        finally:
+            for df_ in pinned:
+                df_.unpersist()
+
+    # -- reads / maintenance --------------------------------------------
+    def labels(self) -> DataFrame:
+        """(node, label) with redirects resolved — the current CC state."""
+        if not self._members_exist():
+            return self.spark.createDataFrame([], "node long, label long")
+        m = self.spark.read.parquet(self.members_path).drop(self.BUCKET_COL)
+        return self._resolve(m, "label")
+
+    def compact(self) -> int:
+        """Fold the redirect chains into the member rows (per-bucket
+        rewrite, layout + label normalization only — `labels()` output
+        is unchanged, pinned by test) and clear the redirect table.
+        Returns the number of redirect rows folded."""
+        redirects = self._redirects()
+        n = redirects.count()
+        if n == 0:
+            return 0
+        resolved = self.labels().localCheckpoint(eager=True)
+        (
+            resolved.withColumn(self.BUCKET_COL, self._bucket())
+            .write.mode("overwrite")
+            .partitionBy(self.BUCKET_COL)
+            .parquet(self.members_path)
+        )
+        self.fs.rmtree(self.redirects_path)
+        self.fs.makedirs(self.redirects_path)
+        return n

@@ -12,6 +12,8 @@ delegates to the warehouse):
 - old snapshots              (VersionedParquetTable.vacuum)
 - fragmented dedup-index     (MinHashDedupIndex.compact)
 - multi-segment text index   (Bm25Index.compact — Lucene-style merge)
+- identity redirect chains   (IncrementalIdentityIndex.compact — folds
+                              label redirects into member rows)
 
 Every step is layout-only or delete-only — a maintenance pass never
 changes query results, which the test pins.
@@ -29,6 +31,7 @@ class MaintenanceReport:
     vacuumed_versions: dict[str, list[int]] = field(default_factory=dict)
     compacted_index_buckets: dict[str, list[int]] = field(default_factory=dict)
     merged_text_segments: dict[str, int] = field(default_factory=dict)
+    folded_identity_redirects: dict[str, int] = field(default_factory=dict)
 
     def total_actions(self) -> int:
         return (
@@ -37,6 +40,7 @@ class MaintenanceReport:
             + sum(len(v) for v in self.vacuumed_versions.values())
             + sum(len(v) for v in self.compacted_index_buckets.values())
             + sum(max(0, n - 1) for n in self.merged_text_segments.values())
+            + sum(1 for n in self.folded_identity_redirects.values() if n)
         )
 
 
@@ -46,6 +50,7 @@ def run_maintenance(
     versioned_tables: "dict[str, object] | None" = None,
     dedup_indexes: "dict[str, object] | None" = None,
     text_indexes: "dict[str, object] | None" = None,
+    identity_indexes: "dict[str, object] | None" = None,
     max_files_per_bucket: int = 4,
     keep_last_versions: int = 3,
     zorder_cols: "tuple[str, str] | None" = None,
@@ -71,4 +76,6 @@ def run_maintenance(
         )
     for name, idx in (text_indexes or {}).items():
         rep.merged_text_segments[name] = idx.compact()
+    for name, idx in (identity_indexes or {}).items():
+        rep.folded_identity_redirects[name] = idx.compact()
     return rep

@@ -1468,6 +1468,49 @@ def q_identity_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_identity_stitch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME identity graph fed through
+    :class:`transfer_spark.streaming.identity_index
+    .IncrementalIdentityIndex` in three event-range micro-batches —
+    cross-batch merges land as label redirects, never member rewrites —
+    then labeled identically to the batch query. Shares the batch
+    oracle: N incremental batches must equal one-shot CC exactly."""
+    import tempfile
+
+    from transfer_spark.streaming.identity_index import IncrementalIdentityIndex
+
+    e = read_table(spark, sf_dir, "events")
+    u = F.col("user_id")
+    d1 = F.expr("user_id DIV 3")
+    d2 = F.when((u % 6 == 0) & (u > 0), F.expr("user_id DIV 3") - 1)
+    d3 = F.when((u % 30 == 0) & (u > 0), F.expr("user_id DIV 3") - 2)
+    hi = e.agg(F.max("event_id")).collect()[0][0]  # bounded scalar
+    idx = IncrementalIdentityIndex(
+        spark, tempfile.mkdtemp(prefix="ididx_q_"), n_buckets=16
+    )
+    for lo_f, hi_f in ((0.0, 1 / 3), (1 / 3, 2 / 3), (2 / 3, 1.01)):
+        sl = e.filter(
+            (F.col("event_id") >= int(hi * lo_f))
+            & (F.col("event_id") < int(hi * hi_f) + 1)
+        )
+        edges = (
+            sl.select(u.alias("u"), F.explode(F.array(d1, d2, d3)).alias("d"))
+            .filter(F.col("d").isNotNull())
+            .select((F.col("u") * 2).alias("a"), (F.col("d") * 2 + 1).alias("b"))
+            .distinct()
+        )
+        idx.process_batch(edges)
+    users = idx.labels().filter(F.col("node") % 2 == 0).select(
+        F.expr("node DIV 2").alias("user_id"), F.col("label").alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    return users.select(
+        "user_id",
+        F.min("user_id").over(w).alias("identity_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_users"),
+    )
+
+
 ORACLE_IDENTITY_STITCH = """
 WITH RECURSIVE du AS (
   SELECT DISTINCT user_id AS u FROM events
@@ -2512,6 +2555,7 @@ FROM per_cust
     "dq_benford_digits": (q_dq_benford, ORACLE_DQ_BENFORD),
     "brand_weighted_median": (q_brand_weighted_median, ORACLE_WEIGHTED_MEDIAN),
     "identity_stitch": (q_identity_stitch, ORACLE_IDENTITY_STITCH),
+    "streaming_identity_stitch": (q_identity_stitch_stream, ORACLE_IDENTITY_STITCH),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),
     "top_events_global": (q_top_events_global, ORACLE_TOP_GLOBAL),
