@@ -456,6 +456,97 @@ def _zorder_oracle() -> str:
     return f"SELECT l_orderkey, l_linenumber, {z} AS zkey FROM lineitem"
 
 
+def q_zonemap_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping evidence for the z-order layout: simulate the
+    per-file zone maps (min/max of the predicate column per storage
+    chunk) under the NATURAL layout (chunks = arrival/orderkey ranges)
+    vs the Z-ORDERED layout (chunks = zkey ranges — what
+    `write_zordered`'s range-partitioned clustered write produces), and
+    report how many chunks a partkey range predicate must open. This is
+    the number OPTIMIZE..ZORDER BY buys you: natural chunks each span
+    ~the whole partkey domain (prune ≈ 0), Morton chunks are squares in
+    (partkey, suppkey) space so a partkey band prunes ~everything off
+    the band.
+
+    Scale shape: chunk ids come from KEY RANGES, not row_number — no
+    global sort anywhere; two map-side-combinable min/max aggregates
+    and a 2-row report."""
+    from transfer_spark.operators.layout import zorder_key2
+
+    li = _t(spark, sf_dir, "lineitem")
+    zkey = zorder_key2(
+        F.col("l_partkey") % 65536, F.col("l_suppkey") % 65536, bits=16
+    )
+    lo, hi = 100, 200  # the probe predicate: l_partkey BETWEEN lo AND hi
+    # 64 equal-width key-range chunks, boundaries normalized to each
+    # key's observed max (one broadcast scalar row — the data occupies
+    # only the low Morton region, so fixed absolute boundaries would
+    # collapse every row into chunk 0)
+    mx = li.agg(
+        F.max(zkey).alias("zmax"), F.max("l_orderkey").alias("okmax")
+    )
+    chunks = {
+        "natural": F.expr("l_orderkey * 64 DIV (okmax + 1)"),
+        "zordered": (zkey * 64 / (F.col("zmax") + 1)).cast("long"),
+    }
+    out = None
+    for layout, chunk in chunks.items():
+        zm = (
+            li.crossJoin(F.broadcast(mx))
+            .select(chunk.alias("chunk"), "l_partkey")
+            .groupBy("chunk")
+            .agg(
+                F.min("l_partkey").alias("mn"),
+                F.max("l_partkey").alias("mx"),
+                F.sum(
+                    F.col("l_partkey").between(lo, hi).cast("long")
+                ).alias("rows_hit"),
+            )
+        )
+        hit = (F.col("mn") <= hi) & (F.col("mx") >= lo)
+        rep = zm.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(hit.cast("long")).cast("long").alias("n_chunks_hit"),
+            F.sum("rows_hit").cast("long").alias("rows_in_range"),
+        ).select(
+            "layout", "n_chunks", "n_chunks_hit", "rows_in_range",
+            F.expr(
+                "(n_chunks - n_chunks_hit) * 1000000 DIV n_chunks"
+            ).alias("prune_ppm"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+def _zonemap_oracle() -> str:
+    from transfer_spark.operators.layout import zorder_key2_sql
+
+    z = zorder_key2_sql("(l_partkey % 65536)", "(l_suppkey % 65536)", bits=16)
+    parts = []
+    for layout, chunk in (
+        ("natural", "l_orderkey * 64 // (okmax + 1)"),
+        ("zordered", f"({z}) * 64 // (zmax + 1)"),
+    ):
+        parts.append(f"""
+SELECT '{layout}' AS layout,
+  CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(SUM(CASE WHEN mn <= 200 AND mx >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_chunks_hit,
+  CAST(SUM(rows_hit) AS BIGINT) AS rows_in_range,
+  CAST((count(*) - SUM(CASE WHEN mn <= 200 AND mx >= 100 THEN 1 ELSE 0 END))
+       * 1000000 // count(*) AS BIGINT) AS prune_ppm
+FROM (
+  SELECT {chunk} AS chunk, min(l_partkey) AS mn, max(l_partkey) AS mx,
+         SUM(CASE WHEN l_partkey BETWEEN 100 AND 200 THEN 1 ELSE 0 END)
+           AS rows_hit
+  FROM lineitem CROSS JOIN (
+    SELECT max({z}) AS zmax, max(l_orderkey) AS okmax FROM lineitem
+  ) GROUP BY 1
+)""")
+    return " UNION ALL ".join(parts)
+
+
 _PROFILE_COLS = [
     # (name, numeric?) — numeric cols get min/max, strings get NULLs there
     ("o_orderkey", True),
@@ -2556,6 +2647,7 @@ FROM per_cust
     "brand_weighted_median": (q_brand_weighted_median, ORACLE_WEIGHTED_MEDIAN),
     "identity_stitch": (q_identity_stitch, ORACLE_IDENTITY_STITCH),
     "streaming_identity_stitch": (q_identity_stitch_stream, ORACLE_IDENTITY_STITCH),
+    "zonemap_prune_report": (q_zonemap_prune_report, _zonemap_oracle()),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),
     "top_events_global": (q_top_events_global, ORACLE_TOP_GLOBAL),

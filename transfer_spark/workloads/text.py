@@ -855,6 +855,98 @@ ORDER BY n DESC, tok ASC LIMIT 200
 """
 
 
+def q_retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval harness: self-retrieval with deterministic
+    relevance — each query is a document's own 5-token prefix and the
+    document IS the relevant result, so rank-of-relevant / reciprocal
+    rank / hit@5 need no human labels (the standard smoke eval for a
+    retrieval index build). The retrieval unit is the 3-shingle, not
+    the raw token — this corpus's vocabulary is ~31 terms, so single
+    tokens are all stopword-grade; shingles are distinctive (the same
+    reason the dedup family shingles first). Scoring is tf·idf with
+    micro-quantized idf (quantize-before-reduce, ln precedent as
+    `source_token_kl`).
+
+    Scale shape: queries explode to (qid, term) — a tiny broadcast side
+    — and candidates come from the postings equi-join, so per-query
+    work is that query's posting lists, never the corpus; one ranking
+    window per qid over its candidates."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    queries = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.array_distinct(
+            F.slice(D.shingles(F.col("text"), 3), 1, 5)
+        ).alias("qterms"),
+    )
+    qt = queries.select("qid", F.explode("qterms").alias("term"))
+    postings = (
+        d.select("doc_id", F.explode(D.shingles(F.col("text"), 3)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("dft")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.floor(
+        F.log((F.col("n_docs") + 1).cast("double") / (F.col("dft") + 1))
+        * 1_000_000.0 + 0.5
+    ).cast("long")
+    scored = (
+        F.broadcast(qt)
+        .join(postings, "term")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(F.col("tf") * idf).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    return ranked.filter(F.col("doc_id") == F.col("qid")).select(
+        "qid",
+        F.col("rank").cast("long").alias("rank_of_relevant"),
+        F.expr("1000000 DIV rank").alias("rr_ppm"),
+        (F.col("rank") <= 5).cast("long").alias("hit_at_5"),
+    )
+
+
+ORACLE_RETRIEVAL_EVAL = f"""
+WITH q AS (
+  SELECT doc_id AS qid,
+         list_distinct(({_SHINGLES})[1:5]) AS qterms
+  FROM documents WHERE doc_id % 97 = 0
+), qt AS (
+  SELECT qid, unnest(qterms) AS term FROM q
+), postings AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest({_SHINGLES}) AS term FROM documents
+  ) GROUP BY 1, 2
+), dft AS (
+  SELECT term, count(DISTINCT doc_id) AS dft FROM postings GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT qt.qid, p.doc_id,
+    CAST(SUM(p.tf * CAST(floor(
+      ln(CAST(n_docs + 1 AS DOUBLE) / (dft + 1)) * 1000000.0 + 0.5
+    ) AS BIGINT)) AS BIGINT) AS score
+  FROM qt JOIN postings p USING (term)
+  JOIN dft USING (term) CROSS JOIN n
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT qid, doc_id, score,
+    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC)
+      AS rank
+  FROM scored
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank_of_relevant,
+  CAST(1000000 // rank AS BIGINT) AS rr_ppm,
+  CAST(CASE WHEN rank <= 5 THEN 1 ELSE 0 END AS BIGINT) AS hit_at_5
+FROM ranked WHERE doc_id = qid
+"""
+
+
 def q_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law fit over the vocabulary: OLS slope of ln(freq) on
     ln(rank) for the top-200 terms — natural text sits near slope −1;
@@ -3520,6 +3612,7 @@ QUERIES = {
     "dedupe_exact_normalized": (q_dedupe_exact_normalized, ORACLE_DEDUPE_EXACT_NORMALIZED),
     "token_vocab": (q_token_vocab, ORACLE_TOKEN_VOCAB),
     "vocab_zipf_fit": (q_vocab_zipf_fit, ORACLE_VOCAB_ZIPF),
+    "retrieval_eval_mrr": (q_retrieval_eval_mrr, ORACLE_RETRIEVAL_EVAL),
     "corpus_split": (q_corpus_split, ORACLE_CORPUS_SPLIT),
     "split_leakage_free": (q_split_leakage_free, ORACLE_SPLIT_LEAKAGE_FREE),
     "split_decontamination": (q_split_decontamination, _decontamination_sql()),
