@@ -101,3 +101,38 @@ def test_labels_empty_store(spark):
         spark, tempfile.mkdtemp(prefix="ididx_"), n_buckets=8
     )
     assert idx.labels().count() == 0
+
+
+def test_streaming_file_source_end_to_end(spark, tmp_path):
+    """Drive the index from a Structured Streaming file source
+    (availableNow) — end state equals the one-shot CC, and a REPLAYED
+    batch is a no-op (idempotence under at-least-once delivery)."""
+    import json
+
+    edges = [(1, 2), (3, 4), (2, 3), (5, 6)]
+    src = tmp_path / "edges"
+    src.mkdir()
+    for i, (ea, eb) in enumerate(edges):
+        (src / f"b{i}.json").write_text(json.dumps({"a": ea, "b": eb}) + "\n")
+
+    idx = IncrementalIdentityIndex(spark, str(tmp_path / "idx"), n_buckets=4)
+    stream = spark.readStream.schema("a long, b long").option(
+        "maxFilesPerTrigger", 2
+    ).json(str(src))
+    seen = []
+    q = idx.start(
+        stream,
+        checkpoint=str(tmp_path / "ckpt"),
+        stats_sink=lambda s, e: seen.append((e, s)),
+    )
+    q.awaitTermination(120)
+    got = _labels(idx)
+    want = {
+        r.doc_id: r.cluster_id
+        for r in neardup_clusters_star(_edges(spark, edges), "a", "b").collect()
+    }
+    assert got == want and len(seen) >= 1
+    # manual replay of an already-applied batch: nothing changes
+    r = idx.process_batch(_edges(spark, [(1, 2), (2, 3)]))
+    assert r == {"new_nodes": 0, "merged_labels": 0}
+    assert _labels(idx) == want

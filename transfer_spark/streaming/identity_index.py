@@ -244,3 +244,32 @@ class IncrementalIdentityIndex:
         self.fs.rmtree(self.redirects_path)
         self.fs.makedirs(self.redirects_path)
         return n
+
+    # -- streaming wrapper ----------------------------------------------
+    def start(
+        self,
+        stream: "DataFrame",
+        a: str = "a",
+        b: str = "b",
+        checkpoint: str | None = None,
+        stats_sink: "callable | None" = None,
+        trigger_once: bool = True,
+    ):
+        """``foreachBatch`` driver: every micro-batch of edges advances
+        the persistent label store; per-batch counts go to
+        ``stats_sink(stats, epoch)`` if given. Replay safety: a replayed
+        batch contracts to edges that all resolve inside existing
+        components, so it appends no members and no redirects
+        (idempotent end state — same argument as the dedup index)."""
+
+        def _batch(bdf: "DataFrame", epoch: int) -> None:
+            stats = self.process_batch(bdf, a, b)
+            if stats_sink is not None:
+                stats_sink(stats, epoch)
+
+        writer = stream.writeStream.foreachBatch(_batch)
+        if checkpoint is not None:
+            writer = writer.option("checkpointLocation", checkpoint)
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

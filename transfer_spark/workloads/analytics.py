@@ -1392,6 +1392,69 @@ FROM per JOIN tot ON per.yr = tot.yr
 """
 
 
+_RELATIONSHIPS = [
+    # (name, parent table, parent key, child table, child key)
+    ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+]
+
+
+def q_relationship_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality contract profiling: for each declared
+    parent→child relationship, the fan-out distribution (children per
+    parent: min / max / mean ppm) and how many parents are childless —
+    the numbers that decide broadcast vs shuffle, catch an accidental
+    N:M explosion before it ships, and validate a 1:N assumption after
+    a backfill. The DQ sibling of `skew_key_report` at the
+    relationship grain.
+
+    One child-side count agg + one parent left join per relationship;
+    parent dimensions broadcast."""
+    out = None
+    for name, pt, pk, ct, ck in _RELATIONSHIPS:
+        parent = _t(spark, sf_dir, pt).select(F.col(pk).alias("k"))
+        child = _t(spark, sf_dir, ct).select(F.col(ck).alias("k"))
+        per = child.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+        j = parent.join(per, "k", "left").select(
+            F.coalesce("c", F.lit(0)).alias("c")
+        )
+        rep = j.agg(
+            F.lit(name).alias("relationship"),
+            F.count(F.lit(1)).cast("long").alias("n_parents"),
+            F.sum("c").cast("long").alias("n_children"),
+            F.sum((F.col("c") == 0).cast("long")).cast("long")
+            .alias("n_childless"),
+            F.min("c").cast("long").alias("min_children"),
+            F.max("c").cast("long").alias("max_children"),
+        ).select(
+            "*",
+            F.expr("n_children * 1000000 DIV n_parents").alias("mean_children_ppm"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+def _relationship_profile_sql() -> str:
+    parts = []
+    for name, pt, pk, ct, ck in _RELATIONSHIPS:
+        parts.append(f"""
+SELECT '{name}' AS relationship,
+  CAST(count(*) AS BIGINT) AS n_parents,
+  CAST(SUM(c) AS BIGINT) AS n_children,
+  CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_childless,
+  CAST(MIN(c) AS BIGINT) AS min_children,
+  CAST(MAX(c) AS BIGINT) AS max_children,
+  CAST(SUM(c) * 1000000 // count(*) AS BIGINT) AS mean_children_ppm
+FROM (
+  SELECT COALESCE(per.c, 0) AS c
+  FROM {pt} LEFT JOIN (
+    SELECT {ck} AS k, count(*) AS c FROM {ct} GROUP BY 1
+  ) per ON {pt}.{pk} = per.k
+)""")
+    return " UNION ALL ".join(parts)
+
+
 def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the replicated star: for each
     FK relation, how many child rows point at a missing parent — the
@@ -2648,6 +2711,7 @@ FROM per_cust
     "identity_stitch": (q_identity_stitch, ORACLE_IDENTITY_STITCH),
     "streaming_identity_stitch": (q_identity_stitch_stream, ORACLE_IDENTITY_STITCH),
     "zonemap_prune_report": (q_zonemap_prune_report, _zonemap_oracle()),
+    "dq_relationship_profile": (q_relationship_profile, _relationship_profile_sql()),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),
     "top_events_global": (q_top_events_global, ORACLE_TOP_GLOBAL),

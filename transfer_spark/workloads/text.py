@@ -947,6 +947,62 @@ FROM ranked WHERE doc_id = qid
 """
 
 
+def q_reverse_search_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation / reverse search: N STORED queries matched against
+    every incoming document (the Elasticsearch-percolator shape —
+    alerting, routing, saved-search notification). A document matches a
+    stored query iff it contains ALL the query's shingles; the stored
+    queries are derived deterministically (query q = two shingles of
+    doc 13q's text).
+
+    Scale shape: the stored-query table is the small side by
+    definition — its (qid, term) explosion broadcasts into one
+    equi-join against the distinct (doc, term) postings; the
+    all-terms-matched test is a count-vs-count filter, so per-doc cost
+    is the doc's own matched-term rows, never |queries| × |docs|."""
+    d = _docs(spark, sf_dir)
+    stored = d.filter((F.col("doc_id") % 13 == 0) & (F.col("doc_id") < 260)).select(
+        F.expr("doc_id DIV 13").alias("qid"),
+        F.array_distinct(F.slice(D.shingles(F.col("text"), 3), 1, 2)).alias("qterms"),
+    )
+    qt = stored.select("qid", F.explode("qterms").alias("term"))
+    nq = qt.groupBy("qid").agg(F.count(F.lit(1)).alias("n_terms"))
+    postings = d.select(
+        "doc_id", F.explode(F.array_distinct(D.shingles(F.col("text"), 3))).alias("term")
+    )
+    matched = (
+        postings.join(F.broadcast(qt), "term")
+        .groupBy("doc_id", "qid")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .join(F.broadcast(nq), "qid")
+        .filter(F.col("n_matched") == F.col("n_terms"))
+    )
+    return matched.select("qid", "doc_id")
+
+
+ORACLE_REVERSE_SEARCH = f"""
+WITH stored AS (
+  SELECT doc_id // 13 AS qid,
+         list_distinct(({_SHINGLES})[1:2]) AS qterms
+  FROM documents WHERE doc_id % 13 = 0 AND doc_id < 260
+), qt AS (
+  SELECT qid, unnest(qterms) AS term FROM stored
+), nq AS (
+  SELECT qid, count(*) AS n_terms FROM qt GROUP BY 1
+), postings AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({_SHINGLES})) AS term
+  FROM documents
+), matched AS (
+  SELECT p.doc_id, qt.qid, count(*) AS n_matched
+  FROM postings p JOIN qt USING (term)
+  GROUP BY 1, 2
+)
+SELECT m.qid, m.doc_id
+FROM matched m JOIN nq ON m.qid = nq.qid
+WHERE m.n_matched = nq.n_terms
+"""
+
+
 def q_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law fit over the vocabulary: OLS slope of ln(freq) on
     ln(rank) for the top-200 terms — natural text sits near slope −1;
@@ -3613,6 +3669,7 @@ QUERIES = {
     "token_vocab": (q_token_vocab, ORACLE_TOKEN_VOCAB),
     "vocab_zipf_fit": (q_vocab_zipf_fit, ORACLE_VOCAB_ZIPF),
     "retrieval_eval_mrr": (q_retrieval_eval_mrr, ORACLE_RETRIEVAL_EVAL),
+    "reverse_search_match": (q_reverse_search_match, ORACLE_REVERSE_SEARCH),
     "corpus_split": (q_corpus_split, ORACLE_CORPUS_SPLIT),
     "split_leakage_free": (q_split_leakage_free, ORACLE_SPLIT_LEAKAGE_FREE),
     "split_decontamination": (q_split_decontamination, _decontamination_sql()),
