@@ -1392,6 +1392,99 @@ FROM per JOIN tot ON per.yr = tot.yr
 """
 
 
+_NDV_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def q_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-cardinality DQ audit: per profiled column, the HLL
+    distinct estimate next to the exact count and the relative error in
+    ppm — the NDV numbers a join planner and a PK-candidate detector
+    run on, with the sketch-vs-verifier audit shape
+    (`hll_distinct_users`'s pinned register layout, stacked across
+    columns in ONE scan).
+
+    Scale: the stack explode is ×|columns|, then one map-side-
+    combinable register groupBy-max; exact countDistinct is the
+    verifier you drop at 100 TB."""
+    from transfer_spark.operators import temporal as TP
+
+    o = _t(spark, sf_dir, "orders")
+    stacked = o.selectExpr(
+        "stack({}, {}) as (col_name, v)".format(
+            len(_NDV_COLS),
+            ", ".join(f"'{c}', CAST({c} AS STRING)" for c in _NDV_COLS),
+        )
+    )
+    reg = TP.hll_registers(stacked, ["col_name"], "v", p=8)
+    est = TP.hll_estimate(reg, ["col_name"], p=8)
+    exact = stacked.groupBy("col_name").agg(
+        F.countDistinct("v").alias("n_exact")
+    )
+    # integer-floor the estimate BEFORE comparing: the raw double's
+    # 4th decimal can land on a cross-engine rounding boundary (seen
+    # live: 15277.1993 vs .1992); at integer grain the risk window is
+    # ~1e-4 per value and the error math becomes exact BIGINT
+    est_i = F.floor(F.col("hll_est")).cast("long")
+    return est.join(F.broadcast(exact), "col_name").select(
+        "col_name",
+        est_i.alias("hll_est_floor"),
+        "n_exact",
+        F.expr(
+            "abs(CAST(floor(hll_est) AS BIGINT) - n_exact) * 1000000"
+            " DIV n_exact"
+        ).alias("abs_err_ppm"),
+    )
+
+
+def _cardinality_audit_sql() -> str:
+    src = " UNION ALL ".join(
+        f"SELECT '{c}' AS g, CAST({c} AS VARCHAR) AS v FROM orders"
+        for c in _NDV_COLS
+    )
+    return f"""
+WITH src AS ({src}),
+h AS (
+  SELECT g, md5(v) AS hx FROM src
+), rr AS (
+  SELECT g,
+         ('0x' || substr(hx, 1, 2))::INT AS bucket,
+         regexp_replace(substr(hx, 3, 13), '^0+', '') AS rem
+  FROM h
+), rk AS (
+  SELECT g, bucket,
+    CASE WHEN length(rem) = 0 THEN 53
+         ELSE (13 - length(rem)) * 4
+              + CASE WHEN ('0x' || substr(rem, 1, 1))::INT >= 8 THEN 0
+                     WHEN ('0x' || substr(rem, 1, 1))::INT >= 4 THEN 1
+                     WHEN ('0x' || substr(rem, 1, 1))::INT >= 2 THEN 2
+                     ELSE 3 END + 1 END AS rank
+  FROM rr
+), reg AS (
+  SELECT g, bucket, max(rank) AS m_rank FROM rk GROUP BY g, bucket
+), hagg AS (
+  SELECT g,
+         CAST(sum(1::BIGINT << (53 - m_rank)) AS BIGINT) AS s_present,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM reg GROUP BY g
+), hest AS (
+  SELECT g,
+    round(0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+          * 9007199254740992.0
+          / CAST(s_present + (256 - n_buckets) * 9007199254740992
+                 AS DOUBLE), 4) AS hll_est
+  FROM hagg
+), exact AS (
+  SELECT g, count(DISTINCT v) AS n_exact FROM src GROUP BY g
+)
+SELECT hest.g AS col_name,
+  CAST(floor(hest.hll_est) AS BIGINT) AS hll_est_floor,
+  CAST(exact.n_exact AS BIGINT) AS n_exact,
+  CAST(abs(CAST(floor(hest.hll_est) AS BIGINT) - exact.n_exact) * 1000000
+       // exact.n_exact AS BIGINT) AS abs_err_ppm
+FROM hest JOIN exact ON hest.g = exact.g
+"""
+
+
 _RELATIONSHIPS = [
     # (name, parent table, parent key, child table, child key)
     ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
@@ -2712,6 +2805,7 @@ FROM per_cust
     "streaming_identity_stitch": (q_identity_stitch_stream, ORACLE_IDENTITY_STITCH),
     "zonemap_prune_report": (q_zonemap_prune_report, _zonemap_oracle()),
     "dq_relationship_profile": (q_relationship_profile, _relationship_profile_sql()),
+    "dq_cardinality_audit": (q_cardinality_audit, _cardinality_audit_sql()),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),
     "top_events_global": (q_top_events_global, ORACLE_TOP_GLOBAL),

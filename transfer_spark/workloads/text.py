@@ -2539,6 +2539,96 @@ ORDER BY cnt DESC, pair LIMIT 20
 """
 
 
+def q_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE step: apply the learned merge table to the vocabulary
+    — each distinct word is char-split then the top-4 trained merges
+    (the `bpe_top_merges` counts) are applied in rank order, one global
+    left-to-right replace pass per rank (the merge-table application; a
+    production encoder loops to a fixed point, but rank-ordered single
+    passes are the standard table-driven approximation and both
+    engines' `replace` share the non-overlapping left-to-right
+    semantics, so the result is engine-exact).
+
+    Scale shape: the merge table is 4 literals (bounded-metadata
+    collect, same class as the merge split point); encoding is pure
+    per-row codegen over the distinct-word frame — the corpus is
+    touched once for the word counts."""
+    d = _docs(spark, sf_dir)
+    w = F.col("w")
+    pairs = F.when(
+        F.length(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(w) - 1),
+            lambda i: w.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    words = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    merges = [
+        r.pair
+        for r in words.select(F.explode(pairs).alias("pair"), "n_occurrences")
+        .groupBy("pair")
+        .agg(F.sum("n_occurrences").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(4)
+        .collect()  # 4 rows — bounded metadata
+    ]
+    spaced = F.trim(F.regexp_replace(w, "(.)", "$1 "))
+    enc = spaced
+    for m in merges:
+        enc = F.replace(enc, F.lit(f"{m[0]} {m[1]}"), F.lit(m))
+    return words.select(
+        "w",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.length(w).cast("long").alias("n_chars"),
+        F.size(F.split(enc, " ")).cast("long").alias("n_pieces"),
+        F.concat_ws("|", F.split(enc, " ")).alias("pieces"),
+    )
+
+
+ORACLE_BPE_APPLY = f"""
+WITH words AS (
+  SELECT w, count(*) AS n_occurrences FROM (
+    SELECT unnest({_TOKS}) AS w FROM documents
+  ) GROUP BY w
+), pc AS (
+  SELECT pair, SUM(n_occurrences) AS cnt FROM (
+    SELECT w, n_occurrences,
+      unnest(CASE WHEN length(w) >= 2
+             THEN list_transform(range(1, length(w)), i -> substr(w, i, 2))
+             ELSE []::VARCHAR[] END) AS pair
+    FROM words
+  ) GROUP BY pair
+), m AS (
+  SELECT
+    max(CASE WHEN rn = 1 THEN pair END) AS m1,
+    max(CASE WHEN rn = 2 THEN pair END) AS m2,
+    max(CASE WHEN rn = 3 THEN pair END) AS m3,
+    max(CASE WHEN rn = 4 THEN pair END) AS m4
+  FROM (
+    SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rn FROM pc
+  ) WHERE rn <= 4
+), enc AS (
+  SELECT w, n_occurrences,
+    replace(replace(replace(replace(
+      trim(regexp_replace(w, '(.)', '\\1 ', 'g')),
+      substr(m1, 1, 1) || ' ' || substr(m1, 2, 1), m1),
+      substr(m2, 1, 1) || ' ' || substr(m2, 2, 1), m2),
+      substr(m3, 1, 1) || ' ' || substr(m3, 2, 1), m3),
+      substr(m4, 1, 1) || ' ' || substr(m4, 2, 1), m4) AS e
+  FROM words CROSS JOIN m
+)
+SELECT w, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+  CAST(length(w) AS BIGINT) AS n_chars,
+  CAST(len(string_split(e, ' ')) AS BIGINT) AS n_pieces,
+  array_to_string(string_split(e, ' '), '|') AS pieces
+FROM enc
+"""
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality gate: per-rule flags + conjunction per doc."""
     return T.gopher_quality_flags(_docs(spark, sf_dir), "doc_id", "text")
@@ -3670,6 +3760,7 @@ QUERIES = {
     "vocab_zipf_fit": (q_vocab_zipf_fit, ORACLE_VOCAB_ZIPF),
     "retrieval_eval_mrr": (q_retrieval_eval_mrr, ORACLE_RETRIEVAL_EVAL),
     "reverse_search_match": (q_reverse_search_match, ORACLE_REVERSE_SEARCH),
+    "bpe_apply_merges": (q_bpe_apply_merges, ORACLE_BPE_APPLY),
     "corpus_split": (q_corpus_split, ORACLE_CORPUS_SPLIT),
     "split_leakage_free": (q_split_leakage_free, ORACLE_SPLIT_LEAKAGE_FREE),
     "split_decontamination": (q_split_decontamination, _decontamination_sql()),
