@@ -136,3 +136,27 @@ def test_streaming_file_source_end_to_end(spark, tmp_path):
     r = idx.process_batch(_edges(spark, [(1, 2), (2, 3)]))
     assert r == {"new_nodes": 0, "merged_labels": 0}
     assert _labels(idx) == want
+
+
+def test_torn_batch_members_written_redirects_lost_heals_on_replay(spark, tmp_path):
+    """Crash window: a batch that both ADDS a node and MERGES two
+    existing components writes members first, redirects second. If the
+    crash lands between the two writes, labels are temporarily split —
+    replaying the same batch must converge to the correct merged state
+    (at-least-once delivery heals the tear)."""
+    import shutil
+
+    idx = IncrementalIdentityIndex(spark, str(tmp_path / "idx"), n_buckets=4)
+    idx.process_batch(_edges(spark, [(1, 2), (3, 4)]))
+    # the tearing batch: new node 5 bridges components {1,2} and {3,4}
+    tear = [(5, 1), (5, 3)]
+    idx.process_batch(_edges(spark, tear))
+    assert _labels(idx) == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+    # reconstruct the torn state: redirects lost, member append kept
+    shutil.rmtree(idx.redirects_path)
+    idx.fs.makedirs(idx.redirects_path)
+    torn = _labels(idx)
+    assert torn[5] == 1 and torn[3] == 3  # split view: the tear is real
+    # replay the SAME batch -> converges (contracted edge (1,3) re-merges)
+    idx.process_batch(_edges(spark, tear))
+    assert _labels(idx) == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
