@@ -1392,6 +1392,75 @@ FROM per JOIN tot ON per.yr = tot.yr
 """
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the privacy
+    gate a dataset release (or a training corpus with user-derived
+    rows) runs before shipping: rows whose QI equivalence class has
+    fewer than k members are re-identifiable. QI here = (nation,
+    segment, account-balance bucket); report = classes/rows below k
+    and the at-risk row share for k ∈ {2, 5, 10}.
+
+    Balance bucket uses integer-cents DIV (truncation toward zero on
+    both engines — the bucket EDGES near zero differ from floor
+    semantics, identically on both sides). One grouping pass; the
+    per-k report runs on the tiny class-size frame."""
+    c = _t(spark, sf_dir, "customer")
+    bucket = F.expr(
+        "CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) DIV 100000"
+    )
+    classes = (
+        c.groupBy(
+            "c_nationkey", "c_mktsegment", bucket.alias("bal_bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("n")
+    )
+    total = classes.agg(
+        F.sum("n").alias("total_rows"), F.count(F.lit(1)).alias("n_classes")
+    )
+    out = None
+    for k in (2, 5, 10):
+        rep = (
+            classes.crossJoin(F.broadcast(total))
+            .agg(
+                F.lit(k).cast("long").alias("k"),
+                F.max("n_classes").cast("long").alias("n_classes"),
+                F.sum((F.col("n") < k).cast("long")).cast("long")
+                .alias("n_classes_below"),
+                F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0))
+                .cast("long").alias("n_rows_below"),
+                F.max("total_rows").alias("__t"),
+            )
+            .select(
+                "k", "n_classes", "n_classes_below", "n_rows_below",
+                F.expr("n_rows_below * 1000000 DIV __t").alias("rows_at_risk_ppm"),
+            )
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+ORACLE_K_ANONYMITY = """
+WITH classes AS (
+  SELECT count(*) AS n
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) // 100000
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS n_classes
+  FROM classes
+), ks AS (SELECT unnest([2, 5, 10]) AS k)
+SELECT CAST(k AS BIGINT) AS k, n_classes,
+  CAST(SUM(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_below,
+  CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT) AS n_rows_below,
+  CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) * 1000000 // total_rows
+       AS BIGINT) AS rows_at_risk_ppm
+FROM classes CROSS JOIN t CROSS JOIN ks
+GROUP BY k, n_classes, total_rows
+"""
+
+
 _NDV_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
 
 
@@ -1782,6 +1851,120 @@ SELECT user_id,
   min(user_id) OVER (PARTITION BY cluster_id) AS identity_id,
   CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_users
 FROM users
+"""
+
+
+def q_attribution_cross_device(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-device attribution — the composition identity stitching
+    exists FOR: last-touch click credit where the join key is the
+    stitched IDENTITY, not the raw user, so a purchase on one device
+    can credit a click from a housemate device in the same identity.
+    Reports daily purchases, attributed count (click within 7 days),
+    and the cross-device share — the credit a user-keyed attribution
+    silently drops.
+
+    Scale shape: the user→identity mapping is dimension-sized
+    (broadcast into the event scan); after that it is exactly the
+    as-of composition: one shuffle on identity, one window pass."""
+    from transfer_spark.operators import dedupe as D
+    from transfer_spark.operators import temporal as TP
+
+    e = read_table(spark, sf_dir, "events")
+    u = F.col("user_id")
+    d1 = F.expr("user_id DIV 3")
+    d2 = F.when((u % 6 == 0) & (u > 0), F.expr("user_id DIV 3") - 1)
+    d3 = F.when((u % 30 == 0) & (u > 0), F.expr("user_id DIV 3") - 2)
+    edges = (
+        e.select(u.alias("u"), F.explode(F.array(d1, d2, d3)).alias("d"))
+        .filter(F.col("d").isNotNull())
+        .select((F.col("u") * 2).alias("a"), (F.col("d") * 2 + 1).alias("b"))
+        .distinct()
+    )
+    cl = D.neardup_clusters_star(edges, "a", "b")
+    users = cl.filter(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id DIV 2").alias("user_id"), F.col("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    ident = users.select(
+        "user_id", F.min("user_id").over(w).alias("identity_id")
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(ident), "user_id")
+        .select(
+            "identity_id", F.col("event_id"),
+            F.col("user_id").alias("p_user"), "ts",
+        )
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(ident), "user_id")
+        .select(
+            "identity_id", F.col("event_id"),
+            F.col("user_id").alias("c_user"), "ts",
+        )
+    )
+    j = TP.asof_join(
+        p, c,
+        on="identity_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id", "ts", "c_user"], right_order="event_id",
+    )
+    week_us = 7 * 86_400_000_000
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_asof"))
+    attributed = F.col("event_id_asof").isNotNull() & (gap <= week_us)
+    cross = attributed & (F.col("c_user_asof") != F.col("p_user"))
+    return (
+        j.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(attributed.cast("long")).cast("long").alias("n_attributed"),
+            F.sum(cross.cast("long")).cast("long").alias("n_cross_device"),
+        )
+    )
+
+
+ORACLE_ATTRIBUTION_CROSS_DEVICE = """
+WITH RECURSIVE du AS (
+  SELECT DISTINCT user_id AS u FROM events
+), e0 AS (
+  SELECT u * 2 AS a, (u // 3) * 2 + 1 AS b FROM du
+  UNION
+  SELECT u * 2, (u // 3 - 1) * 2 + 1 FROM du WHERE u % 6 = 0 AND u > 0
+  UNION
+  SELECT u * 2, (u // 3 - 2) * 2 + 1 FROM du WHERE u % 30 = 0 AND u > 0
+), edges AS (
+  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+), reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id
+), lab AS (
+  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+), ident AS (
+  SELECT id // 2 AS user_id,
+         min(id // 2) OVER (PARTITION BY cluster_id) AS identity_id
+  FROM lab WHERE id % 2 = 0
+), p AS (
+  SELECT i.identity_id, e.event_id, e.user_id AS p_user, epoch_us(e.ts) AS t,
+         date_trunc('day', e.ts)::DATE AS day
+  FROM events e JOIN ident i USING (user_id)
+  WHERE e.event_type = 'purchase'
+), c AS (
+  SELECT i.identity_id, e.event_id, e.user_id AS c_user, epoch_us(e.ts) AS t
+  FROM events e JOIN ident i USING (user_id)
+  WHERE e.event_type = 'click'
+), j AS (
+  SELECT p.day, p.p_user, c.c_user, c.event_id AS click_id, p.t - c.t AS gap
+  FROM p ASOF LEFT JOIN c ON p.identity_id = c.identity_id AND p.t >= c.t
+)
+SELECT day,
+  CAST(count(*) AS BIGINT) AS n_purchases,
+  CAST(SUM(CASE WHEN click_id IS NOT NULL AND gap <= 604800000000
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+  CAST(SUM(CASE WHEN click_id IS NOT NULL AND gap <= 604800000000
+                 AND c_user != p_user
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_device
+FROM j GROUP BY day
 """
 
 
@@ -2806,6 +2989,8 @@ FROM per_cust
     "zonemap_prune_report": (q_zonemap_prune_report, _zonemap_oracle()),
     "dq_relationship_profile": (q_relationship_profile, _relationship_profile_sql()),
     "dq_cardinality_audit": (q_cardinality_audit, _cardinality_audit_sql()),
+    "dq_k_anonymity": (q_k_anonymity, ORACLE_K_ANONYMITY),
+    "events_attribution_cross_device": (q_attribution_cross_device, ORACLE_ATTRIBUTION_CROSS_DEVICE),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),
     "top_events_global": (q_top_events_global, ORACLE_TOP_GLOBAL),

@@ -1952,6 +1952,75 @@ SELECT doc_id, scrubbed, {R.redaction_count_sql('scrubbed')} AS n_redactions FRO
 """
 
 
+_PII_RULE_NAMES = [
+    "uri_creds", "json_secret", "kv_secret", "aws_key", "bearer",
+    "pem_key", "email", "ssn", "card",
+]
+
+
+def q_pii_hit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/credential RISK SCAN — the read-only sibling of `pii_scrub`:
+    per (source, rule), how many documents hit each redaction rule and
+    how many total matches, over the same planted-PII corpus. This is
+    the triage report a data-governance pass runs BEFORE deciding to
+    scrub, quarantine, or drop a feed; rule table identical to the
+    scrubber (lib/redact/scrub.go parity), counting via
+    `regexp_count` so the whole scan is one codegen stage.
+
+    Scale shape: 9 counters evaluated in the scan, one explode of a
+    9-element struct array per row (rule-dimension fan-out), one hash
+    agg on (source, rule)."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id").cast("string")
+    i4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    raw = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.lit("contact user"), i, F.lit("@mail"), (F.col("doc_id") % 7).cast("string"), F.lit(".org")),
+        F.concat(F.lit("password=pw"), i),
+        F.concat(F.lit("card 4111-1111-1111-"), i4),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("auth: Bearer tok"), i),
+        ).otherwise(F.lit("no credentials")),
+        F.concat(F.lit("ssn 123-45-"), i4),
+    )
+    counters = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.regexp_count(raw, F.lit(pattern)).alias("c"),
+            )
+            for name, (pattern, _) in zip(_PII_RULE_NAMES, R.SCRUB_RULES)
+        ]
+    )
+    return (
+        d.select("source", F.explode(counters).alias("rc"))
+        .select("source", F.col("rc.rule").alias("rule"), F.col("rc.c").alias("c"))
+        .groupBy("source", "rule")
+        .agg(
+            F.sum((F.col("c") > 0).cast("long")).cast("long").alias("n_docs_hit"),
+            F.sum("c").cast("long").alias("n_hits"),
+        )
+    )
+
+
+def _pii_hit_report_sql() -> str:
+    rows = " UNION ALL ".join(
+        "SELECT source, '{}' AS rule, len(regexp_extract_all(raw, '{}')) AS c"
+        " FROM raws".format(name, pattern.replace("'", "''"))
+        for name, (pattern, _) in zip(_PII_RULE_NAMES, R.SCRUB_RULES)
+    )
+    return f"""
+WITH raws AS (SELECT source, {_PII_RAW_SQL} AS raw FROM documents),
+rc AS ({rows})
+SELECT source, rule,
+  CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+  CAST(SUM(c) AS BIGINT) AS n_hits
+FROM rc GROUP BY source, rule
+"""
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-unigram entropy quality signal (two hash aggregates,
     both map-side combinable; no window, no second scan)."""
@@ -3696,6 +3765,7 @@ FROM scored
 
 QUERIES = {
     "pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
+    "pii_hit_report": (q_pii_hit_report, _pii_hit_report_sql()),
     "gopher_quality_gate": (q_gopher_quality, ORACLE_GOPHER),
     "doc_chunk_windows": (q_chunk_windows, ORACLE_CHUNKS),
     "streaming_dedup_index": (q_streaming_dedup_index, _streaming_dedup_index_sql()),
