@@ -160,3 +160,52 @@ def test_torn_batch_members_written_redirects_lost_heals_on_replay(spark, tmp_pa
     # replay the SAME batch -> converges (contracted edge (1,3) re-merges)
     idx.process_batch(_edges(spark, tear))
     assert _labels(idx) == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+# ---------------------------------------------------------------------------
+# Property: any batch split of any small edge set converges to the
+# one-shot CC fixed point (python union-find reference, not Spark CC).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_edge = st.tuples(
+    st.integers(min_value=1, max_value=12), st.integers(min_value=1, max_value=12)
+).filter(lambda t: t[0] != t[1])
+_batches = st.lists(
+    st.lists(_edge, min_size=1, max_size=5), min_size=1, max_size=3
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in list(parent)}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_batches)
+def test_any_batch_split_matches_union_find(spark, tmp_path_factory, batches):
+    idx = IncrementalIdentityIndex(
+        spark, str(tmp_path_factory.mktemp("ididx_prop")), n_buckets=4
+    )
+    for b in batches:
+        idx.process_batch(_edges(spark, b))
+    want = _union_find([e for b in batches for e in b])
+    assert _labels(idx) == want

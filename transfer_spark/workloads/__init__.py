@@ -54,9 +54,10 @@ _ALL.update(tpch_supplement.QUERIES)
 # was LAST driver-adjudicated (never-seen first, ties by name), read from
 # the committed CORRECTNESS_r*.json artifacts — so each round's window
 # automatically sinks to the back once its artifact lands. After the r7
-# registry growth (213 → 236, all strict-checker green at sf0.01 and
-# sf0.1), 106 names have ever been adjudicated; the 130 never-seen clear
-# in ceil(130/37) = 4 rounds, then the queue cycles by staleness.
+# registry growth (213 → 264, every addition strict-checker green at
+# sf0.01 AND sf0.1 on landing), 106 names have ever been adjudicated;
+# the ~158 never-seen clear in ceil(158/37) = 5 rounds, then the queue
+# cycles by staleness.
 _CORE = [
     # cdc spine
     "cdc_fold", "cdc_merge_hard", "multi_step_merge",
