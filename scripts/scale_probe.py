@@ -408,6 +408,53 @@ def main():
         probe("audio_segments", dc, _audio_seg),
     ]
 
+    # round-7 privacy/eval wave
+    from transfer_spark.operators.redact import SCRUB_RULES
+
+    customer_t = read_table(spark, SF_DIR, "customer")
+
+    def cu(factor):
+        base = customer_t if factor == 1 else replicate(
+            customer_t, ["c_custkey"], factor)
+        return base.repartition(nparts)
+
+    def _pii_hits(d):
+        raw = F.concat_ws(
+            " ", F.col("text"),
+            F.concat(F.lit("contact user"),
+                     F.col("doc_id").cast("string"), F.lit("@mail.org")),
+            F.concat(F.lit("password=pw"), F.col("doc_id").cast("string")),
+        )
+        counters = F.array(*[
+            F.struct(F.lit(str(i)).alias("rule"),
+                     F.regexp_count(raw, F.lit(p)).alias("c"))
+            for i, (p, _) in enumerate(SCRUB_RULES)
+        ])
+        return (
+            d.select("source", F.explode(counters).alias("rc"))
+            .groupBy("source", "rc.rule")
+            .agg(F.sum("rc.c").alias("n_hits"))
+        )
+
+    def _kanon(d):
+        bucket = F.expr(
+            "CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) DIV 100000"
+        )
+        classes = d.groupBy(
+            "c_nationkey", "c_mktsegment", bucket.alias("bk")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        return classes.agg(
+            F.sum((F.col("n") < 5).cast("long")).alias("below"),
+            F.count(F.lit(1)).alias("n_classes"),
+        )
+
+    results += [
+        # 9 regex counters inside ONE codegen scan + rule-dim fan-out
+        probe("pii_hit_scan", dc, _pii_hits),
+        # one grouping pass; the per-k report reads the class frame only
+        probe("k_anonymity", cu, _kanon),
+    ]
+
     # identity stitching: star-CC rounds execute during construction,
     # so time the whole edges+CC+label end-to-end (leakage_split style)
     if not _ONLY or "identity_stitch" in _ONLY:
