@@ -354,8 +354,88 @@ FROM s WHERE active GROUP BY doc_id, seg_id
 """
 
 
+def q_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION/CLIP-style image-caption alignment gate: per (image,
+    caption) pair, the cosine between the image feature vector and the
+    caption feature vector decides keep vs drop — the filter that built
+    the large image-text corpora. Features are the stub digest vectors
+    (16 bytes of SHA-256; a real deployment swaps in CLIP towers, the
+    plumbing — pair join, 16-dim cosine, gate, per-source report — is
+    identical). Corruption is planted deterministically: every 10th
+    pair carries its NEIGHBOR's caption, so aligned pairs score
+    exactly 1e6 micro-cos and swapped ones fall below the gate.
+
+    Integer dot/norm products with one sqrt (correctly-rounded IEEE op,
+    engine-exact); one equi-join for the caption swap, one hash agg."""
+    d = read_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", "text")
+    partner = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("partner_text")
+    )
+    paired = base.join(partner, "doc_id", "left").select(
+        "doc_id", "source",
+        F.sha2(F.encode(F.col("text"), "UTF-8"), 256).alias("img_sha"),
+        F.sha2(
+            F.encode(
+                F.when(
+                    (F.col("doc_id") % 10 == 0) & F.col("partner_text").isNotNull(),
+                    F.col("partner_text"),
+                ).otherwise(F.col("text")),
+                "UTF-8",
+            ),
+            256,
+        ).alias("cap_sha"),
+    )
+
+    def _byte(sha: str, i: int) -> F.Column:
+        return F.conv(F.substring(F.col(sha), 2 * i + 1, 2), 16, 10).cast("long")
+
+    dot = sum((_byte("img_sha", i) * _byte("cap_sha", i) for i in range(16)), F.lit(0))
+    na = sum((_byte("img_sha", i) * _byte("img_sha", i) for i in range(16)), F.lit(0))
+    nb = sum((_byte("cap_sha", i) * _byte("cap_sha", i) for i in range(16)), F.lit(0))
+    cos_micro = F.floor(
+        F.lit(1_000_000.0) * dot / F.sqrt((na * nb).cast("double"))
+    ).cast("long")
+    scored = paired.select("source", cos_micro.alias("cos_micro"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((F.col("cos_micro") < 1_000_000).cast("long")).cast("long")
+        .alias("n_flagged"),
+        F.min("cos_micro").alias("min_cos_micro"),
+    )
+
+
+def _caption_alignment_sql() -> str:
+    def byte(sha: str, i: int) -> str:
+        return f"('0x' || substr({sha}, {2 * i + 1}, 2))::BIGINT"
+
+    dot = " + ".join(f"{byte('img_sha', i)} * {byte('cap_sha', i)}" for i in range(16))
+    na = " + ".join(f"{byte('img_sha', i)} * {byte('img_sha', i)}" for i in range(16))
+    nb = " + ".join(f"{byte('cap_sha', i)} * {byte('cap_sha', i)}" for i in range(16))
+    return f"""
+WITH paired AS (
+  SELECT d.doc_id, d.source,
+    sha256(d.text) AS img_sha,
+    sha256(CASE WHEN d.doc_id % 10 = 0 AND p.text IS NOT NULL
+                THEN p.text ELSE d.text END) AS cap_sha
+  FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id + 1
+), scored AS (
+  SELECT source,
+    CAST(floor(1000000.0 * ({dot})
+               / sqrt(CAST(({na}) * ({nb}) AS DOUBLE))) AS BIGINT) AS cos_micro
+  FROM paired
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(CASE WHEN cos_micro < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_flagged,
+  CAST(MIN(cos_micro) AS BIGINT) AS min_cos_micro
+FROM scored GROUP BY source
+"""
+
+
 QUERIES = {
     "multimodal_phash_neardup": (q_phash_neardup, _phash_neardup_sql()),
+    "multimodal_caption_alignment": (q_caption_alignment, _caption_alignment_sql()),
     "multimodal_audio_segments": (q_audio_segments, ORACLE_AUDIO_SEGMENTS),
     "multimodal_image_meta": (q_image_meta, ORACLE_IMAGE_META),
     "multimodal_scene_changes": (q_scene_changes, ORACLE_SCENE_CHANGES),

@@ -343,6 +343,60 @@ def q_decontamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_RESTRICTED_SOURCES = ["src3", "src7"]
+
+
+def q_cluster_license_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License-conflict propagation through near-dup clusters: if ANY
+    member of a cluster comes from a restricted source, EVERY member is
+    flagged — a near-duplicate of restricted content is still
+    restricted content, and a source-level blocklist applied before
+    dedup silently misses the mirrored copies. Emits all members of
+    conflicted clusters with the restriction provenance.
+
+    Scale shape: clusters from the band-join CC (never all-pairs); the
+    per-cluster restricted count is one window over cluster members;
+    unaffected clusters are filtered out before emission."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    pairs = D.minhash_lsh_pairs(d, "doc_id", "text")
+    clusters = D.neardup_clusters(pairs)
+    j = clusters.join(d.select("doc_id", "source"), "doc_id")
+    restricted = F.col("source").isin(_RESTRICTED_SOURCES)
+    w = Window.partitionBy("cluster_id")
+    out = (
+        j.withColumn("is_restricted_source", restricted.cast("long"))
+        .withColumn(
+            "n_restricted_in_cluster",
+            F.sum("is_restricted_source").over(w).cast("long"),
+        )
+        .filter(F.col("n_restricted_in_cluster") > 0)
+    )
+    return out.select(
+        "doc_id", "source", "cluster_id",
+        "is_restricted_source", "n_restricted_in_cluster",
+    )
+
+
+_LICENSE_CONFLICT_SQL = f"""
+WITH comp AS ({{clusters}}),
+j AS (
+  SELECT comp.doc_id, d.source, comp.cluster_id,
+    CASE WHEN d.source IN ('src3', 'src7') THEN 1 ELSE 0 END
+      AS is_restricted_source
+  FROM comp JOIN documents d USING (doc_id)
+), counted AS (
+  SELECT doc_id, source, cluster_id,
+    CAST(is_restricted_source AS BIGINT) AS is_restricted_source,
+    CAST(SUM(is_restricted_source) OVER (PARTITION BY cluster_id) AS BIGINT)
+      AS n_restricted_in_cluster
+  FROM j
+)
+SELECT * FROM counted WHERE n_restricted_in_cluster > 0
+"""
+
+
 def q_dedupe_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subset-duplicate detection INSIDE the corpus: LSH candidates
     scored by containment relative to the SMALLER shingle set,
@@ -3772,6 +3826,10 @@ QUERIES = {
     "streaming_corpus_ingest": (q_streaming_corpus_ingest, ORACLE_STREAMING_CORPUS_INGEST),
     "corpus_shard_shuffle": (q_shard_shuffle, ORACLE_SHARD_SHUFFLE),
     "dedupe_containment": (q_dedupe_containment, _dedupe_containment_sql()),
+    "cluster_license_conflict": (
+        q_cluster_license_conflict,
+        _LICENSE_CONFLICT_SQL.format(clusters=ORACLE_NEARDUP_CLUSTERS),
+    ),
     "split_decontamination_containment": (
         q_decontamination_containment,
         _decontamination_containment_sql(),

@@ -108,6 +108,79 @@ QUALIFY rank <= 5
 """
 
 
+def q_ivf_list_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health report: inverted-list sizes under the sampled
+    coarse quantizer — the rebalance trigger for a vector index (a hot
+    list degrades probe latency exactly like a hot shuffle key; the
+    fix is retraining the quantizer or splitting the list). Per list:
+    size and corpus share ppm, plus the max/mean skew factor repeated
+    per row for a one-glance verdict — `skew_key_report`'s shape on
+    the ANN family's own key.
+
+    Scale: the assignment is the same broadcast-centroid argmax as
+    every IVF path (map-side combinable); the report aggregates 16
+    rows."""
+    emb = _emb(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    e = emb.select(F.col("vec_id").alias("nid"), v.alias("nv"))
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), v.alias("cv")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "nid",
+            F.struct(
+                S.cosine(F.col("nv"), F.col("cv")).alias("cos"),
+                (-F.col("cid")).alias("ncid"),
+            ).alias("key"),
+            "cid",
+        )
+        .groupBy("nid")
+        .agg(F.max_by("cid", "key").alias("cid"))
+    )
+    lists = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))
+    tot = lists.agg(
+        F.sum("n_vectors").alias("total"),
+        F.max("n_vectors").alias("mx"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    return (
+        lists.crossJoin(F.broadcast(tot))
+        .select(
+            "cid",
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.expr("n_vectors * 1000000 DIV total").alias("share_ppm"),
+            F.expr("mx * n_lists * 1000000 DIV total").alias("skew_ppm"),
+        )
+    )
+
+
+ORACLE_IVF_LIST_SKEW = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+assigned AS (
+  SELECT e.vec_id AS nid, cid
+  FROM e, cent
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY {_COS.replace('a.v', 'e.v').replace('b.v', 'cent.cv')} DESC, cid) = 1
+),
+lists AS (
+  SELECT cid, count(*) AS n_vectors FROM assigned GROUP BY cid
+),
+tot AS (
+  SELECT CAST(SUM(n_vectors) AS BIGINT) AS total,
+         CAST(MAX(n_vectors) AS BIGINT) AS mx,
+         CAST(count(*) AS BIGINT) AS n_lists
+  FROM lists
+)
+SELECT cid, CAST(n_vectors AS BIGINT) AS n_vectors,
+  CAST(n_vectors * 1000000 // total AS BIGINT) AS share_ppm,
+  CAST(mx * n_lists * 1000000 // total AS BIGINT) AS skew_ppm
+FROM lists CROSS JOIN tot
+"""
+
+
 def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat top-5 probing a k-means-TRAINED coarse quantizer (two
     Lloyd iterations, deterministic first-k init) — the production IVF
@@ -1132,6 +1205,7 @@ QUERIES = {
     "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
     "ann_lsh_topk": (q_ann_lsh, _lsh_oracle()),
     "ann_ivf_topk": (q_ann_ivf, ORACLE_ANN_IVF),
+    "ivf_list_skew_report": (q_ivf_list_skew, ORACLE_IVF_LIST_SKEW),
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, _ivf_kmeans_oracle()),
     "semantic_dedupe": (q_semantic_dedupe, _semantic_dedupe_oracle()),
     "ann_ivf_persistent": (q_ann_ivf_persistent, _ivf_kmeans_oracle()),
