@@ -2486,9 +2486,11 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hashed n-gram bag-of-features importance estimation exactly as in the
     public paper: feature = md5-bigram-hash mod 4096; per-feature weight
     lambda_f = log p_target(f) - log p_raw(f) with add-one smoothing; doc
-    score = sum of its features' weights. Spark shape: one corpus scan
-    fans into the two count aggregates (4096-row state each), the weight
-    table broadcasts back into the exploded scan, one hash aggregate on
+    score = sum of its features' weights. Spark shape: the hashed
+    feature stream is computed ONCE (spill-safe persist) and serves both
+    the combined raw+target count aggregate (4096-row state, conditional
+    count for the in-domain side) and the scoring join; the weight
+    table broadcasts back into that same stream, one hash aggregate on
     doc_id. Nothing driver-side and no shuffle wider than the doc keys,
     so the plan is unchanged at 100 TB. Per-feature weights are quantized
     to BIGINT micro-units BEFORE the per-doc sum (integer summation is
@@ -2509,29 +2511,35 @@ def dsir_scores(d: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    feats = d.select(
-        "doc_id",
-        "lang",
-        F.explode(bgs).alias("bg"),
-    ).select(
-        "doc_id", "lang",
-        (T.word_hash(F.col("bg")) % F.lit(_DSIR_BUCKETS)).alias("f"),
+    # The bigram explode + md5 feature hash is the expensive part of the
+    # whole operator — hash once, serve both consumers (the weight
+    # aggregate and the per-doc scoring join) off a spill-safe persist
+    # (same shingle-once contract as operators/dedupe.py). Raw and
+    # target counts come from ONE aggregate (conditional count), not two
+    # separate corpus passes.
+    feats = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(bgs).alias("bg"),
+        )
+        .select(
+            "doc_id", "lang",
+            (T.word_hash(F.col("bg")) % F.lit(_DSIR_BUCKETS)).alias("f"),
+        )
+        .persist()
     )
-    raw = feats.groupBy("f").agg(F.count(F.lit(1)).alias("rf"))
-    tgt = (
-        feats.filter(F.col("lang") == "en")
-        .groupBy("f")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    counts = feats.groupBy("f").agg(
+        F.count(F.lit(1)).alias("rf"),
+        F.count(F.when(F.col("lang") == "en", F.lit(1))).alias("tf"),
     )
-    # every feature a doc can carry appears in raw, so raw LEFT JOIN tgt
-    # covers the whole support; totals ride along as a broadcast 1-row
-    totals = raw.agg(F.sum("rf").alias("rn")).crossJoin(
-        tgt.agg(F.sum("tf").alias("tn"))
-    )
+    # every feature a doc can carry appears in the raw support, so the
+    # conditional tf (0 where the feature never occurs in-domain) covers
+    # the whole support; totals ride along as a broadcast 1-row
+    totals = counts.agg(F.sum("rf").alias("rn"), F.sum("tf").alias("tn"))
     v = F.lit(float(_DSIR_BUCKETS))
     weights = (
-        raw.join(tgt, "f", "left")
-        .withColumn("tf", F.coalesce(F.col("tf"), F.lit(0)))
+        counts
         .crossJoin(F.broadcast(totals))
         .select(
             "f",
