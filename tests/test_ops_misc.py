@@ -775,3 +775,94 @@ def test_json_schema_profile_promotion_rules(spark):
     assert out["b"].inferred_kind == "string"
     assert out["c"].inferred_kind == "invalid" and out["c"].n_null == 2
     assert out["d"].inferred_kind == "bool" and out["d"].n_bool == 2
+
+
+# ------------------------------------------------------------- layout scan ops
+def test_global_row_index_matches_global_window_and_is_dense(spark):
+    """Two-phase global numbering == ROW_NUMBER() OVER (ORDER BY ...) - 1,
+    and the answer is invariant to how the input happens to be
+    partitioned (the property monotonically_increasing_id lacks)."""
+    from pyspark.sql import Window
+    from transfer_spark.operators.layout import global_row_index
+
+    df = spark.range(0, 997).select(
+        ((F.col("id") * 7919) % 997).alias("k")  # permutation of 0..996
+    )
+    expect = {r.k: r.idx for r in df.select(
+        "k", (F.row_number().over(Window.orderBy("k")) - 1).alias("idx")
+    ).collect()}
+    for parts in (1, 5):
+        got = {
+            r.k: r.row_idx
+            for r in global_row_index(
+                df.repartition(parts), [F.col("k")], num_partitions=7
+            ).collect()
+        }
+        assert got == expect
+
+
+def test_global_cumsum_desc_order(spark):
+    from pyspark.sql import Window
+    from transfer_spark.operators.layout import global_cumsum
+
+    df = spark.createDataFrame(
+        [(i, (i * 13) % 29 + 1) for i in range(200)], "k long, v long"
+    )
+    expect = {
+        r.k: r.c
+        for r in df.select(
+            "k",
+            F.sum("v").over(
+                Window.orderBy(F.col("v").desc(), F.col("k")).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ).alias("c"),
+        ).collect()
+    }
+    got = {
+        r.k: r.cum
+        for r in global_cumsum(
+            df, [F.col("v").desc(), F.col("k")], F.col("v"), num_partitions=6
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_compaction_plan_bin_bounds(spark):
+    """Every bin's total stays under target + one file, bin ids are
+    contiguous from 0, and no file is split."""
+    from transfer_spark.operators.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [(i, ((i * 104729) % 900) + 100) for i in range(300)],
+        "fid long, bytes long",
+    )
+    target = 2000
+    plan = compaction_plan(
+        files, "bytes", [F.col("bytes").desc(), F.col("fid")], target
+    ).collect()
+    assert len(plan) == 300 and len({r.fid for r in plan}) == 300
+    by_bin: dict[int, int] = {}
+    maxf = max(r.bytes for r in plan)
+    for r in plan:
+        by_bin[r.bin] = by_bin.get(r.bin, 0) + r.bytes
+    assert sorted(by_bin) == list(range(len(by_bin)))
+    assert all(v < target + maxf for v in by_bin.values())
+
+
+def test_global_row_index_plan_has_no_unpartitioned_window(spark):
+    """The whole point of the operator: the plan's windows are all
+    PARTITIONED (plan line `Window [fns], [part], [order]`), unlike the
+    naive global ROW_NUMBER."""
+    from transfer_spark.workloads import QUERIES
+
+    fn, _ = QUERIES["global_row_index"]
+    plan = (
+        fn(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert line.count("], [") >= 2, (
+                "unpartitioned WindowExec in global_row_index:\n" + line
+            )

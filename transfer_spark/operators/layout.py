@@ -56,3 +56,113 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by: list[Column],
+    value: Column,
+    out_col: str = "cum",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Inclusive prefix sum of ``value`` in global ``order_by`` order
+    WITHOUT a single-partition window — the distributed two-phase scan:
+
+    1. range-partition on the sort keys (partitions own disjoint,
+       ordered key ranges);
+    2. one bounded-metadata job collects the per-partition totals
+       (``num_partitions`` rows, never data);
+    3. the exclusive partition offsets embed back into the plan as one
+       array literal, and each partition computes its LOCAL running sum
+       (WindowExec partitioned by partition id) plus its offset.
+
+    Equal to ``SUM(value) OVER (ORDER BY ...)`` whenever the sort keys
+    are unique (range boundaries then cut the global order cleanly —
+    callers must pass a tie-free key list, append an id column if
+    needed). A naive global window is the classic scale-killer: every
+    row through ONE task; this shape keeps the only global object at
+    ``num_partitions`` longs.
+    """
+    from pyspark.sql.window import Window
+
+    # Pin the partitioning: the offsets job and the final job must see
+    # the SAME range boundaries, and RangePartitioner re-samples per
+    # evaluation (boundaries can shift between jobs when the scan
+    # splits differently). One eager materialization of (row, pid).
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        r["__pid"]: r["t"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(value).alias("t"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(num_partitions):
+        offsets.append(acc)
+        acc += int(totals.get(pid, 0) or 0)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ranged.withColumn(
+        out_col,
+        F.sum(value).over(w)
+        + F.element_at(F.lit(offsets), F.col("__pid") + F.lit(1)),
+    ).drop("__pid")
+
+
+def global_row_index(
+    df: DataFrame,
+    order_by: list[Column],
+    out_col: str = "row_idx",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Contiguous 0-based global index in ``order_by`` order — the
+    sequence-id assignment a sharded training run needs (``ROW_NUMBER()
+    OVER (ORDER BY ...) - 1``), as a prefix COUNT through
+    :func:`global_cumsum`'s two-phase shape: no single-partition
+    window, no ``zipWithIndex`` RDD round-trip, and unlike
+    ``monotonically_increasing_id`` the ids are dense and stable under
+    re-partitioning of the input."""
+    return global_cumsum(
+        df, order_by, F.lit(1).cast("long"), out_col, num_partitions
+    ).withColumn(out_col, F.col(out_col) - F.lit(1))
+
+
+def compaction_plan(
+    files: DataFrame,
+    size_col: str,
+    order_by: list[Column],
+    target_bytes: int,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Assign each file of an inventory to a coalesce group of roughly
+    ``target_bytes`` — the planning half of small-file compaction (the
+    reference's micro-batch flush cadence lands one file per flush per
+    partition, so sinks accrete small files; OPTIMIZE-style maintenance
+    re-binds them into scan-efficient sizes).
+
+    Deterministic next-fit by running total: files are laid out in
+    ``order_by`` order (pass size-descending first so big files seed
+    bins) and file i lands in bin ``floor(prefix_bytes_before_i /
+    target)`` — pure integer arithmetic any engine reproduces, unlike
+    first-fit-decreasing whose bin state is inherently sequential.
+    Every bin's total stays under ``target_bytes`` plus one file.
+
+    The inventory is METADATA (one row per file): the plan never
+    touches file contents, and the only global step is
+    :func:`global_cumsum`'s bounded offset collect."""
+    with_cum = global_cumsum(
+        files, order_by, F.col(size_col).cast("long"), "__cum"
+    )
+    # integer `div`, not float `/`: exact at any byte count (a double
+    # round-trip drifts past 2^53 cumulative bytes)
+    return with_cum.withColumn(
+        bin_col,
+        F.expr(f"(__cum - {size_col}) div {int(target_bytes)}"),
+    ).drop("__cum")

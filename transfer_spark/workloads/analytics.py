@@ -547,6 +547,73 @@ FROM (
     return " UNION ALL ".join(parts)
 
 
+def q_global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0-based global row ids over lineitem in (orderkey,
+    linenumber) order — the sequence-id assignment a sharded training
+    run (or a deterministic pagination/backfill cursor) needs. The
+    naive form is ``ROW_NUMBER() OVER (ORDER BY ...)``: one task sorts
+    the world. This runs operators/layout.py:global_row_index — range
+    partition, per-partition local rank, broadcast exclusive offsets
+    (num_partitions longs of driver state), so the plan's only window
+    is PARTITIONED and the 100 TB shape is one range shuffle."""
+    from transfer_spark.operators.layout import global_row_index
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    return global_row_index(
+        li, [F.col("l_orderkey"), F.col("l_linenumber")]
+    )
+
+
+ORACLE_GLOBAL_ROW_INDEX = """
+SELECT l_orderkey, l_linenumber,
+       ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS row_idx
+FROM lineitem
+"""
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning: bin a file inventory into
+    ~256 KiB coalesce groups. Micro-batch flush cadence (the
+    reference's per-flush file per table partition,
+    processes/consumer/flush.go) accretes small files at parquet
+    sinks; OPTIMIZE-style maintenance re-binds them. The inventory
+    here is derived deterministically from documents ((source, doc_id
+    mod 40) chunk = one "file", bytes = octet sum) so both engines see
+    identical metadata; the planner itself
+    (operators/layout.py:compaction_plan) is next-fit by distributed
+    prefix sum — metadata-only, no single-partition window, exact
+    integer arithmetic."""
+    from transfer_spark.operators.layout import compaction_plan
+
+    d = _t(spark, sf_dir, "documents")
+    files = d.groupBy(
+        F.col("source"), (F.col("doc_id") % 40).alias("chunk")
+    ).agg(F.sum(F.octet_length("text")).cast("long").alias("bytes"))
+    return compaction_plan(
+        files,
+        "bytes",
+        [F.col("bytes").desc(), F.col("source"), F.col("chunk")],
+        target_bytes=262144,
+    )
+
+
+ORACLE_COMPACTION_PLAN = """
+WITH files AS (
+  SELECT source, doc_id % 40 AS chunk,
+         CAST(SUM(strlen(text)) AS BIGINT) AS bytes
+  FROM documents GROUP BY source, doc_id % 40
+), ordered AS (
+  SELECT source, chunk, bytes,
+    CAST(SUM(bytes) OVER (ORDER BY bytes DESC, source, chunk
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM files
+)
+SELECT source, chunk, bytes,
+       CAST((cum - bytes) // 262144 AS BIGINT) AS bin
+FROM ordered
+"""
+
+
 _PROFILE_COLS = [
     # (name, numeric?) — numeric cols get min/max, strings get NULLs there
     ("o_orderkey", True),
@@ -2987,6 +3054,8 @@ FROM per_cust
     "identity_stitch": (q_identity_stitch, ORACLE_IDENTITY_STITCH),
     "streaming_identity_stitch": (q_identity_stitch_stream, ORACLE_IDENTITY_STITCH),
     "zonemap_prune_report": (q_zonemap_prune_report, _zonemap_oracle()),
+    "global_row_index": (q_global_row_index, ORACLE_GLOBAL_ROW_INDEX),
+    "compaction_plan": (q_compaction_plan, ORACLE_COMPACTION_PLAN),
     "dq_relationship_profile": (q_relationship_profile, _relationship_profile_sql()),
     "dq_cardinality_audit": (q_cardinality_audit, _cardinality_audit_sql()),
     "dq_k_anonymity": (q_k_anonymity, ORACLE_K_ANONYMITY),
