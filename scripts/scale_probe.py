@@ -408,6 +408,35 @@ def main():
         probe("audio_segments", dc, _audio_seg),
     ]
 
+    # global row index: one range shuffle + PARTITIONED local window +
+    # a num_partitions-long offset collect — the whole point is that
+    # none of those grow with row count except the linear scan itself.
+    # The operator materializes its range partitioning eagerly at
+    # construction (boundary pinning), so time build+execute end-to-end
+    # (identity_stitch pattern), not just the final write.
+    if not _ONLY or "global_row_index" in _ONLY:
+        from transfer_spark.operators.layout import global_row_index
+
+        gri_out = {"op": "global_row_index", "rep": REP}
+        for label, factor in (("t1", 1), ("tN", REP)):
+            d = li(factor).select("l_orderkey", "l_linenumber", "l_suppkey")
+            t0 = time.perf_counter()
+            frame = global_row_index(
+                d,
+                [F.col("l_orderkey"), F.col("l_suppkey"),
+                 F.col("l_linenumber")],
+            )
+            frame.write.format("noop").mode("overwrite").save()
+            gri_out[label] = round(time.perf_counter() - t0, 2)
+            from transfer_spark.plans.report import plan_report
+
+            rep_ = plan_report(frame, execute=False)
+            gri_out[f"shuffles_{label}"] = rep_["shuffle_exchanges"]
+            gri_out[f"python_{label}"] = rep_["python_stages"]
+        gri_out["ratio"] = round(gri_out["tN"] / gri_out["t1"], 2)
+        print(json.dumps(gri_out), flush=True)
+        results += [gri_out]
+
     # round-7 privacy/eval wave
     from transfer_spark.operators.redact import SCRUB_RULES
 
