@@ -866,3 +866,26 @@ def test_global_row_index_plan_has_no_unpartitioned_window(spark):
             assert line.count("], [") >= 2, (
                 "unpartitioned WindowExec in global_row_index:\n" + line
             )
+
+
+def test_equal_size_shards_layout_and_order(spark, tmp_path):
+    """Every shard dir holds exactly rows_per_shard rows (last partial),
+    and reading any shard back in row_idx order reproduces the global
+    slice [s*K, (s+1)*K) of the sort order."""
+    from transfer_spark.operators.layout import write_equal_shards
+
+    df = spark.createDataFrame(
+        [((i * 7919) % 1009,) for i in range(1009)], "k long"
+    )
+    path = str(tmp_path / "shards")
+    write_equal_shards(df, [F.col("k")], 100, path, num_partitions=8)
+    back = spark.read.parquet(path)
+    sizes = {
+        r.shard: r.n
+        for r in back.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sorted(sizes) == list(range(11))
+    assert all(sizes[s] == 100 for s in range(10)) and sizes[10] == 9
+    rows = back.filter(F.col("shard") == 3).orderBy("row_idx").collect()
+    assert [r.k for r in rows] == list(range(300, 400))
+    assert [r.row_idx for r in rows] == list(range(300, 400))

@@ -166,3 +166,45 @@ def compaction_plan(
         bin_col,
         F.expr(f"(__cum - {size_col}) div {int(target_bytes)}"),
     ).drop("__cum")
+
+
+def equal_size_shards(
+    df: DataFrame,
+    order_by: list[Column],
+    rows_per_shard: int,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Assign every row to an EXACT-size ordered shard: shard ``s``
+    holds rows ``[s*K, (s+1)*K)`` of the global ``order_by`` order
+    (last shard partial). The complement of the hash sharder
+    (operators/text.py:corpus_shard_shuffle, whose shard sizes are
+    binomial): packed-sequence export and resumable training cursors
+    want every shard byte-budgeted and the (shard, offset) of any
+    global index computable in O(1). Adds ``row_idx`` and ``shard``;
+    cost = :func:`global_row_index`'s one range shuffle."""
+    return global_row_index(
+        df, order_by, num_partitions=num_partitions
+    ).withColumn(
+        "shard", F.expr(f"row_idx div {int(rows_per_shard)}").cast("int")
+    )
+
+
+def write_equal_shards(
+    df: DataFrame,
+    order_by: list[Column],
+    rows_per_shard: int,
+    path: str,
+    num_partitions: int = 32,
+) -> None:
+    """Materialize equal-size ordered shards as ``shard=N`` parquet
+    directories, rows sorted by ``row_idx`` within each shard (one
+    writer task per shard: the pre-write shuffle is ON the shard id,
+    so files never interleave shards)."""
+    (
+        equal_size_shards(df, order_by, rows_per_shard, num_partitions)
+        .repartition(F.col("shard"))
+        .sortWithinPartitions("row_idx")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
