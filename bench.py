@@ -94,6 +94,33 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     errors: dict[str, str] = {}
 
+    # Box-speed calibration: a fixed synthetic shuffle (range -> 1024-key
+    # groupBy sum), min of 2. The container's shuffle path drifts ~30%
+    # between rounds (r7 measured the r6 TREE at 17.4s on the r7 box vs
+    # its committed 13.6s — SCALE.md "Cross-round box variance"), so
+    # cross-round comparisons should normalize by this denominator, not
+    # read raw totals.
+    def _calib() -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            (
+                spark.range(20_000_000)
+                .groupBy((F.col("id") % 1024).alias("k"))
+                .agg(F.sum("id").alias("s"))
+                .write.format("noop").mode("overwrite").save()
+            )
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    try:
+        from pyspark.sql import functions as F
+
+        calib = _calib()
+    except Exception as exc:  # noqa: BLE001
+        calib = None
+        print(f"bench: calibration failed: {exc}", file=sys.stderr)
+
     def _run_set(names: list[str]) -> dict[str, float | None]:
         timings: dict[str, float | None] = {}
         for name in names:
@@ -130,6 +157,7 @@ def main() -> None:
                 "queries": timings,
                 "llm_total": llm_total,
                 "llm_queries": llm_timings,
+                "calib_shuffle_sec": calib,
                 "sf": sf,
                 **({"errors": errors} if errors else {}),
             }
