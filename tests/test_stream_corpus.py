@@ -295,3 +295,66 @@ def test_decontamination_gate_refuses_before_dedup(spark, tmp_path):
     assert got1[3] == ("contaminated", None)  # not exact_index_dup
     assert got1[4] == ("exact_index_dup", 2)
     assert {r.doc_id for r in ing.corpus().collect()} == {2}
+
+
+# ---------------------------------------------------------- row index store
+def test_incremental_row_index_blocks_and_replay(spark, tmp_path):
+    """Three batches get contiguous disjoint id blocks equal to the
+    one-shot numbering of (batch, key) order; a replayed epoch is a
+    no-op; a crash between the partition write and the watermark commit
+    replays into identical ids."""
+    from transfer_spark.streaming.row_index import IncrementalRowIndex
+
+    ing = IncrementalRowIndex(spark, str(tmp_path / "ridx"), ["k"])
+    batches = [
+        [(3,), (1,), (9,)],
+        [(7,), (2,)],
+        [(5,), (8,), (4,), (6,)],
+    ]
+    expect, nxt = {}, 0
+    for b in batches:
+        for k in sorted(x[0] for x in b):
+            expect[k] = nxt
+            nxt += 1
+    for i, b in enumerate(batches):
+        out = ing.process_batch(spark.createDataFrame(b, "k long"), batch_id=i)
+        assert out is not None
+    got = {r.k: r.row_idx for r in ing.rows().collect()}
+    assert got == expect
+    # replayed epoch: structural no-op
+    assert ing.process_batch(
+        spark.createDataFrame([(99,)], "k long"), batch_id=2
+    ) is None
+    assert {r.k: r.row_idx for r in ing.rows().collect()} == expect
+
+    # torn batch: partition written but watermark not committed
+    b3 = spark.createDataFrame([(11,), (10,)], "k long")
+    ing.process_batch(b3, batch_id=3)
+    # simulate the crash by rolling the watermark back to batch 2
+    ing._commit(nxt, 2)
+    replay = ing.process_batch(b3, batch_id=3)
+    assert replay is not None
+    got = {r.k: r.row_idx for r in ing.rows().collect()}
+    assert got == {**expect, 10: nxt, 11: nxt + 1}
+
+
+def test_incremental_row_index_streaming_driver(spark, tmp_path):
+    """foreachBatch end-to-end over a file stream == the batch store."""
+    import os
+    from transfer_spark.streaming.row_index import IncrementalRowIndex
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame([(2,), (4,)], "k long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "b0"))
+    stream = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    ing = IncrementalRowIndex(spark, str(tmp_path / "ridx2"), ["k"])
+    q = ing.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {r.k: r.row_idx for r in ing.rows().collect()}
+    assert got == {2: 0, 4: 1}

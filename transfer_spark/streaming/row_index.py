@@ -1,0 +1,127 @@
+"""Incremental global row index: dense, stable sequence ids for an
+append-only corpus, assigned per micro-batch.
+
+The batch operator (``operators/layout.py:global_row_index``) numbers a
+corpus it can see whole. At production cadence documents arrive in
+micro-batches and the ids already handed out must never move — a
+training run's resumable cursor (epoch position = global row offset)
+and shard manifests depend on them. This store assigns each batch the
+next contiguous block:
+
+1. number the batch internally with the two-phase distributed index
+   (one range shuffle, PARTITIONED window, bounded offset collect —
+   never a single-task global sort);
+2. add the committed ``next_idx`` base;
+3. land the batch as its own ``ingest_batch=N`` parquet partition and
+   advance the ``(next_idx, batch_id)`` watermark atomically.
+
+Replay safety follows the corpus-ingest contract: a replayed epoch
+(``batch_id <= committed``) is a structural no-op, and a crash between
+the partition write and the watermark commit replays into an overwrite
+of the same partition with identical ids (the base comes from the
+COMMITTED watermark, and intra-batch numbering is deterministic in the
+batch's own sort keys).
+
+Reference parity: the reference tracks per-partition consumer offsets
+and commits them only after a successful flush
+(processes/consumer/flush.go) — this is the same high-water-mark
+idempotence, applied to id assignment instead of offset commit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transfer_spark.streaming.statefs import LocalStateFS
+
+
+class IncrementalRowIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        order_by: list[str],
+        num_partitions: int = 32,
+        fs=None,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.order_by = list(order_by)
+        self.num_partitions = num_partitions
+        self.fs = fs if fs is not None else LocalStateFS()
+        self.rows_path = os.path.join(path, "rows")
+        self.fs.makedirs(path)
+
+    # -- watermark: "<next_idx>,<batch_id>" ----------------------------
+    def _state(self) -> tuple[int, int]:
+        p = os.path.join(self.path, "_BATCH")
+        if not self.fs.exists(p):
+            return 0, -1
+        nxt, bid = self.fs.read_text(p).strip().split(",")
+        return int(nxt), int(bid)
+
+    def _commit(self, next_idx: int, batch_id: int) -> None:
+        self.fs.write_text_atomic(
+            os.path.join(self.path, "_BATCH"), f"{next_idx},{batch_id}"
+        )
+
+    def rows(self) -> DataFrame | None:
+        if not self.fs.exists(self.rows_path) or not any(
+            n.startswith("ingest_batch=") for n in self.fs.listdir(self.rows_path)
+        ):
+            return None
+        return self.spark.read.parquet(self.rows_path)
+
+    def process_batch(
+        self, df: DataFrame, batch_id: int | None = None
+    ) -> DataFrame | None:
+        """Assign this batch the next contiguous id block; returns the
+        indexed frame (input columns + ``row_idx``), or None on a
+        replayed epoch."""
+        from transfer_spark.operators.layout import global_row_index
+
+        base, committed = self._state()
+        if batch_id is not None and batch_id <= committed:
+            return None
+        if batch_id is None:
+            batch_id = committed + 1
+
+        idx = global_row_index(
+            df,
+            [F.col(c) for c in self.order_by],
+            num_partitions=self.num_partitions,
+        ).withColumn("row_idx", F.col("row_idx") + F.lit(base))
+        # the operator pinned its partitioning eagerly, so this count is
+        # a bounded job over checkpointed blocks — no source re-read
+        n = idx.count()
+        if n:
+            idx.write.mode("overwrite").parquet(
+                os.path.join(self.rows_path, f"ingest_batch={batch_id}")
+            )
+        self._commit(base + n, batch_id)
+        return idx
+
+    def start(
+        self,
+        stream: DataFrame,
+        checkpoint: str,
+        sink=None,
+        trigger_once: bool = True,
+    ):
+        """``foreachBatch`` driver: the epoch id feeds the watermark, so
+        checkpoint-recovery redelivery is a structural no-op."""
+
+        def _batch(bdf, epoch: int) -> None:
+            out = self.process_batch(bdf, batch_id=epoch)
+            if out is not None and sink is not None:
+                sink(out, epoch)
+
+        writer = stream.writeStream.foreachBatch(_batch).option(
+            "checkpointLocation", checkpoint
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -3825,8 +3825,36 @@ FROM scored
 """
 
 
+def q_streaming_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental global row index (streaming/row_index.py): two
+    micro-batches (even doc_ids, then odd) each get the next contiguous
+    id block, batch-internal order by doc_id. Ids are dense across the
+    whole ingest and stable once assigned — the resumable-cursor
+    contract. Expressible as one SQL window because block order ==
+    (batch, doc_id) order."""
+    import tempfile
+
+    from transfer_spark.streaming.row_index import IncrementalRowIndex
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    ing = IncrementalRowIndex(
+        spark, tempfile.mkdtemp(prefix="artie_row_idx_"), ["doc_id"]
+    )
+    v0 = ing.process_batch(d.filter(F.col("doc_id") % 2 == 0), batch_id=0)
+    v1 = ing.process_batch(d.filter(F.col("doc_id") % 2 == 1), batch_id=1)
+    return v0.unionByName(v1)
+
+
+ORACLE_STREAMING_ROW_INDEX = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY doc_id % 2, doc_id) - 1 AS row_idx
+FROM documents
+"""
+
+
 QUERIES = {
     "pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
+    "streaming_row_index": (q_streaming_row_index, ORACLE_STREAMING_ROW_INDEX),
     "pii_hit_report": (q_pii_hit_report, _pii_hit_report_sql()),
     "gopher_quality_gate": (q_gopher_quality, ORACLE_GOPHER),
     "doc_chunk_windows": (q_chunk_windows, ORACLE_CHUNKS),
