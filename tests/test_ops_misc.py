@@ -889,3 +889,85 @@ def test_equal_size_shards_layout_and_order(spark, tmp_path):
     rows = back.filter(F.col("shard") == 3).orderBy("row_idx").collect()
     assert [r.k for r in rows] == list(range(300, 400))
     assert [r.row_idx for r in rows] == list(range(300, 400))
+
+
+def _write_tables(spark, tmp_path, **tables):
+    for name, df in tables.items():
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"{name}.parquet")
+        )
+    return str(tmp_path)
+
+
+def test_l_diversity_flags_homogeneous_class(spark, tmp_path):
+    """A class that is comfortably k-anonymous (large n) but sensitive-
+    homogeneous (l=1) must be flagged below every threshold, while a
+    3-segment class clears l_min=2,3 and trips only l_min=5."""
+    from transfer_spark.workloads.analytics import q_l_diversity
+
+    rows = [(i, 1, "SEG_A", 1000.0) for i in range(10)]          # l=1
+    rows += [(100 + i, 2, f"SEG_{c}", 1000.0)                     # l=3
+             for i, c in enumerate("XYZXYZ")]
+    cust = spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey long, c_mktsegment string,"
+        " c_acctbal double"
+    )
+    sf = _write_tables(spark, tmp_path, customer=cust)
+    out = {r.l_min: r for r in q_l_diversity(spark, sf).collect()}
+    assert out[2].n_classes == 2
+    assert out[2].n_classes_below == 1 and out[2].n_rows_below == 10
+    assert out[3].n_classes_below == 1
+    assert out[5].n_classes_below == 2 and out[5].n_rows_below == 16
+    assert out[2].rows_at_risk_ppm == 10 * 1_000_000 // 16
+
+
+def test_brand_price_ols_recovers_planted_line(spark, tmp_path):
+    """Plant y = 250_000x + 1_000_000 cents exactly (r2 = 1) for one
+    brand and a noisy anti-correlated brand; the closed-form moments
+    must recover the line ppm-exactly and the reduced-unit r2 must be
+    ~1e6 for the exact fit and far below for the noisy one."""
+    from transfer_spark.workloads.analytics import q_brand_price_ols
+
+    part = spark.createDataFrame(
+        [(1, "B#exact"), (2, "B#noisy")], "p_partkey long, p_brand string"
+    )
+    li_rows = []
+    # exact: price dollars = (250000*x + 1000000)/100 so cents are exact
+    for i, x in enumerate(range(10, 20)):
+        li_rows.append((1, float(x), (250_000 * x + 1_000_000) / 100.0))
+    # noisy: alternating sign around a falling line
+    for i, x in enumerate(range(10, 20)):
+        cents = 5_000_000 - 100_000 * x + (777_777 if i % 2 else -777_777)
+        li_rows.append((2, float(x), cents / 100.0))
+    li = spark.createDataFrame(
+        li_rows, "l_partkey long, l_quantity double, l_extendedprice double"
+    )
+    sf = _write_tables(spark, tmp_path, lineitem=li, part=part)
+    out = {r.p_brand: r for r in q_brand_price_ols(spark, sf).collect()}
+
+    def py_ols(pts):
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+        num = n * sxy - sx * sy
+        den_x = n * sxx - sx * sx; den_y = n * syy - sy * sy
+        def tdiv(a, b):  # trunc-toward-zero like Spark DIV / DuckDB //
+            q = abs(a) // abs(b)
+            return q if (a >= 0) == (b >= 0) else -q
+        slope = tdiv(num * 1_000_000, den_x)
+        intercept = tdiv(sy * 1_000_000 - slope * sx, n)
+        nk = abs(num) // 1_000_000
+        r2 = tdiv(nk * nk * 1_000_000, den_x * (den_y // 10**12))
+        return slope, intercept, r2
+
+    for brand, pk in (("B#exact", 1), ("B#noisy", 2)):
+        pts = [(int(x), round(p * 100)) for k, x, p in li_rows if k == pk]
+        slope, intercept, r2 = py_ols(pts)
+        r = out[brand]
+        assert (r.slope_ppm, r.intercept_ppm, r.r2_ppm) == (
+            slope, intercept, r2
+        ), brand
+    assert out["B#exact"].slope_ppm == 250_000 * 1_000_000
+    assert out["B#exact"].intercept_ppm == 1_000_000 * 1_000_000
+    assert out["B#noisy"].slope_ppm < 0

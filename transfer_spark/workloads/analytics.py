@@ -2991,6 +2991,172 @@ WHERE NOT EXISTS (
 """
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion gate to [[dq_k_anonymity]]:
+    a class can be large (k-anonymous) yet still leak if every member
+    shares the same sensitive value. QI = (nation, account-balance
+    bucket); sensitive attribute = market segment; report = classes
+    whose distinct-sensitive count l falls below {2, 3, 5} and the
+    at-risk row share.
+
+    Same integer-cents DIV bucketing as the k-anonymity gate (trunc
+    toward zero on both engines). One grouping pass computes n and l
+    per class; the per-threshold report runs on the tiny class frame.
+    At 100 TB this is one hash aggregate on the QI key — the distinct
+    count is a two-level partial aggregate, no extra shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    bucket = F.expr(
+        "CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) DIV 100000"
+    )
+    classes = (
+        c.groupBy("c_nationkey", bucket.alias("bal_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("c_mktsegment").alias("l"),
+        )
+        .select("n", "l")
+    )
+    total = classes.agg(
+        F.sum("n").alias("total_rows"), F.count(F.lit(1)).alias("n_classes")
+    )
+    out = None
+    for l_min in (2, 3, 5):
+        rep = (
+            classes.crossJoin(F.broadcast(total))
+            .agg(
+                F.lit(l_min).cast("long").alias("l_min"),
+                F.max("n_classes").cast("long").alias("n_classes"),
+                F.sum((F.col("l") < l_min).cast("long")).cast("long")
+                .alias("n_classes_below"),
+                F.sum(F.when(F.col("l") < l_min, F.col("n")).otherwise(0))
+                .cast("long").alias("n_rows_below"),
+                F.max("total_rows").alias("__t"),
+            )
+            .select(
+                "l_min", "n_classes", "n_classes_below", "n_rows_below",
+                F.expr("n_rows_below * 1000000 DIV __t")
+                .alias("rows_at_risk_ppm"),
+            )
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+ORACLE_L_DIVERSITY = """
+WITH classes AS (
+  SELECT count(*) AS n, count(DISTINCT c_mktsegment) AS l
+  FROM customer
+  GROUP BY c_nationkey,
+           CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) // 100000
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS n_classes
+  FROM classes
+), ls AS (SELECT unnest([2, 3, 5]) AS l_min)
+SELECT CAST(l_min AS BIGINT) AS l_min, n_classes,
+  CAST(SUM(CASE WHEN l < l_min THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_classes_below,
+  CAST(SUM(CASE WHEN l < l_min THEN n ELSE 0 END) AS BIGINT)
+    AS n_rows_below,
+  CAST(SUM(CASE WHEN l < l_min THEN n ELSE 0 END) * 1000000 // total_rows
+       AS BIGINT) AS rows_at_risk_ppm
+FROM classes CROSS JOIN t CROSS JOIN ls
+GROUP BY l_min, n_classes, total_rows
+"""
+
+
+def q_brand_price_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form distributed OLS — regress line price (cents) on
+    quantity per part brand from one pass of moment sums (n, Σx, Σy,
+    Σxy, Σx², Σy²). The classic "ML-lite on an engine" shape: the
+    regression itself is O(groups) driver-free arithmetic on a tiny
+    aggregate frame; the 100 TB cost is exactly one map-side-combinable
+    hash aggregate over the fact scan with the part dim broadcast.
+
+    Integer-exact end to end: x = quantity (integral), y = price cents;
+    Σy² accumulates in DECIMAL(38,0) (cents² × row count exceeds
+    int64); slope/intercept/r² published as ppm via truncating integer
+    division (identical trunc-toward-zero on both engines; r²'s square
+    is computed on magnitude-reduced units so it stays inside
+    DECIMAL(38) at any SF)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = F.col("l_quantity").cast("long")
+    y = F.expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand", x.alias("x"), y.alias("y")
+    )
+    d38 = "decimal(38,0)"
+    m = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+        F.sum((F.col("y").cast(d38) * F.col("y").cast(d38))).alias("syy"),
+    )
+    return (
+        m.select(
+            "p_brand",
+            F.expr("CAST(n AS BIGINT)").alias("n"),
+            F.expr("n * sxy - sx * sy").alias("num"),
+            F.expr("n * sxx - sx * sx").alias("den_x"),
+            F.expr("n * syy - sy * sy").alias("den_y"),
+            "sx", "sy",
+        )
+        .select(
+            "p_brand", "n",
+            F.expr("CAST(num * 1000000 DIV den_x AS BIGINT)")
+            .alias("slope_ppm"),
+            F.expr(
+                "CAST((sy * 1000000 - (num * 1000000 DIV den_x) * sx)"
+                " DIV (n) AS BIGINT)"
+            ).alias("intercept_ppm"),
+            F.expr(
+                "CAST((CAST(abs(num) DIV 1000000 AS DECIMAL(38,0))"
+                " * CAST(abs(num) DIV 1000000 AS DECIMAL(38,0))"
+                " * 1000000) DIV (den_x * (den_y DIV 1000000000000))"
+                " AS BIGINT)"
+            ).alias("r2_ppm"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_BRAND_PRICE_OLS = """
+WITH pts AS (
+  SELECT p_brand,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), m AS (
+  SELECT p_brand,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+         SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+  FROM pts GROUP BY p_brand
+), d AS (
+  SELECT p_brand, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den_x,
+         n * syy - sy * sy AS den_y,
+         sx, sy
+  FROM m
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n,
+  CAST(num * 1000000 // den_x AS BIGINT) AS slope_ppm,
+  CAST((sy * 1000000 - (num * 1000000 // den_x) * sx) // n AS BIGINT)
+    AS intercept_ppm,
+  CAST(((abs(num) // 1000000) * (abs(num) // 1000000) * 1000000)
+       // (den_x * (den_y // 1000000000000)) AS BIGINT) AS r2_ppm
+FROM d
+ORDER BY p_brand
+"""
+
+
 QUERIES = {
     "olap_pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "olap_order_priority_check": (q_order_priority_check, ORACLE_Q4),
@@ -3059,6 +3225,8 @@ FROM per_cust
     "dq_relationship_profile": (q_relationship_profile, _relationship_profile_sql()),
     "dq_cardinality_audit": (q_cardinality_audit, _cardinality_audit_sql()),
     "dq_k_anonymity": (q_k_anonymity, ORACLE_K_ANONYMITY),
+    "dq_l_diversity": (q_l_diversity, ORACLE_L_DIVERSITY),
+    "brand_price_ols": (q_brand_price_ols, ORACLE_BRAND_PRICE_OLS),
     "events_attribution_cross_device": (q_attribution_cross_device, ORACLE_ATTRIBUTION_CROSS_DEVICE),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
     "parts_ordered_semi": (q_parts_ordered_semi, ORACLE_SEMI),
