@@ -453,3 +453,39 @@ def test_skyline_matches_bruteforce_on_crafted_points(spark):
         )
     }
     assert got == want
+
+
+def test_mg_accumulator_guarantee_and_merge(spark, tmp_path):
+    """The MG invariants: <=k counters after every batch; counts never
+    overestimate; estimate + err >= true count for every SURVIVOR; a
+    batch with <=k distinct items merged into empty state is exact; and
+    a heavy item survives any merge sequence where its mass exceeds the
+    total subtracted offset."""
+    from transfer_spark.streaming.sketch_accum import MgAccumulator
+
+    acc = MgAccumulator(spark, str(tmp_path / "mg"), "v", k=3)
+    # batch 1: 2 distinct items <= k -> exact, err 0
+    b1 = spark.createDataFrame([("hot",)] * 5 + [("a",)] * 2, "v string")
+    s1 = {r.item: (r.cnt, r.err) for r in acc.apply_batch(b1).collect()}
+    assert s1 == {"hot": (5, 0), "a": (2, 0)}
+
+    # batch 2: 4 more items; merged has 6 > k=3 -> subtract 4th largest
+    b2 = spark.createDataFrame(
+        [("hot",)] * 4 + [("b",)] * 3 + [("c",)] * 2 + [("d",)], "v string"
+    )
+    s2 = {r.item: (r.cnt, r.err) for r in acc.apply_batch(b2).collect()}
+    # merged: hot 9, b 3, a 2, c 2, d 1 -> 4th largest = 2 (a/c tie)
+    # survivors strictly above the offset: hot 7, b 1
+    assert s2 == {"hot": (9 - 2, 2), "b": (3 - 2, 2)}
+    assert len(s2) <= 3
+
+    true = {"hot": 9, "a": 2, "b": 3, "c": 2, "d": 1}
+    for item, (cnt, err) in s2.items():
+        assert cnt <= true[item] and cnt + err >= true[item]
+
+    # dropped item returns: its old mass is forgotten (the MG bound),
+    # err restarts from the new batch's offsets only
+    b3 = spark.createDataFrame([("a",)] * 6, "v string")
+    s3 = {r.item: (r.cnt, r.err) for r in acc.apply_batch(b3).collect()}
+    # merged: hot 7(err2), a 6(err0), b 1(err2) -> 3 counters <= k, no prune
+    assert s3 == {"hot": (7, 2), "a": (6, 0), "b": (1, 2)}

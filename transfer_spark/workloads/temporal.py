@@ -1135,6 +1135,79 @@ SELECT lane, bucket, CAST(SUM(c) AS BIGINT) AS cnt FROM cells GROUP BY lane, buc
 """
 
 
+def q_mg_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters accumulated over two micro-batches
+    (streaming/sketch_accum.MgAccumulator). Unlike CMS/KMV the state is
+    NOT one-pass-equal — the contract is the deterministic merge rule
+    (sum counters, subtract the (k+1)-th largest, drop non-positive),
+    so the oracle replays the same two merges unrolled in SQL. ``err``
+    carries each surviving counter's accumulated subtraction — the
+    MG underestimate bound the caller reports."""
+    import tempfile
+
+    from transfer_spark.streaming.sketch_accum import MgAccumulator
+
+    ev = read_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        ((F.min("event_id") + F.max("event_id")) / 2).cast("long")
+    ).first()[0]
+    acc = MgAccumulator(
+        spark, tempfile.mkdtemp(prefix="artie_mg_acc_"), "user_id", k=16
+    )
+    acc.apply_batch(ev.filter(F.col("event_id") <= mid))
+    return acc.apply_batch(ev.filter(F.col("event_id") > mid))
+
+
+ORACLE_MG_STREAMING = """
+WITH mid AS (
+  SELECT (min(event_id) + max(event_id)) // 2 AS m FROM events
+),
+b1 AS (
+  SELECT user_id AS item, CAST(count(*) AS BIGINT) AS cnt
+  FROM events, mid WHERE event_id <= m GROUP BY 1
+),
+r1 AS (
+  SELECT item, cnt,
+         row_number() OVER (ORDER BY cnt DESC, item) AS rk,
+         count(*) OVER () AS n
+  FROM b1
+),
+o1 AS (
+  SELECT CASE WHEN max(n) > 16
+              THEN max(CASE WHEN rk = 17 THEN cnt END) ELSE 0 END AS off
+  FROM r1
+),
+s1 AS (
+  SELECT item, cnt - off AS cnt, off AS err
+  FROM r1 CROSS JOIN o1 WHERE cnt - off > 0
+),
+b2 AS (
+  SELECT user_id AS item, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(0 AS BIGINT) AS err
+  FROM events, mid WHERE event_id > m GROUP BY 1
+),
+m2 AS (
+  SELECT item, CAST(SUM(cnt) AS BIGINT) AS cnt,
+         CAST(SUM(err) AS BIGINT) AS err
+  FROM (SELECT * FROM s1 UNION ALL SELECT * FROM b2) GROUP BY item
+),
+r2 AS (
+  SELECT item, cnt, err,
+         row_number() OVER (ORDER BY cnt DESC, item) AS rk,
+         count(*) OVER () AS n
+  FROM m2
+),
+o2 AS (
+  SELECT CASE WHEN max(n) > 16
+              THEN max(CASE WHEN rk = 17 THEN cnt END) ELSE 0 END AS off
+  FROM r2
+)
+SELECT item, CAST(cnt - off AS BIGINT) AS cnt,
+       CAST(err + off AS BIGINT) AS err
+FROM r2 CROSS JOIN o2 WHERE cnt - off > 0
+"""
+
+
 _SLO_PPM = 200_000  # error-budget SLO: 20% of events may be errors
 # alert threshold = 1.05x budget in BOTH windows; the synthetic stream's
 # error rate hovers AT the budget, so the rule exercises both branches
@@ -2859,6 +2932,7 @@ QUERIES = {
     "events_wow_change": (q_wow_change, ORACLE_WOW),
     "events_funnel_windowed": (q_funnel_windowed, ORACLE_FUNNEL_WINDOWED),
     "cms_streaming_accumulation": (q_cms_streaming, ORACLE_CMS_STREAMING),
+    "streaming_mg_heavy_hitters": (q_mg_streaming, ORACLE_MG_STREAMING),
     "kmv_streaming_accumulation": (q_kmv_streaming, ORACLE_KMV_STREAMING),
     "hll_streaming_accumulation": (q_hll_streaming, ORACLE_HLL_STREAMING),
     "events_slo_burn_alerts": (q_slo_burn, ORACLE_SLO_BURN),
