@@ -971,3 +971,35 @@ def test_brand_price_ols_recovers_planted_line(spark, tmp_path):
     assert out["B#exact"].slope_ppm == 250_000 * 1_000_000
     assert out["B#exact"].intercept_ppm == 1_000_000 * 1_000_000
     assert out["B#noisy"].slope_ppm < 0
+
+
+def test_power_iteration_finds_planted_dominant_axis(spark):
+    """Vectors drawn along a planted axis: the matrix-free power
+    iteration must converge to it (cosine vs numpy's exact eigenvector
+    > 0.999) with L-inf normalization pinned at exactly 1e6."""
+    import numpy as np
+
+    from transfer_spark.operators.similarity import (
+        power_iteration_top_component,
+    )
+
+    rng = np.random.RandomState(7)
+    axis = np.array([0.8, -0.4, 0.2, 0.1, 0.0, 0.0, 0.0, 0.0])
+    axis /= np.linalg.norm(axis)
+    pts = (
+        rng.normal(size=(200, 1)) * 3.0 @ axis[None, :]
+        + rng.normal(size=(200, 8)) * 0.05
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<float>",
+    )
+    out = power_iteration_top_component(df, dim=8, iters=3).collect()
+    v = np.array([r.v_micro for r in sorted(out, key=lambda r: r.dim_idx)])
+    assert int(np.max(np.abs(v))) == 1_000_000
+    # exact dominant eigenvector of the uncentered second moment
+    g = pts.T @ pts
+    evals, evecs = np.linalg.eigh(g)
+    top = evecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999

@@ -1016,3 +1016,70 @@ def ann_ivf_pq_topk(
             "rank",
         )
     )
+
+
+def power_iteration_top_component(
+    emb: DataFrame,
+    emb_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 3,
+) -> DataFrame:
+    """Dominant principal direction of the (uncentered) second-moment
+    matrix by matrix-free power iteration — the embedding-anisotropy /
+    rogue-dimension audit: one outsized component means the encoder
+    collapsed mass onto a single axis (cosine scores then saturate).
+
+    v_{t+1} = X^T (X v_t), renormalized to L-inf = 1e6 by integer
+    division. Never materializes the dim x dim Gram matrix: each
+    iteration is ONE scan — the dot x_i . v_t folds JVM-side over the
+    array with v_t embedded as a literal (driver state = dim longs, the
+    kmeans-centroid pattern), and X^T d reduces via posexplode to a
+    64-group hash aggregate with map-side partial combine, so the
+    per-iteration shuffle is 64 rows per task whatever the corpus size.
+
+    Integer-exact end to end: inputs quantized floor(x*1e6+0.5); dots
+    in int64 (dim * 1e6 * 1e6 bounded); the rank-1 accumulation in
+    DECIMAL(38,0); renormalization by trunc-toward-zero division —
+    identical arithmetic on both engines at any SF. Sign follows the
+    deterministic iteration (v_0 = all ones), not a convention."""
+    xm = F.transform(
+        F.col(emb_col).cast("array<double>"),
+        lambda e: F.floor(e * 1000000.0 + 0.5).cast("long"),
+    )
+    base = emb.select(xm.alias("xm")).persist()
+    try:
+        v = [10**6] * dim
+        out = None
+        for t in range(iters):
+            vlit = F.array(*[F.lit(int(c)).cast("long") for c in v])
+            dot = F.aggregate(
+                F.zip_with(F.col("xm"), vlit, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            contrib = base.select(
+                F.posexplode(
+                    F.transform(
+                        F.col("xm"),
+                        lambda x: dot.cast("decimal(38,0)") * x,
+                    )
+                ).alias("j", "c")
+            )
+            w = contrib.groupBy("j").agg(F.sum("c").alias("w"))
+            m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+            vf = w.crossJoin(F.broadcast(m)).select(
+                F.col("j").cast("long").alias("dim_idx"),
+                F.expr("CAST(w * 1000000 DIV m AS BIGINT)").alias("v_micro"),
+            )
+            if t == iters - 1:
+                out = vf.orderBy("dim_idx")
+            else:
+                v = [
+                    r.v_micro
+                    for r in sorted(vf.collect(), key=lambda r: r.dim_idx)
+                ]
+        return out
+    finally:
+        # lazy unpersist: the returned frame still reads `base`; Spark
+        # recomputes evicted blocks, so correctness is unaffected
+        base.unpersist(blocking=False)

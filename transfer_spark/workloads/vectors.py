@@ -1188,7 +1188,46 @@ FROM bf_g b LEFT JOIN lsh_g l USING (query_id)
 """
 
 
+def q_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding table by 3 rounds
+    of matrix-free power iteration (operators/similarity.py) — the
+    anisotropy / rogue-dimension audit. The oracle replays the same
+    three integer-exact iterations unrolled in SQL."""
+    return S.power_iteration_top_component(
+        _emb(spark, sf_dir), "embedding", dim=64, iters=3
+    )
+
+
+ORACLE_TOP_COMPONENT = """
+WITH ex AS (
+  SELECT vec_id,
+    unnest(list_transform(embedding::DOUBLE[],
+           x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))) AS x,
+    generate_subscripts(embedding, 1) - 1 AS j
+  FROM embeddings
+),
+d1 AS (SELECT vec_id, SUM(x) * 1000000 AS dot FROM ex GROUP BY vec_id),
+w1 AS (SELECT j, SUM(CAST(dot AS HUGEINT) * x) AS w
+       FROM ex JOIN d1 USING (vec_id) GROUP BY j),
+v1 AS (SELECT j, w * 1000000 // (SELECT max(abs(w)) FROM w1) AS v FROM w1),
+d2 AS (SELECT vec_id, SUM(x * v) AS dot
+       FROM ex JOIN v1 USING (j) GROUP BY vec_id),
+w2 AS (SELECT j, SUM(CAST(dot AS HUGEINT) * x) AS w
+       FROM ex JOIN d2 USING (vec_id) GROUP BY j),
+v2 AS (SELECT j, w * 1000000 // (SELECT max(abs(w)) FROM w2) AS v FROM w2),
+d3 AS (SELECT vec_id, SUM(x * v) AS dot
+       FROM ex JOIN v2 USING (j) GROUP BY vec_id),
+w3 AS (SELECT j, SUM(CAST(dot AS HUGEINT) * x) AS w
+       FROM ex JOIN d3 USING (vec_id) GROUP BY j)
+SELECT CAST(j AS BIGINT) AS dim_idx,
+       CAST(w * 1000000 // (SELECT max(abs(w)) FROM w3) AS BIGINT) AS v_micro
+FROM w3
+ORDER BY dim_idx
+"""
+
+
 QUERIES = {
+    "embedding_top_component": (q_top_component, ORACLE_TOP_COMPONENT),
     "ann_recall_audit": (q_ann_recall, _ann_recall_sql()),
     "embedding_matryoshka_audit": (q_matryoshka_audit, ORACLE_MATRYOSHKA),
     "embedding_quantize_int8": (q_quantize_int8, ORACLE_QUANTIZE),
