@@ -1,0 +1,98 @@
+"""Bucketed co-located join layout: pay the layout shuffle once at
+write time, join shuffle-free forever after — the repeated fact-fact
+join answer at 100 TB (SPARK's bucketing; the lakehouse analog of the
+reference's clustered staging tables)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from transfer_spark.operators.layout import write_bucketed
+from transfer_spark.plans.report import plan_report
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    from transfer_spark.session import read_table
+
+    tmp = tmp_path_factory.mktemp("bkt")
+    sf = "/root/testdata/sf0.001"
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    write_bucketed(o, "bkt_orders", "o_orderkey", 8,
+                   path=str(tmp / "o"))
+    write_bucketed(li, "bkt_lineitem", "l_orderkey", 8,
+                   path=str(tmp / "l"))
+    yield o, li
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_bucketed_join_runs_without_any_exchange(spark, bucketed):
+    """Both sides bucketed on the join key with equal bucket counts:
+    the SortMergeJoin consumes bucket i of each scan directly — the
+    final adaptive plan must contain ZERO exchanges of any kind, and
+    the result must equal the plain (shuffled) join."""
+    o, li = bucketed
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table("bkt_orders")
+            .join(
+                spark.table("bkt_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .select("o_orderkey", "l_extendedprice")
+        )
+        rep = plan_report(j)
+        assert rep["shuffle_exchanges"] == 0
+        assert rep["broadcast_exchanges"] == 0
+        assert rep["sort_merge_joins"] == 1
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert j.count() == o.join(
+            li, F.col("o_orderkey") == F.col("l_orderkey")
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_scan_prunes_to_one_bucket_on_point_filter(spark, bucketed):
+    """An equality literal on the bucket key prunes the scan to the one
+    bucket that can hold it (SelectedBucketsCount: 1 out of 8) — the
+    point-lookup path over a bucketed layout reads 1/8 of the files."""
+    key = spark.table("bkt_orders").agg(F.min("o_orderkey")).first()[0]
+    # the auto-bucketed-scan planner turns the bucketed read OFF when no
+    # join/agg exploits the distribution ("Bucketed: false (disabled by
+    # query planner)") — and bucket PRUNING rides on the bucketed scan,
+    # so a point lookup must pin it on explicitly
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "false")
+        df = spark.table("bkt_orders").filter(
+            F.col("o_orderkey") == int(key)
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan
+        assert df.count() >= 1
+    finally:
+        spark.conf.set(conf, old)
+
+
+def test_one_file_per_bucket(spark, bucketed):
+    """The pre-repartition pins one parquet file per bucket — the
+    layout that keeps bucket-sorted scans sort-free and file counts
+    flat as writer parallelism grows."""
+    loc = (
+        spark.sql("DESCRIBE TABLE EXTENDED bkt_orders")
+        .filter(F.col("col_name") == "Location")
+        .first()[1]
+    )
+    path = loc.replace("file:", "")
+    parts = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert len(parts) == 8

@@ -208,3 +208,40 @@ def write_equal_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    path: str | None = None,
+    sorted_buckets: bool = True,
+) -> None:
+    """Hash-bucketed (optionally bucket-sorted) parquet table — Spark's
+    co-located join layout. Two tables bucketed on their join key with
+    the same bucket count join WITHOUT any shuffle Exchange: each
+    SortMergeJoin task reads bucket i of both sides directly from the
+    scan (``SelectedBucketsCount`` in the plan), and with
+    ``sortedBuckets`` + one file per bucket the per-task sort collapses
+    too. This is the 100 TB answer for a fact-fact join that repeats
+    across queries (e.g. orders x lineitem): pay the layout shuffle
+    once at write time, never at read time.
+
+    The frame is pre-repartitioned by the bucket expression so each
+    bucket lands in exactly ONE task → one file per bucket (bucketBy
+    otherwise writes tasks x buckets files, and multi-file buckets
+    forfeit the sorted-scan optimization). Spark's bucket hash is the
+    same Murmur3 as ``repartition(n, col)``, so the co-location is
+    exact, not incidental."""
+    w = (
+        df.repartition(n_buckets, F.col(bucket_col))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sorted_buckets:
+        w = w.sortBy(bucket_col)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
