@@ -611,6 +611,67 @@ def main():
         print(json.dumps(idp_out), flush=True)
         results.append(idp_out)
 
+
+    # r7 late wave: power iteration (one iteration — the unit that
+    # repeats), MG heavy-hitters prune, and the OLS moment aggregate.
+    emb = read_table(spark, SF_DIR, "embeddings")
+
+    def em(factor):
+        base = emb if factor == 1 else replicate(emb, ["vec_id"], factor)
+        return base.repartition(nparts)
+
+    def _power_iter_once(d):
+        xm = F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda e: F.floor(e * 1000000.0 + 0.5).cast("long"),
+        )
+        base = d.select(xm.alias("xm"))
+        vlit = F.array(*[F.lit(10**6).cast("long")] * 64)
+        dot = F.aggregate(
+            F.zip_with(F.col("xm"), vlit, lambda a, b: a * b),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        )
+        contrib = base.select(F.posexplode(
+            F.transform(F.col("xm"), lambda x: dot.cast("decimal(38,0)") * x)
+        ).alias("j", "c"))
+        return contrib.groupBy("j").agg(F.sum("c").alias("w"))
+
+    results.append(probe("power_iteration_once", em, _power_iter_once))
+
+    def _mg_prune(d):
+        from transfer_spark.streaming.sketch_accum import MgAccumulator
+
+        counts = (
+            d.groupBy(F.col("user_id").alias("item"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("err", F.lit(0).cast("long"))
+        )
+        acc = MgAccumulator.__new__(MgAccumulator)
+        acc.k = 16
+        return acc._prune(counts)
+
+    results.append(probe("mg_heavy_hitters_prune", ev, _mg_prune))
+
+    part = read_table(spark, SF_DIR, "part").select("p_partkey", "p_brand")
+
+    def _ols_moments(d):
+        x = F.col("l_quantity").cast("long")
+        y = F.expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)")
+        j = d.join(F.broadcast(part), d.l_partkey == part.p_partkey).select(
+            "p_brand", x.alias("x"), y.alias("y")
+        )
+        d38 = "decimal(38,0)"
+        return j.groupBy("p_brand").agg(
+            F.count(F.lit(1)).cast(d38).alias("n"),
+            F.sum("x").cast(d38).alias("sx"),
+            F.sum("y").cast(d38).alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+            F.sum(F.col("y").cast(d38) * F.col("y").cast(d38)).alias("syy"),
+        )
+
+    results.append(probe("brand_price_ols_moments", li, _ols_moments))
+
     # corpus-ingest probe cost must track the BATCH, not the corpus
     # (VERDICT r6 #4): seed the persistent indexes from a 1x vs 10x
     # corpus, then time the SAME fixed-size batch against each.
@@ -711,6 +772,7 @@ def main():
         spark.conf.unset(
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
         spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
 
     worst = max(r["ratio"] for r in results)
     print(json.dumps({"metric": "scale_probe_worst_ratio", "value": worst,
