@@ -149,3 +149,48 @@ def test_identity_stitch_is_transitive_not_pairwise(spark):
     }
     assert users[1] == users[2] == users[3]   # stitched through the chain
     assert users[9] != users[1]               # isolation preserved
+
+
+def test_label_propagation_splits_weak_bridge(spark):
+    """Two weight-3 triangles joined by a weight-1 bridge: connected
+    components sees ONE component, but weighted LPA assigns each
+    triangle its own community (min label inside the triangle) because
+    the bridge weight never outvotes the in-triangle mass."""
+    from transfer_spark.operators.graph import label_propagation
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    pairs = [(a, b, 3) for a, b in tri1 + tri2] + [(3, 10, 1)]
+    edges = spark.createDataFrame(
+        [(a, b, w) for a, b, w in pairs]
+        + [(b, a, w) for a, b, w in pairs],
+        "src long, dst long, w long",
+    )
+    out = {
+        r.node: r.label
+        for r in label_propagation(edges, iterations=2, weight="w").collect()
+    }
+    # round 1: every triangle node adopts the min neighbor label; the
+    # bridge endpoints see the opposite side at weight 1 only
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[11] == out[12]
+    assert out[1] != out[10]
+
+
+def test_label_propagation_tie_breaks_to_smallest_label(spark):
+    """A node with two equal-weight neighbor labels must adopt the
+    smaller one — the total order that makes fixed-round LPA
+    deterministic."""
+    from transfer_spark.operators.graph import label_propagation
+
+    pairs = [(5, 1, 2), (5, 9, 2)]
+    edges = spark.createDataFrame(
+        [(a, b, w) for a, b, w in pairs]
+        + [(b, a, w) for a, b, w in pairs],
+        "src long, dst long, w long",
+    )
+    out = {
+        r.node: r.label
+        for r in label_propagation(edges, iterations=1, weight="w").collect()
+    }
+    assert out[5] == 1

@@ -60,3 +60,57 @@ def pagerank(
             (F.lit(1.0 - damping) + F.lit(damping) * F.sum("w")).alias("pr")
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan et al. 2007) —
+    community detection as a fixed number of join+agg rounds, the third
+    graph family next to connected components (pure reachability) and
+    PageRank (stationary mass): labels init to the node id and each
+    round every node adopts the label with the LARGEST total incident
+    edge weight among its neighbors' current labels, ties to the
+    smallest label. Fixed rounds + total tie order make the classic
+    oscillation problem a non-issue: the semantics are the unrolled
+    rounds themselves, which is also exactly what the oracle replays.
+
+    ``edges`` must carry both directions (see ``undirect``). Each round
+    is one equi-join (edge list x label table, both partitioned by the
+    join key) + one (node, label) hash agg + one per-node top-1 window
+    — all shuffle keys are node ids, no all-pairs anywhere. Rounds
+    build ONE lazy plan; for deep runs interpose localCheckpoint like
+    ``pagerank`` (bounded-plan contract, tests/test_graph.py)."""
+    from pyspark.sql import Window
+
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    win = Window.partitionBy("src").orderBy(F.desc("wsum"), F.asc("label"))
+    for _ in range(iterations):
+        nb = (
+            e.join(
+                labels.select(
+                    F.col("node").alias("__n"), F.col("label")
+                ),
+                F.col("dst") == F.col("__n"),
+            )
+            .groupBy("src", "label")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        labels = (
+            nb.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+        )
+    return labels

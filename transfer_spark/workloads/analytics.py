@@ -410,6 +410,76 @@ SELECT node, round(pr, 6) AS pagerank FROM r3
 """
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label-propagation communities over the co-purchase part
+    graph (edge weight = number of shared orders) — 2 synchronous
+    rounds, majority-weight adoption, ties to the smallest label
+    (operators/graph.py:label_propagation). Unlike connected components
+    this respects edge WEIGHT structure, so dense baskets pull parts
+    into one community even when the graph is globally connected. The
+    oracle replays both rounds unrolled."""
+    from transfer_spark.operators import graph as G
+
+    baskets = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pw = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pw.select("pa", "pb", "w").union(
+        pw.select(F.col("pb"), F.col("pa"), F.col("w"))
+    ).toDF("src", "dst", "w")
+    out = G.label_propagation(edges, iterations=2, weight="w")
+    return out.select(
+        F.col("node").cast("long").alias("part"),
+        F.col("label").cast("long").alias("community"),
+    )
+
+
+_LPA_ITER = """n{next} AS (
+  SELECT e.src, l{cur}.label, SUM(e.w) AS wsum
+  FROM e JOIN l{cur} ON e.dst = l{cur}.node GROUP BY 1, 2
+), l{next} AS (
+  SELECT src AS node, label FROM (
+    SELECT src, label,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY wsum DESC, label) AS rn
+    FROM n{next}
+  ) WHERE rn = 1
+)"""
+
+ORACLE_LABEL_PROPAGATION = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pw AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(count(*) AS BIGINT) AS w
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT pa AS src, pb AS dst, w FROM pw
+  UNION ALL
+  SELECT pb AS src, pa AS dst, w FROM pw
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM e
+), {_LPA_ITER.format(cur=0, next=1)},
+{_LPA_ITER.format(cur=1, next=2)}
+SELECT CAST(node AS BIGINT) AS part, CAST(label AS BIGINT) AS community
+FROM l2
+"""
+
+
 def q_skew_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Enrich every event with its type-level average via a SALTED shuffle
     join — the skew-mitigation pattern for hot keys too big to broadcast
@@ -3226,6 +3296,7 @@ FROM per_cust
     "dq_cardinality_audit": (q_cardinality_audit, _cardinality_audit_sql()),
     "dq_k_anonymity": (q_k_anonymity, ORACLE_K_ANONYMITY),
     "dq_l_diversity": (q_l_diversity, ORACLE_L_DIVERSITY),
+    "graph_label_propagation": (q_label_propagation, ORACLE_LABEL_PROPAGATION),
     "brand_price_ols": (q_brand_price_ols, ORACLE_BRAND_PRICE_OLS),
     "events_attribution_cross_device": (q_attribution_cross_device, ORACLE_ATTRIBUTION_CROSS_DEVICE),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
