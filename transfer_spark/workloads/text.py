@@ -909,6 +909,62 @@ ORDER BY n DESC, tok ASC LIMIT 200
 """
 
 
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus top-V
+    vocabulary — the tokenizer-coverage audit a mixture owner runs per
+    feed: a source whose occurrence mass falls outside the shared vocab
+    will fragment into long byte-level sequences at training time.
+    V=10 here (the synthetic corpus carries ~31 distinct tokens; on a
+    real corpus V is the tokenizer's vocab budget).
+
+    One token explode feeds both sides: the vocab is a top-V TakeOrdered
+    (never a global sort) broadcast back as a left-join membership
+    probe, and the per-source rates are one map-side-combinable agg —
+    corpus shuffles once on the token key, once on source."""
+    V = 10
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(V)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_oov"),
+        )
+        .select(
+            "source", "n_tokens", "n_oov",
+            F.expr("n_oov * 1000000 DIV n_tokens").alias("oov_ppm"),
+        )
+    )
+
+
+ORACLE_VOCAB_OOV = f"""
+WITH t AS (
+  SELECT source, unnest({_TOKS}) AS tok FROM documents
+), vocab AS (
+  SELECT tok FROM t GROUP BY tok
+  ORDER BY count(*) DESC, tok ASC LIMIT 10
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1 END)
+       AS BIGINT) AS n_oov,
+  CAST(SUM(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1 END)
+       * 1000000 // count(*) AS BIGINT) AS oov_ppm
+FROM t
+GROUP BY source
+"""
+
+
 def q_retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality eval harness: self-retrieval with deterministic
     relevance — each query is a document's own 5-token prefix and the
@@ -3921,6 +3977,7 @@ QUERIES = {
     "dedupe_exact_hashed": (q_dedupe_exact_hashed, ORACLE_DEDUPE_EXACT_HASHED),
     "dedupe_exact_normalized": (q_dedupe_exact_normalized, ORACLE_DEDUPE_EXACT_NORMALIZED),
     "token_vocab": (q_token_vocab, ORACLE_TOKEN_VOCAB),
+    "vocab_oov_rate": (q_vocab_oov_rate, ORACLE_VOCAB_OOV),
     "vocab_zipf_fit": (q_vocab_zipf_fit, ORACLE_VOCAB_ZIPF),
     "retrieval_eval_mrr": (q_retrieval_eval_mrr, ORACLE_RETRIEVAL_EVAL),
     "reverse_search_match": (q_reverse_search_match, ORACLE_REVERSE_SEARCH),
