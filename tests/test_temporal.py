@@ -489,3 +489,65 @@ def test_mg_accumulator_guarantee_and_merge(spark, tmp_path):
     s3 = {r.item: (r.cnt, r.err) for r in acc.apply_batch(b3).collect()}
     # merged: hot 7(err2), a 6(err0), b 1(err2) -> 3 counters <= k, no prune
     assert s3 == {"hot": (7, 2), "a": (6, 0), "b": (1, 2)}
+
+
+def test_mann_kendall_monotone_series_saturates_tau(spark, tmp_path):
+    """A strictly increasing daily series must give S = n(n-1)/2 and
+    tau exactly 1e6; a strictly decreasing one the negative."""
+    from transfer_spark.workloads.temporal import q_mann_kendall_trend
+
+    rows = []
+    eid = 0
+    for day in range(1, 6):            # 'up': day d has d events
+        for _ in range(day):
+            eid += 1
+            rows.append((eid, f"2024-01-0{day} 00:00:00", 1, "up", 1.0))
+    for day in range(1, 6):            # 'down': day d has 6-d events
+        for _ in range(6 - day):
+            eid += 1
+            rows.append((eid, f"2024-01-0{day} 00:00:00", 1, "down", 1.0))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {
+        r.event_type: r
+        for r in q_mann_kendall_trend(spark, str(tmp_path)).collect()
+    }
+    assert out["up"].s_stat == 10 and out["up"].tau_ppm == 1_000_000
+    assert out["down"].s_stat == -10 and out["down"].tau_ppm == -1_000_000
+
+
+def test_chi2_exactly_zero_on_independent_table(spark, tmp_path):
+    """A contingency table built as an exact outer product (type share
+    x weekday share) must yield chi2 contribution 0 for every type —
+    the null the audit is calibrated against."""
+    from transfer_spark.workloads.temporal import q_chi2_dow_independence
+
+    # 2024-01-01 is a Monday; days 1..7 cover one ISO week
+    rows = []
+    eid = 0
+    for t, per_day in (("a", 2), ("b", 4)):   # same ratio every weekday
+        for day in range(1, 8):
+            for _ in range(per_day):
+                eid += 1
+                rows.append(
+                    (eid, f"2024-01-0{day} 00:00:00", 1, t, 1.0)
+                )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = q_chi2_dow_independence(spark, str(tmp_path)).collect()
+    assert {r.event_type: r.chi2_contrib_ppm for r in out} == {
+        "a": 0, "b": 0
+    }
+    assert all(r.n_cells == 7 for r in out)

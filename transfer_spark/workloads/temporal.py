@@ -1365,6 +1365,128 @@ WHERE ta.event_type = a AND tb.event_type = b
 """
 
 
+def q_chi2_dow_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit over the event_type x ISO-weekday
+    contingency table — the statistical form of "is the event mix
+    seasonal?": per-type contribution chi2_i = sum over the type's 7
+    cells of (o*N - r*c)^2 / (N*r*c). Integer-exact as per-cell ppm
+    terms ((o*N - r*c)^2 * 1e6 DIV (N*r*c), DECIMAL(38)/HUGEINT
+    intermediates — both engines truncate identically, so the statistic
+    is bit-stable where a float chi-square would drift with aggregation
+    order. Work = one contingency hash aggregate (35 cells); everything
+    downstream is arithmetic on the tiny table with row/col margins
+    broadcast."""
+    ev = _events(spark, sf_dir)
+    dow = F.expr("((dayofweek(ts) + 5) % 7) + 1")
+    cells = ev.groupBy(
+        "event_type", dow.cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_m = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols_m = cells.groupBy("dow").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    d38 = "decimal(38,0)"
+    term = (
+        cells.join(F.broadcast(rows_m), "event_type")
+        .join(F.broadcast(cols_m), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            F.expr(
+                f"CAST((CAST(o AS {d38}) * n - CAST(r AS {d38}) * c)"
+                f" * (CAST(o AS {d38}) * n - CAST(r AS {d38}) * c)"
+                f" * 1000000 DIV (CAST(n AS {d38}) * r * c) AS BIGINT)"
+            ).alias("t"),
+        )
+    )
+    return (
+        term.groupBy("event_type")
+        .agg(F.sum("t").cast("long").alias("chi2_contrib_ppm"),
+             F.count(F.lit(1)).cast("long").alias("n_cells"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_CHI2_DOW = """
+WITH cells AS (
+  SELECT event_type, isodow(ts)::INT AS dow, CAST(count(*) AS HUGEINT) AS o
+  FROM events GROUP BY 1, 2
+), rm AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY 1),
+cm AS (SELECT dow, SUM(o) AS c FROM cells GROUP BY 1),
+nt AS (SELECT SUM(o) AS n FROM cells),
+term AS (
+  SELECT cells.event_type,
+    (o * n - r * c) * (o * n - r * c) * 1000000 // (n * r * c) AS t
+  FROM cells JOIN rm USING (event_type) JOIN cm USING (dow) CROSS JOIN nt
+)
+SELECT event_type, CAST(SUM(t) AS BIGINT) AS chi2_contrib_ppm,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM term GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type — the non-parametric
+    "is this series drifting?" statistic: S = sum over day pairs i<j of
+    sign(x_j - x_i) on the daily-count series, tau = S / (n(n-1)/2).
+    All integers (counts, signs), so the oracle matches exactly. The
+    pair enumeration runs on the DAILY aggregate (~150 rows per type),
+    never on raw events — at 100 TB the self-join input is still
+    dimension-grain, and the one real shuffle is the daily hash agg."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.signum(F.col("b.x") - F.col("a.x")).cast("long").alias("sgn"),
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(F.sum("sgn").alias("s_stat"))
+        .join(F.broadcast(n_days), "event_type")
+        .select(
+            "event_type", F.col("n_days").cast("long").alias("n_days"),
+            F.col("s_stat").cast("long").alias("s_stat"),
+            F.expr(
+                "CAST(s_stat * 1000000 DIV (n_days * (n_days - 1) DIV 2)"
+                " AS BIGINT)"
+            ).alias("tau_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_MANN_KENDALL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         CAST(CASE WHEN b.x > a.x THEN 1
+                   WHEN b.x < a.x THEN -1 ELSE 0 END AS BIGINT) AS sgn
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+), nd AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+)
+SELECT p.event_type, n_days, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+  CAST(SUM(sgn) * 1000000 // (n_days * (n_days - 1) // 2) AS BIGINT)
+    AS tau_ppm
+FROM pairs p JOIN nd ON p.event_type = nd.event_type
+GROUP BY p.event_type, n_days
+ORDER BY p.event_type
+"""
+
+
 def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonality profile per event type: volume and share
     of the type's week (ppm) per ISO weekday — the baseline a seasonal
@@ -2938,6 +3060,8 @@ QUERIES = {
     "events_slo_burn_alerts": (q_slo_burn, ORACLE_SLO_BURN),
     "events_trailing_7d_revenue": (q_trailing_revenue, ORACLE_TRAILING_REV),
     "events_dow_profile": (q_dow_profile, ORACLE_DOW_PROFILE),
+    "events_chi2_dow": (q_chi2_dow_independence, ORACLE_CHI2_DOW),
+    "events_mann_kendall": (q_mann_kendall_trend, ORACLE_MANN_KENDALL),
     "events_type_lift": (q_type_lift, ORACLE_TYPE_LIFT),
     "events_session_depth": (q_session_depth, ORACLE_SESSION_DEPTH),
     "events_cumulative_users": (q_cumulative_users, ORACLE_CUMULATIVE_USERS),
