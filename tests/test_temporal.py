@@ -551,3 +551,39 @@ def test_chi2_exactly_zero_on_independent_table(spark, tmp_path):
         "a": 0, "b": 0
     }
     assert all(r.n_cells == 7 for r in out)
+
+
+def test_ks_two_sample_extremes(spark, tmp_path):
+    """Disjoint supports must saturate D at exactly 1e6 ppm (CDFs are
+    1 vs 0 at the crossover); identical samples must give D = 0."""
+    from transfer_spark.workloads.temporal import q_ks_two_sample
+
+    def write(rows, path):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(path / "events.parquet")
+        )
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    disjoint = [(i, t0, 1, "click", float(i)) for i in range(10)] + [
+        (100 + i, t0, 1, "purchase", 100.0 + i) for i in range(10)
+    ]
+    d1 = tmp_path / "a"; d1.mkdir()
+    write(disjoint, d1)
+    r = q_ks_two_sample(spark, str(d1)).collect()[0]
+    assert (r.n1, r.n2, r.d_ppm) == (10, 10, 1_000_000)
+    assert r.at_value == 9.0  # the last click value completes F1 first
+
+    same = [(i, t0, 1, "click", float(i % 5)) for i in range(10)] + [
+        (100 + i, t0, 1, "purchase", float(i % 5)) for i in range(10)
+    ]
+    d2 = tmp_path / "b"; d2.mkdir()
+    write(same, d2)
+    r2 = q_ks_two_sample(spark, str(d2)).collect()[0]
+    assert r2.d_ppm == 0
+    assert r2.at_value == 0.0  # tie-break: smallest value

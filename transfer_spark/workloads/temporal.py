@@ -1487,6 +1487,76 @@ ORDER BY p.event_type
 """
 
 
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov two-sample distance between the value
+    distributions of two event types — the distribution-drift test a
+    serving pipeline runs between a reference window and live traffic.
+    D = max over v of |F1(v) - F2(v)|, computed integer-exactly as
+    |c1*N2 - c2*N1| over the common denominator N1*N2.
+
+    Scale shape: the empirical CDFs come from TWO distributed prefix
+    sums (operators/layout.global_cumsum — range partition + local
+    window + broadcast offsets, never a single-partition global
+    window) over the value-grain frame, and the argmax is a
+    TakeOrdered(1), not a sort. The only event-scale shuffle is the
+    per-value hash aggregate."""
+    from transfer_spark.operators.layout import global_cumsum
+
+    t1, t2 = "click", "purchase"
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin(t1, t2)
+    )
+    g = ev.groupBy(F.col("value").alias("v")).agg(
+        F.sum(F.when(F.col("event_type") == t1, 1).otherwise(0))
+        .cast("long").alias("n1"),
+        F.sum(F.when(F.col("event_type") == t2, 1).otherwise(0))
+        .cast("long").alias("n2"),
+    )
+    c = global_cumsum(g, [F.col("v")], F.col("n1"), "c1")
+    c = global_cumsum(c, [F.col("v")], F.col("n2"), "c2")
+    tot = g.agg(
+        F.sum("n1").alias("t1_n"), F.sum("n2").alias("t2_n")
+    )
+    diff = c.crossJoin(F.broadcast(tot)).select(
+        "v", "t1_n", "t2_n",
+        F.abs(F.col("c1") * F.col("t2_n") - F.col("c2") * F.col("t1_n"))
+        .alias("ad"),
+    )
+    return diff.orderBy(F.desc("ad"), F.asc("v")).limit(1).select(
+        F.col("t1_n").cast("long").alias("n1"),
+        F.col("t2_n").cast("long").alias("n2"),
+        F.expr("CAST(ad * 1000000 DIV (t1_n * t2_n) AS BIGINT)")
+        .alias("d_ppm"),
+        F.col("v").alias("at_value"),
+    )
+
+
+ORACLE_KS_TWO_SAMPLE = """
+WITH g AS (
+  SELECT value AS v,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n1,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n2
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+), c AS (
+  SELECT v, SUM(n1) OVER (ORDER BY v) AS c1,
+            SUM(n2) OVER (ORDER BY v) AS c2
+  FROM g
+), t AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS t1_n, CAST(SUM(n2) AS BIGINT) AS t2_n
+  FROM g
+)
+SELECT t1_n AS n1, t2_n AS n2,
+  CAST(abs(c1 * t2_n - c2 * t1_n) * 1000000 // (t1_n * t2_n) AS BIGINT)
+    AS d_ppm,
+  v AS at_value
+FROM c CROSS JOIN t
+ORDER BY abs(c1 * t2_n - c2 * t1_n) DESC, v ASC
+LIMIT 1
+"""
+
+
 def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonality profile per event type: volume and share
     of the type's week (ppm) per ISO weekday — the baseline a seasonal
@@ -3061,6 +3131,7 @@ QUERIES = {
     "events_trailing_7d_revenue": (q_trailing_revenue, ORACLE_TRAILING_REV),
     "events_dow_profile": (q_dow_profile, ORACLE_DOW_PROFILE),
     "events_chi2_dow": (q_chi2_dow_independence, ORACLE_CHI2_DOW),
+    "events_ks_two_sample": (q_ks_two_sample, ORACLE_KS_TWO_SAMPLE),
     "events_mann_kendall": (q_mann_kendall_trend, ORACLE_MANN_KENDALL),
     "events_type_lift": (q_type_lift, ORACLE_TYPE_LIFT),
     "events_session_depth": (q_session_depth, ORACLE_SESSION_DEPTH),
