@@ -194,3 +194,49 @@ def test_label_propagation_tie_breaks_to_smallest_label(spark):
         for r in label_propagation(edges, iterations=1, weight="w").collect()
     }
     assert out[5] == 1
+
+
+def test_modularity_arithmetic_matches_textbook(spark):
+    """Two weight-3 triangles + a weight-1 bridge, communities = the
+    triangles: Q computed by the engine's ppm formula must equal the
+    textbook Q = sum_c [e_c/m - (d_c/2m)^2] evaluated in plain Python
+    (trunc to ppm)."""
+    from pyspark.sql import functions as F
+
+    from transfer_spark.operators.graph import label_propagation
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    pairs = [(a, b, 3) for a, b in tri1 + tri2] + [(3, 10, 1)]
+    edges = spark.createDataFrame(
+        [(a, b, w) for a, b, w in pairs]
+        + [(b, a, w) for a, b, w in pairs],
+        "src long, dst long, w long",
+    )
+    labels = label_propagation(edges, iterations=2, weight="w")
+    lab_s = labels.select(F.col("node").alias("src"), F.col("label").alias("cs"))
+    lab_d = labels.select(F.col("node").alias("dst"), F.col("label").alias("cd"))
+    tagged = edges.join(lab_s, "src").join(lab_d, "dst")
+    per_c = tagged.groupBy("cs").agg(
+        F.sum("w").alias("d_c"),
+        F.sum(F.when(F.col("cs") == F.col("cd"), F.col("w")).otherwise(0))
+        .alias("in2_c"),
+    )
+    d38 = "decimal(38,0)"
+    got = per_c.agg(
+        F.sum("d_c").cast(d38).alias("m2"),
+        F.sum("in2_c").cast(d38).alias("in2"),
+        F.sum(F.col("d_c").cast(d38) * F.col("d_c").cast(d38)).alias("dsq"),
+    ).select(
+        F.expr("CAST((in2 * m2 - dsq) * 1000000 DIV (m2 * m2) AS BIGINT)")
+        .alias("q_ppm")
+    ).first().q_ppm
+
+    # textbook: m = 19 (2*9 intra + 1 bridge), communities = triangles
+    # e_c = 9 intra weight each; d_c = 18+1 for the bridge-touching side
+    m = 19.0
+    q = 0.0
+    for e_c, d_c in ((9, 19), (9, 19)):
+        q += e_c / m - (d_c / (2 * m)) ** 2
+    assert got == int(q * 1_000_000) or got == int(q * 1_000_000) - 1
+    assert got > 200_000  # strong structure detected

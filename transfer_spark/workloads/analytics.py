@@ -480,6 +480,103 @@ FROM l2
 """
 
 
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities on the co-purchase
+    graph — the quality score that closes the community-detection loop
+    (detect with [[graph_label_propagation]], score here): Q = sum_c
+    [e_c/m - (d_c/2m)^2] over communities, computed integer-exactly as
+    Q_ppm = (4m * sum(e_c) - sum(d_c^2)) * 1e6 / (4m^2) with
+    DECIMAL(38)/HUGEINT intermediates. Work beyond LPA itself: one
+    edge-to-label equi-join per endpoint and two tiny aggregates."""
+    from transfer_spark.operators import graph as G
+
+    baskets = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pw = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pw.select("pa", "pb", "w").union(
+        pw.select(F.col("pb"), F.col("pa"), F.col("w"))
+    ).toDF("src", "dst", "w")
+    labels = G.label_propagation(edges, iterations=2, weight="w")
+    lab_s = labels.select(
+        F.col("node").alias("src"), F.col("label").alias("cs")
+    )
+    lab_d = labels.select(
+        F.col("node").alias("dst"), F.col("label").alias("cd")
+    )
+    tagged = edges.join(lab_s, "src").join(lab_d, "dst")
+    # directed-both-ways edge list: sum(w) = 2m; intra mass = 2*e_c
+    per_c = tagged.groupBy("cs").agg(
+        F.sum("w").alias("d_c"),
+        F.sum(F.when(F.col("cs") == F.col("cd"), F.col("w")).otherwise(0))
+        .alias("in2_c"),
+    )
+    d38 = "decimal(38,0)"
+    agg = per_c.agg(
+        F.sum("d_c").cast(d38).alias("m2"),          # 2m
+        F.sum("in2_c").cast(d38).alias("in2"),       # sum 2*e_c
+        F.sum(F.col("d_c").cast(d38) * F.col("d_c").cast(d38)).alias("dsq"),
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+    )
+    # Q = in2/m2 - dsq/m2^2  ->  Q_ppm = (in2*m2 - dsq)*1e6 / m2^2
+    return agg.select(
+        "n_communities",
+        F.expr("CAST(m2 DIV 2 AS BIGINT)").alias("m_edges_w"),
+        F.expr(
+            "CAST((in2 * m2 - dsq) * 1000000 DIV (m2 * m2) AS BIGINT)"
+        ).alias("modularity_ppm"),
+    )
+
+
+_LPA_PREFIX = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pw AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(count(*) AS BIGINT) AS w
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT pa AS src, pb AS dst, w FROM pw
+  UNION ALL
+  SELECT pb AS src, pa AS dst, w FROM pw
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM e
+)"""
+
+ORACLE_MODULARITY = f"""{_LPA_PREFIX}, {_LPA_ITER.format(cur=0, next=1)},
+{_LPA_ITER.format(cur=1, next=2)}, tagged AS (
+  SELECT e.w, ls.label AS cs, ld.label AS cd
+  FROM e JOIN l2 ls ON e.src = ls.node JOIN l2 ld ON e.dst = ld.node
+), per_c AS (
+  SELECT cs, CAST(SUM(w) AS HUGEINT) AS d_c,
+         CAST(SUM(CASE WHEN cs = cd THEN w ELSE 0 END) AS HUGEINT) AS in2_c
+  FROM tagged GROUP BY cs
+), agg AS (
+  SELECT SUM(d_c) AS m2, SUM(in2_c) AS in2, SUM(d_c * d_c) AS dsq,
+         CAST(count(*) AS BIGINT) AS n_communities
+  FROM per_c
+)
+SELECT n_communities, CAST(m2 // 2 AS BIGINT) AS m_edges_w,
+  CAST((in2 * m2 - dsq) * 1000000 // (m2 * m2) AS BIGINT)
+    AS modularity_ppm
+FROM agg
+"""
+
+
 def q_skew_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Enrich every event with its type-level average via a SALTED shuffle
     join — the skew-mitigation pattern for hot keys too big to broadcast
@@ -3297,6 +3394,7 @@ FROM per_cust
     "dq_k_anonymity": (q_k_anonymity, ORACLE_K_ANONYMITY),
     "dq_l_diversity": (q_l_diversity, ORACLE_L_DIVERSITY),
     "graph_label_propagation": (q_label_propagation, ORACLE_LABEL_PROPAGATION),
+    "graph_modularity": (q_modularity, ORACLE_MODULARITY),
     "brand_price_ols": (q_brand_price_ols, ORACLE_BRAND_PRICE_OLS),
     "events_attribution_cross_device": (q_attribution_cross_device, ORACLE_ATTRIBUTION_CROSS_DEVICE),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
