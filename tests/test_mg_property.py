@@ -1,0 +1,69 @@
+"""Property test: MgAccumulator vs a sequential pure-Python
+Misra-Gries-with-merge reference over random streams and random batch
+splits — the same merge rule evaluated two completely different ways
+must agree counter-for-counter, and the classic frequency guarantee
+must hold for EVERY item (estimate(x) <= freq(x) <= estimate(x) +
+total offsets), where estimate is 0 for evicted items."""
+
+import random
+
+import pytest
+
+
+def _py_mg_merge(batches, k):
+    """Reference: exact per-batch counts folded with the Agarwal et al.
+    merge (sum; if > k counters, subtract the (k+1)-th largest count,
+    drop non-positive). Returns (counters, err, total_offset)."""
+    state: dict[str, list[int]] = {}
+    total_off = 0
+    for batch in batches:
+        counts: dict[str, int] = {}
+        for x in batch:
+            counts[x] = counts.get(x, 0) + 1
+        for x, c in counts.items():
+            if x in state:
+                state[x][0] += c
+            else:
+                state[x] = [c, 0]
+        if len(state) > k:
+            off = sorted((v[0] for v in state.values()), reverse=True)[k]
+            nxt = {}
+            for x, (c, e) in state.items():
+                if c - off > 0:
+                    nxt[x] = [c - off, e + off]
+            state = nxt
+            total_off += off
+    return state, total_off
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_mg_accumulator_equals_python_reference(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    # zipf-ish stream over a 40-item alphabet, 3 batches of random size
+    items = [f"i{j:02d}" for j in range(40)]
+    weights = [1.0 / (j + 1) for j in range(40)]
+    stream = rng.choices(items, weights=weights, k=600)
+    cut1, cut2 = sorted(rng.sample(range(100, 500), 2))
+    batches = [stream[:cut1], stream[cut1:cut2], stream[cut2:]]
+
+    from transfer_spark.streaming.sketch_accum import MgAccumulator
+
+    acc = MgAccumulator(
+        spark, str(tmp_path / f"mg{seed}"), "v", k=8
+    )
+    out = None
+    for b in batches:
+        out = acc.apply_batch(
+            spark.createDataFrame([(x,) for x in b], "v string")
+        )
+    got = {r.item: (r.cnt, r.err) for r in out.collect()}
+
+    ref, total_off = _py_mg_merge(batches, k=8)
+    assert got == {x: (c, e) for x, (c, e) in ref.items()}
+
+    freq: dict[str, int] = {}
+    for x in stream:
+        freq[x] = freq.get(x, 0) + 1
+    for x, n in freq.items():
+        est = got.get(x, (0, 0))[0]
+        assert est <= n <= est + total_off, (x, est, n, total_off)
