@@ -1003,3 +1003,28 @@ def test_power_iteration_finds_planted_dominant_axis(spark):
     top = evecs[:, -1]
     cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
     assert cos > 0.999
+
+
+def test_gini_formula_on_known_distributions(spark, tmp_path):
+    """Perfect equality -> G = 0 exactly; one customer holding all the
+    revenue -> G = (n-1)/n (the discrete maximum)."""
+    from transfer_spark.workloads.analytics import q_gini_revenue
+
+    equal = spark.createDataFrame(
+        [(i, 100.0) for i in range(10)], "o_custkey long, o_totalprice double"
+    )
+    sf1 = tmp_path / "eq"; sf1.mkdir()
+    equal.coalesce(1).write.parquet(str(sf1 / "orders.parquet"))
+    r = q_gini_revenue(spark, str(sf1)).first()
+    assert (r.n_customers, r.gini_ppm) == (10, 0)
+
+    # 9 customers with epsilon-free zero is impossible (cents >= 1), so
+    # give them 1 cent each and one whale ~everything; G -> (n-1)/n
+    skew = spark.createDataFrame(
+        [(i, 0.01) for i in range(9)] + [(9, 1_000_000.0)],
+        "o_custkey long, o_totalprice double",
+    )
+    sf2 = tmp_path / "sk"; sf2.mkdir()
+    skew.coalesce(1).write.parquet(str(sf2 / "orders.parquet"))
+    r2 = q_gini_revenue(spark, str(sf2)).first()
+    assert 890_000 < r2.gini_ppm <= 900_000  # ~= 9/10 minus the 9 cents

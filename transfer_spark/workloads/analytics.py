@@ -480,6 +480,69 @@ FROM l2
 """
 
 
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime revenue — the scalar
+    concentration audit next to [[customer_pareto_curve]]'s decile
+    table: G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) with i the
+    1-based ascending revenue rank (ties by custkey, total order).
+
+    The rank comes from operators/layout.global_row_index — the
+    two-phase distributed ROW_NUMBER (range partition + local window +
+    broadcast offsets), so nothing funnels through one task even though
+    the formula wants a total order; the rank runs on the CUSTOMER
+    grain aggregate, never on orders. Integer cents end to end,
+    DECIMAL(38) for the rank-weighted sum."""
+    from transfer_spark.operators.layout import global_row_index
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"))
+        .alias("cents")
+    )
+    ranked = global_row_index(
+        per_cust, [F.col("cents").asc(), F.col("o_custkey").asc()],
+        out_col="rk",
+    )
+    d38 = "decimal(38,0)"
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("cents").cast(d38).alias("sx"),
+        F.sum((F.col("rk") + 1).cast(d38) * F.col("cents")).alias("six"),
+    )
+    return agg.select(
+        F.expr("CAST(n AS BIGINT)").alias("n_customers"),
+        F.expr("CAST(sx AS BIGINT)").alias("total_cents"),
+        F.expr(
+            "CAST((2 * six - (n + 1) * sx) * 1000000 DIV (n * sx)"
+            " AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+ORACLE_GINI = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents, o_custkey) AS HUGEINT)
+           AS rk
+  FROM per_cust
+), agg AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(SUM(cents) AS HUGEINT) AS sx,
+         SUM(rk * cents) AS six
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(sx AS BIGINT) AS total_cents,
+       CAST((2 * six - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT)
+         AS gini_ppm
+FROM agg
+"""
+
+
 def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the LPA communities on the co-purchase
     graph — the quality score that closes the community-detection loop
@@ -3395,6 +3458,7 @@ FROM per_cust
     "dq_l_diversity": (q_l_diversity, ORACLE_L_DIVERSITY),
     "graph_label_propagation": (q_label_propagation, ORACLE_LABEL_PROPAGATION),
     "graph_modularity": (q_modularity, ORACLE_MODULARITY),
+    "customer_gini": (q_gini_revenue, ORACLE_GINI),
     "brand_price_ols": (q_brand_price_ols, ORACLE_BRAND_PRICE_OLS),
     "events_attribution_cross_device": (q_attribution_cross_device, ORACLE_ATTRIBUTION_CROSS_DEVICE),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
