@@ -240,3 +240,50 @@ def test_modularity_arithmetic_matches_textbook(spark):
         q += e_c / m - (d_c / (2 * m)) ** 2
     assert got == int(q * 1_000_000) or got == int(q * 1_000_000) - 1
     assert got > 200_000  # strong structure detected
+
+
+def test_label_propagation_matches_python_reference_on_random_graphs(spark):
+    """Synchronous weighted LPA replayed in plain Python over random
+    graphs must agree node-for-node for 1 and 2 rounds — pinning the
+    exact update rule (max total weight, ties to smallest label), not
+    just the community shapes."""
+    import random
+
+    def py_lpa(edges, rounds):
+        nodes = {s for s, _, _ in edges}
+        lab = {n: n for n in nodes}
+        for _ in range(rounds):
+            votes: dict[int, dict[int, int]] = {}
+            for s, d, w in edges:
+                votes.setdefault(s, {})
+                l = lab[d]
+                votes[s][l] = votes[s].get(l, 0) + w
+            lab = {
+                s: min(
+                    (l for l in v if v[l] == max(v.values()))
+                )
+                for s, v in votes.items()
+            }
+        return lab
+
+    from transfer_spark.operators.graph import label_propagation
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        n = 30
+        und = set()
+        while len(und) < 60:
+            a, b = rng.sample(range(n), 2)
+            und.add((min(a, b), max(a, b), rng.randint(1, 5)))
+        edges = [(a, b, w) for a, b, w in und] + [
+            (b, a, w) for a, b, w in und
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long, w long")
+        for rounds in (1, 2):
+            got = {
+                r.node: r.label
+                for r in label_propagation(
+                    df, iterations=rounds, weight="w"
+                ).collect()
+            }
+            assert got == py_lpa(edges, rounds), (seed, rounds)
