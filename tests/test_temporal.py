@@ -587,3 +587,78 @@ def test_ks_two_sample_extremes(spark, tmp_path):
     r2 = q_ks_two_sample(spark, str(d2)).collect()[0]
     assert r2.d_ppm == 0
     assert r2.at_value == 0.0  # tie-break: smallest value
+
+
+def test_mg_accumulator_crash_safety(spark, tmp_path):
+    """A partial (un-_SUCCESS'd) newest version must be invisible to
+    summary() and get overwritten by the next batch — the _COMMIT
+    protocol shared with the CMS/KMV accumulators."""
+    from transfer_spark.streaming.sketch_accum import MgAccumulator
+
+    acc = MgAccumulator(spark, str(tmp_path / "mg"), "v", k=4)
+    acc.apply_batch(
+        spark.createDataFrame([("a",), ("a",), ("b",)], "v string")
+    )
+    committed = {r.item: r.cnt for r in acc.summary().collect()}
+
+    wreck = tmp_path / "mg" / "v000002"
+    wreck.mkdir()
+    (wreck / "part-00000.parquet").write_bytes(b"\x00not parquet")
+    assert acc._versions() == ["v000001"]
+    assert {r.item: r.cnt for r in acc.summary().collect()} == committed
+
+    acc.apply_batch(spark.createDataFrame([("a",), ("c",)], "v string"))
+    assert acc._versions() == ["v000001", "v000002"]
+    after = {r.item: r.cnt for r in acc.summary().collect()}
+    assert after["a"] == 3 and after["c"] == 1
+
+
+def test_mg_accumulator_behind_a_readstream(spark, tmp_path):
+    """MG heavy hitters driven by a Structured Streaming file source
+    (one micro-batch per file via foreachBatch) must equal the same
+    batch sequence applied directly — the deterministic merge is
+    order-of-arrival dependent ONLY through the batch boundaries, which
+    maxFilesPerTrigger=1 pins."""
+    import json
+
+    from transfer_spark.streaming.sketch_accum import MgAccumulator
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        ["hot"] * 5 + ["a", "b"],
+        ["hot"] * 3 + ["c"] * 2 + ["d", "e", "f"],
+    ]
+    import os as _os
+
+    for i, b in enumerate(batches):
+        p = src / f"b{i}.json"
+        p.write_text("\n".join(json.dumps({"v": x}) for x in b))
+        # the file source orders micro-batches by modification time,
+        # not name — pin it so the replayed reference sees the same
+        # batch sequence
+        _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    acc = MgAccumulator(spark, str(tmp_path / "mg_s"), "v", k=3)
+    stream = (
+        spark.readStream.schema("v string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = stream.writeStream.foreachBatch(
+        lambda batch, _bid: (acc.apply_batch(batch), None)[1]
+    ).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    streamed = {r.item: (r.cnt, r.err) for r in acc.summary().collect()}
+
+    ref = MgAccumulator(spark, str(tmp_path / "mg_r"), "v", k=3)
+    out = None
+    for b in batches:
+        out = ref.apply_batch(
+            spark.createDataFrame([(x,) for x in b], "v string")
+        )
+    direct = {r.item: (r.cnt, r.err) for r in out.collect()}
+    assert streamed == direct
+    assert streamed["hot"][0] >= 1  # the heavy item survived
