@@ -1028,3 +1028,32 @@ def test_gini_formula_on_known_distributions(spark, tmp_path):
     skew.coalesce(1).write.parquet(str(sf2 / "orders.parquet"))
     r2 = q_gini_revenue(spark, str(sf2)).first()
     assert 890_000 < r2.gini_ppm <= 900_000  # ~= 9/10 minus the 9 cents
+
+
+def test_anisotropy_share_bounds_on_crafted_tables(spark, tmp_path):
+    """A rank-1 table (every vector a multiple of one axis) must give
+    share ~= 1e6; an identity-like table (one vector per axis, equal
+    norms) must give share ~= 1/dim."""
+    from transfer_spark.workloads.vectors import q_anisotropy_share
+
+    # rank-1: all rows along dim 2
+    rows = [(i, [0.0] * 2 + [0.1 * (i + 1)] + [0.0] * 61)
+            for i in range(20)]
+    sf1 = tmp_path / "r1"; sf1.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(str(sf1 / "embeddings.parquet"))
+    r = q_anisotropy_share(spark, str(sf1)).first()
+    assert r.top_dim == 2
+    assert r.share_ppm >= 999_000
+
+    # isotropic: 64 unit vectors, one per axis
+    rows2 = [
+        (j, [0.0] * j + [0.5] + [0.0] * (63 - j)) for j in range(64)
+    ]
+    sf2 = tmp_path / "iso"; sf2.mkdir()
+    spark.createDataFrame(
+        rows2, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(str(sf2 / "embeddings.parquet"))
+    r2 = q_anisotropy_share(spark, str(sf2)).first()
+    assert r2.share_ppm <= 2 * (1_000_000 // 64)

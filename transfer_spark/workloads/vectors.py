@@ -1226,8 +1226,100 @@ ORDER BY dim_idx
 """
 
 
+def q_anisotropy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of the embedding table's total second-moment mass the
+    dominant direction explains — the scalar that turns the
+    [[embedding_top_component]] audit into a pass/fail: share =
+    (sum_i (x_i.v)^2 / v.v) / sum_i |x_i|^2 (Rayleigh quotient over
+    trace), in exact ppm. An isotropic 64-dim table sits near
+    1e6/64 ≈ 15625; a collapsed encoder pushes toward 1e6.
+
+    The direction is the 3-round power iteration; the share is ONE more
+    scan (dot and norm fold JVM-side over the array, v as a literal).
+    Integer-exact: dots in int64, squares in DECIMAL(38)."""
+    emb = _emb(spark, sf_dir)
+    vdf = S.power_iteration_top_component(emb, "embedding", dim=64, iters=3)
+    v = [
+        int(r.v_micro)
+        for r in sorted(vdf.collect(), key=lambda r: r.dim_idx)
+    ]
+    top_dim = min(
+        range(64), key=lambda j: (-abs(v[j]), j)
+    )
+    vv = sum(c * c for c in v)
+    vlit = F.array(*[F.lit(c).cast("long") for c in v])
+    xm = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda e: F.floor(e * 1000000.0 + 0.5).cast("long"),
+    )
+    dot = F.aggregate(
+        F.zip_with(xm, vlit, lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    normsq = F.aggregate(
+        F.transform(xm, lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    agg = emb.select(dot.alias("d"), normsq.alias("nsq")).agg(
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d"))
+        .alias("sum_d2"),
+        F.sum("nsq").cast("decimal(38,0)").alias("trace"),
+    )
+    return agg.select(
+        F.lit(top_dim).cast("long").alias("top_dim"),
+        F.expr(
+            f"CAST(sum_d2 * 1000000 DIV (CAST({vv} AS DECIMAL(38,0))"
+            " * trace) AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+_TOP_COMPONENT_CTES = """
+WITH ex AS (
+  SELECT vec_id,
+    unnest(list_transform(embedding::DOUBLE[],
+           x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))) AS x,
+    generate_subscripts(embedding, 1) - 1 AS j
+  FROM embeddings
+),
+d1 AS (SELECT vec_id, SUM(x) * 1000000 AS dot FROM ex GROUP BY vec_id),
+w1 AS (SELECT j, SUM(CAST(dot AS HUGEINT) * x) AS w
+       FROM ex JOIN d1 USING (vec_id) GROUP BY j),
+v1 AS (SELECT j, w * 1000000 // (SELECT max(abs(w)) FROM w1) AS v FROM w1),
+d2 AS (SELECT vec_id, SUM(x * v) AS dot
+       FROM ex JOIN v1 USING (j) GROUP BY vec_id),
+w2 AS (SELECT j, SUM(CAST(dot AS HUGEINT) * x) AS w
+       FROM ex JOIN d2 USING (vec_id) GROUP BY j),
+v2 AS (SELECT j, w * 1000000 // (SELECT max(abs(w)) FROM w2) AS v FROM w2),
+d3 AS (SELECT vec_id, SUM(x * v) AS dot
+       FROM ex JOIN v2 USING (j) GROUP BY vec_id),
+w3 AS (SELECT j, SUM(CAST(dot AS HUGEINT) * x) AS w
+       FROM ex JOIN d3 USING (vec_id) GROUP BY j),
+v3 AS (SELECT j, w * 1000000 // (SELECT max(abs(w)) FROM w3) AS v FROM w3)"""
+
+ORACLE_ANISOTROPY = f"""{_TOP_COMPONENT_CTES},
+dots AS (
+  SELECT vec_id, SUM(x * v) AS d
+  FROM ex JOIN v3 USING (j) GROUP BY vec_id
+), agg AS (
+  SELECT SUM(CAST(d AS HUGEINT) * d) AS sum_d2 FROM dots
+), tr AS (
+  SELECT SUM(CAST(x AS HUGEINT) * x) AS trace FROM ex
+), vvs AS (
+  SELECT SUM(CAST(v AS HUGEINT) * v) AS vv FROM v3
+), td AS (
+  SELECT CAST(j AS BIGINT) AS top_dim FROM v3
+  ORDER BY abs(v) DESC, j ASC LIMIT 1
+)
+SELECT top_dim,
+  CAST(sum_d2 * 1000000 // (vv * trace) AS BIGINT) AS share_ppm
+FROM agg CROSS JOIN tr CROSS JOIN vvs CROSS JOIN td
+"""
+
+
 QUERIES = {
     "embedding_top_component": (q_top_component, ORACLE_TOP_COMPONENT),
+    "embedding_anisotropy_share": (q_anisotropy_share, ORACLE_ANISOTROPY),
     "ann_recall_audit": (q_ann_recall, _ann_recall_sql()),
     "embedding_matryoshka_audit": (q_matryoshka_audit, ORACLE_MATRYOSHKA),
     "embedding_quantize_int8": (q_quantize_int8, ORACLE_QUANTIZE),
