@@ -1198,7 +1198,7 @@ def q_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TOP_COMPONENT = """
+_TOP_COMPONENT_CTES = """
 WITH ex AS (
   SELECT vec_id,
     unnest(list_transform(embedding::DOUBLE[],
@@ -1218,10 +1218,12 @@ v2 AS (SELECT j, w * 1000000 // (SELECT max(abs(w)) FROM w2) AS v FROM w2),
 d3 AS (SELECT vec_id, SUM(x * v) AS dot
        FROM ex JOIN v2 USING (j) GROUP BY vec_id),
 w3 AS (SELECT j, SUM(CAST(dot AS HUGEINT) * x) AS w
-       FROM ex JOIN d3 USING (vec_id) GROUP BY j)
-SELECT CAST(j AS BIGINT) AS dim_idx,
-       CAST(w * 1000000 // (SELECT max(abs(w)) FROM w3) AS BIGINT) AS v_micro
-FROM w3
+       FROM ex JOIN d3 USING (vec_id) GROUP BY j),
+v3 AS (SELECT j, w * 1000000 // (SELECT max(abs(w)) FROM w3) AS v FROM w3)"""
+
+ORACLE_TOP_COMPONENT = f"""{_TOP_COMPONENT_CTES}
+SELECT CAST(j AS BIGINT) AS dim_idx, CAST(v AS BIGINT) AS v_micro
+FROM v3
 ORDER BY dim_idx
 """
 
@@ -1274,28 +1276,6 @@ def q_anisotropy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TOP_COMPONENT_CTES = """
-WITH ex AS (
-  SELECT vec_id,
-    unnest(list_transform(embedding::DOUBLE[],
-           x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))) AS x,
-    generate_subscripts(embedding, 1) - 1 AS j
-  FROM embeddings
-),
-d1 AS (SELECT vec_id, SUM(x) * 1000000 AS dot FROM ex GROUP BY vec_id),
-w1 AS (SELECT j, SUM(CAST(dot AS HUGEINT) * x) AS w
-       FROM ex JOIN d1 USING (vec_id) GROUP BY j),
-v1 AS (SELECT j, w * 1000000 // (SELECT max(abs(w)) FROM w1) AS v FROM w1),
-d2 AS (SELECT vec_id, SUM(x * v) AS dot
-       FROM ex JOIN v1 USING (j) GROUP BY vec_id),
-w2 AS (SELECT j, SUM(CAST(dot AS HUGEINT) * x) AS w
-       FROM ex JOIN d2 USING (vec_id) GROUP BY j),
-v2 AS (SELECT j, w * 1000000 // (SELECT max(abs(w)) FROM w2) AS v FROM w2),
-d3 AS (SELECT vec_id, SUM(x * v) AS dot
-       FROM ex JOIN v2 USING (j) GROUP BY vec_id),
-w3 AS (SELECT j, SUM(CAST(dot AS HUGEINT) * x) AS w
-       FROM ex JOIN d3 USING (vec_id) GROUP BY j),
-v3 AS (SELECT j, w * 1000000 // (SELECT max(abs(w)) FROM w3) AS v FROM w3)"""
 
 ORACLE_ANISOTROPY = f"""{_TOP_COMPONENT_CTES},
 dots AS (
