@@ -1057,3 +1057,67 @@ def test_anisotropy_share_bounds_on_crafted_tables(spark, tmp_path):
     ).coalesce(1).write.parquet(str(sf2 / "embeddings.parquet"))
     r2 = q_anisotropy_share(spark, str(sf2)).first()
     assert r2.share_ppm <= 2 * (1_000_000 // 64)
+
+
+def test_hhi_monopoly_vs_uniform(spark, tmp_path):
+    """One customer owning a segment -> HHI = 1e6 exactly; k equal
+    customers -> 1e6/k (trunc)."""
+    from transfer_spark.workloads.analytics import q_hhi_concentration
+
+    orders = spark.createDataFrame(
+        [(1, 500.0)] * 3                     # MONO: one customer
+        + [(10 + i, 100.0) for i in range(4)],  # FLAT: 4 equal customers
+        "o_custkey long, o_totalprice double",
+    )
+    cust = spark.createDataFrame(
+        [(1, "MONO")] + [(10 + i, "FLAT") for i in range(4)],
+        "c_custkey long, c_mktsegment string",
+    )
+    sf = tmp_path
+    orders.coalesce(1).write.parquet(str(sf / "orders.parquet"))
+    cust.coalesce(1).write.parquet(str(sf / "customer.parquet"))
+    out = {
+        r.c_mktsegment: r
+        for r in q_hhi_concentration(spark, str(sf)).collect()
+    }
+    assert out["MONO"].hhi_ppm == 1_000_000
+    assert out["FLAT"].hhi_ppm == 250_000
+
+
+def test_runs_test_alternating_and_monotone(spark, tmp_path):
+    """A strictly alternating daily series maximizes runs (every sign
+    flips: runs == n_up + n_down); a monotone series collapses to ONE
+    run with n_down == 0."""
+    from transfer_spark.workloads.analytics import q_runs_test
+
+    import datetime as dt
+
+    rows, eid = [], 0
+    # alternating: counts 2,1,2,1,2 -> signs -,+,-,+ -> 4 runs
+    for day, cnt in enumerate([2, 1, 2, 1, 2]):
+        for _ in range(cnt):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + day), 1, "alt", 1.0)
+            )
+    # monotone: counts 1,2,3,4 -> signs +,+,+ -> 1 run
+    for day, cnt in enumerate([1, 2, 3, 4]):
+        for _ in range(cnt):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 2, 1 + day), 1, "mono", 1.0)
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_type: r for r in q_runs_test(spark, str(tmp_path)).collect()
+    }
+    assert (out["alt"].n_up, out["alt"].n_down, out["alt"].runs) == (2, 2, 4)
+    assert (out["mono"].n_up, out["mono"].n_down, out["mono"].runs) == (
+        3, 0, 1
+    )
+    # E[R] = 2*2*2/4 + 1 = 3 for the alternating series
+    assert out["alt"].expected_runs_ppm == 3_000_000

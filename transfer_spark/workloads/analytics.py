@@ -480,6 +480,135 @@ FROM l2
 """
 
 
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of order revenue per
+    market segment: HHI = sum over customers of share^2, in exact ppm —
+    the market-concentration standard next to [[customer_gini]]'s
+    inequality scalar (HHI weighs the head, Gini the whole curve).
+    HHI_ppm = sum(cents_i^2) * 1e6 / (sum(cents))^2 per segment; one
+    customer-grain aggregate then one segment aggregate, customer dim
+    broadcast. DECIMAL(38)/HUGEINT for the squares."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+            ).alias("cents")
+        )
+    )
+    d38 = "decimal(38,0)"
+    return (
+        per_cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast(d38).alias("sx"),
+            F.sum(F.col("cents").cast(d38) * F.col("cents")).alias("sxx"),
+        )
+        .select(
+            "c_mktsegment", "n_customers",
+            F.expr("CAST(sxx * 1000000 DIV (sx * sx) AS BIGINT)")
+            .alias("hhi_ppm"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_HHI = """
+WITH per_cust AS (
+  SELECT c_mktsegment, o_custkey,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS HUGEINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+  CAST(SUM(cents * cents) * 1000000 // (SUM(cents) * SUM(cents))
+       AS BIGINT) AS hhi_ppm
+FROM per_cust GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily event-count series per
+    type: too FEW sign runs = trending/sticky, too MANY = oscillating.
+    Reports up/down day counts, observed runs, and the expected-runs
+    mean 2*n1*n2/(n1+n2) + 1 in ppm — all integers, so the oracle is
+    exact. Flat days (delta 0) are excluded, the classic treatment.
+    The lag and run-boundary windows run per TYPE on the daily grain,
+    so partitions are dimension-sized at any corpus scale."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    sgn = (
+        daily.withColumn("prev", F.lag("x").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("x") != F.col("prev")))
+        .withColumn(
+            "s", F.when(F.col("x") > F.col("prev"), 1).otherwise(-1)
+        )
+    )
+    runs = sgn.withColumn("ps", F.lag("s").over(w)).select(
+        "event_type", "s",
+        F.when(F.col("ps").isNull() | (F.col("ps") != F.col("s")), 1)
+        .otherwise(0).alias("new_run"),
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("long")
+            .alias("n_up"),
+            F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).cast("long")
+            .alias("n_down"),
+            F.sum("new_run").cast("long").alias("runs"),
+        )
+        .select(
+            "event_type", "n_up", "n_down", "runs",
+            F.expr(
+                "CAST((2 * n_up * n_down * 1000000 DIV (n_up + n_down))"
+                " + 1000000 AS BIGINT)"
+            ).alias("expected_runs_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_RUNS_TEST = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS x
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, d, x,
+         lag(x) OVER (PARTITION BY event_type ORDER BY d) AS prev
+  FROM daily
+), sgn AS (
+  SELECT event_type, d,
+         CASE WHEN x > prev THEN 1 ELSE -1 END AS s
+  FROM lagged WHERE prev IS NOT NULL AND x <> prev
+), runs AS (
+  SELECT event_type, s,
+         CASE WHEN lag(s) OVER (PARTITION BY event_type ORDER BY d)
+                   IS DISTINCT FROM s THEN 1 ELSE 0 END AS new_run
+  FROM sgn
+)
+SELECT event_type,
+  CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+  CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+  CAST(SUM(new_run) AS BIGINT) AS runs,
+  CAST((2 * SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+          * SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) * 1000000
+          // (SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+              + SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END)))
+       + 1000000 AS BIGINT) AS expected_runs_ppm
+FROM runs GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer lifetime revenue — the scalar
     concentration audit next to [[customer_pareto_curve]]'s decile
@@ -3459,6 +3588,8 @@ FROM per_cust
     "graph_label_propagation": (q_label_propagation, ORACLE_LABEL_PROPAGATION),
     "graph_modularity": (q_modularity, ORACLE_MODULARITY),
     "customer_gini": (q_gini_revenue, ORACLE_GINI),
+    "segment_hhi": (q_hhi_concentration, ORACLE_HHI),
+    "events_runs_test": (q_runs_test, ORACLE_RUNS_TEST),
     "brand_price_ols": (q_brand_price_ols, ORACLE_BRAND_PRICE_OLS),
     "events_attribution_cross_device": (q_attribution_cross_device, ORACLE_ATTRIBUTION_CROSS_DEVICE),
     "customers_without_orders": (q_customers_without_orders, ORACLE_ANTI),
