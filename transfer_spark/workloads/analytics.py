@@ -410,16 +410,11 @@ SELECT node, round(pr, 6) AS pagerank FROM r3
 """
 
 
-def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted label-propagation communities over the co-purchase part
-    graph (edge weight = number of shared orders) — 2 synchronous
-    rounds, majority-weight adoption, ties to the smallest label
-    (operators/graph.py:label_propagation). Unlike connected components
-    this respects edge WEIGHT structure, so dense baskets pull parts
-    into one community even when the graph is globally connected. The
-    oracle replays both rounds unrolled."""
-    from transfer_spark.operators import graph as G
-
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted co-purchase part graph, both directions: edge (a, b)
+    with w = number of orders containing both parts. Per-order groups
+    are bounded (<= 7 lines in TPC-H shape), so the intra-order pair
+    join never goes quadratic in the corpus."""
     baskets = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey").distinct()
@@ -437,9 +432,22 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    edges = pw.select("pa", "pb", "w").union(
+    return pw.select("pa", "pb", "w").union(
         pw.select(F.col("pb"), F.col("pa"), F.col("w"))
     ).toDF("src", "dst", "w")
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label-propagation communities over the co-purchase part
+    graph (edge weight = number of shared orders) — 2 synchronous
+    rounds, majority-weight adoption, ties to the smallest label
+    (operators/graph.py:label_propagation). Unlike connected components
+    this respects edge WEIGHT structure, so dense baskets pull parts
+    into one community even when the graph is globally connected. The
+    oracle replays both rounds unrolled."""
+    from transfer_spark.operators import graph as G
+
+    edges = _copurchase_edges(spark, sf_dir)
     out = G.label_propagation(edges, iterations=2, weight="w")
     return out.select(
         F.col("node").cast("long").alias("part"),
@@ -682,26 +690,7 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge-to-label equi-join per endpoint and two tiny aggregates."""
     from transfer_spark.operators import graph as G
 
-    baskets = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-    )
-    a, b = baskets.alias("a"), baskets.alias("b")
-    pw = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    edges = pw.select("pa", "pb", "w").union(
-        pw.select(F.col("pb"), F.col("pa"), F.col("w"))
-    ).toDF("src", "dst", "w")
+    edges = _copurchase_edges(spark, sf_dir)
     labels = G.label_propagation(edges, iterations=2, weight="w")
     lab_s = labels.select(
         F.col("node").alias("src"), F.col("label").alias("cs")
