@@ -1121,3 +1121,50 @@ def test_runs_test_alternating_and_monotone(spark, tmp_path):
     )
     # E[R] = 2*2*2/4 + 1 = 3 for the alternating series
     assert out["alt"].expected_runs_ppm == 3_000_000
+
+
+def test_second_component_orthogonal_and_correct(spark):
+    """Planted two-factor data: the deflated iteration must recover
+    the SECOND eigenvector of the uncentered second moment (cos >
+    0.99 vs numpy) and be near-orthogonal to the recovered top
+    direction."""
+    import numpy as np
+
+    from transfer_spark.operators.similarity import (
+        power_iteration_second_component,
+        power_iteration_top_component,
+    )
+
+    rng = np.random.RandomState(11)
+    ax1 = np.zeros(8); ax1[:2] = [0.8, 0.6]          # dominant factor
+    ax2 = np.zeros(8); ax2[2:4] = [0.6, -0.8]        # second factor
+    pts = (
+        rng.normal(size=(300, 1)) * 5.0 @ ax1[None, :]
+        + rng.normal(size=(300, 1)) * 2.0 @ ax2[None, :]
+        + rng.normal(size=(300, 8)) * 0.02
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<float>",
+    )
+    v1 = np.array([
+        r.v_micro for r in sorted(
+            power_iteration_top_component(df, dim=8, iters=3).collect(),
+            key=lambda r: r.dim_idx,
+        )
+    ], dtype=float)
+    u = np.array([
+        r.u_micro for r in sorted(
+            power_iteration_second_component(df, dim=8, iters=3).collect(),
+            key=lambda r: r.dim_idx,
+        )
+    ], dtype=float)
+    assert int(np.max(np.abs(u))) == 1_000_000
+
+    g = pts.T @ pts
+    _, evecs = np.linalg.eigh(g)
+    e2 = evecs[:, -2]
+    cos2 = abs(u @ e2) / (np.linalg.norm(u) * np.linalg.norm(e2))
+    assert cos2 > 0.99
+    ortho = abs(u @ v1) / (np.linalg.norm(u) * np.linalg.norm(v1))
+    assert ortho < 0.01

@@ -1083,3 +1083,105 @@ def power_iteration_top_component(
         # lazy unpersist: the returned frame still reads `base`; Spark
         # recomputes evicted blocks, so correctness is unaffected
         base.unpersist(blocking=False)
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — Spark DIV / DuckDB //
+    semantics (Python's // floors, which differs on negatives)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def power_iteration_second_component(
+    emb: DataFrame,
+    emb_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 3,
+) -> DataFrame:
+    """Second principal direction by DEFLATED power iteration
+    (orthogonal iteration, Hotelling deflation): each round computes
+    a = X^T(X u) distributed exactly like the top component, then —
+    on the dim-sized frame — renormalizes, projects OUT the converged
+    top direction v1 (u'' = u'*c - v1*(v1.u'), c = v1.v1, all integer
+    so orthogonalization is exact to the 1e-6 grid), and renormalizes
+    again. Truncation reintroduces at most one ulp of v1 per round,
+    which the next round's deflation removes — the classic stability
+    argument, here bit-deterministic on both engines.
+
+    Distributed cost per round is IDENTICAL to the top component (one
+    scan, 64-group partial agg); the deflation arithmetic runs on
+    dim-sized vectors (driver-side exact ints between rounds, in-plan
+    DECIMAL(38) for the returned final round)."""
+    v1df = power_iteration_top_component(emb, emb_col, dim, iters)
+    v1 = [int(r.v_micro) for r in sorted(v1df.collect(),
+                                         key=lambda r: r.dim_idx)]
+    c = sum(x * x for x in v1)
+
+    xm = F.transform(
+        F.col(emb_col).cast("array<double>"),
+        lambda e: F.floor(e * 1000000.0 + 0.5).cast("long"),
+    )
+    base = emb.select(xm.alias("xm")).persist()
+    spark = emb.sparkSession
+    try:
+        u = [10**6] * dim
+
+        def a_frame(u_now):
+            ulit = F.array(*[F.lit(int(x)).cast("long") for x in u_now])
+            dot = F.aggregate(
+                F.zip_with(F.col("xm"), ulit, lambda a, b: a * b),
+                F.lit(0).cast("long"), lambda acc, x: acc + x,
+            )
+            contrib = base.select(F.posexplode(
+                F.transform(F.col("xm"),
+                            lambda x: dot.cast("decimal(38,0)") * x)
+            ).alias("j", "c"))
+            return contrib.groupBy("j").agg(F.sum("c").alias("w"))
+
+        for _ in range(iters - 1):
+            a = {int(r.j): int(r.w) for r in a_frame(u).collect()}
+            a = [a[j] for j in range(dim)]
+            m1 = max(abs(x) for x in a)
+            up = [_tdiv(x * 10**6, m1) for x in a]
+            p = sum(v * x for v, x in zip(v1, up))
+            udd = [x * c - v * p for v, x in zip(v1, up)]
+            m2 = max(abs(x) for x in udd)
+            u = [_tdiv(x * 10**6, m2) for x in udd]
+
+        # final round fully in-plan: a -> norm -> deflate -> norm
+        w = a_frame(u)
+        v1f = spark.createDataFrame(
+            [(j, v1[j]) for j in range(dim)], "j int, v1 long"
+        )
+        m1f = w.agg(F.max(F.abs(F.col("w"))).alias("m1"))
+        up_f = (
+            w.crossJoin(F.broadcast(m1f))
+            .join(F.broadcast(v1f), "j")
+            .select(
+                "j", "v1",
+                F.expr("CAST(w * 1000000 DIV m1 AS DECIMAL(38,0))")
+                .alias("up"),
+            )
+        )
+        pf = up_f.agg(
+            F.sum(F.col("v1").cast("decimal(38,0)") * F.col("up"))
+            .alias("p")
+        )
+        udd_f = up_f.crossJoin(F.broadcast(pf)).select(
+            "j",
+            (F.col("up") * F.lit(c).cast("decimal(38,0)")
+             - F.col("v1").cast("decimal(38,0)") * F.col("p"))
+            .alias("udd"),
+        )
+        m2f = udd_f.agg(F.max(F.abs(F.col("udd"))).alias("m2"))
+        return (
+            udd_f.crossJoin(F.broadcast(m2f))
+            .select(
+                F.col("j").cast("long").alias("dim_idx"),
+                F.expr("CAST(udd * 1000000 DIV m2 AS BIGINT)")
+                .alias("u_micro"),
+            )
+            .orderBy("dim_idx")
+        )
+    finally:
+        base.unpersist(blocking=False)

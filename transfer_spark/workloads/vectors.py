@@ -1199,7 +1199,7 @@ def q_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TOP_COMPONENT_CTES = """
-WITH ex AS (
+WITH ex AS MATERIALIZED (
   SELECT vec_id,
     unnest(list_transform(embedding::DOUBLE[],
            x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))) AS x,
@@ -1219,7 +1219,7 @@ d3 AS (SELECT vec_id, SUM(x * v) AS dot
        FROM ex JOIN v2 USING (j) GROUP BY vec_id),
 w3 AS (SELECT j, SUM(CAST(dot AS HUGEINT) * x) AS w
        FROM ex JOIN d3 USING (vec_id) GROUP BY j),
-v3 AS (SELECT j, w * 1000000 // (SELECT max(abs(w)) FROM w3) AS v FROM w3)"""
+v3 AS MATERIALIZED (SELECT j, w * 1000000 // (SELECT max(abs(w)) FROM w3) AS v FROM w3)"""
 
 ORACLE_TOP_COMPONENT = f"""{_TOP_COMPONENT_CTES}
 SELECT CAST(j AS BIGINT) AS dim_idx, CAST(v AS BIGINT) AS v_micro
@@ -1297,8 +1297,58 @@ FROM agg CROSS JOIN tr CROSS JOIN vvs CROSS JOIN td
 """
 
 
+def q_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second principal direction by deflated power iteration
+    (operators/similarity.py) — with the top component this is a
+    distributed top-2 PCA, exact to the 1e-6 grid. The oracle replays
+    all three deflated rounds (norm → project-out-v1 → norm) unrolled
+    on top of the shared v3 CTE prefix."""
+    return S.power_iteration_second_component(
+        _emb(spark, sf_dir), "embedding", dim=64, iters=3
+    )
+
+
+_DEFLATE_ROUND = """b{n} AS (
+  SELECT vec_id, SUM(x * u) AS dot
+  FROM ex JOIN u{prev} USING (j) GROUP BY vec_id
+), aw{n} AS MATERIALIZED (
+  SELECT j, SUM(CAST(dot AS HUGEINT) * x) AS w
+  FROM ex JOIN b{n} USING (vec_id) GROUP BY j
+), up{n} AS MATERIALIZED (
+  SELECT j, w * 1000000 // (SELECT max(abs(w)) FROM aw{n}) AS up
+  FROM aw{n}
+), udd{n} AS (
+  SELECT up{n}.j,
+         up * (SELECT SUM(CAST(v AS HUGEINT) * v) FROM v3)
+           - CAST(v3.v AS HUGEINT)
+             * (SELECT SUM(CAST(v3i.v AS HUGEINT) * up{n}i.up)
+                FROM v3 v3i JOIN up{n} up{n}i ON v3i.j = up{n}i.j)
+           AS udd
+  FROM up{n} JOIN v3 ON up{n}.j = v3.j
+), u{n} AS (
+  SELECT j, udd * 1000000 // (SELECT max(abs(udd)) FROM udd{n}) AS u
+  FROM udd{n}
+)"""
+
+ORACLE_SECOND_COMPONENT = (
+    _TOP_COMPONENT_CTES
+    + ",\nu0 AS (SELECT j, CAST(1000000 AS HUGEINT) AS u FROM v3),\n"
+    + _DEFLATE_ROUND.format(n=1, prev=0)
+    + ",\n"
+    + _DEFLATE_ROUND.format(n=2, prev=1)
+    + ",\n"
+    + _DEFLATE_ROUND.format(n=3, prev=2)
+    + """
+SELECT CAST(j AS BIGINT) AS dim_idx, CAST(u AS BIGINT) AS u_micro
+FROM u3
+ORDER BY dim_idx
+"""
+)
+
+
 QUERIES = {
     "embedding_top_component": (q_top_component, ORACLE_TOP_COMPONENT),
+    "embedding_second_component": (q_second_component, ORACLE_SECOND_COMPONENT),
     "embedding_anisotropy_share": (q_anisotropy_share, ORACLE_ANISOTROPY),
     "ann_recall_audit": (q_ann_recall, _ann_recall_sql()),
     "embedding_matryoshka_audit": (q_matryoshka_audit, ORACLE_MATRYOSHKA),
