@@ -662,3 +662,45 @@ def test_mg_accumulator_behind_a_readstream(spark, tmp_path):
     direct = {r.item: (r.cnt, r.err) for r in out.collect()}
     assert streamed == direct
     assert streamed["hot"][0] >= 1  # the heavy item survived
+
+
+def test_matrix_profile_motif_and_discord(spark, tmp_path):
+    """A perfectly periodic series has matrix-profile 0 everywhere
+    (every window recurs one period away); corrupting one day makes
+    exactly the windows covering it discords (nn_ssd > 0), with the
+    spike's magnitude bounding the discord height."""
+    import datetime as dt
+
+    from transfer_spark.workloads.temporal import q_matrix_profile
+
+    pattern = [1, 2, 3, 4, 3, 2, 1]           # weekly motif
+    counts = pattern * 4                       # 28 days, period 7
+    counts[10] += 5                            # discord at day index 10
+    rows, eid = [], 0
+    for day, c in enumerate(counts):
+        for _ in range(c):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 3, 1) + dt.timedelta(days=day),
+                 1, "p", 1.0)
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    out = {
+        r.window_idx: r
+        for r in q_matrix_profile(spark, str(tmp_path)).collect()
+    }
+    # 22 full windows (28 - 7 + 1); windows touching day 10 are
+    # 1-based indices 5..11
+    assert len(out) == 22
+    touched = set(range(5, 12))
+    for i, r in out.items():
+        if i in touched:
+            assert r.nn_ssd == 25, i   # the +5 spike, squared, once
+        else:
+            assert r.nn_ssd == 0, i    # periodic: exact recurrence
+            assert abs(r.nn_idx - i) % 7 == 0

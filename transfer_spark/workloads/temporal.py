@@ -1557,6 +1557,101 @@ LIMIT 1
 """
 
 
+_MP_W = 7       # subsequence length (one week of daily counts)
+_MP_EXCL = 4    # exclusion zone: skip trivially-overlapping neighbors
+
+
+def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile (UCR motif/novelty discovery), SSD variant, on
+    the daily event-count series per type: for every length-7 window,
+    the nearest-neighbor distance (sum of squared differences) to any
+    non-overlapping window of the same series — low = recurring motif,
+    high = discord/anomaly. Unnormalized SSD keeps it integer-exact
+    (the z-normalized variant needs sqrt); the exclusion zone |i-j| >=
+    4 drops trivial matches, the standard treatment.
+
+    Scale shape: windows materialize on the DAILY aggregate via lead()
+    (dimension grain — ~150 windows per type at any corpus size), the
+    all-pairs join runs per type on that tiny frame, and the argmin is
+    one min_by aggregate; the only event-scale work is the daily hash
+    agg."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    win = daily.select(
+        "event_type",
+        F.row_number().over(w).alias("i"),
+        F.array(*[
+            F.lead("x", k).over(w) for k in range(_MP_W)
+        ]).alias("v"),
+    ).filter(~F.array_contains(F.transform(
+        F.col("v"), lambda x: x.isNull()), True)
+    )
+    a, b = win.alias("a"), win.alias("b")
+    ssd = F.aggregate(
+        F.zip_with(
+            F.col("a.v"), F.col("b.v"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.abs(F.col("a.i") - F.col("b.i")) >= _MP_EXCL),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.i").alias("i"),
+        F.col("b.i").alias("j"),
+        ssd.alias("ssd"),
+    )
+    best = Window.partitionBy("event_type", "i").orderBy(
+        F.asc("ssd"), F.asc("j")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("i").cast("long").alias("window_idx"),
+            F.col("ssd").cast("long").alias("nn_ssd"),
+            F.col("j").cast("long").alias("nn_idx"),
+        )
+    )
+
+
+ORACLE_MATRIX_PROFILE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), win AS MATERIALIZED (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS i,
+         [{", ".join(
+             f"lead(x, {k}) OVER (PARTITION BY event_type ORDER BY d)"
+             for k in range(_MP_W))}] AS v
+  FROM daily
+), full_win AS (
+  SELECT * FROM win
+  WHERE NOT list_contains(list_transform(v, x -> x IS NULL), TRUE)
+), pairs AS (
+  SELECT a.event_type, a.i, b.i AS j,
+    list_sum(list_transform(range(1, {_MP_W + 1}),
+             k -> (a.v[k] - b.v[k]) * (a.v[k] - b.v[k]))) AS ssd
+  FROM full_win a JOIN full_win b
+    ON a.event_type = b.event_type AND abs(a.i - b.i) >= {_MP_EXCL}
+)
+SELECT event_type, CAST(i AS BIGINT) AS window_idx,
+       CAST(ssd AS BIGINT) AS nn_ssd, CAST(j AS BIGINT) AS nn_idx
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type, i
+                               ORDER BY ssd, j) AS rn
+  FROM pairs
+) WHERE rn = 1
+"""
+
+
 def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonality profile per event type: volume and share
     of the type's week (ppm) per ISO weekday — the baseline a seasonal
@@ -3132,6 +3227,7 @@ QUERIES = {
     "events_dow_profile": (q_dow_profile, ORACLE_DOW_PROFILE),
     "events_chi2_dow": (q_chi2_dow_independence, ORACLE_CHI2_DOW),
     "events_ks_two_sample": (q_ks_two_sample, ORACLE_KS_TWO_SAMPLE),
+    "events_matrix_profile": (q_matrix_profile, ORACLE_MATRIX_PROFILE),
     "events_mann_kendall": (q_mann_kendall_trend, ORACLE_MANN_KENDALL),
     "events_type_lift": (q_type_lift, ORACLE_TYPE_LIFT),
     "events_session_depth": (q_session_depth, ORACLE_SESSION_DEPTH),
