@@ -704,3 +704,33 @@ def test_matrix_profile_motif_and_discord(spark, tmp_path):
         else:
             assert r.nn_ssd == 0, i    # periodic: exact recurrence
             assert abs(r.nn_idx - i) % 7 == 0
+
+
+def test_type_bitmask_combinations(spark, tmp_path):
+    """Three users with distinct type sets must land in three distinct
+    masks with correct decoded labels and ppm shares."""
+    import datetime as dt
+
+    from transfer_spark.workloads.temporal import q_type_bitmask_profile
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 100, "click", 1.0),
+        (2, t0, 100, "purchase", 1.0),   # click+purchase
+        (3, t0, 200, "error", 1.0),      # error only
+        (4, t0, 300, "view", 1.0),
+        (5, t0, 300, "view", 1.0),       # view only (twice -> same bit)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.combo: r
+        for r in q_type_bitmask_profile(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"click+purchase", "error", "view"}
+    assert out["click+purchase"].mask == (1 << 0) | (1 << 2)
+    assert out["error"].n_users == 1
+    assert out["view"].share_ppm == 333_333

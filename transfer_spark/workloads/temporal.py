@@ -1652,6 +1652,71 @@ FROM (
 """
 
 
+_TYPE_BITS = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_type_bitmask_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-combination rollup via bitmap aggregation — the
+    classic OLAP bitmask trick: fold each user's event types into one
+    5-bit mask (bit_or, a fixed-width mergeable aggregate), then
+    profile every OBSERVED combination: user count, share ppm, and the
+    decoded label. Answers "how many users click AND purchase but never
+    error" in two fixed-width hash aggregates where the naive form is
+    5 self-joins; the mask stays one long however many users exist."""
+    ev = _events(spark, sf_dir)
+    bit = None
+    for i, t in enumerate(_TYPE_BITS):
+        term = F.when(F.col("event_type") == t, F.lit(1 << i)).otherwise(0)
+        bit = term if bit is None else bit.bitwiseOR(term)
+    masks = ev.groupBy("user_id").agg(
+        F.bit_or(bit).cast("long").alias("mask")
+    )
+    tot = masks.agg(F.count(F.lit(1)).alias("total"))
+    label = F.concat_ws(
+        "+",
+        *[
+            F.when(
+                F.col("mask").bitwiseAND(F.lit(1 << i)) > 0, F.lit(t)
+            )
+            for i, t in enumerate(_TYPE_BITS)
+        ],
+    )
+    return (
+        masks.groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("mask").cast("long").alias("mask"),
+            label.alias("combo"),
+            "n_users",
+            F.expr("n_users * 1000000 DIV total").alias("share_ppm"),
+        )
+        .orderBy("mask")
+    )
+
+
+_BIT_EXPR = " | ".join(
+    f"(CASE WHEN event_type = '{t}' THEN {1 << i} ELSE 0 END)"
+    for i, t in enumerate(_TYPE_BITS)
+)
+_LABEL_EXPR = ", ".join(
+    f"CASE WHEN (mask & {1 << i}) > 0 THEN '{t}' ELSE NULL END"
+    for i, t in enumerate(_TYPE_BITS)
+)
+
+ORACLE_TYPE_BITMASK = f"""
+WITH masks AS (
+  SELECT user_id, CAST(bit_or({_BIT_EXPR}) AS BIGINT) AS mask
+  FROM events GROUP BY user_id
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM masks)
+SELECT mask, concat_ws('+', {_LABEL_EXPR}) AS combo,
+  CAST(count(*) AS BIGINT) AS n_users,
+  CAST(count(*) * 1000000 // total AS BIGINT) AS share_ppm
+FROM masks CROSS JOIN tot
+GROUP BY mask, total ORDER BY mask
+"""
+
+
 def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonality profile per event type: volume and share
     of the type's week (ppm) per ISO weekday — the baseline a seasonal
@@ -3228,6 +3293,7 @@ QUERIES = {
     "events_chi2_dow": (q_chi2_dow_independence, ORACLE_CHI2_DOW),
     "events_ks_two_sample": (q_ks_two_sample, ORACLE_KS_TWO_SAMPLE),
     "events_matrix_profile": (q_matrix_profile, ORACLE_MATRIX_PROFILE),
+    "events_type_bitmask": (q_type_bitmask_profile, ORACLE_TYPE_BITMASK),
     "events_mann_kendall": (q_mann_kendall_trend, ORACLE_MANN_KENDALL),
     "events_type_lift": (q_type_lift, ORACLE_TYPE_LIFT),
     "events_session_depth": (q_session_depth, ORACLE_SESSION_DEPTH),
