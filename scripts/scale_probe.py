@@ -672,6 +672,29 @@ def main():
 
     results.append(probe("brand_price_ols_moments", li, _ols_moments))
 
+    def _ks(d):
+        from transfer_spark.operators.layout import global_cumsum
+
+        g = d.filter(F.col("event_type").isin("click", "purchase")).groupBy(
+            F.col("value").alias("v")
+        ).agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long").alias("n1"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long").alias("n2"),
+        )
+        c = global_cumsum(g, [F.col("v")], F.col("n1"), "c1")
+        c = global_cumsum(c, [F.col("v")], F.col("n2"), "c2")
+        tot = g.agg(F.sum("n1").alias("t1_n"), F.sum("n2").alias("t2_n"))
+        diff = c.crossJoin(F.broadcast(tot)).select(
+            "v",
+            F.abs(F.col("c1") * F.col("t2_n") - F.col("c2") * F.col("t1_n"))
+            .alias("ad"),
+        )
+        return diff.orderBy(F.desc("ad"), F.asc("v")).limit(1)
+
+    results.append(probe("ks_two_sample", ev, _ks))
+
     # corpus-ingest probe cost must track the BATCH, not the corpus
     # (VERDICT r6 #4): seed the persistent indexes from a 1x vs 10x
     # corpus, then time the SAME fixed-size batch against each.
