@@ -154,3 +154,37 @@ def test_scrub_dup_spans_matches_python_reference(spark, docs_texts):
     }
     want = _ref_scrub(docs, n=3)
     assert got == want
+
+
+def test_ndcg_extremes_on_crafted_corpus(spark, tmp_path):
+    """Perfect self-retrieval with no same-feed distractors -> dcg =
+    idcg = 2e6 and ndcg exactly 1e6; and idcg grows by exactly the
+    rank-2 discount once ONE same-feed doc exists."""
+    from transfer_spark.workloads.text import _NDCG_W, q_retrieval_eval_ndcg
+
+    # qid 0 (0 % 97 == 0): unique text, unique (source, lang) -> no
+    # grade-1 docs anywhere. qid 97: one same-feed sibling that shares
+    # no shingles (won't be retrieved, but DOES raise the IDCG bar).
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "solo", 6),
+        (97, "one two three four five six", "fr", "pair", 6),
+        (98, "sept huit neuf dix onze douze", "fr", "pair", 6),
+        (99, "filler words completely different here now", "de", "other", 6),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.qid: r for r in q_retrieval_eval_ndcg(spark, str(tmp_path)).collect()}
+
+    assert out[0].dcg == 2 * _NDCG_W[0]
+    assert out[0].idcg == 2 * _NDCG_W[0]
+    assert out[0].ndcg_ppm == 1_000_000
+
+    # the sibling shares no shingles -> dcg stays 2*w1, but idcg now
+    # expects the grade-1 doc at rank 2
+    assert out[97].dcg == 2 * _NDCG_W[0]
+    assert out[97].idcg == 2 * _NDCG_W[0] + _NDCG_W[1]
+    assert out[97].ndcg_ppm == (
+        2 * _NDCG_W[0] * 1_000_000 // (2 * _NDCG_W[0] + _NDCG_W[1])
+    )

@@ -1022,7 +1022,7 @@ def q_retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_RETRIEVAL_EVAL = f"""
+_RETRIEVAL_SCORING_CTES = f"""
 WITH q AS (
   SELECT doc_id AS qid,
          list_distinct(({_SHINGLES})[1:5]) AS qterms
@@ -1049,11 +1049,173 @@ scored AS (
     row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC)
       AS rank
   FROM scored
-)
+)"""
+
+ORACLE_RETRIEVAL_EVAL = f"""{_RETRIEVAL_SCORING_CTES}
 SELECT qid, CAST(rank AS BIGINT) AS rank_of_relevant,
   CAST(1000000 // rank AS BIGINT) AS rr_ppm,
   CAST(CASE WHEN rank <= 5 THEN 1 ELSE 0 END AS BIGINT) AS hit_at_5
 FROM ranked WHERE doc_id = qid
+"""
+
+
+# NDCG@5 discount weights round(1e6 / log2(1+r)) — LITERALS on both
+# engines, so the logarithm can never drift between them
+_NDCG_W = [1000000, 630930, 500000, 430677, 386853]
+
+
+def q_retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 over the same self-retrieval harness as
+    [[retrieval_eval_mrr]], with GRADED relevance: the query's own
+    document is grade 2, any same-(source, lang) document grade 1 —
+    so the metric rewards surfacing the right feed, not only the exact
+    document. Discounts are fixed-point literals (identical on both
+    engines); IDCG places the grade-2 first and as many grade-1s as
+    exist (capped at 4) — all integer, ndcg published in ppm.
+
+    Scale shape: scoring is the MRR harness's postings equi-join; the
+    grading join touches only the top-5 rows per query, and the
+    grade-1 population count is one (source, lang) aggregate joined
+    back dimension-grain."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    queries = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.array_distinct(
+            F.slice(D.shingles(F.col("text"), 3), 1, 5)
+        ).alias("qterms"),
+        F.col("source").alias("qsrc"),
+        F.col("lang").alias("qlang"),
+    )
+    qt = queries.select("qid", F.explode("qterms").alias("term"))
+    postings = (
+        d.select(
+            "doc_id", F.explode(D.shingles(F.col("text"), 3)).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("dft")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.floor(
+        F.log((F.col("n_docs") + 1).cast("double") / (F.col("dft") + 1))
+        * 1_000_000.0 + 0.5
+    ).cast("long")
+    scored = (
+        F.broadcast(qt)
+        .join(postings, "term")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(F.col("tf") * idf).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    top5 = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+    meta = d.select("doc_id", "source", "lang")
+    qmeta = queries.select("qid", "qsrc", "qlang")
+    wlit = F.array(*[F.lit(x).cast("long") for x in _NDCG_W])
+    graded = (
+        top5.join(F.broadcast(qmeta), "qid")
+        .join(meta, "doc_id")
+        .select(
+            "qid",
+            (
+                F.when(F.col("doc_id") == F.col("qid"), 2)
+                .when(
+                    (F.col("source") == F.col("qsrc"))
+                    & (F.col("lang") == F.col("qlang")), 1
+                )
+                .otherwise(0)
+            ).cast("long").alias("grade"),
+            F.element_at(wlit, F.col("rank")).alias("disc"),
+        )
+    )
+    dcg = graded.groupBy("qid").agg(
+        F.sum(F.col("grade") * F.col("disc")).alias("dcg")
+    )
+    n1 = (
+        F.broadcast(qmeta)
+        .join(
+            meta,
+            (meta.source == qmeta.qsrc) & (meta.lang == qmeta.qlang)
+            & (meta.doc_id != qmeta.qid),
+        )
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    w2345 = [0]
+    for x in _NDCG_W[1:]:
+        w2345.append(w2345[-1] + x)  # prefix sums of ranks 2..5
+    idcg = (
+        dcg.join(n1, "qid", "left")
+        .select(
+            "qid", "dcg",
+            (
+                F.lit(2 * _NDCG_W[0])
+                + F.element_at(
+                    F.array(*[F.lit(x).cast("long") for x in w2345]),
+                    (
+                        F.least(F.coalesce(F.col("n1"), F.lit(0)), F.lit(4))
+                        + 1
+                    ).cast("int"),
+                )
+            ).alias("idcg"),
+        )
+    )
+    return idcg.select(
+        "qid",
+        F.col("dcg").cast("long").alias("dcg"),
+        F.col("idcg").cast("long").alias("idcg"),
+        F.expr("dcg * 1000000 DIV idcg").alias("ndcg_ppm"),
+    )
+
+
+ORACLE_RETRIEVAL_NDCG = f"""{_RETRIEVAL_SCORING_CTES},
+qm AS (
+  SELECT doc_id AS qid, source AS qsrc, lang AS qlang
+  FROM documents WHERE doc_id % 97 = 0
+), graded AS (
+  SELECT r.qid,
+    CASE WHEN r.doc_id = r.qid THEN 2
+         WHEN m.source = qm.qsrc AND m.lang = qm.qlang THEN 1
+         ELSE 0 END AS grade,
+    ([{", ".join(str(x) for x in _NDCG_W)}])[r.rank] AS disc
+  FROM ranked r
+  JOIN qm ON r.qid = qm.qid
+  JOIN documents m ON r.doc_id = m.doc_id
+  WHERE r.rank <= 5
+), dcg AS (
+  SELECT qid, CAST(SUM(grade * disc) AS BIGINT) AS dcg
+  FROM graded GROUP BY qid
+), n1 AS (
+  SELECT qm.qid, count(*) AS n1
+  FROM qm JOIN documents m
+    ON m.source = qm.qsrc AND m.lang = qm.qlang AND m.doc_id <> qm.qid
+  GROUP BY qm.qid
+)
+SELECT dcg.qid, dcg,
+  CAST({2 * _NDCG_W[0]}
+       + ([{", ".join(str(x) for x in
+            [0,
+             _NDCG_W[1],
+             _NDCG_W[1] + _NDCG_W[2],
+             _NDCG_W[1] + _NDCG_W[2] + _NDCG_W[3],
+             _NDCG_W[1] + _NDCG_W[2] + _NDCG_W[3] + _NDCG_W[4]])}])
+         [least(coalesce(n1.n1, 0), 4) + 1] AS BIGINT) AS idcg,
+  CAST(dcg * 1000000 // ({2 * _NDCG_W[0]}
+       + ([{", ".join(str(x) for x in
+            [0,
+             _NDCG_W[1],
+             _NDCG_W[1] + _NDCG_W[2],
+             _NDCG_W[1] + _NDCG_W[2] + _NDCG_W[3],
+             _NDCG_W[1] + _NDCG_W[2] + _NDCG_W[3] + _NDCG_W[4]])}])
+         [least(coalesce(n1.n1, 0), 4) + 1]) AS BIGINT) AS ndcg_ppm
+FROM dcg LEFT JOIN n1 ON dcg.qid = n1.qid
 """
 
 
@@ -3980,6 +4142,7 @@ QUERIES = {
     "vocab_oov_rate": (q_vocab_oov_rate, ORACLE_VOCAB_OOV),
     "vocab_zipf_fit": (q_vocab_zipf_fit, ORACLE_VOCAB_ZIPF),
     "retrieval_eval_mrr": (q_retrieval_eval_mrr, ORACLE_RETRIEVAL_EVAL),
+    "retrieval_eval_ndcg": (q_retrieval_eval_ndcg, ORACLE_RETRIEVAL_NDCG),
     "reverse_search_match": (q_reverse_search_match, ORACLE_REVERSE_SEARCH),
     "bpe_apply_merges": (q_bpe_apply_merges, ORACLE_BPE_APPLY),
     "corpus_split": (q_corpus_split, ORACLE_CORPUS_SPLIT),
