@@ -1168,3 +1168,21 @@ def test_second_component_orthogonal_and_correct(spark):
     assert cos2 > 0.99
     ortho = abs(u @ v1) / (np.linalg.norm(u) * np.linalg.norm(v1))
     assert ortho < 0.01
+
+
+def test_trimmed_mean_ignores_whales(spark, tmp_path):
+    """10 orders at 100.00 plus one 1e6 whale: the plain mean is pulled
+    ~10x while the decile trim drops exactly one row per side (11 DIV
+    10 = 1) and the robust mean stays close to the base price."""
+    from transfer_spark.workloads.analytics import q_trimmed_mean
+
+    rows = [(i, "1-URGENT", 100.0) for i in range(10)] + [
+        (99, "1-URGENT", 1_000_000.0)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    r = q_trimmed_mean(spark, str(tmp_path)).first()
+    assert r.n_kept == 9
+    assert r.trimmed_mean_cents == 10_000      # 100.00 exactly
+    assert r.mean_cents == (10 * 10_000 + 100_000_000) // 11

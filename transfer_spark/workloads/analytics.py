@@ -617,6 +617,78 @@ FROM runs GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-trimmed robust mean of order value per priority — the
+    outlier-proof center a dashboard should show when whales distort
+    the plain mean: drop the bottom and top 10% of rows BY RANK
+    (integer bounds n DIV 10, so both engines cut identically), average
+    the middle 80% in integer cents. Rank ties broken by orderkey —
+    a total order, so the trim is deterministic. The rank window runs
+    per priority group; output = mean + plain mean for contrast."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("cents"), F.asc("o_orderkey")
+    )
+    ranked = (
+        o.select("o_orderpriority", "o_orderkey", cents.alias("cents"))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(
+                Window.partitionBy("o_orderpriority")
+            )
+        )
+    )
+    kept = ranked.filter(
+        (F.col("rk") > F.expr("n DIV 10"))
+        & (F.col("rk") <= F.expr("n - (n DIV 10)"))
+    )
+    trimmed = kept.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.expr("CAST(SUM(cents) DIV COUNT(1) AS BIGINT)")
+        .alias("trimmed_mean_cents"),
+    )
+    plain = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))"
+            " DIV COUNT(1) AS BIGINT)"
+        ).alias("mean_cents")
+    )
+    return trimmed.join(plain, "o_orderpriority").orderBy(
+        "o_orderpriority"
+    )
+
+
+ORACLE_TRIMMED_MEAN = """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY floor(o_totalprice * 100.0 + 0.5),
+                                     o_orderkey) AS rk,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+), kept AS (
+  SELECT * FROM ranked
+  WHERE rk > n // 10 AND rk <= n - (n // 10)
+), trimmed AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(SUM(cents) // count(*) AS BIGINT) AS trimmed_mean_cents
+  FROM kept GROUP BY 1
+), plain AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              // count(*) AS BIGINT) AS mean_cents
+  FROM orders GROUP BY 1
+)
+SELECT t.o_orderpriority, n_kept, trimmed_mean_cents, mean_cents
+FROM trimmed t JOIN plain p ON t.o_orderpriority = p.o_orderpriority
+ORDER BY t.o_orderpriority
+"""
+
+
 def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer lifetime revenue — the scalar
     concentration audit next to [[customer_pareto_curve]]'s decile
@@ -3577,6 +3649,7 @@ FROM per_cust
     "graph_label_propagation": (q_label_propagation, ORACLE_LABEL_PROPAGATION),
     "graph_modularity": (q_modularity, ORACLE_MODULARITY),
     "customer_gini": (q_gini_revenue, ORACLE_GINI),
+    "orders_trimmed_mean": (q_trimmed_mean, ORACLE_TRIMMED_MEAN),
     "segment_hhi": (q_hhi_concentration, ORACLE_HHI),
     "events_runs_test": (q_runs_test, ORACLE_RUNS_TEST),
     "brand_price_ols": (q_brand_price_ols, ORACLE_BRAND_PRICE_OLS),
