@@ -1186,3 +1186,21 @@ def test_trimmed_mean_ignores_whales(spark, tmp_path):
     assert r.n_kept == 9
     assert r.trimmed_mean_cents == 10_000      # 100.00 exactly
     assert r.mean_cents == (10 * 10_000 + 100_000_000) // 11
+
+
+def test_hill_estimator_recovers_pareto_exponent(spark, tmp_path):
+    """Exact Pareto(alpha=2) order statistics (x_i = C * i^(-1/2))
+    planted as order values: the Hill estimate over the top-100 must
+    land within ~15% of alpha = 2."""
+    from transfer_spark.workloads.analytics import q_hill_tail_index
+
+    rows = [
+        (i, "P", 1_000_000.0 * (i ** -0.5)) for i in range(1, 2001)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    r = q_hill_tail_index(spark, str(tmp_path)).first()
+    alpha = r.alpha_ppm / 1e6
+    assert 1.7 < alpha < 2.3, alpha
+    assert r.k == 100

@@ -617,6 +617,67 @@ FROM runs GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the revenue tail exponent — the heavy-tail
+    audit behind capacity planning and skew-handling decisions (a tail
+    index near 1 means whale orders dominate totals; near infinity
+    means exponential-like tails): 1/alpha = mean of ln(x_i / x_k)
+    over the top-k order statistics. k = 100 by (value desc, orderkey)
+    — a deterministic TakeOrdered set, never a global sort; each ln is
+    quantized floor(ln*1e6 + 0.5) BEFORE the sum (the quantize-before-
+    reduce precedent of tfidf/DSIR), so aggregation order can't move
+    the hash."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+    k = 100
+    top = (
+        o.select(cents.alias("cents"), "o_orderkey")
+        .orderBy(F.desc("cents"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+    xk = top.agg(F.min("cents").alias("xk"))
+    q = top.crossJoin(F.broadcast(xk)).filter(F.col("cents") > F.col("xk"))
+    lnq = F.floor(
+        F.log(F.col("cents").cast("double") / F.col("xk").cast("double"))
+        * 1_000_000.0 + 0.5
+    ).cast("long")
+    return (
+        q.agg(
+            F.lit(k).cast("long").alias("k"),
+            F.max("xk").alias("xk_cents"),
+            F.sum(lnq).alias("__s"),
+            F.count(F.lit(1)).cast("long").alias("__n"),
+        )
+        .select(
+            "k", "xk_cents",
+            F.expr("CAST(__s DIV __n AS BIGINT)").alias("alpha_inv_ppm"),
+            F.expr(
+                "CAST(1000000000000 DIV (__s DIV __n) AS BIGINT)"
+            ).alias("alpha_ppm"),
+        )
+    )
+
+
+ORACLE_HILL_TAIL = """
+WITH top AS (
+  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  ORDER BY floor(o_totalprice * 100.0 + 0.5) DESC, o_orderkey ASC
+  LIMIT 100
+), xk AS (SELECT min(cents) AS xk FROM top),
+q AS (
+  SELECT CAST(floor(ln(CAST(cents AS DOUBLE) / CAST(xk AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lnq
+  FROM top CROSS JOIN xk WHERE cents > xk
+)
+SELECT CAST(100 AS BIGINT) AS k,
+  (SELECT CAST(xk AS BIGINT) FROM xk) AS xk_cents,
+  CAST(SUM(lnq) // count(*) AS BIGINT) AS alpha_inv_ppm,
+  CAST(1000000000000 // (SUM(lnq) // count(*)) AS BIGINT) AS alpha_ppm
+FROM q
+"""
+
+
 def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile-trimmed robust mean of order value per priority — the
     outlier-proof center a dashboard should show when whales distort
@@ -3650,6 +3711,7 @@ FROM per_cust
     "graph_modularity": (q_modularity, ORACLE_MODULARITY),
     "customer_gini": (q_gini_revenue, ORACLE_GINI),
     "orders_trimmed_mean": (q_trimmed_mean, ORACLE_TRIMMED_MEAN),
+    "orders_hill_tail_index": (q_hill_tail_index, ORACLE_HILL_TAIL),
     "segment_hhi": (q_hhi_concentration, ORACLE_HHI),
     "events_runs_test": (q_runs_test, ORACLE_RUNS_TEST),
     "brand_price_ols": (q_brand_price_ols, ORACLE_BRAND_PRICE_OLS),
