@@ -102,3 +102,38 @@ def test_decode_envelope_tombstone_and_delete(spark):
     assert got[1].v == "old"
     assert got[1]["__artie_delete"] is True
     assert got[1]["__artie_only_set_delete"] is True
+
+
+def test_changed_columns_null_fields_never_report_changed(spark, tmp_path):
+    """NULL-safe diff contract: a NULL source field makes the before
+    image NULL too, so it must NOT appear in changed_cols — and the
+    non-NULL fields still diff normally on the same row."""
+    import datetime as dt
+
+    from transfer_spark.workloads.sources import q_cdc_changed_columns
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # event_id 1 (odd -> val eligible), user 3 (%3==0 -> etype
+        # eligible), but BOTH fields NULL -> nothing changed
+        (1, t0, 3, None, None),
+        # odd id, user 3, both present -> both changed
+        (3, t0, 3, "click", 5.0),
+        # even id, user 1 -> nothing eligible
+        (4, t0, 1, "view", 2.0),
+        # odd id, user 1, value present -> only val
+        (5, t0, 1, "view", 2.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.offset: (r.n_changed, r.changed_cols)
+        for r in q_cdc_changed_columns(spark, str(tmp_path)).collect()
+    }
+    assert out[1] == (0, "")
+    assert out[3] == (2, "etype,val")
+    assert out[4] == (0, "")
+    assert out[5] == (1, "val")

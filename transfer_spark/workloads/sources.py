@@ -194,8 +194,84 @@ FROM events
 """
 
 
+def q_cdc_changed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level change report for UPDATE envelopes — the
+    changed-column computation behind the reference's TOAST-aware
+    UPDATE path (clients/shared diff of before/after images): build a
+    Debezium update envelope per event with a data-dependent before
+    image (etype rewritten for user_id % 3 == 0 rows, val decremented
+    for odd event_ids), roundtrip it through JSON exactly as the wire
+    would, and diff the two images field by field with NULL-safe
+    equality. Output = changed-column list + count per update.
+
+    The diff is pure codegen on the parsed struct — one scan, no
+    shuffle; at 100 TB this rides the decode scan it would share in
+    the pipeline."""
+    ev = read_table(spark, sf_dir, "events")
+    before = F.struct(
+        F.col("user_id").alias("id"),
+        F.when(
+            F.col("user_id") % 3 == 0,
+            F.concat(F.lit("was_"), F.col("event_type")),
+        ).otherwise(F.col("event_type")).alias("etype"),
+        F.when(
+            F.col("event_id") % 2 == 1, F.col("value") - 1
+        ).otherwise(F.col("value")).alias("val"),
+    )
+    after = F.struct(
+        F.col("user_id").alias("id"),
+        F.col("event_type").alias("etype"),
+        F.col("value").alias("val"),
+    )
+    envelope = F.to_json(
+        F.struct(
+            before.alias("before"), after.alias("after"),
+            F.lit("u").alias("op"),
+        )
+    )
+    env_ddl = f"struct<before: {ROW_DDL}, after: {ROW_DDL}, op: string>"
+    parsed = ev.select(
+        F.col("event_id").alias("offset"),
+        F.from_json(envelope, env_ddl).alias("env"),
+    ).select("offset", F.col("env.before").alias("b"), F.col("env.after").alias("a"))
+
+    def diff(field):
+        return F.when(
+            ~F.col(f"b.{field}").eqNullSafe(F.col(f"a.{field}")),
+            F.array(F.lit(field)),
+        ).otherwise(F.array().cast("array<string>"))
+
+    changed = F.concat(diff("etype"), diff("id"), diff("val"))
+    return parsed.select(
+        "offset",
+        F.size(changed).cast("long").alias("n_changed"),
+        F.array_join(F.array_sort(changed), ",").alias("changed_cols"),
+    )
+
+
+# NULL semantics pinned: a NULL field makes the synthesized before
+# image NULL too (NULL-1 = NULL, 'was_'||NULL = NULL), and the diff is
+# NULL-SAFE equality, so a NULL column never reports as changed — the
+# conditions below carry the same IS NOT NULL guards the engine's
+# arithmetic implies (tests/test_sources.py pins this on crafted rows)
+ORACLE_CDC_CHANGED_COLUMNS = """
+SELECT event_id AS offset,
+  CAST((CASE WHEN user_id % 3 = 0 AND event_type IS NOT NULL
+             THEN 1 ELSE 0 END)
+       + (CASE WHEN event_id % 2 = 1 AND value IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_changed,
+  concat_ws(',',
+    CASE WHEN user_id % 3 = 0 AND event_type IS NOT NULL THEN 'etype' END,
+    CASE WHEN event_id % 2 = 1 AND value IS NOT NULL THEN 'val' END)
+    AS changed_cols
+FROM events
+"""
+
+
 QUERIES = {
     "debezium_envelope_decode": (q_debezium_decode, ORACLE_DEBEZIUM_DECODE),
+    "cdc_changed_columns": (q_cdc_changed_columns, ORACLE_CDC_CHANGED_COLUMNS),
     "kafka_key_decode": (q_kafka_key_decode, ORACLE_KAFKA_KEY),
     "mongo_extjson_decode": (q_mongo_extjson_decode, ORACLE_MONGO_EXTJSON),
     "mongo_extjson_generic": (q_mongo_extjson_generic, ORACLE_MONGO_EXTJSON),
