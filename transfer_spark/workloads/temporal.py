@@ -1717,6 +1717,85 @@ GROUP BY mask, total ORDER BY mask
 """
 
 
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-NATIVE session windows driven through Structured
+    Streaming: the events table split into two parquet files, streamed
+    one file per micro-batch (sessions span batch boundaries and must
+    merge in state), aggregated with ``F.session_window(ts, 30 min)``
+    in complete mode to a memory sink. Complete mode recomputes the
+    full session state each trigger, so the END STATE is independent
+    of file arrival order — deterministic by construction.
+
+    Boundary contract: session_window breaks when the inter-event gap
+    is >= the gap (windows [t, t+gap) merge only on overlap), so the
+    oracle's island rule uses >= too — aligned by definition, not by
+    data (this corpus has microsecond-grain gaps, never a whole
+    second, so the degenerate point also cannot occur)."""
+    import tempfile
+    import uuid
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts",
+        F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
+        .alias("vm"),
+    )
+    src = tempfile.mkdtemp(prefix="artie_sess_stream_")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, vm bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("vm").cast("long").alias("value_micro"),
+        )
+    )
+    name = f"sess_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        "n_events", "value_micro",
+    )
+
+
+ORACLE_STREAMING_SESSION_WINDOWS = """
+WITH e AS (
+  SELECT user_id, ts,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+  FROM events
+), lagged AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+  FROM e
+), marked AS (
+  SELECT *, CASE WHEN pts IS NULL
+                 OR epoch_us(ts) - epoch_us(pts) >= 1800000000
+            THEN 1 ELSE 0 END AS brk
+  FROM lagged
+), sess AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(vm) AS BIGINT) AS value_micro
+FROM sess GROUP BY user_id, sid
+"""
+
+
 def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonality profile per event type: volume and share
     of the type's week (ppm) per ISO weekday — the baseline a seasonal
@@ -3294,6 +3373,7 @@ QUERIES = {
     "events_ks_two_sample": (q_ks_two_sample, ORACLE_KS_TWO_SAMPLE),
     "events_matrix_profile": (q_matrix_profile, ORACLE_MATRIX_PROFILE),
     "events_type_bitmask": (q_type_bitmask_profile, ORACLE_TYPE_BITMASK),
+    "streaming_session_windows": (q_streaming_session_windows, ORACLE_STREAMING_SESSION_WINDOWS),
     "events_mann_kendall": (q_mann_kendall_trend, ORACLE_MANN_KENDALL),
     "events_type_lift": (q_type_lift, ORACLE_TYPE_LIFT),
     "events_session_depth": (q_session_depth, ORACLE_SESSION_DEPTH),
