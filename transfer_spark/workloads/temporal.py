@@ -1796,6 +1796,68 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join as a REGISTERED query (the
+    ad-attribution shape): the view stream joins the click stream on
+    user within [view_ts, view_ts + 30 min], both sides watermarked so
+    Spark bounds the join state — the 100 TB requirement (without
+    watermarks a stream-stream join buffers forever). INNER stream
+    joins emit on match (the watermark only evicts state), so the
+    availableNow end state equals the batch interval join exactly —
+    which is the oracle. Two files per side, so matches span
+    micro-batches and the state machinery is actually exercised."""
+    import tempfile
+    import uuid
+
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    base = tempfile.mkdtemp(prefix="artie_ssj_")
+    views.repartition(2).write.mode("overwrite").parquet(base + "/v")
+    clicks.repartition(2).write.mode("overwrite").parquet(base + "/c")
+    vs = (
+        spark.readStream
+        .schema("user_id bigint, view_ts timestamp, view_id bigint")
+        .option("maxFilesPerTrigger", 1).parquet(base + "/v")
+        .withWatermark("view_ts", "1 hour")
+    )
+    cs = (
+        spark.readStream
+        .schema("c_user bigint, click_ts timestamp, click_id bigint")
+        .option("maxFilesPerTrigger", 1).parquet(base + "/c")
+        .withWatermark("click_ts", "1 hour")
+    )
+    j = vs.join(
+        cs,
+        (vs.user_id == cs.c_user)
+        & (cs.click_ts >= vs.view_ts)
+        & (cs.click_ts <= vs.view_ts + F.expr("INTERVAL 30 MINUTES")),
+    ).select("user_id", "view_id", "click_id")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        j.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE_STREAMING_INTERVAL_JOIN = """
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts
+ AND epoch_us(c.ts) <= epoch_us(v.ts) + 1800000000
+"""
+
+
 def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonality profile per event type: volume and share
     of the type's week (ppm) per ISO weekday — the baseline a seasonal
@@ -3374,6 +3436,7 @@ QUERIES = {
     "events_matrix_profile": (q_matrix_profile, ORACLE_MATRIX_PROFILE),
     "events_type_bitmask": (q_type_bitmask_profile, ORACLE_TYPE_BITMASK),
     "streaming_session_windows": (q_streaming_session_windows, ORACLE_STREAMING_SESSION_WINDOWS),
+    "streaming_interval_join": (q_streaming_interval_join, ORACLE_STREAMING_INTERVAL_JOIN),
     "events_mann_kendall": (q_mann_kendall_trend, ORACLE_MANN_KENDALL),
     "events_type_lift": (q_type_lift, ORACLE_TYPE_LIFT),
     "events_session_depth": (q_session_depth, ORACLE_SESSION_DEPTH),
