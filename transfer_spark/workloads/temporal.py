@@ -1858,6 +1858,62 @@ FROM events v JOIN events c
 """
 
 
+def q_streaming_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming exactly-once dedup:
+    ``dropDuplicatesWithinWatermark`` on the event key over a stream
+    where EVERY event arrives twice in different micro-batches (the
+    redelivery pattern an at-least-once bus produces). The watermark
+    bounds the dedup state — the native complement to the engine's
+    persistent content-hash dedup index, which handles the
+    cross-restart horizon this operator's in-memory state cannot.
+    End state = first arrival per key = plain DISTINCT, the oracle."""
+    import tempfile
+    import uuid
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    base = tempfile.mkdtemp(prefix="artie_sdd_")
+    # two identical files: every event is delivered twice, across
+    # micro-batch boundaries
+    ev.coalesce(1).write.mode("overwrite").parquet(base + "/a")
+    ev.coalesce(1).write.mode("overwrite").parquet(base + "/b")
+    import shutil
+
+    dup_dir = base + "/stream"
+    import os
+
+    os.makedirs(dup_dir, exist_ok=True)
+    for i, side in enumerate(("a", "b")):
+        src = [f for f in os.listdir(base + f"/{side}")
+               if f.endswith(".parquet")][0]
+        shutil.copy(
+            os.path.join(base, side, src),
+            os.path.join(dup_dir, f"dup{i}.parquet"),
+        )
+    stream = (
+        spark.readStream
+        .schema("event_id bigint, ts timestamp, user_id bigint,"
+                " event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dup_dir)
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"sdd_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE_STREAMING_DROP_DUPLICATES = """
+SELECT event_id, ts, user_id, event_type FROM events
+"""
+
+
 def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonality profile per event type: volume and share
     of the type's week (ppm) per ISO weekday — the baseline a seasonal
@@ -3437,6 +3493,7 @@ QUERIES = {
     "events_type_bitmask": (q_type_bitmask_profile, ORACLE_TYPE_BITMASK),
     "streaming_session_windows": (q_streaming_session_windows, ORACLE_STREAMING_SESSION_WINDOWS),
     "streaming_interval_join": (q_streaming_interval_join, ORACLE_STREAMING_INTERVAL_JOIN),
+    "streaming_drop_duplicates": (q_streaming_drop_duplicates, ORACLE_STREAMING_DROP_DUPLICATES),
     "events_mann_kendall": (q_mann_kendall_trend, ORACLE_MANN_KENDALL),
     "events_type_lift": (q_type_lift, ORACLE_TYPE_LIFT),
     "events_session_depth": (q_session_depth, ORACLE_SESSION_DEPTH),
