@@ -1914,6 +1914,79 @@ SELECT event_id, ts, user_id, event_type FROM events
 """
 
 
+def q_streaming_window_finalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The append-mode watermark contract, pinned as it ACTUALLY is:
+    a daily tumbling aggregate (1-day watermark) sees the real events
+    in micro-batch 1, then 30-day-old STRAGGLER copies (new ids,
+    shifted ts) in micro-batch 2. Two semantics fall out, both checked
+    by the oracle: (1) windows emit exactly once the watermark passes
+    their end — the final 2 days never emit; (2) the watermark drop
+    guarantee is ONE-SIDED ("data later than the watermark may or may
+    not be dropped"): on this engine the stragglers are ADMITTED
+    (numRowsDroppedByWatermark = 0, measured) and finalize immediately,
+    so the end state counts EVERY delivered row in every window whose
+    end <= max(ts) - 1 day. Exactness-critical pipelines therefore
+    need the content-keyed dedup/index operators, not the watermark,
+    for correctness — the watermark only bounds STATE, which is what
+    this entry demonstrates.
+
+    File order (real batch before stragglers) is pinned via mtimes —
+    the file source orders micro-batches by modification time."""
+    import os
+    import tempfile
+    import uuid
+
+    ev = _events(spark, sf_dir).select("event_id", "ts")
+    base = tempfile.mkdtemp(prefix="artie_late_")
+    os.makedirs(base + "/stream", exist_ok=True)
+    ev.coalesce(1).write.mode("overwrite").parquet(base + "/b1")
+    stragglers = ev.select(
+        (F.col("event_id") + F.lit(10**9)).alias("event_id"),
+        F.expr("ts - INTERVAL 30 DAYS").alias("ts"),
+    )
+    stragglers.coalesce(1).write.mode("overwrite").parquet(base + "/b2")
+    for i, side in enumerate(("b1", "b2")):
+        src = [f for f in os.listdir(base + f"/{side}")
+               if f.endswith(".parquet")][0]
+        dst = os.path.join(base, "stream", f"f{i}.parquet")
+        os.replace(os.path.join(base, side, src), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/stream")
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"), "n_events"
+    )
+
+
+ORACLE_STREAMING_LATE_DROP = """
+WITH delivered AS (
+  SELECT ts FROM events
+  UNION ALL
+  SELECT ts - INTERVAL 30 DAYS AS ts FROM events
+), wm AS (
+  SELECT max(ts) - INTERVAL 1 DAY AS w FROM events
+)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM delivered CROSS JOIN wm
+GROUP BY 1, wm.w
+HAVING CAST(date_trunc('day', min(ts)) AS TIMESTAMP) + INTERVAL 1 DAY
+       <= (SELECT w FROM wm)
+"""
+
+
 def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonality profile per event type: volume and share
     of the type's week (ppm) per ISO weekday — the baseline a seasonal
@@ -3494,6 +3567,7 @@ QUERIES = {
     "streaming_session_windows": (q_streaming_session_windows, ORACLE_STREAMING_SESSION_WINDOWS),
     "streaming_interval_join": (q_streaming_interval_join, ORACLE_STREAMING_INTERVAL_JOIN),
     "streaming_drop_duplicates": (q_streaming_drop_duplicates, ORACLE_STREAMING_DROP_DUPLICATES),
+    "streaming_window_finalization": (q_streaming_window_finalization, ORACLE_STREAMING_LATE_DROP),
     "events_mann_kendall": (q_mann_kendall_trend, ORACLE_MANN_KENDALL),
     "events_type_lift": (q_type_lift, ORACLE_TYPE_LIFT),
     "events_session_depth": (q_session_depth, ORACLE_SESSION_DEPTH),
