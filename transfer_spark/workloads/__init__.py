@@ -54,9 +54,9 @@ _ALL.update(tpch_supplement.QUERIES)
 # was LAST driver-adjudicated (never-seen first, ties by name), read from
 # the committed CORRECTNESS_r*.json artifacts — so each round's window
 # automatically sinks to the back once its artifact lands. After the r7
-# registry growth (213 → 281, every addition strict-checker green at
+# registry growth (213 → 295, every addition strict-checker green at
 # sf0.01 AND sf0.1 on landing), 106 names have ever been adjudicated;
-# the 175 never-seen clear in ceil(175/37) = 5 rounds, then the queue
+# the 189 never-seen clear in ceil(189/37) = 6 rounds, then the queue
 # cycles by staleness.
 _CORE = [
     # cdc spine
