@@ -1,0 +1,75 @@
+"""Runtime Bloom-filter join pushdown — Spark's dynamic semi-join
+reduction for big-big joins with a selective build side (the 100 TB
+companion to static bucketing: the filter is built AT RUNTIME from the
+dim side's actual keys and applied to the fact scan side BEFORE the
+shuffle, cutting shuffled bytes by the filter's selectivity).
+
+Thresholds are scaled to this corpus the same way the AQE skew probe
+scales its thresholds — the defaults are production-sized (10 MB
+creation side), so the mechanism, not the tuning, is what's pinned."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from transfer_spark.session import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tuned(spark):
+    keep = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    old = {}
+    for k, v in keep.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    yield spark
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def _join(spark):
+    o = read_table(spark, SF, "orders").filter(
+        F.col("o_totalprice") > 400000
+    ).select("o_orderkey")
+    li = read_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    return li.join(o, li.l_orderkey == o.o_orderkey)
+
+
+def test_runtime_bloom_filter_injected_into_fact_side(tuned):
+    spark = tuned
+    j = _join(spark).agg(F.count(F.lit(1)).alias("n"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    # creation side aggregates the dim keys into a bloom filter...
+    assert "bloom_filter_agg" in plan
+    # ...and the fact side scans through a might_contain probe BEFORE
+    # its shuffle — the semi-join reduction
+    assert "might_contain" in plan
+    assert "SortMergeJoin" in plan  # still the big-big path
+
+
+def test_runtime_filter_changes_no_rows(tuned):
+    spark = tuned
+    with_filter = _join(spark).count()
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+                   "false")
+    try:
+        without = _join(spark).count()
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+                       "true")
+    assert with_filter == without
