@@ -188,3 +188,32 @@ def test_ndcg_extremes_on_crafted_corpus(spark, tmp_path):
     assert out[97].ndcg_ppm == (
         2 * _NDCG_W[0] * 1_000_000 // (2 * _NDCG_W[0] + _NDCG_W[1])
     )
+
+
+def test_source_interleave_round_robins_while_balanced(spark, tmp_path):
+    """While every source still has docs remaining, consecutive
+    interleave positions must cycle through ALL sources (no clumping);
+    within each source the original doc order is preserved."""
+    from transfer_spark.workloads.text import q_source_interleave
+
+    rows = []
+    for s_i, (src, n) in enumerate([("a", 4), ("b", 4), ("c", 2)]):
+        for j in range(n):
+            rows.append((s_i * 100 + j, f"text {j}", "en", src, 6))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = sorted(
+        q_source_interleave(spark, str(tmp_path)).collect(),
+        key=lambda r: r.interleave_idx,
+    )
+    order = [r.source for r in out]
+    # balanced prefix: ranks 1 and 2 exist in all three sources
+    assert order[:6] == ["a", "b", "c", "a", "b", "c"]
+    # c exhausted after rank 2 -> tail alternates a, b
+    assert order[6:] == ["a", "b", "a", "b"]
+    # intra-source order preserved
+    for src in "abc":
+        ids = [r.doc_id for r in out if r.source == src]
+        assert ids == sorted(ids)

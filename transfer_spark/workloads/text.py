@@ -3316,6 +3316,47 @@ SELECT doc_id, CAST(batch AS INT) AS batch, status, dup_of FROM verd
 """
 
 
+def q_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced source interleave — the training-order op that keeps a
+    mixed corpus from clumping (long runs of one feed bias gradient
+    noise): rank docs WITHIN each source, then order globally by
+    (rank, source), so position i cycles through the sources
+    round-robin while every source's internal order is preserved. The
+    global index comes from operators/layout.global_row_index (range
+    partition + local window + broadcast offsets) — no single-task
+    funnel; the only other work is one per-source rank window."""
+    from pyspark.sql import Window
+
+    from transfer_spark.operators.layout import global_row_index
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = d.select(
+        "doc_id", "source", F.row_number().over(w).alias("rk")
+    )
+    return global_row_index(
+        ranked, [F.col("rk").asc(), F.col("source").asc()],
+        out_col="interleave_idx",
+    ).select(
+        "doc_id", "source",
+        F.col("rk").cast("long").alias("rk"),
+        F.col("interleave_idx").cast("long").alias("interleave_idx"),
+    )
+
+
+ORACLE_SOURCE_INTERLEAVE = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk,
+       CAST(row_number() OVER (ORDER BY rk, source) - 1 AS BIGINT)
+         AS interleave_idx
+FROM ranked
+"""
+
+
 def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded deterministic shard shuffle: (shard, pos_in_shard) per doc,
     no global sort — per-shard window sorts only."""
@@ -4079,6 +4120,7 @@ QUERIES = {
     "streaming_dedup_index": (q_streaming_dedup_index, _streaming_dedup_index_sql()),
     "streaming_corpus_ingest": (q_streaming_corpus_ingest, ORACLE_STREAMING_CORPUS_INGEST),
     "corpus_shard_shuffle": (q_shard_shuffle, ORACLE_SHARD_SHUFFLE),
+    "corpus_source_interleave": (q_source_interleave, ORACLE_SOURCE_INTERLEAVE),
     "dedupe_containment": (q_dedupe_containment, _dedupe_containment_sql()),
     "cluster_license_conflict": (
         q_cluster_license_conflict,
