@@ -734,3 +734,31 @@ def test_type_bitmask_combinations(spark, tmp_path):
     assert out["click+purchase"].mask == (1 << 0) | (1 << 2)
     assert out["error"].n_users == 1
     assert out["view"].share_ppm == 333_333
+
+
+def test_acf_period7_signal_detected(spark, tmp_path):
+    """A strict period-7 daily series: the biased estimator sums n-l
+    numerator pairs against the full-n denominator, so at period
+    multiples acf(l) = (n-l)/n exactly — 28/35 and 21/35 here — and
+    the half-period anti-phase lags go negative."""
+    import datetime as dt
+
+    from transfer_spark.workloads.temporal import q_events_acf
+
+    pattern = [10, 2, 2, 2, 2, 2, 2]         # weekly spike
+    rows, eid = [], 0
+    for day in range(35):                      # 5 full periods
+        for _ in range(pattern[day % 7]):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1) + dt.timedelta(days=day),
+                 1, "p", 1.0)
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r.lag: r.acf_ppm for r in q_events_acf(spark, str(tmp_path)).collect()}
+    assert out[7] == 800_000 and out[14] == 600_000  # (35-7)/35, (35-14)/35
+    assert out[3] < 0 and out[4] < 0      # anti-phase vs the spike

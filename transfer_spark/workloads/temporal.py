@@ -1987,6 +1987,86 @@ HAVING CAST(date_trunc('day', min(ts)) AS TIMESTAMP) + INTERVAL 1 DAY
 """
 
 
+def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily count series per type,
+    lags 1..14 — the classic seasonality/memory diagnostic next to
+    STL / Mann-Kendall / matrix profile. Integer-exact by multiplying
+    the centered products through by n²: acf(l) = sum_t (n*x_t - S)
+    (n*x_{t+l} - S) / sum_t (n*x_t - S)², published in ppm.
+
+    The lag pairing is an EQUI-join: each day explodes to its 14
+    (lag, target-date) rows and joins the series on (type, date) —
+    never a theta-join — and everything runs on the daily grain, so
+    at 100 TB the only event-scale work is the daily hash agg."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    c = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type", "d",
+        (F.col("n") * F.col("x") - F.col("s")).alias("c"),
+    )
+    den = c.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).alias("den")
+    )
+    shifted = c.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(1), F.lit(14))).alias("lag"),
+        F.col("d").alias("d0"),
+        F.col("c").alias("c_a"),
+    ).withColumn("d_target", F.expr("date_add(d0, lag)"))
+    pairs = shifted.join(
+        c.select(
+            "event_type", F.col("d").alias("d_target"),
+            F.col("c").alias("c_b"),
+        ),
+        ["event_type", "d_target"],
+    )
+    num = pairs.groupBy("event_type", "lag").agg(
+        F.sum(F.col("c_a") * F.col("c_b")).alias("num")
+    )
+    return (
+        num.join(F.broadcast(den), "event_type")
+        .select(
+            "event_type", F.col("lag").cast("long").alias("lag"),
+            F.expr("CAST(num * 1000000 DIV den AS BIGINT)")
+            .alias("acf_ppm"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+ORACLE_EVENTS_ACF = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s
+  FROM daily GROUP BY 1
+), c AS (
+  SELECT daily.event_type, d, n * x - s AS c
+  FROM daily JOIN stats USING (event_type)
+), den AS (
+  SELECT event_type, SUM(c * c) AS den FROM c GROUP BY 1
+), lags AS (SELECT unnest(range(1, 15)) AS lag),
+pairs AS (
+  SELECT a.event_type, lags.lag, a.c AS c_a, b.c AS c_b
+  FROM c a CROSS JOIN lags
+  JOIN c b ON b.event_type = a.event_type
+          AND b.d = a.d + to_days(lags.lag::INT)
+)
+SELECT p.event_type, CAST(lag AS BIGINT) AS lag,
+       CAST(SUM(c_a * c_b) * 1000000 // den AS BIGINT) AS acf_ppm
+FROM pairs p JOIN den ON p.event_type = den.event_type
+GROUP BY p.event_type, lag, den
+ORDER BY p.event_type, lag
+"""
+
+
 def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonality profile per event type: volume and share
     of the type's week (ppm) per ISO weekday — the baseline a seasonal
@@ -3568,6 +3648,7 @@ QUERIES = {
     "streaming_interval_join": (q_streaming_interval_join, ORACLE_STREAMING_INTERVAL_JOIN),
     "streaming_drop_duplicates": (q_streaming_drop_duplicates, ORACLE_STREAMING_DROP_DUPLICATES),
     "streaming_window_finalization": (q_streaming_window_finalization, ORACLE_STREAMING_LATE_DROP),
+    "events_acf": (q_events_acf, ORACLE_EVENTS_ACF),
     "events_mann_kendall": (q_mann_kendall_trend, ORACLE_MANN_KENDALL),
     "events_type_lift": (q_type_lift, ORACLE_TYPE_LIFT),
     "events_session_depth": (q_session_depth, ORACLE_SESSION_DEPTH),
