@@ -695,6 +695,35 @@ def main():
 
     results.append(probe("ks_two_sample", ev, _ks))
 
+    def _lpa_round(d):
+        from transfer_spark.operators.graph import label_propagation
+
+        baskets = d.select("l_orderkey", "l_partkey").distinct()
+        a, b = baskets.alias("a"), baskets.alias("b")
+        pw = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("pa"),
+                F.col("b.l_partkey").alias("pb"),
+            )
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        edges = pw.select("pa", "pb", "w").union(
+            pw.select(F.col("pb"), F.col("pa"), F.col("w"))
+        ).toDF("src", "dst", "w")
+        return label_propagation(edges, iterations=1, weight="w")
+
+    def li_graph(factor):
+        base = lineitem if factor == 1 else replicate(
+            lineitem, ["l_orderkey", "l_partkey"], factor)
+        return base.repartition(nparts)
+
+    results.append(probe("label_propagation_round", li_graph, _lpa_round))
+
     # corpus-ingest probe cost must track the BATCH, not the corpus
     # (VERDICT r6 #4): seed the persistent indexes from a 1x vs 10x
     # corpus, then time the SAME fixed-size batch against each.
