@@ -762,3 +762,39 @@ def test_acf_period7_signal_detected(spark, tmp_path):
     out = {r.lag: r.acf_ppm for r in q_events_acf(spark, str(tmp_path)).collect()}
     assert out[7] == 800_000 and out[14] == 600_000  # (35-7)/35, (35-14)/35
     assert out[3] < 0 and out[4] < 0      # anti-phase vs the spike
+
+
+def test_mann_whitney_dominance_and_ties(spark, tmp_path):
+    """Complete dominance -> cles = 1e6 and 2U = 2*n1*n2; identical
+    samples -> cles exactly 500000 (all mass in the tie term)."""
+    import datetime as dt
+
+    from transfer_spark.workloads.temporal import q_mann_whitney
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write(rows, path):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(path / "events.parquet")
+        )
+
+    dom = [(i, t0, 1, "click", 100.0 + i) for i in range(5)] + [
+        (10 + i, t0, 1, "purchase", float(i)) for i in range(4)
+    ]
+    d1 = tmp_path / "dom"; d1.mkdir()
+    write(dom, d1)
+    r = q_mann_whitney(spark, str(d1)).first()
+    assert (r.n1, r.n2) == (5, 4)
+    assert r.u2 == 2 * 5 * 4 and r.cles_ppm == 1_000_000
+
+    same = [(i, t0, 1, "click", float(i % 3)) for i in range(6)] + [
+        (10 + i, t0, 1, "purchase", float(i % 3)) for i in range(6)
+    ]
+    d2 = tmp_path / "same"; d2.mkdir()
+    write(same, d2)
+    r2 = q_mann_whitney(spark, str(d2)).first()
+    assert r2.cles_ppm == 500_000

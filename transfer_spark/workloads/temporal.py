@@ -2067,6 +2067,64 @@ ORDER BY p.event_type, lag
 """
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) between the click and purchase value
+    distributions — the non-parametric "is one systematically larger"
+    companion to [[events_ks_two_sample]]'s max-gap distance. Computed
+    WITHOUT all-pairs or a global rank sort: on the value-grain frame,
+    2U = sum_v n1(v) * (2 * cum2_below(v) + n2(v)) where cum2 rides
+    the same distributed prefix sum as the KS CDFs. Published as 2U
+    (exact integer) plus the common-language effect size
+    P(X>Y) + P(X=Y)/2 in ppm — 500000 means no stochastic dominance."""
+    from transfer_spark.operators.layout import global_cumsum
+
+    t1, t2 = "click", "purchase"
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isin(t1, t2))
+    g = ev.groupBy(F.col("value").alias("v")).agg(
+        F.sum(F.when(F.col("event_type") == t1, 1).otherwise(0))
+        .cast("long").alias("n1"),
+        F.sum(F.when(F.col("event_type") == t2, 1).otherwise(0))
+        .cast("long").alias("n2"),
+    )
+    c = global_cumsum(g, [F.col("v")], F.col("n2"), "cum2")
+    terms = c.select(
+        (
+            F.col("n1")
+            * (2 * (F.col("cum2") - F.col("n2")) + F.col("n2"))
+        ).alias("t"),
+        "n1", "n2",
+    )
+    agg = terms.agg(
+        F.sum("n1").cast("long").alias("n1"),
+        F.sum("n2").cast("long").alias("n2"),
+        F.sum("t").cast("long").alias("u2"),
+    )
+    return agg.select(
+        "n1", "n2", "u2",
+        F.expr("CAST(u2 * 1000000 DIV (2 * n1 * n2) AS BIGINT)")
+        .alias("cles_ppm"),
+    )
+
+
+ORACLE_MANN_WHITNEY = """
+WITH g AS (
+  SELECT value AS v,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n1,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n2
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+), c AS (
+  SELECT v, n1, n2, SUM(n2) OVER (ORDER BY v) AS cum2 FROM g
+)
+SELECT CAST(SUM(n1) AS BIGINT) AS n1, CAST(SUM(n2) AS BIGINT) AS n2,
+  CAST(SUM(n1 * (2 * (cum2 - n2) + n2)) AS BIGINT) AS u2,
+  CAST(SUM(n1 * (2 * (cum2 - n2) + n2)) * 1000000
+       // (2 * SUM(n1) * SUM(n2)) AS BIGINT) AS cles_ppm
+FROM c
+"""
+
+
 def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonality profile per event type: volume and share
     of the type's week (ppm) per ISO weekday — the baseline a seasonal
@@ -3649,6 +3707,7 @@ QUERIES = {
     "streaming_drop_duplicates": (q_streaming_drop_duplicates, ORACLE_STREAMING_DROP_DUPLICATES),
     "streaming_window_finalization": (q_streaming_window_finalization, ORACLE_STREAMING_LATE_DROP),
     "events_acf": (q_events_acf, ORACLE_EVENTS_ACF),
+    "events_mann_whitney": (q_mann_whitney, ORACLE_MANN_WHITNEY),
     "events_mann_kendall": (q_mann_kendall_trend, ORACLE_MANN_KENDALL),
     "events_type_lift": (q_type_lift, ORACLE_TYPE_LIFT),
     "events_session_depth": (q_session_depth, ORACLE_SESSION_DEPTH),
