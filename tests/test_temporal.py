@@ -798,3 +798,30 @@ def test_mann_whitney_dominance_and_ties(spark, tmp_path):
     write(same, d2)
     r2 = q_mann_whitney(spark, str(d2)).first()
     assert r2.cles_ppm == 500_000
+
+
+def test_dow_entropy_bounds(spark, tmp_path):
+    """Uniform weekday usage -> exactly ln(7) micro-nats (1945910);
+    a single-weekday type -> exactly 0."""
+    import datetime as dt
+
+    from transfer_spark.workloads.temporal import q_dow_entropy
+
+    rows, eid = [], 0
+    for day in range(1, 8):                    # Mon..Sun once each
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, day), 1, "flat", 1.0))
+    for _ in range(5):                         # all on one Monday
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 1), 1, "spike", 1.0))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_type: r.entropy_micronats
+        for r in q_dow_entropy(spark, str(tmp_path)).collect()
+    }
+    assert out["flat"] == 1_945_910   # floor(ln(7)*1e6 + 0.5)
+    assert out["spike"] == 0

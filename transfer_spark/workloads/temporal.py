@@ -2125,6 +2125,55 @@ FROM c
 """
 
 
+def q_dow_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each type's weekday mix, in micro-nats —
+    the FLATNESS score beside [[events_chi2_dow]]'s independence test:
+    ln(7) * 1e6 = 1945910 means perfectly uniform weekday usage, 0
+    means a single-day type. Integer-exact via quantize-before-reduce:
+    H = sum_d n_d * floor(ln(n / n_d) * 1e6 + 0.5) DIV n — each log
+    quantized per cell BEFORE the weighted sum, so aggregation order
+    can't move the result (the tfidf/DSIR precedent). One contingency
+    hash aggregate; the entropy arithmetic runs on 35 rows."""
+    ev = _events(spark, sf_dir)
+    dow = F.expr("((dayofweek(ts) + 5) % 7) + 1")
+    cells = ev.groupBy(
+        "event_type", dow.cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("nd"))
+    tot = cells.groupBy("event_type").agg(F.sum("nd").alias("n"))
+    q = F.floor(
+        F.log(F.col("n").cast("double") / F.col("nd").cast("double"))
+        * 1_000_000.0 + 0.5
+    ).cast("long")
+    return (
+        cells.join(F.broadcast(tot), "event_type")
+        .select("event_type", "n", (F.col("nd") * q).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.expr("CAST(SUM(t) DIV MAX(n) AS BIGINT)")
+            .alias("entropy_micronats"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_DOW_ENTROPY = """
+WITH cells AS (
+  SELECT event_type, isodow(ts)::INT AS dow,
+         CAST(count(*) AS BIGINT) AS nd
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(SUM(nd) AS BIGINT) AS n FROM cells GROUP BY 1
+)
+SELECT cells.event_type, MAX(n) AS n_events,
+  CAST(SUM(nd * CAST(floor(ln(CAST(n AS DOUBLE) / CAST(nd AS DOUBLE))
+                           * 1000000.0 + 0.5) AS BIGINT))
+       // MAX(n) AS BIGINT) AS entropy_micronats
+FROM cells JOIN tot USING (event_type)
+GROUP BY cells.event_type ORDER BY cells.event_type
+"""
+
+
 def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonality profile per event type: volume and share
     of the type's week (ppm) per ISO weekday — the baseline a seasonal
@@ -3708,6 +3757,7 @@ QUERIES = {
     "streaming_window_finalization": (q_streaming_window_finalization, ORACLE_STREAMING_LATE_DROP),
     "events_acf": (q_events_acf, ORACLE_EVENTS_ACF),
     "events_mann_whitney": (q_mann_whitney, ORACLE_MANN_WHITNEY),
+    "events_dow_entropy": (q_dow_entropy, ORACLE_DOW_ENTROPY),
     "events_mann_kendall": (q_mann_kendall_trend, ORACLE_MANN_KENDALL),
     "events_type_lift": (q_type_lift, ORACLE_TYPE_LIFT),
     "events_session_depth": (q_session_depth, ORACLE_SESSION_DEPTH),
