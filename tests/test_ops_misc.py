@@ -1204,3 +1204,39 @@ def test_hill_estimator_recovers_pareto_exponent(spark, tmp_path):
     alpha = r.alpha_ppm / 1e6
     assert 1.7 < alpha < 2.3, alpha
     assert r.k == 100
+
+
+def test_theil_decomposition_identity(spark):
+    """On the real sf0.001 tables: T_total must equal T_between +
+    sum_g w_g * T_within(g) to within quantization error (each ln is
+    floor-quantized at 1e-6, so a few micro-nats of slack), and all
+    components must be non-negative."""
+    from transfer_spark.workloads.analytics import q_theil_decomposition
+
+    rows = {
+        r.component: r.theil_micronats
+        for r in q_theil_decomposition(spark, "/root/testdata/sf0.001").collect()
+    }
+    total = rows.pop("__total")
+    between = rows.pop("__between")
+    # revenue weights per segment for the within mixture
+    from transfer_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    o = read_table(spark, "/root/testdata/sf0.001", "orders")
+    c = read_table(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    seg = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum(F.expr(
+            "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+        )).alias("sg"))
+        .collect()
+    )
+    s = sum(r.sg for r in seg)
+    within_mix = sum(rows[r.c_mktsegment] * r.sg / s for r in seg)
+    assert total >= 0 and between >= 0
+    assert all(v >= 0 for v in rows.values())
+    assert abs(total - (between + within_mix)) < 25  # micro-nats

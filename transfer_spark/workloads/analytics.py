@@ -617,6 +617,131 @@ FROM runs GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of customer revenue WITH the decomposition
+    that makes Theil the analyst's pick over Gini: T_total =
+    T_between(segments) + sum_g w_g * T_within(g), where w_g is the
+    segment's revenue share — "how much inequality lives between
+    segments vs inside them". Integer micro-nats via
+    quantize-before-reduce ln on exact rationals (x*n/S per customer,
+    S_g*n/(S*n_g) per segment); the identity then holds to quantization
+    error, which the unit test bounds at a few micro-nats.
+
+    One customer-grain aggregate feeds everything; all ln arithmetic
+    runs on customer/segment-grain frames with segment totals
+    broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+            ).alias("x")
+        )
+    )
+    seg = per.groupBy("c_mktsegment").agg(
+        F.sum("x").alias("sg"), F.count(F.lit(1)).alias("ng")
+    )
+    tot = seg.agg(
+        F.sum("sg").alias("s"), F.sum("ng").alias("n")
+    )
+    lnq = F.floor(
+        F.log(
+            F.col("x").cast("double") * F.col("n").cast("double")
+            / F.col("s").cast("double")
+        ) * 1_000_000.0 + 0.5
+    ).cast("long")
+    total = (
+        per.crossJoin(F.broadcast(tot))
+        .select((F.col("x") * lnq).alias("t"), "s")
+        .agg(
+            F.lit("__total").alias("component"),
+            F.expr("CAST(SUM(t) DIV MAX(s) AS BIGINT)")
+            .alias("theil_micronats"),
+        )
+    )
+    ln_between = F.floor(
+        F.log(
+            F.col("sg").cast("double") * F.col("n").cast("double")
+            / (F.col("s").cast("double") * F.col("ng").cast("double"))
+        ) * 1_000_000.0 + 0.5
+    ).cast("long")
+    between = (
+        seg.crossJoin(F.broadcast(tot))
+        .select((F.col("sg") * ln_between).alias("t"), "s")
+        .agg(
+            F.lit("__between").alias("component"),
+            F.expr("CAST(SUM(t) DIV MAX(s) AS BIGINT)")
+            .alias("theil_micronats"),
+        )
+    )
+    ln_within = F.floor(
+        F.log(
+            F.col("x").cast("double") * F.col("ng").cast("double")
+            / F.col("sg").cast("double")
+        ) * 1_000_000.0 + 0.5
+    ).cast("long")
+    within = (
+        per.join(F.broadcast(seg), "c_mktsegment")
+        .select("c_mktsegment", (F.col("x") * ln_within).alias("t"), "sg")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.expr("CAST(SUM(t) DIV MAX(sg) AS BIGINT)")
+            .alias("theil_micronats")
+        )
+        .select(
+            F.col("c_mktsegment").alias("component"), "theil_micronats"
+        )
+    )
+    return total.unionByName(between).unionByName(within).orderBy(
+        "component"
+    )
+
+
+ORACLE_THEIL = """
+WITH per AS (
+  SELECT c_mktsegment, o_custkey,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), seg AS (
+  SELECT c_mktsegment, CAST(SUM(x) AS BIGINT) AS sg,
+         CAST(count(*) AS BIGINT) AS ng
+  FROM per GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(sg) AS BIGINT) AS s, CAST(SUM(ng) AS BIGINT) AS n
+  FROM seg
+), total AS (
+  SELECT '__total' AS component,
+    CAST(SUM(x * CAST(floor(ln(CAST(x AS DOUBLE) * CAST(n AS DOUBLE)
+                               / CAST(s AS DOUBLE)) * 1000000.0 + 0.5)
+                      AS BIGINT)) // MAX(s) AS BIGINT) AS theil_micronats
+  FROM per CROSS JOIN tot
+), between_c AS (
+  SELECT '__between' AS component,
+    CAST(SUM(sg * CAST(floor(ln(CAST(sg AS DOUBLE) * CAST(n AS DOUBLE)
+                               / (CAST(s AS DOUBLE) * CAST(ng AS DOUBLE)))
+                             * 1000000.0 + 0.5) AS BIGINT))
+         // MAX(s) AS BIGINT) AS theil_micronats
+  FROM seg CROSS JOIN tot
+), within_c AS (
+  SELECT per.c_mktsegment AS component,
+    CAST(SUM(x * CAST(floor(ln(CAST(x AS DOUBLE) * CAST(ng AS DOUBLE)
+                               / CAST(sg AS DOUBLE)) * 1000000.0 + 0.5)
+                      AS BIGINT)) // MAX(sg) AS BIGINT) AS theil_micronats
+  FROM per JOIN seg USING (c_mktsegment)
+  GROUP BY per.c_mktsegment
+)
+SELECT * FROM total
+UNION ALL SELECT * FROM between_c
+UNION ALL SELECT * FROM within_c
+ORDER BY component
+"""
+
+
 def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill estimator of the revenue tail exponent — the heavy-tail
     audit behind capacity planning and skew-handling decisions (a tail
@@ -3712,6 +3837,7 @@ FROM per_cust
     "customer_gini": (q_gini_revenue, ORACLE_GINI),
     "orders_trimmed_mean": (q_trimmed_mean, ORACLE_TRIMMED_MEAN),
     "orders_hill_tail_index": (q_hill_tail_index, ORACLE_HILL_TAIL),
+    "revenue_theil_decomposition": (q_theil_decomposition, ORACLE_THEIL),
     "segment_hhi": (q_hhi_concentration, ORACLE_HHI),
     "events_runs_test": (q_runs_test, ORACLE_RUNS_TEST),
     "brand_price_ols": (q_brand_price_ols, ORACLE_BRAND_PRICE_OLS),
