@@ -504,6 +504,39 @@ def test_bloom_prefilter_no_false_negatives_and_reduces(spark):
     assert got == exact == member_keys
 
 
+def test_bloom_prefilter_threads_build_dtype_across_probe_hop(spark):
+    """r7 ADVICE: a BIGINT build / STRING probe pair (the dtype hop a
+    CSV/JSON round trip introduces) must not split the two sides onto
+    different hash paths — that silently drops true members. The flag
+    rides on BloomBitmaps, so the string probe casts to long and every
+    member survives."""
+    from pyspark.sql import functions as F
+
+    from transfer_spark.operators.bloom import bloom_prefilter, build_bloom
+
+    small = spark.range(0, 5000, 97).withColumnRenamed("id", "k")
+    big_str = (
+        spark.range(0, 5000)
+        .select(F.col("id").cast("string").alias("k"))
+    )
+    m_bits = 4096
+    bitmaps = build_bloom(small, "k", m_bits=m_bits)
+    assert bitmaps.numeric is True
+    pref_keys = {
+        int(r.k) for r in bloom_prefilter(big_str, "k", bitmaps, m_bits).collect()
+    }
+    member_keys = {r.k for r in small.collect()}
+    assert member_keys <= pref_keys
+    # and the reverse hop: string build, numeric probe
+    bitmaps_s = build_bloom(
+        small.select(F.col("k").cast("string").alias("k")), "k", m_bits=m_bits
+    )
+    assert bitmaps_s.numeric is False
+    big_num = spark.range(0, 5000).withColumnRenamed("id", "k")
+    pref2 = {r.k for r in bloom_prefilter(big_num, "k", bitmaps_s, m_bits).collect()}
+    assert member_keys <= pref2
+
+
 # ------------------------------------------------------------------ pq adc
 
 def _pq_sse(S, emb, cb, m_sub=4, sub_dim=16):

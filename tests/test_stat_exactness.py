@@ -1,0 +1,130 @@
+"""Degenerate-input and overflow-boundary pins for the statistics
+queries (r7 ADVICE closures).
+
+Three hazards, each reproduced with crafted parquet and checked for
+ENGINE AGREEMENT (Spark vs the registered DuckDB oracle), not just a
+plausible value:
+
+1. int64 wrap: the Mann-Whitney / KS ppm steps multiply an O(n1*n2)
+   integer by 1e6 — past ~3.2M rows per side the old plain-BIGINT path
+   wraps silently on Spark (non-ANSI) while DuckDB promotes to
+   HUGEINT. The accumulating products now run in DECIMAL(38,0).
+2. NULL merges: a corpus with fewer than 4 distinct char pairs leaves
+   the missing BPE merges NULL; DuckDB's replace(e, NULL, NULL) used
+   to null every encoded word while Spark just applied fewer merges.
+3. Degenerate distribution: all-equal top-k order values empty the
+   Hill estimator's log set — both engines must emit NULL alphas (not
+   Spark-NULL vs DuckDB division-by-zero error).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+from pyspark.sql import functions as F
+
+
+def _duck(tmp_path, table):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS "
+        f"SELECT * FROM '{tmp_path}/{table}.parquet/*.parquet'"
+    )
+    return con
+
+
+def _write_events_dominated(spark, tmp_path, n_per_side):
+    """All clicks (value 2.0) strictly above all purchases (value 1.0)
+    — complete stochastic dominance, so 2U = 2*n1*n2 and D = 1."""
+    ts = dt.datetime(2024, 1, 1)
+    clicks = spark.range(n_per_side).select(
+        F.col("id").alias("event_id"), F.lit(ts).alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(2.0).alias("value"),
+    )
+    purchases = spark.range(n_per_side).select(
+        (F.col("id") + n_per_side).alias("event_id"), F.lit(ts).alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("purchase").alias("event_type"),
+        F.lit(1.0).alias("value"),
+    )
+    clicks.unionAll(purchases).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+
+# past the wrap boundary: u2 * 1e6 = 2 * (3.2e6)^2 * 1e6 ≈ 2.0e19 > 2^63
+_N = 3_200_000
+
+
+def test_mann_whitney_exact_past_int64_wrap(spark, tmp_path):
+    from transfer_spark.workloads.temporal import (
+        ORACLE_MANN_WHITNEY, q_mann_whitney,
+    )
+
+    _write_events_dominated(spark, tmp_path, _N)
+    row = q_mann_whitney(spark, str(tmp_path)).collect()[0]
+    assert row.n1 == _N and row.n2 == _N
+    assert row.u2 == 2 * _N * _N  # complete dominance, exact
+    assert row.cles_ppm == 1_000_000  # the wrapped path goes negative
+    con = _duck(tmp_path, "events")
+    got = con.sql(ORACLE_MANN_WHITNEY).fetchall()[0]
+    assert (row.n1, row.n2, row.u2, row.cles_ppm) == got
+
+
+def test_ks_two_sample_exact_past_int64_wrap(spark, tmp_path):
+    from transfer_spark.workloads.temporal import (
+        ORACLE_KS_TWO_SAMPLE, q_ks_two_sample,
+    )
+
+    _write_events_dominated(spark, tmp_path, _N)
+    row = q_ks_two_sample(spark, str(tmp_path)).collect()[0]
+    assert row.d_ppm == 1_000_000  # disjoint supports: D = 1 exactly
+    assert row.at_value == 1.0
+    con = _duck(tmp_path, "events")
+    got = con.sql(ORACLE_KS_TWO_SAMPLE).fetchall()[0]
+    assert (row.n1, row.n2, row.d_ppm, row.at_value) == got
+
+
+def test_hill_tail_all_equal_yields_null_alphas_on_both_engines(
+    spark, tmp_path
+):
+    from transfer_spark.workloads.analytics import (
+        ORACLE_HILL_TAIL, q_hill_tail_index,
+    )
+
+    spark.range(150).select(
+        (F.col("id") + 1).alias("o_orderkey"),
+        F.lit(100.0).alias("o_totalprice"),
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    row = q_hill_tail_index(spark, str(tmp_path)).collect()[0]
+    assert row.k == 100
+    assert row.xk_cents == 10_000  # the cutoff is still observed
+    assert row.alpha_inv_ppm is None and row.alpha_ppm is None
+    con = _duck(tmp_path, "orders")
+    got = con.sql(ORACLE_HILL_TAIL).fetchall()[0]
+    assert (row.k, row.xk_cents, None, None) == got
+
+
+def test_bpe_apply_with_fewer_than_four_merges_matches_oracle(
+    spark, tmp_path
+):
+    from transfer_spark.workloads.text import ORACLE_BPE_APPLY, q_bpe_apply_merges
+
+    # one distinct word, one distinct pair → merges m2..m4 are NULL
+    spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r.w: r for r in q_bpe_apply_merges(spark, str(tmp_path)).collect()
+    }
+    assert rows["ab"].n_pieces == 1 and rows["ab"].pieces == "ab"
+    con = _duck(tmp_path, "documents")
+    got = {r[0]: r for r in con.sql(ORACLE_BPE_APPLY).fetchall()}
+    assert set(got) == set(rows)
+    for w, r in rows.items():
+        assert (
+            r.n_occurrences, r.n_chars, r.n_pieces, r.pieces
+        ) == got[w][1:], w

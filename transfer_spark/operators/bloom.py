@@ -69,9 +69,28 @@ def _is_numeric(df: DataFrame, key_col: str) -> bool:
     return t in {"tinyint", "smallint", "int", "bigint"}
 
 
+class BloomBitmaps(list):
+    """Lane bitmaps plus the BUILD side's base-int derivation flag.
+
+    Subclasses list (one ``list[int]`` of bitmap words per lane) so
+    existing call sites that index lanes keep working; the ``numeric``
+    attribute threads the build side's key-dtype decision to the probe
+    side. Deriving the flag independently per frame (r7 ADVICE) lets a
+    BIGINT build / STRING probe pair hash through different paths —
+    md5 vs identity — silently dropping true matches, which violates
+    the no-false-negative bloom contract. With the flag threaded, a
+    STRING probe of a numeric build casts to long first (equal logical
+    keys hash identically; unparsable strings can't be members, so the
+    null-cast drop is exact)."""
+
+    def __init__(self, bitmaps: list[list[int]], numeric: bool):
+        super().__init__(bitmaps)
+        self.numeric = numeric
+
+
 def build_bloom(
     small: DataFrame, key_col: str, m_bits: int = 65536, lanes: int = 2
-) -> list[list[int]]:
+) -> BloomBitmaps:
     """Aggregate the key set into ``lanes`` bitmaps of ``m_bits`` bits
     (each a list of m_bits/64 longs). The aggregation is distributed
     (per-(lane, word) bit_or, at most lanes * m_bits/64 groups); only
@@ -79,7 +98,8 @@ def build_bloom(
     one job for all lanes."""
     assert m_bits % 64 == 0
     n_words = m_bits // 64
-    base = _base_int(F.col(key_col), _is_numeric(small, key_col))
+    numeric = _is_numeric(small, key_col)
+    base = _base_int(F.col(key_col), numeric)
     lane_structs = F.array(
         *[
             F.struct(
@@ -105,7 +125,7 @@ def build_bloom(
     out = [[0] * n_words for _ in range(lanes)]
     for r in words:
         out[r["lane"]][r["w"]] = r["bits"]
-    return out
+    return BloomBitmaps(out, numeric)
 
 
 def bloom_prefilter(
@@ -117,10 +137,21 @@ def bloom_prefilter(
     m_bits/64 children); per lane, one element_at + shiftright + AND
     (via named temp columns, since the shift amount is itself a column).
     The md5 base hash (string keys only) is computed once into its own
-    temp column so every lane reuses it."""
+    temp column so every lane reuses it.
+
+    The base-int derivation follows the BUILD side's flag when
+    ``bitmaps`` carries one (:class:`BloomBitmaps`) — never this
+    frame's own dtype — so a dtype hop between build and probe (e.g.
+    BIGINT → STRING after a CSV/JSON round trip) can't split the two
+    sides onto different hash paths and drop true members. A raw
+    ``list`` (external caller) falls back to this frame's dtype,
+    preserving the old behavior."""
+    numeric = getattr(bitmaps, "numeric", None)
+    if numeric is None:
+        numeric = _is_numeric(df, key_col)
     tmp: list[str] = []
     out = df.withColumn(
-        "__bf_base", _base_int(F.col(key_col), _is_numeric(df, key_col))
+        "__bf_base", _base_int(F.col(key_col), numeric)
     )
     tmp.append("__bf_base")
     for lane, bitmap in enumerate(bitmaps):

@@ -766,18 +766,26 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("cents").cast("double") / F.col("xk").cast("double"))
         * 1_000_000.0 + 0.5
     ).cast("long")
+    # Degenerate distributions guard (r7 ADVICE): if every top-k value
+    # equals x_k the filter empties q (__n = 0), and an all-ties-but-
+    # epsilon tail can zero the mean log — NULLIF both denominators so
+    # BOTH engines emit NULL alphas instead of Spark-NULL-vs-DuckDB-
+    # division-error. xk_cents comes from the xk frame (not an agg over
+    # q) so the empty-q row still carries the observed cutoff.
     return (
         q.agg(
-            F.lit(k).cast("long").alias("k"),
-            F.max("xk").alias("xk_cents"),
             F.sum(lnq).alias("__s"),
             F.count(F.lit(1)).cast("long").alias("__n"),
         )
+        .crossJoin(F.broadcast(xk))
         .select(
-            "k", "xk_cents",
-            F.expr("CAST(__s DIV __n AS BIGINT)").alias("alpha_inv_ppm"),
+            F.lit(k).cast("long").alias("k"),
+            F.col("xk").cast("long").alias("xk_cents"),
+            F.expr("CAST(__s DIV NULLIF(__n, 0) AS BIGINT)")
+            .alias("alpha_inv_ppm"),
             F.expr(
-                "CAST(1000000000000 DIV (__s DIV __n) AS BIGINT)"
+                "CAST(1000000000000"
+                " DIV NULLIF(__s DIV NULLIF(__n, 0), 0) AS BIGINT)"
             ).alias("alpha_ppm"),
         )
     )
@@ -797,8 +805,9 @@ q AS (
 )
 SELECT CAST(100 AS BIGINT) AS k,
   (SELECT CAST(xk AS BIGINT) FROM xk) AS xk_cents,
-  CAST(SUM(lnq) // count(*) AS BIGINT) AS alpha_inv_ppm,
-  CAST(1000000000000 // (SUM(lnq) // count(*)) AS BIGINT) AS alpha_ppm
+  CAST(SUM(lnq) // NULLIF(count(*), 0) AS BIGINT) AS alpha_inv_ppm,
+  CAST(1000000000000 // NULLIF(SUM(lnq) // NULLIF(count(*), 0), 0)
+       AS BIGINT) AS alpha_ppm
 FROM q
 """
 

@@ -1517,16 +1517,23 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = g.agg(
         F.sum("n1").alias("t1_n"), F.sum("n2").alias("t2_n")
     )
+    # ad ≤ n1·n2 and the ppm step multiplies by 1e6 on top, so the
+    # cross products run in DECIMAL(38,0) (oracle: HUGEINT) — plain
+    # BIGINT wraps silently once per-type counts reach ~1e7.
     diff = c.crossJoin(F.broadcast(tot)).select(
         "v", "t1_n", "t2_n",
-        F.abs(F.col("c1") * F.col("t2_n") - F.col("c2") * F.col("t1_n"))
-        .alias("ad"),
+        F.abs(
+            F.col("c1").cast("decimal(38,0)") * F.col("t2_n")
+            - F.col("c2").cast("decimal(38,0)") * F.col("t1_n")
+        ).alias("ad"),
     )
     return diff.orderBy(F.desc("ad"), F.asc("v")).limit(1).select(
         F.col("t1_n").cast("long").alias("n1"),
         F.col("t2_n").cast("long").alias("n2"),
-        F.expr("CAST(ad * 1000000 DIV (t1_n * t2_n) AS BIGINT)")
-        .alias("d_ppm"),
+        F.expr(
+            "CAST(ad * 1000000"
+            " DIV (CAST(t1_n AS DECIMAL(38,0)) * t2_n) AS BIGINT)"
+        ).alias("d_ppm"),
         F.col("v").alias("at_value"),
     )
 
@@ -1548,11 +1555,12 @@ WITH g AS (
   FROM g
 )
 SELECT t1_n AS n1, t2_n AS n2,
-  CAST(abs(c1 * t2_n - c2 * t1_n) * 1000000 // (t1_n * t2_n) AS BIGINT)
-    AS d_ppm,
+  CAST(abs(CAST(c1 AS HUGEINT) * t2_n - CAST(c2 AS HUGEINT) * t1_n)
+       * 1000000 // (CAST(t1_n AS HUGEINT) * t2_n) AS BIGINT) AS d_ppm,
   v AS at_value
 FROM c CROSS JOIN t
-ORDER BY abs(c1 * t2_n - c2 * t1_n) DESC, v ASC
+ORDER BY abs(CAST(c1 AS HUGEINT) * t2_n - CAST(c2 AS HUGEINT) * t1_n)
+  DESC, v ASC
 LIMIT 1
 """
 
@@ -2009,8 +2017,12 @@ def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "d",
         (F.col("n") * F.col("x") - F.col("s")).alias("c"),
     )
+    # c = n*x - s scales with daily volume; c² passes 2^63 around daily
+    # counts of ~1e10, so the accumulating products run in DECIMAL(38,0)
+    # (oracle: HUGEINT) — Spark non-ANSI longs would wrap silently.
+    cd = F.col("c").cast("decimal(38,0)")
     den = c.groupBy("event_type").agg(
-        F.sum(F.col("c") * F.col("c")).alias("den")
+        F.sum(cd * F.col("c")).alias("den")
     )
     shifted = c.select(
         "event_type",
@@ -2026,7 +2038,7 @@ def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type", "d_target"],
     )
     num = pairs.groupBy("event_type", "lag").agg(
-        F.sum(F.col("c_a") * F.col("c_b")).alias("num")
+        F.sum(F.col("c_a").cast("decimal(38,0)") * F.col("c_b")).alias("num")
     )
     return (
         num.join(F.broadcast(den), "event_type")
@@ -2051,7 +2063,7 @@ WITH daily AS (
   SELECT daily.event_type, d, n * x - s AS c
   FROM daily JOIN stats USING (event_type)
 ), den AS (
-  SELECT event_type, SUM(c * c) AS den FROM c GROUP BY 1
+  SELECT event_type, SUM(CAST(c AS HUGEINT) * c) AS den FROM c GROUP BY 1
 ), lags AS (SELECT unnest(range(1, 15)) AS lag),
 pairs AS (
   SELECT a.event_type, lags.lag, a.c AS c_a, b.c AS c_b
@@ -2060,7 +2072,8 @@ pairs AS (
           AND b.d = a.d + to_days(lags.lag::INT)
 )
 SELECT p.event_type, CAST(lag AS BIGINT) AS lag,
-       CAST(SUM(c_a * c_b) * 1000000 // den AS BIGINT) AS acf_ppm
+       CAST(SUM(CAST(c_a AS HUGEINT) * c_b) * 1000000 // den AS BIGINT)
+         AS acf_ppm
 FROM pairs p JOIN den ON p.event_type = den.event_type
 GROUP BY p.event_type, lag, den
 ORDER BY p.event_type, lag
@@ -2087,9 +2100,12 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("n2"),
     )
     c = global_cumsum(g, [F.col("v")], F.col("n2"), "cum2")
+    # 2U ≤ 2·n1·n2 and the ppm step multiplies by 1e6 on top, so the
+    # accumulating products run in DECIMAL(38,0) (oracle: HUGEINT) —
+    # plain BIGINT wraps silently once per-type counts reach ~1e7.
     terms = c.select(
         (
-            F.col("n1")
+            F.col("n1").cast("decimal(38,0)")
             * (2 * (F.col("cum2") - F.col("n2")) + F.col("n2"))
         ).alias("t"),
         "n1", "n2",
@@ -2097,12 +2113,15 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = terms.agg(
         F.sum("n1").cast("long").alias("n1"),
         F.sum("n2").cast("long").alias("n2"),
-        F.sum("t").cast("long").alias("u2"),
+        F.sum("t").cast("decimal(38,0)").alias("__u2d"),
     )
     return agg.select(
-        "n1", "n2", "u2",
-        F.expr("CAST(u2 * 1000000 DIV (2 * n1 * n2) AS BIGINT)")
-        .alias("cles_ppm"),
+        "n1", "n2",
+        F.col("__u2d").cast("long").alias("u2"),
+        F.expr(
+            "CAST(__u2d * 1000000"
+            " DIV (2 * CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+        ).alias("cles_ppm"),
     )
 
 
@@ -2118,9 +2137,9 @@ WITH g AS (
   SELECT v, n1, n2, SUM(n2) OVER (ORDER BY v) AS cum2 FROM g
 )
 SELECT CAST(SUM(n1) AS BIGINT) AS n1, CAST(SUM(n2) AS BIGINT) AS n2,
-  CAST(SUM(n1 * (2 * (cum2 - n2) + n2)) AS BIGINT) AS u2,
-  CAST(SUM(n1 * (2 * (cum2 - n2) + n2)) * 1000000
-       // (2 * SUM(n1) * SUM(n2)) AS BIGINT) AS cles_ppm
+  CAST(SUM(CAST(n1 AS HUGEINT) * (2 * (cum2 - n2) + n2)) AS BIGINT) AS u2,
+  CAST(SUM(CAST(n1 AS HUGEINT) * (2 * (cum2 - n2) + n2)) * 1000000
+       // (2 * CAST(SUM(n1) AS HUGEINT) * SUM(n2)) AS BIGINT) AS cles_ppm
 FROM c
 """
 

@@ -2961,13 +2961,23 @@ WITH words AS (
     SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rn FROM pc
   ) WHERE rn <= 4
 ), enc AS (
+  -- each merge guarded: a corpus with < 4 distinct pairs leaves the
+  -- missing mN NULL, and replace(e, NULL, NULL) would null the whole
+  -- encoding (the Spark side just applies fewer merges)
   SELECT w, n_occurrences,
-    replace(replace(replace(replace(
-      trim(regexp_replace(w, '(.)', '\\1 ', 'g')),
-      substr(m1, 1, 1) || ' ' || substr(m1, 2, 1), m1),
-      substr(m2, 1, 1) || ' ' || substr(m2, 2, 1), m2),
-      substr(m3, 1, 1) || ' ' || substr(m3, 2, 1), m3),
-      substr(m4, 1, 1) || ' ' || substr(m4, 2, 1), m4) AS e
+    trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS e0,
+    CASE WHEN m1 IS NULL THEN e0
+         ELSE replace(e0, substr(m1, 1, 1) || ' ' || substr(m1, 2, 1), m1)
+    END AS e1,
+    CASE WHEN m2 IS NULL THEN e1
+         ELSE replace(e1, substr(m2, 1, 1) || ' ' || substr(m2, 2, 1), m2)
+    END AS e2,
+    CASE WHEN m3 IS NULL THEN e2
+         ELSE replace(e2, substr(m3, 1, 1) || ' ' || substr(m3, 2, 1), m3)
+    END AS e3,
+    CASE WHEN m4 IS NULL THEN e3
+         ELSE replace(e3, substr(m4, 1, 1) || ' ' || substr(m4, 2, 1), m4)
+    END AS e
   FROM words CROSS JOIN m
 )
 SELECT w, CAST(n_occurrences AS BIGINT) AS n_occurrences,
