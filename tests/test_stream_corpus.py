@@ -358,3 +358,72 @@ def test_incremental_row_index_streaming_driver(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.k: r.row_idx for r in ing.rows().collect()}
     assert got == {2: 0, 4: 1}
+
+
+# ---------------------------------------------------------------- erasure
+
+LONG_C = (
+    "yet another unique document about adaptive query execution and "
+    "runtime partition coalescing with skew aware join splitting logic"
+)
+
+
+def test_forget_docs_erases_state_and_keeps_decisions(spark, tmp_path):
+    """Right-to-be-forgotten: content gone from corpus AND both
+    indexes (residuals zero), untouched docs intact, and dedup
+    DECISIONS survive — a doc dropped as the erased doc's duplicate
+    stays dropped, and re-ingest of the erased content is new content."""
+    ing = StreamingCorpusIngest(spark, str(tmp_path / "ing"), min_tokens=5)
+    ing.process_batch(
+        _df(spark, [(1, LONG_A), (2, LONG_B)]), "doc_id", "text", batch_id=0
+    )
+    v1 = {
+        r.doc_id: r
+        for r in ing.process_batch(
+            _df(spark, [(10, LONG_A), (12, LONG_C)]),
+            "doc_id", "text", batch_id=1,
+        ).collect()
+    }
+    assert v1[10].status == "exact_index_dup"  # decision made pre-erasure
+
+    req = spark.createDataFrame([(1,)], "doc_id long")
+    audit = ing.forget_docs(req)
+    assert audit["corpus"]["removed"] == 1
+    assert audit["exact"]["removed"] >= 1
+    assert audit["bands"]["removed"] >= 1  # every trace of doc 1
+
+    # corpus: doc 1 gone, others intact
+    assert {r.doc_id for r in ing.corpus().collect()} == {2, 12}
+    # zero residuals across all three stores
+    res = {r.store: r.residual_rows for r in ing.erasure_residual(req).collect()}
+    assert res == {"corpus": 0, "exact": 0, "bands": 0}
+    # re-ingest of the erased content: no index row remains -> new content
+    v2 = {
+        r.doc_id: r
+        for r in ing.process_batch(
+            _df(spark, [(20, LONG_A)]), "doc_id", "text", batch_id=2
+        ).collect()
+    }
+    assert v2[20].status == "kept"
+
+
+def test_forget_docs_removes_emptied_partitions(spark, tmp_path):
+    """Erasing every kept doc of a batch must DELETE its corpus
+    partition (an empty parquet overwrite leaves a _SUCCESS-only dir
+    that breaks later reads) and leave the store readable."""
+    ing = StreamingCorpusIngest(spark, str(tmp_path / "ing"), min_tokens=5)
+    ing.process_batch(_df(spark, [(1, LONG_A)]), "doc_id", "text", batch_id=0)
+    ing.process_batch(_df(spark, [(2, LONG_B)]), "doc_id", "text", batch_id=1)
+    ing.forget_docs(spark.createDataFrame([(2,)], "doc_id long"))
+    assert not (tmp_path / "ing" / "corpus" / "ingest_batch=1").exists()
+    assert {r.doc_id for r in ing.corpus().collect()} == {1}
+
+
+def test_forget_docs_on_empty_or_missing_stores_is_noop(spark, tmp_path):
+    ing = StreamingCorpusIngest(spark, str(tmp_path / "ing"), min_tokens=5)
+    audit = ing.forget_docs(spark.createDataFrame([(1,)], "doc_id long"))
+    assert audit == {
+        "corpus": {"partitions": [], "removed": 0},
+        "exact": {"partitions": [], "removed": 0},
+        "bands": {"partitions": [], "removed": 0},
+    }

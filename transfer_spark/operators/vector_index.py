@@ -88,7 +88,10 @@ class IvfIndex:
                 qv.cast("array<tinyint>").alias("qv"),
             )
         (
-            assign.write.mode("overwrite")
+            # repartition on cid before the partitioned write: one file
+            # per inverted list, not tasks × lists tiny files
+            assign.repartition(F.col("cid"))
+            .write.mode("overwrite")
             .partitionBy("cid")
             .parquet(self.lists_path)
         )
@@ -190,7 +193,8 @@ class IvfIndex:
                 qv.cast("array<tinyint>").alias("qv"),
             )
         (
-            assign.write.mode("append")
+            assign.repartition(F.col("cid"))
+            .write.mode("append")
             .partitionBy("cid")
             .parquet(self.lists_path)
         )

@@ -94,6 +94,9 @@ class EvalNgramIndex:
             self._spans(eval_df, text_col)
             .distinct()
             .withColumn("__bucket", F.col("h") % self.n_buckets)
+            # one file per bucket (not tasks × buckets tiny files; see
+            # MinHashDedupIndex.append)
+            .repartition(self.n_buckets, F.col("__bucket"))
             .write.mode("overwrite")
             .partitionBy("__bucket")
             .parquet(self.path)
@@ -376,6 +379,9 @@ class StreamingCorpusIngest:
                 .select(
                     "h", "doc", (F.col("h") % self.n_buckets).alias("__bucket")
                 )
+                # one file per bucket (not tasks × buckets tiny files;
+                # see MinHashDedupIndex.append)
+                .repartition(self.n_buckets, F.col("__bucket"))
                 .write.mode("append").partitionBy("__bucket")
                 .parquet(self.exact_path)
             )
@@ -430,6 +436,127 @@ class StreamingCorpusIngest:
             rows = rows.localCheckpoint(eager=True)  # read before rewrite
             rows.write.mode("overwrite").parquet(bdir)
         return {"bands": bands, "exact": exact}
+
+    # -- erasure (right to be forgotten) --------------------------------
+    def forget_docs(self, ids_df: DataFrame, id_col: str = "doc_id") -> dict:
+        """Targeted erasure over the composer's persistent state: remove
+        every row belonging to ``ids_df`` from the corpus store, the
+        exact-hash index, and the MinHash band index — rewriting ONLY
+        the partitions that hold them. The compliance operation a
+        100 TB corpus needs (GDPR/CCPA deletion requests) expressed as
+        partition-pruned rewrites, the same access pattern as the
+        reference's hard-delete MERGE (clients/shared/merge.go) applied
+        to the training-corpus stores.
+
+        Scale shape: locating affected partitions is one column-pruned
+        scan per store (only the doc id and the partition column are
+        read — parquet never materializes text/bands for the probe),
+        and the rewrite loop touches the affected partition directories
+        alone, so erasure cost tracks the deleted set's spread across
+        partitions, never the corpus size. A partition left empty is
+        deleted outright (an empty parquet overwrite leaves a
+        _SUCCESS-only directory that breaks later schema inference —
+        the hazard the append paths already guard).
+
+        Dedup history is NOT rewritten: prior verdict frames (caller-
+        owned outputs) may still name a forgotten doc in ``dup_of``,
+        and docs dropped earlier as its duplicates stay dropped — the
+        standard compliance interpretation (erase the content, keep the
+        decisions). Re-ingest of identical content after erasure is new
+        content (no index row remains), so stop ingest first if
+        re-admission must be prevented. Returns per-store audit counts.
+        """
+        ids = (
+            ids_df.select(F.col(id_col).cast("long").alias("__erase_doc"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        return {
+            "corpus": self._erase_partitions(
+                self.corpus_path, "ingest_batch", "doc_id", ids
+            ),
+            "exact": self._erase_partitions(
+                self.exact_path, "__bucket", "doc", ids
+            ),
+            "bands": self._erase_partitions(
+                self.minhash.path, self.minhash.BUCKET_COL, "doc", ids
+            ),
+        }
+
+    def _erase_partitions(
+        self, path: str, part_col: str, doc_col: str, ids: DataFrame
+    ) -> dict:
+        """Erase ``ids`` rows from one partitioned store; returns
+        ``{"partitions": [...], "removed": n}``."""
+        if not self.fs.exists(path) or not any(
+            n.startswith(part_col + "=") for n in self.fs.listdir(path)
+        ):
+            return {"partitions": [], "removed": 0}
+        store = self.spark.read.parquet(path)
+        affected = sorted(
+            r[0]
+            for r in store.join(
+                F.broadcast(ids),
+                store[doc_col] == F.col("__erase_doc"),
+                "left_semi",
+            )
+            .select(part_col)
+            .distinct()
+            .collect()  # bounded: one value per affected partition
+        )
+        removed = 0
+        for pv in affected:
+            pdir = os.path.join(path, f"{part_col}={pv}")
+            rows = self.spark.read.parquet(pdir)
+            keep = rows.join(
+                F.broadcast(ids),
+                rows[doc_col] == F.col("__erase_doc"),
+                "left_anti",
+            ).localCheckpoint(eager=True)  # read fully before rewrite
+            n_keep = keep.count()
+            removed += rows.count() - n_keep
+            if n_keep:
+                keep.write.mode("overwrite").parquet(pdir)
+            else:
+                self.fs.rmtree(pdir)
+        return {"partitions": affected, "removed": removed}
+
+    def erasure_residual(self, ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+        """Audit frame for a deletion request: per-store count of rows
+        still referencing the ids (all zero after :meth:`forget_docs`).
+        One column-pruned scan per store."""
+        ids = ids_df.select(
+            F.col(id_col).cast("long").alias("__erase_doc")
+        ).distinct()
+        parts = []
+        for store_name, path, doc_col in (
+            ("corpus", self.corpus_path, "doc_id"),
+            ("exact", self.exact_path, "doc"),
+            ("bands", self.minhash.path, "doc"),
+        ):
+            if self.fs.exists(path) and any(
+                "=" in n for n in self.fs.listdir(path)
+            ):
+                store = self.spark.read.parquet(path)
+                n = store.join(
+                    F.broadcast(ids),
+                    store[doc_col] == F.col("__erase_doc"),
+                    "left_semi",
+                )
+            else:
+                n = None
+            parts.append((store_name, n))
+        out = None
+        for store_name, n in parts:
+            row = (
+                n.agg(F.count(F.lit(1)).cast("long").alias("residual_rows"))
+                if n is not None
+                else self.spark.range(1).select(
+                    F.lit(0).cast("long").alias("residual_rows")
+                )
+            ).select(F.lit(store_name).alias("store"), "residual_rows")
+            out = row if out is None else out.unionByName(row)
+        return out
 
     # -- streaming wrapper ----------------------------------------------
     def start(

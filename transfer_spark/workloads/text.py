@@ -3326,6 +3326,53 @@ SELECT doc_id, CAST(batch AS INT) AS batch, status, dup_of FROM verd
 """
 
 
+def q_corpus_forget_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten over the ingest state: two micro-batches
+    through the dedup-at-ingest composer, then a deletion request for
+    every doc_id % 7 == 0 erased via partition-pruned rewrites
+    (StreamingCorpusIngest.forget_docs — corpus partitions + both
+    index stores; only directories holding the ids are rewritten).
+    Output is the surviving corpus. Index residuals are asserted zero
+    in tests/test_stream_corpus.py; dedup DECISIONS are kept (a doc
+    dropped earlier as a duplicate of an erased doc stays dropped) —
+    the oracle mirrors that by filtering the kept set, not re-running
+    dedup without the erased docs."""
+    import tempfile
+
+    from transfer_spark.streaming.corpus_ingest import StreamingCorpusIngest
+
+    d = _docs(spark, sf_dir)
+    ing = StreamingCorpusIngest(
+        spark, tempfile.mkdtemp(prefix="artie_forget_"),
+        min_tokens=30, n_buckets=16,
+    )
+    ing.process_batch(
+        d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", batch_id=0
+    )
+    ing.process_batch(
+        d.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", batch_id=1
+    )
+    ing.forget_docs(d.filter(F.col("doc_id") % 7 == 0).select("doc_id"))
+    return ing.corpus().select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
+def _corpus_forget_sql() -> str:
+    """Erasure oracle: the full two-batch ingest chain's kept set minus
+    the deletion request (decisions survive, content goes)."""
+    return f"""
+WITH ingest AS ({_streaming_corpus_ingest_sql()}),
+ntok AS (SELECT doc_id, len({_TOKS}) AS n_tok FROM documents)
+SELECT i.doc_id, CAST(n.n_tok AS BIGINT) AS n_tokens
+FROM ingest i JOIN ntok n ON n.doc_id = i.doc_id
+WHERE i.status = 'kept' AND i.doc_id % 7 != 0
+"""
+
+
+ORACLE_CORPUS_FORGET = _corpus_forget_sql()
+
+
 def q_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced source interleave — the training-order op that keeps a
     mixed corpus from clumping (long runs of one feed bias gradient
@@ -4129,6 +4176,7 @@ QUERIES = {
     "doc_chunk_windows": (q_chunk_windows, ORACLE_CHUNKS),
     "streaming_dedup_index": (q_streaming_dedup_index, _streaming_dedup_index_sql()),
     "streaming_corpus_ingest": (q_streaming_corpus_ingest, ORACLE_STREAMING_CORPUS_INGEST),
+    "corpus_forget_erasure": (q_corpus_forget_erasure, ORACLE_CORPUS_FORGET),
     "corpus_shard_shuffle": (q_shard_shuffle, ORACLE_SHARD_SHUFFLE),
     "corpus_source_interleave": (q_source_interleave, ORACLE_SOURCE_INTERLEAVE),
     "dedupe_containment": (q_dedupe_containment, _dedupe_containment_sql()),
