@@ -1,0 +1,87 @@
+"""bitext_margin_mine: margin semantics against a sequential NumPy
+reference, plus the structural mutual-exclusivity contract."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from transfer_spark.operators.similarity import bitext_margin_mine
+
+
+def _ref(ids_s, S, ids_t, T, k, thr_ppm):
+    """Sequential mirror of the published margin formula (integer
+    publication identical to the operator's)."""
+    Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+    Tn = T / np.linalg.norm(T, axis=1, keepdims=True)
+    cos = Sn @ Tn.T
+    cq = np.floor(cos * 1e9 + 0.5).astype(np.int64)
+    out = []
+    skf = {}
+    for i, sid in enumerate(ids_s):
+        order = sorted(range(len(ids_t)), key=lambda j: (-cq[i, j], ids_t[j]))
+        skf[sid] = int(sum(cq[i, j] for j in order[:k]))
+    skb = {}
+    for j, tid in enumerate(ids_t):
+        order = sorted(range(len(ids_s)), key=lambda i: (-cq[i, j], ids_s[i]))
+        skb[tid] = int(sum(cq[i, j] for i in order[:k]))
+    marg = {}
+    for i, sid in enumerate(ids_s):
+        for j, tid in enumerate(ids_t):
+            den = skf[sid] + skb[tid]
+            if den == 0:
+                continue
+            # truncating int division toward zero (Spark DIV / DuckDB //)
+            marg[(sid, tid)] = int(
+                math.trunc(int(cq[i, j]) * 2 * k * 1_000_000 / den)
+            )
+    for i, sid in enumerate(ids_s):
+        cand = [(tid, marg[(sid, tid)]) for tid in ids_t if (sid, tid) in marg]
+        if not cand:
+            continue
+        tid, mp = min(cand, key=lambda c: (-c[1], c[0]))
+        back = [
+            (s2, marg[(s2, tid)]) for s2 in ids_s if (s2, tid) in marg
+        ]
+        s_best = min(back, key=lambda c: (-c[1], c[0]))[0]
+        if s_best == sid and mp >= thr_ppm:
+            out.append((sid, tid, int(cq[i, j_of(ids_t, tid)]), mp))
+    return sorted(out)
+
+
+def j_of(ids_t, tid):
+    return ids_t.index(tid)
+
+
+def test_margin_mining_matches_sequential_reference(spark):
+    rng = np.random.RandomState(7)
+    S = rng.randn(12, 8)
+    T = rng.randn(15, 8)
+    # plant two true pairs: t*) near-copies of s rows
+    T[3] = S[2] + 0.01 * rng.randn(8)
+    T[9] = S[5] + 0.01 * rng.randn(8)
+    ids_s = [2 * i for i in range(12)]
+    ids_t = [2 * j + 1 for j in range(15)]
+    src = spark.createDataFrame(
+        [(ids_s[i], [float(x) for x in S[i]]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [(ids_t[j], [float(x) for x in T[j]]) for j in range(15)],
+        "vec_id long, embedding array<double>",
+    )
+    got = sorted(
+        (r.src_id, r.tgt_id, r.cos_q, r.margin_ppm)
+        for r in bitext_margin_mine(src, tgt, k=3,
+                                    margin_threshold_ppm=1_000_000).collect()
+    )
+    want = _ref(ids_s, S, ids_t, T, k=3, thr_ppm=1_000_000)
+    assert got == want
+    # the planted near-copies must be mined
+    mined = {(a, b) for a, b, _, _ in got}
+    assert (4, 7) in mined and (10, 19) in mined
+    # mutual argmax => each endpoint appears at most once
+    srcs = [a for a, *_ in got]
+    tgts = [b for _, b, *_ in got]
+    assert len(srcs) == len(set(srcs)) and len(tgts) == len(set(tgts))

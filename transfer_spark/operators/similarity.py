@@ -70,6 +70,90 @@ def ann_bruteforce_topk(
     )
 
 
+def bitext_margin_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    margin_threshold_ppm: int = 1_000_000,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019 — the
+    LASER/CCMatrix method): a candidate pair (x, y) is scored by the
+    RATIO margin cos(x, y) / mean of the two endpoints' top-k neighbor
+    similarities, and survives when it is the MUTUAL margin-argmax of
+    both sides above a threshold. The ratio cancels the per-language
+    similarity-scale drift that defeats an absolute cosine threshold —
+    the published result the method exists for.
+
+    Integer-exact publication: each cosine quantizes to 1e-9 grain
+    BEFORE any sum (quantize-before-reduce, the tfidf/DSIR precedent),
+    so ``margin_ppm = cq·2k·1e6 DIV (Σ_k fwd + Σ_k bwd)`` is pure
+    integer arithmetic any engine reproduces; ties break on the
+    partner id. A non-positive neighbor-sum denominator publishes NULL
+    (NULLIF) on both engines.
+
+    Scale shape: this exact form broadcasts the smaller side into one
+    scored cross product — the verifier contract of
+    :func:`ann_bruteforce_topk`. At mining scale the candidate
+    generation swaps to the LSH / IVF candidate sources
+    (:func:`cosine_neardup_lsh`, :func:`ann_ivf_topk`) and this same
+    margin rescoring runs on the candidate set only; the top-k
+    neighbor sums are per-endpoint aggregates either way.
+    """
+    s = src.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
+    t = tgt.select(F.col(id_col).alias("tid"), F.col(vec_col).alias("tv"))
+    scored = (
+        F.broadcast(s)
+        .join(t)
+        .select(
+            "sid", "tid",
+            F.floor(cosine(F.col("sv"), F.col("tv")) * 1e9 + F.lit(0.5))
+            .cast("long").alias("cq"),
+        )
+    )
+    wf = Window.partitionBy("sid").orderBy(F.desc("cq"), F.asc("tid"))
+    wb = Window.partitionBy("tid").orderBy(F.desc("cq"), F.asc("sid"))
+    ranked = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rb", F.row_number().over(wb)
+    )
+    sfwd = (
+        ranked.filter(F.col("rf") <= k)
+        .groupBy("sid").agg(F.sum("cq").alias("skf"))
+    )
+    sbwd = (
+        ranked.filter(F.col("rb") <= k)
+        .groupBy("tid").agg(F.sum("cq").alias("skb"))
+    )
+    m = (
+        scored.join(F.broadcast(sfwd), "sid")
+        .join(F.broadcast(sbwd), "tid")
+        .select(
+            "sid", "tid", "cq",
+            F.expr(
+                f"CAST(cq * {2 * k} * 1000000"
+                " DIV NULLIF(skf + skb, 0) AS BIGINT)"
+            ).alias("margin_ppm"),
+        )
+    )
+    w1 = Window.partitionBy("sid").orderBy(F.desc("margin_ppm"), F.asc("tid"))
+    w2 = Window.partitionBy("tid").orderBy(F.desc("margin_ppm"), F.asc("sid"))
+    return (
+        m.withColumn("r1", F.row_number().over(w1))
+        .withColumn("r2", F.row_number().over(w2))
+        .filter(
+            (F.col("r1") == 1) & (F.col("r2") == 1)
+            & (F.col("margin_ppm") >= margin_threshold_ppm)
+        )
+        .select(
+            F.col("sid").alias("src_id"),
+            F.col("tid").alias("tgt_id"),
+            F.col("cq").cast("long").alias("cos_q"),
+            "margin_ppm",
+        )
+    )
+
+
 def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (engine-portable literals)."""
     rs = np.random.RandomState(seed)

@@ -1346,7 +1346,63 @@ ORDER BY dim_idx
 )
 
 
+def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk / CCMatrix) across
+    two embedding spaces simulated by vec_id parity: mutual
+    margin-argmax pairs above ratio 1.0. See
+    operators/similarity.bitext_margin_mine for the scale contract
+    (exact verifier here; LSH/IVF candidate source at mining scale)."""
+    emb = _emb(spark, sf_dir)
+    return S.bitext_margin_mine(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4, margin_threshold_ppm=1_000_000,
+    ).orderBy("src_id")
+
+
+ORACLE_BITEXT_MARGIN = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id AS sid, v FROM e WHERE vec_id % 2 = 0),
+t AS (SELECT vec_id AS tid, v FROM e WHERE vec_id % 2 = 1),
+scored AS (
+  SELECT sid, tid,
+    CAST(floor(list_cosine_similarity(s.v, t.v) * 1000000000 + 0.5)
+         AS BIGINT) AS cq
+  FROM s CROSS JOIN t
+),
+ranked AS (
+  SELECT sid, tid, cq,
+    row_number() OVER (PARTITION BY sid ORDER BY cq DESC, tid) AS rf,
+    row_number() OVER (PARTITION BY tid ORDER BY cq DESC, sid) AS rb
+  FROM scored
+),
+sf AS (SELECT sid, CAST(SUM(cq) AS BIGINT) AS skf FROM ranked
+       WHERE rf <= 4 GROUP BY sid),
+sb AS (SELECT tid, CAST(SUM(cq) AS BIGINT) AS skb FROM ranked
+       WHERE rb <= 4 GROUP BY tid),
+m AS (
+  SELECT sc.sid, sc.tid, sc.cq,
+    CAST(sc.cq * 8 * 1000000 // NULLIF(skf + skb, 0) AS BIGINT)
+      AS margin_ppm
+  FROM scored sc JOIN sf USING (sid) JOIN sb USING (tid)
+),
+best AS (
+  SELECT sid, tid, cq, margin_ppm,
+    row_number() OVER (PARTITION BY sid
+                       ORDER BY margin_ppm DESC NULLS LAST, tid) AS r1,
+    row_number() OVER (PARTITION BY tid
+                       ORDER BY margin_ppm DESC NULLS LAST, sid) AS r2
+  FROM m
+)
+SELECT sid AS src_id, tid AS tgt_id, CAST(cq AS BIGINT) AS cos_q, margin_ppm
+FROM best
+WHERE r1 = 1 AND r2 = 1 AND margin_ppm >= 1000000
+ORDER BY src_id
+"""
+
+
 QUERIES = {
+    "bitext_margin_mining": (q_bitext_margin, ORACLE_BITEXT_MARGIN),
     "embedding_top_component": (q_top_component, ORACLE_TOP_COMPONENT),
     "embedding_second_component": (q_second_component, ORACLE_SECOND_COMPONENT),
     "embedding_anisotropy_share": (q_anisotropy_share, ORACLE_ANISOTROPY),
