@@ -85,3 +85,26 @@ def test_margin_mining_matches_sequential_reference(spark):
     srcs = [a for a, *_ in got]
     tgts = [b for _, b, *_ in got]
     assert len(srcs) == len(set(srcs)) and len(tgts) == len(set(tgts))
+
+
+def test_cluster_balanced_sample_quota_and_stability(spark):
+    """Per-cluster quota respected; sample identical under a different
+    input partitioning (hash-priority pick is reshuffle-stable)."""
+    from transfer_spark.workloads.vectors import q_cluster_balanced_sample
+
+    sf = "/root/testdata/sf0.001"
+    a = q_cluster_balanced_sample(spark, sf).collect()
+    per = {}
+    for r in a:
+        per[r.cid] = per.get(r.cid, 0) + 1
+        assert 1 <= r.pick_rank <= 8
+    assert per and all(n <= 8 for n in per.values())
+
+    import transfer_spark.workloads.vectors as V
+    orig = V._emb
+    try:
+        V._emb = lambda s, d: orig(s, d).repartition(17)
+        b = q_cluster_balanced_sample(spark, sf).collect()
+    finally:
+        V._emb = orig
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

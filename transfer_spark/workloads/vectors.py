@@ -1401,8 +1401,83 @@ ORDER BY src_id
 """
 
 
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced (diversity) sampling: k-means topic clusters +
+    a fixed per-cluster quota picked by deterministic hash priority —
+    the topic-rebalance selection step of cluster-based data-pruning
+    pipelines (SemDeDup/DataComp practice: cluster the embedding
+    space, then cap each cluster's contribution so dominant topics
+    can't swamp the mixture).
+
+    Scale shape: the trainer is the registered deterministic Lloyd
+    (broadcast centroids, vectors never leave executors); assignment
+    is one broadcast argmax scan; the quota pick is one per-cid window
+    over a hash priority — a single shuffle on cid, and the hash
+    ordering makes the sample reshuffle-stable (same property the
+    corpus samplers pin in test_reshuffle_stability)."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    cent = S.kmeans_centroids(emb, k=16, n_iters=2)
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    w_assign = Window.partitionBy("id").orderBy(
+        F.desc("cos"), F.asc("cid")
+    )
+    assign = (
+        v.crossJoin(F.broadcast(cent))
+        .select("id", "cid", S.cosine(F.col("v"), F.col("cv")).alias("cos"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("id", "cid")
+    )
+    pri = F.conv(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w_pick = Window.partitionBy("cid").orderBy(F.asc("pri"), F.asc("id"))
+    return (
+        assign.withColumn("pri", pri)
+        .withColumn("pick_rank", F.row_number().over(w_pick))
+        .filter(F.col("pick_rank") <= 8)
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("id").alias("vec_id"),
+            F.col("pick_rank").cast("long").alias("pick_rank"),
+        )
+        .orderBy("cid", "pick_rank")
+    )
+
+
+def _cluster_balanced_oracle(k_cent: int = 16, n_iters: int = 2,
+                             dim: int = 64, quota: int = 8) -> str:
+    parts, prev = _lloyd_ctes(k_cent, n_iters, dim)
+    body = f"""assign AS (
+  SELECT e.vec_id, c.cid
+  FROM e, {prev} c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) = 1
+),
+pick AS (
+  SELECT cid, vec_id,
+    row_number() OVER (PARTITION BY cid
+      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+               vec_id) AS pick_rank
+  FROM assign
+)
+SELECT CAST(cid AS BIGINT) AS cid, vec_id,
+       CAST(pick_rank AS BIGINT) AS pick_rank
+FROM pick WHERE pick_rank <= {quota}
+ORDER BY cid, pick_rank"""
+    return ",\n".join(parts) + ",\n" + body
+
+
 QUERIES = {
     "bitext_margin_mining": (q_bitext_margin, ORACLE_BITEXT_MARGIN),
+    "cluster_balanced_sample": (
+        q_cluster_balanced_sample, _cluster_balanced_oracle()
+    ),
     "embedding_top_component": (q_top_component, ORACLE_TOP_COMPONENT),
     "embedding_second_component": (q_second_component, ORACLE_SECOND_COMPONENT),
     "embedding_anisotropy_share": (q_anisotropy_share, ORACLE_ANISOTROPY),
