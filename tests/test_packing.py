@@ -103,6 +103,49 @@ def test_ngram_collisions_planted_overlap(spark):
     assert got[1] == 1  # only the planted span collides, neighbors differ
 
 
+def test_ngram_collision_runs_islands(spark):
+    """A 10-token planted span = 3 consecutive 8-gram matches = one run
+    of 10 tokens; two disjoint 8-token spans = two runs of 8."""
+    from transfer_spark.operators.dedupe import ngram_collision_runs
+
+    span10 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    span8a = "one two three four five six seven eight"
+    span8b = "red orange yellow green blue indigo violet ultra"
+    train = spark.createDataFrame(
+        [
+            (1, f"lead {span10} tail"),
+            (2, f"{span8a} w1 w2 w3 w4 w5 w6 w7 w8 {span8b}"),
+            (3, "nothing shared with the eval suite at all here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"{span10} question"), (101, f"{span8a} and {span8b}")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.train_doc: (r.longest_run_tokens, r.n_runs, r.matched_ngrams)
+        for r in ngram_collision_runs(train, ev, "doc_id", "text", n=8).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1] == (10, 1, 3)
+    assert got[2] == (8, 2, 2)
+
+
+def test_ngram_collision_runs_broadcasts_eval_side(spark):
+    from transfer_spark.operators.dedupe import ngram_collision_runs
+
+    train = _corpus(spark)
+    ev = _corpus(spark).limit(3)
+    plan = (
+        ngram_collision_runs(train, ev, "doc_id", "text", n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
 def test_ngram_collisions_broadcasts_eval_side(spark):
     train = _corpus(spark)
     ev = _corpus(spark).limit(3)

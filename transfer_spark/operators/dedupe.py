@@ -738,6 +738,60 @@ def ngram_collisions_bloom(
     )
 
 
+def ngram_collision_runs(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Contamination SEVERITY: per contaminated train doc, the longest
+    CONSECUTIVE verbatim overlap with the eval suite, in tokens —
+    :func:`ngram_collisions` answers *whether* a doc shares any exact
+    n-gram; this answers *how much* of it is verbatim eval text. A doc
+    with one quoted benchmark question (run ≈ question length) and a
+    doc that embeds a whole eval split (run ≈ document length) both
+    trip the boolean gate, but the remediation differs (span scrub vs
+    drop), so leak triage needs the run structure. The islands trick
+    (position minus rank) groups consecutive matched span positions
+    into maximal runs; a run of r consecutive n-gram matches covers
+    r + n - 1 tokens.
+
+    Distributed shape: identical to :func:`ngram_collisions` until the
+    probe — the eval side dedupes to a distinct hash set and
+    BROADCASTS, so the corpus never shuffles for the membership test —
+    then ONE window over the *matched* spans only (contamination is
+    rare by construction, so the windowed frame is a sliver of the
+    span stream; the clean corpus never reaches the shuffle). Returns
+    (train_doc, longest_run_tokens, n_runs, matched_ngrams).
+    """
+    from pyspark.sql import Window
+
+    tr = train_df.select(
+        F.col(id_col).alias("train_doc"),
+        F.posexplode(shingles(F.col(text_col), n)).alias("pos", "__sp"),
+    ).select("train_doc", "pos", _base_hash(F.col("__sp")).alias("h"))
+    ev = (
+        eval_df.select(F.explode(shingles(F.col(text_col), n)).alias("__sp"))
+        .select(_base_hash(F.col("__sp")).alias("h"))
+        .distinct()
+    )
+    matched = tr.join(F.broadcast(ev), "h", "left_semi")
+    w = Window.partitionBy("train_doc").orderBy("pos")
+    per_run = (
+        matched.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("train_doc", "__grp")
+        .agg(F.count(F.lit(1)).alias("__run_ngrams"))
+    )
+    return per_run.groupBy("train_doc").agg(
+        F.max(F.col("__run_ngrams") + F.lit(n - 1))
+        .cast("long")
+        .alias("longest_run_tokens"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum("__run_ngrams").cast("long").alias("matched_ngrams"),
+    )
+
+
 def neardup_clusters_star(
     pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max_iters: int = 25
 ) -> DataFrame:

@@ -583,6 +583,59 @@ FROM tr JOIN ev USING (h) GROUP BY tr.doc_id
 """
 
 
+def q_decontamination_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination severity triage: longest consecutive verbatim
+    overlap (in tokens) per contaminated train doc, plus run count and
+    total matched 8-grams (operators/dedupe.py:ngram_collision_runs) —
+    the islands pass that separates a quoted benchmark question from a
+    wholesale embedded eval split."""
+    from transfer_spark.operators.text import assign_split
+
+    d = _docs(spark, sf_dir).withColumn(
+        "split",
+        assign_split(F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}),
+    )
+    return D.ngram_collision_runs(
+        d.filter(F.col("split") == "train"),
+        d.filter(F.col("split") != "train"),
+        "doc_id",
+        "text",
+        n=8,
+    )
+
+
+ORACLE_DECONTAM_RUNS = f"""
+WITH splits AS ({_SPLITS_SQL}),
+toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sp AS (
+  SELECT doc_id, i AS pos,
+    ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT AS h
+  FROM toks,
+    unnest(CASE WHEN len(t) >= 8 THEN range(1, len(t) - 6)
+           ELSE []::BIGINT[] END) AS u(i)
+), ev AS (
+  SELECT DISTINCT sp.h FROM sp JOIN splits USING (doc_id)
+  WHERE splits.split != 'train'
+), m AS (
+  SELECT sp.doc_id AS train_doc, sp.pos
+  FROM sp JOIN splits USING (doc_id)
+  WHERE splits.split = 'train' AND sp.h IN (SELECT h FROM ev)
+), runs AS (
+  SELECT train_doc,
+         pos - ROW_NUMBER() OVER (PARTITION BY train_doc ORDER BY pos) AS grp
+  FROM m
+), per_run AS (
+  SELECT train_doc, grp, COUNT(*) AS run_ngrams FROM runs GROUP BY 1, 2
+)
+SELECT train_doc,
+       CAST(MAX(run_ngrams + 7) AS BIGINT) AS longest_run_tokens,
+       COUNT(*) AS n_runs,
+       CAST(SUM(run_ngrams) AS BIGINT) AS matched_ngrams
+FROM per_run GROUP BY train_doc
+"""
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: 256-token chunks over 8
     parallel packing buckets (operators/packing.py)."""
@@ -4226,6 +4279,7 @@ QUERIES = {
     "corpus_blocklist_gate": (q_blocklist_gate, ORACLE_BLOCKLIST),
     "neardup_keep_best": (q_neardup_keep_best, ORACLE_NEARDUP_KEEP_BEST),
     "split_decontamination_exact": (q_decontamination_exact, ORACLE_DECONTAM_EXACT),
+    "split_decontamination_runs": (q_decontamination_runs, ORACLE_DECONTAM_RUNS),
     "split_decontamination_bloom": (q_decontamination_bloom, ORACLE_DECONTAM_EXACT),
     "corpus_sequence_pack": (q_sequence_pack, ORACLE_SEQUENCE_PACK),
     "pretraining_corpus_pipeline": (q_pretraining_corpus, ORACLE_PRETRAINING_CORPUS),
