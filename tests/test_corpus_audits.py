@@ -143,3 +143,36 @@ def test_ann_recall_bounds_and_self_consistency(spark, sf_dir):
         assert r.n_exact == 5
         assert 0 <= r.n_hit <= min(r.n_exact, max(r.n_approx, 0))
         assert r.recall_ppm == int(1_000_000 * r.n_hit / r.n_exact + 0.5)
+
+
+def test_ccnet_buckets_tercile_invariants(spark, sf_dir):
+    """Per language: head holds at least a third of scored docs,
+    head+middle at least two thirds, and bucket score ranges are
+    disjoint and ordered (max(head) <= t1 < min(middle), etc.)."""
+    from transfer_spark.workloads.text import q_ccnet_perplexity_buckets
+
+    out = q_ccnet_perplexity_buckets(spark, sf_dir).cache()
+    per = (
+        out.groupBy("lang")
+        .pivot("ppl_bucket", ["head", "middle", "tail"])
+        .count()
+        .fillna(0)
+        .collect()
+    )
+    assert per, "no languages scored"
+    for r in per:
+        n = r.head + r.middle + r.tail
+        assert r.head * 3 >= n
+        assert (r.head + r.middle) * 3 >= 2 * n
+    ranges = {
+        (r.lang, r.ppl_bucket): (r.lo, r.hi)
+        for r in out.groupBy("lang", "ppl_bucket").agg(
+            F.min("nlp_micro").alias("lo"), F.max("nlp_micro").alias("hi")
+        ).collect()
+    }
+    for (lang, bucket), (lo, hi) in ranges.items():
+        if bucket == "head" and (lang, "middle") in ranges:
+            assert hi < ranges[(lang, "middle")][0]
+        if bucket == "middle" and (lang, "tail") in ranges:
+            assert hi < ranges[(lang, "tail")][0]
+    out.unpersist()

@@ -2670,6 +2670,142 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): score
+    each doc with the corpus bigram LM, then split EACH LANGUAGE at its
+    own perplexity terciles — the language-calibrated quality gate that
+    keeps low-resource languages from being graded on the dominant
+    language's scale.
+
+    Engine-exactness: the per-bigram neg-log2-prob quantizes to integer
+    micro-units ROW-LOCALLY (deterministic IEEE log2 of two integers),
+    so the per-doc score is an order-free integer sum + integer DIV mean
+    — no float aggregation anywhere. Bucketing uses per-lang integer
+    order-statistic thresholds (cumulative counts over DISTINCT score
+    values — score cardinality, not corpus rows — then broadcast back)
+    rather than a per-lang ntile window: ntile sorts each language in
+    one partition, and the dominant language of a 100 TB corpus IS the
+    corpus (same reasoning as customer_rfm's threshold scoring); an
+    interpolated percentile would put a float between integer scores,
+    where engine last-ulp disagreement flips boundary docs. Docs with
+    <2 tokens have no bigrams and are excluded (no LM evidence)."""
+    d = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    bgs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = d.select("doc_id", "lang", F.explode(bgs).alias("bg"))
+    c12 = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    c1 = c12.groupBy(w1.alias("w1")).agg(F.sum("c12").alias("c1"))
+    model = c12.join(c1, w1 == c1.w1).select(
+        "bg",
+        F.floor(
+            (F.log2(F.col("c1")) - F.log2(F.col("c12"))) * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("nlp_bg"),
+    )
+    scored = (
+        occ.join(model, "bg")
+        .groupBy("doc_id", "lang")
+        .agg(F.expr("sum(nlp_bg) DIV count(1)").alias("nlp_micro"))
+    )
+    # Integer order-statistic terciles, not interpolated percentile:
+    # continuous quantiles land BETWEEN integer scores via float
+    # interpolation whose last ulp differs across engines exactly when
+    # a doc sits on the boundary. The cumulative count runs over
+    # DISTINCT (lang, score) pairs — far smaller than the doc set, so
+    # the per-lang window is over score cardinality, never corpus rows.
+    from pyspark.sql import Window
+
+    dist = scored.groupBy("lang", "nlp_micro").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wl = (
+        Window.partitionBy("lang")
+        .orderBy("nlp_micro")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dist.select(
+        "lang", "nlp_micro",
+        F.sum("__c").over(wl).alias("__cum"),
+        F.sum("__c").over(Window.partitionBy("lang")).alias("__n"),
+    )
+    th = cum.groupBy("lang").agg(
+        F.min(
+            F.when(
+                F.col("__cum") * 3 >= F.col("__n"), F.col("nlp_micro")
+            )
+        ).alias("__t1"),
+        F.min(
+            F.when(
+                F.col("__cum") * 3 >= F.col("__n") * 2, F.col("nlp_micro")
+            )
+        ).alias("__t2"),
+    )
+    return scored.join(F.broadcast(th), "lang").select(
+        "doc_id",
+        "lang",
+        "nlp_micro",
+        F.when(F.col("nlp_micro") <= F.col("__t1"), F.lit("head"))
+        .when(F.col("nlp_micro") <= F.col("__t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
+
+ORACLE_CCNET_BUCKETS = f"""
+WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+occ AS (
+  SELECT doc_id, lang, unnest(CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         ELSE []::VARCHAR[] END) AS bg
+  FROM toks
+),
+c12 AS (SELECT bg, count(*) AS c12 FROM occ GROUP BY bg),
+c1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1
+  FROM c12 GROUP BY 1
+),
+model AS (
+  SELECT bg,
+    floor((log2(c1.c1) - log2(c12.c12)) * 1000000.0 + 0.5)::BIGINT AS nlp_bg
+  FROM c12 JOIN c1 ON c1.w1 = split_part(c12.bg, ' ', 1)
+),
+scored AS (
+  SELECT doc_id, lang, CAST(sum(nlp_bg) // count(*) AS BIGINT) AS nlp_micro
+  FROM occ JOIN model USING (bg) GROUP BY doc_id, lang
+),
+dist AS (
+  SELECT lang, nlp_micro, count(*) AS c FROM scored GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, nlp_micro,
+    sum(c) OVER (PARTITION BY lang ORDER BY nlp_micro
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(c) OVER (PARTITION BY lang) AS n
+  FROM dist
+),
+th AS (
+  SELECT lang,
+    min(CASE WHEN cum * 3 >= n THEN nlp_micro END) AS t1,
+    min(CASE WHEN cum * 3 >= n * 2 THEN nlp_micro END) AS t2
+  FROM cum GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.nlp_micro,
+  CASE WHEN s.nlp_micro <= th.t1 THEN 'head'
+       WHEN s.nlp_micro <= th.t2 THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket
+FROM scored s JOIN th USING (lang)
+"""
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 collocations by pointwise mutual information: bigrams that
     co-occur far above chance (min count 5) — the phrase-mining /
@@ -4268,6 +4404,7 @@ QUERIES = {
     "token_fertility_by_lang": (q_token_fertility, ORACLE_FERTILITY),
     "corpus_datasheet": (q_corpus_datasheet, _datasheet_sql()),
     "doc_bigram_logprob": (q_bigram_logprob, ORACLE_BIGRAM_LOGPROB),
+    "ccnet_perplexity_buckets": (q_ccnet_perplexity_buckets, ORACLE_CCNET_BUCKETS),
     "bpe_top_merges": (q_bpe_top_merges, ORACLE_BPE_MERGES),
     "doc_char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
     "dedupe_dup_spans": (q_dup_spans, ORACLE_DUP_SPANS),
