@@ -176,3 +176,28 @@ def test_ccnet_buckets_tercile_invariants(spark, sf_dir):
         if bucket == "middle" and (lang, "tail") in ranges:
             assert hi < ranges[(lang, "tail")][0]
     out.unpersist()
+
+
+def test_doremi_weights_invariants(spark, sf_dir):
+    """EG reweighting: ppm shares sum to 1e6 minus truncation slack,
+    excess is clamped to [0, 2e6], and among equal-prior domains more
+    excess loss never gets less weight."""
+    from transfer_spark.workloads.text import q_mixture_doremi_weights
+
+    rows = q_mixture_doremi_weights(spark, sf_dir).collect()
+    n = len(rows)
+    assert n >= 2
+    wsum = sum(r.weight_ppm for r in rows)
+    assert 1_000_000 - n <= wsum <= 1_000_000
+    psum = sum(r.prior_ppm for r in rows)
+    assert 1_000_000 - n <= psum <= 1_000_000
+    for r in rows:
+        assert 0 <= r.excess_micro <= 2_000_000
+        assert r.weight_ppm >= 0
+    by_prior = {}
+    for r in rows:
+        by_prior.setdefault(r.prior_ppm, []).append(r)
+    for grp in by_prior.values():
+        grp.sort(key=lambda r: r.excess_micro)
+        for a, b in zip(grp, grp[1:]):
+            assert a.weight_ppm <= b.weight_ppm

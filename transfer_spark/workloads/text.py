@@ -2806,6 +2806,147 @@ FROM scored s JOIN th USING (lang)
 """
 
 
+def q_mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023): upweight
+    domains whose proxy-model loss EXCEEDS the reference loss — one
+    exponentiated-gradient step with the corpus bigram LM as the fixed
+    proxy (the published method re-trains the proxy between steps; with
+    a fixed proxy the single EG step is the deterministic core).
+
+    Engine-exactness: domain loss = integer micro-bits mean (order-free
+    sums + integer DIV); the EG factor e^(eta·excess) evaluates as the
+    cubic Taylor polynomial in BIGINT micro-units with excess CLAMPED
+    to 2.0 bits (DoReMi clips likewise), which pins every intermediate
+    product under 2^63: x<=2e6 -> x^3<=8e18, and the final
+    normalization numerator w*1e6 <= 6.34e18. The bounds are
+    ppm-denominated — independent of corpus size, so the same integer
+    paths hold at 100 TB. Priors = token share per domain. One domain-
+    grain aggregate + a broadcast totals join; nothing corpus-sized
+    shuffles twice."""
+    d = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    bgs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = d.select("source", F.explode(bgs).alias("bg"))
+    c12 = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    c1 = c12.groupBy(w1.alias("w1")).agg(F.sum("c12").alias("c1"))
+    model = c12.join(c1, w1 == c1.w1).select(
+        "bg",
+        F.floor(
+            (F.log2(F.col("c1")) - F.log2(F.col("c12"))) * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("nlp_bg"),
+    )
+    # the per-source loss sum scales with corpus size (occurrences ×
+    # micro-bits), so it accumulates in DECIMAL(38,0) — the r7 rule for
+    # products/sums that pass 2^63 as SF grows (oracle side: HUGEINT)
+    src = (
+        occ.join(model, "bg")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("nlp_bg").cast("decimal(38,0)")).alias("__s"),
+            F.count(F.lit(1)).alias("__c"),
+        )
+    )
+    ntok = d.groupBy("source").agg(
+        F.sum(F.size(toks)).cast("long").alias("__tok")
+    )
+    tot = src.agg(
+        F.sum("__s").alias("__gs"), F.sum("__c").alias("__gc")
+    ).crossJoin(ntok.agg(F.sum("__tok").alias("__gt")))
+    per = (
+        src.join(ntok, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.expr(
+                "CAST(CAST(__tok AS DECIMAL(38,0)) * 1000000 DIV __gt"
+                " AS BIGINT)"
+            ).alias("prior_ppm"),
+            F.expr(
+                "CAST(least(greatest(__s DIV __c - __gs DIV __gc, 0),"
+                " 2000000) AS BIGINT)"
+            ).alias("excess_micro"),
+        )
+        .select(
+            "source", "prior_ppm", "excess_micro",
+            F.expr(
+                "prior_ppm * (1000000 + excess_micro"
+                " + excess_micro * excess_micro DIV 2000000"
+                " + excess_micro * excess_micro * excess_micro"
+                "   DIV 6000000000000)"
+            ).alias("__w"),
+        )
+    )
+    wsum = per.agg(F.sum("__w").alias("__wsum"))
+    return (
+        per.crossJoin(F.broadcast(wsum))
+        .select(
+            "source", "prior_ppm", "excess_micro",
+            F.expr("__w * 1000000 DIV __wsum").alias("weight_ppm"),
+        )
+    )
+
+
+ORACLE_DOREMI = f"""
+WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+occ AS (
+  SELECT source, unnest(CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         ELSE []::VARCHAR[] END) AS bg
+  FROM toks
+),
+c12 AS (SELECT bg, count(*) AS c12 FROM occ GROUP BY bg),
+c1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1
+  FROM c12 GROUP BY 1
+),
+model AS (
+  SELECT bg,
+    floor((log2(c1.c1) - log2(c12.c12)) * 1000000.0 + 0.5)::BIGINT AS nlp_bg
+  FROM c12 JOIN c1 ON c1.w1 = split_part(c12.bg, ' ', 1)
+),
+src AS (
+  SELECT source, sum(nlp_bg) AS s, count(*) AS c
+  FROM occ JOIN model USING (bg) GROUP BY source
+),
+ntok AS (
+  SELECT source, CAST(sum(len(t)) AS BIGINT) AS tok FROM toks GROUP BY source
+),
+tot AS (
+  SELECT sum(s) AS gs, CAST(sum(c) AS BIGINT) AS gc,
+         (SELECT CAST(sum(tok) AS BIGINT) FROM ntok) AS gt
+  FROM src
+),
+per AS (
+  SELECT source,
+    CAST(CAST(tok AS HUGEINT) * 1000000 // gt AS BIGINT) AS prior_ppm,
+    CAST(least(greatest(s // c - gs // gc, 0), 2000000) AS BIGINT)
+      AS excess_micro
+  FROM src JOIN ntok USING (source), tot
+),
+weighted AS (
+  SELECT source, prior_ppm, excess_micro,
+    prior_ppm * (1000000 + excess_micro
+                 + excess_micro * excess_micro // 2000000
+                 + excess_micro * excess_micro * excess_micro
+                   // 6000000000000) AS w
+  FROM per
+)
+SELECT source, prior_ppm, excess_micro,
+  CAST(w * 1000000 // (SELECT sum(w) FROM weighted) AS BIGINT) AS weight_ppm
+FROM weighted
+"""
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 collocations by pointwise mutual information: bigrams that
     co-occur far above chance (min count 5) — the phrase-mining /
@@ -4405,6 +4546,7 @@ QUERIES = {
     "corpus_datasheet": (q_corpus_datasheet, _datasheet_sql()),
     "doc_bigram_logprob": (q_bigram_logprob, ORACLE_BIGRAM_LOGPROB),
     "ccnet_perplexity_buckets": (q_ccnet_perplexity_buckets, ORACLE_CCNET_BUCKETS),
+    "mixture_doremi_weights": (q_mixture_doremi_weights, ORACLE_DOREMI),
     "bpe_top_merges": (q_bpe_top_merges, ORACLE_BPE_MERGES),
     "doc_char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
     "dedupe_dup_spans": (q_dup_spans, ORACLE_DUP_SPANS),
