@@ -119,3 +119,46 @@ def test_ivfadc_is_probe_restricted_pq(spark, sf_dir):
         F.col("full_micro").isNull()
         | (F.col("full_micro") != F.col("adc_micro"))
     ).count() == 0
+
+
+def test_sq_rerank_recall_vs_bruteforce(spark, sf_dir):
+    """Int8 candidates at c=4x k then exact rerank recovers nearly all of
+    the exact top-5; the rerank stage itself is exact cosine, so any
+    loss comes only from int8 candidate misses."""
+    import pyspark.sql.functions as F
+
+    from transfer_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_sq_rerank_topk,
+    )
+    from transfer_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_bruteforce_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_sq_rerank_topk(emb, queries, k=5, c=20).collect()
+    }
+    assert len(got) == len(exact)
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"sq-rerank recall {recall}"
+
+
+def test_sq_rerank_broadcasts_queries(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from transfer_spark.operators.similarity import ann_sq_rerank_topk
+    from transfer_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    plan = (
+        ann_sq_rerank_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -497,6 +497,46 @@ FROM qq
 """
 
 
+def q_ann_sq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: int8 integer-dot candidates (20 per query)
+    + exact cosine rerank to top-5, for the first 10 vectors
+    (operators/similarity.py:ann_sq_rerank_topk)."""
+    emb = _emb(spark, sf_dir)
+    return S.ann_sq_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, c=20
+    )
+
+
+ORACLE_ANN_SQ_RERANK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e
+), qq AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(floor(x/scale*127.0 + 0.5) AS BIGINT)) AS q
+  FROM s
+), qside AS (SELECT * FROM qq WHERE vec_id < 10),
+cand AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.v AS qv, b.v AS cv,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i])),
+      (acc, x) -> acc + x) * b.scale AS approx
+  FROM qside a JOIN qq b ON a.vec_id != b.vec_id
+),
+topc AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS crank
+  FROM cand
+)
+SELECT query_id, neighbor_id,
+  row_number() OVER (PARTITION BY query_id
+    ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+FROM topc WHERE crank <= 20
+QUALIFY rank <= 5
+"""
+
+
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN majority-vote labeling of the first 20 vectors from their 5
     nearest labeled neighbors (similarity search as a weak labeler)."""
@@ -1485,6 +1525,7 @@ QUERIES = {
     "embedding_matryoshka_audit": (q_matryoshka_audit, ORACLE_MATRYOSHKA),
     "embedding_quantize_int8": (q_quantize_int8, ORACLE_QUANTIZE),
     "ann_pq_adc_topk": (q_ann_pq_adc, _pq_adc_oracle()),
+    "ann_sq_rerank_topk": (q_ann_sq_rerank, ORACLE_ANN_SQ_RERANK),
     "ann_ivf_pq_topk": (q_ann_ivf_pq, _ivf_pq_oracle()),
     "ann_kmeans_inertia": (q_kmeans_inertia, _kmeans_inertia_oracle()),
     "search_mmr_diversify": (q_mmr_diversify, _mmr_oracle()),
