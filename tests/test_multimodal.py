@@ -86,3 +86,36 @@ def test_keyframe_one_per_scene_and_sharpest(spark, sf_dir):
     )
     assert mx.filter(F.col("n") != F.col("mx") + 1).count() == 0
     out.unpersist()
+
+
+def test_aspect_buckets_dense_batches(spark, sf_dir):
+    """Every (bucket, batch) is dense: slots 0..n-1 with n = 32 except
+    possibly the final batch of each bucket; batches never mix buckets
+    by construction. And the in-bucket index comes from the two-phase
+    prefix count — no single-partition Exchange in the plan."""
+    from transfer_spark.workloads.multimodal import q_aspect_buckets
+
+    out = q_aspect_buckets(spark, sf_dir).cache()
+    import pyspark.sql.functions as F
+
+    per_batch = (
+        out.groupBy("aspect_bucket", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("slot").alias("lo"),
+            F.max("slot").alias("hi"),
+            F.max("batch_idx").alias("b"),
+        )
+        .collect()
+    )
+    assert per_batch
+    last = {}
+    for r in per_batch:
+        last[r.aspect_bucket] = max(last.get(r.aspect_bucket, -1), r.batch_idx)
+    for r in per_batch:
+        assert r.lo == 0 and r.hi == r.n - 1
+        if r.batch_idx < last[r.aspect_bucket]:
+            assert r.n == 32
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    out.unpersist()

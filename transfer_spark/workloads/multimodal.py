@@ -433,8 +433,81 @@ FROM scored GROUP BY source
 """
 
 
+def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketed batch packing (the SDXL/NovelAI training
+    recipe): images train in fixed-size batches of LIKE-SHAPED images
+    so each batch resizes to one target resolution without cropping
+    distortion. Assign each image an aspect bucket by integer ratio
+    thresholds, then pack each bucket into dense 32-slot batches in
+    deterministic doc order.
+
+    Scale shape: bucket assignment is row-local codegen over the
+    decoded metadata; the dense in-bucket index goes through
+    layout.global_row_index's two-phase prefix count (no
+    single-partition window even when one bucket holds most of the
+    corpus — landscape-heavy web crawls do exactly that), and the
+    bucket start offsets are a 5-row broadcast."""
+    from transfer_spark.operators.layout import global_row_index
+
+    meta = MM.decode_image_metadata(_media(spark, sf_dir), "media").select(
+        "doc_id", "width", "height"
+    )
+    b = meta.withColumn(
+        "ratio_ppm", F.expr("CAST(width AS BIGINT) * 1000000 DIV height")
+    ).withColumn(
+        "aspect_bucket",
+        F.when(F.col("ratio_ppm") < 500_000, F.lit("tall"))
+        .when(F.col("ratio_ppm") < 800_000, F.lit("portrait"))
+        .when(F.col("ratio_ppm") <= 1_250_000, F.lit("square"))
+        .when(F.col("ratio_ppm") <= 2_000_000, F.lit("landscape"))
+        .otherwise(F.lit("wide")),
+    )
+    idx = global_row_index(
+        b, [F.col("aspect_bucket"), F.col("doc_id")], "__gidx"
+    )
+    offs = idx.groupBy("aspect_bucket").agg(F.min("__gidx").alias("__off"))
+    return idx.join(F.broadcast(offs), "aspect_bucket").select(
+        "doc_id", "aspect_bucket", "width", "height",
+        F.expr("(__gidx - __off) DIV 32").alias("batch_idx"),
+        F.expr("(__gidx - __off) % 32").alias("slot"),
+    )
+
+
+ORACLE_ASPECT_BUCKETS = """
+WITH meta AS (
+  SELECT doc_id,
+    CAST(1 + ('0x' || substr(sha256(text), 1, 4))::BIGINT % 1024 AS INT)
+      AS width,
+    CAST(1 + ('0x' || substr(sha256(text), 5, 4))::BIGINT % 1024 AS INT)
+      AS height
+  FROM documents
+), b AS (
+  SELECT doc_id, width, height,
+    CAST(width AS BIGINT) * 1000000 // height AS ratio_ppm
+  FROM meta
+), lab AS (
+  SELECT *,
+    CASE WHEN ratio_ppm < 500000 THEN 'tall'
+         WHEN ratio_ppm < 800000 THEN 'portrait'
+         WHEN ratio_ppm <= 1250000 THEN 'square'
+         WHEN ratio_ppm <= 2000000 THEN 'landscape'
+         ELSE 'wide' END AS aspect_bucket
+  FROM b
+), idx AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY aspect_bucket ORDER BY doc_id) - 1 AS i
+  FROM lab
+)
+SELECT doc_id, aspect_bucket, width, height,
+  CAST(i // 32 AS BIGINT) AS batch_idx,
+  CAST(i % 32 AS BIGINT) AS slot
+FROM idx
+"""
+
+
 QUERIES = {
     "multimodal_phash_neardup": (q_phash_neardup, _phash_neardup_sql()),
+    "multimodal_aspect_buckets": (q_aspect_buckets, ORACLE_ASPECT_BUCKETS),
     "multimodal_caption_alignment": (q_caption_alignment, _caption_alignment_sql()),
     "multimodal_audio_segments": (q_audio_segments, ORACLE_AUDIO_SEGMENTS),
     "multimodal_image_meta": (q_image_meta, ORACLE_IMAGE_META),
