@@ -273,7 +273,9 @@ class StreamingCorpusIngest:
             F.col(id_col).alias("doc"), F.col(text_col).alias("text"),
             gate.alias("__pass"),
             token_count(F.col(text_col)).cast("long").alias("n_tokens"),
-        ).localCheckpoint(eager=True)  # pin inputs before index mutation
+            F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10)
+            .cast("long").alias("h"),
+        )
         gated = stamped.filter(F.col("__pass"))
 
         # decontamination gate (optional): content-policy refusal runs
@@ -289,26 +291,45 @@ class StreamingCorpusIngest:
         else:
             contaminated = None
 
-        hashed = gated.select(
-            "doc", "text", "n_tokens",
-            F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10)
-            .cast("long").alias("h"),
-        )
         # intra-batch exact: min id per hash keeps. groupBy-min + join
         # back, NOT a self-join on h — a hot content hash (thousands of
         # boilerplate/empty docs in one delivery) makes a self-join's
         # per-group cost quadratic; this stays O(group).
-        first_per_hash = hashed.groupBy("h").agg(
+        first_per_hash = gated.groupBy("h").agg(
             F.min("doc").alias("__first_doc")
         )
         intra = (
-            hashed.join(first_per_hash, "h")
+            gated.join(first_per_hash, "h")
             .filter(F.col("doc") != F.col("__first_doc"))
             .select("doc", F.col("__first_doc").alias("exact_batch_dup_of"))
         )
-        exact_surv = hashed.join(intra, "doc", "left_anti")
+        exact_surv = gated.join(intra, "doc", "left_anti")
         index_hits = self._exact_index_hits(exact_surv)
-        exact_kept = exact_surv.join(index_hits.select("doc"), "doc", "left_anti")
+
+        # ONE checkpoint pins the whole exact stage — inputs, gate, hash,
+        # intra verdict, index verdict — before any index mutation. Every
+        # downstream consumer (minhash input, final verdicts, both
+        # appends, the corpus write) reads THIS materialized frame, so
+        # the exact-stage shuffles and the index bucket reads run once
+        # per batch, not once per consumer (the pre-r8 layout recomputed
+        # the groupBy-h + anti-join chain in up to four jobs and
+        # re-read the exact buckets in two).
+        v = stamped
+        if contaminated is not None:
+            v = v.join(contaminated, "doc", "left")
+        else:
+            v = v.withColumn("__cont", F.lit(None).cast("boolean"))
+        ex = (
+            v.join(intra, "doc", "left")
+            .join(index_hits, "doc", "left")
+            .localCheckpoint(eager=True)
+        )
+        exact_kept = ex.filter(
+            F.col("__pass")
+            & F.col("__cont").isNull()
+            & F.col("exact_batch_dup_of").isNull()
+            & F.col("exact_index_dup_of").isNull()
+        )
 
         # near-dup stage over exact survivors (mutates the band index)
         mh_verdicts = self.minhash.process_batch(
@@ -317,16 +338,12 @@ class StreamingCorpusIngest:
         ).select(F.col("doc_id").alias("doc"), "status", "dup_of")
         self._fp("bands_appended")
 
-        v = stamped.select("doc", "__pass")
-        if contaminated is not None:
-            v = v.join(contaminated, "doc", "left")
-        else:
-            v = v.withColumn("__cont", F.lit(None).cast("boolean"))
+        # verdicts are a pure join of two MATERIALIZED frames (ex and
+        # the minhash stage's checkpointed verdicts) — safe to leave
+        # lazy across the appends below; no index read remains in the
+        # lineage
         verdicts = (
-            v
-            .join(intra, "doc", "left")
-            .join(index_hits, "doc", "left")
-            .join(mh_verdicts, "doc", "left")
+            ex.join(mh_verdicts, "doc", "left")
             .select(
                 F.col("doc").alias("doc_id"),
                 F.when(~F.col("__pass"), F.lit(GATED_OUT))
@@ -344,20 +361,13 @@ class StreamingCorpusIngest:
                     "exact_batch_dup_of", "exact_index_dup_of", "dup_of"
                 ).alias("dup_of"),
             )
-            .localCheckpoint(eager=True)  # materialize before appends
         )
 
-        # exact index records EVERY exact-stage survivor (incl. docs the
-        # MinHash stage drops) — the oracle's eh1 contract, and the cheap
-        # short-circuit for byte-identical copies of near-dup-dropped
-        # docs. Derived from the checkpointed verdicts so the append
-        # never reads exact_path while writing to it.
-        # one bounded-metadata collect over the checkpointed verdicts
-        # guards BOTH appends (replacing per-write isEmpty probes — each
-        # its own job): a batch that keeps/indexes nothing must not
-        # write, because an empty partitionBy-append / empty overwrite
-        # leaves a _SUCCESS-only directory that breaks parquet schema
-        # inference on later reads
+        # one bounded-metadata collect guards BOTH appends (replacing
+        # per-write isEmpty probes — each its own job): a batch that
+        # keeps/indexes nothing must not write, because an empty
+        # partitionBy-append / empty overwrite leaves a _SUCCESS-only
+        # directory that breaks parquet schema inference on later reads
         status_counts = {
             r["status"]: r["n"]
             for r in verdicts.groupBy("status")
@@ -369,13 +379,13 @@ class StreamingCorpusIngest:
             if s not in (GATED_OUT, CONTAMINATED, EXACT_BATCH_DUP,
                          EXACT_INDEX_DUP)
         )
-        exact_surv_ids = verdicts.filter(
-            ~F.col("status").isin(GATED_OUT, CONTAMINATED,
-                                  EXACT_BATCH_DUP, EXACT_INDEX_DUP)
-        ).select("doc_id")
+        # exact index records EVERY exact-stage survivor (incl. docs the
+        # MinHash stage drops) — the oracle's eh1 contract, and the cheap
+        # short-circuit for byte-identical copies of near-dup-dropped
+        # docs. exact_kept IS that set, read off the checkpointed ex.
         if n_exact_surv:
             (
-                hashed.join(exact_surv_ids, hashed.doc == exact_surv_ids.doc_id)
+                exact_kept
                 .select(
                     "h", "doc", (F.col("h") % self.n_buckets).alias("__bucket")
                 )
@@ -386,10 +396,18 @@ class StreamingCorpusIngest:
                 .parquet(self.exact_path)
             )
         self._fp("exact_appended")
-        kept = verdicts.filter(F.col("status") == "kept").select("doc_id")
-        corpus_rows = hashed.join(
-            kept, hashed.doc == kept.doc_id
-        ).select(F.col("doc").alias("doc_id"), "text", "n_tokens")
+        # left join + coalesce, not an inner join on mh status: the
+        # defensive no-bands doc (missing mh verdict -> kept) must land
+        # in the corpus exactly as it lands in the verdict frame
+        kept = (
+            exact_kept.select("doc")
+            .join(mh_verdicts.select("doc", "status"), "doc", "left")
+            .filter(F.coalesce(F.col("status"), F.lit("kept")) == "kept")
+            .select("doc")
+        )
+        corpus_rows = exact_kept.join(kept, "doc").select(
+            F.col("doc").alias("doc_id"), "text", "n_tokens"
+        )
         if batch_id is None:
             # one layout for both modes: an un-numbered call is "the next
             # sequential batch" — mixing flat files and ingest_batch=N
