@@ -117,12 +117,19 @@ class Bm25Index:
             .partitionBy(SEG_COL, BUCKET_COL)
             .parquet(self.postings_path)
         )
+        # dft partials derive from the postings JUST WRITTEN, not from
+        # the logical tf frame: a second action on tf would re-run the
+        # token explode and the (doc, term) shuffle — the two heaviest
+        # build stages — while the written segment is the same rows in
+        # columnar form, already bucket-partitioned. (doc, term) is
+        # unique post-groupBy, so doc frequency is a plain count (no
+        # countDistinct expand) and the stored bucket rides along.
+        seg_post = self.spark.read.parquet(self.postings_path).filter(
+            F.col(SEG_COL) == seg
+        )
         dft = (
-            tf.groupBy("term")
-            .agg(F.countDistinct("doc").alias("dft"))
-            .withColumn(
-                BUCKET_COL, word_hash(F.col("term")) % F.lit(self.n_buckets)
-            )
+            seg_post.groupBy("term", BUCKET_COL)
+            .agg(F.count(F.lit(1)).alias("dft"))
             .withColumn(SEG_COL, F.lit(seg))
         )
         (
