@@ -201,3 +201,33 @@ def test_doremi_weights_invariants(spark, sf_dir):
         grp.sort(key=lambda r: r.excess_micro)
         for a, b in zip(grp, grp[1:]):
             assert a.weight_ppm <= b.weight_ppm
+
+
+def test_vocab_coverage_knees_hand_computed(spark):
+    """a=50, b=30, c=15, d=5 occurrences: 50% needs 1 type (50 covered),
+    90%/95% need 3 (95 covered), 99% needs all 4 (100 covered)."""
+    from transfer_spark.operators.layout import global_cumsum
+
+    tc = spark.createDataFrame(
+        [("a", 50), ("b", 30), ("c", 15), ("d", 5)], "term string, c long"
+    )
+    cum = global_cumsum(
+        tc, [F.col("c").desc(), F.col("term")], F.col("c"), "cum"
+    )
+    tot = tc.agg(F.sum("c").alias("__tot"))
+    j = cum.crossJoin(F.broadcast(tot))
+    aggs = []
+    for p in (50, 90, 95, 99):
+        aggs.append(
+            (F.sum(F.when(F.col("cum") * 100 < F.col("__tot") * p, 1)
+                   .otherwise(0)) + 1).cast("long").alias(f"vs{p}")
+        )
+        aggs.append(
+            F.min(F.when(F.col("cum") * 100 >= F.col("__tot") * p,
+                         F.col("cum"))).cast("long").alias(f"cov{p}")
+        )
+    r = j.agg(*aggs).collect()[0]
+    assert (r.vs50, r.cov50) == (1, 50)
+    assert (r.vs90, r.cov90) == (3, 95)
+    assert (r.vs95, r.cov95) == (3, 95)
+    assert (r.vs99, r.cov99) == (4, 100)

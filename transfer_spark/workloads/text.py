@@ -2806,6 +2806,91 @@ FROM scored s JOIN th USING (lang)
 """
 
 
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design curve: the minimal vocabulary size (most-
+    frequent-first) covering 50/90/95/99% of corpus token occurrences,
+    with the tokens actually covered at that size — the coverage knee
+    that sizes a vocab / decides what falls to byte-fallback.
+
+    Scale shape: term counts are one hash agg; the frequency-ordered
+    cumulative sum runs through layout.global_cumsum's two-phase prefix
+    scan over the VOCABULARY (distinct terms, tie-broken by term — never
+    a single-partition window over it), and the four knee points reduce
+    in one aggregate: vocab_size_p = |{cum*100 < p·total}| + 1 is
+    exactly the first rank reaching p% because cum is strictly
+    increasing along the order."""
+    from transfer_spark.operators.layout import global_cumsum
+
+    d = _docs(spark, sf_dir)
+    tc = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = global_cumsum(
+        tc, [F.col("c").desc(), F.col("term")], F.col("c"), "cum"
+    )
+    tot = tc.agg(F.sum("c").alias("__tot"))
+    j = cum.crossJoin(F.broadcast(tot))
+    aggs = []
+    for p in (50, 90, 95, 99):
+        aggs.append(
+            (
+                F.sum(
+                    F.when(
+                        F.col("cum") * 100 < F.col("__tot") * p, 1
+                    ).otherwise(0)
+                )
+                + 1
+            ).cast("long").alias(f"vs{p}")
+        )
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("__tot") * p, F.col("cum"))
+            ).cast("long").alias(f"cov{p}")
+        )
+    wide = j.agg(*aggs)
+    return wide.selectExpr(
+        "stack(4, 50L, vs50, cov50, 90L, vs90, cov90,"
+        " 95L, vs95, cov95, 99L, vs99, cov99)"
+        " as (coverage_pct, vocab_size, tokens_covered)"
+    )
+
+
+def _vocab_coverage_sql() -> str:
+    knees = []
+    for p in (50, 90, 95, 99):
+        knees.append(
+            f"CAST(sum(CASE WHEN cum*100 < tt*{p} THEN 1 ELSE 0 END) + 1"
+            f" AS BIGINT) AS vs{p},"
+            f" CAST(min(CASE WHEN cum*100 >= tt*{p} THEN cum END)"
+            f" AS BIGINT) AS cov{p}"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({p} AS BIGINT) AS coverage_pct, vs{p} AS vocab_size,"
+        f" cov{p} AS tokens_covered FROM wide"
+        for p in (50, 90, 95, 99)
+    )
+    return f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+tc AS (
+  SELECT term, count(*) AS c
+  FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term
+),
+cum AS (
+  SELECT c, sum(c) OVER (ORDER BY c DESC, term ROWS UNBOUNDED PRECEDING)
+    AS cum
+  FROM tc
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM tc),
+wide AS (SELECT {', '.join(knees)} FROM cum, tot)
+{rows}
+"""
+
+
+ORACLE_VOCAB_COVERAGE = _vocab_coverage_sql()
+
+
 def q_mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi-style domain reweighting (Xie et al. 2023): upweight
     domains whose proxy-model loss EXCEEDS the reference loss — one
@@ -4547,6 +4632,7 @@ QUERIES = {
     "doc_bigram_logprob": (q_bigram_logprob, ORACLE_BIGRAM_LOGPROB),
     "ccnet_perplexity_buckets": (q_ccnet_perplexity_buckets, ORACLE_CCNET_BUCKETS),
     "mixture_doremi_weights": (q_mixture_doremi_weights, ORACLE_DOREMI),
+    "vocab_coverage_curve": (q_vocab_coverage_curve, ORACLE_VOCAB_COVERAGE),
     "bpe_top_merges": (q_bpe_top_merges, ORACLE_BPE_MERGES),
     "doc_char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
     "dedupe_dup_spans": (q_dup_spans, ORACLE_DUP_SPANS),
