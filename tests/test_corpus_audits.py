@@ -231,3 +231,20 @@ def test_vocab_coverage_knees_hand_computed(spark):
     assert (r.vs90, r.cov90) == (3, 95)
     assert (r.vs95, r.cov95) == (3, 95)
     assert (r.vs99, r.cov99) == (4, 100)
+
+
+def test_epoch_plan_budget_and_cap(spark, sf_dir):
+    """Planned tokens ~= 2x corpus (minus DIV truncation), epochs cap
+    at 4e6 ppm, and shortfall is positive only at the cap."""
+    from transfer_spark.workloads.text import q_mixture_epoch_plan
+
+    rows = q_mixture_epoch_plan(spark, sf_dir).collect()
+    total = sum(r.src_tokens for r in rows)
+    planned = sum(r.planned_tokens for r in rows)
+    assert 2 * total - len(rows) <= planned <= 2 * total
+    for r in rows:
+        assert 0 < r.epochs_ppm <= 4_000_000
+        # below the cap only ppm-truncation residue remains (two DIVs:
+        # < src_tokens/1e6 + 1 tokens); real shortfall implies the cap
+        if r.shortfall_tokens > r.src_tokens // 1_000_000 + 1:
+            assert r.epochs_ppm == 4_000_000

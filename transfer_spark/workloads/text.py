@@ -4120,6 +4120,89 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch planning (Muennighoff et al. 2023): given
+    a token budget of 2x the corpus and the temperature mixture's
+    weights, how many EPOCHS of each source does the run consume — with
+    repeats capped at 4 epochs (the paper's knee: past ~4 repeats,
+    marginal tokens stop paying), publishing the per-source shortfall
+    the cap leaves unfilled so the budget owner sees where the plan
+    falls short of the mixture.
+
+    All integer: planned tokens and epoch ppms run through
+    DECIMAL(38,0) products (budget x weight exceeds 2^63 the moment a
+    source passes ~10^13 tokens) with the repo's DIV truncation rule.
+    One source-grain aggregate + one broadcast totals join."""
+    d = _docs(spark, sf_dir)
+    per_src = (
+        d.select("source", T.token_count(F.col("text")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("src_tokens"))
+    )
+    w = F.floor(
+        F.sqrt(F.col("src_tokens").cast("double")) * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    weighted = per_src.select("source", "src_tokens", w.alias("__w"))
+    tot = weighted.agg(
+        F.sum("__w").cast("long").alias("__wt"),
+        F.sum("src_tokens").cast("long").alias("__tt"),
+    )
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "src_tokens",
+            F.expr(
+                "CAST(CAST(__tt AS DECIMAL(38,0)) * 2 * __w DIV __wt"
+                " AS BIGINT)"
+            ).alias("planned_tokens"),
+        )
+        .select(
+            "source", "src_tokens", "planned_tokens",
+            F.expr(
+                "least(CAST(CAST(planned_tokens AS DECIMAL(38,0)) * 1000000"
+                " DIV src_tokens AS BIGINT), 4000000L)"
+            ).alias("epochs_ppm"),
+        )
+        .select(
+            "source", "src_tokens", "planned_tokens", "epochs_ppm",
+            F.expr(
+                "greatest(planned_tokens - CAST(CAST(src_tokens AS"
+                " DECIMAL(38,0)) * epochs_ppm DIV 1000000 AS BIGINT), 0L)"
+            ).alias("shortfall_tokens"),
+        )
+    )
+
+
+ORACLE_MIXTURE_EPOCH_PLAN = f"""
+WITH t AS (
+  SELECT source, len({_TOKS}) AS n FROM documents
+), per_src AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS src_tokens FROM t GROUP BY source
+), weighted AS (
+  SELECT source, src_tokens,
+         floor(sqrt(CAST(src_tokens AS DOUBLE)) * 1000000.0 + 0.5)::BIGINT
+           AS w
+  FROM per_src
+), tot AS (
+  SELECT CAST(sum(w) AS BIGINT) AS wt, CAST(sum(src_tokens) AS BIGINT) AS tt
+  FROM weighted
+), planned AS (
+  SELECT source, src_tokens,
+    CAST(CAST(tt AS HUGEINT) * 2 * w // wt AS BIGINT) AS planned_tokens
+  FROM weighted, tot
+), ep AS (
+  SELECT *, least(CAST(CAST(planned_tokens AS HUGEINT) * 1000000
+                       // src_tokens AS BIGINT), 4000000) AS epochs_ppm
+  FROM planned
+)
+SELECT source, src_tokens, planned_tokens, epochs_ppm,
+  greatest(planned_tokens - CAST(CAST(src_tokens AS HUGEINT) * epochs_ppm
+                                 // 1000000 AS BIGINT), 0) AS shortfall_tokens
+FROM ep
+"""
+
+
 ORACLE_MIXTURE_TEMPERATURE = f"""
 WITH t AS (
   SELECT source, len({_TOKS}) AS n FROM documents
@@ -4608,6 +4691,7 @@ QUERIES = {
     "curriculum_quality_bins": (q_curriculum_bins, _curriculum_sql()),
     "corpus_mixture_rates": (q_mixture_rates, ORACLE_MIXTURE),
     "corpus_mixture_temperature": (q_mixture_temperature, ORACLE_MIXTURE_TEMPERATURE),
+    "mixture_epoch_plan": (q_mixture_epoch_plan, ORACLE_MIXTURE_EPOCH_PLAN),
     "corpus_mixture_unimax": (q_unimax_mixture, ORACLE_UNIMAX),
     "corpus_pack_efficiency": (q_pack_efficiency, ORACLE_PACK_EFFICIENCY),
     "split_decontamination_eval_report": (
