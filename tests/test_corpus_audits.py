@@ -248,3 +248,25 @@ def test_epoch_plan_budget_and_cap(spark, sf_dir):
         # < src_tokens/1e6 + 1 tokens); real shortfall implies the cap
         if r.shortfall_tokens > r.src_tokens // 1_000_000 + 1:
             assert r.epochs_ppm == 4_000_000
+
+
+def test_pipeline_v2_is_a_refinement_of_v1(spark, sf_dir):
+    """v2 adds only FILTERS (ccnet tail-drop, mixture sampling) between
+    v1's stages, so every doc v2 packs must also be packed by v1 — and
+    v2 must still pack a non-trivial corpus."""
+    from transfer_spark.workloads.text import (
+        q_pretraining_corpus,
+        q_pretraining_corpus_v2,
+    )
+
+    v1_docs = {
+        r.doc_id for r in q_pretraining_corpus(spark, sf_dir)
+        .select("doc_id").distinct().collect()
+    }
+    v2_docs = {
+        r.doc_id for r in q_pretraining_corpus_v2(spark, sf_dir)
+        .select("doc_id").distinct().collect()
+    }
+    assert v2_docs, "v2 packed nothing"
+    assert v2_docs <= v1_docs
+    assert len(v2_docs) < len(v1_docs)  # the new gates actually bite

@@ -2073,6 +2073,229 @@ FROM ex
 """
 
 
+def q_pretraining_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v2 end-to-end corpus build, composing the r8 additions into
+    the release pipeline: clean (language/quality/exact/near-dup) →
+    CCNet perplexity gate fitted on the CLEANED set (bigram LM, global
+    tercile, tail dropped — the gate must be fitted post-cleaning or
+    the junk the cleaner removed skews the terciles) → split → exact
+    8-gram decontamination against the FULL eval side → temperature-
+    mixture keep (alpha=0.5 rates computed from the post-decon train
+    set, hash-bucket sampled so reruns keep identical rows) → sequence
+    packing. Pins the interaction of every stage, like v1
+    (`pretraining_corpus_pipeline`) pins its four.
+
+    Scale notes: the LM threshold pass runs over DISTINCT scores via
+    the two-phase cumsum; mixture rates are a source-grain aggregate
+    broadcast back; both persists cap the iterative-cleaner and
+    multi-consumer recomputes exactly as v1 does."""
+    from transfer_spark.operators.layout import global_cumsum
+    from transfer_spark.operators.packing import sequence_pack
+    from transfer_spark.operators.text import assign_split, split_bucket
+
+    rates = {"train": 0.9, "val": 0.05, "test": 0.05}
+    cleaned = (
+        _cleaned_docs(spark, sf_dir).select("doc_id", "text").persist()
+    )
+    toks = T.tokens(F.col("text"))
+    bgs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = cleaned.select("doc_id", F.explode(bgs).alias("bg"))
+    c12 = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    c1 = c12.groupBy(w1.alias("w1")).agg(F.sum("c12").alias("c1"))
+    model = c12.join(c1, w1 == c1.w1).select(
+        "bg",
+        F.floor(
+            (F.log2(F.col("c1")) - F.log2(F.col("c12"))) * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("nlp_bg"),
+    )
+    scored = (
+        occ.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(F.expr("sum(nlp_bg) DIV count(1)").alias("nlp_micro"))
+    )
+    dist = scored.groupBy("nlp_micro").agg(F.count(F.lit(1)).alias("__c"))
+    cum = global_cumsum(dist, [F.col("nlp_micro")], F.col("__c"), "__cum")
+    tot = dist.agg(F.sum("__c").alias("__n"))
+    th = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(F.col("__cum") * 3 >= F.col("__n") * 2,
+                       F.col("nlp_micro"))
+            ).alias("__t2")
+        )
+    )
+    ccnet_kept = scored.crossJoin(F.broadcast(th)).filter(
+        F.col("nlp_micro") <= F.col("__t2")
+    ).select("doc_id")
+    train = (
+        cleaned.join(ccnet_kept, "doc_id")
+        .withColumn("split", assign_split(F.col("doc_id"), rates))
+        .filter(F.col("split") == "train")
+        .select("doc_id", "text")
+        .persist()
+    )
+    evals = _docs(spark, sf_dir).filter(
+        assign_split(F.col("doc_id"), rates) != "train"
+    )
+    contaminated = D.ngram_collisions(
+        train, evals, "doc_id", "text", n=8
+    ).select(F.col("train_doc").alias("doc_id"))
+    post = train.join(contaminated, "doc_id", "left_anti")
+    pt = post.join(
+        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
+    )
+    srctok = (
+        pt.select("source", T.token_count(F.col("text")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("__st"))
+    )
+    wsrc = srctok.select(
+        "source", "__st",
+        F.floor(
+            F.sqrt(F.col("__st").cast("double")) * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("__w"),
+    )
+    tot2 = wsrc.agg(
+        F.sum("__w").cast("long").alias("__wt"),
+        F.sum("__st").cast("long").alias("__tt"),
+    )
+    mix = (
+        wsrc.crossJoin(F.broadcast(tot2))
+        .select(
+            "source",
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.floor(
+                    (F.col("__w").cast("double") / F.col("__wt").cast("double"))
+                    * (F.col("__tt").cast("double") / F.col("__st").cast("double"))
+                    * F.lit(1_000_000.0)
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).alias("__rate"),
+        )
+    )
+    keep = pt.join(F.broadcast(mix), "source").filter(
+        split_bucket(F.col("doc_id")) * 100 < F.col("__rate")
+    )
+    return sequence_pack(
+        keep.select("doc_id", "text"), "doc_id", "text", cap=256, n_buckets=8
+    )
+
+
+def _pretraining_v2_sql() -> str:
+    bg_unnest = (
+        "unnest(CASE WHEN len(t) >= 2"
+        " THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])"
+        " ELSE []::VARCHAR[] END)"
+    )
+    return f"""
+WITH clean AS (
+  SELECT doc_id FROM ({_corpus_clean_sql()})
+), toksall AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), cocc AS (
+  SELECT toksall.doc_id, {bg_unnest} AS bg
+  FROM toksall JOIN clean USING (doc_id)
+), c12 AS (SELECT bg, count(*) AS c12 FROM cocc GROUP BY bg),
+c1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1
+  FROM c12 GROUP BY 1
+), model AS (
+  SELECT bg,
+    floor((log2(c1.c1) - log2(c12.c12)) * 1000000.0 + 0.5)::BIGINT AS nlp_bg
+  FROM c12 JOIN c1 ON c1.w1 = split_part(c12.bg, ' ', 1)
+), scored AS (
+  SELECT doc_id, CAST(sum(nlp_bg) // count(*) AS BIGINT) AS nlp
+  FROM cocc JOIN model USING (bg) GROUP BY doc_id
+), dist AS (SELECT nlp, count(*) AS c FROM scored GROUP BY nlp),
+cum AS (
+  SELECT nlp, sum(c) OVER (ORDER BY nlp ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER () AS n
+  FROM dist
+), th AS (
+  SELECT min(CASE WHEN cum * 3 >= n * 2 THEN nlp END) AS t2 FROM cum
+), ck AS (
+  SELECT scored.doc_id FROM scored, th WHERE scored.nlp <= th.t2
+), splits AS ({_SPLITS_SQL}),
+sp AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(t) >= 8
+           THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+           ELSE []::VARCHAR[] END) AS sp
+  FROM toksall
+), h AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(sp), 1, 15))::BIGINT AS h FROM sp
+), ev AS (
+  SELECT DISTINCT h.h FROM h JOIN splits USING (doc_id)
+  WHERE splits.split != 'train'
+), train AS (
+  SELECT ck.doc_id FROM ck JOIN splits USING (doc_id)
+  WHERE splits.split = 'train'
+), contaminated AS (
+  SELECT DISTINCT h.doc_id FROM h JOIN train USING (doc_id) JOIN ev USING (h)
+), post AS (
+  SELECT doc_id FROM train
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+), srctok AS (
+  SELECT source, CAST(sum(len(t)) AS BIGINT) AS st
+  FROM documents JOIN post USING (doc_id) JOIN toksall USING (doc_id)
+  GROUP BY source
+), wsrc AS (
+  SELECT source, st,
+    floor(sqrt(CAST(st AS DOUBLE)) * 1000000.0 + 0.5)::BIGINT AS w
+  FROM srctok
+), tot2 AS (
+  SELECT CAST(sum(w) AS BIGINT) AS wt, CAST(sum(st) AS BIGINT) AS tt FROM wsrc
+), mix AS (
+  SELECT source,
+    least(CAST(1000000 AS BIGINT),
+      floor((CAST(w AS DOUBLE) / CAST(wt AS DOUBLE))
+            * (CAST(tt AS DOUBLE) / CAST(st AS DOUBLE))
+            * 1000000.0 + 0.5)::BIGINT) AS rate
+  FROM wsrc, tot2
+), keep AS (
+  SELECT post.doc_id FROM post
+  JOIN documents USING (doc_id) JOIN mix USING (source)
+  WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         % 10000) * 100 < rate
+), d AS (
+  SELECT k.doc_id, len({_TOKS}) AS n,
+    ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS bucket,
+    md5(CAST(k.doc_id AS VARCHAR)) AS sk
+  FROM keep k JOIN documents USING (doc_id)
+  WHERE len({_TOKS}) > 0
+), pos AS (
+  SELECT bucket, doc_id, n,
+    CAST(SUM(n) OVER (PARTITION BY bucket ORDER BY sk, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS s
+  FROM d
+), ex AS (
+  SELECT bucket, doc_id, s, s + n AS e,
+    unnest(generate_series(s // 256, (s + n - 1) // 256)) AS chunk_id
+  FROM pos
+)
+SELECT bucket, chunk_id, doc_id,
+  GREATEST(s, chunk_id * 256) - chunk_id * 256 AS tok_offset,
+  LEAST(e, (chunk_id + 1) * 256) - GREATEST(s, chunk_id * 256) AS n_tok
+FROM ex
+"""
+
+
+ORACLE_PRETRAINING_CORPUS_V2 = _pretraining_v2_sql()
+
+
 def q_dedupe_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style intra-document dedup: repeated '. '-separated segments
     removed, first occurrence kept in order (pure codegen, no shuffle)."""
@@ -4732,6 +4955,9 @@ QUERIES = {
     "split_decontamination_bloom": (q_decontamination_bloom, ORACLE_DECONTAM_EXACT),
     "corpus_sequence_pack": (q_sequence_pack, ORACLE_SEQUENCE_PACK),
     "pretraining_corpus_pipeline": (q_pretraining_corpus, ORACLE_PRETRAINING_CORPUS),
+    "pretraining_corpus_pipeline_v2": (
+        q_pretraining_corpus_v2, ORACLE_PRETRAINING_CORPUS_V2,
+    ),
     "corpus_sample_per_group": (q_group_sample_fixed, ORACLE_GROUP_SAMPLE),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF),
