@@ -270,3 +270,22 @@ def test_pipeline_v2_is_a_refinement_of_v1(spark, sf_dir):
     assert v2_docs, "v2 packed nothing"
     assert v2_docs <= v1_docs
     assert len(v2_docs) < len(v1_docs)  # the new gates actually bite
+
+
+def test_t_closeness_monotone_thresholds(spark, sf_dir):
+    """Variational distance lies in [0, 1e6] ppm and the at-risk counts
+    shrink (weakly) as the threshold loosens."""
+    from transfer_spark.workloads.analytics import q_t_closeness
+
+    rows = sorted(
+        q_t_closeness(spark, sf_dir).collect(), key=lambda r: r.t_ppm
+    )
+    assert [r.t_ppm for r in rows] == [200_000, 300_000, 500_000]
+    prev_c, prev_r = None, None
+    for r in rows:
+        assert 0 <= r.n_classes_above <= r.n_classes
+        assert 0 <= r.rows_at_risk_ppm <= 1_000_000
+        if prev_c is not None:
+            assert r.n_classes_above <= prev_c
+            assert r.n_rows_above <= prev_r
+        prev_c, prev_r = r.n_classes_above, r.n_rows_above

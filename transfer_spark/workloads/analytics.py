@@ -3680,6 +3680,130 @@ GROUP BY l_min, n_classes, total_rows
 """
 
 
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third privacy gate after
+    [[dq_k_anonymity]] and [[dq_l_diversity]]: a class can be large AND
+    diverse yet still leak when its sensitive-value DISTRIBUTION skews
+    far from the global one (Li et al. 2007). Distance = variational
+    distance (1/2 L1) between the class's market-segment distribution
+    and the corpus's, in exact rational arithmetic: d = sum|n_ci*N -
+    N_i*n_c| / (2*n_c*N) with the cross products in DECIMAL(38,0)
+    (HUGEINT oracle) — absent cells contribute n_c*(N - sum_observed
+    N_i) in closed form, so the sparse cell frame never densifies.
+    Report: classes whose distance exceeds t in {0.2, 0.3, 0.5} and
+    the at-risk row share. Scale: two class-grain hash aggregates plus
+    a 5-row broadcast of segment totals."""
+    c = _t(spark, sf_dir, "customer")
+    bucket = F.expr(
+        "CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) DIV 100000"
+    )
+    cells = (
+        c.groupBy(
+            F.col("c_nationkey").alias("nk"), bucket.alias("bb"),
+            "c_mktsegment",
+        )
+        .agg(F.count(F.lit(1)).alias("nci"))
+    )
+    seg_tot = cells.groupBy("c_mktsegment").agg(
+        F.sum("nci").cast("long").alias("seg_n")
+    )
+    gl = seg_tot.agg(F.sum("seg_n").cast("long").alias("n_total"))
+    nc = cells.groupBy("nk", "bb").agg(
+        F.sum("nci").cast("long").alias("nc")
+    )
+    obs = (
+        cells.join(nc, ["nk", "bb"])
+        .join(F.broadcast(seg_tot), "c_mktsegment")
+        .crossJoin(F.broadcast(gl))
+        .groupBy("nk", "bb", "nc", "n_total")
+        .agg(
+            F.sum(
+                F.expr(
+                    "abs(CAST(nci AS DECIMAL(38,0)) * n_total"
+                    " - CAST(seg_n AS DECIMAL(38,0)) * nc)"
+                )
+            ).alias("__tobs"),
+            F.sum("seg_n").cast("long").alias("__seg_obs"),
+        )
+    )
+    classes = obs.select(
+        "nc",
+        F.expr(
+            "CAST((__tobs + CAST(nc AS DECIMAL(38,0)) * (n_total - __seg_obs))"
+            " * 1000000 DIV (2 * CAST(nc AS DECIMAL(38,0)) * n_total)"
+            " AS BIGINT)"
+        ).alias("d_ppm"),
+    )
+    total = classes.agg(
+        F.sum("nc").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+    )
+    out = None
+    for t_ppm in (200_000, 300_000, 500_000):
+        rep = (
+            classes.crossJoin(F.broadcast(total))
+            .agg(
+                F.lit(t_ppm).cast("long").alias("t_ppm"),
+                F.max("n_classes").cast("long").alias("n_classes"),
+                F.sum((F.col("d_ppm") > t_ppm).cast("long")).cast("long")
+                .alias("n_classes_above"),
+                F.sum(
+                    F.when(F.col("d_ppm") > t_ppm, F.col("nc")).otherwise(0)
+                ).cast("long").alias("n_rows_above"),
+                F.max("total_rows").alias("__t"),
+            )
+            .select(
+                "t_ppm", "n_classes", "n_classes_above", "n_rows_above",
+                F.expr("n_rows_above * 1000000 DIV __t")
+                .alias("rows_at_risk_ppm"),
+            )
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+ORACLE_T_CLOSENESS = """
+WITH cells AS (
+  SELECT c_nationkey AS nk,
+         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) // 100000 AS bb,
+         c_mktsegment, count(*) AS nci
+  FROM customer GROUP BY 1, 2, 3
+), seg_tot AS (
+  SELECT c_mktsegment, CAST(sum(nci) AS BIGINT) AS seg_n
+  FROM cells GROUP BY 1
+), gl AS (SELECT CAST(sum(seg_n) AS BIGINT) AS n_total FROM seg_tot),
+nc AS (
+  SELECT nk, bb, CAST(sum(nci) AS BIGINT) AS nc FROM cells GROUP BY 1, 2
+), obs AS (
+  SELECT cells.nk, cells.bb, nc.nc, gl.n_total,
+    sum(abs(CAST(nci AS HUGEINT) * n_total
+            - CAST(seg_n AS HUGEINT) * nc.nc)) AS tobs,
+    CAST(sum(seg_n) AS BIGINT) AS seg_obs
+  FROM cells
+  JOIN nc USING (nk, bb) JOIN seg_tot USING (c_mktsegment) CROSS JOIN gl
+  GROUP BY 1, 2, 3, 4
+), classes AS (
+  SELECT nc,
+    CAST((tobs + CAST(nc AS HUGEINT) * (n_total - seg_obs)) * 1000000
+         // (2 * CAST(nc AS HUGEINT) * n_total) AS BIGINT) AS d_ppm
+  FROM obs
+), t AS (
+  SELECT CAST(sum(nc) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS n_classes
+  FROM classes
+), ts AS (SELECT unnest([200000, 300000, 500000]) AS t_ppm)
+SELECT CAST(t_ppm AS BIGINT) AS t_ppm, n_classes,
+  CAST(SUM(CASE WHEN d_ppm > t_ppm THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_classes_above,
+  CAST(SUM(CASE WHEN d_ppm > t_ppm THEN nc ELSE 0 END) AS BIGINT)
+    AS n_rows_above,
+  CAST(SUM(CASE WHEN d_ppm > t_ppm THEN nc ELSE 0 END) * 1000000
+       // total_rows AS BIGINT) AS rows_at_risk_ppm
+FROM classes CROSS JOIN t CROSS JOIN ts
+GROUP BY t_ppm, n_classes, total_rows
+"""
+
+
 def q_brand_price_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closed-form distributed OLS — regress line price (cents) on
     quantity per part brand from one pass of moment sums (n, Σx, Σy,
@@ -3841,6 +3965,7 @@ FROM per_cust
     "dq_cardinality_audit": (q_cardinality_audit, _cardinality_audit_sql()),
     "dq_k_anonymity": (q_k_anonymity, ORACLE_K_ANONYMITY),
     "dq_l_diversity": (q_l_diversity, ORACLE_L_DIVERSITY),
+    "dq_t_closeness": (q_t_closeness, ORACLE_T_CLOSENESS),
     "graph_label_propagation": (q_label_propagation, ORACLE_LABEL_PROPAGATION),
     "graph_modularity": (q_modularity, ORACLE_MODULARITY),
     "customer_gini": (q_gini_revenue, ORACLE_GINI),
