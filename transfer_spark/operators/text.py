@@ -269,6 +269,83 @@ def gopher_quality_flags(df, id_col: str, text_col: str,
     )
 
 
+def bigram_expr(text: Column) -> Column:
+    """Array of space-joined adjacent token pairs (empty under 2 tokens;
+    guarded because sequence(1, n) descends when n < 1)."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ccnet_buckets(df, id_col: str, text_col: str, lang_col: str):
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020):
+    corpus bigram-LM score per doc, each language split at its own
+    perplexity terciles. Integer micro-bit quantization happens per
+    BIGRAM row (deterministic IEEE log2 of two integers), the per-doc
+    mean is integer sum + DIV, and the terciles are integer
+    order-statistic thresholds over DISTINCT (lang, score) pairs —
+    score cardinality, never corpus rows — broadcast back. Docs with
+    <2 tokens have no bigrams and are excluded (no LM evidence).
+    Returns (id, lang, nlp_micro, ppl_bucket)."""
+    from pyspark.sql import Window
+
+    occ = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.explode(bigram_expr(F.col(text_col))).alias("bg"),
+    )
+    c12 = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    c1 = c12.groupBy(w1.alias("w1")).agg(F.sum("c12").alias("c1"))
+    model = c12.join(c1, w1 == c1.w1).select(
+        "bg",
+        F.floor(
+            (F.log2(F.col("c1")) - F.log2(F.col("c12"))) * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("nlp_bg"),
+    )
+    scored = (
+        occ.join(model, "bg")
+        .groupBy("doc_id", "lang")
+        .agg(F.expr("sum(nlp_bg) DIV count(1)").alias("nlp_micro"))
+    )
+    dist = scored.groupBy("lang", "nlp_micro").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wl = (
+        Window.partitionBy("lang")
+        .orderBy("nlp_micro")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dist.select(
+        "lang", "nlp_micro",
+        F.sum("__c").over(wl).alias("__cum"),
+        F.sum("__c").over(Window.partitionBy("lang")).alias("__n"),
+    )
+    th = cum.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("__cum") * 3 >= F.col("__n"), F.col("nlp_micro"))
+        ).alias("__t1"),
+        F.min(
+            F.when(F.col("__cum") * 3 >= F.col("__n") * 2, F.col("nlp_micro"))
+        ).alias("__t2"),
+    )
+    return scored.join(F.broadcast(th), "lang").select(
+        "doc_id", "lang", "nlp_micro",
+        F.when(F.col("nlp_micro") <= F.col("__t1"), F.lit("head"))
+        .when(F.col("nlp_micro") <= F.col("__t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
+
 def chunk_sliding_windows(df, id_col: str, text_col: str,
                           size: int = 200, stride: int = 150) -> "object":
     """Overlapping character-window chunker (RAG / context-window prep):
