@@ -108,3 +108,56 @@ def test_cluster_balanced_sample_quota_and_stability(spark):
     finally:
         V._emb = orig
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_lsh_mining_recovers_planted_pairs_no_cross_product(spark):
+    """The LSH candidate path mines every planted near-copy pair the
+    exact verifier mines (dense-overlap recovery: near-copies have
+    angle ~0, so sign-projection collides with probability ~1 under
+    every seed), and its physical plan contains NO cross product —
+    every join is a bucket equi-join or a broadcast-aggregate equi-join
+    (the scale contract of bitext_margin_mine_lsh)."""
+    import numpy as np
+
+    from transfer_spark.operators.similarity import bitext_margin_mine_lsh
+
+    rng = np.random.RandomState(11)
+    dim = 16
+    S = rng.randn(20, dim)
+    T = rng.randn(24, dim)
+    planted = [(2, 3), (5, 9), (11, 17), (17, 0)]
+    for i, j in planted:
+        T[j] = S[i] + 0.005 * rng.randn(dim)
+    ids_s = [2 * i for i in range(20)]
+    ids_t = [2 * j + 1 for j in range(24)]
+    src = spark.createDataFrame(
+        [(ids_s[i], [float(x) for x in S[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [(ids_t[j], [float(x) for x in T[j]]) for j in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {
+        (r.src_id, r.tgt_id)
+        for r in bitext_margin_mine(src, tgt, k=3,
+                                    margin_threshold_ppm=1_000_000).collect()
+    }
+    out = bitext_margin_mine_lsh(
+        src, tgt, k=3, margin_threshold_ppm=1_000_000,
+        n_planes=4, dim=dim, seeds=(42, 43),
+    )
+    got = {(r.src_id, r.tgt_id) for r in out.collect()}
+    want = {(ids_s[i], ids_t[j]) for i, j in planted}
+    assert want <= exact, "planted pairs must be mined by the exact form"
+    assert want <= got, f"LSH form missed planted pairs: {want - got}"
+    # mutual argmax holds in the LSH form too
+    rows = out.collect()
+    srcs = [r.src_id for r in rows]
+    tgts = [r.tgt_id for r in rows]
+    assert len(srcs) == len(set(srcs)) and len(tgts) == len(set(tgts))
+    # plan pin: no cross product anywhere (candidates come from bucket
+    # equi-joins; the exact form's broadcast cross product is absent)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -220,6 +220,99 @@ def bitext_margin_mine(
     )
 
 
+def bitext_margin_mine_lsh(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    margin_threshold_ppm: int = 1_000_000,
+    n_planes: int = 4,
+    dim: int = 64,
+    seeds: tuple[int, ...] = (42, 43),
+) -> DataFrame:
+    """Mining-scale margin bitext: LSH candidate generation + the exact
+    :func:`bitext_margin_mine` rescoring over the candidate set only.
+
+    Candidate pairs are the union over ``seeds`` of equi-joins on the
+    sign-random-projection bucket (:func:`lsh_bucket` with literal
+    planes, so any engine reproduces them) — NO cross product anywhere
+    in the plan (pinned in test_plan_shapes). Multi-seed union is the
+    recall amplifier: a true pair is missed only when it straddles a
+    bucket boundary under EVERY seeding. The cosine is quantized to the
+    same 1e-9 integer grain at scoring time and deduped per pair with
+    MAX (the score is seed-independent, so this is exact); the top-k
+    forward/backward neighbor sums, the integer margin, and the mutual
+    -argmax filter are then identical to the exact verifier, evaluated
+    over candidates instead of the full product.
+
+    Scale shape: cost is Σ per-bucket |src|·|tgt| per seed instead of
+    |src|·|tgt| — with 2^n_planes balanced buckets, a 2^n_planes / |seeds|
+    × reduction; each seeding is one equi-join shuffle keyed on bucket
+    off a shared scan. The exact form remains the verifier
+    (test_ops_misc pins LSH-vs-exact pair recovery on the dense slice).
+    """
+    s = src.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
+    t = tgt.select(F.col(id_col).alias("tid"), F.col(vec_col).alias("tv"))
+    cq = (
+        F.floor(cosine(F.col("sv"), F.col("tv")) * 1e9 + F.lit(0.5))
+        .cast("long")
+        .alias("cq")
+    )
+    per_seed = []
+    for seed in seeds:
+        planes = hyperplanes(n_planes, dim, seed)
+        sb = s.withColumn("__b", lsh_bucket(F.col("sv"), planes))
+        tb = t.withColumn("__b", lsh_bucket(F.col("tv"), planes))
+        per_seed.append(sb.join(tb, "__b").select("sid", "tid", cq))
+    cand = per_seed[0]
+    for more in per_seed[1:]:
+        cand = cand.unionByName(more)
+    # cq is a pure function of (sid, tid) — MAX collapses seed duplicates
+    # exactly (max == min == the one value).
+    scored = cand.groupBy("sid", "tid").agg(F.max("cq").alias("cq"))
+    wf = Window.partitionBy("sid").orderBy(F.desc("cq"), F.asc("tid"))
+    wb = Window.partitionBy("tid").orderBy(F.desc("cq"), F.asc("sid"))
+    ranked = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rb", F.row_number().over(wb)
+    )
+    sfwd = (
+        ranked.filter(F.col("rf") <= k)
+        .groupBy("sid").agg(F.sum("cq").alias("skf"))
+    )
+    sbwd = (
+        ranked.filter(F.col("rb") <= k)
+        .groupBy("tid").agg(F.sum("cq").alias("skb"))
+    )
+    m = (
+        scored.join(F.broadcast(sfwd), "sid")
+        .join(F.broadcast(sbwd), "tid")
+        .select(
+            "sid", "tid", "cq",
+            F.expr(
+                f"CAST(cq * {2 * k} * 1000000"
+                " DIV NULLIF(skf + skb, 0) AS BIGINT)"
+            ).alias("margin_ppm"),
+        )
+    )
+    w1 = Window.partitionBy("sid").orderBy(F.desc("margin_ppm"), F.asc("tid"))
+    w2 = Window.partitionBy("tid").orderBy(F.desc("margin_ppm"), F.asc("sid"))
+    return (
+        m.withColumn("r1", F.row_number().over(w1))
+        .withColumn("r2", F.row_number().over(w2))
+        .filter(
+            (F.col("r1") == 1) & (F.col("r2") == 1)
+            & (F.col("margin_ppm") >= margin_threshold_ppm)
+        )
+        .select(
+            F.col("sid").alias("src_id"),
+            F.col("tid").alias("tgt_id"),
+            F.col("cq").cast("long").alias("cos_q"),
+            "margin_ppm",
+        )
+    )
+
+
 def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (engine-portable literals)."""
     rs = np.random.RandomState(seed)

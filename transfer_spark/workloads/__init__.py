@@ -93,10 +93,24 @@ def _last_adjudicated() -> dict[str, int]:
 _missing = [n for n in _CORE if n not in _ALL]
 assert not _missing, f"_CORE names not registered: {_missing}"
 
+# r9 (VERDICT r8 #1): the rotation window is FROZEN at round start in
+# rotation_pin.PINNED_TAIL so the local --first50 pre-flight and the
+# driver's end-of-round run adjudicate byte-identical slices — a
+# registration landing mid-round can no longer reshuffle the window.
+# Pinned names lead the tail in pin order; everything else follows in
+# least-recently-adjudicated order as before.
+from transfer_spark.workloads.rotation_pin import PINNED_TAIL  # noqa: E402
+
+_missing_pin = [n for n in PINNED_TAIL if n not in _ALL]
+assert not _missing_pin, f"PINNED_TAIL names not registered: {_missing_pin}"
+assert len(PINNED_TAIL) == len(set(PINNED_TAIL)), "PINNED_TAIL has duplicates"
+assert not set(PINNED_TAIL) & set(_CORE), "PINNED_TAIL overlaps _CORE"
+
 _seen = _last_adjudicated()
-_tail = sorted(
-    (n for n in _ALL if n not in _CORE),
+_pinned = set(PINNED_TAIL)
+_tail = [*PINNED_TAIL, *sorted(
+    (n for n in _ALL if n not in _CORE and n not in _pinned),
     key=lambda n: (_seen.get(n, -1), n),
-)
+)]
 
 QUERIES: dict[str, Entry] = {n: _ALL[n] for n in [*_CORE, *_tail]}

@@ -1,0 +1,66 @@
+"""Frozen driver-rotation window — set once at round start (VERDICT r8 #1).
+
+The correctness driver adjudicates the FIRST 50 entries of the QUERIES
+dict: the 13-name core spine + 37 rotation slots. Before this pin the
+37 slots were computed from the committed CORRECTNESS_r*.json artifacts
+at import time, which meant any registration landing mid-round could
+silently reshuffle the window between the local ``--first50`` pre-flight
+and the driver's end-of-round run. The pin freezes the 37 slots at
+round start; names registered after the freeze sort BEHIND the pin, so
+pre-flight and driver adjudicate byte-identical slices.
+
+Regenerate each round: after the round's CORRECTNESS artifact lands,
+replace PINNED_TAIL with the next least-recently-adjudicated window
+(``python -c "from transfer_spark.workloads import _next_window; ..."``
+— or just clear the list; __init__ falls back to the staleness queue).
+
+Round 9 window (all 37 never driver-adjudicated):
+- the six r8 registrations ADVICE r8 flagged as never parity-run;
+- bitext_margin_mining_lsh (the r9 VERDICT-#4 registration);
+- the 30 alphabetically-first never-seen events_* temporal names.
+"""
+
+PIN_ROUND = 9
+
+PINNED_TAIL: list[str] = [
+    # ADVICE r8: unchecked r8 registrations, head of the rotation
+    "mixture_doremi_weights",
+    "vocab_coverage_curve",
+    "mixture_epoch_plan",
+    "pretraining_corpus_pipeline_v2",
+    "split_decontamination_runs",
+    "multimodal_aspect_buckets",
+    # VERDICT r8 #4: mining-scale bitext path
+    "bitext_margin_mining_lsh",
+    # least-recently-adjudicated queue, frozen
+    "events_anomaly_days",
+    "events_asof_tolerance",
+    "events_attribution_cross_device",
+    "events_attribution_last_touch",
+    "events_attribution_markov",
+    "events_attribution_position",
+    "events_chi2_dow",
+    "events_cumulative_users",
+    "events_cusum_changepoint",
+    "events_daily_trend",
+    "events_debounce",
+    "events_dow_entropy",
+    "events_dow_profile",
+    "events_ewma_decay",
+    "events_forecast_backtest",
+    "events_funnel_ttc",
+    "events_funnel_windowed",
+    "events_gap_fill_locf",
+    "events_holt_forecast",
+    "events_interarrival_quantiles",
+    "events_ks_two_sample",
+    "events_late_arrivals",
+    "events_m4_downsample",
+    "events_mad_outliers",
+    "events_mann_kendall",
+    "events_mann_whitney",
+    "events_matrix_profile",
+    "events_retention_cohort",
+    "events_runs_test",
+    "events_series_similarity",
+]

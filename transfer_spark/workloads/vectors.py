@@ -1441,6 +1441,85 @@ ORDER BY src_id
 """
 
 
+def q_bitext_margin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mining-scale margin bitext: two-seed LSH candidate generation +
+    the exact margin rescoring over candidates only — the 100 TB form
+    of bitext_margin_mining (no cross product in the plan; pinned in
+    test_plan_shapes). See operators/similarity.bitext_margin_mine_lsh."""
+    emb = _emb(spark, sf_dir)
+    return S.bitext_margin_mine_lsh(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4, margin_threshold_ppm=1_000_000,
+        n_planes=4, dim=64, seeds=(42, 43),
+    ).orderBy("src_id")
+
+
+def _bitext_margin_lsh_oracle(
+    n_planes: int = 4, dim: int = 64, seeds: tuple[int, ...] = (42, 43),
+    k: int = 4, threshold_ppm: int = 1_000_000,
+) -> str:
+    def bucket(seed: int) -> str:
+        planes = S.hyperplanes(n_planes, dim, seed)
+        bits = []
+        for i, p in enumerate(planes):
+            lit = "[" + ", ".join(repr(x) for x in p) + "]"
+            bits.append(
+                "(CASE WHEN list_inner_product(v, "
+                f"{lit}) > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {i})"
+            )
+        return " + ".join(bits)
+
+    cand_seeds = "\nUNION ALL\n".join(
+        f"""  SELECT s.sid, s.v AS sv, t.tid, t.v AS tv
+  FROM (SELECT sid, v, {bucket(seed)} AS b FROM s) s
+  JOIN (SELECT tid, v, {bucket(seed)} AS b FROM t) t USING (b)"""
+        for seed in seeds
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id AS sid, v FROM e WHERE vec_id % 2 = 0),
+t AS (SELECT vec_id AS tid, v FROM e WHERE vec_id % 2 = 1),
+cand AS (
+{cand_seeds}
+),
+scored AS (
+  SELECT sid, tid,
+    MAX(CAST(floor(list_cosine_similarity(sv, tv) * 1000000000 + 0.5)
+             AS BIGINT)) AS cq
+  FROM cand GROUP BY sid, tid
+),
+ranked AS (
+  SELECT sid, tid, cq,
+    row_number() OVER (PARTITION BY sid ORDER BY cq DESC, tid) AS rf,
+    row_number() OVER (PARTITION BY tid ORDER BY cq DESC, sid) AS rb
+  FROM scored
+),
+sf AS (SELECT sid, CAST(SUM(cq) AS BIGINT) AS skf FROM ranked
+       WHERE rf <= {k} GROUP BY sid),
+sb AS (SELECT tid, CAST(SUM(cq) AS BIGINT) AS skb FROM ranked
+       WHERE rb <= {k} GROUP BY tid),
+m AS (
+  SELECT sc.sid, sc.tid, sc.cq,
+    CAST(sc.cq * {2 * k} * 1000000 // NULLIF(skf + skb, 0) AS BIGINT)
+      AS margin_ppm
+  FROM scored sc JOIN sf USING (sid) JOIN sb USING (tid)
+),
+best AS (
+  SELECT sid, tid, cq, margin_ppm,
+    row_number() OVER (PARTITION BY sid
+                       ORDER BY margin_ppm DESC NULLS LAST, tid) AS r1,
+    row_number() OVER (PARTITION BY tid
+                       ORDER BY margin_ppm DESC NULLS LAST, sid) AS r2
+  FROM m
+)
+SELECT sid AS src_id, tid AS tgt_id, CAST(cq AS BIGINT) AS cos_q, margin_ppm
+FROM best
+WHERE r1 = 1 AND r2 = 1 AND margin_ppm >= {threshold_ppm}
+ORDER BY src_id
+"""
+
+
 def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced (diversity) sampling: k-means topic clusters +
     a fixed per-cluster quota picked by deterministic hash priority —
@@ -1515,6 +1594,7 @@ ORDER BY cid, pick_rank"""
 
 QUERIES = {
     "bitext_margin_mining": (q_bitext_margin, ORACLE_BITEXT_MARGIN),
+    "bitext_margin_mining_lsh": (q_bitext_margin_lsh, _bitext_margin_lsh_oracle()),
     "cluster_balanced_sample": (
         q_cluster_balanced_sample, _cluster_balanced_oracle()
     ),
