@@ -3736,30 +3736,35 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = classes.agg(
         F.sum("nc").cast("long").alias("total_rows"),
-        F.count(F.lit(1)).alias("n_classes"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
     )
-    out = None
-    for t_ppm in (200_000, 300_000, 500_000):
-        rep = (
-            classes.crossJoin(F.broadcast(total))
-            .agg(
-                F.lit(t_ppm).cast("long").alias("t_ppm"),
-                F.max("n_classes").cast("long").alias("n_classes"),
-                F.sum((F.col("d_ppm") > t_ppm).cast("long")).cast("long")
-                .alias("n_classes_above"),
-                F.sum(
-                    F.when(F.col("d_ppm") > t_ppm, F.col("nc")).otherwise(0)
-                ).cast("long").alias("n_rows_above"),
-                F.max("total_rows").alias("__t"),
-            )
-            .select(
-                "t_ppm", "n_classes", "n_classes_above", "n_rows_above",
-                F.expr("n_rows_above * 1000000 DIV __t")
-                .alias("rows_at_risk_ppm"),
-            )
+    # one plan, three rows: crossJoin the class frame with the 3-row
+    # threshold literal and group by t_ppm (mirrors the oracle's ts
+    # CTE) — the previous per-threshold unionByName re-planned the
+    # cells/obs/classes subtree three times and leaned on
+    # ReuseExchange to dedupe it.
+    ts = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t).cast("long") for t in (200_000, 300_000, 500_000)])
+        ).alias("t_ppm")
+    )
+    return (
+        classes.crossJoin(F.broadcast(ts))
+        .groupBy("t_ppm")
+        .agg(
+            F.sum((F.col("d_ppm") > F.col("t_ppm")).cast("long")).cast("long")
+            .alias("n_classes_above"),
+            F.sum(
+                F.when(F.col("d_ppm") > F.col("t_ppm"), F.col("nc")).otherwise(0)
+            ).cast("long").alias("n_rows_above"),
         )
-        out = rep if out is None else out.unionByName(rep)
-    return out
+        .crossJoin(F.broadcast(total))
+        .select(
+            "t_ppm", "n_classes", "n_classes_above", "n_rows_above",
+            F.expr("n_rows_above * 1000000 DIV total_rows")
+            .alias("rows_at_risk_ppm"),
+        )
+    )
 
 
 ORACLE_T_CLOSENESS = """

@@ -1726,16 +1726,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (bigram) and (doc): a bigram is unique-to-the-doc when its
     corpus doc-frequency is 1."""
     d = _docs(spark, sf_dir)
-    toks = T.tokens(F.col("text"))
-    bgs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bgs = T.bigram_expr(F.col("text"))
     doc_bg = d.select("doc_id", F.explode(bgs).alias("bg")).distinct()
     dfreq = doc_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("dfreq"))
     per_doc = (
@@ -2017,11 +2008,22 @@ def q_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers — the contamination probe and the final anti-join; persist
     # so it runs once (MEMORY_AND_DISK: spills, doesn't evict, at volume)
     train = kept.filter(F.col("split") == "train").persist()
-    contaminated = D.ngram_collisions(train, evals, "doc_id", "text", n=8).select(
-        F.col("train_doc").alias("doc_id")
-    )
-    final = train.join(contaminated, "doc_id", "left_anti")
-    return sequence_pack(final, "doc_id", "text", cap=256, n_buckets=8)
+    try:
+        contaminated = D.ngram_collisions(
+            train, evals, "doc_id", "text", n=8
+        ).select(F.col("train_doc").alias("doc_id"))
+        final = train.join(contaminated, "doc_id", "left_anti")
+        # eager localCheckpoint materializes the packed result so the
+        # corpus-sized cache can be released here (a CacheManager entry
+        # never GCs; a long-lived session running the registry would
+        # otherwise accumulate one pinned corpus per invocation). The
+        # checkpoint RDD itself is ContextCleaner-collected with the
+        # returned frame.
+        return sequence_pack(
+            final, "doc_id", "text", cap=256, n_buckets=8
+        ).localCheckpoint(eager=True)
+    finally:
+        train.unpersist(blocking=False)
 
 
 ORACLE_PRETRAINING_CORPUS = f"""
@@ -2097,101 +2099,103 @@ def q_pretraining_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = (
         _cleaned_docs(spark, sf_dir).select("doc_id", "text").persist()
     )
-    toks = T.tokens(F.col("text"))
-    bgs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    occ = cleaned.select("doc_id", F.explode(bgs).alias("bg"))
-    c12 = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
-    w1 = F.split(F.col("bg"), " ").getItem(0)
-    c1 = c12.groupBy(w1.alias("w1")).agg(F.sum("c12").alias("c1"))
-    model = c12.join(c1, w1 == c1.w1).select(
-        "bg",
-        F.floor(
-            (F.log2(F.col("c1")) - F.log2(F.col("c12"))) * F.lit(1_000_000.0)
-            + F.lit(0.5)
-        ).cast("long").alias("nlp_bg"),
-    )
-    scored = (
-        occ.join(model, "bg")
-        .groupBy("doc_id")
-        .agg(F.expr("sum(nlp_bg) DIV count(1)").alias("nlp_micro"))
-    )
-    dist = scored.groupBy("nlp_micro").agg(F.count(F.lit(1)).alias("__c"))
-    cum = global_cumsum(dist, [F.col("nlp_micro")], F.col("__c"), "__cum")
-    tot = dist.agg(F.sum("__c").alias("__n"))
-    th = (
-        cum.crossJoin(F.broadcast(tot))
-        .agg(
-            F.min(
-                F.when(F.col("__cum") * 3 >= F.col("__n") * 2,
-                       F.col("nlp_micro"))
-            ).alias("__t2")
+    train = None
+    try:
+        bgs = T.bigram_expr(F.col("text"))
+        occ = cleaned.select("doc_id", F.explode(bgs).alias("bg"))
+        c12 = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+        w1 = F.split(F.col("bg"), " ").getItem(0)
+        c1 = c12.groupBy(w1.alias("w1")).agg(F.sum("c12").alias("c1"))
+        model = c12.join(c1, w1 == c1.w1).select(
+            "bg",
+            F.floor(
+                (F.log2(F.col("c1")) - F.log2(F.col("c12"))) * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            ).cast("long").alias("nlp_bg"),
         )
-    )
-    ccnet_kept = scored.crossJoin(F.broadcast(th)).filter(
-        F.col("nlp_micro") <= F.col("__t2")
-    ).select("doc_id")
-    train = (
-        cleaned.join(ccnet_kept, "doc_id")
-        .withColumn("split", assign_split(F.col("doc_id"), rates))
-        .filter(F.col("split") == "train")
-        .select("doc_id", "text")
-        .persist()
-    )
-    evals = _docs(spark, sf_dir).filter(
-        assign_split(F.col("doc_id"), rates) != "train"
-    )
-    contaminated = D.ngram_collisions(
-        train, evals, "doc_id", "text", n=8
-    ).select(F.col("train_doc").alias("doc_id"))
-    post = train.join(contaminated, "doc_id", "left_anti")
-    pt = post.join(
-        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
-    )
-    srctok = (
-        pt.select("source", T.token_count(F.col("text")).alias("n"))
-        .groupBy("source")
-        .agg(F.sum("n").cast("long").alias("__st"))
-    )
-    wsrc = srctok.select(
-        "source", "__st",
-        F.floor(
-            F.sqrt(F.col("__st").cast("double")) * F.lit(1_000_000.0)
-            + F.lit(0.5)
-        ).cast("long").alias("__w"),
-    )
-    tot2 = wsrc.agg(
-        F.sum("__w").cast("long").alias("__wt"),
-        F.sum("__st").cast("long").alias("__tt"),
-    )
-    mix = (
-        wsrc.crossJoin(F.broadcast(tot2))
-        .select(
-            "source",
-            F.least(
-                F.lit(1_000_000).cast("long"),
-                F.floor(
-                    (F.col("__w").cast("double") / F.col("__wt").cast("double"))
-                    * (F.col("__tt").cast("double") / F.col("__st").cast("double"))
-                    * F.lit(1_000_000.0)
-                    + F.lit(0.5)
-                ).cast("long"),
-            ).alias("__rate"),
+        scored = (
+            occ.join(model, "bg")
+            .groupBy("doc_id")
+            .agg(F.expr("sum(nlp_bg) DIV count(1)").alias("nlp_micro"))
         )
-    )
-    keep = pt.join(F.broadcast(mix), "source").filter(
-        split_bucket(F.col("doc_id")) * 100 < F.col("__rate")
-    )
-    return sequence_pack(
-        keep.select("doc_id", "text"), "doc_id", "text", cap=256, n_buckets=8
-    )
+        dist = scored.groupBy("nlp_micro").agg(F.count(F.lit(1)).alias("__c"))
+        cum = global_cumsum(dist, [F.col("nlp_micro")], F.col("__c"), "__cum")
+        tot = dist.agg(F.sum("__c").alias("__n"))
+        th = (
+            cum.crossJoin(F.broadcast(tot))
+            .agg(
+                F.min(
+                    F.when(F.col("__cum") * 3 >= F.col("__n") * 2,
+                           F.col("nlp_micro"))
+                ).alias("__t2")
+            )
+        )
+        ccnet_kept = scored.crossJoin(F.broadcast(th)).filter(
+            F.col("nlp_micro") <= F.col("__t2")
+        ).select("doc_id")
+        train = (
+            cleaned.join(ccnet_kept, "doc_id")
+            .withColumn("split", assign_split(F.col("doc_id"), rates))
+            .filter(F.col("split") == "train")
+            .select("doc_id", "text")
+            .persist()
+        )
+        evals = _docs(spark, sf_dir).filter(
+            assign_split(F.col("doc_id"), rates) != "train"
+        )
+        contaminated = D.ngram_collisions(
+            train, evals, "doc_id", "text", n=8
+        ).select(F.col("train_doc").alias("doc_id"))
+        post = train.join(contaminated, "doc_id", "left_anti")
+        pt = post.join(
+            _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
+        )
+        srctok = (
+            pt.select("source", T.token_count(F.col("text")).alias("n"))
+            .groupBy("source")
+            .agg(F.sum("n").cast("long").alias("__st"))
+        )
+        wsrc = srctok.select(
+            "source", "__st",
+            F.floor(
+                F.sqrt(F.col("__st").cast("double")) * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            ).cast("long").alias("__w"),
+        )
+        tot2 = wsrc.agg(
+            F.sum("__w").cast("long").alias("__wt"),
+            F.sum("__st").cast("long").alias("__tt"),
+        )
+        mix = (
+            wsrc.crossJoin(F.broadcast(tot2))
+            .select(
+                "source",
+                F.least(
+                    F.lit(1_000_000).cast("long"),
+                    F.floor(
+                        (F.col("__w").cast("double") / F.col("__wt").cast("double"))
+                        * (F.col("__tt").cast("double") / F.col("__st").cast("double"))
+                        * F.lit(1_000_000.0)
+                        + F.lit(0.5)
+                    ).cast("long"),
+                ).alias("__rate"),
+            )
+        )
+        keep = pt.join(F.broadcast(mix), "source").filter(
+            split_bucket(F.col("doc_id")) * 100 < F.col("__rate")
+        )
+        # eager localCheckpoint materializes the packed result so both
+        # corpus-sized caches can be released below (CacheManager entries
+        # never GC; v1 follows the same contract). The checkpoint RDD is
+        # ContextCleaner-collected with the returned frame.
+        packed = sequence_pack(
+            keep.select("doc_id", "text"), "doc_id", "text", cap=256, n_buckets=8
+        ).localCheckpoint(eager=True)
+        return packed
+    finally:
+        cleaned.unpersist(blocking=False)
+        if train is not None:
+            train.unpersist(blocking=False)
 
 
 def _pretraining_v2_sql() -> str:
@@ -2866,16 +2870,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring joins occurrences to the pair table on the pair key (the
     pair join reuses the pair-hash partitioning)."""
     d = _docs(spark, sf_dir)
-    toks = T.tokens(F.col("text"))
-    bgs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bgs = T.bigram_expr(F.col("text"))
     occ = d.select("doc_id", F.explode(bgs).alias("bg"))
     c12 = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
     w1 = F.split(F.col("bg"), " ").getItem(0)
@@ -2911,76 +2906,11 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (same reasoning as customer_rfm's threshold scoring); an
     interpolated percentile would put a float between integer scores,
     where engine last-ulp disagreement flips boundary docs. Docs with
-    <2 tokens have no bigrams and are excluded (no LM evidence)."""
-    d = _docs(spark, sf_dir)
-    toks = T.tokens(F.col("text"))
-    bgs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    occ = d.select("doc_id", "lang", F.explode(bgs).alias("bg"))
-    c12 = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
-    w1 = F.split(F.col("bg"), " ").getItem(0)
-    c1 = c12.groupBy(w1.alias("w1")).agg(F.sum("c12").alias("c1"))
-    model = c12.join(c1, w1 == c1.w1).select(
-        "bg",
-        F.floor(
-            (F.log2(F.col("c1")) - F.log2(F.col("c12"))) * F.lit(1_000_000.0)
-            + F.lit(0.5)
-        ).cast("long").alias("nlp_bg"),
-    )
-    scored = (
-        occ.join(model, "bg")
-        .groupBy("doc_id", "lang")
-        .agg(F.expr("sum(nlp_bg) DIV count(1)").alias("nlp_micro"))
-    )
-    # Integer order-statistic terciles, not interpolated percentile:
-    # continuous quantiles land BETWEEN integer scores via float
-    # interpolation whose last ulp differs across engines exactly when
-    # a doc sits on the boundary. The cumulative count runs over
-    # DISTINCT (lang, score) pairs — far smaller than the doc set, so
-    # the per-lang window is over score cardinality, never corpus rows.
-    from pyspark.sql import Window
+    <2 tokens have no bigrams and are excluded (no LM evidence).
 
-    dist = scored.groupBy("lang", "nlp_micro").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    wl = (
-        Window.partitionBy("lang")
-        .orderBy("nlp_micro")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = dist.select(
-        "lang", "nlp_micro",
-        F.sum("__c").over(wl).alias("__cum"),
-        F.sum("__c").over(Window.partitionBy("lang")).alias("__n"),
-    )
-    th = cum.groupBy("lang").agg(
-        F.min(
-            F.when(
-                F.col("__cum") * 3 >= F.col("__n"), F.col("nlp_micro")
-            )
-        ).alias("__t1"),
-        F.min(
-            F.when(
-                F.col("__cum") * 3 >= F.col("__n") * 2, F.col("nlp_micro")
-            )
-        ).alias("__t2"),
-    )
-    return scored.join(F.broadcast(th), "lang").select(
-        "doc_id",
-        "lang",
-        "nlp_micro",
-        F.when(F.col("nlp_micro") <= F.col("__t1"), F.lit("head"))
-        .when(F.col("nlp_micro") <= F.col("__t2"), F.lit("middle"))
-        .otherwise(F.lit("tail"))
-        .alias("ppl_bucket"),
-    )
+    Delegates to operators/text.ccnet_buckets (the single impl the v2
+    pipeline's fitted variant is derived from)."""
+    return T.ccnet_buckets(_docs(spark, sf_dir), "doc_id", "text", "lang")
 
 
 ORACLE_CCNET_BUCKETS = f"""
@@ -3133,15 +3063,7 @@ def q_mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles twice."""
     d = _docs(spark, sf_dir)
     toks = T.tokens(F.col("text"))
-    bgs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bgs = T.bigram_expr(F.col("text"))
     occ = d.select("source", F.explode(bgs).alias("bg"))
     c12 = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
     w1 = F.split(F.col("bg"), " ").getItem(0)
@@ -3263,15 +3185,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-order log2 sum and quantized to micro-units."""
     d = _docs(spark, sf_dir)
     toks = T.tokens(F.col("text"))
-    bgs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bgs = T.bigram_expr(F.col("text"))
     occ = d.select(F.explode(bgs).alias("bg"))
     uni = d.select(F.explode(toks).alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("cu")
@@ -3357,16 +3271,7 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dsir_scores(d: DataFrame) -> DataFrame:
     """DSIR scoring over any (doc_id, lang, text) frame — split out so
     the scale probe can drive it on replicated corpora."""
-    toks = T.tokens(F.col("text"))
-    bgs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bgs = T.bigram_expr(F.col("text"))
     # The bigram explode + md5 feature hash is the expensive part of the
     # whole operator — hash once, serve both consumers (the weight
     # aggregate and the per-doc scoring join) off a spill-safe persist
