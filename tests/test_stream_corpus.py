@@ -297,6 +297,45 @@ def test_decontamination_gate_refuses_before_dedup(spark, tmp_path):
     assert {r.doc_id for r in ing.corpus().collect()} == {2}
 
 
+def test_eval_index_torn_rebuild_refuses(spark, tmp_path):
+    """A rebuild killed between bucket writes (bucket dirs on disk, no
+    _SUCCESS — the committer writes it last) must make exists() False
+    and every probe RAISE rather than silently under-decontaminate;
+    a fresh build() heals the store."""
+    import os
+
+    import pytest as _pytest
+
+    from transfer_spark.streaming.corpus_ingest import EvalNgramIndex
+
+    eval_text = ("benchmark question alpha beta gamma delta epsilon zeta "
+                 "eta theta")
+    ev = EvalNgramIndex(spark, str(tmp_path / "ev"), n=8, n_buckets=4)
+    docs = spark.createDataFrame([(0, eval_text)], "doc_id long, text string")
+    ev.build(docs, "text")
+    assert ev.exists()
+    probe = spark.createDataFrame(
+        [(1, "quoting alpha beta gamma delta epsilon zeta eta theta here")],
+        "doc_id long, text string",
+    )
+    assert {r.doc for r in ev.probe_ids(probe, "doc_id", "text").collect()} == {1}
+
+    # simulate the kill: bucket data present, job never committed
+    os.remove(str(tmp_path / "ev" / "_SUCCESS"))
+    assert not ev.exists()
+    with _pytest.raises(RuntimeError, match="torn rebuild"):
+        ev.probe_ids(probe, "doc_id", "text")
+
+    # never-built store (no path at all) still returns the empty frame
+    ev2 = EvalNgramIndex(spark, str(tmp_path / "ev2"), n=8, n_buckets=4)
+    assert ev2.probe_ids(probe, "doc_id", "text").count() == 0
+
+    # a completed rebuild heals the torn store
+    ev.build(docs, "text")
+    assert ev.exists()
+    assert {r.doc for r in ev.probe_ids(probe, "doc_id", "text").collect()} == {1}
+
+
 # ---------------------------------------------------------- row index store
 def test_incremental_row_index_blocks_and_replay(spark, tmp_path):
     """Three batches get contiguous disjoint id blocks equal to the

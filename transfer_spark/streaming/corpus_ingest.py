@@ -102,10 +102,33 @@ class EvalNgramIndex:
             .parquet(self.path)
         )
 
+    def _has_success(self) -> bool:
+        return self.fs.exists(os.path.join(self.path, "_SUCCESS"))
+
     def exists(self) -> bool:
-        return self.fs.exists(self.path) and any(
-            n.startswith("__bucket=") for n in self.fs.listdir(self.path)
+        # _SUCCESS is written by the committer at job commit, strictly
+        # after every bucket dir — a rebuild killed between bucket
+        # writes is invisible here (the CmsAccumulator._versions gate).
+        return (
+            self.fs.exists(self.path)
+            and self._has_success()
+            and any(
+                n.startswith("__bucket=") for n in self.fs.listdir(self.path)
+            )
         )
+
+    def _refuse_if_torn(self) -> None:
+        """A span store with bucket dirs but no _SUCCESS is a torn
+        rebuild; probing it would silently under-decontaminate (missing
+        buckets ⇒ missing collisions ⇒ contaminated docs pass). Refuse."""
+        if not self.fs.exists(self.path) or self._has_success():
+            return
+        if any(n.startswith("__bucket=") for n in self.fs.listdir(self.path)):
+            raise RuntimeError(
+                f"eval n-gram store at {self.path} is a torn rebuild "
+                "(bucket data present, no _SUCCESS); rebuild with "
+                "EvalNgramIndex.build before probing"
+            )
 
     def probe_ids(
         self, df: DataFrame, id_col: str, text_col: str
@@ -118,6 +141,7 @@ class EvalNgramIndex:
             F.col(id_col).alias("doc"),
             F.explode(shingles(F.col(text_col), self.n)).alias("__sp"),
         ).select("doc", _base_hash(F.col("__sp")).alias("h"))
+        self._refuse_if_torn()
         if not self.exists():
             return sp.select("doc").limit(0)
         buckets = [
