@@ -148,6 +148,23 @@ def main() -> None:
     llm_total = round(
         sum(v for v in llm_timings.values() if v is not None), 3
     )
+
+    # Box-normalized numbers (VERDICT r8 #2): divide by the box-speed
+    # ratio calib/CALIB_REF_SEC so cross-round verdicts read calibrated
+    # seconds directly instead of hand-normalizing. CALIB_REF_SEC pins
+    # the r8 box (BENCH_r08.json calib_shuffle_sec) as the reference —
+    # "what would this query take on the r8 box".
+    CALIB_REF_SEC = 1.221
+    ratio = (calib / CALIB_REF_SEC) if calib else None
+
+    def _cal(ts: dict[str, float | None]) -> dict[str, float | None]:
+        return {
+            k: (round(v / ratio, 3) if v is not None and ratio else None)
+            for k, v in ts.items()
+        }
+
+    cal_timings = _cal(timings)
+    cal_llm = _cal(llm_timings)
     print(
         json.dumps(
             {
@@ -158,6 +175,15 @@ def main() -> None:
                 "llm_total": llm_total,
                 "llm_queries": llm_timings,
                 "calib_shuffle_sec": calib,
+                "calib_ref_sec": CALIB_REF_SEC,
+                "value_calibrated": round(
+                    sum(v for v in cal_timings.values() if v is not None), 3
+                ) if ratio else None,
+                "llm_total_calibrated": round(
+                    sum(v for v in cal_llm.values() if v is not None), 3
+                ) if ratio else None,
+                "queries_calibrated": cal_timings,
+                "llm_queries_calibrated": cal_llm,
                 "sf": sf,
                 **({"errors": errors} if errors else {}),
             }

@@ -156,3 +156,75 @@ def test_multitable_crash_at_every_flush_boundary(spark, tmp_path):
     for i, (j, t) in enumerate(scenarios):
         got = _run_pipeline(spark, str(tmp_path / f"p{i}"), (j, t))
         assert got == ref, f"state diverges: crash after {t} flush, batch {j}"
+
+
+# ------------------------------------------------------------------ RTBF
+
+def _run_forget(spark, path, crash_tag: "str | None"):
+    """Ingest BATCHES, then erase docs {1, 11}; when crash_tag is set
+    the erasure raises at that boundary and is REPLAYED on a fresh
+    object (the compliance job's retry). Returns
+    (corpus_ids, residual_total, reprobe_status)."""
+    ing = StreamingCorpusIngest(spark, path, min_tokens=5)
+    for j, rows in enumerate(BATCHES):
+        ing.process_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id", "text", batch_id=j,
+        )
+    erase = spark.createDataFrame([(1,), (11,)], "doc_id long")
+    if crash_tag is not None:
+        ing._crash_at = {crash_tag}
+        with pytest.raises(RuntimeError, match="injected crash"):
+            ing.forget_docs(erase)
+        ing = StreamingCorpusIngest(spark, path, min_tokens=5)  # restart
+    ing.forget_docs(erase)
+    residual = sum(
+        r.residual_rows for r in ing.erasure_residual(erase).collect()
+    )
+    # erased content is NEW content on re-ingest (no index row remains)
+    v = ing.process_batch(
+        spark.createDataFrame([(99, DOCS[1])], "doc_id long, text string"),
+        "doc_id", "text", batch_id=len(BATCHES),
+    )
+    status = {r.doc_id: r.status for r in v.collect()}[99]
+    corpus = {r.doc_id for r in ing.corpus().collect()}
+    return corpus, residual, status
+
+
+def test_forget_docs_crash_between_store_rewrites(spark, tmp_path):
+    """RTBF soak (VERDICT r8 #7): a kill between the corpus-partition
+    rewrite and the index rewrites must leave a state from which the
+    REPLAYED erasure converges — zero residuals in every store, same
+    final corpus as the no-crash run, and the forgotten content
+    re-admitted as new (the documented re-ingest semantics)."""
+    ref = _run_forget(spark, str(tmp_path / "ref"), None)
+    assert ref[1] == 0 and ref[2] == "kept"
+    for i, tag in enumerate(("forget_corpus_done", "forget_exact_done")):
+        got = _run_forget(spark, str(tmp_path / f"f{i}"), tag)
+        assert got == ref, f"forget_docs diverges after crash at {tag}"
+
+
+# ------------------------------------------------------- v2 release build
+
+def test_pretraining_v2_rerun_identical_and_cache_clean(spark):
+    """The v2 release composition is a pure derivation over immutable
+    inputs: an aborted run leaves no state, so the retry IS a rerun —
+    pin that two invocations give byte-identical compositions and that
+    the pipeline releases its corpus-sized caches (the r8 persists) so
+    an abort-retry loop cannot accumulate pinned storage."""
+    from transfer_spark.workloads.text import q_pretraining_corpus_v2
+
+    sf = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()  # isolate from other tests' leftovers
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    a = sorted(map(tuple, q_pretraining_corpus_v2(spark, sf).collect()))
+    n1 = cm.cachedData().size()
+    b = sorted(map(tuple, q_pretraining_corpus_v2(spark, sf).collect()))
+    n2 = cm.cachedData().size()
+    assert a == b and a
+    # the v2 pipeline's own persists (cleaned/train) are released in its
+    # finally; what may remain are library-operator caches (the LSH
+    # shingle frame) that CacheManager DEDUPES by plan equality — so the
+    # footprint must be FLAT across reruns, never per-invocation growth
+    assert n2 <= n1, f"v2 rerun grew the CacheManager: {n1} -> {n2}"
+    assert n1 <= 1, f"v2 pinned {n1} cache entries (own persists leaked)"

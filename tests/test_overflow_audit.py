@@ -1,0 +1,67 @@
+"""Seeded regressions for the static BIGINT-overflow auditor
+(scripts/audit_oracle_types.spark_sum_overflow_risks): the detector
+must flag a sum over a product of two long attributes, stay quiet when
+the product hops through DECIMAL(38,0) (the r7/r8 fix pattern), and
+ignore literal multipliers and double-typed products."""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo/scripts")
+
+from audit_oracle_types import spark_sum_overflow_risks  # noqa: E402
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def _base(spark):
+    return spark.range(10).select(
+        F.col("id").alias("a"),
+        (F.col("id") * 2).alias("b"),
+        (F.col("id") * 0.5).alias("x"),
+    )
+
+
+def test_flags_unhopped_long_product(spark):
+    df = _base(spark).agg(F.sum(F.col("a") * F.col("b")).alias("s"))
+    assert spark_sum_overflow_risks(_plan(df))
+
+
+def test_decimal_hop_is_clean(spark):
+    """Reverting an r8 DECIMAL cast (dropping the .cast) is caught by
+    test_flags_unhopped_long_product; the committed form passes here."""
+    df = _base(spark).agg(
+        F.sum((F.col("a") * F.col("b")).cast("decimal(38,0)")).alias("s")
+    )
+    assert spark_sum_overflow_risks(_plan(df)) == []
+
+
+def test_literal_multiplier_is_clean(spark):
+    df = _base(spark).agg(F.sum(F.col("a") * F.lit(1_000_000)).alias("s"))
+    assert spark_sum_overflow_risks(_plan(df)) == []
+
+
+def test_double_product_is_clean(spark):
+    df = _base(spark).agg(F.sum(F.col("x") * F.col("x")).alias("s"))
+    assert spark_sum_overflow_risks(_plan(df)) == []
+
+
+def test_nested_product_inside_abs_is_flagged(spark):
+    """The r7 chi2/KS shape: sum(abs(count_i * total - count_j * n))."""
+    df = _base(spark).agg(
+        F.sum(F.abs(F.col("a") * F.col("b") - F.col("b"))).alias("s")
+    )
+    assert spark_sum_overflow_risks(_plan(df))
+
+
+def test_physical_plan_text_also_detected(spark):
+    """The catalog-wide test runs on executedPlan text (partial_sum /
+    merge_sum rendering) — same detection must hold there."""
+    df = _base(spark).agg(F.sum(F.col("a") * F.col("b")).alias("s"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert spark_sum_overflow_risks(plan)

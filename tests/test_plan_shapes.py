@@ -28,9 +28,18 @@ ALLPAIRS_OK = {
 }
 
 
+_PLAN_CACHE: dict[str, str] = {}
+
+
 def _plan(spark, name: str) -> str:
-    fn, _ = QUERIES[name]
-    return fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    # cached: the catalog-wide parametrized tests (cartesian pin +
+    # overflow audit) each touch every entry — build each plan once
+    if name not in _PLAN_CACHE:
+        fn, _ = QUERIES[name]
+        _PLAN_CACHE[name] = (
+            fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        )
+    return _PLAN_CACHE[name]
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -44,6 +53,41 @@ def test_no_accidental_cartesian(spark, name):
     assert "BroadcastNestedLoopJoin Inner" not in plan.replace(
         "BuildRight, Inner", "Inner"
     ) or "broadcast" in name, f"{name} plans an inner nested-loop join"
+
+
+# Long-product sums whose inputs are BOUNDED BY CONSTRUCTION, so the
+# int64 accumulator provably holds at any corpus size — the plan-text
+# detector cannot see the bound, hence the explicit waiver with the
+# arithmetic. Anything NOT provably bounded gets the DECIMAL(38,0) hop
+# instead of a waiver.
+SUM_PRODUCT_BOUNDED = {
+    # tf ≤ doc tokens (~1e5) × idf ≤ ln(N)·1e6 (~3.3e7 at N=1e14),
+    # summed over ≤5 query terms → < 2e13 per group
+    "retrieval_eval_mrr": "tf·idf over ≤5 query terms per group",
+    "retrieval_eval_ndcg": "same tf·idf bound + grade(≤2)·disc over ≤5 rows",
+    # post-limit(200) frame: x ≤ ln(200)·1e3, y ≤ ln(1e14)·1e3 → Σxy < 1e11
+    "vocab_zipf_fit": "OLS moments over exactly ≤200 milli-log rows",
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_unhopped_long_product_sums(spark, name):
+    """Static overflow audit (VERDICT r8 #5): no catalog entry may SUM
+    a product of two unbounded long columns without a DECIMAL(38) hop —
+    the BIGINT-overflow class that bit r6 (oracle typing) and r7
+    (ACF/KS/Mann-Whitney). Detection runs on the executed-plan text via
+    scripts/audit_oracle_types.spark_sum_overflow_risks."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from audit_oracle_types import spark_sum_overflow_risks
+
+    if name in SUM_PRODUCT_BOUNDED:
+        pytest.skip(f"bounded by construction: {SUM_PRODUCT_BOUNDED[name]}")
+    risks = spark_sum_overflow_risks(_plan(spark, name))
+    assert not risks, (
+        f"{name} sums long products without a DECIMAL(38,0) hop: {risks}"
+    )
 
 
 def test_star_join_broadcasts_dims(spark):

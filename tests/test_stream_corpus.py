@@ -466,3 +466,27 @@ def test_forget_docs_on_empty_or_missing_stores_is_noop(spark, tmp_path):
         "exact": {"partitions": [], "removed": 0},
         "bands": {"partitions": [], "removed": 0},
     }
+
+
+def test_scratch_dir_footprint_flat_across_sweeps(spark, sf_dir):
+    """Registered state-store queries keep ONE live scratch dir per
+    (session, kind): re-invoking wipes and recreates it, so repeated
+    catalog sweeps don't accumulate dead warehouse dirs (VERDICT r8 #6),
+    and the second invocation's results are identical."""
+    import os
+    import tempfile
+
+    from transfer_spark.workloads.text import q_streaming_dedup_index
+
+    root = os.path.join(
+        tempfile.gettempdir(), "transfer_spark_scratch",
+        spark.sparkContext.applicationId,
+    )
+    a = sorted(map(tuple, q_streaming_dedup_index(spark, sf_dir).collect()))
+    kinds_after_1 = set(os.listdir(root))
+    assert "dedup_idx" in kinds_after_1
+    b = sorted(map(tuple, q_streaming_dedup_index(spark, sf_dir).collect()))
+    kinds_after_2 = set(os.listdir(root))
+    assert a == b
+    # same kind set — nothing accumulated; exactly one dedup_idx dir
+    assert kinds_after_2 == kinds_after_1

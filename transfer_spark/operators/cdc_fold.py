@@ -407,9 +407,14 @@ def join_agg_maintenance(
             F.broadcast(dim_delta.select(key_col, group_col, "weight")), key_col
         )
         .groupBy(group_col)
+        # measure × weight hops through DECIMAL(38,0): weight is ±1 but
+        # the accumulator must carry the same headroom as any measure
+        # sum (cents totals brush int64 at 100 TB — r9 overflow audit);
+        # published back at the caller's integer grain
         .agg(
             *[
-                F.sum(F.col(c) * F.col("weight")).alias(c)
+                F.sum((F.col(c) * F.col("weight")).cast("decimal(38,0)"))
+                .cast("long").alias(c)
                 for c in measure_cols
             ]
         )

@@ -126,13 +126,20 @@ def markov_removal_attribution(
         contrib = (
             trans.join(F.broadcast(p_in), ["removed", "to_s"])
             .groupBy("removed", F.col("from_s").alias("state"))
-            .agg(F.sum(F.col("cnt") * F.col("p_ppm")).alias("c"))
+            # cnt (event-scale) × p_ppm (≤1e6) brushes int64 when total
+            # transitions pass ~1e13 — accumulate in DECIMAL(38,0); the
+            # published p_ppm is re-grained to BIGINT below as before
+            .agg(
+                F.sum((F.col("cnt") * F.col("p_ppm")).cast("decimal(38,0)"))
+                .alias("c")
+            )
         )
         p = states.join(F.broadcast(contrib), ["removed", "state"], "left").select(
             "removed",
             "state",
             F.expr(
-                "CAST((conv_cnt * 1000000 + COALESCE(c, CAST(0 AS BIGINT)))"
+                "CAST((CAST(conv_cnt AS DECIMAL(38,0)) * 1000000"
+                " + COALESCE(c, CAST(0 AS DECIMAL(38,0))))"
                 " DIV tot AS BIGINT)"
             ).alias("p_ppm"),
         )
@@ -779,8 +786,14 @@ def series_correlation_topk(
     q = counts.filter(F.col("k") == query_key).select(
         F.col("b").alias("qb"), F.col("x").alias("qx")
     )
+    # count-squared products hop to DECIMAL(38,0) before summing (r9
+    # overflow audit: x² overflows a long accumulator once per-bucket
+    # counts pass ~3e9); the correlation arithmetic below consumes them
+    # via the existing double casts, so published r_ppm is unchanged
+    d38 = "decimal(38,0)"
     qstats = q.agg(
-        F.sum("qx").alias("sq"), F.sum(F.col("qx") * F.col("qx")).alias("sqq")
+        F.sum("qx").alias("sq"),
+        F.sum((F.col("qx") * F.col("qx")).cast(d38)).alias("sqq"),
     )
     per_key = (
         counts.filter(F.col("k") != query_key)
@@ -788,17 +801,19 @@ def series_correlation_topk(
         .groupBy("k")
         .agg(
             F.sum("x").alias("sx"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("x") * F.coalesce(F.col("qx"), F.lit(0))).alias("sxq"),
+            F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+            F.sum(
+                (F.col("x") * F.coalesce(F.col("qx"), F.lit(0))).cast(d38)
+            ).alias("sxq"),
         )
     )
     j = per_key.crossJoin(F.broadcast(span)).crossJoin(F.broadcast(qstats))
     # integer-exact until the one division: n, sums, and products are all
     # BIGINT on both engines, so num/var are bit-identical inputs
     n = F.col("n_buckets").cast("long")
-    num = n * F.col("sxq") - F.col("sx") * F.col("sq")
-    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
-    varq = n * F.col("sqq") - F.col("sq") * F.col("sq")
+    num = n * F.col("sxq") - F.col("sx").cast(d38) * F.col("sq")
+    varx = n * F.col("sxx") - F.col("sx").cast(d38) * F.col("sx")
+    varq = n * F.col("sqq") - F.col("sq").cast(d38) * F.col("sq")
     denom = F.sqrt(varx.cast("double")) * F.sqrt(varq.cast("double"))
     r_ppm = F.floor(
         F.lit(1_000_000.0) * num.cast("double")

@@ -103,6 +103,32 @@ def ensure_session_confs(spark: SparkSession) -> None:
             pass  # non-settable in this runtime → keep its default
 
 
+def scratch_dir(spark: SparkSession, kind: str) -> str:
+    """Session-scoped scratch root for state-store-backed registry
+    queries (VERDICT r8 #6): one live directory per (session, kind).
+    Creating the next invocation's dir deletes the previous one, so a
+    catalog sweep that runs these queries repeatedly keeps a FLAT tmp
+    footprint instead of accumulating one dead warehouse dir per
+    invocation (the old mkdtemp-per-call pattern). Keyed by Spark
+    application id so concurrent sessions never collide.
+
+    Contract: the query's result frame must be collected before the
+    SAME query is invoked again in the session (registry sweeps do) —
+    re-invocation wipes the backing store of the previous frame.
+    """
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(), "transfer_spark_scratch",
+        spark.sparkContext.applicationId, kind,
+    )
+    if os.path.isdir(root):
+        shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """spark.read.parquet + timestamp normalization. The testdata has shipped
     in two parquet flavors across rounds: TIMESTAMP(NANOS) (no Spark type →

@@ -513,17 +513,25 @@ class StreamingCorpusIngest:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        return {
+        # each store erasure is idempotent (anti-join rewrite of the
+        # partitions still holding the ids), so a crash between store
+        # rewrites converges under replay: the _fp tags let the soak
+        # test kill between corpus / exact / band rewrites and assert
+        # zero residuals after the re-run.
+        out = {
             "corpus": self._erase_partitions(
                 self.corpus_path, "ingest_batch", "doc_id", ids
             ),
-            "exact": self._erase_partitions(
-                self.exact_path, "__bucket", "doc", ids
-            ),
-            "bands": self._erase_partitions(
-                self.minhash.path, self.minhash.BUCKET_COL, "doc", ids
-            ),
         }
+        self._fp("forget_corpus_done")
+        out["exact"] = self._erase_partitions(
+            self.exact_path, "__bucket", "doc", ids
+        )
+        self._fp("forget_exact_done")
+        out["bands"] = self._erase_partitions(
+            self.minhash.path, self.minhash.BUCKET_COL, "doc", ids
+        )
+        return out
 
     def _erase_partitions(
         self, path: str, part_col: str, doc_col: str, ids: DataFrame

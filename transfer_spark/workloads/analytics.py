@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from transfer_spark.session import read_table
+from transfer_spark.session import read_table, scratch_dir
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1647,13 +1647,22 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["lane", "bucket"],
         )
         .groupBy("lane")
-        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+        # ca·cb is a product of two cell counts (~(N/width)² — already
+        # ~4e18 per cell at N=6e11): hop to DECIMAL(38,0) before the
+        # sum (r9 overflow audit), publish back as BIGINT
+        .agg(
+            F.sum((F.col("ca") * F.col("cb")).cast("decimal(38,0)"))
+            .cast("long").alias("ip")
+        )
     )
     est = lane_ip.agg(F.min("ip").alias("cms_estimate"))
     exact = (
         o.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
         .join(li.groupBy("k").agg(F.count(F.lit(1)).alias("cb")), "k")
-        .agg(F.sum(F.col("ca") * F.col("cb")).alias("exact_rows"))
+        .agg(
+            F.sum((F.col("ca") * F.col("cb")).cast("decimal(38,0)"))
+            .cast("long").alias("exact_rows")
+        )
     )
     return exact.crossJoin(est).select(
         "exact_rows", "cms_estimate",
@@ -2473,7 +2482,6 @@ def q_identity_stitch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-batch merges land as label redirects, never member rewrites —
     then labeled identically to the batch query. Shares the batch
     oracle: N incremental batches must equal one-shot CC exactly."""
-    import tempfile
 
     from transfer_spark.streaming.identity_index import IncrementalIdentityIndex
 
@@ -2484,7 +2492,7 @@ def q_identity_stitch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     d3 = F.when((u % 30 == 0) & (u > 0), F.expr("user_id DIV 3") - 2)
     hi = e.agg(F.max("event_id")).collect()[0][0]  # bounded scalar
     idx = IncrementalIdentityIndex(
-        spark, tempfile.mkdtemp(prefix="ididx_q_"), n_buckets=16
+        spark, scratch_dir(spark, "ididx_q"), n_buckets=16
     )
     for lo_f, hi_f in ((0.0, 1 / 3), (1 / 3, 2 / 3), (2 / 3, 1.01)):
         sl = e.filter(
@@ -3835,8 +3843,12 @@ def q_brand_price_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast(d38).alias("n"),
         F.sum("x").cast(d38).alias("sx"),
         F.sum("y").cast(d38).alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+        # products hop to DECIMAL(38,0) BEFORE the sum — a long
+        # accumulator for Σxy (x≤50, y≤1e7 cents) overflows at ~2e10
+        # rows, inside 100 TB lineitem cardinality (caught by the r9
+        # static overflow auditor)
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
         F.sum((F.col("y").cast(d38) * F.col("y").cast(d38))).alias("syy"),
     )
     return (

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from transfer_spark.session import read_table
+from transfer_spark.session import read_table, scratch_dir
 
 from transfer_spark.constants import (
     DELETE_COLUMN_MARKER,
@@ -233,12 +233,11 @@ def q_cdc_merge_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the row-level MERGE access pattern; the statement-executing
     Delta/Iceberg path is plans/merge_exec.py) — then the post-merge
     table is read back. Same oracle as the pure-plan cdc_merge_hard."""
-    import tempfile
 
     from transfer_spark.streaming.pipeline import ReplicationPipeline
 
     batch1, batch2, _ = _two_batches(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="artie_merge_exec_")
+    tmp = scratch_dir(spark, "merge_exec")
     pipe = ReplicationPipeline(
         spark, tmp, ["id"], OFF, table_format="bucketed", n_buckets=16
     )
@@ -458,7 +457,6 @@ def q_aggregate_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFram
     streaming/agg_mv.py (carried last-version state, per-batch deltas,
     MERGE-style MV update) — the final MV must equal the one-shot batch
     computation, so this entry shares the batch oracle."""
-    import tempfile
 
     from transfer_spark.streaming.agg_mv import IncrementalAggMV
 
@@ -473,7 +471,7 @@ def q_aggregate_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFram
     bounds = s.agg(F.min(OFF).alias("lo"), F.max(OFF).alias("hi")).first()
     mid = (bounds["lo"] + bounds["hi"]) // 2
     mv = IncrementalAggMV(
-        spark, tempfile.mkdtemp(prefix="artie_agg_mv_"),
+        spark, scratch_dir(spark, "agg_mv"),
         ["id"], OFF, DEL, "etype", "cents",
     )
     mv.apply_batch(s.filter(F.col(OFF) <= mid))

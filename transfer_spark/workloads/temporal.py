@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from transfer_spark.operators import temporal as TP
-from transfer_spark.session import read_table
+from transfer_spark.session import read_table, scratch_dir
 
 _GAP_S = 21_600  # 6h session gap
 _RANGE_S = 3_600  # 1h range-join window
@@ -1108,7 +1108,6 @@ def q_cms_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the accumulated sketch must be cell-for-cell identical to the
     one-pass sketch of the whole stream — which is this entry's oracle
     (the same SQL as cms_heavy_hitters' sketch stage)."""
-    import tempfile
 
     from transfer_spark.streaming.sketch_accum import CmsAccumulator
 
@@ -1117,7 +1116,7 @@ def q_cms_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.min("event_id") + F.max("event_id")) / 2).cast("long")
     ).first()[0]
     acc = CmsAccumulator(
-        spark, tempfile.mkdtemp(prefix="artie_cms_acc_"), "user_id"
+        spark, scratch_dir(spark, "cms_acc"), "user_id"
     )
     acc.apply_batch(ev.filter(F.col("event_id") <= mid))
     return acc.apply_batch(ev.filter(F.col("event_id") > mid))
@@ -1143,7 +1142,6 @@ def q_mg_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle replays the same two merges unrolled in SQL. ``err``
     carries each surviving counter's accumulated subtraction — the
     MG underestimate bound the caller reports."""
-    import tempfile
 
     from transfer_spark.streaming.sketch_accum import MgAccumulator
 
@@ -1152,7 +1150,7 @@ def q_mg_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.min("event_id") + F.max("event_id")) / 2).cast("long")
     ).first()[0]
     acc = MgAccumulator(
-        spark, tempfile.mkdtemp(prefix="artie_mg_acc_"), "user_id", k=16
+        spark, scratch_dir(spark, "mg_acc"), "user_id", k=16
     )
     acc.apply_batch(ev.filter(F.col("event_id") <= mid))
     return acc.apply_batch(ev.filter(F.col("event_id") > mid))
@@ -1739,7 +1737,6 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's island rule uses >= too — aligned by definition, not by
     data (this corpus has microsecond-grain gaps, never a whole
     second, so the degenerate point also cannot occur)."""
-    import tempfile
     import uuid
 
     ev = _events(spark, sf_dir).select(
@@ -1747,7 +1744,7 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)")
         .alias("vm"),
     )
-    src = tempfile.mkdtemp(prefix="artie_sess_stream_")
+    src = scratch_dir(spark, "sess_stream")
     ev.repartition(2).write.mode("overwrite").parquet(src)
     stream = (
         spark.readStream.schema("user_id bigint, ts timestamp, vm bigint")
@@ -1814,7 +1811,6 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow end state equals the batch interval join exactly —
     which is the oracle. Two files per side, so matches span
     micro-batches and the state machinery is actually exercised."""
-    import tempfile
     import uuid
 
     ev = _events(spark, sf_dir)
@@ -1826,7 +1822,7 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
         F.col("event_id").alias("click_id"),
     )
-    base = tempfile.mkdtemp(prefix="artie_ssj_")
+    base = scratch_dir(spark, "ssj")
     views.repartition(2).write.mode("overwrite").parquet(base + "/v")
     clicks.repartition(2).write.mode("overwrite").parquet(base + "/c")
     vs = (
@@ -1875,13 +1871,12 @@ def q_streaming_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     persistent content-hash dedup index, which handles the
     cross-restart horizon this operator's in-memory state cannot.
     End state = first arrival per key = plain DISTINCT, the oracle."""
-    import tempfile
     import uuid
 
     ev = _events(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type"
     )
-    base = tempfile.mkdtemp(prefix="artie_sdd_")
+    base = scratch_dir(spark, "sdd")
     # two identical files: every event is delivered twice, across
     # micro-batch boundaries
     ev.coalesce(1).write.mode("overwrite").parquet(base + "/a")
@@ -1941,11 +1936,10 @@ def q_streaming_window_finalization(spark: SparkSession, sf_dir: str) -> DataFra
     File order (real batch before stragglers) is pinned via mtimes —
     the file source orders micro-batches by modification time."""
     import os
-    import tempfile
     import uuid
 
     ev = _events(spark, sf_dir).select("event_id", "ts")
-    base = tempfile.mkdtemp(prefix="artie_late_")
+    base = scratch_dir(spark, "late")
     os.makedirs(base + "/stream", exist_ok=True)
     ev.coalesce(1).write.mode("overwrite").parquet(base + "/b1")
     stragglers = ev.select(
@@ -2272,7 +2266,6 @@ def q_hll_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/sketch_accum.py:HllAccumulator): register-wise max makes
     the streamed sketch equal the one-pass sketch exactly — the oracle
     computes the one-pass form."""
-    import tempfile
 
     from transfer_spark.streaming.sketch_accum import HllAccumulator
 
@@ -2281,7 +2274,7 @@ def q_hll_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.min("event_id") + F.max("event_id")) / 2).cast("long")
     ).first()[0]
     acc = HllAccumulator(
-        spark, tempfile.mkdtemp(prefix="artie_hll_acc_"), "event_type",
+        spark, scratch_dir(spark, "hll_acc"), "event_type",
         "user_id",
     )
     acc.apply_batch(ev.filter(F.col("event_id") <= mid))
@@ -2300,7 +2293,6 @@ def q_kmv_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/sketch_accum.py:KmvAccumulator): union + re-take-k makes
     the streamed sketch equal the one-pass sketch exactly — the oracle
     computes the one-pass form."""
-    import tempfile
 
     from transfer_spark.streaming.sketch_accum import KmvAccumulator
 
@@ -2309,7 +2301,7 @@ def q_kmv_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.min("event_id") + F.max("event_id")) / 2).cast("long")
     ).first()[0]
     acc = KmvAccumulator(
-        spark, tempfile.mkdtemp(prefix="artie_kmv_acc_"), "user_id",
+        spark, scratch_dir(spark, "kmv_acc"), "user_id",
         k=_KMV_K,
     )
     acc.apply_batch(ev.filter(F.col("event_id") <= mid))
@@ -2504,7 +2496,11 @@ def q_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"shiftleft(CAST(1 AS BIGINT), {_EWMA_H} - k)").alias("w"),
     )
     agg = contrib.groupBy("event_type", "day").agg(
-        F.sum(F.col("cents") * F.col("w")).alias("numer"),
+        # cents × 2^(H-k) hops to DECIMAL(38,0) before the sum — the
+        # docstring's own "beyond ~2^42 daily cents" headroom note,
+        # made unconditional by the r9 overflow audit
+        F.sum((F.col("cents") * F.col("w")).cast("decimal(38,0)"))
+        .alias("numer"),
         F.sum("w").alias("weight_sum"),
     )
     observed = daily.select("event_type", F.col("d").alias("day"))

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from transfer_spark.session import read_table
+from transfer_spark.session import read_table, scratch_dir
 
 from transfer_spark.operators import dedupe as D
 from transfer_spark.operators import redact as R
@@ -3574,13 +3574,12 @@ def q_streaming_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     through a fresh MinHash band index — verdicts show intra-batch dups,
     cross-batch index dups, and keepers. The second batch's probe reads
     ONLY the index buckets its band hashes map to."""
-    import tempfile
 
     from transfer_spark.streaming.dedup_index import MinHashDedupIndex
 
     d = _docs(spark, sf_dir)
     idx = MinHashDedupIndex(
-        spark, tempfile.mkdtemp(prefix="artie_dedup_idx_"), n_buckets=16
+        spark, scratch_dir(spark, "dedup_idx"), n_buckets=16
     )
     v0 = idx.process_batch(
         d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
@@ -3639,13 +3638,12 @@ def q_streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-hash index -> persistent MinHash band index -> corpus append.
     Greedy first-arrival semantics, so the two-batch run is expressible
     stage-by-stage in SQL (the oracle below mirrors each stage)."""
-    import tempfile
 
     from transfer_spark.streaming.corpus_ingest import StreamingCorpusIngest
 
     d = _docs(spark, sf_dir)
     ing = StreamingCorpusIngest(
-        spark, tempfile.mkdtemp(prefix="artie_corpus_ing_"),
+        spark, scratch_dir(spark, "corpus_ing"),
         min_tokens=30, n_buckets=16,
     )
     v0 = ing.process_batch(
@@ -3742,7 +3740,6 @@ def q_streaming_ingest_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     the eval suite is refused before the dedup stages — content policy
     outranks first-arrival, so a contaminated doc can never become the
     kept representative, and it never touches the indexes or corpus."""
-    import tempfile
 
     from transfer_spark.streaming.corpus_ingest import (
         EvalNgramIndex,
@@ -3751,7 +3748,7 @@ def q_streaming_ingest_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     is_eval = F.col("doc_id") % 7 == 3
-    root = tempfile.mkdtemp(prefix="artie_corpus_decon_")
+    root = scratch_dir(spark, "corpus_decon")
     ev_idx = EvalNgramIndex(spark, root + "/eval_ngrams", n=8, n_buckets=16)
     ev_idx.build(d.filter(is_eval), "text")
     ing = StreamingCorpusIngest(
@@ -3880,13 +3877,12 @@ def q_corpus_forget_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped earlier as a duplicate of an erased doc stays dropped) —
     the oracle mirrors that by filtering the kept set, not re-running
     dedup without the erased docs."""
-    import tempfile
 
     from transfer_spark.streaming.corpus_ingest import StreamingCorpusIngest
 
     d = _docs(spark, sf_dir)
     ing = StreamingCorpusIngest(
-        spark, tempfile.mkdtemp(prefix="artie_forget_"),
+        spark, scratch_dir(spark, "forget"),
         min_tokens=30, n_buckets=16,
     )
     ing.process_batch(
@@ -4559,11 +4555,10 @@ def q_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text_index.py): build writes term-bucket-partitioned
     postings; the probe reads only the query terms' buckets. Identical
     arithmetic → shares bm25_topk's oracle."""
-    import tempfile
 
     from transfer_spark.operators.text_index import Bm25Index
 
-    idx = Bm25Index(spark, tempfile.mkdtemp(prefix="artie_bm25_idx_"))
+    idx = Bm25Index(spark, scratch_dir(spark, "bm25_idx"))
     idx.build(_docs(spark, sf_dir), "doc_id", "text")
     return idx.topk(_BM25_TERMS, id_col="doc_id", k=20)
 
@@ -4774,13 +4769,12 @@ def q_streaming_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole ingest and stable once assigned — the resumable-cursor
     contract. Expressible as one SQL window because block order ==
     (batch, doc_id) order."""
-    import tempfile
 
     from transfer_spark.streaming.row_index import IncrementalRowIndex
 
     d = _docs(spark, sf_dir).select("doc_id")
     ing = IncrementalRowIndex(
-        spark, tempfile.mkdtemp(prefix="artie_row_idx_"), ["doc_id"]
+        spark, scratch_dir(spark, "row_idx"), ["doc_id"]
     )
     v0 = ing.process_batch(d.filter(F.col("doc_id") % 2 == 0), batch_id=0)
     v1 = ing.process_batch(d.filter(F.col("doc_id") % 2 == 1), batch_id=1)

@@ -301,13 +301,21 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = partsupp(spark, sf_dir).join(
         F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey")
     )
-    val = F.col("ps_supplycost_cents") * F.col("ps_availqty")
-    per_part = ps.groupBy("ps_partkey").agg(F.sum(val).alias("value_cents"))
-    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    # cents × qty hops to DECIMAL(38,0) before any sum: the per-part
+    # accumulator is small (≤4 suppliers/part) but the grand total is
+    # parts × ~4e11 — overflows int64 near SF 1e5 (r9 overflow audit)
+    val = (F.col("ps_supplycost_cents") * F.col("ps_availqty")).cast(
+        "decimal(38,0)"
+    )
+    per_part = ps.groupBy("ps_partkey").agg(F.sum(val).alias("__v38"))
+    total = per_part.agg(F.sum("__v38").alias("total_cents"))
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("value_cents") * 10000 > F.col("total_cents"))
-        .select("ps_partkey", "value_cents")
+        .filter(F.col("__v38") * 10000 > F.col("total_cents"))
+        .select(
+            "ps_partkey",
+            F.col("__v38").cast("long").alias("value_cents"),
+        )
     )
 
 

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from transfer_spark.session import read_table
+from transfer_spark.session import read_table, scratch_dir
 
 from transfer_spark.operators import similarity as S
 
@@ -255,12 +255,11 @@ def q_ann_ivf_persistent(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted lists, probe reads only the probed centroids' partitions.
     Same math as ann_ivf_kmeans, so the same Lloyd-unrolled oracle
     value-checks the round-trip through the persisted layout."""
-    import tempfile
 
     from transfer_spark.operators.vector_index import IvfIndex
 
     emb = _emb(spark, sf_dir)
-    idx = IvfIndex(spark, tempfile.mkdtemp(prefix="artie_ivf_idx_"))
+    idx = IvfIndex(spark, scratch_dir(spark, "ivf_idx"))
     idx.build(emb, k=16, n_iters=2)
     return idx.probe(emb.filter(F.col("vec_id") < 10), k=5, n_probe=4)
 
@@ -285,11 +284,13 @@ def q_dim_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ex.groupBy("pos").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("v").alias("s1"),
-        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        # v² ≤ 4e12 (micro-units²) — a long Σv² overflows near 2e6
+        # corpus rows per dim × … at 100 TB; hop to DECIMAL(38,0)
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("s2"),
     )
     n = F.col("n").cast("double")
     mean = F.col("s1") / n
-    sigma = F.sqrt(F.col("s2") / n - mean * mean)
+    sigma = F.sqrt(F.col("s2").cast("double") / n - mean * mean)
     arrays = stats.select("pos", mean.alias("m"), sigma.alias("sd")).groupBy().agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
@@ -1041,7 +1042,7 @@ def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimal plan (BM25: filtered explode + broadcast stats; dense:
     broadcast query scan); fusion itself touches only 40 rank rows."""
     from transfer_spark.operators import text as T
-    from transfer_spark.session import read_table
+    from transfer_spark.session import read_table, scratch_dir
 
     docs = read_table(spark, sf_dir, "documents")
     emb = _emb(spark, sf_dir)
