@@ -826,6 +826,33 @@ def main():
         spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
 
 
+    # round-9 addition: mining-scale bitext. Candidate generation is a
+    # bucket equi-join whose cost is Σ_b |s_b|·|t_b| — with FIXED planes
+    # that is N²/2^planes, so the deployment contract scales n_planes
+    # with log2(corpus growth) to hold per-bucket verify density
+    # constant (exactly how recall/cost is tuned in practice); under
+    # that contract wall grows ~linearly where the exact verifier's
+    # cross product grows quadratically.
+    import math
+
+    from transfer_spark.operators.similarity import bitext_margin_mine_lsh
+
+    _bitext_planes = {"n": 4}
+
+    def em_bitext(factor):
+        _bitext_planes["n"] = 4 + max(0, round(math.log2(max(factor, 1))))
+        return em(factor)
+
+    def _bitext_lsh(d):
+        return bitext_margin_mine_lsh(
+            d.filter(F.col("vec_id") % 2 == 0),
+            d.filter(F.col("vec_id") % 2 == 1),
+            k=4, margin_threshold_ppm=1_000_000,
+            n_planes=_bitext_planes["n"], dim=64, seeds=(42, 43),
+        )
+
+    results += [probe("bitext_margin_lsh", em_bitext, _bitext_lsh)]
+
     worst = max(r["ratio"] for r in results)
     print(json.dumps({"metric": "scale_probe_worst_ratio", "value": worst,
                       "rep": REP, "ops": {r["op"]: r["ratio"] for r in results},

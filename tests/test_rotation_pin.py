@@ -1,0 +1,31 @@
+"""The frozen driver-rotation window (VERDICT r8 #1): the first 50
+QUERIES entries — what the correctness driver adjudicates — must be
+exactly the 13-name core spine followed by rotation_pin.PINNED_TAIL,
+independent of any registration landing after the round-start freeze.
+"""
+
+from __future__ import annotations
+
+from transfer_spark.workloads import _CORE, QUERIES
+from transfer_spark.workloads.rotation_pin import PINNED_TAIL
+
+
+def test_window_is_core_plus_pin():
+    names = list(QUERIES)
+    assert names[: len(_CORE)] == _CORE
+    assert names[len(_CORE):50] == PINNED_TAIL[: 50 - len(_CORE)]
+    assert len(_CORE) + len(PINNED_TAIL) == 50
+
+
+def test_pin_names_registered_and_disjoint():
+    assert not set(PINNED_TAIL) & set(_CORE)
+    assert len(set(PINNED_TAIL)) == len(PINNED_TAIL)
+    missing = [n for n in PINNED_TAIL if n not in QUERIES]
+    assert not missing
+
+
+def test_every_window_entry_has_an_oracle():
+    """Driver-window entries must all be oracle-backed (hash-compared),
+    never rows-only."""
+    weak = [n for n in list(QUERIES)[:50] if QUERIES[n][1] is None]
+    assert not weak, f"window entries without oracles: {weak}"
