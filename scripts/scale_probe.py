@@ -727,33 +727,35 @@ def main():
     # corpus-ingest probe cost must track the BATCH, not the corpus
     # (VERDICT r6 #4): seed the persistent indexes from a 1x vs 10x
     # corpus, then time the SAME fixed-size batch against each.
-    if _ONLY and "corpus_ingest_probe" not in _ONLY:
-        return
-    import tempfile
+    # NB: guarded like global_row_index — an early `return` here (the
+    # r7 form) silently aborted every later probe under SCALE_PROBE_ONLY
+    if not _ONLY or "corpus_ingest_probe" in _ONLY:
+        import tempfile
 
-    from transfer_spark.streaming.corpus_ingest import StreamingCorpusIngest
+        from transfer_spark.streaming.corpus_ingest import StreamingCorpusIngest
 
-    ing_out = {"op": "corpus_ingest_probe", "rep": REP}
-    probe_batch = (
-        docs.limit(200)
-        .select((F.col("doc_id") + F.lit(5_000_000_000)).alias("doc_id"),
-                "text")
-        .localCheckpoint()
-    )
-    for label, factor in (("t1", 1), ("tN", REP)):
-        ing = StreamingCorpusIngest(
-            spark, tempfile.mkdtemp(prefix="scale_ing_"), min_tokens=5
+        ing_out = {"op": "corpus_ingest_probe", "rep": REP}
+        probe_batch = (
+            docs.limit(200)
+            .select((F.col("doc_id") + F.lit(5_000_000_000)).alias("doc_id"),
+                    "text")
+            .localCheckpoint()
         )
-        ing.process_batch(
-            dc(factor).select("doc_id", "text"), "doc_id", "text", batch_id=0
-        )  # index build cost is NOT the measurement
-        t0 = time.perf_counter()
-        v = ing.process_batch(probe_batch, "doc_id", "text", batch_id=1)
-        v.count()
-        ing_out[label] = round(time.perf_counter() - t0, 2)
-    ing_out["ratio"] = round(ing_out["tN"] / ing_out["t1"], 2)
-    print(json.dumps(ing_out), flush=True)
-    results.append(ing_out)
+        for label, factor in (("t1", 1), ("tN", REP)):
+            ing = StreamingCorpusIngest(
+                spark, tempfile.mkdtemp(prefix="scale_ing_"), min_tokens=5
+            )
+            ing.process_batch(
+                dc(factor).select("doc_id", "text"), "doc_id", "text",
+                batch_id=0,
+            )  # index build cost is NOT the measurement
+            t0 = time.perf_counter()
+            v = ing.process_batch(probe_batch, "doc_id", "text", batch_id=1)
+            v.count()
+            ing_out[label] = round(time.perf_counter() - t0, 2)
+        ing_out["ratio"] = round(ing_out["tN"] / ing_out["t1"], 2)
+        print(json.dumps(ing_out), flush=True)
+        results.append(ing_out)
 
     # Zipf-skew stress for the big-big order-key join (VERDICT r6 #8):
     # 30% of lineitem rows collapse onto ONE hot orderkey; broadcast is
@@ -781,49 +783,50 @@ def main():
                  F.count(F.lit(1)).alias("n"))
         )
 
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    # AQE's skew split only triggers above 256 MB/partition by default —
-    # production scale. This corpus is MBs, so scale the thresholds down
-    # proportionally to demonstrate the mechanism itself (the final-plan
-    # report must show the skew join engaged).
-    spark.conf.set(
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
-    try:
-        skew_out = {"op": "orderkey_join_skew", "rep": REP}
-        for label, factor in (("t1_uniform", 1), ("tN_uniform", REP),
-                              ("t1_skew", 1), ("tN_skew", REP)):
-            lines = li(factor)
-            if label.endswith("_skew"):
-                lines = lines.withColumn(
-                    "l_orderkey",
-                    F.when(
-                        F.pmod(F.xxhash64("l_orderkey"), F.lit(10)) < 3,
-                        F.lit(1),
-                    ).otherwise(F.col("l_orderkey")),
-                )
-            frame = _join(lines, factor)
-            t0 = time.perf_counter()
-            frame.write.format("noop").mode("overwrite").save()
-            skew_out[label] = round(time.perf_counter() - t0, 2)
-            if label == "tN_skew":
-                skew_out["skew_joins_final_plan"] = plan_report(
-                    _join(lines, factor), execute=True
-                )["skew_joins"]
-        skew_out["ratio_uniform"] = round(
-            skew_out["tN_uniform"] / skew_out["t1_uniform"], 2)
-        skew_out["ratio_skew"] = round(
-            skew_out["tN_skew"] / skew_out["t1_skew"], 2)
-        skew_out["ratio"] = skew_out["ratio_skew"]
-        print(json.dumps(skew_out), flush=True)
-        results.append(skew_out)
-    finally:
+    if not _ONLY or "orderkey_join_skew" in _ONLY:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # AQE's skew split only triggers above 256 MB/partition by default —
+        # production scale. This corpus is MBs, so scale the thresholds down
+        # proportionally to demonstrate the mechanism itself (the final-plan
+        # report must show the skew join engaged).
         spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024)
-        )
-        spark.conf.unset(
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
-        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
+        try:
+            skew_out = {"op": "orderkey_join_skew", "rep": REP}
+            for label, factor in (("t1_uniform", 1), ("tN_uniform", REP),
+                                  ("t1_skew", 1), ("tN_skew", REP)):
+                lines = li(factor)
+                if label.endswith("_skew"):
+                    lines = lines.withColumn(
+                        "l_orderkey",
+                        F.when(
+                            F.pmod(F.xxhash64("l_orderkey"), F.lit(10)) < 3,
+                            F.lit(1),
+                        ).otherwise(F.col("l_orderkey")),
+                    )
+                frame = _join(lines, factor)
+                t0 = time.perf_counter()
+                frame.write.format("noop").mode("overwrite").save()
+                skew_out[label] = round(time.perf_counter() - t0, 2)
+                if label == "tN_skew":
+                    skew_out["skew_joins_final_plan"] = plan_report(
+                        _join(lines, factor), execute=True
+                    )["skew_joins"]
+            skew_out["ratio_uniform"] = round(
+                skew_out["tN_uniform"] / skew_out["t1_uniform"], 2)
+            skew_out["ratio_skew"] = round(
+                skew_out["tN_skew"] / skew_out["t1_skew"], 2)
+            skew_out["ratio"] = skew_out["ratio_skew"]
+            print(json.dumps(skew_out), flush=True)
+            results.append(skew_out)
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024)
+            )
+            spark.conf.unset(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+            spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
 
 
     # round-9 addition: mining-scale bitext. Candidate generation is a
@@ -853,10 +856,11 @@ def main():
 
     results += [probe("bitext_margin_lsh", em_bitext, _bitext_lsh)]
 
-    worst = max(r["ratio"] for r in results)
+    ran = [r for r in results if not r.get("skipped")]
+    worst = max(r["ratio"] for r in ran)
     print(json.dumps({"metric": "scale_probe_worst_ratio", "value": worst,
-                      "rep": REP, "ops": {r["op"]: r["ratio"] for r in results},
-                      "results": results}))
+                      "rep": REP, "ops": {r["op"]: r["ratio"] for r in ran},
+                      "results": ran}))
 
 
 if __name__ == "__main__":
