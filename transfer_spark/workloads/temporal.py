@@ -3744,8 +3744,86 @@ FROM per_day
 """
 
 
+def q_split_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal holdout split with an embargo gap (the purged
+    walk-forward split, de Prado 2018 §7): train = orders strictly
+    BEFORE cutoff − 7 days, holdout = orders ON/AFTER the cutoff, and
+    the 7-day embargo band between them is EXCLUDED — the leakage
+    control hash splits can't give time-series data (a hash split lets
+    the model see the eval period's neighboring rows; adjacent-in-time
+    rows are the temporal analog of near-dup documents, which
+    `split_leakage_free` handles for text).
+
+    The cutoff is the 80th-percentile order date as an exact integer
+    order statistic (cumulative counts over DISTINCT dates — date
+    cardinality, never order rows; same contract as the CCNet
+    terciles), so both engines pick the identical calendar date.
+
+    Scale shape: one date-grain count agg, a date-cardinality cumsum,
+    a 1-row broadcast cutoff, then a pure-codegen assignment in the
+    scan; the report is a 3-row aggregate."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d")
+    )
+    dist = o.groupBy("d").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dist.select(
+        "d",
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(
+            Window.partitionBy()
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("__n"),
+    )
+    cut = cum.agg(
+        F.min(
+            F.when(F.col("__cum") * 5 >= F.col("__n") * 4, F.col("d"))
+        ).alias("cutoff")
+    )
+    assigned = o.crossJoin(F.broadcast(cut)).select(
+        "d",
+        F.when(F.col("d") < F.date_sub(F.col("cutoff"), 7), F.lit("train"))
+        .when(F.col("d") >= F.col("cutoff"), F.lit("holdout"))
+        .otherwise(F.lit("embargo"))
+        .alias("split"),
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("d").alias("min_date"),
+            F.max("d").alias("max_date"),
+        )
+        .orderBy("split")
+    )
+
+
+ORACLE_SPLIT_TEMPORAL = """
+WITH o AS (SELECT o_orderdate::DATE AS d FROM orders),
+dist AS (SELECT d, count(*) AS c FROM o GROUP BY 1),
+cum AS (
+  SELECT d,
+    sum(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS cm,
+    sum(c) OVER () AS n
+  FROM dist
+),
+cut AS (SELECT min(CASE WHEN cm * 5 >= n * 4 THEN d END) AS cutoff FROM cum),
+assigned AS (
+  SELECT CASE WHEN d < cutoff - INTERVAL 7 DAY THEN 'train'
+              WHEN d >= cutoff THEN 'holdout'
+              ELSE 'embargo' END AS split, d
+  FROM o, cut
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_orders,
+       min(d) AS min_date, max(d) AS max_date
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
 QUERIES = {
     "events_sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+    "split_temporal_holdout": (q_split_temporal_holdout, ORACLE_SPLIT_TEMPORAL),
     "kmv_sliding_wau": (q_kmv_sliding, ORACLE_KMV_SLIDING),
     "events_cusum_changepoint": (q_cusum_changepoint, ORACLE_CUSUM),
     "events_transition_matrix": (q_transition_matrix, ORACLE_TRANSITIONS),

@@ -2370,6 +2370,120 @@ FROM scored QUALIFY rnk <= 3
 """
 
 
+def q_gopher_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's repetition filters (Rae et al. 2021, Table A1 — the half
+    of the rule family `gopher_quality_gate` doesn't cover): fraction
+    of document characters taken by the single most frequent n-gram,
+    n ∈ {2, 3, 4}, gated at the published thresholds (0.20 / 0.18 /
+    0.16). Template/spam pages score high; prose scores near n·avg-word
+    /doc-length.
+
+    Integer-exact publication: share_ppm = count · len(gram) · 1e6 DIV
+    len(text) — all BIGINT; the top gram ties break to the
+    lexicographically smallest gram (deterministic on both engines).
+    Docs shorter than n tokens have no n-gram and score 0.
+
+    Scale shape: one explode + hash agg per n (map-side combinable; the
+    explode fan-out is per token, same as the tokenize passes), then a
+    per-doc max + a min-gram resolve on the max count — two aggregates,
+    no window over raw grams."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("nc"), T.tokens(F.col("text")).alias("t")
+    )
+    shares = None
+    for n in (2, 3, 4):
+        grams = F.when(
+            F.size("t") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(F.col("t"), i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        cnt = (
+            d.select("doc_id", "nc", F.explode(grams).alias("g"))
+            .groupBy("doc_id", "nc", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        mx = cnt.groupBy("doc_id", "nc").agg(F.max("c").alias("mx"))
+        top = (
+            cnt.join(mx, ["doc_id", "nc"])
+            .filter(F.col("c") == F.col("mx"))
+            .groupBy("doc_id", "nc", "mx")
+            .agg(F.min("g").alias("g"))
+        )
+        share = top.select(
+            "doc_id",
+            F.expr("mx * length(g) * 1000000 DIV nc")
+            .alias(f"top{n}_ppm"),
+        )
+        shares = share if shares is None else shares.join(
+            share, "doc_id", "left"
+        )
+    docs_all = _docs(spark, sf_dir).select("doc_id")
+    out = docs_all.join(shares, "doc_id", "left").select(
+        "doc_id",
+        *[
+            F.coalesce(F.col(f"top{n}_ppm"), F.lit(0).cast("long"))
+            .alias(f"top{n}_ppm")
+            for n in (2, 3, 4)
+        ],
+    )
+    return out.select(
+        "doc_id", "top2_ppm", "top3_ppm", "top4_ppm",
+        (
+            (F.col("top2_ppm") < 200_000)
+            & (F.col("top3_ppm") < 180_000)
+            & (F.col("top4_ppm") < 160_000)
+        ).alias("passes_repetition"),
+    )
+
+
+def _gopher_repetition_sql() -> str:
+    def ngram(n: int) -> str:
+        parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+        return (
+            f"unnest(CASE WHEN len(t) >= {n} THEN "
+            f"list_transform(range(1, len(t) - {n - 2}), i -> {parts}) "
+            "ELSE []::VARCHAR[] END)"
+        )
+
+    per_n = []
+    for n in (2, 3, 4):
+        per_n.append(f"""
+g{n} AS (
+  SELECT doc_id, nc, {ngram(n)} AS g FROM toks
+), c{n} AS (
+  SELECT doc_id, nc, g, count(*) AS c FROM g{n} GROUP BY 1, 2, 3
+), m{n} AS (
+  SELECT doc_id, nc, max(c) AS mx FROM c{n} GROUP BY 1, 2
+), t{n} AS (
+  SELECT c.doc_id,
+    CAST(c.mx * length(min(c{n}.g)) * 1000000 // c.nc AS BIGINT)
+      AS top{n}_ppm
+  FROM (SELECT m{n}.doc_id, m{n}.nc, m{n}.mx FROM m{n}) c
+  JOIN c{n} ON c{n}.doc_id = c.doc_id AND c{n}.c = c.mx
+  GROUP BY c.doc_id, c.mx, c.nc
+)""")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, length(text) AS nc, {_TOKS} AS t FROM documents
+),{",".join(per_n)}
+SELECT d.doc_id,
+  COALESCE(t2.top2_ppm, 0)::BIGINT AS top2_ppm,
+  COALESCE(t3.top3_ppm, 0)::BIGINT AS top3_ppm,
+  COALESCE(t4.top4_ppm, 0)::BIGINT AS top4_ppm,
+  (COALESCE(t2.top2_ppm, 0) < 200000
+   AND COALESCE(t3.top3_ppm, 0) < 180000
+   AND COALESCE(t4.top4_ppm, 0) < 160000) AS passes_repetition
+FROM documents d
+LEFT JOIN t2 ON t2.doc_id = d.doc_id
+LEFT JOIN t3 ON t3.doc_id = d.doc_id
+LEFT JOIN t4 ON t4.doc_id = d.doc_id
+"""
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition scoring (boilerplate detector): token
     multiplicity ratios per doc — the standard pre-training quality
@@ -4837,6 +4951,7 @@ QUERIES = {
     "corpus_datasheet": (q_corpus_datasheet, _datasheet_sql()),
     "doc_bigram_logprob": (q_bigram_logprob, ORACLE_BIGRAM_LOGPROB),
     "ccnet_perplexity_buckets": (q_ccnet_perplexity_buckets, ORACLE_CCNET_BUCKETS),
+    "gopher_repetition_gate": (q_gopher_repetition_gate, _gopher_repetition_sql()),
     "mixture_doremi_weights": (q_mixture_doremi_weights, ORACLE_DOREMI),
     "vocab_coverage_curve": (q_vocab_coverage_curve, ORACLE_VOCAB_COVERAGE),
     "bpe_top_merges": (q_bpe_top_merges, ORACLE_BPE_MERGES),
