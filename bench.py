@@ -101,8 +101,12 @@ def main() -> None:
     # cross-round comparisons should normalize by this denominator, not
     # read raw totals.
     def _calib() -> float:
+        # min-of-4: with min-of-2 the calibration itself swung ~40%
+        # between back-to-back runs (r9 measured 0.571 vs 0.803 minutes
+        # apart), polluting queries_calibrated more than the box drift
+        # it corrects for
         best = float("inf")
-        for _ in range(2):
+        for _ in range(4):
             t0 = time.perf_counter()
             (
                 spark.range(20_000_000)
