@@ -47,3 +47,49 @@ def test_partitioning_invariance(spark, p1, p2):
     fold_a = _multiset(cdc_fold(events.repartition(p1), ["user_id"], "event_id"))
     fold_b = _multiset(cdc_fold(events.repartition(p2), ["user_id"], "event_id"))
     assert fold_a == fold_b
+
+
+def test_r9_ops_partitioning_invariance(spark):
+    """r9 additions under the same contract: LSH bitext mining, the
+    repetition gate, and the temporal holdout must be byte-identical
+    under different input partitionings (integer publication + total
+    tie-break orders — nothing order-of-arrival-dependent)."""
+    from transfer_spark.operators.similarity import bitext_margin_mine_lsh
+    from transfer_spark.workloads.temporal import q_split_temporal_holdout
+    from transfer_spark.workloads.text import q_gopher_repetition_gate
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+
+    def mine(p):
+        e = emb.repartition(p)
+        return bitext_margin_mine_lsh(
+            e.filter(F.col("vec_id") % 2 == 0),
+            e.filter(F.col("vec_id") % 2 == 1),
+            k=4, margin_threshold_ppm=1_000_000,
+            n_planes=4, dim=64, seeds=(42, 43),
+        )
+
+    assert _multiset(mine(3)) == _multiset(mine(17))
+
+    # workload-level queries read parquet directly: splice a repartition
+    # into their table readers (the cluster_balanced_sample precedent)
+    import transfer_spark.workloads.temporal as WTMP
+    import transfer_spark.workloads.text as WT
+
+    a = _multiset(q_gopher_repetition_gate(spark, SF_DIR))
+    orig_docs = WT._docs
+    try:
+        WT._docs = lambda s, d: orig_docs(s, d).repartition(17)
+        b = _multiset(q_gopher_repetition_gate(spark, SF_DIR))
+    finally:
+        WT._docs = orig_docs
+    assert a == b
+
+    a = _multiset(q_split_temporal_holdout(spark, SF_DIR))
+    orig_rt = WTMP.read_table
+    try:
+        WTMP.read_table = lambda s, d, n: orig_rt(s, d, n).repartition(17)
+        b = _multiset(q_split_temporal_holdout(spark, SF_DIR))
+    finally:
+        WTMP.read_table = orig_rt
+    assert a == b
