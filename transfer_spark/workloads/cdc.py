@@ -246,6 +246,42 @@ def q_cdc_merge_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.table.read().select("id", "etype", "val", "ts")
 
 
+def q_cdc_history_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/M12 EXECUTED history mode: two raw batches flow through the
+    real append-only flush (ReplicationPipeline with history_mode=True,
+    AppendParquetTable — a flush never reads or rewrites prior files;
+    reference: clients/shared/append.go:14-85) and the audit table is
+    read back. No dedup, no delete folding: every mutation survives.
+    Batch 2 arrives with a NEW column (`extra`), so the read exercises
+    the mergeSchema path — batch-1 rows surface it as NULL without any
+    rewrite of their files (the reference's additive evolution)."""
+    from transfer_spark.streaming.pipeline import ReplicationPipeline
+
+    batch1, batch2, _ = _two_batches(spark, sf_dir)
+    pipe = ReplicationPipeline(
+        spark, scratch_dir(spark, "history_mode"), ["id"], OFF,
+        history_mode=True,
+    )
+    pipe.process_batch(batch1, 0)
+    pipe.process_batch(batch2.withColumn("extra", F.col("val") * 2), 1)
+    out = pipe.table.read()
+    return out.select(
+        "id", F.col(OFF).alias("off"), F.col(DEL).alias("is_delete"),
+        "etype", "val", "ts", "extra",
+    )
+
+
+ORACLE_CDC_HISTORY = f"""
+WITH stream AS ({_STREAM_SQL}),
+mid AS (SELECT CAST(floor(max(event_id) * 0.5) AS BIGINT) AS m FROM events)
+SELECT id, off, is_delete, etype, val, ts, CAST(NULL AS DOUBLE) AS extra
+FROM stream WHERE off <= (SELECT m FROM mid)
+UNION ALL
+SELECT id, off, is_delete, etype, val, ts, val * 2 AS extra
+FROM stream WHERE off > (SELECT m FROM mid)
+"""
+
+
 def q_cdc_merge_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7: soft-delete merge — deleted rows stay with __artie_delete=true.
 
@@ -859,6 +895,7 @@ QUERIES = {
     "cdc_fold_salted": (q_cdc_fold_salted, ORACLE_CDC_FOLD),
     "cdc_merge_hard": (q_cdc_merge_hard, _oracle_merge(soft=False)),
     "cdc_merge_exec": (q_cdc_merge_exec, _oracle_merge(soft=False)),
+    "cdc_history_mode": (q_cdc_history_mode, ORACLE_CDC_HISTORY),
     "cdc_merge_soft": (q_cdc_merge_soft, _oracle_merge(soft=True)),
     "schema_evolution_merge": (q_schema_evolution_merge, ORACLE_SCHEMA_EVOLUTION),
     "multi_step_merge": (q_multi_step_merge, _oracle_msm()),
