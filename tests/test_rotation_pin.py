@@ -24,6 +24,19 @@ def test_pin_names_registered_and_disjoint():
     assert not missing
 
 
+def test_pin_pays_down_adjudication_debt():
+    """The r9 'done' criterion (VERDICT r8 #1): the frozen window must
+    put ≥35 never-driver-adjudicated names in front of the driver.
+    Reads the committed CORRECTNESS artifacts exactly as the rotation
+    does."""
+    from transfer_spark.workloads import _seen
+
+    never = [n for n in PINNED_TAIL if n not in _seen]
+    assert len(never) >= 35, (
+        f"only {len(never)} never-adjudicated names in the pinned window"
+    )
+
+
 def test_every_window_entry_has_an_oracle():
     """Driver-window entries must all be oracle-backed (hash-compared),
     never rows-only."""
