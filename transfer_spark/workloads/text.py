@@ -2383,44 +2383,55 @@ def q_gopher_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographically smallest gram (deterministic on both engines).
     Docs shorter than n tokens have no n-gram and score 0.
 
-    Scale shape: one explode + hash agg per n (map-side combinable; the
-    explode fan-out is per token, same as the tokenize passes), then a
-    per-doc max + a min-gram resolve on the max count — two aggregates,
-    no window over raw grams."""
+    Scale shape: ONE corpus scan — the three gram spaces are tagged
+    with their n and exploded together, so the whole gate is one
+    (doc, n, gram) hash aggregate (map-side combinable) + a per-(doc,n)
+    max + min-gram resolve + a 3-way conditional pivot back to doc
+    grain. Three separate passes would triple the dominant cost (the
+    corpus scan) for identical output."""
     d = _docs(spark, sf_dir).select(
         "doc_id", F.length("text").alias("nc"), T.tokens(F.col("text")).alias("t")
     )
-    shares = None
-    for n in (2, 3, 4):
-        grams = F.when(
+
+    def grams(n: int):
+        return F.when(
             F.size("t") >= n,
             F.transform(
                 F.sequence(F.lit(1), F.size("t") - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(F.col("t"), i + j) for j in range(n)]
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at(F.col("t"), i + j) for j in range(n)],
+                    ).alias("g"),
                 ),
             ),
-        ).otherwise(F.array().cast("array<string>"))
-        cnt = (
-            d.select("doc_id", "nc", F.explode(grams).alias("g"))
-            .groupBy("doc_id", "nc", "g")
-            .agg(F.count(F.lit(1)).alias("c"))
+        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+
+    tagged = F.concat(grams(2), grams(3), grams(4))
+    cnt = (
+        d.select("doc_id", "nc", F.explode(tagged).alias("x"))
+        .select("doc_id", "nc", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
+        .groupBy("doc_id", "nc", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mx = cnt.groupBy("doc_id", "nc", "n").agg(F.max("c").alias("mx"))
+    top = (
+        cnt.join(mx, ["doc_id", "nc", "n"])
+        .filter(F.col("c") == F.col("mx"))
+        .groupBy("doc_id", "nc", "n", "mx")
+        .agg(F.min("g").alias("g"))
+        .select(
+            "doc_id", "n",
+            F.expr("mx * length(g) * 1000000 DIV nc").alias("ppm"),
         )
-        mx = cnt.groupBy("doc_id", "nc").agg(F.max("c").alias("mx"))
-        top = (
-            cnt.join(mx, ["doc_id", "nc"])
-            .filter(F.col("c") == F.col("mx"))
-            .groupBy("doc_id", "nc", "mx")
-            .agg(F.min("g").alias("g"))
-        )
-        share = top.select(
-            "doc_id",
-            F.expr("mx * length(g) * 1000000 DIV nc")
-            .alias(f"top{n}_ppm"),
-        )
-        shares = share if shares is None else shares.join(
-            share, "doc_id", "left"
-        )
+    )
+    shares = top.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("ppm"))).alias(f"top{n}_ppm")
+            for n in (2, 3, 4)
+        ]
+    )
     docs_all = _docs(spark, sf_dir).select("doc_id")
     out = docs_all.join(shares, "doc_id", "left").select(
         "doc_id",
