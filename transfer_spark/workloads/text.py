@@ -2415,15 +2415,20 @@ def q_gopher_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "nc", "n", "g")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    mx = cnt.groupBy("doc_id", "nc", "n").agg(F.max("c").alias("mx"))
+    # argmax-with-tie-break as ONE struct-ordered MIN (minimize (-c, g)
+    # == maximize c, then lexicographically smallest gram) — no
+    # self-join back onto the gram aggregate, so the corpus explode
+    # runs exactly once with no reliance on ReuseExchange
     top = (
-        cnt.join(mx, ["doc_id", "nc", "n"])
-        .filter(F.col("c") == F.col("mx"))
-        .groupBy("doc_id", "nc", "n", "mx")
-        .agg(F.min("g").alias("g"))
+        cnt.groupBy("doc_id", "nc", "n")
+        .agg(
+            F.min(
+                F.struct((-F.col("c")).alias("negc"), F.col("g").alias("g"))
+            ).alias("s")
+        )
         .select(
             "doc_id", "n",
-            F.expr("mx * length(g) * 1000000 DIV nc").alias("ppm"),
+            F.expr("(-s.negc) * length(s.g) * 1000000 DIV nc").alias("ppm"),
         )
     )
     shares = top.groupBy("doc_id").agg(
