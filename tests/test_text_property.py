@@ -217,3 +217,41 @@ def test_source_interleave_round_robins_while_balanced(spark, tmp_path):
     for src in "abc":
         ids = [r.doc_id for r in out if r.source == src]
         assert ids == sorted(ids)
+
+
+def test_gopher_repetition_gate_crafted_shares(spark, tmp_path):
+    """Exact top-n-gram character shares on crafted docs: a pure
+    template doc fails every threshold; prose-like text passes; a doc
+    with one repeated bigram scores exactly count·len(gram)·1e6 DIV
+    len(text); ties break to the lexicographically smallest gram."""
+    from transfer_spark.workloads.text import q_gopher_repetition_gate
+
+    spam = "buy now " * 50                      # one bigram is the doc
+    # long enough that even the longest unique 4-gram is under the 16%
+    # char-share threshold (the published gates assume real-page length)
+    prose = " ".join(f"w{i:03d}unique" for i in range(60))
+    # "x y" and "y x" each appear twice -> tie on count; "x y" (smaller)
+    # must be the reported top bigram
+    tied = "x y x y x"
+    rows = [(1, spam, "en", "s", len(spam)),
+            (2, prose, "en", "s", len(prose)),
+            (3, tied, "en", "s", len(tied))]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in
+           q_gopher_repetition_gate(spark, str(tmp_path)).collect()}
+
+    # spam: trailing-space strip -> 50 'buy' + 50 'now' tokens; the top
+    # bigram "buy now" occurs 50 times, len 7, doc len 400
+    assert got[1].top2_ppm == 50 * 7 * 1_000_000 // len(spam)
+    assert not got[1].passes_repetition
+    # prose: every n-gram unique -> top count 1; ties break to the
+    # lexicographically smallest bigram "w000unique w001unique"
+    assert got[2].passes_repetition
+    assert got[2].top2_ppm == (
+        1 * len("w000unique w001unique") * 1_000_000 // len(prose)
+    )
+    # tie: "x y" x2 and "y x" x2 -> smallest gram wins, share = 2*3/9
+    assert got[3].top2_ppm == 2 * 3 * 1_000_000 // len(tied)
