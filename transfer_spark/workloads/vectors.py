@@ -1521,6 +1521,64 @@ ORDER BY src_id
 """
 
 
+def q_bitext_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit for the mining-scale bitext path: pair-level
+    agreement between the exact margin miner (the verifier) and the
+    LSH-candidate form at the registered parameters — the acceptance
+    number a mining rollout is judged by before the cross product is
+    retired (`ann_recall_audit`'s contract applied to the miner). On
+    this corpus the mutual-argmax pairs are mostly noise-grade (max
+    cosine ≈ 0.48), so the measured recall is the HONEST floor — on
+    planted near-copies recovery is 100% (test_bitext.py); both numbers
+    are pinned.
+
+    Scale shape: both miners keep their registered plans; the audit is
+    three one-row aggregates + a pair semi-join on the (tiny) mined
+    sets."""
+    emb = _emb(spark, sf_dir)
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    exact = S.bitext_margin_mine(
+        src, tgt, k=4, margin_threshold_ppm=1_000_000
+    ).select("src_id", "tgt_id")
+    lsh = S.bitext_margin_mine_lsh(
+        src, tgt, k=4, margin_threshold_ppm=1_000_000,
+        n_planes=4, dim=64, seeds=(42, 43),
+    ).select("src_id", "tgt_id")
+    common = exact.join(F.broadcast(lsh), ["src_id", "tgt_id"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
+        .select(
+            "n_exact", "n_lsh", "n_common",
+            F.floor(
+                F.lit(1_000_000.0) * F.col("n_common") / F.col("n_exact")
+                + F.lit(0.5)
+            ).cast("long").alias("recall_ppm"),
+        )
+    )
+
+
+def _bitext_lsh_recall_sql() -> str:
+    return f"""
+WITH ex AS ({ORACLE_BITEXT_MARGIN}),
+ap AS ({_bitext_margin_lsh_oracle()}),
+c AS (
+  SELECT count(*) AS n_common
+  FROM ex WHERE EXISTS (
+    SELECT 1 FROM ap WHERE ap.src_id = ex.src_id AND ap.tgt_id = ex.tgt_id
+  )
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+       (SELECT CAST(count(*) AS BIGINT) FROM ap) AS n_lsh,
+       CAST(c.n_common AS BIGINT) AS n_common,
+       CAST(floor(1000000.0 * c.n_common
+            / (SELECT count(*) FROM ex) + 0.5) AS BIGINT) AS recall_ppm
+FROM c
+"""
+
+
 def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced (diversity) sampling: k-means topic clusters +
     a fixed per-cluster quota picked by deterministic hash priority —
@@ -1596,6 +1654,7 @@ ORDER BY cid, pick_rank"""
 QUERIES = {
     "bitext_margin_mining": (q_bitext_margin, ORACLE_BITEXT_MARGIN),
     "bitext_margin_mining_lsh": (q_bitext_margin_lsh, _bitext_margin_lsh_oracle()),
+    "bitext_lsh_recall_audit": (q_bitext_lsh_recall, _bitext_lsh_recall_sql()),
     "cluster_balanced_sample": (
         q_cluster_balanced_sample, _cluster_balanced_oracle()
     ),
