@@ -117,16 +117,37 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
+    # Fixed-overhead probe (VERDICT r9 #4): a 32-task no-op job, min-of-4.
+    # At sf0.1 wall time is dominated by fixed per-job cost (scheduling,
+    # task launch, codegen dispatch), which the shuffle probe doesn't
+    # model — r9's "box paradox" was a box whose 20M-row shuffle ran 2.5×
+    # faster yet whose headline ran 15% slower. This probe measures that
+    # per-job constant directly.
+    def _calib_overhead() -> float:
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            spark.range(0, 32, 1, 32).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
     try:
         from pyspark.sql import functions as F
 
         calib = _calib()
+        calib_overhead = _calib_overhead()
     except Exception as exc:  # noqa: BLE001
         calib = None
+        calib_overhead = None
         print(f"bench: calibration failed: {exc}", file=sys.stderr)
+
+    job_counts: dict[str, int] = {}
 
     def _run_set(names: list[str]) -> dict[str, float | None]:
         timings: dict[str, float | None] = {}
+        sc = spark.sparkContext
         for name in names:
             # Fault-isolated: a raising query records null and the bench
             # still publishes every other number (r4's artifact was empty
@@ -134,10 +155,24 @@ def main() -> None:
             try:
                 fn, _oracle = QUERIES[name]
                 best = float("inf")
-                for _ in range(runs):
+                for i in range(runs):
+                    # job-group the final run so the two-point model can
+                    # weight this query's fixed overhead by its actual
+                    # Spark job count (plan-determined, box-independent)
+                    group = f"bench:{name}" if i == runs - 1 else None
+                    if group:
+                        sc.setJobGroup(group, name)
                     t0 = time.perf_counter()
                     _force(fn(spark, sf_dir))
                     best = min(best, time.perf_counter() - t0)
+                    if group:
+                        sc.setJobGroup("", "")
+                        try:
+                            job_counts[name] = len(
+                                sc.statusTracker().getJobIdsForGroup(group)
+                            )
+                        except Exception:  # noqa: BLE001
+                            pass
                 timings[name] = round(best, 3)
             except Exception as exc:  # noqa: BLE001 — isolation is the point
                 timings[name] = None
@@ -169,6 +204,38 @@ def main() -> None:
 
     cal_timings = _cal(timings)
     cal_llm = _cal(llm_timings)
+
+    # Two-point calibration (VERDICT r9 #4): split each query's wall into
+    # a fixed per-job component (job_count × overhead probe) and a work
+    # component (everything else, scaled by shuffle speed):
+    #   cal2 = (raw − j·o_box) / (shuffle_box/SHUFFLE_REF2) + j·OVERHEAD_REF2
+    # Anchors pin the r10 box (the round this model shipped); on the
+    # anchor box cal2 == raw by construction. The single-point model
+    # above inverts on overhead-dominated boxes (SCALE.md "box paradox":
+    # shuffle 2.5× faster, headline 15% slower) — this one cannot,
+    # because fixed cost is modeled separately from throughput.
+    SHUFFLE_REF2_SEC = 0.569   # r10 anchor box, min-of-4 20M-row shuffle
+    OVERHEAD_REF2_SEC = 0.047  # r10 anchor box, min-of-4 32-task no-op
+    ratio2 = (calib / SHUFFLE_REF2_SEC) if calib else None
+
+    def _cal2(ts: dict[str, float | None]) -> dict[str, float | None]:
+        out: dict[str, float | None] = {}
+        for k, v in ts.items():
+            j = job_counts.get(k)
+            if v is None or not ratio2 or calib_overhead is None or not j:
+                out[k] = None
+                continue
+            fixed_box = min(j * calib_overhead, 0.9 * v)
+            work = v - fixed_box
+            out[k] = round(work / ratio2 + j * OVERHEAD_REF2_SEC, 3)
+        return out
+
+    cal2_timings = _cal2(timings)
+    cal2_llm = _cal2(llm_timings)
+
+    def _tot(ts: dict[str, float | None]) -> float | None:
+        vals = [v for v in ts.values() if v is not None]
+        return round(sum(vals), 3) if vals else None
     print(
         json.dumps(
             {
@@ -180,6 +247,16 @@ def main() -> None:
                 "llm_queries": llm_timings,
                 "calib_shuffle_sec": calib,
                 "calib_ref_sec": CALIB_REF_SEC,
+                "calib_overhead_sec": calib_overhead,
+                "calib2_refs": {
+                    "shuffle_sec": SHUFFLE_REF2_SEC,
+                    "overhead_sec": OVERHEAD_REF2_SEC,
+                },
+                "job_counts": job_counts,
+                "value_calibrated2": _tot(cal2_timings),
+                "llm_total_calibrated2": _tot(cal2_llm),
+                "queries_calibrated2": cal2_timings,
+                "llm_queries_calibrated2": cal2_llm,
                 "value_calibrated": round(
                     sum(v for v in cal_timings.values() if v is not None), 3
                 ) if ratio else None,

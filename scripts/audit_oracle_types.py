@@ -127,19 +127,29 @@ _DOUBLE_CAST = re.compile(r"cast\(([^()]|\([^()]*\))*#\d+L([^()]|\([^()]*\))* as
 
 def spark_sum_overflow_risks(plan: str) -> list[str]:
     """sum() arguments that multiply two LONG attributes with no
-    DECIMAL(38) hop anywhere inside — the overflow-at-scale signature.
+    OPERAND-LEVEL decimal hop — the overflow-at-scale signature.
     Literal multipliers (``cast(1000000 as bigint)`` — no ``#`` ref),
     double-typed products (attrs without the ``L`` suffix), and long
     attrs already cast to double (float arithmetic — a precision
-    class, not integer overflow) are not flagged; neither is any arg
-    containing ``as decimal(38``."""
+    class, not integer overflow) are not flagged.
+
+    ADVICE r9 upgrade: a PRODUCT-LEVEL cast —
+    ``sum(cast((a#1L * b#2L) as decimal(38,0)))`` — is now flagged too:
+    the multiply still runs (and wraps) in int64 BEFORE the cast; only
+    the accumulator was protected. Safe form casts an operand so the
+    multiply itself runs in decimal:
+    ``sum((cast(a#1L as decimal(38,0)) * b#2L))`` — detected per
+    multiply by an ``as decimal(`` inside either operand's own text
+    (the backward/forward operand scan never crosses the product's
+    paren boundary, so a cast wrapping the whole product does not
+    leak into the operands)."""
     risks = []
     for arg in _sum_args(plan):
-        if "as decimal(38" in arg:
-            continue
         for left, right in _multiply_operands(arg):
             left = _DOUBLE_CAST.sub("DBL", left)
             right = _DOUBLE_CAST.sub("DBL", right)
+            if "as decimal(" in left or "as decimal(" in right:
+                continue  # operand hop: the multiply runs in decimal
             if _LONG_ATTR.search(left) and _LONG_ATTR.search(right):
                 risks.append(arg.strip())
                 break

@@ -857,7 +857,12 @@ def main():
     results += [probe("bitext_margin_lsh", em_bitext, _bitext_lsh)]
 
     ran = [r for r in results if not r.get("skipped")]
-    worst = max(r["ratio"] for r in ran)
+    # ADVICE r9: SCALE_PROBE_ONLY matching nothing (ran empty) or a probe
+    # whose t1 rounded to 0.0 (ratio None) must not abort the summary
+    worst = max(
+        (r["ratio"] for r in ran if r.get("ratio") is not None),
+        default=0.0,
+    )
     print(json.dumps({"metric": "scale_probe_worst_ratio", "value": worst,
                       "rep": REP, "ops": {r["op"]: r["ratio"] for r in ran},
                       "results": ran}))

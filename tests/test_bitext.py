@@ -161,3 +161,50 @@ def test_lsh_mining_recovers_planted_pairs_no_cross_product(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_mining_margin_join_never_hint_broadcast(spark):
+    """VERDICT r9 #1 pin: the LSH form's margin-rescoring joins must be
+    plain shuffle joins, never hint-forced broadcasts. sfwd/sbwd carry
+    one row per endpoint with any candidate — at mining scale that is
+    ~|src| and ~|tgt|, and an explicit ``F.broadcast()`` hint overrides
+    Spark's size threshold, turning a graceful demotion into a
+    guaranteed OOM.
+
+    Size-gated AUTO-broadcast is fine (it demotes at scale), so to pin
+    the absence of the HINT we disable the auto threshold: any
+    BroadcastExchange surviving ``autoBroadcastJoinThreshold=-1`` can
+    only come from an explicit hint. We also assert the analyzed
+    logical plan carries no broadcast ResolvedHint anywhere in the LSH
+    form. The exact verifier form keeps its hints by contract (src is
+    the small broadcast side there)."""
+    import numpy as np
+
+    from transfer_spark.operators.similarity import bitext_margin_mine_lsh
+
+    rng = np.random.RandomState(13)
+    dim = 16
+    src = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(dim)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [(100 + j, [float(x) for x in rng.randn(dim)]) for j in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = bitext_margin_mine_lsh(src, tgt, k=3, n_planes=4, dim=dim)
+        analyzed = out._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, (
+            "LSH form must not carry broadcast hints (mining-scale OOM)"
+        )
+        physical = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in physical, (
+            "a BroadcastExchange with auto-broadcast disabled means a "
+            "hint forced it — corpus-sized at mining scale"
+        )
+        out.collect()  # the shuffle-join plan must also execute
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

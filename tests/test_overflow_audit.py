@@ -32,13 +32,22 @@ def test_flags_unhopped_long_product(spark):
     assert spark_sum_overflow_risks(_plan(df))
 
 
-def test_decimal_hop_is_clean(spark):
-    """Reverting an r8 DECIMAL cast (dropping the .cast) is caught by
-    test_flags_unhopped_long_product; the committed form passes here."""
+def test_operand_decimal_hop_is_clean(spark):
+    """The safe form (ADVICE r9): casting an OPERAND to DECIMAL(38,0)
+    makes the multiply itself run in decimal — no wrap anywhere."""
+    df = _base(spark).agg(
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("b")).alias("s")
+    )
+    assert spark_sum_overflow_risks(_plan(df)) == []
+
+
+def test_product_level_cast_is_flagged(spark):
+    """ADVICE r9: cast((a*b) as decimal(38,0)) protects only the
+    accumulator — a*b still wraps in int64 first. Must be flagged."""
     df = _base(spark).agg(
         F.sum((F.col("a") * F.col("b")).cast("decimal(38,0)")).alias("s")
     )
-    assert spark_sum_overflow_risks(_plan(df)) == []
+    assert spark_sum_overflow_risks(_plan(df))
 
 
 def test_literal_multiplier_is_clean(spark):

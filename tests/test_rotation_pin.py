@@ -25,15 +25,34 @@ def test_pin_names_registered_and_disjoint():
 
 
 def test_pin_pays_down_adjudication_debt():
-    """The r9 'done' criterion (VERDICT r8 #1): the frozen window must
-    put ≥35 never-driver-adjudicated names in front of the driver.
-    Reads the committed CORRECTNESS artifacts exactly as the rotation
-    does."""
-    from transfer_spark.workloads import _seen
+    """The per-round 'done' criterion (VERDICT r8 #1): the frozen window
+    must put ≥35 never-driver-adjudicated names in front of the driver.
 
-    never = [n for n in PINNED_TAIL if n not in _seen]
+    'Never adjudicated' is judged against artifacts from rounds STRICTLY
+    BEFORE PIN_ROUND (VERDICT r9 #2 / ADVICE r9): the window exists to
+    *produce* round-PIN_ROUND adjudications, so the round's own artifact
+    landing must not flip this test red — the debt was paid, not unpaid.
+    """
+    import glob
+    import json
+    import os
+
+    from transfer_spark.workloads.rotation_pin import PIN_ROUND
+
+    repo_root = os.path.join(os.path.dirname(__file__), "..")
+    seen_before_pin: set[str] = set()
+    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        try:
+            rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+            if rnd >= PIN_ROUND:
+                continue
+            seen_before_pin.update(json.load(open(path)))
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+
+    never = [n for n in PINNED_TAIL if n not in seen_before_pin]
     assert len(never) >= 35, (
-        f"only {len(never)} never-adjudicated names in the pinned window"
+        f"only {len(never)} pre-r{PIN_ROUND} never-adjudicated names in the pinned window"
     )
 
 

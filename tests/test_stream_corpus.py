@@ -488,5 +488,32 @@ def test_scratch_dir_footprint_flat_across_sweeps(spark, sf_dir):
     b = sorted(map(tuple, q_streaming_dedup_index(spark, sf_dir).collect()))
     kinds_after_2 = set(os.listdir(root))
     assert a == b
-    # same kind set — nothing accumulated; exactly one dedup_idx dir
+    # same kind set — nothing accumulated
     assert kinds_after_2 == kinds_after_1
+    # invocation-versioned (VERDICT r9 #6): ≤2 live versions per kind
+    versions = os.listdir(os.path.join(root, "dedup_idx"))
+    assert len(versions) <= 2, versions
+
+
+def test_scratch_dir_previous_invocations_lazy_frame_survives(spark, tmp_path):
+    """VERDICT r9 #6: a caller holding invocation N's LAZY frame must
+    still read correct data after invocation N+1 starts (the old
+    wipe-on-reinvoke contract silently served a wiped directory); the
+    store is reclaimed only once invocation N+2 begins."""
+    import os
+
+    from transfer_spark.session import scratch_dir
+
+    d1 = scratch_dir(spark, "lazyfoot")
+    spark.range(5).write.mode("overwrite").parquet(os.path.join(d1, "t"))
+    lazy = spark.read.parquet(os.path.join(d1, "t"))  # NOT collected yet
+
+    d2 = scratch_dir(spark, "lazyfoot")
+    assert d2 != d1 and os.path.isdir(d1)
+    # the lazy frame from invocation 1 still reads its live store
+    assert lazy.count() == 5
+
+    d3 = scratch_dir(spark, "lazyfoot")
+    assert d3 not in (d1, d2)
+    # v1 reclaimed only now; v2 (previous) still alive
+    assert not os.path.isdir(d1) and os.path.isdir(d2)

@@ -413,7 +413,7 @@ def join_agg_maintenance(
         # published back at the caller's integer grain
         .agg(
             *[
-                F.sum((F.col(c) * F.col("weight")).cast("decimal(38,0)"))
+                F.sum(F.col(c).cast("decimal(38,0)") * F.col("weight"))
                 .cast("long").alias(c)
                 for c in measure_cols
             ]

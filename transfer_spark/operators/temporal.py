@@ -127,10 +127,12 @@ def markov_removal_attribution(
             trans.join(F.broadcast(p_in), ["removed", "to_s"])
             .groupBy("removed", F.col("from_s").alias("state"))
             # cnt (event-scale) × p_ppm (≤1e6) brushes int64 when total
-            # transitions pass ~1e13 — accumulate in DECIMAL(38,0); the
-            # published p_ppm is re-grained to BIGINT below as before
+            # transitions pass ~1e13 — the CAST is on the OPERAND so the
+            # multiply itself runs in decimal (ADVICE r9: a product-level
+            # cast still wraps in int64 first); published p_ppm re-grains
+            # to BIGINT below as before
             .agg(
-                F.sum((F.col("cnt") * F.col("p_ppm")).cast("decimal(38,0)"))
+                F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("p_ppm"))
                 .alias("c")
             )
         )
@@ -786,14 +788,15 @@ def series_correlation_topk(
     q = counts.filter(F.col("k") == query_key).select(
         F.col("b").alias("qb"), F.col("x").alias("qx")
     )
-    # count-squared products hop to DECIMAL(38,0) before summing (r9
-    # overflow audit: x² overflows a long accumulator once per-bucket
-    # counts pass ~3e9); the correlation arithmetic below consumes them
+    # count-squared products hop to DECIMAL(38,0) on an OPERAND, so the
+    # multiply itself runs in decimal (ADVICE r9: x² wraps in int64 once
+    # per-bucket counts pass ~3e9 — a product-level cast only protected
+    # the accumulator); the correlation arithmetic below consumes them
     # via the existing double casts, so published r_ppm is unchanged
     d38 = "decimal(38,0)"
     qstats = q.agg(
         F.sum("qx").alias("sq"),
-        F.sum((F.col("qx") * F.col("qx")).cast(d38)).alias("sqq"),
+        F.sum(F.col("qx").cast(d38) * F.col("qx")).alias("sqq"),
     )
     per_key = (
         counts.filter(F.col("k") != query_key)
@@ -801,9 +804,9 @@ def series_correlation_topk(
         .groupBy("k")
         .agg(
             F.sum("x").alias("sx"),
-            F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+            F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
             F.sum(
-                (F.col("x") * F.coalesce(F.col("qx"), F.lit(0))).cast(d38)
+                F.col("x").cast(d38) * F.coalesce(F.col("qx"), F.lit(0))
             ).alias("sxq"),
         )
     )

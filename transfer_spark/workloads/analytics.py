@@ -1648,10 +1648,12 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("lane")
         # ca·cb is a product of two cell counts (~(N/width)² — already
-        # ~4e18 per cell at N=6e11): hop to DECIMAL(38,0) before the
-        # sum (r9 overflow audit), publish back as BIGINT
+        # ~4e18 per cell at N=6e11, within 2× of int64 wrap): the cast
+        # is on an OPERAND so the multiply itself runs in decimal
+        # (ADVICE r9 — a product-level cast still wraps first);
+        # published back as BIGINT
         .agg(
-            F.sum((F.col("ca") * F.col("cb")).cast("decimal(38,0)"))
+            F.sum(F.col("ca").cast("decimal(38,0)") * F.col("cb"))
             .cast("long").alias("ip")
         )
     )
@@ -1660,7 +1662,7 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
         .join(li.groupBy("k").agg(F.count(F.lit(1)).alias("cb")), "k")
         .agg(
-            F.sum((F.col("ca") * F.col("cb")).cast("decimal(38,0)"))
+            F.sum(F.col("ca").cast("decimal(38,0)") * F.col("cb"))
             .cast("long").alias("exact_rows")
         )
     )
@@ -3843,12 +3845,12 @@ def q_brand_price_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast(d38).alias("n"),
         F.sum("x").cast(d38).alias("sx"),
         F.sum("y").cast(d38).alias("sy"),
-        # products hop to DECIMAL(38,0) BEFORE the sum — a long
-        # accumulator for Σxy (x≤50, y≤1e7 cents) overflows at ~2e10
-        # rows, inside 100 TB lineitem cardinality (caught by the r9
-        # static overflow auditor)
-        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        # products run in decimal via an OPERAND-level cast (ADVICE r9:
+        # a product-level cast still wraps in int64 first) — a long Σxy
+        # (x≤50, y≤1e7 cents) overflows at ~2e10 rows, inside 100 TB
+        # lineitem cardinality (caught by the static overflow auditor)
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
         F.sum((F.col("y").cast(d38) * F.col("y").cast(d38))).alias("syy"),
     )
     return (

@@ -14,53 +14,59 @@ replace PINNED_TAIL with the next least-recently-adjudicated window
 (``python -c "from transfer_spark.workloads import _next_window; ..."``
 — or just clear the list; __init__ falls back to the staleness queue).
 
-Round 9 window (all 37 never driver-adjudicated):
-- the six r8 registrations ADVICE r8 flagged as never parity-run;
-- bitext_margin_mining_lsh (the r9 VERDICT-#4 registration);
-- the 30 alphabetically-first never-seen events_* temporal names.
+Round 10 window (all 37 never driver-adjudicated before round 10 —
+VERDICT r9 #3: "freeze the next 37; ANN/graph/streaming families are
+the biggest never-checked blocks"):
+- the four r9-landing registrations never driver-run;
+- the entire streaming_* never-checked block (9);
+- the ANN / search / near-dup block (12);
+- graph + identity (4), sketches HLL/KMV (5), decontamination (3).
 """
 
-PIN_ROUND = 9
+PIN_ROUND = 10
 
 PINNED_TAIL: list[str] = [
-    # ADVICE r8: unchecked r8 registrations, head of the rotation
-    "mixture_doremi_weights",
-    "vocab_coverage_curve",
-    "mixture_epoch_plan",
-    "pretraining_corpus_pipeline_v2",
-    "split_decontamination_runs",
-    "multimodal_aspect_buckets",
-    # VERDICT r8 #4: mining-scale bitext path
-    "bitext_margin_mining_lsh",
-    # least-recently-adjudicated queue, frozen
-    "events_anomaly_days",
-    "events_asof_tolerance",
-    "events_attribution_cross_device",
-    "events_attribution_last_touch",
-    "events_attribution_markov",
-    "events_attribution_position",
-    "events_chi2_dow",
-    "events_cumulative_users",
-    "events_cusum_changepoint",
-    "events_daily_trend",
-    "events_debounce",
-    "events_dow_entropy",
-    "events_dow_profile",
-    "events_ewma_decay",
-    "events_forecast_backtest",
-    "events_funnel_ttc",
-    "events_funnel_windowed",
-    "events_gap_fill_locf",
-    "events_holt_forecast",
-    "events_interarrival_quantiles",
-    "events_ks_two_sample",
-    "events_late_arrivals",
-    "events_m4_downsample",
-    "events_mad_outliers",
-    "events_mann_kendall",
-    "events_mann_whitney",
-    "events_matrix_profile",
-    "events_retention_cohort",
-    "events_runs_test",
-    "events_series_similarity",
+    # r9-landing registrations, never driver-run
+    "bitext_lsh_recall_audit",
+    "cdc_history_mode",
+    "gopher_repetition_gate",
+    "split_temporal_holdout",
+    # streaming family (never checked)
+    "streaming_corpus_ingest",
+    "streaming_drop_duplicates",
+    "streaming_identity_stitch",
+    "streaming_ingest_decon",
+    "streaming_interval_join",
+    "streaming_mg_heavy_hitters",
+    "streaming_row_index",
+    "streaming_session_windows",
+    "streaming_window_finalization",
+    # ANN / search / near-dup family
+    "hard_negative_mining",
+    "ivf_list_skew_report",
+    "knn_label_vote",
+    "search_mmr_diversify",
+    "search_rrf_hybrid",
+    "retrieval_eval_mrr",
+    "retrieval_eval_ndcg",
+    "reverse_search_match",
+    "source_similarity_matrix",
+    "minhash_calibration_audit",
+    "neardup_cluster_sizes",
+    "neardup_keep_best",
+    # graph + identity
+    "graph_label_propagation",
+    "graph_modularity",
+    "part_pagerank",
+    "identity_stitch",
+    # sketches
+    "hll_distinct_users",
+    "hll_merge_daily",
+    "hll_streaming_accumulation",
+    "kmv_set_intersection",
+    "kmv_streaming_accumulation",
+    # decontamination
+    "split_decontamination_bloom",
+    "split_decontamination_containment",
+    "split_decontamination_exact",
 ]

@@ -2496,10 +2496,11 @@ def q_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"shiftleft(CAST(1 AS BIGINT), {_EWMA_H} - k)").alias("w"),
     )
     agg = contrib.groupBy("event_type", "day").agg(
-        # cents × 2^(H-k) hops to DECIMAL(38,0) before the sum — the
-        # docstring's own "beyond ~2^42 daily cents" headroom note,
-        # made unconditional by the r9 overflow audit
-        F.sum((F.col("cents") * F.col("w")).cast("decimal(38,0)"))
+        # cents × 2^(H-k): the DECIMAL(38,0) cast is on the OPERAND so
+        # the multiply itself runs in decimal (ADVICE r9 — a product-
+        # level cast still wraps in int64 first); this is the docstring's
+        # own "beyond ~2^42 daily cents" headroom, made unconditional
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("w"))
         .alias("numer"),
         F.sum("w").alias("weight_sum"),
     )

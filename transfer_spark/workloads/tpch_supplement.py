@@ -301,11 +301,12 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = partsupp(spark, sf_dir).join(
         F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey")
     )
-    # cents × qty hops to DECIMAL(38,0) before any sum: the per-part
-    # accumulator is small (≤4 suppliers/part) but the grand total is
-    # parts × ~4e11 — overflows int64 near SF 1e5 (r9 overflow audit)
-    val = (F.col("ps_supplycost_cents") * F.col("ps_availqty")).cast(
-        "decimal(38,0)"
+    # cents × qty runs in decimal via an OPERAND-level DECIMAL(38,0)
+    # cast (ADVICE r9: a product-level cast still wraps in int64 first):
+    # the per-part accumulator is small (≤4 suppliers/part) but the
+    # grand total is parts × ~4e11 — overflows int64 near SF 1e5
+    val = F.col("ps_supplycost_cents").cast("decimal(38,0)") * F.col(
+        "ps_availqty"
     )
     per_part = ps.groupBy("ps_partkey").agg(F.sum(val).alias("__v38"))
     total = per_part.agg(F.sum("__v38").alias("total_cents"))

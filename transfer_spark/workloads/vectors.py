@@ -285,8 +285,9 @@ def q_dim_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("v").alias("s1"),
         # v² ≤ 4e12 (micro-units²) — a long Σv² overflows near 2e6
-        # corpus rows per dim × … at 100 TB; hop to DECIMAL(38,0)
-        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("s2"),
+        # corpus rows per dim at 100 TB; operand-level DECIMAL(38,0)
+        # hop so the square itself runs in decimal (ADVICE r9)
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("s2"),
     )
     n = F.col("n").cast("double")
     mean = F.col("s1") / n
@@ -1552,8 +1553,12 @@ def q_bitext_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
         .select(
             "n_exact", "n_lsh", "n_common",
+            # NULLIF zero-guard (ADVICE r9): an empty exact miner must
+            # publish NULL identically on both engines, not diverge on
+            # Spark's non-ANSI null division vs DuckDB's count(*) path
             F.floor(
-                F.lit(1_000_000.0) * F.col("n_common") / F.col("n_exact")
+                F.lit(1_000_000.0) * F.col("n_common")
+                / F.nullif(F.col("n_exact").cast("double"), F.lit(0.0))
                 + F.lit(0.5)
             ).cast("long").alias("recall_ppm"),
         )
@@ -1574,7 +1579,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
        (SELECT CAST(count(*) AS BIGINT) FROM ap) AS n_lsh,
        CAST(c.n_common AS BIGINT) AS n_common,
        CAST(floor(1000000.0 * c.n_common
-            / (SELECT count(*) FROM ex) + 0.5) AS BIGINT) AS recall_ppm
+            / NULLIF((SELECT count(*) FROM ex), 0) + 0.5) AS BIGINT) AS recall_ppm
 FROM c
 """
 
