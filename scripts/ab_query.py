@@ -1,0 +1,67 @@
+"""Per-query same-box A/B probe: time ONE registered query from ONE
+tree (a `git worktree` checkout of the commit under test), min-of-N,
+with the bench shuffle calibration alongside.
+
+Usage:
+    python scripts/ab_query.py TREE_PATH QUERY_NAME [SF_DIR] [RUNS]
+
+Run it twice, minutes apart on an idle box — once per tree — and
+compare the mins (the SCALE.md worktree-A/B methodology, per-query).
+Each invocation imports `transfer_spark` from TREE_PATH ONLY, so the
+two samples execute exactly the committed code of their trees.
+
+Prints one JSON line:
+    {"tree": ..., "query": ..., "sf_dir": ..., "walls": [...],
+     "min_sec": ..., "calib_shuffle_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    tree = sys.argv[1]
+    name = sys.argv[2]
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    runs = int(sys.argv[4]) if len(sys.argv) > 4 else 7
+
+    sys.path.insert(0, tree)
+    from transfer_spark.session import get_spark
+    from transfer_spark.workloads import QUERIES
+
+    fn, _ = QUERIES[name]
+    spark = get_spark("ab-query")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JIT warm-up
+
+    # the bench.py box-speed probe (fixed synthetic shuffle, min of 2)
+    def _calib() -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            (
+                spark.range(20_000_000)
+                .selectExpr("id % 1024 AS k", "id AS v")
+                .groupBy("k").sum("v")
+                .write.format("noop").mode("overwrite").save()
+            )
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    calib = _calib()
+    walls = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        walls.append(round(time.perf_counter() - t0, 3))
+    print(json.dumps({
+        "tree": tree, "query": name, "sf_dir": sf_dir, "walls": walls,
+        "min_sec": min(walls), "calib_shuffle_sec": round(calib, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

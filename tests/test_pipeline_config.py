@@ -145,3 +145,114 @@ def test_split_mode_requires_split_and_valid_value(spark, sf_dir):
             docs,
             {"split": {"train": 1.0}, "split_mode": "cluster"},
         )
+
+
+def test_bitext_config_lsh_matches_registered_query(spark, sf_dir):
+    """VERDICT r9 #8 equality pin: the config-driven LSH miner (gate
+    enabled at the registered threshold) returns exactly the rows of
+    the registered bitext_margin_mining_lsh query."""
+    from transfer_spark.workloads.pipeline_config import build_bitext_pipeline
+    from transfer_spark.workloads.vectors import q_bitext_margin_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = build_bitext_pipeline(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        {
+            "bitext_mode": "lsh",
+            "k": 4,
+            "margin_threshold_ppm": 1_000_000,
+            "lsh": {"n_planes": 4, "dim": 64, "seeds": [42, 43]},
+            "audit": {"min_recall_ppm": 100_000, "sample_mod": 1},
+        },
+    ).collect()
+    want = q_bitext_margin_lsh(spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert got, "sf0.001 must mine at least one pair"
+
+
+def test_bitext_config_exact_matches_exact_miner(spark, sf_dir):
+    from transfer_spark.operators.similarity import bitext_margin_mine
+    from transfer_spark.workloads.pipeline_config import build_bitext_pipeline
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    got = build_bitext_pipeline(src, tgt, {"bitext_mode": "exact"}).collect()
+    want = bitext_margin_mine(src, tgt).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_bitext_config_recall_gate_refuses_below_threshold(spark, sf_dir):
+    """The audit gate must REFUSE the LSH plan when measured recall is
+    below the configured floor (sf0.001 honest floor is ~208k ppm, so a
+    999_999 ppm ask fails), and the error carries the measured number."""
+    import pytest
+
+    from transfer_spark.workloads.pipeline_config import build_bitext_pipeline
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    with pytest.raises(ValueError, match="recall gate failed"):
+        build_bitext_pipeline(
+            src, tgt,
+            {"bitext_mode": "lsh",
+             "audit": {"min_recall_ppm": 999_999, "sample_mod": 1}},
+        )
+    # empty exact slice -> NULL recall -> gate refuses (proves nothing)
+    with pytest.raises(ValueError, match="recall gate failed"):
+        build_bitext_pipeline(
+            src.filter(F.lit(False)), tgt.filter(F.lit(False)),
+            {"bitext_mode": "lsh", "audit": {"min_recall_ppm": 1}},
+        )
+
+
+def test_bitext_config_strictness(spark, sf_dir):
+    import pytest
+
+    from transfer_spark.workloads.pipeline_config import build_bitext_pipeline
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    with pytest.raises(ValueError, match="unknown bitext config key"):
+        build_bitext_pipeline(src, tgt, {"bitext_modes": "lsh"})
+    with pytest.raises(ValueError, match="bitext_mode must be"):
+        build_bitext_pipeline(src, tgt, {"bitext_mode": "ivf"})
+    with pytest.raises(ValueError, match="requires bitext_mode: lsh"):
+        build_bitext_pipeline(
+            src, tgt, {"bitext_mode": "exact", "audit": {"min_recall_ppm": 1}}
+        )
+    with pytest.raises(ValueError, match="unknown lsh key"):
+        build_bitext_pipeline(
+            src, tgt, {"bitext_mode": "lsh", "lsh": {"planes": 4}}
+        )
+    with pytest.raises(ValueError, match="requires min_recall_ppm"):
+        build_bitext_pipeline(
+            src, tgt, {"bitext_mode": "lsh", "audit": {"sample_mod": 4}}
+        )
+    with pytest.raises(ValueError, match="sample_mod must be"):
+        build_bitext_pipeline(
+            src, tgt,
+            {"bitext_mode": "lsh",
+             "audit": {"min_recall_ppm": 1, "sample_mod": 0}},
+        )
+
+
+def test_bitext_config_audit_sample_mod_slices(spark, sf_dir):
+    """sample_mod > 1 audits a deterministic hash slice: the gate still
+    runs (passes at a tiny floor) and the returned plan is the full-
+    corpus miner, not the slice."""
+    from transfer_spark.workloads.pipeline_config import build_bitext_pipeline
+    from transfer_spark.workloads.vectors import q_bitext_margin_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = build_bitext_pipeline(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        {"bitext_mode": "lsh",
+         "audit": {"min_recall_ppm": 1, "sample_mod": 2}},
+    ).collect()
+    want = q_bitext_margin_lsh(spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

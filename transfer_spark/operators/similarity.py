@@ -324,6 +324,59 @@ def bitext_margin_mine_lsh(
     )
 
 
+def bitext_lsh_recall(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    margin_threshold_ppm: int = 1_000_000,
+    n_planes: int = 4,
+    dim: int = 64,
+    seeds: tuple[int, ...] = (42, 43),
+) -> DataFrame:
+    """Pair-level recall of the LSH miner against the exact verifier —
+    ONE row ``(n_exact, n_lsh, n_common, recall_ppm)``. This is the
+    acceptance number a mining rollout is judged by before the exact
+    cross product is retired (``ann_recall_audit``'s contract applied
+    to the miner); the config-driven pipeline's ``audit`` gate
+    (workloads/pipeline_config.build_bitext_pipeline) runs exactly this
+    frame over a calibration slice.
+
+    Scale shape: both miners keep their registered plans; the audit
+    itself is three one-row aggregates + a pair semi-join on the (tiny)
+    mined sets. The EXACT verifier inside is a broadcast cross product
+    — mining-scale callers must hand in a calibration sample, never the
+    full corpus (the config gate's ``sample_mod`` does this).
+    """
+    exact = bitext_margin_mine(
+        src, tgt, id_col, vec_col, k=k,
+        margin_threshold_ppm=margin_threshold_ppm,
+    ).select("src_id", "tgt_id")
+    lsh = bitext_margin_mine_lsh(
+        src, tgt, id_col, vec_col, k=k,
+        margin_threshold_ppm=margin_threshold_ppm,
+        n_planes=n_planes, dim=dim, seeds=seeds,
+    ).select("src_id", "tgt_id")
+    common = exact.join(F.broadcast(lsh), ["src_id", "tgt_id"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
+        .select(
+            "n_exact", "n_lsh", "n_common",
+            # NULLIF zero-guard (ADVICE r9): an empty exact miner must
+            # publish NULL identically on both engines, not diverge on
+            # Spark's non-ANSI null division vs DuckDB's count(*) path
+            F.floor(
+                F.lit(1_000_000.0) * F.col("n_common")
+                / F.nullif(F.col("n_exact").cast("double"), F.lit(0.0))
+                + F.lit(0.5)
+            ).cast("long").alias("recall_ppm"),
+        )
+    )
+
+
 def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (engine-portable literals)."""
     rs = np.random.RandomState(seed)

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from transfer_spark.operators import dedupe as D
+from transfer_spark.operators import similarity as S
 from transfer_spark.operators import text as T
 
 
@@ -162,3 +163,110 @@ def build_corpus_pipeline(
     elif mode != "doc":
         raise ValueError("split_mode requires a split section")
     return out
+
+
+def build_bitext_pipeline(
+    src: DataFrame,
+    tgt: DataFrame,
+    config: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Config-driven margin bitext mining (VERDICT r9 #8): selects the
+    exact verifier or the mining-scale LSH candidate path, with the LSH
+    path optionally GATED on the pair-level recall audit — the same
+    accept/reject number ``bitext_lsh_recall_audit`` publishes — so the
+    100 TB form is reachable from config exactly the way
+    ``split_mode: "leakage_free"`` makes the cluster-aware split
+    reachable.
+
+        build_bitext_pipeline(src, tgt, {
+            "bitext_mode": "lsh",
+            "k": 4, "margin_threshold_ppm": 1_000_000,
+            "lsh": {"n_planes": 4, "dim": 64, "seeds": [42, 43]},
+            "audit": {"min_recall_ppm": 100_000, "sample_mod": 16},
+        })
+
+    The ``audit`` gate (LSH mode only) runs the exact-vs-LSH recall
+    audit over a deterministic hash slice of each side (1/sample_mod of
+    the ids — the exact verifier inside the audit is a cross product,
+    so mining-scale deployments MUST sample; sample_mod=1 audits the
+    full corpus and is only sane at calibration scale) and refuses to
+    build the LSH plan when measured recall_ppm falls below
+    ``min_recall_ppm`` (or is NULL — an empty exact slice proves
+    nothing). The gate is ONE collected row (bounded); the returned
+    mining plan itself stays fully lazy and identical to the registered
+    ``bitext_margin_mining_lsh`` plan (equality pinned in
+    test_pipeline_config).
+    """
+    _KNOWN = {"bitext_mode", "k", "margin_threshold_ppm", "lsh", "audit"}
+    unknown = set(config) - _KNOWN
+    if unknown:
+        raise ValueError(f"unknown bitext config key(s) {sorted(unknown)}")
+    mode = config.get("bitext_mode", "exact")
+    if mode not in ("exact", "lsh"):
+        raise ValueError(f"bitext_mode must be exact|lsh, got {mode!r}")
+    k = int(config.get("k", 4))
+    thr = int(config.get("margin_threshold_ppm", 1_000_000))
+
+    if mode == "exact":
+        # lsh params / audit gate on the exact form is a config error,
+        # not a silent no-op — same strictness as the corpus builder
+        for bad in ("lsh", "audit"):
+            if bad in config:
+                raise ValueError(f"{bad!r} section requires bitext_mode: lsh")
+        return S.bitext_margin_mine(
+            src, tgt, id_col, vec_col, k=k, margin_threshold_ppm=thr
+        )
+
+    lsh = dict(config.get("lsh", {}))
+    _KNOWN_LSH = {"n_planes", "dim", "seeds"}
+    unknown_lsh = set(lsh) - _KNOWN_LSH
+    if unknown_lsh:
+        raise ValueError(f"unknown lsh key(s) {sorted(unknown_lsh)}")
+    n_planes = int(lsh.get("n_planes", 4))
+    dim = int(lsh.get("dim", 64))
+    seeds = tuple(int(s) for s in lsh.get("seeds", (42, 43)))
+
+    audit = config.get("audit")
+    if audit is not None:
+        _KNOWN_AUDIT = {"min_recall_ppm", "sample_mod"}
+        unknown_audit = set(audit) - _KNOWN_AUDIT
+        if unknown_audit:
+            raise ValueError(f"unknown audit key(s) {sorted(unknown_audit)}")
+        if "min_recall_ppm" not in audit:
+            raise ValueError("audit requires min_recall_ppm")
+        min_recall = int(audit["min_recall_ppm"])
+        sample_mod = int(audit.get("sample_mod", 1))
+        if sample_mod < 1:
+            raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+
+        def _slice(frame: DataFrame) -> DataFrame:
+            if sample_mod == 1:
+                return frame
+            # deterministic hash slice — reshuffle-stable (keyed on the
+            # id value, not the partitioning), and independent of the
+            # parity convention callers use to carve src/tgt id spaces
+            return frame.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
+            )
+
+        # ONE bounded collect: the audit frame is a single row by
+        # construction (three 1-row aggregates cross-joined)
+        row = S.bitext_lsh_recall(
+            _slice(src), _slice(tgt), id_col, vec_col,
+            k=k, margin_threshold_ppm=thr,
+            n_planes=n_planes, dim=dim, seeds=seeds,
+        ).collect()[0]
+        if row.recall_ppm is None or row.recall_ppm < min_recall:
+            raise ValueError(
+                "bitext lsh recall gate failed: measured "
+                f"recall_ppm={row.recall_ppm} (n_exact={row.n_exact}, "
+                f"n_lsh={row.n_lsh}, n_common={row.n_common}) < "
+                f"min_recall_ppm={min_recall} at sample_mod={sample_mod}"
+            )
+
+    return S.bitext_margin_mine_lsh(
+        src, tgt, id_col, vec_col, k=k, margin_threshold_ppm=thr,
+        n_planes=n_planes, dim=dim, seeds=seeds,
+    )

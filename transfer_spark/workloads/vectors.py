@@ -1537,32 +1537,37 @@ def q_bitext_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     three one-row aggregates + a pair semi-join on the (tiny) mined
     sets."""
     emb = _emb(spark, sf_dir)
-    src = emb.filter(F.col("vec_id") % 2 == 0)
-    tgt = emb.filter(F.col("vec_id") % 2 == 1)
-    exact = S.bitext_margin_mine(
-        src, tgt, k=4, margin_threshold_ppm=1_000_000
-    ).select("src_id", "tgt_id")
-    lsh = S.bitext_margin_mine_lsh(
-        src, tgt, k=4, margin_threshold_ppm=1_000_000,
+    return S.bitext_lsh_recall(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4, margin_threshold_ppm=1_000_000,
         n_planes=4, dim=64, seeds=(42, 43),
-    ).select("src_id", "tgt_id")
-    common = exact.join(F.broadcast(lsh), ["src_id", "tgt_id"], "left_semi")
-    return (
-        exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
-        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
-        .select(
-            "n_exact", "n_lsh", "n_common",
-            # NULLIF zero-guard (ADVICE r9): an empty exact miner must
-            # publish NULL identically on both engines, not diverge on
-            # Spark's non-ANSI null division vs DuckDB's count(*) path
-            F.floor(
-                F.lit(1_000_000.0) * F.col("n_common")
-                / F.nullif(F.col("n_exact").cast("double"), F.lit(0.0))
-                + F.lit(0.5)
-            ).cast("long").alias("recall_ppm"),
-        )
     )
+
+
+def q_bitext_pipeline_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven mining-scale bitext (VERDICT r9 #8): the LSH miner
+    reached through the declarative pipeline builder with the recall
+    audit gate ENABLED — ``bitext_mode: "lsh"`` + ``audit`` runs the
+    exact-vs-LSH pair recall over the calibration slice and refuses the
+    plan below 100k ppm (measured: 208k/224k/293k ppm at
+    sf0.001/0.01/0.1). The returned plan is byte-identical to
+    ``bitext_margin_mining_lsh``'s (equality pinned in
+    test_pipeline_config), so the same oracle verifies it."""
+    from transfer_spark.workloads.pipeline_config import build_bitext_pipeline
+
+    emb = _emb(spark, sf_dir)
+    return build_bitext_pipeline(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        {
+            "bitext_mode": "lsh",
+            "k": 4,
+            "margin_threshold_ppm": 1_000_000,
+            "lsh": {"n_planes": 4, "dim": 64, "seeds": [42, 43]},
+            "audit": {"min_recall_ppm": 100_000, "sample_mod": 1},
+        },
+    ).orderBy("src_id")
 
 
 def _bitext_lsh_recall_sql() -> str:
@@ -1660,6 +1665,7 @@ QUERIES = {
     "bitext_margin_mining": (q_bitext_margin, ORACLE_BITEXT_MARGIN),
     "bitext_margin_mining_lsh": (q_bitext_margin_lsh, _bitext_margin_lsh_oracle()),
     "bitext_lsh_recall_audit": (q_bitext_lsh_recall, _bitext_lsh_recall_sql()),
+    "bitext_pipeline_config": (q_bitext_pipeline_config, _bitext_margin_lsh_oracle()),
     "cluster_balanced_sample": (
         q_cluster_balanced_sample, _cluster_balanced_oracle()
     ),
