@@ -517,3 +517,39 @@ def test_scratch_dir_previous_invocations_lazy_frame_survives(spark, tmp_path):
     assert d3 not in (d1, d2)
     # v1 reclaimed only now; v2 (previous) still alive
     assert not os.path.isdir(d1) and os.path.isdir(d2)
+
+
+def test_ingest_emits_per_phase_flush_timings(spark, tmp_path):
+    """Telemetry parity (reference flush.go:90-127 emits per-stage flush
+    timings): the composer emits one timing per executed phase through
+    the provider seam, and the Null default costs nothing. Verdicts are
+    identical with and without a client wired (observability never
+    changes the data path)."""
+    from transfer_spark.streaming.telemetry import InMemoryMetricsClient
+
+    rows = [(1, LONG_A), (2, LONG_A), (3, LONG_B), (4, "too short")]
+    m = InMemoryMetricsClient()
+    ing = StreamingCorpusIngest(
+        spark, str(tmp_path / "ing_m"), min_tokens=5, metrics_client=m
+    )
+    v0 = {(r.doc_id, r.status) for r in
+          ing.process_batch(_df(spark, rows), "doc_id", "text",
+                            batch_id=0).collect()}
+    ing2 = StreamingCorpusIngest(spark, str(tmp_path / "ing_n"), min_tokens=5)
+    v1 = {(r.doc_id, r.status) for r in
+          ing2.process_batch(_df(spark, rows), "doc_id", "text",
+                             batch_id=0).collect()}
+    assert v0 == v1
+    names = {n for n, _, _ in m.timings}
+    # batch 0 of a fresh store: no index yet, so no probe timings; every
+    # other phase must have emitted exactly once
+    assert {"ingest.exact_stage", "ingest.minhash_stage",
+            "ingest.verdict_counts", "ingest.exact_append",
+            "ingest.corpus_write", "minhash.verdicts",
+            "minhash.append"} <= names
+    # second batch probes both persistent indexes -> probe timings appear
+    m2_rows = [(10, LONG_A_NEAR), (11, LONG_B)]
+    ing.process_batch(_df(spark, m2_rows), "doc_id", "text", batch_id=1)
+    names2 = {n for n, _, _ in m.timings}
+    assert {"ingest.exact_probe", "minhash.probe_buckets"} <= names2
+    assert all(sec >= 0 for _, sec, _ in m.timings)

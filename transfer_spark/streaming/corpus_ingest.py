@@ -41,6 +41,7 @@ consumer loop — continuous ingest, per-batch flush, persistent state
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -172,12 +173,21 @@ class StreamingCorpusIngest:
         n_buckets: int = 16,
         fs=None,
         eval_index: "EvalNgramIndex | None" = None,
+        metrics_client=None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.min_tokens = min_tokens
         self.min_quality = min_quality
         self.n_buckets = n_buckets
+        # per-phase flush-path timings through the same provider seam the
+        # flush pipeline emits on (streaming/telemetry.py — reference
+        # flush.go:90-127 emits `flush` timings per stage; here the
+        # stages are the ingest phases). Null by default: zero branching
+        # and zero cost in the data path.
+        from transfer_spark.streaming.telemetry import NullMetricsClient
+
+        self.metrics_client = metrics_client or NullMetricsClient()
         # optional at-ingest decontamination: a doc sharing an exact
         # n-gram with the eval suite is refused BEFORE the dedup stages,
         # so a contaminated doc can never become a kept representative
@@ -189,7 +199,8 @@ class StreamingCorpusIngest:
         self.exact_path = os.path.join(path, "exact")
         self.corpus_path = os.path.join(path, "corpus")
         self.minhash = MinHashDedupIndex(
-            spark, os.path.join(path, "bands"), n_buckets=n_buckets, fs=self.fs
+            spark, os.path.join(path, "bands"), n_buckets=n_buckets,
+            fs=self.fs, metrics_client=self.metrics_client,
         )
         # A doc with fewer tokens than the MinHash shingle width produces
         # no bands, so it would get no verdict from the near-dup stage.
@@ -308,9 +319,13 @@ class StreamingCorpusIngest:
         # is static (built once, never mutated by ingest), so replay
         # determinism is unaffected.
         if self.eval_index is not None:
+            t0 = time.perf_counter()
             contaminated = self.eval_index.probe_ids(
                 gated, "doc", "text"
             ).withColumn("__cont", F.lit(True)).localCheckpoint(eager=True)
+            self.metrics_client.timing(
+                "ingest.decon_probe", time.perf_counter() - t0
+            )
             gated = gated.join(contaminated.select("doc"), "doc", "left_anti")
         else:
             contaminated = None
@@ -328,7 +343,11 @@ class StreamingCorpusIngest:
             .select("doc", F.col("__first_doc").alias("exact_batch_dup_of"))
         )
         exact_surv = gated.join(intra, "doc", "left_anti")
+        t0 = time.perf_counter()
         index_hits = self._exact_index_hits(exact_surv)
+        self.metrics_client.timing(
+            "ingest.exact_probe", time.perf_counter() - t0
+        )
 
         # ONE checkpoint pins the whole exact stage — inputs, gate, hash,
         # intra verdict, index verdict — before any index mutation. Every
@@ -343,10 +362,14 @@ class StreamingCorpusIngest:
             v = v.join(contaminated, "doc", "left")
         else:
             v = v.withColumn("__cont", F.lit(None).cast("boolean"))
+        t0 = time.perf_counter()
         ex = (
             v.join(intra, "doc", "left")
             .join(index_hits, "doc", "left")
             .localCheckpoint(eager=True)
+        )
+        self.metrics_client.timing(
+            "ingest.exact_stage", time.perf_counter() - t0
         )
         exact_kept = ex.filter(
             F.col("__pass")
@@ -356,10 +379,14 @@ class StreamingCorpusIngest:
         )
 
         # near-dup stage over exact survivors (mutates the band index)
+        t0 = time.perf_counter()
         mh_verdicts = self.minhash.process_batch(
             exact_kept.select(F.col("doc").alias("doc_id"), "text"),
             "doc_id", "text",
         ).select(F.col("doc_id").alias("doc"), "status", "dup_of")
+        self.metrics_client.timing(
+            "ingest.minhash_stage", time.perf_counter() - t0
+        )
         self._fp("bands_appended")
 
         # verdicts are a pure join of two MATERIALIZED frames (ex and
@@ -392,12 +419,16 @@ class StreamingCorpusIngest:
         # keeps/indexes nothing must not write, because an empty
         # partitionBy-append / empty overwrite leaves a _SUCCESS-only
         # directory that breaks parquet schema inference on later reads
+        t0 = time.perf_counter()
         status_counts = {
             r["status"]: r["n"]
             for r in verdicts.groupBy("status")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+        self.metrics_client.timing(
+            "ingest.verdict_counts", time.perf_counter() - t0
+        )
         n_exact_surv = sum(
             n for s, n in status_counts.items()
             if s not in (GATED_OUT, CONTAMINATED, EXACT_BATCH_DUP,
@@ -408,6 +439,7 @@ class StreamingCorpusIngest:
         # short-circuit for byte-identical copies of near-dup-dropped
         # docs. exact_kept IS that set, read off the checkpointed ex.
         if n_exact_surv:
+            t0 = time.perf_counter()
             (
                 exact_kept
                 .select(
@@ -418,6 +450,9 @@ class StreamingCorpusIngest:
                 .repartition(self.n_buckets, F.col("__bucket"))
                 .write.mode("append").partitionBy("__bucket")
                 .parquet(self.exact_path)
+            )
+            self.metrics_client.timing(
+                "ingest.exact_append", time.perf_counter() - t0
             )
         self._fp("exact_appended")
         # left join + coalesce, not an inner join on mh status: the
@@ -446,8 +481,12 @@ class StreamingCorpusIngest:
         # partition at all; replay is still safe because verdicts are
         # deterministic (the replayed batch keeps nothing again).
         if status_counts.get("kept", 0):
+            t0 = time.perf_counter()
             corpus_rows.write.mode("overwrite").parquet(
                 os.path.join(self.corpus_path, f"ingest_batch={batch_id}")
+            )
+            self.metrics_client.timing(
+                "ingest.corpus_write", time.perf_counter() - t0
             )
         self._fp("corpus_written")
         self._commit_watermark(batch_id)

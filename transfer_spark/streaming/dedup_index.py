@@ -30,6 +30,7 @@ pruned-bucket access pattern.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,6 +57,7 @@ class MinHashDedupIndex:
         shingle_k: int = 3,
         n_buckets: int = 64,
         fs=None,
+        metrics_client=None,
     ):
         self.spark = spark
         self.path = path
@@ -63,6 +65,11 @@ class MinHashDedupIndex:
         self.bands = bands
         self.shingle_k = shingle_k
         self.n_buckets = n_buckets
+        # per-phase timings through the telemetry provider seam (Null by
+        # default — zero cost; see streaming/telemetry.py)
+        from transfer_spark.streaming.telemetry import NullMetricsClient
+
+        self.metrics_client = metrics_client or NullMetricsClient()
         # metadata IO (listings, markers) goes through the statefs seam so
         # an object-store-backed index is a config, not a rewrite
         self.fs = fs if fs is not None else LocalStateFS()
@@ -147,12 +154,16 @@ class MinHashDedupIndex:
             #    collect: at most n_buckets distinct values)
             surv_bands = banded.join(intra, "doc", "left_anti")
             if self.exists():
+                t0 = time.perf_counter()
                 probe_buckets = [
                     r[0]
                     for r in surv_bands.select(self._bucket().alias("bk"))
                     .distinct()
                     .collect()
                 ]
+                self.metrics_client.timing(
+                    "minhash.probe_buckets", time.perf_counter() - t0
+                )
                 idx = self.read_buckets(probe_buckets).select(
                     F.col("band").alias("i_band"),
                     F.col("band_hash").alias("i_hash"),
@@ -190,7 +201,11 @@ class MinHashDedupIndex:
                 )
             )
             # materialize verdicts BEFORE mutating the index they read
+            t0 = time.perf_counter()
             verdicts = verdicts.localCheckpoint(eager=True)
+            self.metrics_client.timing(
+                "minhash.verdicts", time.perf_counter() - t0
+            )
             # derive the append set from the CHECKPOINTED verdicts, not
             # by re-running the index probe: surv_bands ⟕ index_hits
             # would re-read the index buckets and redo the probe join a
@@ -200,7 +215,11 @@ class MinHashDedupIndex:
             kept_docs = verdicts.filter(F.col("status") == KEPT).select(
                 F.col("doc_id").alias("doc")
             )
+            t0 = time.perf_counter()
             self.append(banded.join(kept_docs, "doc"))
+            self.metrics_client.timing(
+                "minhash.append", time.perf_counter() - t0
+            )
             return verdicts
         finally:
             banded.unpersist(blocking=False)
