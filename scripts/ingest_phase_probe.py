@@ -1,0 +1,103 @@
+"""Reproduce the SCALE.md ingest phase breakdown: per-phase wall time
+AND Spark job count for the two-batch StreamingCorpusIngest run.
+
+Usage: python scripts/ingest_phase_probe.py [SF_DIR] [RUNS]
+
+Wall times come from the composer's own telemetry seam
+(`ingest.*` / `minhash.*` timings); job counts come from snapshotting
+the job-group's id list at each phase boundary — under AQE every
+exchange materialization is its own job, so the count reads as "number
+of query stages this phase executed". Prints the phase table for the
+best (lowest-total) run.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from transfer_spark.session import get_spark, read_table, scratch_dir  # noqa: E402
+from transfer_spark.streaming.corpus_ingest import StreamingCorpusIngest  # noqa: E402
+
+
+class PhaseJobCountClient:
+    """Telemetry client that records (phase, wall, jobs-since-last-phase)."""
+
+    def __init__(self, sc, group: str) -> None:
+        self.sc = sc
+        self.group = group
+        self.snaps: list[tuple[str, float, int]] = []
+        self._prev = 0
+
+    def timing(self, name, seconds, tags=None):
+        n = len(self.sc.statusTracker().getJobIdsForGroup(self.group))
+        self.snaps.append((name, seconds, n - self._prev))
+        self._prev = n
+
+    def incr(self, *a, **k):  # noqa: D102
+        pass
+
+    def count(self, *a, **k):  # noqa: D102
+        pass
+
+    def gauge(self, *a, **k):  # noqa: D102
+        pass
+
+    def gauge_with_sample(self, *a, **k):  # noqa: D102
+        pass
+
+    def flush(self):  # noqa: D102
+        pass
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    spark = get_spark("ingest-phase-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JIT warm-up
+
+    d = read_table(spark, sf_dir, "documents")
+    best: tuple[float, PhaseJobCountClient, int] | None = None
+    for i in range(runs):
+        group = f"ingest-probe-{i}"
+        m = PhaseJobCountClient(sc, group)
+        ing = StreamingCorpusIngest(
+            spark, scratch_dir(spark, "phase_probe"),
+            min_tokens=30, n_buckets=16, metrics_client=m,
+        )
+        sc.setJobGroup(group, "ingest phase probe")
+        t0 = time.perf_counter()
+        v0 = ing.process_batch(
+            d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", batch_id=0
+        )
+        v1 = ing.process_batch(
+            d.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", batch_id=1
+        )
+        v0.unionByName(v1).write.format("noop").mode("overwrite").save()
+        total = time.perf_counter() - t0
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        sc.setJobGroup("", "")
+        print(f"run {i}: total={total:.2f}s jobs={n_jobs}", flush=True)
+        if best is None or total < best[0]:
+            best = (total, m, n_jobs)
+
+    total, m, n_jobs = best
+    print(f"\nbest run: total={total:.2f}s jobs={n_jobs} (sf_dir={sf_dir})")
+    print(f"{'phase':30s} {'wall_s':>8s} {'jobs':>5s}")
+    accounted = 0
+    for name, sec, jobs in m.snaps:
+        print(f"{name:30s} {sec:8.2f} {jobs:5d}")
+        accounted += jobs
+    print(f"{'(final force + gaps)':30s} {'':>8s} {n_jobs - accounted:5d}")
+
+
+if __name__ == "__main__":
+    main()
