@@ -2117,6 +2117,14 @@ def q_pretraining_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             occ.join(model, "bg")
             .groupBy("doc_id")
             .agg(F.expr("sum(nlp_bg) DIV count(1)").alias("nlp_micro"))
+            # eager checkpoint of the DOC-GRAIN score frame: it feeds two
+            # branches (the tercile threshold and the keep filter), and
+            # Spark does not dedupe common subtrees across joins — without
+            # this the corpus-wide bigram explode + LM join runs once per
+            # branch inside the one final action (measured ~10 s of the
+            # sf0.1 wall). The checkpoint is tiny (one row per cleaned
+            # doc) and ContextCleaner-collected with the result.
+            .localCheckpoint(eager=True)
         )
         dist = scored.groupBy("nlp_micro").agg(F.count(F.lit(1)).alias("__c"))
         cum = global_cumsum(dist, [F.col("nlp_micro")], F.col("__c"), "__cum")
@@ -2146,7 +2154,19 @@ def q_pretraining_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         contaminated = D.ngram_collisions(
             train, evals, "doc_id", "text", n=8
         ).select(F.col("train_doc").alias("doc_id"))
-        post = train.join(contaminated, "doc_id", "left_anti")
+        # eager checkpoint of the post-decon ID SET (doc-grain, tiny):
+        # it feeds two consumers (the source-token mixture aggregate and
+        # the final keep join), and without it the decontamination
+        # subtree — the eval side's corpus-wide 8-gram explode — runs
+        # once per consumer inside the final action (measured ~10 s of
+        # the sf0.1 wall). Rows re-acquire text from the persisted train
+        # frame, so only ids are materialized.
+        post = (
+            train.join(contaminated, "doc_id", "left_anti")
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+            .join(train, "doc_id")
+        )
         pt = post.join(
             _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
         )
