@@ -2850,9 +2850,15 @@ def q_sessions_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "user_id", "ts", gap_seconds=_GAP_S, order_col="event_id"
     )
     t = F.unix_micros(F.col("ts").cast("timestamp"))
+    # one materialization of the per-session frame (one row per session):
+    # it feeds both sides of the bucket self-join AND the final
+    # left-join back, and without it the sessionize window + min/max
+    # aggregate over the full event stream runs once per consumer (AQE
+    # does not reuse aliased subtrees — same finding as the dedup pair
+    # operators)
     s = sz.groupBy("user_id", "session_id").agg(
         F.min(t).alias("t0"), F.max(t).alias("t1")
-    )
+    ).localCheckpoint(eager=True)
     hour = 3_600_000_000
     b = s.select(
         "user_id", "session_id", "t0", "t1",
