@@ -1,0 +1,80 @@
+"""Catalog rerun-footprint soak (VERDICT r10 #8).
+
+Coverage is no longer the constraint — lifecycle correctness under
+repeated invocation is: r10 shipped a per-invocation CacheManager leak
+(`neardup_clusters` returned a cached frame whose cross-call
+plan-equality dedup was defeated by upstream per-run checkpoint ids).
+This soak pins the contract catalog-wide for every registry entry whose
+call path persists, caches, or localCheckpoints a frame: TWO
+invocations, CacheManager footprint flat AND empty afterwards
+(CacheManager entries never GC, so "empty after return" is the only
+footprint that cannot accumulate in a long-lived driver sweeping the
+registry — exactly what the driver's correctness harness and
+`scripts/check_oracles.py` do).
+
+localCheckpoint blocks are NOT asserted on: they are
+ContextCleaner-collected when the returned frame is dropped, which is
+GC-timing dependent — asserting on block counts would be flaky by
+construction. CacheManager is deterministic.
+
+`pretraining_corpus_pipeline_v2` is excluded: its rerun pin (plus
+byte-identical-result check) lives in
+tests/test_crash_soak.py::test_pretraining_v2_rerun_identical_and_cache_clean.
+"""
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# Every registry entry whose call path holds driver-visible cache state
+# (grep `persist(|cache()|localCheckpoint` over transfer_spark/ plus the
+# workload builders that call those operators). Streaming index classes
+# (corpus ingest, dedup index, identity index) manage their own
+# lifecycle and are soaked in their own test files.
+STATEFUL_QUERIES = [
+    # pair builders (eager checkpoint contract, operators/dedupe.py)
+    "dedupe_minhash_lsh",
+    "dedupe_lsh_verified",
+    "dedupe_simhash_hamming",
+    "dedupe_ngram_jaccard",
+    "dedupe_dup_spans",
+    "dedupe_winnow_overlap",
+    "dedupe_span_scrub",
+    "dedupe_savings_report",
+    # connected components (internal caches + checkpointed result)
+    "neardup_clusters",
+    "neardup_clusters_star",
+    "neardup_cluster_sizes",
+    "neardup_keep_best",
+    "embedding_neardup_lsh",
+    "multimodal_phash_neardup",
+    # composed pipelines over the above
+    "corpus_clean",
+    "split_leakage_free",
+    "pretraining_corpus_pipeline",
+    # operators with their own persists / checkpoints
+    "dsir_importance",
+    "events_attribution_markov",
+    "events_attribution_cross_device",
+    "search_mmr_diversify",
+    "ann_ivf_kmeans",
+    "part_pagerank",
+]
+
+
+@pytest.mark.parametrize("name", STATEFUL_QUERIES)
+def test_rerun_cache_footprint_flat(spark, name):
+    from transfer_spark.workloads import QUERIES
+
+    fn, _oracle = QUERIES[name]
+    spark.catalog.clearCache()  # isolate from other tests' leftovers
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.cachedData().size() == 0
+    r1 = fn(spark, SF).count()
+    n1 = cm.cachedData().size()
+    r2 = fn(spark, SF).count()
+    n2 = cm.cachedData().size()
+    assert r1 == r2, f"{name}: rerun changed the row count {r1} -> {r2}"
+    assert n2 <= n1, f"{name}: rerun grew the CacheManager {n1} -> {n2}"
+    assert n1 == 0, f"{name}: left {n1} CacheManager entries pinned"

@@ -15,6 +15,26 @@ Every hash is md5-derived so the identical arithmetic runs in any SQL
 engine (the DuckDB oracles mirror it term for term). Generalizes the
 reference's exact-PK dedupe maintenance op
 (reference: clients/iceberg/dialect/dialect.go:61-101).
+
+EAGER-AT-BUILD CONTRACT (all pair builders below): every operator that
+self-joins a derived frame (minhash_lsh_pairs, lsh_verified_pairs,
+simhash_hamming_pairs, ngram_jaccard_pairs, dup_spans,
+winnow_overlap_pairs) materializes that frame with
+``localCheckpoint(eager=True)`` at CALL time — corpus-wide Spark jobs
+run inside the builder, not at the first action on the result. Why not
+lazy: AQE does not canonicalize aliased subtrees into one reused
+stage, so without the checkpoint the corpus-wide derivation runs once
+PER JOIN SIDE (measured ~1.9× at sf0.1). Why not ``persist``: the
+returned plan reads the frame lazily, so the operator can never
+release a CacheManager entry, and cross-invocation plan-equality dedup
+is defeated by any upstream checkpoint id — one leaked corpus-sized
+cache per call (the r10 lifecycle bug). Fault-tolerance trade:
+localCheckpoint truncates lineage, so an executor loss after
+materialization fails the JOB (driver-level retry re-runs the builder
+from source) instead of recomputing the lost partitions transparently
+— a deliberate trade for guaranteed single execution; blocks spill
+MEMORY_AND_DISK and are ContextCleaner-collected when the returned
+frame is dropped.
 """
 
 from __future__ import annotations
@@ -151,13 +171,19 @@ def neardup_clusters(
             "components wider than that would be silently split — raise "
             "max_iters or use large-star/small-star for deep graphs"
         )
-    # release the edge cache: the returned labels frame is itself cached
-    # and materialized, so downstream reads never need the edges again
-    # (a re-computation after eviction would rebuild them from source —
-    # correct either way; this just stops long-lived pipelines from
-    # accumulating one edge cache per clustering call)
+    # Hand the result over as an eager localCheckpoint (doc-grain rows,
+    # two longs each) and release BOTH internal caches before returning.
+    # Returning the cached labels frame itself leaked one CacheManager
+    # entry per invocation (r10 verdict: entries never GC, and plan-
+    # equality dedup across calls broke once upstream pair builders
+    # embedded per-run checkpoint RDD ids); checkpoint blocks, by
+    # contrast, are ContextCleaner-collected with the returned frame.
+    out = labels.select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    ).localCheckpoint(eager=True)
+    labels.unpersist(blocking=False)
     edges.unpersist(blocking=False)
-    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+    return out
 
 
 def shingles(text: Column, k: int = 3) -> Column:
@@ -279,7 +305,8 @@ def minhash_lsh_pairs(
     SIDE (measured 1.9× on the winnowing sibling at sf0.1). The
     materialized state is (doc, band, band_hash) fixed-width rows —
     the same data the join's exchange shuffles anyway, spilled via
-    MEMORY_AND_DISK.
+    MEMORY_AND_DISK. Eager-at-build: Spark jobs run inside this call
+    (see the module-docstring contract).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signature_df(df, id_col, text_col, num_hashes, shingle_k)
@@ -314,22 +341,24 @@ def lsh_verified_pairs(
     """The production near-dup shape: LSH candidates → exact Jaccard
     verify ONLY on candidates. All-pairs cost never materializes: the
     verify join is an equi-join on doc id against the candidate list,
-    which is ≪ n² when bands/rows are tuned to the threshold."""
+    which is ≪ n² when bands/rows are tuned to the threshold.
+    Eager-at-build: Spark jobs run inside this call (see the
+    module-docstring contract)."""
     # shingle once, serve three consumers (signature explode + both sides
     # of the verify join); min over the distinct set == min over the
     # multiset, so dedup up front. No pre-shingle repartition (scan splits
-    # by byte range at volume — see simhash note). The cache holds (doc,
-    # distinct shingle array), already hashed down from raw text; at
-    # cluster scale prefer MEMORY_AND_DISK so a big corpus spills instead
-    # of evicting (StorageLevel default for DataFrame.persist) — cache()
-    # is exactly that level, so this is spill-safe, not a memory bet.
-    sh = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
-        )
-        .persist()
-    )
+    # by byte range at volume — see simhash note). Eager localCheckpoint,
+    # NOT persist: a persist here is a CacheManager entry the operator
+    # can never release (the returned plan reads the frame lazily), and
+    # r10 showed per-invocation checkpoint RDD ids upstream defeat the
+    # cross-call plan-equality dedup that used to mask it — one leaked
+    # corpus-sized cache per call. Checkpoint blocks spill via
+    # MEMORY_AND_DISK exactly like the persist did and are
+    # ContextCleaner-collected once the returned frame is dropped.
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    ).localCheckpoint(eager=True)
     rows_per_band = num_hashes // bands
     ex = sh.select("doc", F.explode("sh").alias("s"))
     base = ex.select("doc", _base_hash(F.col("s")).alias("h"))
@@ -475,7 +504,8 @@ def simhash_hamming_pairs(
 
     Works on any integer fingerprint (simhash, pHash, aHash) — the
     multimodal family uses it for perceptual image hashes. Returns
-    (doc_a, doc_b, hamming), doc_a < doc_b.
+    (doc_a, doc_b, hamming), doc_a < doc_b. Eager-at-build: Spark jobs
+    run inside this call (see the module-docstring contract).
     """
     n_bands = radius + 1
     width = bits // n_bands
@@ -537,7 +567,8 @@ def ngram_jaccard_pairs(
     at scale run it only on LSH candidate pairs). The shingle-array
     frame is materialized once so the cross join's two sides don't each
     re-run the corpus tokenization (the cross join itself is the
-    by-design verifier cost)."""
+    by-design verifier cost). Eager-at-build: Spark jobs run inside
+    this call (see the module-docstring contract)."""
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
@@ -569,6 +600,8 @@ def dup_spans(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> DataFram
     flag via min(doc) != max(doc) (no count-distinct, constant state) ->
     join back on h (reuses the hash partitioning, no extra exchange) ->
     per-doc aggregate. Never materializes span text past the hash.
+    Eager-at-build: Spark jobs run inside this call (see the
+    module-docstring contract).
     """
     s = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__sp")
@@ -899,7 +932,12 @@ def neardup_clusters_star(
         )
     labels = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
     centers = edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
-    out = labels.union(centers).distinct()
+    # eager checkpoint BEFORE releasing the edge cache: the result is
+    # doc-grain tiny and already computed (the signature collect forced
+    # it), so this pins the rows without a CacheManager entry; without
+    # it, consuming the returned frame after the unpersist would replay
+    # the final star round from lineage.
+    out = labels.union(centers).distinct().localCheckpoint(eager=True)
     edges.unpersist(blocking=False)
     return out
 
@@ -951,7 +989,8 @@ def winnow_overlap_pairs(df, id_col: str, text_col: str,
     filter; cost scales with fingerprint collisions, never all pairs.
     The fingerprint frame is materialized once before the self-join
     (AQE does not reuse aliased subtrees as one stage — measured 1.9×
-    at sf0.1; see minhash_lsh_pairs)."""
+    at sf0.1; see minhash_lsh_pairs). Eager-at-build: Spark jobs run
+    inside this call (see the module-docstring contract)."""
     fps = winnow_fingerprints(
         df, id_col, text_col, shingle_k, window
     ).localCheckpoint(eager=True)

@@ -113,6 +113,11 @@ def markov_removal_attribution(
         )
         .localCheckpoint(eager=True)
     )
+    # both checkpoints above truncate lineage, so the chain caches no
+    # longer feed anything downstream — release them here rather than
+    # leak one CacheManager entry each per invocation (entries never GC)
+    cnts.unpersist(blocking=False)
+    states0.unpersist(blocking=False)
     p = states.select("removed", "state", F.lit(0).cast("long").alias("p_ppm"))
     for i in range(k):
         if i and i % 2 == 0:
@@ -145,7 +150,14 @@ def markov_removal_attribution(
                 " DIV tot AS BIGINT)"
             ).alias("p_ppm"),
         )
-    fin = p.filter(F.col("state") == "START").select("removed", "p_ppm").cache()
+    # eager checkpoint (a handful of rows), not cache: the returned plan
+    # reads `fin` twice (base + effects) and the operator can't release
+    # a cache after return — checkpoint blocks GC with the result frame
+    fin = (
+        p.filter(F.col("state") == "START")
+        .select("removed", "p_ppm")
+        .localCheckpoint(eager=True)
+    )
     base = fin.filter(F.col("removed") == "__base__").select(
         F.col("p_ppm").alias("p_base_ppm")
     )

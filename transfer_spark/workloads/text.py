@@ -1920,10 +1920,17 @@ FROM per
 
 
 def _cleaned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed cleaning pipeline in ONE lazy plan — language filter →
-    quality gate → exact-dedup survivor → near-dup cluster canonical
-    (lowest doc id per LSH component) — keeping text so downstream stages
-    (decontamination, packing) can compose on top."""
+    """The composed cleaning pipeline — language filter → quality gate →
+    exact-dedup survivor → near-dup cluster canonical (lowest doc id per
+    LSH component) — keeping text so downstream stages (decontamination,
+    packing) can compose on top.
+
+    NOT one lazy plan since r10: the near-dup branch
+    (``minhash_lsh_pairs`` → ``neardup_clusters``) materializes its band
+    frame and cluster labels eagerly AT CALL TIME (corpus-wide Spark
+    jobs run inside this function — see the eager-at-build notes on
+    those operators); the language/quality/exact-dedup branches stay
+    lazy and fuse into the caller's final action."""
     d = _docs(spark, sf_dir)
     scored = d.select(
         "doc_id",
@@ -1981,7 +1988,9 @@ WHERE s.lg = 'en' AND s.q >= 0.3
 
 
 def q_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The END-TO-END pretraining corpus build as one lazy plan: clean
+    """The END-TO-END pretraining corpus build (one composed plan; the
+    near-dup stage inside ``_cleaned_docs`` materializes eagerly at
+    build time — see its docstring): clean
     (language + quality + exact-dedup + near-dup canonical) → train/eval
     split → exact 8-gram decontamination against the ENTIRE eval side
     (not just surviving eval docs — leakage through a document the
@@ -3424,10 +3433,15 @@ def dsir_scores(d: DataFrame) -> DataFrame:
     bgs = T.bigram_expr(F.col("text"))
     # The bigram explode + md5 feature hash is the expensive part of the
     # whole operator — hash once, serve both consumers (the weight
-    # aggregate and the per-doc scoring join) off a spill-safe persist
-    # (same shingle-once contract as operators/dedupe.py). Raw and
-    # target counts come from ONE aggregate (conditional count), not two
-    # separate corpus passes.
+    # aggregate and the per-doc scoring join). Eager localCheckpoint,
+    # not persist: the returned plan reads this frame lazily, so a
+    # persist would be a CacheManager entry nobody can release (one
+    # leaked corpus-sized cache per invocation — the r10 lifecycle bug
+    # class); checkpoint blocks spill MEMORY_AND_DISK the same way and
+    # are ContextCleaner-collected with the result. Rows are narrow
+    # (doc_id, lang, bucket int) — already hashed down from raw text.
+    # Raw and target counts come from ONE aggregate (conditional
+    # count), not two separate corpus passes.
     feats = (
         d.select(
             "doc_id",
@@ -3438,7 +3452,7 @@ def dsir_scores(d: DataFrame) -> DataFrame:
             "doc_id", "lang",
             (T.word_hash(F.col("bg")) % F.lit(_DSIR_BUCKETS)).alias("f"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counts = feats.groupBy("f").agg(
         F.count(F.lit(1)).alias("rf"),
