@@ -92,9 +92,18 @@ def main() -> None:
     total, m, n_jobs = best
     print(f"\nbest run: total={total:.2f}s jobs={n_jobs} (sf_dir={sf_dir})")
     print(f"{'phase':30s} {'wall_s':>8s} {'jobs':>5s}")
+    # NOTE on nesting (ADVICE r10): ingest.minhash_stage WRAPS the
+    # nested minhash.* phases, which emit first — so its jobs column
+    # (delta since the last snapshot) is ~0 while its wall column spans
+    # the whole stage. Composer-level rows whose sub-phases already
+    # account for the jobs are marked so the two columns aren't read as
+    # describing the same span.
+    WRAPPERS = {"ingest.minhash_stage"}
     accounted = 0
     for name, sec, jobs in m.snaps:
-        print(f"{name:30s} {sec:8.2f} {jobs:5d}")
+        tag = "  (wall spans nested minhash.* rows above)" \
+            if name in WRAPPERS else ""
+        print(f"{name:30s} {sec:8.2f} {jobs:5d}{tag}")
         accounted += jobs
     print(f"{'(final force + gaps)':30s} {'':>8s} {n_jobs - accounted:5d}")
 

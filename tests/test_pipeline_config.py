@@ -204,7 +204,8 @@ def test_bitext_config_recall_gate_refuses_below_threshold(spark, sf_dir):
     with pytest.raises(ValueError, match="recall gate failed"):
         build_bitext_pipeline(
             src.filter(F.lit(False)), tgt.filter(F.lit(False)),
-            {"bitext_mode": "lsh", "audit": {"min_recall_ppm": 1}},
+            {"bitext_mode": "lsh",
+             "audit": {"min_recall_ppm": 1, "sample_mod": 1}},
         )
 
 
@@ -237,6 +238,22 @@ def test_bitext_config_strictness(spark, sf_dir):
             src, tgt,
             {"bitext_mode": "lsh",
              "audit": {"min_recall_ppm": 1, "sample_mod": 0}},
+        )
+    # the gate cost is the slice size — audit without an explicit
+    # sample_mod silently ran the FULL exact cross product pre-r11;
+    # now a config error (VERDICT r10 #4)
+    with pytest.raises(ValueError, match="explicit sample_mod"):
+        build_bitext_pipeline(
+            src, tgt, {"bitext_mode": "lsh", "audit": {"min_recall_ppm": 1}}
+        )
+    # non-mapping sections are config errors, not confusing set() crashes
+    with pytest.raises(ValueError, match="audit section must be a mapping"):
+        build_bitext_pipeline(
+            src, tgt, {"bitext_mode": "lsh", "audit": "min_recall_ppm"}
+        )
+    with pytest.raises(ValueError, match="lsh section must be a mapping"):
+        build_bitext_pipeline(
+            src, tgt, {"bitext_mode": "lsh", "lsh": ["n_planes"]}
         )
 
 

@@ -258,12 +258,20 @@ class StreamingCorpusIngest:
             return hashed.select("doc").limit(0).withColumn(
                 "exact_index_dup_of", F.lit(None).cast("long")
             )
+        # timing emitted HERE, on the real-probe path only — a fresh
+        # store short-circuits above with no probe work, and an
+        # unconditional caller-side timing claimed probe cost for
+        # batches that never probed (ADVICE r10)
+        t0 = time.perf_counter()
         buckets = [
             r[0]
             for r in hashed.select((F.col("h") % self.n_buckets).alias("bk"))
             .distinct()
             .collect()
         ]
+        self.metrics_client.timing(
+            "ingest.exact_probe", time.perf_counter() - t0
+        )
         if not buckets:
             return hashed.select("doc").limit(0).withColumn(
                 "exact_index_dup_of", F.lit(None).cast("long")
@@ -343,11 +351,9 @@ class StreamingCorpusIngest:
             .select("doc", F.col("__first_doc").alias("exact_batch_dup_of"))
         )
         exact_surv = gated.join(intra, "doc", "left_anti")
-        t0 = time.perf_counter()
+        # ingest.exact_probe is emitted inside _exact_index_hits, real
+        # probe path only (batch 0 of a fresh store emits nothing)
         index_hits = self._exact_index_hits(exact_surv)
-        self.metrics_client.timing(
-            "ingest.exact_probe", time.perf_counter() - t0
-        )
 
         # ONE checkpoint pins the whole exact stage — inputs, gate, hash,
         # intra verdict, index verdict — before any index mutation. Every

@@ -189,15 +189,19 @@ def build_bitext_pipeline(
 
     The ``audit`` gate (LSH mode only) runs the exact-vs-LSH recall
     audit over a deterministic hash slice of each side (1/sample_mod of
-    the ids — the exact verifier inside the audit is a cross product,
-    so mining-scale deployments MUST sample; sample_mod=1 audits the
-    full corpus and is only sane at calibration scale) and refuses to
-    build the LSH plan when measured recall_ppm falls below
-    ``min_recall_ppm`` (or is NULL — an empty exact slice proves
-    nothing). The gate is ONE collected row (bounded); the returned
-    mining plan itself stays fully lazy and identical to the registered
-    ``bitext_margin_mining_lsh`` plan (equality pinned in
-    test_pipeline_config).
+    the ids) and refuses to build the LSH plan when measured recall_ppm
+    falls below ``min_recall_ppm`` (or is NULL — an empty exact slice
+    proves nothing). Slice-size → gate-cost contract: the exact
+    verifier inside the audit is a CROSS PRODUCT, so the gate costs
+    O((n_src/sample_mod) · (n_tgt/sample_mod)) similarity evaluations
+    at build time — ``sample_mod`` is therefore REQUIRED whenever
+    ``audit`` is present (size it so the sliced product is
+    calibration-scale, e.g. ≲10k×10k; an explicit ``sample_mod: 1``
+    audits the full corpus and is only sane at calibration scale,
+    never at mining scale). The gate is ONE collected row (bounded);
+    the returned mining plan itself stays fully lazy and identical to
+    the registered ``bitext_margin_mining_lsh`` plan (equality pinned
+    in test_pipeline_config).
     """
     _KNOWN = {"bitext_mode", "k", "margin_threshold_ppm", "lsh", "audit"}
     unknown = set(config) - _KNOWN
@@ -219,7 +223,12 @@ def build_bitext_pipeline(
             src, tgt, id_col, vec_col, k=k, margin_threshold_ppm=thr
         )
 
-    lsh = dict(config.get("lsh", {}))
+    lsh = config.get("lsh", {})
+    if not isinstance(lsh, dict):
+        raise ValueError(
+            f"lsh section must be a mapping, got {type(lsh).__name__}"
+        )
+    lsh = dict(lsh)
     _KNOWN_LSH = {"n_planes", "dim", "seeds"}
     unknown_lsh = set(lsh) - _KNOWN_LSH
     if unknown_lsh:
@@ -230,14 +239,31 @@ def build_bitext_pipeline(
 
     audit = config.get("audit")
     if audit is not None:
+        if not isinstance(audit, dict):
+            raise ValueError(
+                f"audit section must be a mapping, got {type(audit).__name__}"
+            )
         _KNOWN_AUDIT = {"min_recall_ppm", "sample_mod"}
         unknown_audit = set(audit) - _KNOWN_AUDIT
         if unknown_audit:
             raise ValueError(f"unknown audit key(s) {sorted(unknown_audit)}")
         if "min_recall_ppm" not in audit:
             raise ValueError("audit requires min_recall_ppm")
+        if "sample_mod" not in audit:
+            # the audit's exact verifier is a cross product over the
+            # sliced sides, so sample_mod IS the gate cost — a silent
+            # default of 1 ran the full n_src x n_tgt exact miner at
+            # build time, the very cost the LSH path exists to avoid
+            # (VERDICT r10 #4). Make the cost a conscious choice.
+            raise ValueError(
+                "audit requires an explicit sample_mod: the gate's exact "
+                "verifier is a cross product over the 1/sample_mod hash "
+                "slices, so pick sample_mod so that "
+                "(n_src/sample_mod) * (n_tgt/sample_mod) is calibration-"
+                "sized; sample_mod=1 audits the FULL corpus"
+            )
         min_recall = int(audit["min_recall_ppm"])
-        sample_mod = int(audit.get("sample_mod", 1))
+        sample_mod = int(audit["sample_mod"])
         if sample_mod < 1:
             raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
 
