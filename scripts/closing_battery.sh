@@ -1,0 +1,30 @@
+#!/bin/bash
+# Closing battery (VERDICT r10 #2): ONE command whose output lands in
+# the tree, so a late perf commit can't ship unverified again.
+#
+# Usage: bash scripts/closing_battery.sh ROUND_NUMBER
+#
+# Runs the full pytest suite and writes PYTEST_r{N}.txt recording the
+# exact tree hash tested, the dirty-file count, the suite tail, and the
+# exit code. Convention: run this on the round's final code tree, then
+# commit the artifact as a doc-only commit on top — the artifact names
+# the tested tree, and any code commit AFTER it is visibly unverified.
+set -u
+cd "$(dirname "$0")/.."
+ROUND="${1:?usage: closing_battery.sh ROUND_NUMBER}"
+OUT="PYTEST_r${ROUND}.txt"
+TMP=$(mktemp)
+python -m pytest tests/ -q > "$TMP" 2>&1
+CODE=$?
+{
+  echo "tree: $(git rev-parse HEAD)"
+  echo "dirty: $(git status --porcelain | grep -cv "^?? ${OUT}$")"
+  echo "date: $(date -u +%FT%TZ)"
+  echo "cmd: python -m pytest tests/ -q"
+  echo "exit: ${CODE}"
+  echo "--- last 50 lines ---"
+  tail -50 "$TMP"
+} > "$OUT"
+rm -f "$TMP"
+tail -5 "$OUT"
+exit "$CODE"

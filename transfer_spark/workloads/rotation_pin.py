@@ -14,59 +14,62 @@ replace PINNED_TAIL with the next least-recently-adjudicated window
 (``python -c "from transfer_spark.workloads import _next_window; ..."``
 — or just clear the list; __init__ falls back to the staleness queue).
 
-Round 10 window (all 37 never driver-adjudicated before round 10 —
-VERDICT r9 #3: "freeze the next 37; ANN/graph/streaming families are
-the biggest never-checked blocks"):
-- the four r9-landing registrations never driver-run;
-- the entire streaming_* never-checked block (9);
-- the ANN / search / near-dup block (12);
-- graph + identity (4), sketches HLL/KMV (5), decontamination (3).
+Round 11 window (all 37 never driver-adjudicated in any round —
+VERDICT r10 #3: 64 names remain never-driver-checked after r10; this
+window takes 37 of them, leaving debt 27):
+- the r10-landing registration (bitext_pipeline_config);
+- the entire never-checked OLAP/TPC-H-supplement block (13);
+- the never-checked events_* analytics block (9);
+- the never-checked orders_* statistics block (5);
+- the multimodal tail (5), split/leakage audits (2), privacy +
+  tokenizer reports (2).
 """
 
-PIN_ROUND = 10
+PIN_ROUND = 11
 
 PINNED_TAIL: list[str] = [
-    # r9-landing registrations, never driver-run
-    "bitext_lsh_recall_audit",
-    "cdc_history_mode",
-    "gopher_repetition_gate",
-    "split_temporal_holdout",
-    # streaming family (never checked)
-    "streaming_corpus_ingest",
-    "streaming_drop_duplicates",
-    "streaming_identity_stitch",
-    "streaming_ingest_decon",
-    "streaming_interval_join",
-    "streaming_mg_heavy_hitters",
-    "streaming_row_index",
-    "streaming_session_windows",
-    "streaming_window_finalization",
-    # ANN / search / near-dup family
-    "hard_negative_mining",
-    "ivf_list_skew_report",
-    "knn_label_vote",
-    "search_mmr_diversify",
-    "search_rrf_hybrid",
-    "retrieval_eval_mrr",
-    "retrieval_eval_ndcg",
-    "reverse_search_match",
-    "source_similarity_matrix",
-    "minhash_calibration_audit",
-    "neardup_cluster_sizes",
-    "neardup_keep_best",
-    # graph + identity
-    "graph_label_propagation",
-    "graph_modularity",
-    "part_pagerank",
-    "identity_stitch",
-    # sketches
-    "hll_distinct_users",
-    "hll_merge_daily",
-    "hll_streaming_accumulation",
-    "kmv_set_intersection",
-    "kmv_streaming_accumulation",
-    # decontamination
-    "split_decontamination_bloom",
-    "split_decontamination_containment",
-    "split_decontamination_exact",
+    # r10-landing registration, never driver-run
+    "bitext_pipeline_config",
+    # OLAP / TPC-H supplement block (never checked)
+    "olap_important_stock",
+    "olap_large_volume_orders",
+    "olap_local_supplier_volume",
+    "olap_min_cost_supplier",
+    "olap_parts_supplier_counts",
+    "olap_product_type_profit",
+    "olap_promo_revenue",
+    "olap_promotion_suppliers",
+    "olap_returned_item_customers",
+    "olap_revenue_by_nation",
+    "olap_shipmode_priority",
+    "olap_top_orders_per_segment",
+    "olap_waiting_suppliers",
+    # events analytics block
+    "events_session_depth",
+    "events_slo_burn_alerts",
+    "events_stl_decompose",
+    "events_top_paths",
+    "events_trailing_7d_revenue",
+    "events_transition_matrix",
+    "events_type_bitmask",
+    "events_type_lift",
+    "events_wow_change",
+    # orders statistics block
+    "orders_backlog_curve",
+    "orders_cohort_ltv",
+    "orders_hill_tail_index",
+    "orders_ship_delay_quantiles",
+    "orders_trimmed_mean",
+    # multimodal tail
+    "multimodal_audio_segments",
+    "multimodal_caption_alignment",
+    "multimodal_frame_dedup",
+    "multimodal_keyframe_select",
+    "multimodal_phash_neardup",
+    # split / leakage audits
+    "split_leakage_free",
+    "split_decontamination_eval_report",
+    # privacy + tokenizer reports
+    "pii_hit_report",
+    "token_fertility_by_lang",
 ]
