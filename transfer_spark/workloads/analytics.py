@@ -1758,10 +1758,17 @@ def q_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration (Pareto): customers ranked by lifetime
     order value, cut into deciles, each with its revenue mass and the
     cumulative share from the top — "the top 10% hold X% of revenue".
-    The total-order window runs on the customer-grain aggregate
-    (dimension-sized), never on orders; shares in exact ppm from
-    integer cents."""
-    from pyspark.sql import Window
+
+    Scale shape (r11): the decile cut is ntile(10) SEMANTICS without a
+    global window — customer-grain is dimension-sized at sf0.1 but
+    still billions of rows at 100 TB TPC-H, and a total-order ntile
+    funnels all of them through ONE WindowExec task. Instead the global
+    rank comes from the two-phase :func:`global_row_index`
+    (range-partition + bounded per-partition offsets), and the decile
+    is pure rank arithmetic reproducing ntile exactly (first n%10
+    buckets get one extra row). Values are bit-identical to the old
+    ntile form; the oracle mirrors the same arithmetic."""
+    from transfer_spark.operators.layout import global_row_index
 
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -1770,9 +1777,28 @@ def q_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
         ).alias("cents")
     )
-    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
-    ranked = per_cust.select(
-        "cents", F.ntile(10).over(w).alias("decile")
+    ranked0 = global_row_index(
+        per_cust,
+        [F.col("cents").desc(), F.col("o_custkey").asc()],
+        "rnk0",
+    )
+    stats = per_cust.agg(F.count(F.lit(1)).alias("__n"))
+    # ntile(b) with n rows: ksz = n DIV b, r = n % b; the first r
+    # buckets hold ksz+1 rows (ranks 1..r*(ksz+1)), the rest ksz.
+    # With rank = rnk0+1: THEN = rnk0 DIV (ksz+1) + 1,
+    # ELSE = r + (rnk0 - r*(ksz+1)) DIV ksz + 1. n < b keeps every
+    # rank in the THEN branch, so the ELSE's DIV-by-zero is unreachable.
+    ranked = ranked0.crossJoin(F.broadcast(stats)).select(
+        "cents",
+        F.expr(
+            "CAST(CASE"
+            " WHEN rnk0 + 1 <= (__n % 10) * ((__n DIV 10) + 1)"
+            " THEN rnk0 DIV ((__n DIV 10) + 1) + 1"
+            " ELSE (__n % 10)"
+            "   + (rnk0 - (__n % 10) * ((__n DIV 10) + 1)) DIV (__n DIV 10)"
+            "   + 1"
+            " END AS INT)"
+        ).alias("decile"),
     )
     per_dec = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -1798,10 +1824,23 @@ WITH per_cust AS (
   SELECT o_custkey,
          sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT) AS cents
   FROM orders GROUP BY 1
-), ranked AS (
+), rnk AS (
   SELECT cents,
-         ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+         row_number() OVER (ORDER BY cents DESC, o_custkey) - 1 AS rnk0
   FROM per_cust
+), stats AS (SELECT count(*) AS n FROM per_cust),
+ranked AS (
+  -- ntile(10) as rank arithmetic, mirroring the Spark side term for
+  -- term (first n%10 buckets get one extra row)
+  SELECT cents,
+         CAST(CASE
+           WHEN rnk0 + 1 <= (n % 10) * ((n // 10) + 1)
+           THEN rnk0 // ((n // 10) + 1) + 1
+           ELSE (n % 10)
+             + (rnk0 - (n % 10) * ((n // 10) + 1)) // (n // 10)
+             + 1
+         END AS BIGINT) AS decile
+  FROM rnk, stats
 ), per_dec AS (
   SELECT decile, count(*) AS n_customers, sum(cents) AS decile_cents
   FROM ranked GROUP BY 1
