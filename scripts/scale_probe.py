@@ -552,12 +552,15 @@ def main():
         probe_docs = docs.limit(200).select("doc_id", "text").localCheckpoint()
         decon_out = {"op": "decon_probe", "rep": REP}
         for label, factor in (("t1", 1), ("tN", REP)):
-            ev = EvalNgramIndex(
+            # ev_idx, NOT ev: rebinding `ev` here shadowed the events
+            # loader and crashed the identity probe in full (non-_ONLY)
+            # runs — found by the r11 full-battery probe run
+            ev_idx = EvalNgramIndex(
                 spark, _tf.mkdtemp(prefix="scale_ev_") + "/idx"
             )
-            ev.build(dc(factor).select("doc_id", "text"), "text")
+            ev_idx.build(dc(factor).select("doc_id", "text"), "text")
             t0 = time.perf_counter()
-            ev.probe_ids(probe_docs, "doc_id", "text").count()
+            ev_idx.probe_ids(probe_docs, "doc_id", "text").count()
             decon_out[label] = round(time.perf_counter() - t0, 2)
         decon_out["ratio"] = round(decon_out["tN"] / decon_out["t1"], 2)
         print(json.dumps(decon_out), flush=True)
