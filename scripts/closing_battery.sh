@@ -16,9 +16,13 @@ OUT="PYTEST_r${ROUND}.txt"
 TMP=$(mktemp)
 python -m pytest tests/ -q > "$TMP" 2>&1
 CODE=$?
+OUT_RE=$(printf '%s' "$OUT" | sed 's/\./\\./g')
 {
   echo "tree: $(git rev-parse HEAD)"
-  echo "dirty: $(git status --porcelain | grep -cv "^?? ${OUT}$")"
+  # exclude the artifact itself in BOTH its untracked (??) and
+  # modified-tracked ( M) forms — the > redirect above rewrites a
+  # committed artifact before git status runs on a re-run
+  echo "dirty: $(git status --porcelain | grep -cvE "^(\?\? | M )${OUT_RE}$")"
   echo "date: $(date -u +%FT%TZ)"
   echo "cmd: python -m pytest tests/ -q"
   echo "exit: ${CODE}"

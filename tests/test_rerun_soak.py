@@ -25,8 +25,6 @@ from __future__ import annotations
 
 import pytest
 
-SF = "/root/testdata/sf0.001"
-
 # Every registry entry whose call path holds driver-visible cache state
 # (grep `persist(|cache()|localCheckpoint` over transfer_spark/ plus the
 # workload builders that call those operators). Streaming index classes
@@ -60,20 +58,25 @@ STATEFUL_QUERIES = [
     "search_mmr_diversify",
     "ann_ivf_kmeans",
     "part_pagerank",
+    # power-iteration family (corpus-sized persist + finally-unpersist,
+    # similarity.py:1356/1431)
+    "embedding_top_component",
+    "embedding_second_component",
+    "embedding_anisotropy_share",
 ]
 
 
 @pytest.mark.parametrize("name", STATEFUL_QUERIES)
-def test_rerun_cache_footprint_flat(spark, name):
+def test_rerun_cache_footprint_flat(spark, sf_dir, name):
     from transfer_spark.workloads import QUERIES
 
     fn, _oracle = QUERIES[name]
     spark.catalog.clearCache()  # isolate from other tests' leftovers
     cm = spark._jsparkSession.sharedState().cacheManager()
     assert cm.cachedData().size() == 0
-    r1 = fn(spark, SF).count()
+    r1 = fn(spark, sf_dir).count()
     n1 = cm.cachedData().size()
-    r2 = fn(spark, SF).count()
+    r2 = fn(spark, sf_dir).count()
     n2 = cm.cachedData().size()
     assert r1 == r2, f"{name}: rerun changed the row count {r1} -> {r2}"
     assert n2 <= n1, f"{name}: rerun grew the CacheManager {n1} -> {n2}"

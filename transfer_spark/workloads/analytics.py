@@ -1782,7 +1782,15 @@ def q_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("cents").desc(), F.col("o_custkey").asc()],
         "rnk0",
     )
-    stats = per_cust.agg(F.count(F.lit(1)).alias("__n"))
+    # ONE bounded aggregate off the CHECKPOINTED rank frame serves both
+    # the ntile arithmetic (__n) and the final share denominator
+    # (total_cents). Aggregating per_cust here instead would re-run the
+    # orders scan + customer groupBy once per consumer (AQE does not
+    # reuse aliased subtrees) — three corpus aggregates per run.
+    stats = ranked0.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("cents").alias("total_cents"),
+    )
     # ntile(b) with n rows: ksz = n DIV b, r = n % b; the first r
     # buckets hold ksz+1 rows (ranks 1..r*(ksz+1)), the rest ksz.
     # With rank = rnk0+1: THEN = rnk0 DIV (ksz+1) + 1,
@@ -1811,7 +1819,7 @@ def q_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile", "n_customers", "decile_cents",
         F.sum("decile_cents").over(wc).alias("cum_cents"),
     ).crossJoin(
-        F.broadcast(per_cust.agg(F.sum("cents").alias("total_cents")))
+        F.broadcast(stats.select("total_cents"))
     ).select(
         "decile", "n_customers", "decile_cents",
         F.expr("CAST((1000000 * cum_cents) DIV total_cents AS BIGINT)")
