@@ -66,6 +66,50 @@ STATEFUL_QUERIES = [
 ]
 
 
+def test_deep_graph_cadence_cache_clean(spark):
+    """Path graphs deep enough that the it%5 lineage-truncation cadence
+    FIRES (ADVICE r11 medium): the cadence step used to rebind the loop
+    variable to its localCheckpoint before unpersisting, so each cadence
+    round leaked the previous round's cached frame — invisible to the
+    registry soak because test graphs converge before iteration 5.
+
+    Min-label propagation crosses a path one hop per round, so a 14-node
+    path needs ~13 rounds (cadence fires at 5 and 10); large-star/
+    small-star halves diameter per round, so a 300-node path needs >5
+    alternating rounds. Both must leave the CacheManager EMPTY.
+    """
+    from transfer_spark.operators.dedupe import (
+        neardup_clusters,
+        neardup_clusters_star,
+    )
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.cachedData().size() == 0
+
+    path14 = spark.createDataFrame(
+        [(i, i + 1) for i in range(13)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in neardup_clusters(path14, max_iters=30).collect()
+    }
+    assert got == {i: 0 for i in range(14)}
+    assert cm.cachedData().size() == 0, "neardup_clusters leaked past cadence"
+
+    path300 = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in neardup_clusters_star(path300, max_iters=30).collect()
+    }
+    assert got == {i: 0 for i in range(300)}
+    assert cm.cachedData().size() == 0, (
+        "neardup_clusters_star leaked past cadence"
+    )
+
+
 @pytest.mark.parametrize("name", STATEFUL_QUERIES)
 def test_rerun_cache_footprint_flat(spark, sf_dir, name):
     from transfer_spark.workloads import QUERIES

@@ -138,7 +138,15 @@ def neardup_clusters(
             # localCheckpoint(eager) pins the rows and resets the plan
             # to a scan of them (executor-local blocks — acceptable for
             # an intermediate both paths can rebuild from `pairs`).
-            labels = labels.localCheckpoint(eager=True)
+            # Unpersist the CACHED frame before rebinding: the eager
+            # checkpoint has already materialized its own blocks, and
+            # the end-of-round unpersist below targets whatever `labels`
+            # points at — rebinding first would leave the round's cache
+            # entry unreachable and leaking one entry per cadence round
+            # (ADVICE r11: the r10 leak class, reintroduced here).
+            _cp = labels.localCheckpoint(eager=True)
+            labels.unpersist(blocking=False)
+            labels = _cp
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -916,7 +924,12 @@ def neardup_clusters_star(
     sig = _sig(edges)
     for it in range(max_iters):
         if it and it % 5 == 0:
-            edges = edges.localCheckpoint(eager=True)  # see neardup_clusters
+            # see neardup_clusters: checkpoint first, THEN release the
+            # cache the loop variable pointed at, so the cadence round's
+            # cache entry doesn't leak when the name is rebound.
+            _cp = edges.localCheckpoint(eager=True)
+            edges.unpersist(blocking=False)
+            edges = _cp
         nxt = _small_star(_large_star(edges)).cache()
         nsig = _sig(nxt)
         edges.unpersist()
