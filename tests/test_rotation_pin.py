@@ -50,10 +50,24 @@ def test_pin_pays_down_adjudication_debt():
         except (ValueError, OSError, json.JSONDecodeError):
             continue
 
-    never = [n for n in PINNED_TAIL if n not in seen_before_pin]
-    assert len(never) >= 35, (
-        f"only {len(never)} pre-r{PIN_ROUND} never-adjudicated names in the pinned window"
+    from transfer_spark.workloads import QUERIES as _Q
+
+    never_in_window = [n for n in PINNED_TAIL if n not in seen_before_pin]
+    debt = {n for n in _Q if n not in seen_before_pin} - set(_CORE)
+    # Endgame (r12+): fewer than 35 never-adjudicated names can remain
+    # in the whole registry — then the criterion is that the window
+    # carries EVERY remaining one (debt → 0 when the round's artifact
+    # lands), not a count it can no longer reach.
+    required = min(35, len(debt))
+    assert len(never_in_window) >= required, (
+        f"only {len(never_in_window)} pre-r{PIN_ROUND} never-adjudicated "
+        f"names in the pinned window (debt {len(debt)})"
     )
+    leftover = debt - set(PINNED_TAIL)
+    if len(debt) <= 50 - len(_CORE):
+        assert not leftover, (
+            f"window has room for all remaining debt but omits: {sorted(leftover)}"
+        )
 
 
 def test_every_window_entry_has_an_oracle():

@@ -14,62 +14,56 @@ replace PINNED_TAIL with the next least-recently-adjudicated window
 (``python -c "from transfer_spark.workloads import _next_window; ..."``
 — or just clear the list; __init__ falls back to the staleness queue).
 
-Round 11 window (all 37 never driver-adjudicated in any round —
-VERDICT r10 #3: 64 names remain never-driver-checked after r10; this
-window takes 37 of them, leaving debt 27):
-- the r10-landing registration (bitext_pipeline_config);
-- the entire never-checked OLAP/TPC-H-supplement block (13);
-- the never-checked events_* analytics block (9);
-- the never-checked orders_* statistics block (5);
-- the multimodal tail (5), split/leakage audits (2), privacy +
-  tokenizer reports (2).
+Round 12 window (VERDICT r11 #1): the FINAL 27 never-driver-adjudicated
+names — after this window lands green, every one of the 318 registered
+queries has been driver-adjudicated at least once (debt = 0, eleven
+rounds in the making). All 27 were judge-run strict-green at sf0.01 in
+the r11 session. The remaining 10 slots are the stalest
+already-adjudicated names (last seen r2: the ANN/embedding/multimodal
+trio blocks; then the r4 alphabetical head), beginning the staleness
+re-cycle.
 """
 
-PIN_ROUND = 11
+PIN_ROUND = 12
 
 PINNED_TAIL: list[str] = [
-    # r10-landing registration, never driver-run
-    "bitext_pipeline_config",
-    # OLAP / TPC-H supplement block (never checked)
-    "olap_important_stock",
-    "olap_large_volume_orders",
-    "olap_local_supplier_volume",
-    "olap_min_cost_supplier",
-    "olap_parts_supplier_counts",
-    "olap_product_type_profit",
-    "olap_promo_revenue",
-    "olap_promotion_suppliers",
-    "olap_returned_item_customers",
-    "olap_revenue_by_nation",
-    "olap_shipmode_priority",
-    "olap_top_orders_per_segment",
-    "olap_waiting_suppliers",
-    # events analytics block
-    "events_session_depth",
-    "events_slo_burn_alerts",
-    "events_stl_decompose",
-    "events_top_paths",
-    "events_trailing_7d_revenue",
-    "events_transition_matrix",
-    "events_type_bitmask",
-    "events_type_lift",
-    "events_wow_change",
-    # orders statistics block
-    "orders_backlog_curve",
-    "orders_cohort_ltv",
-    "orders_hill_tail_index",
-    "orders_ship_delay_quantiles",
-    "orders_trimmed_mean",
-    # multimodal tail
-    "multimodal_audio_segments",
-    "multimodal_caption_alignment",
-    "multimodal_frame_dedup",
-    "multimodal_keyframe_select",
-    "multimodal_phash_neardup",
-    # split / leakage audits
-    "split_leakage_free",
-    "split_decontamination_eval_report",
-    # privacy + tokenizer reports
-    "pii_hit_report",
-    "token_fertility_by_lang",
+    # ---- the final 27 never-driver-adjudicated names (VERDICT r11 #1) ----
+    "global_row_index",
+    "histogram_quantile_error",
+    "json_schema_drift",
+    "nation_yoy_growth",
+    "part_skyline",
+    "parts_ordered_semi",
+    "pmi_collocations",
+    "priority_mix_by_year",
+    "profile_orders",
+    "quality_threshold_sweep",
+    "replication_content_digest",
+    "revenue_cube",
+    "revenue_moving_avg",
+    "revenue_share_hierarchy",
+    "revenue_theil_decomposition",
+    "segment_hhi",
+    "segment_order_profile",
+    "sessions_active_per_hour",
+    "sessions_concurrency",
+    "skew_key_report",
+    "source_token_kl",
+    "table_diff_classes",
+    "top_events_global",
+    "vocab_oov_rate",
+    "vocab_zipf_fit",
+    "zonemap_prune_report",
+    "zorder_key_lineitem",
+    # ---- staleness re-cycle: least-recently-adjudicated (r2, then r4) ----
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "embedding_neardup",
+    "multimodal_audio_stats",
+    "multimodal_frame_sample",
+    "multimodal_image_features",
+    "bpe_top_merges",
+    "cdc_scd2_versions",
+    "column_encryption",
+    "column_hash",
 ]
