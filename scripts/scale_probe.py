@@ -299,37 +299,46 @@ def main():
         return ann_ivf_pq_topk(d, qs, k=5)
 
     def _concur(d):
+        # mirrors workloads/temporal.q_sessions_concurrency (r12
+        # sweep-line form): two global_cumsum rank queries, no pair
+        # enumeration — the quantity this probe used to show going
+        # superlinear (6.24x at 10x with the bucket self-join).
+        from transfer_spark.operators.layout import global_cumsum
+
         sz = _sess(d, "user_id", "ts", gap_seconds=1800, order_col="event_id")
         t = F.unix_micros(F.col("ts").cast("timestamp"))
         s = sz.groupBy("user_id", "session_id").agg(
             F.min(t).alias("t0"), F.max(t).alias("t1")
+        ).localCheckpoint(eager=True)
+        keys = ["user_id", "session_id"]
+        order = [F.col("tm"), F.col("tag"),
+                 F.col("user_id"), F.col("session_id")]
+        u = s.select(
+            F.col("t0").alias("tm"), F.lit(0).alias("tag"),
+            F.lit(1).cast("long").alias("w"), *keys,
+        ).unionByName(s.select(
+            F.col("t1").alias("tm"), F.lit(1).alias("tag"),
+            F.lit(0).cast("long").alias("w"), *keys,
+        ))
+        starts_le = (
+            global_cumsum(u, order, F.col("w"), "cnt_le")
+            .filter(F.col("tag") == 1).select(*keys, "cnt_le")
         )
-        hour = 3_600_000_000
-        b = s.select(
-            "user_id", "session_id", "t0", "t1",
-            F.explode(F.sequence(
-                F.expr(f"t0 DIV {hour}"), F.expr(f"t1 DIV {hour}")
-            )).alias("bk"),
+        v = s.select(
+            F.col("t1").alias("tm"), F.lit(1).alias("tag"),
+            F.lit(1).cast("long").alias("w"), *keys,
+        ).unionByName(s.select(
+            F.col("t0").alias("tm"), F.lit(0).alias("tag"),
+            F.lit(0).cast("long").alias("w"), *keys,
+        ))
+        ends_lt = (
+            global_cumsum(v, order, F.col("w"), "cnt_lt")
+            .filter(F.col("tag") == 0).select(*keys, "cnt_lt")
         )
-        a, c = b.alias("a"), b.alias("c")
-        pairs = (
-            a.join(
-                c,
-                (F.col("a.bk") == F.col("c.bk"))
-                & (F.col("a.user_id") != F.col("c.user_id")),
-            )
-            .filter((F.col("a.t0") <= F.col("c.t1"))
-                    & (F.col("c.t0") <= F.col("a.t1")))
-            .select(
-                F.col("a.user_id").alias("user_id"),
-                F.col("a.session_id").alias("session_id"),
-                F.col("c.user_id").alias("ou"),
-                F.col("c.session_id").alias("os"),
-            )
-            .distinct()
-        )
-        return pairs.groupBy("user_id", "session_id").agg(
-            F.count(F.lit(1)).alias("n_concurrent")
+        return s.join(starts_le, keys).join(ends_lt, keys).select(
+            *keys,
+            (F.col("cnt_le") - F.col("cnt_lt") - F.lit(1))
+            .cast("long").alias("n_concurrent"),
         )
 
     results += [

@@ -2835,66 +2835,87 @@ FROM pairs JOIN outdeg ON pairs.from_type = outdeg.from_type
 
 
 def q_sessions_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval-OVERLAP self-join: for every user session, how many
+    """Interval-overlap counting: for every user session, how many
     OTHER users' sessions overlap it in time (platform concurrency —
-    the capacity-planning number). Distinct from the point-in-interval
-    range join: both sides are intervals. Shape: sessions explode onto
-    the hour buckets they cover, candidate pairs come from the bucket
-    equi-join (never a time theta-join), a residual filter keeps true
-    overlaps, and distinct() collapses pairs that met in several
-    buckets. Output stays per-session; pair fan-out is bounded by
-    per-hour concurrency — which is exactly the quantity being
-    measured."""
+    the capacity-planning number).
+
+    Scale shape (r12, VERDICT r11 #2): NO pair enumeration. The old
+    hour-bucket self-join materialized every overlapping pair, so its
+    cost grew ~quadratically with per-hour concurrency (6.24× at the
+    10× probe — concurrency itself grows with data). The sweep-line
+    identity replaces it: per-user sessions are STRICTLY DISJOINT by
+    sessionize construction (next session starts > gap after the
+    previous ends), so
+
+        n_concurrent(i) = #{j : t0_j <= t1_i} - #{j : t1_j < t0_i} - 1
+
+    — overlaps are exactly "started at/before my end" minus "ended
+    before my start" (the second set nests inside the first), and the
+    "-1" removes self; same-user sessions never overlap so no other
+    correction exists. Both counts are rank queries answered by ONE
+    pass each of the two-phase :func:`global_cumsum` (range partition
+    + bounded per-partition offsets — never a single-task window) over
+    a 2n-row union of boundary and query rows, with the tag ordering
+    encoding the tie rule (starts count at t0 == t1_i; ends at
+    t1 == t0_i do NOT). Linear in sessions regardless of concurrency."""
+    from transfer_spark.operators.layout import global_cumsum
+
     e = _events(spark, sf_dir)
     sz = TP.sessionize(
         e, "user_id", "ts", gap_seconds=_GAP_S, order_col="event_id"
     )
     t = F.unix_micros(F.col("ts").cast("timestamp"))
     # one materialization of the per-session frame (one row per session):
-    # it feeds both sides of the bucket self-join AND the final
-    # left-join back, and without it the sessionize window + min/max
-    # aggregate over the full event stream runs once per consumer (AQE
-    # does not reuse aliased subtrees — same finding as the dedup pair
-    # operators)
+    # it feeds both sweep unions AND the final join back, and without it
+    # the sessionize window + min/max aggregate over the full event
+    # stream runs once per consumer (AQE does not reuse aliased
+    # subtrees — same finding as the dedup pair operators)
     s = sz.groupBy("user_id", "session_id").agg(
         F.min(t).alias("t0"), F.max(t).alias("t1")
     ).localCheckpoint(eager=True)
-    hour = 3_600_000_000
-    b = s.select(
-        "user_id", "session_id", "t0", "t1",
-        F.explode(
-            F.sequence(
-                F.expr(f"t0 DIV {hour}"), F.expr(f"t1 DIV {hour}")
-            )
-        ).alias("bk"),
+    keys = ["user_id", "session_id"]
+    order = [F.col("tm"), F.col("tag"), F.col("user_id"), F.col("session_id")]
+
+    # starts <= t1_i: start rows (w=1) sort BEFORE query rows at equal
+    # time (tag 0 < 1), so a start at exactly t1_i is counted.
+    u = s.select(
+        F.col("t0").alias("tm"), F.lit(0).alias("tag"),
+        F.lit(1).cast("long").alias("w"), *keys,
+    ).unionByName(s.select(
+        F.col("t1").alias("tm"), F.lit(1).alias("tag"),
+        F.lit(0).cast("long").alias("w"), *keys,
+    ))
+    starts_le = (
+        global_cumsum(u, order, F.col("w"), "cnt_le")
+        .filter(F.col("tag") == 1)
+        .select(*keys, "cnt_le")
     )
-    a, c = b.alias("a"), b.alias("c")
-    pairs = (
-        a.join(
-            c,
-            (F.col("a.bk") == F.col("c.bk"))
-            & (F.col("a.user_id") != F.col("c.user_id")),
-        )
-        .filter(
-            (F.col("a.t0") <= F.col("c.t1")) & (F.col("c.t0") <= F.col("a.t1"))
-        )
-        .select(
-            F.col("a.user_id").alias("user_id"),
-            F.col("a.session_id").alias("session_id"),
-            F.col("c.user_id").alias("ou"),
-            F.col("c.session_id").alias("os"),
-        )
-        .distinct()
+
+    # ends < t0_i: query rows sort BEFORE end rows at equal time
+    # (tag 0 < 1), so an end at exactly t0_i is NOT counted (it
+    # overlaps and must stay in the first set only).
+    v = s.select(
+        F.col("t1").alias("tm"), F.lit(1).alias("tag"),
+        F.lit(1).cast("long").alias("w"), *keys,
+    ).unionByName(s.select(
+        F.col("t0").alias("tm"), F.lit(0).alias("tag"),
+        F.lit(0).cast("long").alias("w"), *keys,
+    ))
+    ends_lt = (
+        global_cumsum(v, order, F.col("w"), "cnt_lt")
+        .filter(F.col("tag") == 0)
+        .select(*keys, "cnt_lt")
     )
-    cnt = pairs.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_concurrent")
-    )
-    return s.join(cnt, ["user_id", "session_id"], "left").select(
-        "user_id",
-        "session_id",
-        F.col("t0").alias("t0_us"),
-        F.col("t1").alias("t1_us"),
-        F.coalesce("n_concurrent", F.lit(0).cast("long")).alias("n_concurrent"),
+
+    return (
+        s.join(starts_le, keys).join(ends_lt, keys).select(
+            "user_id",
+            "session_id",
+            F.col("t0").alias("t0_us"),
+            F.col("t1").alias("t1_us"),
+            (F.col("cnt_le") - F.col("cnt_lt") - F.lit(1))
+            .cast("long").alias("n_concurrent"),
+        )
     )
 
 
