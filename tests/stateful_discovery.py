@@ -1,0 +1,144 @@
+"""Discovery of registry entries whose call graph reaches driver-visible
+cache state (VERDICT r11 #5).
+
+The rerun-footprint soak (test_rerun_soak.py) used a hand-maintained
+name list; its r11 self-review caught a 3-name gap only after the fact.
+This module derives the list statically: starting from each registered
+query callable, walk the call graph (AST of each function/class source,
+resolving callees through function-local ``from transfer_spark...``
+imports, module globals, and ``module.attr`` calls) and flag the entry
+when any reachable source contains ``persist(`` / ``.cache()`` /
+``localCheckpoint(``.
+
+Deliberately CONSERVATIVE in both directions the soak cares about:
+
+- a class constructor call pulls in the WHOLE class source (method
+  dispatch is dynamic; scanning every method over-approximates);
+- unresolvable names are ignored (builtins, DataFrame methods) — state
+  tokens are matched on each reachable source text itself, so a frame
+  method like ``df.persist()`` is caught in whichever reachable
+  function contains it, not by resolving ``persist``.
+
+Over-approximation only costs soak runtime (each flagged entry runs
+twice at sf0.001); an under-approximation would hide a leak, which is
+why resolution failures never prune a source that is already flagged
+by token scan.
+"""
+
+from __future__ import annotations
+
+import ast
+import importlib
+import inspect
+import textwrap
+
+_STATE_TOKENS = ("persist(", ".cache()", "localCheckpoint(")
+
+
+def _source(obj) -> str:
+    try:
+        return textwrap.dedent(inspect.getsource(obj))
+    except (OSError, TypeError):
+        return ""
+
+
+def _is_transfer_spark(obj) -> bool:
+    mod = getattr(obj, "__module__", None) or (
+        obj.__name__ if inspect.ismodule(obj) else None
+    )
+    return bool(mod) and str(mod).startswith("transfer_spark")
+
+
+def _callees(obj) -> list:
+    """Objects (functions/classes/modules) referenced by calls inside
+    ``obj``'s source, resolved to transfer_spark definitions."""
+    src = _source(obj)
+    if not src:
+        return []
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return []
+    mod = inspect.getmodule(obj)
+    scope: dict[str, object] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module and (
+            node.module.startswith("transfer_spark")
+        ):
+            try:
+                m = importlib.import_module(node.module)
+            except ImportError:
+                continue
+            for alias in node.names:
+                tgt = getattr(m, alias.name, None)
+                if tgt is None:
+                    # `from transfer_spark.operators import graph as G`
+                    # inside a function body: the submodule is not yet
+                    # an attribute of the package unless something else
+                    # imported it — import it directly.
+                    try:
+                        tgt = importlib.import_module(
+                            f"{node.module}.{alias.name}"
+                        )
+                    except ImportError:
+                        continue
+                scope[alias.asname or alias.name] = tgt
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.startswith("transfer_spark"):
+                    try:
+                        scope[alias.asname or alias.name.split(".")[0]] = (
+                            importlib.import_module(alias.name)
+                        )
+                    except ImportError:
+                        pass
+    out = []
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Call):
+            continue
+        f = node.func
+        tgt = None
+        if isinstance(f, ast.Name):
+            tgt = scope.get(f.id)
+            if tgt is None and mod is not None:
+                tgt = getattr(mod, f.id, None)
+        elif isinstance(f, ast.Attribute) and isinstance(f.value, ast.Name):
+            base = scope.get(f.value.id)
+            if base is None and mod is not None:
+                base = getattr(mod, f.value.id, None)
+            if inspect.ismodule(base) and _is_transfer_spark(base):
+                tgt = getattr(base, f.attr, None)
+            elif inspect.isclass(base) and _is_transfer_spark(base):
+                tgt = base
+        if tgt is not None and (
+            (inspect.isfunction(tgt) or inspect.isclass(tgt))
+            and _is_transfer_spark(tgt)
+        ):
+            out.append(tgt)
+    return out
+
+
+def reaches_state(fn) -> bool:
+    """True when ``fn``'s transitive transfer_spark call graph contains
+    a persist/cache/localCheckpoint token."""
+    seen: set = set()
+    stack = [fn]
+    while stack:
+        obj = stack.pop()
+        key = (getattr(obj, "__module__", ""), getattr(obj, "__qualname__",
+                                                       repr(obj)))
+        if key in seen:
+            continue
+        seen.add(key)
+        src = _source(obj)
+        if any(t in src for t in _STATE_TOKENS):
+            return True
+        stack.extend(_callees(obj))
+    return False
+
+
+def discover_stateful_entries() -> list[str]:
+    """Sorted registry names whose call graph reaches cache state."""
+    from transfer_spark.workloads import QUERIES
+
+    return sorted(n for n, (fn, _o) in QUERIES.items() if reaches_state(fn))

@@ -29,16 +29,52 @@ ALLPAIRS_OK = {
 
 
 _PLAN_CACHE: dict[str, str] = {}
+_WINDOW_AUDIT: dict[str, int] = {}
+
+
+def _iter_logical(node):
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        yield n
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+
+
+def _count_unbounded_global_windows(plan) -> int:
+    """Unpartitioned logical Window nodes with NO Limit below them —
+    each one funnels its whole input through a single WindowExec task
+    at execution (the customer_pareto_curve r11 bug class)."""
+    n_bad = 0
+    for n in _iter_logical(plan):
+        if n.nodeName() == "Window" and n.partitionSpec().isEmpty():
+            sub = n.children().apply(0)
+            bounded = any(
+                m.nodeName() in ("GlobalLimit", "LocalLimit")
+                for m in _iter_logical(sub)
+            )
+            if not bounded:
+                n_bad += 1
+    return n_bad
+
+
+def _build(spark, name: str) -> None:
+    # cached: the catalog-wide parametrized tests (cartesian pin +
+    # overflow audit + global-window pin) each touch every entry —
+    # build each frame once, record the executed-plan text AND the
+    # optimized-logical window audit off the same queryExecution
+    if name not in _PLAN_CACHE:
+        fn, _ = QUERIES[name]
+        qe = fn(spark, SF_DIR)._jdf.queryExecution()
+        _WINDOW_AUDIT[name] = _count_unbounded_global_windows(
+            qe.optimizedPlan()
+        )
+        _PLAN_CACHE[name] = qe.executedPlan().toString()
 
 
 def _plan(spark, name: str) -> str:
-    # cached: the catalog-wide parametrized tests (cartesian pin +
-    # overflow audit) each touch every entry — build each plan once
-    if name not in _PLAN_CACHE:
-        fn, _ = QUERIES[name]
-        _PLAN_CACHE[name] = (
-            fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-        )
+    _build(spark, name)
     return _PLAN_CACHE[name]
 
 
@@ -87,6 +123,49 @@ def test_no_unhopped_long_product_sums(spark, name):
     risks = spark_sum_overflow_risks(_plan(spark, name))
     assert not risks, (
         f"{name} sums long products without a DECIMAL(38,0) hop: {risks}"
+    )
+
+
+# Entries whose unpartitioned window runs on a DIMENSION-GRAIN frame by
+# construction — the frame's cardinality is bounded by a dimension
+# (days, deciles, bins, distinct dates, pruned skyline survivors), not
+# by the fact table, so the single WindowExec task holds a bounded row
+# count at ANY corpus size. Every other catalog entry must keep its
+# global windows above a Limit/TakeOrderedAndProject.
+DIMENSION_GRAIN_WINDOWS = {
+    "customer_pareto_curve": "cumulative share over the 10-row decile frame",
+    "events_cumulative_users": "running sum over per-DAY first-seen counts",
+    "orders_backlog_curve": "cumulative backlog over the DAY dimension",
+    "part_skyline": "global front pass over per-bucket skyline survivors "
+                    "(each bucket's local front is running-min-pruned first)",
+    "quality_threshold_sweep": "cumulative mass over the 13-bin histogram",
+    "split_temporal_holdout": "date-cardinality cumsum for the exact "
+                              "80th-percentile cutoff (distinct DATES)",
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_global_windows_bounded_or_dimension_grain(spark, name):
+    """Catalog-wide global-window contract (VERDICT r11 #3): any
+    unpartitioned Window must sit above a Limit (TakeOrderedAndProject
+    at execution — the window runs on <= k survivors) or be declared
+    dimension-grain above. r11 found customer_pareto_curve running
+    ntile(10) over EVERY customer in one task; this pin stops the 13th
+    such site from regressing silently."""
+    _build(spark, name)
+    n_bad = _WINDOW_AUDIT[name]
+    if name in DIMENSION_GRAIN_WINDOWS:
+        assert n_bad > 0, (
+            f"{name} is waived as dimension-grain but plans no unbounded "
+            "global window any more — remove the stale waiver"
+        )
+        return
+    assert n_bad == 0, (
+        f"{name} plans {n_bad} unpartitioned Window(s) with no Limit "
+        "below — a single-task window over a corpus-grain frame at scale; "
+        "either bound it (orderBy().limit(k) below the window), partition "
+        "it, or declare it dimension-grain in DIMENSION_GRAIN_WINDOWS "
+        "with the bounding argument"
     )
 
 

@@ -25,45 +25,52 @@ from __future__ import annotations
 
 import pytest
 
-# Every registry entry whose call path holds driver-visible cache state
-# (grep `persist(|cache()|localCheckpoint` over transfer_spark/ plus the
-# workload builders that call those operators). Streaming index classes
-# (corpus ingest, dedup index, identity index) manage their own
-# lifecycle and are soaked in their own test files.
-STATEFUL_QUERIES = [
-    # pair builders (eager checkpoint contract, operators/dedupe.py)
-    "dedupe_minhash_lsh",
-    "dedupe_lsh_verified",
-    "dedupe_simhash_hamming",
-    "dedupe_ngram_jaccard",
-    "dedupe_dup_spans",
-    "dedupe_winnow_overlap",
-    "dedupe_span_scrub",
-    "dedupe_savings_report",
-    # connected components (internal caches + checkpointed result)
-    "neardup_clusters",
-    "neardup_clusters_star",
-    "neardup_cluster_sizes",
-    "neardup_keep_best",
-    "embedding_neardup_lsh",
-    "multimodal_phash_neardup",
-    # composed pipelines over the above
-    "corpus_clean",
-    "split_leakage_free",
-    "pretraining_corpus_pipeline",
-    # operators with their own persists / checkpoints
-    "dsir_importance",
-    "events_attribution_markov",
-    "events_attribution_cross_device",
-    "search_mmr_diversify",
-    "ann_ivf_kmeans",
-    "part_pagerank",
-    # power-iteration family (corpus-sized persist + finally-unpersist,
-    # similarity.py:1356/1431)
-    "embedding_top_component",
-    "embedding_second_component",
+from stateful_discovery import discover_stateful_entries
+
+# r11's hand-maintained list, FROZEN as the regression floor for the
+# discovery (VERDICT r11 #5: the hand list missed 3 names until
+# self-review — the parametrization is now derived by walking each
+# entry's call graph for persist(/cache()/localCheckpoint, see
+# stateful_discovery.py).
+HAND_LIST_R11 = [
+    "dedupe_minhash_lsh", "dedupe_lsh_verified", "dedupe_simhash_hamming",
+    "dedupe_ngram_jaccard", "dedupe_dup_spans", "dedupe_winnow_overlap",
+    "dedupe_span_scrub", "dedupe_savings_report",
+    "neardup_clusters", "neardup_clusters_star", "neardup_cluster_sizes",
+    "neardup_keep_best", "embedding_neardup_lsh", "multimodal_phash_neardup",
+    "corpus_clean", "split_leakage_free", "pretraining_corpus_pipeline",
+    "dsir_importance", "events_attribution_markov",
+    "events_attribution_cross_device", "search_mmr_diversify",
+    "ann_ivf_kmeans", "part_pagerank",
+    "embedding_top_component", "embedding_second_component",
     "embedding_anisotropy_share",
 ]
+
+# Hand-list names verified CACHE-STATELESS in r12: their full call
+# graphs contain no persist/cache/localCheckpoint (scrub_dup_spans is
+# pure codegen + joins, dedupe.py:654; cosine_neardup_lsh is one
+# applyInPandas, similarity.py:600) — the r11 hand list
+# over-approximated them. Kept in the soak anyway (rerun-stability
+# insurance is nearly free) but exempt from the superset assertion.
+HAND_FALSE_POSITIVES = {"dedupe_span_scrub", "embedding_neardup_lsh"}
+
+# `pretraining_corpus_pipeline_v2` has its own rerun pin (plus
+# byte-identical-result check) in
+# tests/test_crash_soak.py::test_pretraining_v2_rerun_identical_and_cache_clean.
+EXCLUDED = {"pretraining_corpus_pipeline_v2"}
+
+DISCOVERED = discover_stateful_entries()
+
+STATEFUL_QUERIES = sorted(
+    (set(DISCOVERED) | set(HAND_LIST_R11)) - EXCLUDED
+)
+
+
+def test_discovery_superset_of_hand_list():
+    """The generated list must never cover less than r11's hand list
+    (minus the two names proven cache-stateless above)."""
+    missing = (set(HAND_LIST_R11) - HAND_FALSE_POSITIVES) - set(DISCOVERED)
+    assert not missing, f"discovery lost hand-list coverage: {sorted(missing)}"
 
 
 def test_deep_graph_cadence_cache_clean(spark):
