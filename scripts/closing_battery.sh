@@ -13,16 +13,26 @@ set -u
 cd "$(dirname "$0")/.."
 ROUND="${1:?usage: closing_battery.sh ROUND_NUMBER}"
 OUT="PYTEST_r${ROUND}.txt"
+BENCH_OUT="BENCH_FULL_r${ROUND}.json"
+# Committed full-bench record (VERDICT r11 #4): the driver's
+# BENCH_r{N}.json tail truncates (parsed: null) and BENCH_LATEST.json
+# is gitignored, so copy the builder's full bench JSON into a
+# committed per-round artifact alongside the pytest record.
+if [ -f BENCH_LATEST.json ]; then
+  cp BENCH_LATEST.json "$BENCH_OUT"
+else
+  echo "warning: BENCH_LATEST.json missing — run bench.py first" >&2
+fi
 TMP=$(mktemp)
 python -m pytest tests/ -q > "$TMP" 2>&1
 CODE=$?
-OUT_RE=$(printf '%s' "$OUT" | sed 's/\./\\./g')
 {
   echo "tree: $(git rev-parse HEAD)"
-  # exclude the artifact itself in BOTH its untracked (??) and
-  # modified-tracked ( M) forms — the > redirect above rewrites a
-  # committed artifact before git status runs on a re-run
-  echo "dirty: $(git status --porcelain | grep -cvE "^(\?\? | M )${OUT_RE}$")"
+  # exclude the round's own artifacts (this file + the bench copy) in
+  # ANY porcelain status form — untracked, unstaged-modified, staged,
+  # or mixed (ADVICE r11: the old regex only matched '?? ' and ' M ',
+  # so a staged artifact over-reported dirty on a re-run)
+  echo "dirty: $(git status --porcelain | awk -v a="$OUT" -v b="$BENCH_OUT" '$NF != a && $NF != b' | wc -l)"
   echo "date: $(date -u +%FT%TZ)"
   echo "cmd: python -m pytest tests/ -q"
   echo "exit: ${CODE}"

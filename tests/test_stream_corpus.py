@@ -550,10 +550,10 @@ def test_ingest_emits_per_phase_flush_timings(spark, tmp_path):
     # ...and ASSERT the absence: a probe timing on a fresh store would
     # claim probe cost for a batch that never probed (ADVICE r10 — the
     # timing now lives on the real-probe path inside _exact_index_hits)
-    assert not {"ingest.exact_probe", "minhash.probe_buckets"} & names
+    assert not {"ingest.exact_probe_bucket_enum", "minhash.probe_buckets"} & names
     # second batch probes both persistent indexes -> probe timings appear
     m2_rows = [(10, LONG_A_NEAR), (11, LONG_B)]
     ing.process_batch(_df(spark, m2_rows), "doc_id", "text", batch_id=1)
     names2 = {n for n, _, _ in m.timings}
-    assert {"ingest.exact_probe", "minhash.probe_buckets"} <= names2
+    assert {"ingest.exact_probe_bucket_enum", "minhash.probe_buckets"} <= names2
     assert all(sec >= 0 for _, sec, _ in m.timings)

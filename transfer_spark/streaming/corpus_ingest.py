@@ -261,7 +261,12 @@ class StreamingCorpusIngest:
         # timing emitted HERE, on the real-probe path only — a fresh
         # store short-circuits above with no probe work, and an
         # unconditional caller-side timing claimed probe cost for
-        # batches that never probed (ADVICE r10)
+        # batches that never probed (ADVICE r10). SCOPE (ADVICE r11):
+        # this brackets only the bucket ENUMERATION job (distinct +
+        # bounded collect over the batch's hashes); the index parquet
+        # read and the probe join below are lazy and execute inside the
+        # exact stage's checkpoint action, so their cost lands in that
+        # stage's timing, not here — hence the metric name.
         t0 = time.perf_counter()
         buckets = [
             r[0]
@@ -270,7 +275,7 @@ class StreamingCorpusIngest:
             .collect()
         ]
         self.metrics_client.timing(
-            "ingest.exact_probe", time.perf_counter() - t0
+            "ingest.exact_probe_bucket_enum", time.perf_counter() - t0
         )
         if not buckets:
             return hashed.select("doc").limit(0).withColumn(
@@ -351,7 +356,7 @@ class StreamingCorpusIngest:
             .select("doc", F.col("__first_doc").alias("exact_batch_dup_of"))
         )
         exact_surv = gated.join(intra, "doc", "left_anti")
-        # ingest.exact_probe is emitted inside _exact_index_hits, real
+        # ingest.exact_probe_bucket_enum is emitted inside _exact_index_hits, real
         # probe path only (batch 0 of a fresh store emits nothing)
         index_hits = self._exact_index_hits(exact_surv)
 
