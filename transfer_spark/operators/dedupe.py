@@ -355,18 +355,22 @@ def lsh_verified_pairs(
     # shingle once, serve three consumers (signature explode + both sides
     # of the verify join); min over the distinct set == min over the
     # multiset, so dedup up front. No pre-shingle repartition (scan splits
-    # by byte range at volume — see simhash note). Eager localCheckpoint,
-    # NOT persist: a persist here is a CacheManager entry the operator
-    # can never release (the returned plan reads the frame lazily), and
-    # r10 showed per-invocation checkpoint RDD ids upstream defeat the
-    # cross-call plan-equality dedup that used to mask it — one leaked
-    # corpus-sized cache per call. Checkpoint blocks spill via
-    # MEMORY_AND_DISK exactly like the persist did and are
-    # ContextCleaner-collected once the returned frame is dropped.
+    # by byte range at volume — see simhash note). LAZY persist, not an
+    # eager checkpoint (r12, VERDICT r11 #6): the r11 eager checkpoint of
+    # this WIDE frame ran a whole extra corpus-scan job just to write the
+    # shingle arrays (clean min-of-7 A/B: 1.70 s vs 1.32 s at sf0.1,
+    # +28% — the one real cost of the r11 lifecycle fix). The lazy cache
+    # is populated as a BYPRODUCT of the banded checkpoint job below
+    # (the signature chain reads sh once), the verify join reuses it,
+    # and the lifecycle contract is met differently here: the RETURNED
+    # frame is an eager checkpoint of the final (small) verified-pair
+    # set, so sh can be unpersisted before return — CacheManager empty,
+    # no extra corpus job, and the verify join provably runs ONCE
+    # (previously it re-ran per consumer action).
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
-    ).localCheckpoint(eager=True)
+    ).persist()
     rows_per_band = num_hashes // bands
     ex = sh.select("doc", F.explode("sh").alias("s"))
     base = ex.select("doc", _base_hash(F.col("s")).alias("h"))
@@ -405,10 +409,16 @@ def lsh_verified_pairs(
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     jac = F.round(inter / union, 6)
-    return (
+    # materialize the RESULT (verified pairs — candidate-bounded, tiny
+    # next to the corpus) so the shingle cache can be released before
+    # return; see the sh comment above for the full lifecycle argument
+    out = (
         joined.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist(blocking=False)
+    return out
 
 
 def simhash(text: Column, bits: int = 32) -> Column:
