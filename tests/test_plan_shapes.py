@@ -40,6 +40,16 @@ def _iter_logical(node):
         ch = n.children()
         for i in range(ch.size()):
             stack.append(ch.apply(i))
+        # windows can hide inside subquery expressions (scalar/IN
+        # subqueries carry whole plans outside children()) — traverse
+        # them too; today only 2 catalog entries plan subqueries and
+        # neither hides a window, this is future-proofing the pin
+        try:
+            sq = n.subqueries()
+        except Exception:
+            continue
+        for i in range(sq.size()):
+            stack.append(sq.apply(i))
 
 
 def _count_unbounded_global_windows(plan) -> int:
