@@ -239,9 +239,22 @@ def main() -> None:
     def _tot(ts: dict[str, float | None]) -> float | None:
         vals = [v for v in ts.values() if v is not None]
         return round(sum(vals), 3) if vals else None
+    # Tree stamp (ADVICE r12): closing_battery.sh copies BENCH_LATEST
+    # into the committed per-round artifact — record which tree produced
+    # it so a stale JSON can't be silently recorded as the round's run.
+    try:
+        import subprocess
+        _repo = os.path.dirname(os.path.abspath(__file__))
+        tree_hash = subprocess.run(
+            ["git", "-C", _repo, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        tree_hash = None
     payload = json.dumps(
             {
                 "metric": "headline_queries_total_wall",
+                "tree": tree_hash,
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -19,7 +19,20 @@ BENCH_OUT="BENCH_FULL_r${ROUND}.json"
 # is gitignored, so copy the builder's full bench JSON into a
 # committed per-round artifact alongside the pytest record.
 if [ -f BENCH_LATEST.json ]; then
-  cp BENCH_LATEST.json "$BENCH_OUT"
+  # Freshness check (ADVICE r12): bench.py stamps the producing tree
+  # into the JSON — refuse to record a bench from a different tree as
+  # this round's artifact. Older JSONs without the stamp get a warning.
+  BENCH_TREE=$(python -c "import json,sys; print(json.load(open('BENCH_LATEST.json')).get('tree') or '')" 2>/dev/null)
+  HEAD_TREE=$(git rev-parse HEAD)
+  if [ -z "$BENCH_TREE" ]; then
+    echo "warning: BENCH_LATEST.json has no tree stamp — cannot verify freshness" >&2
+    cp BENCH_LATEST.json "$BENCH_OUT"
+  elif [ "$BENCH_TREE" != "$HEAD_TREE" ]; then
+    echo "ERROR: BENCH_LATEST.json was produced on tree $BENCH_TREE but HEAD is $HEAD_TREE — re-run bench.py on this tree" >&2
+    rm -f "$BENCH_OUT"
+  else
+    cp BENCH_LATEST.json "$BENCH_OUT"
+  fi
 else
   echo "warning: BENCH_LATEST.json missing — run bench.py first" >&2
 fi
@@ -32,7 +45,10 @@ CODE=$?
   # ANY porcelain status form — untracked, unstaged-modified, staged,
   # or mixed (ADVICE r11: the old regex only matched '?? ' and ' M ',
   # so a staged artifact over-reported dirty on a re-run)
-  echo "dirty: $(git status --porcelain | awk -v a="$OUT" -v b="$BENCH_OUT" '$NF != a && $NF != b' | wc -l)"
+  # Full-path match (ADVICE r12): compare the porcelain path field
+  # (substr from col 4, rename target after " -> "), not $NF — a path
+  # with spaces or a same-named file in a subdir must still count dirty.
+  echo "dirty: $(git status --porcelain | awk -v a="$OUT" -v b="$BENCH_OUT" '{p=substr($0,4); sub(/^.* -> /,"",p); gsub(/^"|"$/,"",p)} p != a && p != b' | wc -l)"
   echo "date: $(date -u +%FT%TZ)"
   echo "cmd: python -m pytest tests/ -q"
   echo "exit: ${CODE}"

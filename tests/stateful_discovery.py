@@ -32,7 +32,11 @@ import importlib
 import inspect
 import textwrap
 
-_STATE_TOKENS = ("persist(", ".cache()", "localCheckpoint(")
+# ".checkpoint(" covers the reliable-checkpoint variant (ADVICE r12) —
+# unused in transfer_spark/ today, but a future operator adopting it
+# must not silently escape the rerun soak. Case-sensitive tokens, so
+# "localCheckpoint(" stays listed explicitly.
+_STATE_TOKENS = ("persist(", ".cache()", "localCheckpoint(", ".checkpoint(")
 
 
 def _source(obj) -> str:

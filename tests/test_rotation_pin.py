@@ -70,6 +70,51 @@ def test_pin_pays_down_adjudication_debt():
         )
 
 
+def test_pin_is_the_stalest_tail():
+    """r13+ staleness invariant (VERDICT r12 #8): with adjudication debt
+    at 0, the frozen window must be exactly the 37 least-recently-
+    adjudicated non-core names, judged against artifacts from rounds
+    STRICTLY BEFORE PIN_ROUND (the round's own artifact landing must not
+    flip this red), ordered by (last-adjudicated round, name).
+
+    Names registered after the freeze (never adjudicated before
+    PIN_ROUND, absent from the pin) are exempt: they sort behind the pin
+    by design and enter the staleness queue at the next freeze.
+    """
+    import glob
+    import json
+    import os
+
+    from transfer_spark.workloads import _ALL, _CORE
+    from transfer_spark.workloads.rotation_pin import PIN_ROUND
+
+    if PIN_ROUND < 13:  # pre-debt-zero pins carried never-seen names
+        return
+
+    repo_root = os.path.join(os.path.dirname(__file__), "..")
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        try:
+            rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+            if rnd >= PIN_ROUND:
+                continue
+            names = json.load(open(path))
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for n in names:
+            last[n] = max(last.get(n, 0), rnd)
+
+    eligible = sorted(
+        (n for n in _ALL if n not in _CORE and n in last),
+        key=lambda n: (last[n], n),
+    )
+    expected = eligible[: len(PINNED_TAIL)]
+    assert PINNED_TAIL == expected, (
+        "pinned window is not the stalest tail; expected head: "
+        f"{expected[:5]}…, got: {PINNED_TAIL[:5]}…"
+    )
+
+
 def test_every_window_entry_has_an_oracle():
     """Driver-window entries must all be oracle-backed (hash-compared),
     never rows-only."""

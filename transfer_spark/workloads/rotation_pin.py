@@ -14,56 +14,56 @@ replace PINNED_TAIL with the next least-recently-adjudicated window
 (``python -c "from transfer_spark.workloads import _next_window; ..."``
 — or just clear the list; __init__ falls back to the staleness queue).
 
-Round 12 window (VERDICT r11 #1): the FINAL 27 never-driver-adjudicated
-names — after this window lands green, every one of the 318 registered
-queries has been driver-adjudicated at least once (debt = 0, eleven
-rounds in the making). All 27 were judge-run strict-green at sf0.01 in
-the r11 session. The remaining 10 slots are the stalest
-already-adjudicated names (last seen r2: the ANN/embedding/multimodal
-trio blocks; then the r4 alphabetical head), beginning the staleness
-re-cycle.
+Round 13 window (VERDICT r12 #8): adjudication debt reached 0 in r12 —
+every registered name now has at least one driver artifact — so from
+this round on the window is a PURE STALENESS RE-CYCLE: the 37 names
+least recently seen in any committed CORRECTNESS_r*.json (ties by
+name). This window drains the r4/r5 tail — the oldest surviving driver
+stamps — and happens to carry the three queries under active work this
+round (``dedupe_simhash`` perf-pin, ``dedupe_ngram_jaccard`` sweep
+bound, ``dedupe_lsh_verified``), so their re-adjudication is free.
+The staleness invariant is pinned by tests/test_rotation_pin.py.
 """
 
-PIN_ROUND = 12
+PIN_ROUND = 13
 
 PINNED_TAIL: list[str] = [
-    # ---- the final 27 never-driver-adjudicated names (VERDICT r11 #1) ----
-    "global_row_index",
-    "histogram_quantile_error",
-    "json_schema_drift",
-    "nation_yoy_growth",
-    "part_skyline",
-    "parts_ordered_semi",
-    "pmi_collocations",
-    "priority_mix_by_year",
-    "profile_orders",
-    "quality_threshold_sweep",
-    "replication_content_digest",
-    "revenue_cube",
-    "revenue_moving_avg",
-    "revenue_share_hierarchy",
-    "revenue_theil_decomposition",
-    "segment_hhi",
-    "segment_order_profile",
-    "sessions_active_per_hour",
-    "sessions_concurrency",
-    "skew_key_report",
-    "source_token_kl",
-    "table_diff_classes",
-    "top_events_global",
-    "vocab_oov_rate",
-    "vocab_zipf_fit",
-    "zonemap_prune_report",
-    "zorder_key_lineitem",
-    # ---- staleness re-cycle: least-recently-adjudicated (r2, then r4) ----
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "embedding_neardup",
-    "multimodal_audio_stats",
-    "multimodal_frame_sample",
-    "multimodal_image_features",
-    "bpe_top_merges",
-    "cdc_scd2_versions",
-    "column_encryption",
-    "column_hash",
+    # ---- pure staleness re-cycle: least-recently-adjudicated (r4, then r5)
+    "column_hmac",
+    "converter_datetime",
+    "corpus_sample_per_group",
+    "corpus_sample_stratified",
+    "corpus_split",
+    "dedupe_exact_hashed",
+    "dedupe_exact_normalized",
+    "dedupe_lsh_verified",
+    "dedupe_maintenance",
+    "doc_bigram_logprob",
+    "doc_repetition",
+    "event_tracking_decode",
+    "pii_scrub",
+    "projection_metadata",
+    "sanitize_columns",
+    "skipped_operations",
+    "soft_partition_routing",
+    "source_quota_cap",
+    "text_stats",
+    "tfidf_top_terms",
+    "token_vocab",
+    "cdc_fold_salted",
+    "cdc_lww_dedup",
+    "cdc_merge_exec",
+    "corpus_clean",
+    "corpus_sequence_pack",
+    "dedupe_exact",
+    "dedupe_lines_within_doc",
+    "dedupe_ngram_jaccard",
+    "dedupe_simhash",
+    "doc_fingerprint",
+    "embedding_neardup_lsh",
+    "embedding_quantize_int8",
+    "events_funnel",
+    "gopher_quality_gate",
+    "kafka_key_decode",
+    "kmv_sliding_wau",
 ]
