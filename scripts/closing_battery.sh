@@ -36,9 +36,18 @@ if [ -f BENCH_LATEST.json ]; then
 else
   echo "warning: BENCH_LATEST.json missing — run bench.py first" >&2
 fi
+# Plan-shape drift gate (VERDICT r12 #2): recompute per-entry
+# exchange/job counts at sf0.001 and diff against the committed
+# PLAN_SNAPSHOT.json — un-annotated plan drift fails the battery.
+SNAP_TMP=$(mktemp)
+python scripts/plan_snapshot.py --check > "$SNAP_TMP" 2>&1
+SNAP_CODE=$?
 TMP=$(mktemp)
 python -m pytest tests/ -q > "$TMP" 2>&1
 CODE=$?
+if [ "$SNAP_CODE" -ne 0 ] && [ "$CODE" -eq 0 ]; then
+  CODE=$SNAP_CODE
+fi
 {
   echo "tree: $(git rev-parse HEAD)"
   # exclude the round's own artifacts (this file + the bench copy) in
@@ -52,9 +61,11 @@ CODE=$?
   echo "date: $(date -u +%FT%TZ)"
   echo "cmd: python -m pytest tests/ -q"
   echo "exit: ${CODE}"
+  echo "--- plan snapshot check (exit ${SNAP_CODE}) ---"
+  tail -20 "$SNAP_TMP"
   echo "--- last 50 lines ---"
   tail -50 "$TMP"
 } > "$OUT"
-rm -f "$TMP"
+rm -f "$TMP" "$SNAP_TMP"
 tail -5 "$OUT"
 exit "$CODE"

@@ -1,0 +1,220 @@
+"""Schema-identical seed-variant testdata generator (VERDICT r12 #4).
+
+The entire correctness record rides on ONE deterministic dataset
+(`/root/testdata`, seed=42). A Spark/DuckDB agreement that holds on a
+single dataset can still be tie-break or NULL-ordering luck — the
+cheapest way to falsify 318 green oracles is to re-run the full
+registry on schema-identical data drawn at a FRESH seed and see whether
+any hash diverges. This generator produces such variants: the same ten
+tables, the same column names/types (verified by tests/test_seed_variant
+against the real sf0.01 schemas), the same categorical domains, FK
+integrity, date ranges and near-dup structure — different values.
+
+It deliberately does NOT try to clone the driver's generator: the sweep
+compares Spark vs DuckDB on the SAME variant data, so correctness does
+not depend on matching the original distributions — only on the data
+being rich enough to exercise every query's interesting paths
+(near-dup documents for the dedup family, clustered+perturbed unit
+embeddings for ANN, PII-ish tokens for the scrub family, multi-line
+orders for the TPC-H battery).
+
+Usage:
+    python scripts/gen_seed_variant.py OUT_DIR SEED [SF]
+    # e.g. python scripts/gen_seed_variant.py /tmp/seedvar/s7 7 0.01
+
+Never writes outside OUT_DIR. sf=0.01 is the correctness-gate scale:
+15k orders / 60k lineitem / 10k events / 500 docs / 500 embeddings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+MKTSEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+ADJ = ["small", "red", "blue", "hot", "large", "dim", "pale", "worn"]
+NOUN = ["ring", "widget", "bolt", "gear", "gizmo", "cog", "plate", "lever"]
+VOCAB = (
+    "key agg row scan slow fast table value part hash batch window spark "
+    "order data column join small line customer query the a big merge "
+    "stream filter sort shuffle plan stage"
+).split()
+# a sprinkle of scrub-family bait so pii/redact paths see real hits
+PII = ["bob@example.com", "555-0100", "alice@example.org", "4111-1111-1111-1111"]
+LANGS = ["en", "de", "es", "fr", "zh"]
+LANG_W = [0.44, 0.14, 0.14, 0.14, 0.14]
+
+DAY_US = 86_400_000_000  # microseconds
+
+
+def _ts_us(y: int, m: int, d: int) -> int:
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
+    return int((datetime.datetime(y, m, d) - epoch).total_seconds() * 1_000_000)
+
+
+def _write(out_dir: str, name: str, table: pa.Table) -> None:
+    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+
+
+def _tscol(us: np.ndarray) -> pa.Array:
+    return pa.array(us.astype("int64"), type=pa.timestamp("us"))
+
+
+def generate(out_dir: str, seed: int, sf: float = 0.01) -> None:
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    n_cust = max(15, int(150_000 * sf))
+    n_supp = max(4, int(10_000 * sf))
+    n_part = max(20, int(200_000 * sf))
+    n_ord = max(100, int(1_500_000 * sf))
+    n_ev = max(200, int(1_000_000 * sf))
+    n_users = max(10, int(15_000 * sf))
+    n_doc = 500 if sf <= 0.011 else int(50_000 * sf)
+    n_emb = n_doc
+
+    _write(out_dir, "region", pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": REGIONS,
+    }))
+    _write(out_dir, "nation", pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": [f"NATION_{i}" for i in range(25)],
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+    }))
+    _write(out_dir, "customer", pa.table({
+        "c_custkey": pa.array(range(n_cust), pa.int64()),
+        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+        "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
+        "c_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_cust), 2),
+        "c_mktsegment": [MKTSEGS[i] for i in rng.integers(0, 5, n_cust)],
+    }))
+    _write(out_dir, "supplier", pa.table({
+        "s_suppkey": pa.array(range(n_supp), pa.int64()),
+        "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+        "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
+        "s_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_supp), 2),
+    }))
+    _write(out_dir, "part", pa.table({
+        "p_partkey": pa.array(range(n_part), pa.int64()),
+        "p_name": [f"{ADJ[a]} {NOUN[b]}" for a, b in zip(
+            rng.integers(0, len(ADJ), n_part), rng.integers(0, len(NOUN), n_part))],
+        "p_brand": [f"Brand#{i}" for i in rng.integers(1, 26, n_part)],
+        "p_type": [PTYPES[i] for i in rng.integers(0, len(PTYPES), n_part)],
+        "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
+        "p_retailprice": np.round(900.0 + 0.1 * np.arange(n_part), 1),
+    }))
+
+    t0, t1 = _ts_us(1995, 1, 1), _ts_us(2001, 8, 1)
+    odate = rng.integers(t0 // DAY_US, t1 // DAY_US + 1, n_ord) * DAY_US
+    _write(out_dir, "orders", pa.table({
+        "o_orderkey": pa.array(range(n_ord), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
+        "o_orderstatus": [["P", "O", "F"][i] for i in rng.integers(0, 3, n_ord)],
+        "o_totalprice": np.round(rng.uniform(1000, 500_000, n_ord), 2),
+        "o_orderdate": _tscol(odate),
+        "o_orderpriority": [PRIORITIES[i] for i in rng.integers(0, 5, n_ord)],
+    }))
+
+    # lineitem: per-order line count ~ Poisson(4) conditioned >= 1
+    cnt = rng.poisson(4.0, n_ord)
+    cnt[cnt == 0] = 1
+    li_ord = np.repeat(np.arange(n_ord, dtype=np.int64), cnt)
+    n_li = len(li_ord)
+    linenum = np.concatenate([np.arange(1, c + 1) for c in cnt])
+    shipdate = np.repeat(odate, cnt) + rng.integers(1, 96, n_li) * DAY_US
+    perm = rng.permutation(n_li)  # file order shuffled like the original
+    _write(out_dir, "lineitem", pa.table({
+        "l_orderkey": pa.array(li_ord[perm], pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
+        "l_linenumber": pa.array(linenum[perm], pa.int32()),
+        "l_quantity": rng.integers(1, 51, n_li).astype("float64"),
+        "l_extendedprice": np.round(rng.uniform(900, 105_000, n_li), 2),
+        "l_discount": np.round(rng.integers(0, 11, n_li) * 0.01, 2),
+        "l_tax": np.round(rng.integers(0, 9, n_li) * 0.01, 2),
+        "l_returnflag": [["A", "N", "R"][i] for i in rng.integers(0, 3, n_li)],
+        "l_linestatus": [["F", "O"][i] for i in rng.integers(0, 2, n_li)],
+        "l_shipdate": _tscol(shipdate[perm]),
+    }))
+
+    # events: exponential inter-arrival over ~30 days, sorted, sequential ids
+    span = 30 * DAY_US
+    gaps = rng.exponential(span / n_ev, n_ev)
+    ts = _ts_us(2024, 1, 1) + np.cumsum(gaps).astype("int64")
+    etypes = ["click", "error", "purchase", "signup", "view"]
+    _write(out_dir, "events", pa.table({
+        "event_id": pa.array(range(n_ev), pa.int64()),
+        "ts": _tscol(ts),
+        "user_id": pa.array(rng.integers(0, n_users, n_ev), pa.int64()),
+        "event_type": [etypes[i] for i in rng.integers(0, 5, n_ev)],
+        "value": np.round(np.maximum(rng.exponential(50.0, n_ev), 0.01), 2),
+        "props": [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_ev)],
+    }))
+
+    # documents: random token streams with deliberate near-dup structure —
+    # ~15% of docs are mutated copies of an earlier doc (drop/replace a few
+    # tokens, occasionally case-flip) so the dedup family has real work.
+    texts: list[str] = []
+    for i in range(n_doc):
+        if i > 0 and rng.random() < 0.15:
+            base = texts[int(rng.integers(0, i))].split(" ")
+            toks = [t for t in base if rng.random() > 0.05]
+            for j in range(len(toks)):
+                if rng.random() < 0.03:
+                    toks[j] = VOCAB[int(rng.integers(0, len(VOCAB)))]
+            if rng.random() < 0.3 and toks:
+                toks[0] = toks[0].upper()
+            texts.append(" ".join(toks) if toks else "empty")
+        else:
+            n_tok = int(rng.integers(10, 100))
+            toks = [VOCAB[int(k)] for k in rng.integers(0, len(VOCAB), n_tok)]
+            if rng.random() < 0.08:
+                toks.append(PII[int(rng.integers(0, len(PII)))])
+            texts.append(" ".join(toks))
+    langs = [LANGS[i] for i in rng.choice(5, n_doc, p=LANG_W)]
+    _write(out_dir, "documents", pa.table({
+        "doc_id": pa.array(range(n_doc), pa.int64()),
+        "text": texts,
+        "lang": langs,
+        "source": [f"src{i % 20}" for i in range(n_doc)],
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+
+    # embeddings: 10 unit-norm cluster centers; each vector = normalized
+    # center + noise; ~5% are near-copies of the previous vector so the
+    # cosine-neardup family has true pairs.
+    dim, n_lab = 64, 10
+    centers = rng.normal(size=(n_lab, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, n_lab, n_emb)
+    vecs = centers[labels] + 0.35 * rng.normal(size=(n_emb, dim))
+    for i in range(1, n_emb):
+        if rng.random() < 0.05:
+            vecs[i] = vecs[i - 1] + 0.02 * rng.normal(size=dim)
+            labels[i] = labels[i - 1]
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs32 = vecs.astype("float32")
+    _write(out_dir, "embeddings", pa.table({
+        "vec_id": pa.array(range(n_emb), pa.int64()),
+        "embedding": pa.array(list(vecs32), pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    }))
+
+
+if __name__ == "__main__":
+    out = sys.argv[1]
+    seed = int(sys.argv[2])
+    sf = float(sys.argv[3]) if len(sys.argv) > 3 else 0.01
+    generate(out, seed, sf)
+    print(f"seed-variant written: {out} (seed={seed}, sf={sf})")

@@ -1,0 +1,141 @@
+"""Per-entry plan-shape snapshot: make plan drift self-attributing
+(VERDICT r12 #2).
+
+A calibrated-bench movement on a ~1.5 s query is unattributable without
+a manual same-box A/B (r11's dedupe_lsh_verified, r12's dedupe_simhash
+each burned one). The fast question to answer first is "did the PLAN
+change?" — exchange counts and job counts are box-independent and
+plan-determined, so snapshotting them per entry turns that question
+into a file diff.
+
+For every registry entry at sf0.001 this records, from the SAME
+queryExecution:
+
+- ``sx``  — shuffle exchanges in the initial executed plan
+            (``Exchange hashpartitioning/rangepartitioning/
+            SinglePartition`` nodes; pre-AQE, so deterministic),
+- ``bx``  — ``BroadcastExchange`` nodes (a broadcast silently demoting
+            to shuffle shows up as sx+1/bx-1),
+- ``jobs`` — Spark jobs to build AND execute the frame (job-grouped,
+            the bench.py counting pattern; includes eager-at-build
+            checkpoint jobs, so a new build-time materialization job —
+            the r11 lsh_verified +28% — is visible here).
+
+Usage:
+    python scripts/plan_snapshot.py --update   # rewrite PLAN_SNAPSHOT.json
+    python scripts/plan_snapshot.py --check    # recompute, diff, exit 1 on drift
+
+``--check`` runs in the closing battery: un-annotated drift (a plan
+change without a matching committed snapshot update) fails the round.
+A LEGITIMATE plan change is annotated by re-running ``--update`` and
+committing the diff alongside the code change that caused it.
+
+Job-count caveat: entries whose job count is runtime-adaptive (AQE
+stage re-planning can re-pick materialization boundaries) would make a
+strict equality check flaky; the snapshot was run twice at freeze time
+and entries observed to flicker are listed in ``JOBS_UNSTABLE`` —
+their ``jobs`` field is recorded for the record but excluded from the
+--check comparison. sx/bx are always compared strictly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SNAP_PATH = os.path.join(REPO, "PLAN_SNAPSHOT.json")
+SF_DIR = "/root/testdata/sf0.001"
+
+# Entries whose Spark JOB count flickered between back-to-back snapshot
+# runs on an unchanged tree (runtime-adaptive materialization): jobs
+# recorded, not compared. Keep this list justified — an entry belongs
+# here only with two same-tree runs showing different counts.
+JOBS_UNSTABLE: set[str] = {
+    # r13 freeze: two back-to-back runs on the unchanged b5e9fc6 tree
+    # differed by 1-2 jobs (streaming micro-batch/maintenance timing);
+    # sx/bx were identical across ALL 318 entries in the same runs.
+    "dq_t_closeness",          # 21 vs 22
+    "streaming_dedup_index",   # 36 vs 34
+    "streaming_ingest_decon",  # 115 vs 113
+}
+
+_EXCHANGE = re.compile(r"^[\s+\-:*()0-9]*Exchange ", re.MULTILINE)
+_BROADCAST = re.compile(r"^[\s+\-:*()0-9]*BroadcastExchange", re.MULTILINE)
+
+
+def snapshot() -> dict[str, dict[str, int]]:
+    from transfer_spark.session import get_spark
+    from transfer_spark.workloads import QUERIES
+
+    spark = get_spark("plan-snapshot")
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+    out: dict[str, dict[str, int]] = {}
+    t_start = time.perf_counter()
+    for i, name in enumerate(sorted(QUERIES)):
+        fn, _oracle = QUERIES[name]
+        group = f"snap:{name}"
+        sc.setJobGroup(group, name)
+        try:
+            df = fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            df.write.format("noop").mode("overwrite").save()
+        finally:
+            sc.setJobGroup("", "")
+        try:
+            jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        except Exception:  # noqa: BLE001
+            jobs = -1
+        bx = len(_BROADCAST.findall(plan))
+        sx = len(_EXCHANGE.findall(plan))  # _EXCHANGE doesn't match Broadcast*
+        out[name] = {"sx": sx, "bx": bx, "jobs": jobs}
+        if (i + 1) % 50 == 0:
+            print(f"  {i + 1} entries, {time.perf_counter() - t_start:.0f}s",
+                  file=sys.stderr)
+    return out
+
+
+def main() -> int:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "--check"
+    cur = snapshot()
+    if mode == "--update":
+        with open(SNAP_PATH, "w") as f:
+            json.dump(cur, f, indent=0, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {SNAP_PATH} ({len(cur)} entries)")
+        return 0
+    if not os.path.exists(SNAP_PATH):
+        print(f"missing {SNAP_PATH} — run --update first", file=sys.stderr)
+        return 1
+    ref = json.load(open(SNAP_PATH))
+    drift: list[str] = []
+    for name in sorted(set(ref) | set(cur)):
+        a, b = ref.get(name), cur.get(name)
+        if a is None:
+            drift.append(f"NEW entry not in snapshot: {name} {b} — run --update")
+            continue
+        if b is None:
+            drift.append(f"entry removed from registry: {name} — run --update")
+            continue
+        keys = ["sx", "bx"] + ([] if name in JOBS_UNSTABLE else ["jobs"])
+        diffs = {k: (a[k], b[k]) for k in keys if a.get(k) != b.get(k)}
+        if diffs:
+            drift.append(f"{name}: {diffs} (committed vs current)")
+    if drift:
+        print("PLAN DRIFT — annotate by committing --update with the "
+              "causing change:", file=sys.stderr)
+        for d in drift:
+            print("  " + d, file=sys.stderr)
+        return 1
+    print(f"plan snapshot clean ({len(cur)} entries)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

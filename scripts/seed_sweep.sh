@@ -1,0 +1,33 @@
+#!/bin/bash
+# Seed-variant full-registry oracle sweep (VERDICT r12 #4).
+#
+# The entire correctness record rides on one deterministic dataset
+# (seed=42). This sweep generates schema-identical sf0.01 variants at
+# fresh seeds (scripts/gen_seed_variant.py, never touching
+# /root/testdata) and runs the FULL registry's Spark-vs-DuckDB oracle
+# comparison on each — flushing out tie-break/NULL-ordering luck that
+# a single dataset can hide.
+#
+# Usage: bash scripts/seed_sweep.sh [SEED...]   (default: 7 101 2029)
+# Output: per-seed logs under /tmp/seed_sweep/, summary on stdout
+# (render into SWEEP_SEEDS.md with scripts/render_seed_sweep.py).
+set -u
+cd "$(dirname "$0")/.."
+SEEDS=("${@:-7 101 2029}")
+if [ $# -eq 0 ]; then SEEDS=(7 101 2029); fi
+ROOT=/tmp/seed_sweep
+mkdir -p "$ROOT"
+OVERALL=0
+for SEED in "${SEEDS[@]}"; do
+  DIR="$ROOT/s$SEED"
+  python scripts/gen_seed_variant.py "$DIR" "$SEED" 0.01 || { OVERALL=1; continue; }
+  LOG="$ROOT/check_s$SEED.log"
+  echo "=== seed $SEED: full-registry sweep -> $LOG"
+  python scripts/check_oracles.py "$DIR" > "$LOG" 2>&1
+  CODE=$?
+  N_OK=$(grep -ac "^ok " "$LOG" || true)
+  tail -3 "$LOG" | tr -d '\r' | tail -2
+  echo "seed $SEED: exit=$CODE ok_lines>=$N_OK"
+  [ "$CODE" -ne 0 ] && OVERALL=1
+done
+exit "$OVERALL"

@@ -792,6 +792,34 @@ def test_containment_dedup_catches_subset_jaccard_misses(spark):
     assert r.inter < max(r.na, r.nb)
 
 
+def test_ngram_jaccard_refuses_unsized_call(spark):
+    """VERDICT r12 #3: the exact all-pairs verifier must refuse to run
+    without an explicit sample_mod — a silent quadratic scan over an
+    arbitrary corpus is the failure mode being designed out. An
+    explicit sample_mod=1 (full audit) and a hash slice (sample_mod=m)
+    both run; the slice output is a subset of the full output."""
+    from transfer_spark.operators.dedupe import ngram_jaccard_pairs
+
+    words = [f"w{i:02d}" for i in range(20)]
+    rows = [(i, " ".join(words[j % 3:] + words[: j % 3]))
+            for i, j in enumerate(range(8))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with pytest.raises(ValueError, match="sample_mod"):
+        ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.5)
+    with pytest.raises(ValueError, match="sample_mod"):
+        ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.5, sample_mod=0)
+
+    full = {(r.doc_a, r.doc_b)
+            for r in ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.5,
+                                         sample_mod=1).collect()}
+    sliced = {(r.doc_a, r.doc_b)
+              for r in ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.5,
+                                           sample_mod=2).collect()}
+    assert full  # rotations of one word list share most shingles
+    assert sliced <= full
+
+
 def test_json_schema_profile_promotion_rules(spark):
     """parse.go-style promotion: any string wins, mixed numerics widen
     to double, all-null stays `invalid`, presence counted per key."""

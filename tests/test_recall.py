@@ -33,7 +33,8 @@ def test_minhash_candidates_catch_all_true_jaccard_pairs(spark):
     exact = {
         (r.doc_a, r.doc_b)
         for r in D.ngram_jaccard_pairs(docs, "doc_id", "text",
-                                       k=3, threshold=0.5).collect()
+                                       k=3, threshold=0.5,
+                                       sample_mod=1).collect()
     }
     cand = {
         (r.doc_a, r.doc_b)

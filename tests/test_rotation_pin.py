@@ -18,10 +18,16 @@ def test_window_is_core_plus_pin():
 
 
 def test_pin_names_registered_and_disjoint():
+    from transfer_spark.workloads.rotation_pin import POST_FREEZE_REGISTRATIONS
+
     assert not set(PINNED_TAIL) & set(_CORE)
     assert len(set(PINNED_TAIL)) == len(PINNED_TAIL)
     missing = [n for n in PINNED_TAIL if n not in QUERIES]
     assert not missing
+    # post-freeze declarations must be real registered names, outside
+    # both the core and the frozen window
+    for n in POST_FREEZE_REGISTRATIONS:
+        assert n in QUERIES and n not in _CORE and n not in PINNED_TAIL
 
 
 def test_pin_pays_down_adjudication_debt():
@@ -51,9 +57,16 @@ def test_pin_pays_down_adjudication_debt():
             continue
 
     from transfer_spark.workloads import QUERIES as _Q
+    from transfer_spark.workloads.rotation_pin import POST_FREEZE_REGISTRATIONS
 
     never_in_window = [n for n in PINNED_TAIL if n not in seen_before_pin]
-    debt = {n for n in _Q if n not in seen_before_pin} - set(_CORE)
+    # names registered after the freeze are deliberately behind the pin
+    # (declared in POST_FREEZE_REGISTRATIONS) — they are next round's
+    # debt, not this window's
+    debt = (
+        {n for n in _Q if n not in seen_before_pin}
+        - set(_CORE) - set(POST_FREEZE_REGISTRATIONS)
+    )
     # Endgame (r12+): fewer than 35 never-adjudicated names can remain
     # in the whole registry — then the criterion is that the window
     # carries EVERY remaining one (debt → 0 when the round's artifact

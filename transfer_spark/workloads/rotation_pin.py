@@ -27,6 +27,14 @@ The staleness invariant is pinned by tests/test_rotation_pin.py.
 
 PIN_ROUND = 13
 
+# Names registered AFTER this round's freeze (they sort behind the pin
+# by design and enter the staleness queue — never-seen-first — at the
+# NEXT freeze). Explicit so the adjudication-debt test can tell a
+# deliberate post-freeze registration from a name the window forgot.
+POST_FREEZE_REGISTRATIONS: list[str] = [
+    "flush_retry_audit",
+]
+
 PINNED_TAIL: list[str] = [
     # ---- pure staleness re-cycle: least-recently-adjudicated (r4, then r5)
     "column_hmac",

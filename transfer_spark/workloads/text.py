@@ -669,13 +669,27 @@ FROM ex
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs 3-gram Jaccard ≥ 0.5 (exact verifier)."""
-    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", 3, 0.5)
+    """All-pairs 3-gram Jaccard ≥ 0.5 (exact verifier) over the
+    deterministic quarter slice ``doc_id % 4 == 0``.
+
+    Consciously sized (VERDICT r12 #3): the unsliced verifier was 38%
+    of the full sf0.1 sweep wall (712 s — 12.5M array-intersect pairs
+    at n=5000). The slice is engine-neutral value arithmetic so the
+    DuckDB oracle replicates it exactly; the operator's own hash-slice
+    gate (``sample_mod``) is passed 1 because the input is pre-sliced.
+    The LSH family (``dedupe_minhash_lsh``, ``dedupe_lsh_verified``)
+    remains the full-corpus scale path; this entry exists to verify the
+    Jaccard arithmetic itself, which a 1/4 slice does at 1/16 the cost.
+    """
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5,
+                                 sample_mod=1)
 
 
 ORACLE_NGRAM_JACCARD = f"""
 WITH d AS (
   SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM documents
+  WHERE doc_id % 4 = 0
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   round(len(list_intersect(a.sh, b.sh)) /
