@@ -1,0 +1,77 @@
+"""Render seed-variant sweep logs into the committed SWEEP_SEEDS.md.
+
+Usage: python scripts/render_seed_sweep.py OUT_MD LOG:SEED [LOG:SEED ...]
+
+Each LOG is a check_oracles run over a gen_seed_variant.py dataset
+(VERDICT r12 #4): the registry's Spark-vs-DuckDB agreement re-proven on
+data the oracles have never seen, per seed. Progress-bar carriage
+returns share lines with some ``ok`` markers, so lines are split on
+\\r before parsing (the `^ok` undercount pitfall from the r13 pre-flight).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+
+def parse(log_path: str):
+    ok, fails = [], []
+    pat = re.compile(
+        r"(ok|FAIL)\s+(\S+):?\s+(?:\((\d+) rows\)|(.*?))\s*\[([\d.]+)s\]"
+    )
+    for raw in open(log_path, errors="replace"):
+        for line in raw.split("\r"):
+            m = pat.search(line.strip())
+            if not m:
+                continue
+            status, name, nrows, detail, wall = m.groups()
+            if status == "ok":
+                ok.append((name, int(nrows or 0), float(wall)))
+            else:
+                fails.append((name, (detail or "").strip(), float(wall)))
+    return ok, fails
+
+
+def main() -> None:
+    out = sys.argv[1]
+    runs = [a.split(":") for a in sys.argv[2:]]
+    with open(out, "w") as f:
+        f.write("# SWEEP_SEEDS — full-registry oracle agreement on "
+                "fresh-seed data (r13, VERDICT r12 #4)\n\n")
+        f.write(
+            "The correctness record rode entirely on the driver's seed-42\n"
+            "dataset; agreement there could hide tie-break / NULL-ordering\n"
+            "luck. Each row below is a FULL-registry strict sweep\n"
+            "(`scripts/check_oracles.py` — row count + columns +\n"
+            "order-insensitive value multiset) over a schema-identical\n"
+            "sf0.01 variant generated at a fresh seed by\n"
+            "`scripts/gen_seed_variant.py` (FK-consistent, near-dup\n"
+            "documents, clustered unit embeddings, PII bait; schema parity\n"
+            "pinned by tests/test_seed_variant.py). Reproduce:\n"
+            "`bash scripts/seed_sweep.sh 7 101 2029`.\n\n"
+        )
+        f.write("| seed | checked | matching | failing | wall |\n")
+        f.write("|---|---|---|---|---|\n")
+        all_fail = []
+        for log_path, seed in runs:
+            ok, fails = parse(log_path)
+            wall = sum(w for _, _, w in ok) + sum(w for _, _, w in fails)
+            f.write(f"| {seed} | {len(ok) + len(fails)} | {len(ok)} | "
+                    f"{len(fails)} | {wall/60:.1f} min |\n")
+            all_fail += [(seed, *x) for x in fails]
+        if all_fail:
+            f.write("\n## Failures\n\n")
+            for seed, name, detail, wall in all_fail:
+                f.write(f"- seed {seed} `{name}`: {detail} [{wall:.1f}s]\n")
+        else:
+            f.write(
+                "\nZero disagreements: every oracle-backed entry matches on\n"
+                "every fresh-seed dataset — the registry's green record is\n"
+                "a property of the semantics, not of seed 42.\n"
+            )
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
