@@ -63,6 +63,9 @@ JOBS_UNSTABLE: set[str] = {
     "dq_t_closeness",          # 21 vs 22
     "streaming_dedup_index",   # 36 vs 34
     "streaming_ingest_decon",  # 115 vs 113
+    # r13 battery run (4th same-tree run) surfaced two more:
+    "corpus_forget_erasure",   # 374 (run1) vs 372 (run3) vs 374 (run4)
+    "olap_waiting_suppliers",  # 10 vs 11 (AQE materialization re-pick)
 }
 
 _EXCHANGE = re.compile(r"^[\s+\-:*()0-9]*Exchange ", re.MULTILINE)
@@ -115,6 +118,7 @@ def main() -> int:
         return 1
     ref = json.load(open(SNAP_PATH))
     drift: list[str] = []
+    warns: list[str] = []
     for name in sorted(set(ref) | set(cur)):
         a, b = ref.get(name), cur.get(name)
         if a is None:
@@ -123,17 +127,31 @@ def main() -> int:
         if b is None:
             drift.append(f"entry removed from registry: {name} — run --update")
             continue
-        keys = ["sx", "bx"] + ([] if name in JOBS_UNSTABLE else ["jobs"])
-        diffs = {k: (a[k], b[k]) for k in keys if a.get(k) != b.get(k)}
+        # exchange counts are strict: 5 same-tree runs at the r13 freeze
+        # showed zero sx/bx movement across all 318 entries, so ANY
+        # diff is a real plan change.
+        diffs = {k: (a[k], b[k]) for k in ("sx", "bx") if a.get(k) != b.get(k)}
         if diffs:
             drift.append(f"{name}: {diffs} (committed vs current)")
+        # job counts are ±1–2 flaky for a MINORITY of entries (AQE
+        # materialization re-picks; runs 1–5 at the r13 freeze each
+        # surfaced a different singleton). |Δ|<=2 is a printed WARNING
+        # — visible in the battery artifact, adjudicated by ab_query
+        # when a cal2 movement accompanies it — and |Δ|>2 fails.
+        if name not in JOBS_UNSTABLE and a.get("jobs") != b.get("jobs"):
+            ja, jb = a.get("jobs", -1), b.get("jobs", -1)
+            line = f"{name}: jobs {ja} -> {jb} (committed vs current)"
+            (warns if abs(ja - jb) <= 2 else drift).append(line)
+    for w in warns:
+        print(f"warning (job flicker band): {w}", file=sys.stderr)
     if drift:
         print("PLAN DRIFT — annotate by committing --update with the "
               "causing change:", file=sys.stderr)
         for d in drift:
             print("  " + d, file=sys.stderr)
         return 1
-    print(f"plan snapshot clean ({len(cur)} entries)")
+    print(f"plan snapshot clean ({len(cur)} entries, "
+          f"{len(warns)} job-flicker warnings)")
     return 0
 
 
