@@ -1,0 +1,43 @@
+"""Dump ``explain("formatted")`` for bench queries to plans/r13/.
+
+Usage: python scripts/dump_plans.py before|after [query ...]
+Defaults to the 34 bench queries (HEADLINE + LLM_HEADLINE) at sf0.1.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> int:
+    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
+    from bench import HEADLINE, LLM_HEADLINE
+    from transfer_spark.session import get_spark
+    from transfer_spark.workloads import QUERIES
+
+    names = sys.argv[2:] or (HEADLINE + LLM_HEADLINE)
+    out_dir = os.path.join(REPO, "plans", "r13")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("dump-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        fn, _oracle = QUERIES[name]
+        df = fn(spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({len(plan)} bytes)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
