@@ -244,9 +244,18 @@ class StreamingCorpusIngest:
             return None
         return self.spark.read.parquet(self.corpus_path)
 
-    def _exact_index_hits(self, hashed: DataFrame) -> DataFrame:
+    def _exact_index_hits(
+        self, hashed: DataFrame, enum_frame: DataFrame | None = None
+    ) -> DataFrame:
         """(doc, exact_index_dup_of) for batch docs whose content hash is
-        already indexed — reads only the batch's hash buckets."""
+        already indexed — reads only the batch's hash buckets.
+
+        ``enum_frame``: optional cheaper frame to enumerate probe buckets
+        from; its ``h`` set must be a SUPERSET of ``hashed``'s (extra
+        buckets are harmless extra reads — the probe join on ``h`` still
+        matches exactly ``hashed``'s rows). The composer passes the
+        pre-dedup gated frame so the bounded enum collect skips the
+        intra-batch groupBy + anti-join chain it doesn't need."""
         # partition-dir check, not bare dir-exists: an all-gated batch's
         # append would leave a _SUCCESS-only directory whose parquet read
         # fails schema inference (same contract as MinHashDedupIndex
@@ -270,7 +279,8 @@ class StreamingCorpusIngest:
         t0 = time.perf_counter()
         buckets = [
             r[0]
-            for r in hashed.select((F.col("h") % self.n_buckets).alias("bk"))
+            for r in (enum_frame if enum_frame is not None else hashed)
+            .select((F.col("h") % self.n_buckets).alias("bk"))
             .distinct()
             .collect()
         ]
@@ -358,7 +368,7 @@ class StreamingCorpusIngest:
         exact_surv = gated.join(intra, "doc", "left_anti")
         # ingest.exact_probe_bucket_enum is emitted inside _exact_index_hits, real
         # probe path only (batch 0 of a fresh store emits nothing)
-        index_hits = self._exact_index_hits(exact_surv)
+        index_hits = self._exact_index_hits(exact_surv, enum_frame=gated)
 
         # ONE checkpoint pins the whole exact stage — inputs, gate, hash,
         # intra verdict, index verdict — before any index mutation. Every
@@ -389,11 +399,23 @@ class StreamingCorpusIngest:
             & F.col("exact_index_dup_of").isNull()
         )
 
-        # near-dup stage over exact survivors (mutates the band index)
+        # near-dup stage over exact survivors (mutates the band index).
+        # Spread the batch before the expansion-heavy banding: ``ex`` is
+        # an AQE-coalesced checkpoint (bytes-small -> often ONE
+        # partition), but shingle explode + per-shingle md5 is
+        # compute-bound, so a narrow input serializes the whole MinHash
+        # stage on one core (measured 3.1s -> 0.4s at sf0.1). The
+        # repartition shuffles batch-sized text once — proportional to
+        # the batch, never the corpus — and is skipped when the input
+        # already spans the cluster (.rdd is job-free here because ex
+        # is checkpoint-backed and the projection is narrow).
+        mh_in = exact_kept.select(F.col("doc").alias("doc_id"), "text")
+        dp = self.spark.sparkContext.defaultParallelism
+        if mh_in.rdd.getNumPartitions() < dp:
+            mh_in = mh_in.repartition(dp)
         t0 = time.perf_counter()
         mh_verdicts = self.minhash.process_batch(
-            exact_kept.select(F.col("doc").alias("doc_id"), "text"),
-            "doc_id", "text",
+            mh_in, "doc_id", "text",
         ).select(F.col("doc_id").alias("doc"), "status", "dup_of")
         self.metrics_client.timing(
             "ingest.minhash_stage", time.perf_counter() - t0
@@ -425,25 +447,35 @@ class StreamingCorpusIngest:
             )
         )
 
-        # one bounded-metadata collect guards BOTH appends (replacing
-        # per-write isEmpty probes — each its own job): a batch that
-        # keeps/indexes nothing must not write, because an empty
-        # partitionBy-append / empty overwrite leaves a _SUCCESS-only
-        # directory that breaks parquet schema inference on later reads
+        # bounded-metadata counts guard BOTH appends (replacing per-write
+        # isEmpty probes — each its own job): a batch that keeps/indexes
+        # nothing must not write, because an empty partitionBy-append /
+        # empty overwrite leaves a _SUCCESS-only directory that breaks
+        # parquet schema inference on later reads. Counted from the two
+        # MATERIALIZED frames separately (one single-row agg each) — the
+        # old groupBy over the verdicts join paid the ex ⟕ mh_verdicts
+        # join again (5 Spark jobs/batch) to learn two numbers that are
+        # derivable without it: mh statuses only exist for exact
+        # survivors, and a survivor missing from mh_verdicts coalesces
+        # to kept, so kept = n_exact_surv − n_mh_dropped exactly.
         t0 = time.perf_counter()
-        status_counts = {
-            r["status"]: r["n"]
-            for r in verdicts.groupBy("status")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        n_exact_surv = int(
+            ex.agg(
+                F.count(
+                    F.when(
+                        F.col("__pass")
+                        & F.col("__cont").isNull()
+                        & F.col("exact_batch_dup_of").isNull()
+                        & F.col("exact_index_dup_of").isNull(),
+                        1,
+                    )
+                ).alias("n")
+            ).collect()[0]["n"]
+        )
+        n_mh_dropped = mh_verdicts.filter(F.col("status") != "kept").count()
+        n_kept = n_exact_surv - n_mh_dropped
         self.metrics_client.timing(
             "ingest.verdict_counts", time.perf_counter() - t0
-        )
-        n_exact_surv = sum(
-            n for s, n in status_counts.items()
-            if s not in (GATED_OUT, CONTAMINATED, EXACT_BATCH_DUP,
-                         EXACT_INDEX_DUP)
         )
         # exact index records EVERY exact-stage survivor (incl. docs the
         # MinHash stage drops) — the oracle's eh1 contract, and the cheap
@@ -466,16 +498,16 @@ class StreamingCorpusIngest:
                 "ingest.exact_append", time.perf_counter() - t0
             )
         self._fp("exact_appended")
-        # left join + coalesce, not an inner join on mh status: the
-        # defensive no-bands doc (missing mh verdict -> kept) must land
-        # in the corpus exactly as it lands in the verdict frame
-        kept = (
-            exact_kept.select("doc")
-            .join(mh_verdicts.select("doc", "status"), "doc", "left")
-            .filter(F.coalesce(F.col("status"), F.lit("kept")) == "kept")
-            .select("doc")
-        )
-        corpus_rows = exact_kept.join(kept, "doc").select(
+        # anti-join against the mh-DROPPED set (one join, both sides
+        # materialized), equivalent to the former left-join + coalesce
+        # filter: a survivor is kept iff it is not an mh dup, and the
+        # defensive no-bands doc (missing mh verdict -> kept) is not in
+        # the dropped set, so it lands in the corpus exactly as it lands
+        # in the verdict frame
+        mh_dropped = mh_verdicts.filter(
+            F.col("status") != "kept"
+        ).select("doc")
+        corpus_rows = exact_kept.join(mh_dropped, "doc", "left_anti").select(
             F.col("doc").alias("doc_id"), "text", "n_tokens"
         )
         if batch_id is None:
@@ -491,7 +523,7 @@ class StreamingCorpusIngest:
         # gated/dups — common at production cadence) writes no
         # partition at all; replay is still safe because verdicts are
         # deterministic (the replayed batch keeps nothing again).
-        if status_counts.get("kept", 0):
+        if n_kept:
             t0 = time.perf_counter()
             corpus_rows.write.mode("overwrite").parquet(
                 os.path.join(self.corpus_path, f"ingest_batch={batch_id}")
