@@ -19,6 +19,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from transfer_spark.functions.arrays import lit_double_array, lit_long_array
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -388,7 +390,7 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     vec = vec.cast("array<double>")
     out = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
+        plane = lit_double_array(p)
         bit = F.when(_dot(vec, plane) > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -1358,7 +1360,7 @@ def power_iteration_top_component(
         v = [10**6] * dim
         out = None
         for t in range(iters):
-            vlit = F.array(*[F.lit(int(c)).cast("long") for c in v])
+            vlit = lit_long_array(v)
             dot = F.aggregate(
                 F.zip_with(F.col("xm"), vlit, lambda a, b: a * b),
                 F.lit(0).cast("long"),
@@ -1434,7 +1436,7 @@ def power_iteration_second_component(
         u = [10**6] * dim
 
         def a_frame(u_now):
-            ulit = F.array(*[F.lit(int(x)).cast("long") for x in u_now])
+            ulit = lit_long_array(u_now)
             dot = F.aggregate(
                 F.zip_with(F.col("xm"), ulit, lambda a, b: a * b),
                 F.lit(0).cast("long"), lambda acc, x: acc + x,

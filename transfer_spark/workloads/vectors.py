@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from transfer_spark.functions.arrays import lit_long_array
 from transfer_spark.session import read_table, scratch_dir
 
 from transfer_spark.operators import similarity as S
@@ -1291,7 +1292,7 @@ def q_anisotropy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         range(64), key=lambda j: (-abs(v[j]), j)
     )
     vv = sum(c * c for c in v)
-    vlit = F.array(*[F.lit(c).cast("long") for c in v])
+    vlit = lit_long_array(v)
     xm = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda e: F.floor(e * 1000000.0 + 0.5).cast("long"),
