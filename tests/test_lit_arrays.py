@@ -1,0 +1,49 @@
+"""functions/arrays.py: parsed literal arrays must be bit-identical to
+the per-element F.lit path they replaced (r13 optimization round)."""
+
+import math
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from transfer_spark.functions.arrays import lit_double_array, lit_long_array
+
+
+def _bits(x: float) -> bytes:
+    return struct.pack("<d", x)
+
+
+def test_long_array_values(spark):
+    vals = [2**62, -5, 0, 1, -(2**62)]
+    got = spark.range(1).select(lit_long_array(vals).alias("a")).collect()[0]["a"]
+    assert got == vals
+
+
+def test_double_array_bit_identical(spark):
+    vals = [0.1, -1.5e300, math.pi, 1e-07, 2.0, -0.0, 123456.789]
+    row = (
+        spark.range(1)
+        .select(
+            lit_double_array(vals).alias("a"),
+            F.array(*[F.lit(float(v)) for v in vals]).alias("b"),
+        )
+        .collect()[0]
+    )
+    assert [_bits(x) for x in row["a"]] == [_bits(float(v)) for v in vals]
+    assert [_bits(x) for x in row["a"]] == [_bits(x) for x in row["b"]]
+
+
+def test_double_array_refuses_non_finite():
+    with pytest.raises(ValueError):
+        lit_double_array([1.0, float("nan")])
+    with pytest.raises(ValueError):
+        lit_double_array([float("inf")])
+
+
+def test_schema_types(spark):
+    df = spark.range(1).select(
+        lit_long_array([1, 2]).alias("l"), lit_double_array([1.5]).alias("d")
+    )
+    assert df.schema["l"].dataType.simpleString() == "array<bigint>"
+    assert df.schema["d"].dataType.simpleString() == "array<double>"
