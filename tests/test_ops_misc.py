@@ -1301,3 +1301,34 @@ def test_theil_decomposition_identity(spark):
     assert total >= 0 and between >= 0
     assert all(v >= 0 for v in rows.values())
     assert abs(total - (between + within_mix)) < 25  # micro-nats
+
+
+def test_scrub_dup_spans_interval_merge_edges(spark):
+    """r13 row-local rebuild: covered intervals must merge exactly.
+    Overlapping occurrences (gap < n), back-to-back intervals
+    (gap == n, must NOT merge into wrong coverage), full-doc coverage,
+    and coverage touching both doc ends."""
+    from transfer_spark.operators.dedupe import scrub_dup_spans
+
+    n = 3
+    # owner doc 'a' holds three 3-token spans; 'b' embeds them at
+    # overlapping and touching offsets; 'c' is entirely one big copy
+    a = "s1 s2 s3 t1 t2 t3 u1 u2 u3"
+    # b: [s1 s2 s3] at 0, [t1 t2 t3] at 2? construct: tokens where span
+    # copies overlap: positions 0-2 copy span1, 2-4 would break span ->
+    # instead: span1 at 0, span2 at 3 (adjacent), unique tail, span3 at 8
+    b = "s1 s2 s3 t1 t2 t3 keepme x1 u1 u2 u3"
+    c = a  # full copy: everything covered
+    df = spark.createDataFrame(
+        [("a", a), ("b", b), ("c", c)], "doc_id string, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in scrub_dup_spans(df, "doc_id", "text", n=n).collect()
+    }
+    assert out["a"].text_scrubbed == a and out["a"].n_removed == 0
+    # b: tokens 0..5 covered (two adjacent intervals), 8..10 covered
+    assert out["b"].text_scrubbed == "keepme x1"
+    assert out["b"].n_removed == 9 and out["b"].n_tokens == 11
+    # c: full coverage -> empty rebuild
+    assert out["c"].text_scrubbed == "" and out["c"].n_removed == 9

@@ -704,17 +704,22 @@ def scrub_dup_spans(
     the surviving tokens (whitespace canonicalized to single spaces —
     the same normalization the span hashes use).
 
-    Distributed shape, all equi-keyed and linear in token count:
+    Distributed shape (r13): the only corpus-wide movement is the
     span-hash explode -> per-hash owner aggregate (map-side combinable,
-    constant state) -> join back on the hash (reuses that partitioning)
-    -> covered-position explode (n rows per duplicated occurrence, never
-    per token of the corpus) -> LEFT ANTI join against the token stream
-    -> per-doc ordered rebuild. No all-pairs stage anywhere; the rebuild
-    groups by doc id, the same key the scan is already partitioned by at
-    scale. Returns (id, text_scrubbed, n_tokens, n_removed).
+    constant state) -> join back on the hash. The rebuild itself is
+    ROW-LOCAL: the duplicated-occurrence positions collapse to one
+    doc-grain sliver row (sorted start positions -> merged covered
+    intervals, a pairwise zip since every span covers exactly n
+    tokens), that sliver equi-joins the corpus on the doc id, and the
+    surviving tokens are filtered/rejoined with array higher-order
+    functions inside the row. The pre-r13 shape posexploded the FULL
+    token stream and shuffled it twice (anti-join on (doc, idx), then
+    groupBy(doc) + collect_list + per-doc sort) — at 100 TB that is two
+    corpus-sized shuffles of data the decision never needed (guide §8:
+    decide on the small rows, keep the heavy bytes where they are).
+    Returns (id, text_scrubbed, n_tokens, n_removed).
     """
     doc = F.col(id_col)
-    tok = df.select(doc.alias("doc"), F.posexplode(tokens(F.col(text_col))).alias("idx", "tok"))
     spans = df.select(
         doc.alias("doc"),
         F.posexplode(
@@ -730,31 +735,61 @@ def scrub_dup_spans(
         .filter(F.col("is_cross") & (F.col("doc") != F.col("odoc")))
         .select("doc", "pos")
     )
-    cov = bad.select(
-        "doc",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("idx"),
-    ).distinct()
-    kept = tok.join(cov, ["doc", "idx"], "left_anti")
-    reb = kept.groupBy("doc").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
-                lambda s: s["tok"],
-            ),
-        ).alias("text_scrubbed"),
-        F.count(F.lit(1)).alias("__n_kept"),
+    # one sliver row per scrubbed doc: sorted distinct duplicated-span
+    # starts -> merged covered intervals. Every span covers exactly
+    # [p, p+n-1], so interval boundaries are PAIRWISE: position i starts
+    # a new interval iff ps[i] - ps[i-1] >= n, ends one iff
+    # ps[i+1] - ps[i] >= n — linear zip/slice work, no quadratic
+    # aggregate-accumulator copies.
+    ps = F.array_sort(F.collect_set("pos"))
+    m = F.size(F.col("__ps"))
+    prv = F.concat(
+        F.array(F.lit(None).cast("int")), F.slice(F.col("__ps"), 1, m - 1)
     )
-    base = df.select(doc.alias("doc"), token_count(F.col(text_col)).cast("long").alias("n_tokens"))
-    return (
-        base.join(reb, "doc", "left")
+    nxt = F.concat(
+        F.slice(F.col("__ps"), 2, m - 1), F.array(F.lit(None).cast("int"))
+    )
+    starts = F.filter(
+        F.zip_with(
+            F.col("__ps"), prv,
+            lambda p, q: F.when(q.isNull() | (p - q >= n), p),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    ends = F.filter(
+        F.zip_with(
+            F.col("__ps"), nxt,
+            lambda p, q: F.when(q.isNull() | (q - p >= n), p + F.lit(n - 1)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    covdoc = (
+        bad.groupBy("doc")
+        .agg(ps.alias("__ps"))
         .select(
-            F.col("doc").alias(id_col),
-            F.coalesce(F.col("text_scrubbed"), F.lit("")).alias("text_scrubbed"),
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
+            F.col("doc").alias("__scrub_doc"),
+            F.zip_with(
+                starts, ends,
+                lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+            ).alias("__iv"),
+        )
+    )
+    toks = tokens(F.col(text_col))
+    kept_arr = F.when(F.col("__iv").isNull(), toks).otherwise(
+        F.filter(
+            toks,
+            lambda t, i: ~F.exists(
+                F.col("__iv"), lambda v: (i >= v["s"]) & (i <= v["e"])
+            ),
+        )
+    )
+    return (
+        df.join(covdoc, doc == F.col("__scrub_doc"), "left")
+        .select(
+            doc.alias(id_col),
+            F.concat_ws(" ", kept_arr).alias("text_scrubbed"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            (F.size(toks) - F.size(kept_arr)).cast("long").alias("n_removed"),
         )
     )
 
