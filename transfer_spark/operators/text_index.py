@@ -4,17 +4,21 @@ the text-retrieval twin of ``IvfIndex`` (build once / probe many, vs
 ``bm25_topk`` recomputing corpus statistics per query job).
 
 Segment-based like Lucene: every ``build``/``add`` writes an immutable
-segment — postings (term, doc, tf, dl), per-term document-frequency
-partials, and one (n_docs, sum_dl) stats row — and a probe MERGES
-across segments: global n_docs/avgdl are sums over segment stats, dft
-is the sum of per-term partials, and only then does the BM25 formula
-apply. Nothing is rewritten on add (the small-file cost is bounded by
-segment count; compact by re-building). Statistics stay exact because
-everything stored is an integer partial; avgdl = sum_dl / n_docs at
-probe time is the same double every engine computes.
+segment — postings (term, doc, tf, dl) and one (n_docs, sum_dl) stats
+row — and a probe MERGES across segments: global n_docs/avgdl are sums
+over segment stats, and dft is counted from the pruned postings scan
+itself ((doc, term) is unique post-groupBy, so the per-term row count
+over every segment's probed buckets IS the merged document frequency —
+a separate per-term partials store was written per segment through r12
+and removed in r13: the probe reads exactly those bucket directories
+anyway, so the store saved nothing and its build/compact writes were
+pure overhead). Nothing is rewritten on add (the small-file cost is
+bounded by segment count; compact by re-building). Statistics stay
+exact because everything stored is an integer partial;
+avgdl = sum_dl / n_docs at probe time is the same double every engine
+computes.
 
-Layout: ``postings/__seg=S/__term_bucket=B/`` and
-``term_stats/__seg=S/__term_bucket=B/`` — a probe's scan touches
+Layout: ``postings/__seg=S/__term_bucket=B/`` — a probe's scan touches
 |query-term buckets| / n_buckets of every segment (partition pruning
 on the bucket column, the ``MinHashDedupIndex`` / ``IvfIndex``
 pattern), and the scoring arithmetic is exactly
@@ -77,10 +81,6 @@ class Bm25Index:
         return os.path.join(self.path, self._current(), "postings")
 
     @property
-    def terms_path(self) -> str:
-        return os.path.join(self.path, self._current(), "term_stats")
-
-    @property
     def stats_path(self) -> str:
         return os.path.join(self.path, self._current(), "stats")
 
@@ -116,27 +116,6 @@ class Bm25Index:
             .write.mode("append")
             .partitionBy(SEG_COL, BUCKET_COL)
             .parquet(self.postings_path)
-        )
-        # dft partials derive from the postings JUST WRITTEN, not from
-        # the logical tf frame: a second action on tf would re-run the
-        # token explode and the (doc, term) shuffle — the two heaviest
-        # build stages — while the written segment is the same rows in
-        # columnar form, already bucket-partitioned. (doc, term) is
-        # unique post-groupBy, so doc frequency is a plain count (no
-        # countDistinct expand) and the stored bucket rides along.
-        seg_post = self.spark.read.parquet(self.postings_path).filter(
-            F.col(SEG_COL) == seg
-        )
-        dft = (
-            seg_post.groupBy("term", BUCKET_COL)
-            .agg(F.count(F.lit(1)).alias("dft"))
-            .withColumn(SEG_COL, F.lit(seg))
-        )
-        (
-            dft.repartition(BUCKET_COL)
-            .write.mode("append")
-            .partitionBy(SEG_COL, BUCKET_COL)
-            .parquet(self.terms_path)
         )
         df.agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -179,13 +158,10 @@ class Bm25Index:
             .filter(F.col(BUCKET_COL).isin(buckets))
             .filter(F.col("term").isin(query_terms))
         )
-        dft = (
-            self.spark.read.parquet(self.terms_path)
-            .filter(F.col(BUCKET_COL).isin(buckets))
-            .filter(F.col("term").isin(query_terms))
-            .groupBy("term")
-            .agg(F.sum("dft").alias("dft"))
-        )
+        # (doc, term) is unique per segment and doc sets are disjoint
+        # across segments, so the merged document frequency is the row
+        # count per term over this same pruned scan — no separate store
+        dft = p.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
         stats = self.spark.read.parquet(self.stats_path).agg(
             F.sum("n_docs").alias("n_docs"),
             (
@@ -257,18 +233,6 @@ class Bm25Index:
             .write.mode("append")
             .partitionBy(SEG_COL, BUCKET_COL)
             .parquet(os.path.join(nxt_dir, "postings"))
-        )
-        t = (
-            self.spark.read.parquet(self.terms_path)
-            .groupBy("term", BUCKET_COL)
-            .agg(F.sum("dft").alias("dft"))
-            .withColumn(SEG_COL, F.lit(0))
-        )
-        (
-            t.repartition(BUCKET_COL)
-            .write.mode("append")
-            .partitionBy(SEG_COL, BUCKET_COL)
-            .parquet(os.path.join(nxt_dir, "term_stats"))
         )
         s = self.spark.read.parquet(self.stats_path).agg(
             F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
