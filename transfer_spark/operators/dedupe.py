@@ -641,31 +641,29 @@ def dup_spans(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> DataFram
     Training Data Makes Language Models Better": repeated boilerplate
     passages inflate memorization even when whole-doc dedup passes).
 
-    Distributed shape, all equi-keyed: explode spans -> 60-bit hash ->
-    groupBy(doc, h) counts (map-side combinable) -> groupBy(h) cross-doc
-    flag via min(doc) != max(doc) (no count-distinct, constant state) ->
-    join back on h (reuses the hash partitioning, no extra exchange) ->
-    per-doc aggregate. Never materializes span text past the hash.
-    Eager-at-build: Spark jobs run inside this call (see the
-    module-docstring contract).
+    Distributed shape (r13), all equi-keyed and ONE linear plan:
+    explode spans -> 60-bit hash -> groupBy(doc, h) counts (map-side
+    combinable) -> cross-doc flag as a WINDOW over h
+    (min(doc) != max(doc) over the hash partition — same flag the
+    pre-r13 shape computed with a groupBy(h) + join-back, which needed
+    an eager checkpoint so the span explode would not run once per join
+    side; the window has a single consumer chain, so both the join and
+    the materialization disappear) -> per-doc aggregate. Never
+    materializes span text past the hash.
     """
+    from pyspark.sql import Window
+
     s = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__sp")
     ).select(id_col, _base_hash(F.col("__sp")).alias("h"))
-    # one materialization: per feeds BOTH the cross-doc flag and the
-    # join-back side — without it the corpus-wide span explode runs once
-    # per consumer (AQE does not reuse the aliased subtrees as one
-    # stage; see minhash_lsh_pairs)
-    per = (
-        s.groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
-    )
-    crossdoc = per.groupBy("h").agg(
-        (F.min(id_col) != F.max(id_col)).alias("is_dup")
+    per = s.groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("h")
+    flagged = per.withColumn(
+        "is_dup", F.min(id_col).over(w) != F.max(id_col).over(w)
     )
     dup_c = F.when(F.col("is_dup"), F.col("c")).otherwise(F.lit(0))
     return (
-        per.join(crossdoc, "h")
+        flagged
         .groupBy(id_col)
         .agg(
             F.sum("c").alias("n_spans"),
