@@ -14,6 +14,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from transfer_spark.session import read_table
+
+
+def _events_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with the rows spread across the cluster BEFORE the
+    to_json/from_json round-trip: the single-file single-row-group
+    parquet scan is one task, so the wire build + envelope parse — the
+    heavy per-row work of this family — ran single-core (measured 1.3s
+    single-core vs the batch-sized shuffle's ~0.1s at sf0.1). Production
+    ingest reads many Kafka partitions, so the spread mirrors the real
+    source's parallelism rather than adding a shuffle the cluster shape
+    wouldn't have."""
+    nparts = spark.sparkContext.defaultParallelism
+    return read_table(spark, sf_dir, "events").repartition(nparts)
 from transfer_spark.sources import debezium as DBZ
 from transfer_spark.sources import mongo as MONGO
 
@@ -41,7 +54,7 @@ def q_debezium_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinguishable from the update path (row from *after*). Every ~97th
     message is a tombstone (NULL value) and must be dropped.
     """
-    ev = read_table(spark, sf_dir, "events")
+    ev = _events_spread(spark, sf_dir)
     row_after = F.struct(
         F.col("user_id").alias("id"),
         F.col("event_type").alias("etype"),
@@ -110,7 +123,7 @@ WHERE event_id % 97 != 0
 def q_kafka_key_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: both Kafka key wire formats decoded side by side —
     JSON (bare + schema-wrapped) and the lossy Struct{k=v} string."""
-    ev = read_table(spark, sf_dir, "events")
+    ev = _events_spread(spark, sf_dir)
     json_bare = F.to_json(F.struct(F.col("user_id").alias("uid")))
     json_wrapped = F.to_json(
         F.struct(F.struct(F.col("user_id").alias("uid")).alias("payload"))
@@ -152,7 +165,7 @@ _MONGO_KINDS = {
 
 
 def _mongo_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
+    ev = _events_spread(spark, sf_dir)
     doc = F.format_string(
         '{"_id": {"$oid": "%s"}, "user": {"$numberLong": "%d"}, '
         '"amount": {"$numberDecimal": "%.4f"}, "ts": {"$date": %d}, "tag": "%s"}',
