@@ -201,7 +201,10 @@ def q_encode_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp/null-sentinel encoding + the staging-CSV line builder."""
     from transfer_spark.functions import encode as E
 
-    ev = read_table(spark, sf_dir, "events")
+    # spread before the per-row encode (see pk_string_key note)
+    ev = read_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     src = ev.select(
         "event_id",
         (F.col("event_type") == "error").alias("is_err"),
