@@ -641,7 +641,14 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel packing buckets (operators/packing.py)."""
     from transfer_spark.operators.packing import sequence_pack
 
-    return sequence_pack(_docs(spark, sf_dir), "doc_id", "text", cap=256, n_buckets=8)
+    # read_table, not _docs: the packer projects to (doc_id, n) in its
+    # first select, so the _docs repartition shuffled full TEXT that
+    # the plan never needs past the scan (guide §2.3 — project before
+    # the exchange; the only shuffle left is the narrow bucket window)
+    return sequence_pack(
+        read_table(spark, sf_dir, "documents"), "doc_id", "text",
+        cap=256, n_buckets=8,
+    )
 
 
 ORACLE_SEQUENCE_PACK = f"""
@@ -4254,8 +4261,9 @@ def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     underfilled ones by construction; the report proves it)."""
     from transfer_spark.operators.packing import sequence_pack
 
-    packed = sequence_pack(_docs(spark, sf_dir), "doc_id", "text",
-                           cap=256, n_buckets=8)
+    # read_table, not _docs — see q_sequence_pack
+    packed = sequence_pack(read_table(spark, sf_dir, "documents"),
+                           "doc_id", "text", cap=256, n_buckets=8)
     per = packed.groupBy("bucket").agg(
         F.countDistinct("chunk_id").alias("n_chunks"),
         F.countDistinct("doc_id").alias("n_docs"),
@@ -4396,7 +4404,8 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     Weights quantize to micro-units BEFORE the normalizing sum, then
     the keep rate derives from exact integers with one identical
     double-op sequence."""
-    d = _docs(spark, sf_dir)
+    # read_table, not _docs: only (source, token_count) leave the scan
+    d = read_table(spark, sf_dir, "documents")
     per_src = (
         d.select("source", T.token_count(F.col("text")).alias("n"))
         .groupBy("source")
@@ -4435,7 +4444,8 @@ def q_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) products (budget x weight exceeds 2^63 the moment a
     source passes ~10^13 tokens) with the repo's DIV truncation rule.
     One source-grain aggregate + one broadcast totals join."""
-    d = _docs(spark, sf_dir)
+    # read_table, not _docs: only (source, token_count) leave the scan
+    d = read_table(spark, sf_dir, "documents")
     per_src = (
         d.select("source", T.token_count(F.col("text")).alias("n"))
         .groupBy("source")
@@ -4539,7 +4549,8 @@ def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic end-to-end (no float quantization needed).
     Counts are a distributed agg; the greedy folds over the tiny source
     dimension JVM-side (Holt-style dimension fold, never data-grain)."""
-    d = _docs(spark, sf_dir)
+    # read_table, not _docs: only (source, token_count) leave the scan
+    d = read_table(spark, sf_dir, "documents")
     per_src = (
         d.select("source", T.token_count(F.col("text")).alias("n"))
         .groupBy("source")
@@ -4583,7 +4594,8 @@ def q_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     source_tokens) — over-represented sources get downsampled, the rest
     pass through. One aggregate per source plus one broadcast total;
     feed the rates into `stratified_keep` for the actual hash-sample."""
-    d = _docs(spark, sf_dir)
+    # read_table, not _docs: only (source, token_count) leave the scan
+    d = read_table(spark, sf_dir, "documents")
     per_src = (
         d.select("source", T.token_count(F.col("text")).alias("n"))
         .groupBy("source")
