@@ -3475,32 +3475,56 @@ def dsir_scores(d: DataFrame) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    counts = feats.groupBy("f").agg(
+    # Weight table via ONE bounded collect (≤ 4096 rows of integer
+    # counts — the bucket-enum collect class), r13: the former shape
+    # ran a totals agg, built a broadcast weight relation, and joined
+    # it back into the feature stream — four extra Spark jobs to
+    # distribute 4096 longs. The per-feature weight expression is
+    # EVALUATED BY SPARK on a local relation of the collected counts
+    # (same codegen'd log2/floor sequence, so values are bit-identical
+    # to the old broadcast-join path), then embedded as one array
+    # literal; scoring becomes element_at — no join at all. Totals are
+    # exact integer sums, identical in Python and Spark.
+    rows = feats.groupBy("f").agg(
         F.count(F.lit(1)).alias("rf"),
         F.count(F.when(F.col("lang") == "en", F.lit(1))).alias("tf"),
-    )
-    # every feature a doc can carry appears in the raw support, so the
-    # conditional tf (0 where the feature never occurs in-domain) covers
-    # the whole support; totals ride along as a broadcast 1-row
-    totals = counts.agg(F.sum("rf").alias("rn"), F.sum("tf").alias("tn"))
+    ).collect()
+    rn = sum(r["rf"] for r in rows)
+    tn = sum(r["tf"] for r in rows)
     v = F.lit(float(_DSIR_BUCKETS))
-    weights = (
-        counts
-        .crossJoin(F.broadcast(totals))
+    spark = d.sparkSession
+    lam_rows = (
+        spark.createDataFrame(
+            [(r["f"], r["rf"], r["tf"]) for r in rows], "f long, rf long, tf long"
+        )
         .select(
             "f",
             F.floor(
                 (
-                    F.log2(F.col("tf") + F.lit(1.0)) - F.log2(F.col("tn") + v)
-                    - F.log2(F.col("rf") + F.lit(1.0)) + F.log2(F.col("rn") + v)
+                    F.log2(F.col("tf") + F.lit(1.0))
+                    - F.log2(F.lit(tn).cast("long") + v)
+                    - F.log2(F.col("rf") + F.lit(1.0))
+                    + F.log2(F.lit(rn).cast("long") + v)
                 )
                 * F.lit(1_000_000.0)
                 + F.lit(0.5)
             ).cast("long").alias("lam_micro"),
         )
+        .collect()
     )
+    lam = [0] * _DSIR_BUCKETS
+    for r in lam_rows:
+        lam[int(r["f"])] = r["lam_micro"]
+    from transfer_spark.functions.arrays import lit_long_array
+
+    lam_arr = lit_long_array(lam)
+    # every feats.f has a counts row by construction, so element_at is
+    # total on the support — the old inner join dropped nothing either
     scored = (
-        feats.join(F.broadcast(weights), "f")
+        feats.select(
+            "doc_id",
+            F.element_at(lam_arr, F.col("f").cast("int") + 1).alias("lam_micro"),
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
