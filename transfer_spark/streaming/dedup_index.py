@@ -141,28 +141,45 @@ class MinHashDedupIndex:
             # the group. Equivalent: the smallest doc sharing any band
             # with l below l.doc IS some band-group's min, and every
             # band-group min below l.doc is itself such a doc.
+            # ONE row per doc (r13): every doc has >= 1 band, so this
+            # aggregate doubles as the former banded.select(doc)
+            # .distinct() verdict spine — the distinct's extra shuffle
+            # and the separate intra left-join are gone.
             first_per_band = banded.groupBy("band", "band_hash").agg(
                 F.min("doc").alias("__first_doc")
             )
-            intra = (
+            per_doc = (
                 banded.join(first_per_band, ["band", "band_hash"])
-                .filter(F.col("__first_doc") < F.col("doc"))
                 .groupBy("doc")
-                .agg(F.min("__first_doc").alias("intra_dup_of"))
+                .agg(
+                    F.min(
+                        F.when(
+                            F.col("__first_doc") < F.col("doc"),
+                            F.col("__first_doc"),
+                        )
+                    ).alias("intra_dup_of")
+                )
             )
             # 2. index probe, pruned to this batch's buckets (bounded
-            #    collect: at most n_buckets distinct values)
-            surv_bands = banded.join(intra, "doc", "left_anti")
+            #    collect: at most n_buckets distinct values). Enumerated
+            #    from the PERSISTED band frame — a superset of the
+            #    survivors' buckets, so the probe join's result is
+            #    unchanged and the enum skips the survivor-join chain.
             if self.exists():
                 t0 = time.perf_counter()
                 probe_buckets = [
                     r[0]
-                    for r in surv_bands.select(self._bucket().alias("bk"))
+                    for r in banded.select(self._bucket().alias("bk"))
                     .distinct()
                     .collect()
                 ]
                 self.metrics_client.timing(
                     "minhash.probe_buckets", time.perf_counter() - t0
+                )
+                surv_bands = banded.join(
+                    per_doc.filter(F.col("intra_dup_of").isNull())
+                    .select("doc"),
+                    "doc",
                 )
                 idx = self.read_buckets(probe_buckets).select(
                     F.col("band").alias("i_band"),
@@ -184,12 +201,11 @@ class MinHashDedupIndex:
                     .agg(F.min("i_doc").alias("index_dup_of"))
                 )
             else:
-                index_hits = surv_bands.select("doc").limit(0).withColumn(
+                index_hits = per_doc.select("doc").limit(0).withColumn(
                     "index_dup_of", F.lit(None).cast("long")
                 )
-            docs = banded.select("doc").distinct()
             verdicts = (
-                docs.join(intra, "doc", "left")
+                per_doc
                 .join(index_hits, "doc", "left")
                 .select(
                     F.col("doc").alias("doc_id"),
