@@ -353,19 +353,24 @@ class StreamingCorpusIngest:
         else:
             contaminated = None
 
-        # intra-batch exact: min id per hash keeps. groupBy-min + join
-        # back, NOT a self-join on h — a hot content hash (thousands of
-        # boilerplate/empty docs in one delivery) makes a self-join's
-        # per-group cost quadratic; this stays O(group).
-        first_per_hash = gated.groupBy("h").agg(
-            F.min("doc").alias("__first_doc")
+        # intra-batch exact: min id per hash keeps. ONE window over the
+        # hash partition (r13) — the former groupBy-min + join-back +
+        # anti-join triple was three operators for one fact (survivor
+        # iff doc == min over its hash group); the window computes it in
+        # a single h-keyed pass. Still O(group) per hot hash (a window
+        # min sorts only by the partition key), never a self-join.
+        from pyspark.sql import Window
+
+        wh = Window.partitionBy("h")
+        gd = gated.select("doc", "h").withColumn(
+            "__first_doc", F.min("doc").over(wh)
         )
-        intra = (
-            gated.join(first_per_hash, "h")
-            .filter(F.col("doc") != F.col("__first_doc"))
-            .select("doc", F.col("__first_doc").alias("exact_batch_dup_of"))
+        intra = gd.filter(F.col("doc") != F.col("__first_doc")).select(
+            "doc", F.col("__first_doc").alias("exact_batch_dup_of")
         )
-        exact_surv = gated.join(intra, "doc", "left_anti")
+        exact_surv = gd.filter(F.col("doc") == F.col("__first_doc")).select(
+            "doc", "h"
+        )
         # ingest.exact_probe_bucket_enum is emitted inside _exact_index_hits, real
         # probe path only (batch 0 of a fresh store emits nothing)
         index_hits = self._exact_index_hits(exact_surv, enum_frame=gated)
