@@ -46,7 +46,7 @@ _ONLY = {
 }
 
 
-def probe(name, build, run):
+def probe(name, build, run, eager_build=False):
     from transfer_spark.plans.report import plan_report
 
     if _ONLY and name not in _ONLY:
@@ -54,6 +54,12 @@ def probe(name, build, run):
     out = {}
     for label, factor in (("t1", 1), ("tN", REP)):
         df = build(factor)
+        # eager_build: operators that run Spark jobs INSIDE the frame
+        # constructor (bounded collects, eager checkpoints — e.g. r13's
+        # dsir weight-table collect) must have that work inside the
+        # timed window, or the probe under-reports their scale cost
+        if eager_build:
+            t0 = time.perf_counter()
         frame = run(df)
         # static plan counts (pre-AQE): the scale question is whether
         # the SHAPE changes with volume — a flat shuffle count and zero
@@ -62,7 +68,8 @@ def probe(name, build, run):
         rep = plan_report(frame, execute=False)
         out[f"shuffles_{label}"] = rep["shuffle_exchanges"]
         out[f"python_{label}"] = rep["python_stages"]
-        t0 = time.perf_counter()
+        if not eager_build:
+            t0 = time.perf_counter()
         frame.write.format("noop").mode("overwrite").save()
         out[label] = round(time.perf_counter() - t0, 2)
     out["op"] = name
@@ -166,7 +173,7 @@ def main():
         return pq_encode(d, cb)
 
     results += [
-        probe("dsir_scores", dc, dsir_scores),
+        probe("dsir_scores", dc, dsir_scores, eager_build=True),
         probe("pq_encode", em, _pq),
         probe("classifier_score", em,
               lambda d: classifier_score(d, "vec_id", "embedding",
