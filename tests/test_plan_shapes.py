@@ -326,15 +326,18 @@ def test_bloom_prefilter_runs_before_semi_join(spark):
     assert semi_pos < filt_pos, "bloom filter not below the semi join"
 
 
-def test_dsir_broadcasts_weight_table(spark):
+def test_dsir_weight_lookup_is_literal_array(spark):
     import re
 
     plan = _plan(spark, "dsir_importance")
-    # the per-feature weight table must broadcast into the exploded
-    # corpus scan: the join keyed on the feature bucket `f` is a
-    # BroadcastHashJoin (the doc_id-keyed final left join may legally
+    # r13: the ≤4096-row weight table is one bounded collect embedded
+    # as a literal array — scoring is element_at on the feature bucket,
+    # so NO join keyed on `f` of ANY strategy may reappear (the r12
+    # shape broadcast-joined the weight relation back into the feature
+    # stream; the doc_id-keyed final left join may still legally
     # sort-merge — both sides are corpus-sized)
-    assert re.search(r"BroadcastHashJoin \[f#\d+", plan), plan[:400]
+    assert "element_at" in plan, plan[:400]
+    assert not re.search(r"HashJoin \[f#\d+", plan)
     assert not re.search(r"SortMergeJoin \[f#\d+", plan)
 
 

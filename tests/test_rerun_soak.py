@@ -52,7 +52,13 @@ HAND_LIST_R11 = [
 # applyInPandas, similarity.py:600) — the r11 hand list
 # over-approximated them. Kept in the soak anyway (rerun-stability
 # insurance is nearly free) but exempt from the superset assertion.
-HAND_FALSE_POSITIVES = {"dedupe_span_scrub", "embedding_neardup_lsh"}
+HAND_FALSE_POSITIVES = {"dedupe_span_scrub", "embedding_neardup_lsh",
+                        # became cache-stateless in r13: dup_spans'
+                        # cross-doc flag is now a window over the h
+                        # partition (operators/dedupe.py::dup_spans) —
+                        # the eager localCheckpoint + join-back the
+                        # discovery used to find was removed outright
+                        "dedupe_dup_spans"}
 
 # `pretraining_corpus_pipeline_v2` has its own rerun pin (plus
 # byte-identical-result check) in
