@@ -148,8 +148,23 @@ class Bm25Index:
         k1: float = 1.2,
         b: float = 0.75,
     ) -> DataFrame:
-        """Exact bm25_topk arithmetic over the pruned postings scan,
-        statistics merged across segments."""
+        """Exact bm25_topk arithmetic over ONE pruned postings scan,
+        statistics merged across segments.
+
+        dft rides the scoring scan as a count over the term window:
+        (doc, term) is unique per segment and doc sets are disjoint
+        across segments, so the per-term partition row count IS the
+        merged document frequency. Through r13 this was a separate
+        aggregate over a SECOND scan of the same bucket directories,
+        broadcast-joined back — the window form reads the pruned
+        postings once and trades that scan + two broadcast builds for
+        one narrow exchange of the already-pruned rows. Corpus
+        statistics are two integer partial sums over one row per
+        segment (bounded metadata, the bucket-enum collect class) —
+        collected once and inlined as exact long literals; the avgdl
+        division and ALL scoring arithmetic stay Spark expressions on
+        those exact longs, so the floor quantization cannot drift from
+        the oracle (the dsir literal-table lesson)."""
         buckets = sorted(
             {_py_word_hash(t) % self.n_buckets for t in query_terms}
         )
@@ -158,25 +173,28 @@ class Bm25Index:
             .filter(F.col(BUCKET_COL).isin(buckets))
             .filter(F.col("term").isin(query_terms))
         )
-        # (doc, term) is unique per segment and doc sets are disjoint
-        # across segments, so the merged document frequency is the row
-        # count per term over this same pruned scan — no separate store
-        dft = p.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
-        stats = self.spark.read.parquet(self.stats_path).agg(
-            F.sum("n_docs").alias("n_docs"),
-            (
-                F.sum("sum_dl").cast("double")
-                / F.sum("n_docs").cast("double")
-            ).alias("avgdl"),
+        srow = (
+            self.spark.read.parquet(self.stats_path)
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("sum_dl").alias("sum_dl"),
+            )
+            .collect()[0]
         )
+        n_docs, sum_dl = int(srow["n_docs"]), int(srow["sum_dl"])
+        avgdl = F.lit(sum_dl).cast("double") / F.lit(n_docs).cast("double")
+        dft = F.count(F.lit(1)).over(Window.partitionBy("term"))
         scored = (
-            p.join(F.broadcast(dft), "term")
-            .crossJoin(F.broadcast(stats))
+            p.withColumn("dft", dft)
             .select(
                 "doc",
                 F.floor(
                     F.log(
-                        (F.col("n_docs") - F.col("dft") + F.lit(0.5))
+                        (
+                            F.lit(n_docs).cast("long")
+                            - F.col("dft")
+                            + F.lit(0.5)
+                        )
                         / (F.col("dft") + F.lit(0.5))
                         + F.lit(1.0)
                     )
@@ -186,7 +204,7 @@ class Bm25Index:
                         + F.lit(k1)
                         * (
                             F.lit(1.0 - b)
-                            + F.lit(b) * F.col("dl") / F.col("avgdl")
+                            + F.lit(b) * F.col("dl") / avgdl
                         )
                     )
                     * F.lit(1_000_000.0)
