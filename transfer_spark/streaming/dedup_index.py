@@ -133,32 +133,44 @@ class MinHashDedupIndex:
         index_dup} and ``dup_of`` the smallest matched prior doc (NULL
         when kept).
         """
+        from pyspark.sql import Window
+
         banded = self.band_frame(df, id_col, text_col).persist()
         try:
             # 1. intra-batch: smallest lower-id doc sharing any band.
-            # Per-band-group min + join back, NOT a self-join — a hot
-            # band (boilerplate flood) makes a self-join quadratic in
-            # the group. Equivalent: the smallest doc sharing any band
-            # with l below l.doc IS some band-group's min, and every
-            # band-group min below l.doc is itself such a doc.
-            # ONE row per doc (r13): every doc has >= 1 band, so this
-            # aggregate doubles as the former banded.select(doc)
-            # .distinct() verdict spine — the distinct's extra shuffle
-            # and the separate intra left-join are gone.
-            first_per_band = banded.groupBy("band", "band_hash").agg(
-                F.min("doc").alias("__first_doc")
-            )
-            per_doc = (
-                banded.join(first_per_band, ["band", "band_hash"])
-                .groupBy("doc")
-                .agg(
+            # Two windows, NOT a self-join — a hot band (boilerplate
+            # flood) makes a self-join quadratic in the group.
+            # Equivalent: the smallest doc sharing any band with l below
+            # l.doc IS some band-group's min, and every band-group min
+            # below l.doc is itself such a doc. The r13 groupBy(band,
+            # hash) + join-back + groupBy(doc) chain computed the same
+            # fact through two aggregates and a join; the band-window
+            # min then doc-window min is the same value per row with one
+            # exchange per window, and every doc-grain consumer below
+            # rides the doc-window's partitioning: the survivor band set
+            # becomes a FILTER (no join with a survivor list), and the
+            # per-doc verdict spine aggregates exchange-free.
+            wb = (
+                banded.withColumn(
+                    "__first_doc",
+                    F.min("doc").over(
+                        Window.partitionBy("band", "band_hash")
+                    ),
+                )
+                .withColumn(
+                    "intra_dup_of",
                     F.min(
                         F.when(
                             F.col("__first_doc") < F.col("doc"),
                             F.col("__first_doc"),
                         )
-                    ).alias("intra_dup_of")
+                    ).over(Window.partitionBy("doc")),
                 )
+            )
+            # ONE row per doc (every doc has >= 1 band); intra_dup_of is
+            # constant across a doc's rows, so min() just collapses them
+            per_doc = wb.groupBy("doc").agg(
+                F.min("intra_dup_of").alias("intra_dup_of")
             )
             # 2. index probe, pruned to this batch's buckets (bounded
             #    collect: at most n_buckets distinct values). Enumerated
@@ -176,11 +188,9 @@ class MinHashDedupIndex:
                 self.metrics_client.timing(
                     "minhash.probe_buckets", time.perf_counter() - t0
                 )
-                surv_bands = banded.join(
-                    per_doc.filter(F.col("intra_dup_of").isNull())
-                    .select("doc"),
-                    "doc",
-                )
+                surv_bands = wb.filter(
+                    F.col("intra_dup_of").isNull()
+                ).select("doc", "band", "band_hash")
                 idx = self.read_buckets(probe_buckets).select(
                     F.col("band").alias("i_band"),
                     F.col("band_hash").alias("i_hash"),
