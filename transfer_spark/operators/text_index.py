@@ -100,12 +100,27 @@ class Bm25Index:
 
     def _write_segment(self, df: DataFrame, id_col: str, text_col: str,
                        seg: int) -> None:
+        from pyspark.sql import Observation
+
+        # The (n_docs, sum_dl) stats row rides the postings write as an
+        # observation on the PRE-explode projection (counted there so
+        # zero-token docs still count toward n_docs, exactly like the
+        # former df.agg) — through r13 the stats were a second full
+        # corpus scan + re-tokenize just to sum two integers. One pass
+        # now: tokenize once, observe the partial sums, write postings;
+        # the stats row lands from the observed exact longs.
         toks = tokens(F.col(text_col))
-        base = df.select(
+        obs = Observation(f"bm25_seg_{seg}")
+        pre = df.select(
             F.col(id_col).alias("doc"),
             F.size(toks).alias("dl"),
-            F.explode(toks).alias("term"),
+            toks.alias("__toks"),
+        ).observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("dl").cast("long")).alias("sum_dl"),
         )
+        base = pre.select("doc", "dl", F.explode("__toks").alias("term"))
         tf = base.groupBy("doc", "term").agg(
             F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
         ).withColumn(
@@ -117,12 +132,17 @@ class Bm25Index:
             .partitionBy(SEG_COL, BUCKET_COL)
             .parquet(self.postings_path)
         )
-        df.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(toks).cast("long")).alias("sum_dl"),
-        ).withColumn(SEG_COL, F.lit(seg)).write.mode("append").partitionBy(
-            SEG_COL
-        ).parquet(self.stats_path)
+        srow = obs.get
+        (
+            self.spark.range(1).select(
+                F.lit(srow["n_docs"]).cast("long").alias("n_docs"),
+                F.lit(srow["sum_dl"]).cast("long").alias("sum_dl"),
+            )
+            .withColumn(SEG_COL, F.lit(seg))
+            .write.mode("append")
+            .partitionBy(SEG_COL)
+            .parquet(self.stats_path)
+        )
 
     # ------------------------------------------------------------------ api
 
