@@ -51,6 +51,28 @@ def test_intra_and_cross_batch_dedup(spark, tmp_path):
     assert indexed == {1, 3, 12}
 
 
+def test_observed_dropped_count_matches_verdicts(spark, tmp_path):
+    """last_batch_n_dropped rides the verdict checkpoint as an
+    Observation (zero extra jobs); it must equal the frame's actual
+    non-kept count every batch — including 0 for an all-kept batch,
+    where the listener path must still fire."""
+    idx = MinHashDedupIndex(spark, str(tmp_path / "idx"), n_buckets=8)
+    assert idx.last_batch_n_dropped is None
+    # all-kept batch: observation must report 0, not stay None/stale
+    v0 = idx.process_batch(
+        _df(spark, [(1, DOC), (2, OTHER)]), "doc_id", "text"
+    )
+    assert idx.last_batch_n_dropped == 0
+    assert v0.filter(v0.status != KEPT).count() == 0
+    # batch with one intra dup and one index dup: observation == 2
+    fresh = "entirely novel sentences never seen before in any batch here"
+    v1 = idx.process_batch(
+        _df(spark, [(10, DOC), (11, fresh), (12, fresh)]), "doc_id", "text"
+    )
+    assert idx.last_batch_n_dropped == 2
+    assert v1.filter(v1.status != KEPT).count() == 2
+
+
 def test_streaming_wrapper_available_now(spark, tmp_path):
     src = str(tmp_path / "src")
     os.makedirs(src)

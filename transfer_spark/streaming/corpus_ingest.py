@@ -388,21 +388,34 @@ class StreamingCorpusIngest:
             v = v.join(contaminated, "doc", "left")
         else:
             v = v.withColumn("__cont", F.lit(None).cast("boolean"))
-        t0 = time.perf_counter()
-        ex = (
-            v.join(intra, "doc", "left")
-            .join(index_hits, "doc", "left")
-            .localCheckpoint(eager=True)
-        )
-        self.metrics_client.timing(
-            "ingest.exact_stage", time.perf_counter() - t0
-        )
-        exact_kept = ex.filter(
+        # the exact-survivor count rides the checkpoint job as an
+        # observation (same predicate as the exact_kept filter below) —
+        # through r13 it was a separate post-hoc agg job over the already
+        # materialized frame just to decide the appends (guide §1/§5)
+        from pyspark.sql import Observation
+
+        surv_pred = (
             F.col("__pass")
             & F.col("__cont").isNull()
             & F.col("exact_batch_dup_of").isNull()
             & F.col("exact_index_dup_of").isNull()
         )
+        ex_obs = Observation()
+        t0 = time.perf_counter()
+        ex = (
+            v.join(intra, "doc", "left")
+            .join(index_hits, "doc", "left")
+            .observe(
+                ex_obs,
+                F.count(F.when(surv_pred, 1)).alias("n_exact_surv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_exact_surv = int(ex_obs.get["n_exact_surv"])
+        self.metrics_client.timing(
+            "ingest.exact_stage", time.perf_counter() - t0
+        )
+        exact_kept = ex.filter(surv_pred)
 
         # near-dup stage over exact survivors (mutates the band index).
         # Spread the batch before the expansion-heavy banding: ``ex`` is
@@ -456,28 +469,17 @@ class StreamingCorpusIngest:
         # isEmpty probes — each its own job): a batch that keeps/indexes
         # nothing must not write, because an empty partitionBy-append /
         # empty overwrite leaves a _SUCCESS-only directory that breaks
-        # parquet schema inference on later reads. Counted from the two
-        # MATERIALIZED frames separately (one single-row agg each) — the
-        # old groupBy over the verdicts join paid the ex ⟕ mh_verdicts
-        # join again (5 Spark jobs/batch) to learn two numbers that are
-        # derivable without it: mh statuses only exist for exact
-        # survivors, and a survivor missing from mh_verdicts coalesces
-        # to kept, so kept = n_exact_surv − n_mh_dropped exactly.
+        # parquet schema inference on later reads. Both counts now ride
+        # the stage checkpoints as observations (n_exact_surv on the
+        # exact stage above, n_mh_dropped on the MinHash verdict
+        # checkpoint) — ZERO jobs here, where the r13 layout re-ran one
+        # single-row agg per materialized frame (4 AQE jobs/batch) to
+        # learn two numbers the checkpoint actions already saw. mh
+        # statuses only exist for exact survivors, and a survivor
+        # missing from mh_verdicts coalesces to kept, so
+        # kept = n_exact_surv − n_mh_dropped exactly.
         t0 = time.perf_counter()
-        n_exact_surv = int(
-            ex.agg(
-                F.count(
-                    F.when(
-                        F.col("__pass")
-                        & F.col("__cont").isNull()
-                        & F.col("exact_batch_dup_of").isNull()
-                        & F.col("exact_index_dup_of").isNull(),
-                        1,
-                    )
-                ).alias("n")
-            ).collect()[0]["n"]
-        )
-        n_mh_dropped = mh_verdicts.filter(F.col("status") != "kept").count()
+        n_mh_dropped = int(self.minhash.last_batch_n_dropped)
         n_kept = n_exact_surv - n_mh_dropped
         self.metrics_client.timing(
             "ingest.verdict_counts", time.perf_counter() - t0

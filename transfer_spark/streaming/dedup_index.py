@@ -74,6 +74,10 @@ class MinHashDedupIndex:
         # an object-store-backed index is a config, not a rewrite
         self.fs = fs if fs is not None else LocalStateFS()
         self.fs.makedirs(path)
+        # count of non-kept verdicts from the LAST process_batch call,
+        # observed on the verdict checkpoint job (zero extra jobs) so
+        # composers never re-aggregate a materialized frame to learn it
+        self.last_batch_n_dropped: int | None = None
 
     # -- banding ---------------------------------------------------------
     def band_frame(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -226,9 +230,23 @@ class MinHashDedupIndex:
                     F.coalesce("intra_dup_of", "index_dup_of").alias("dup_of"),
                 )
             )
-            # materialize verdicts BEFORE mutating the index they read
+            # materialize verdicts BEFORE mutating the index they read.
+            # The dropped-count rides the checkpoint job as an observation
+            # (guide §1/§5: don't re-aggregate a materialized frame for a
+            # scalar a running action can emit) — callers that used to
+            # run filter(status != kept).count() read the attribute
+            # instead, saving that job per batch.
+            from pyspark.sql import Observation
+
+            obs = Observation()
             t0 = time.perf_counter()
-            verdicts = verdicts.localCheckpoint(eager=True)
+            verdicts = verdicts.observe(
+                obs,
+                F.count(F.when(F.col("status") != KEPT, 1)).alias(
+                    "n_dropped"
+                ),
+            ).localCheckpoint(eager=True)
+            self.last_batch_n_dropped = int(obs.get["n_dropped"])
             self.metrics_client.timing(
                 "minhash.verdicts", time.perf_counter() - t0
             )
