@@ -643,17 +643,39 @@ class StreamingCorpusIngest:
             .distinct()
             .collect()  # bounded: one value per affected partition
         )
+        from pyspark.sql import Observation
+
         removed = 0
         for pv in affected:
             pdir = os.path.join(path, f"{part_col}={pv}")
             rows = self.spark.read.parquet(pdir)
-            keep = rows.join(
-                F.broadcast(ids),
-                rows[doc_col] == F.col("__erase_doc"),
-                "left_anti",
-            ).localCheckpoint(eager=True)  # read fully before rewrite
-            n_keep = keep.count()
-            removed += rows.count() - n_keep
+            # left join + null-filter ≡ the former left_anti, but the
+            # kept/removed counts ride the checkpoint job as an
+            # observation (ids are DISTINCT, so the join never fans
+            # out) — the former layout ran two extra count jobs per
+            # affected partition over frames the checkpoint action had
+            # already read (guide §1/§5)
+            obs = Observation()
+            marked = (
+                rows.join(
+                    F.broadcast(ids),
+                    rows[doc_col] == F.col("__erase_doc"),
+                    "left",
+                )
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n_total"),
+                    F.count(
+                        F.when(F.col("__erase_doc").isNull(), 1)
+                    ).alias("n_keep"),
+                )
+                .localCheckpoint(eager=True)  # read fully before rewrite
+            )
+            n_keep = int(obs.get["n_keep"])
+            removed += int(obs.get["n_total"]) - n_keep
+            keep = marked.filter(F.col("__erase_doc").isNull()).drop(
+                "__erase_doc"
+            )
             if n_keep:
                 keep.write.mode("overwrite").parquet(pdir)
             else:
