@@ -1,0 +1,54 @@
+"""spread_if_narrow: the r13 scale-adaptivity guard on loader spreads.
+
+The local testdata parquet is single-file/single-row-group, so loader
+spreads (_docs, _events_spread, q_encode_values) must still repartition
+there — one scan task would serialize the family's per-row compute. At
+production width the source already spans the cluster and the spread
+must be SKIPPED: an unconditional repartition there shuffles the full
+corpus text / event stream for nothing (guide §2.5, scale-adaptive
+partitioning).
+"""
+
+from __future__ import annotations
+
+from transfer_spark.session import read_table, spread_if_narrow
+from transfer_spark.workloads.sources import _events_spread
+from transfer_spark.workloads.text import _docs
+
+
+def test_wide_input_returned_unchanged(spark):
+    dp = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000).repartition(dp + 4)
+    out = spread_if_narrow(spark, wide)
+    # identity, not just equal width: no new plan node was added
+    assert out is wide
+    assert out.rdd.getNumPartitions() == dp + 4
+
+
+def test_exactly_cluster_width_returned_unchanged(spark):
+    dp = spark.sparkContext.defaultParallelism
+    at_width = spark.range(0, 1000).repartition(dp)
+    assert spread_if_narrow(spark, at_width) is at_width
+
+
+def test_narrow_input_spread_to_cluster_width(spark):
+    dp = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000).coalesce(1)
+    out = spread_if_narrow(spark, narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == dp
+
+
+def test_explicit_nparts_override(spark):
+    narrow = spark.range(0, 100).coalesce(1)
+    assert spread_if_narrow(spark, narrow, nparts=5).rdd.getNumPartitions() == 5
+
+
+def test_local_single_file_loaders_still_spread(spark, sf_dir):
+    # pins the load-bearing local behavior: single-file testdata scans
+    # arrive as one task and MUST still be spread (the gopher regression
+    # class — dropping the spread serializes regex-heavy per-row work)
+    dp = spark.sparkContext.defaultParallelism
+    assert read_table(spark, sf_dir, "documents").rdd.getNumPartitions() < dp
+    assert _docs(spark, sf_dir).rdd.getNumPartitions() == dp
+    assert _events_spread(spark, sf_dir).rdd.getNumPartitions() == dp

@@ -168,6 +168,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
+def spread_if_narrow(spark: SparkSession, df, nparts: int | None = None):
+    """Repartition ``df`` to cluster width ONLY when it arrives narrower.
+
+    Local testdata parquet is single-file/single-row-group, so a scan is
+    ONE task and any expansion- or regex-heavy per-row stage downstream
+    serializes on one core — the spread fixes that for the price of a
+    small input-sized shuffle. At production width the source already
+    spans the cluster (many splits / many Kafka partitions) and an
+    unconditional repartition would shuffle full rows for nothing, so it
+    is skipped. ``.rdd`` is job-free here: it resolves the physical
+    plan's partitioning without running anything (same contract as the
+    ingest MinHash spread, corpus_ingest.py).
+    """
+    n = nparts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Register every testdata parquet table as a temp view; return dict of DFs."""
     out = {}

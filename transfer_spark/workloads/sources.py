@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from transfer_spark.session import read_table
+from transfer_spark.session import read_table, spread_if_narrow
 
 
 def _events_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -24,9 +24,9 @@ def _events_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-core vs the batch-sized shuffle's ~0.1s at sf0.1). Production
     ingest reads many Kafka partitions, so the spread mirrors the real
     source's parallelism rather than adding a shuffle the cluster shape
-    wouldn't have."""
-    nparts = spark.sparkContext.defaultParallelism
-    return read_table(spark, sf_dir, "events").repartition(nparts)
+    wouldn't have — and is skipped outright when the source already
+    spans the cluster (guarded, r13)."""
+    return spread_if_narrow(spark, read_table(spark, sf_dir, "events"))
 from transfer_spark.sources import debezium as DBZ
 from transfer_spark.sources import mongo as MONGO
 

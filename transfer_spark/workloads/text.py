@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from transfer_spark.session import read_table, scratch_dir
+from transfer_spark.session import read_table, scratch_dir, spread_if_narrow
 
 from transfer_spark.operators import dedupe as D
 from transfer_spark.operators import redact as R
@@ -29,9 +29,10 @@ def _hits_sql(toks: str, code: str) -> str:
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # documents is a single small parquet file → 1 scan partition, but
     # every query here does expansion-heavy per-row text work; spread the
-    # rows first (cheap: a few MB) so the compute parallelizes
-    nparts = spark.sparkContext.defaultParallelism
-    return read_table(spark, sf_dir, "documents").repartition(nparts)
+    # rows first (cheap: a few MB) so the compute parallelizes. Guarded
+    # (r13): at production width the corpus scan already spans the
+    # cluster and the spread would shuffle full text for nothing.
+    return spread_if_narrow(spark, read_table(spark, sf_dir, "documents"))
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from transfer_spark.session import read_table
+from transfer_spark.session import read_table, spread_if_narrow
 
 from transfer_spark.functions import converters as C
 from transfer_spark.operators import transforms as T
@@ -201,10 +201,9 @@ def q_encode_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp/null-sentinel encoding + the staging-CSV line builder."""
     from transfer_spark.functions import encode as E
 
-    # spread before the per-row encode (see pk_string_key note)
-    ev = read_table(spark, sf_dir, "events").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # spread before the per-row encode (see pk_string_key note);
+    # guarded: skipped when the scan already spans the cluster (r13)
+    ev = spread_if_narrow(spark, read_table(spark, sf_dir, "events"))
     src = ev.select(
         "event_id",
         (F.col("event_type") == "error").alias("is_err"),
