@@ -856,10 +856,19 @@ def ngram_collisions_bloom(
     """
     from transfer_spark.operators.bloom import bloom_prefilter, build_bloom
 
+    # Eager checkpoint of the distinct eval hash set: it feeds TWO
+    # consumers (the bitmap build and the exact verify broadcast), and
+    # without it the eval side's corpus explode + md5 + distinct runs
+    # once per consumer — the bitmap build and the broadcast each
+    # re-derived the same frame (guide §5: materialize a reused
+    # intermediate once). The set is broadcast-sized by contract
+    # (distinct eval span hashes, one long each), so the checkpoint is
+    # bounded metadata and ContextCleaner-collected with the result.
     ev = (
         eval_df.select(F.explode(shingles(F.col(text_col), n)).alias("__sp"))
         .select(_base_hash(F.col("__sp")).alias("h"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     bitmaps = build_bloom(ev, "h", m_bits=m_bits, lanes=lanes)
     tr = train_df.select(
