@@ -658,6 +658,31 @@ def test_bm25_index_compact_preserves_scores(spark, tmp_path):
     assert after == before
 
 
+def test_bm25_index_stats_are_driver_side_and_guard_torn_adds(spark, tmp_path):
+    """Segment stats are two exact longs written/read driver-side (no
+    Spark job moves them), and a segment with postings but no stats
+    file — a torn add — is refused instead of silently mis-scaling
+    avgdl (the former one-row parquet store summed whatever existed)."""
+    import os
+
+    import pytest
+
+    from transfer_spark.operators.text_index import SEG_COL, Bm25Index
+    from transfer_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = Bm25Index(spark, str(tmp_path / "bm25t"), n_buckets=16)
+    idx.build(docs, "doc_id", "text")
+    # stats live as one atomic JSON per segment, no parquet store
+    names = sorted(os.listdir(idx.stats_path))
+    assert names == [f"{SEG_COL}=0.json"]
+    n_docs, sum_dl = idx._read_stats()
+    assert n_docs == docs.count() and sum_dl > 0
+    os.remove(os.path.join(idx.stats_path, names[0]))
+    with pytest.raises(RuntimeError, match="no stats file"):
+        idx.topk(["spark"], k=5)
+
+
 def test_content_digest_distinguishes_null_positions(spark):
     """(x, NULL, y) and (x, y, NULL) must digest differently — the case
     concat_ws-style canonicalization collapses."""

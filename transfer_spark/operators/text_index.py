@@ -86,6 +86,46 @@ class Bm25Index:
 
     # ------------------------------------------------------------- segments
 
+    def _write_stats(
+        self, seg: int, n_docs: int, sum_dl: int, stats_dir: str | None = None
+    ) -> None:
+        import json
+
+        stats_dir = stats_dir or self.stats_path
+        os.makedirs(stats_dir, exist_ok=True)
+        out = os.path.join(stats_dir, f"{SEG_COL}={seg}.json")
+        tmp = out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_docs": n_docs, "sum_dl": sum_dl}, f)
+        os.replace(tmp, out)  # atomic (CURRENT-pointer discipline)
+
+    def _read_stats(self) -> tuple[int, int]:
+        """Summed (n_docs, sum_dl) across segments. Refuses a segment
+        with postings but no stats file (a torn add) — the former
+        parquet store silently summed whatever rows existed, which
+        would mis-scale avgdl without a trace."""
+        import json
+
+        n_docs = sum_dl = 0
+        have: set[int] = set()
+        if os.path.exists(self.stats_path):
+            for name in os.listdir(self.stats_path):
+                if not (name.startswith(f"{SEG_COL}=") and name.endswith(".json")):
+                    continue
+                with open(os.path.join(self.stats_path, name)) as f:
+                    row = json.load(f)
+                n_docs += int(row["n_docs"])
+                sum_dl += int(row["sum_dl"])
+                have.add(int(name.split("=", 1)[1].removesuffix(".json")))
+        missing = set(self._segments()) - have
+        if missing:
+            raise RuntimeError(
+                f"bm25 index at {self.path}: segments {sorted(missing)} "
+                "have postings but no stats file (torn add?) — rebuild "
+                "or re-add those segments"
+            )
+        return n_docs, sum_dl
+
     def _segments(self) -> list[int]:
         if not os.path.exists(self.postings_path):
             return []
@@ -133,16 +173,13 @@ class Bm25Index:
             .parquet(self.postings_path)
         )
         srow = obs.get
-        (
-            self.spark.range(1).select(
-                F.lit(srow["n_docs"]).cast("long").alias("n_docs"),
-                F.lit(srow["sum_dl"]).cast("long").alias("sum_dl"),
-            )
-            .withColumn(SEG_COL, F.lit(seg))
-            .write.mode("append")
-            .partitionBy(SEG_COL)
-            .parquet(self.stats_path)
-        )
+        # the stats row is two exact longs — bounded metadata, written
+        # driver-side (tmp + atomic rename, the CURRENT-pointer
+        # discipline) instead of as a one-row parquet job: the former
+        # range(1) write and the probe's read-back agg+collect were one
+        # Spark job each just to move two integers (guide §5: the
+        # driver should do metadata, Spark should do data)
+        self._write_stats(seg, int(srow["n_docs"]), int(srow["sum_dl"] or 0))
 
     # ------------------------------------------------------------------ api
 
@@ -193,15 +230,7 @@ class Bm25Index:
             .filter(F.col(BUCKET_COL).isin(buckets))
             .filter(F.col("term").isin(query_terms))
         )
-        srow = (
-            self.spark.read.parquet(self.stats_path)
-            .agg(
-                F.sum("n_docs").alias("n_docs"),
-                F.sum("sum_dl").alias("sum_dl"),
-            )
-            .collect()[0]
-        )
-        n_docs, sum_dl = int(srow["n_docs"]), int(srow["sum_dl"])
+        n_docs, sum_dl = self._read_stats()  # driver-side metadata, no job
         avgdl = F.lit(sum_dl).cast("double") / F.lit(n_docs).cast("double")
         dft = F.count(F.lit(1)).over(Window.partitionBy("term"))
         scored = (
@@ -272,11 +301,10 @@ class Bm25Index:
             .partitionBy(SEG_COL, BUCKET_COL)
             .parquet(os.path.join(nxt_dir, "postings"))
         )
-        s = self.spark.read.parquet(self.stats_path).agg(
-            F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
-        ).withColumn(SEG_COL, F.lit(0))
-        s.write.mode("append").partitionBy(SEG_COL).parquet(
-            os.path.join(nxt_dir, "stats")
-        )
+        n_docs, sum_dl = self._read_stats()
+        # the new generation is fully built (postings + stats) BEFORE
+        # the atomic pointer swap publishes it, as the class docstring
+        # promises
+        self._write_stats(0, n_docs, sum_dl, os.path.join(nxt_dir, "stats"))
         self._set_current(nxt)
         return len(segs)
