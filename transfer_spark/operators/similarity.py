@@ -138,6 +138,70 @@ def ann_sq_rerank_topk(
     )
 
 
+def _margin_rescore(
+    scored: DataFrame, k: int, margin_threshold_ppm: int
+) -> DataFrame:
+    """Shared margin rescoring over a ``(sid, tid, cq)`` pair frame:
+    integer margin + mutual-argmax filter, as ONE window chain.
+
+    The pre-r13 shape computed the top-k forward/backward neighbor
+    sums as two separate aggregates over a ranked copy of ``scored``
+    and joined them back — Spark does not dedupe common subtrees, so
+    one action evaluated the (possibly cross-product) scoring subtree
+    THREE times (ranked twice + the join's probe side) and shuffled
+    pair rows six times. Here ``skf``/``skb`` are conditional sums
+    over the SAME window partitions that rank the pairs (a window
+    keyed like the previous one reuses its exchange — guide §2.4), so
+    the scoring subtree is evaluated once and the plan is four
+    pair-row exchanges with no joins and no broadcast builds at all
+    (the join-free form also removes the mining-scale OOM surface the
+    old sfwd/sbwd join carried). Arithmetic is unchanged: every sid
+    has >= 1 ranked row and k >= 1, so the conditional sums are total
+    exactly as the old inner joins were.
+    """
+    wf = Window.partitionBy("sid").orderBy(F.desc("cq"), F.asc("tid"))
+    wb = Window.partitionBy("tid").orderBy(F.desc("cq"), F.asc("sid"))
+    m = (
+        scored.withColumn("rf", F.row_number().over(wf))
+        .withColumn(
+            "skf",
+            F.sum(F.when(F.col("rf") <= k, F.col("cq"))).over(
+                Window.partitionBy("sid")
+            ),
+        )
+        .withColumn("rb", F.row_number().over(wb))
+        .withColumn(
+            "skb",
+            F.sum(F.when(F.col("rb") <= k, F.col("cq"))).over(
+                Window.partitionBy("tid")
+            ),
+        )
+        .select(
+            "sid", "tid", "cq",
+            F.expr(
+                f"CAST(cq * {2 * k} * 1000000"
+                " DIV NULLIF(skf + skb, 0) AS BIGINT)"
+            ).alias("margin_ppm"),
+        )
+    )
+    w1 = Window.partitionBy("sid").orderBy(F.desc("margin_ppm"), F.asc("tid"))
+    w2 = Window.partitionBy("tid").orderBy(F.desc("margin_ppm"), F.asc("sid"))
+    return (
+        m.withColumn("r1", F.row_number().over(w1))
+        .withColumn("r2", F.row_number().over(w2))
+        .filter(
+            (F.col("r1") == 1) & (F.col("r2") == 1)
+            & (F.col("margin_ppm") >= margin_threshold_ppm)
+        )
+        .select(
+            F.col("sid").alias("src_id"),
+            F.col("tid").alias("tgt_id"),
+            F.col("cq").cast("long").alias("cos_q"),
+            "margin_ppm",
+        )
+    )
+
+
 def bitext_margin_mine(
     src: DataFrame,
     tgt: DataFrame,
@@ -180,46 +244,7 @@ def bitext_margin_mine(
             .cast("long").alias("cq"),
         )
     )
-    wf = Window.partitionBy("sid").orderBy(F.desc("cq"), F.asc("tid"))
-    wb = Window.partitionBy("tid").orderBy(F.desc("cq"), F.asc("sid"))
-    ranked = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
-        "rb", F.row_number().over(wb)
-    )
-    sfwd = (
-        ranked.filter(F.col("rf") <= k)
-        .groupBy("sid").agg(F.sum("cq").alias("skf"))
-    )
-    sbwd = (
-        ranked.filter(F.col("rb") <= k)
-        .groupBy("tid").agg(F.sum("cq").alias("skb"))
-    )
-    m = (
-        scored.join(F.broadcast(sfwd), "sid")
-        .join(F.broadcast(sbwd), "tid")
-        .select(
-            "sid", "tid", "cq",
-            F.expr(
-                f"CAST(cq * {2 * k} * 1000000"
-                " DIV NULLIF(skf + skb, 0) AS BIGINT)"
-            ).alias("margin_ppm"),
-        )
-    )
-    w1 = Window.partitionBy("sid").orderBy(F.desc("margin_ppm"), F.asc("tid"))
-    w2 = Window.partitionBy("tid").orderBy(F.desc("margin_ppm"), F.asc("sid"))
-    return (
-        m.withColumn("r1", F.row_number().over(w1))
-        .withColumn("r2", F.row_number().over(w2))
-        .filter(
-            (F.col("r1") == 1) & (F.col("r2") == 1)
-            & (F.col("margin_ppm") >= margin_threshold_ppm)
-        )
-        .select(
-            F.col("sid").alias("src_id"),
-            F.col("tid").alias("tgt_id"),
-            F.col("cq").cast("long").alias("cos_q"),
-            "margin_ppm",
-        )
-    )
+    return _margin_rescore(scored, k, margin_threshold_ppm)
 
 
 def bitext_margin_mine_lsh(
@@ -273,57 +298,14 @@ def bitext_margin_mine_lsh(
     # cq is a pure function of (sid, tid) — MAX collapses seed duplicates
     # exactly (max == min == the one value).
     scored = cand.groupBy("sid", "tid").agg(F.max("cq").alias("cq"))
-    wf = Window.partitionBy("sid").orderBy(F.desc("cq"), F.asc("tid"))
-    wb = Window.partitionBy("tid").orderBy(F.desc("cq"), F.asc("sid"))
-    ranked = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
-        "rb", F.row_number().over(wb)
-    )
-    sfwd = (
-        ranked.filter(F.col("rf") <= k)
-        .groupBy("sid").agg(F.sum("cq").alias("skf"))
-    )
-    sbwd = (
-        ranked.filter(F.col("rb") <= k)
-        .groupBy("tid").agg(F.sum("cq").alias("skb"))
-    )
-    # VERDICT r9 #1: the margin joins here are deliberately PLAIN shuffle
-    # joins — NOT F.broadcast(), which the exact verifier above uses.
-    # sfwd/sbwd carry one row per source/target endpoint that has any
-    # candidate; at mining scale (the CCMatrix-style deployment this LSH
-    # form exists for) that is essentially |src| and |tgt| — hundreds of
-    # millions of rows — and an explicit broadcast hint OVERRIDES Spark's
-    # size threshold, so it would be a guaranteed driver/executor OOM
-    # rather than a graceful demotion. Both join inputs are already
-    # hash-partitioned on sid/tid by the preceding windows/aggregates, so
-    # the sort-merge join reuses those exchanges; test_bitext pins that no
-    # BroadcastExchange feeds the margin join in this form.
-    m = (
-        scored.join(sfwd, "sid")
-        .join(sbwd, "tid")
-        .select(
-            "sid", "tid", "cq",
-            F.expr(
-                f"CAST(cq * {2 * k} * 1000000"
-                " DIV NULLIF(skf + skb, 0) AS BIGINT)"
-            ).alias("margin_ppm"),
-        )
-    )
-    w1 = Window.partitionBy("sid").orderBy(F.desc("margin_ppm"), F.asc("tid"))
-    w2 = Window.partitionBy("tid").orderBy(F.desc("margin_ppm"), F.asc("sid"))
-    return (
-        m.withColumn("r1", F.row_number().over(w1))
-        .withColumn("r2", F.row_number().over(w2))
-        .filter(
-            (F.col("r1") == 1) & (F.col("r2") == 1)
-            & (F.col("margin_ppm") >= margin_threshold_ppm)
-        )
-        .select(
-            F.col("sid").alias("src_id"),
-            F.col("tid").alias("tgt_id"),
-            F.col("cq").cast("long").alias("cos_q"),
-            "margin_ppm",
-        )
-    )
+    # VERDICT r9 #1 (carried into the r13 window form): nothing on the
+    # margin path may broadcast — the old sfwd/sbwd join-back carried
+    # endpoint-sized frames (~|src|, ~|tgt| at mining scale) where an
+    # F.broadcast hint would be a guaranteed OOM. The shared window-
+    # chain rescoring has no joins at all, so that surface is gone by
+    # construction; test_bitext still pins hint-free / broadcast-free
+    # execution of this form.
+    return _margin_rescore(scored, k, margin_threshold_ppm)
 
 
 def bitext_lsh_recall(
@@ -351,15 +333,23 @@ def bitext_lsh_recall(
     — mining-scale callers must hand in a calibration sample, never the
     full corpus (the config gate's ``sample_mod`` does this).
     """
+    # Eager checkpoints of BOTH mined pair sets: each feeds two
+    # consumers (its own count and the common-pair semi join), and
+    # Spark does not dedupe common subtrees — without them one audit
+    # action ran the exact verifier's cross product AND the LSH miner
+    # twice each (guide §5: materialize a reused intermediate once).
+    # Mined sets are mutual-argmax filtered, so they are at most
+    # min(|src|, |tgt|) narrow id pairs — bounded by the calibration
+    # slice the audit contract already requires.
     exact = bitext_margin_mine(
         src, tgt, id_col, vec_col, k=k,
         margin_threshold_ppm=margin_threshold_ppm,
-    ).select("src_id", "tgt_id")
+    ).select("src_id", "tgt_id").localCheckpoint(eager=True)
     lsh = bitext_margin_mine_lsh(
         src, tgt, id_col, vec_col, k=k,
         margin_threshold_ppm=margin_threshold_ppm,
         n_planes=n_planes, dim=dim, seeds=seeds,
-    ).select("src_id", "tgt_id")
+    ).select("src_id", "tgt_id").localCheckpoint(eager=True)
     common = exact.join(F.broadcast(lsh), ["src_id", "tgt_id"], "left_semi")
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))
