@@ -195,19 +195,31 @@ def neardup_clusters(
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """k-word shingles (1-based slice; empty when fewer than k words).
+    """k-word shingles (empty when fewer than k words).
 
-    Guarded because Spark's sequence(1, n) DESCENDS when n < 1.
+    Built as a chain of ``zip_with`` over k shifted slices of the token
+    array, NOT a ``transform(sequence(1, n), i -> slice(toks, i, k))``:
+    higher-order-function lambdas are interpreted, and any non-trivial
+    expression inside the lambda body is re-evaluated PER ELEMENT — the
+    transform form re-split the text once per shingle position (O(n²)
+    work per doc; measured ~2× on the sf0.1 shingle explode). zip_with
+    evaluates its array ARGUMENTS once, and its lambda touches only the
+    lambda variables, so tokenization runs k times per row. Output is
+    string-identical (concat of k tokens joined by single spaces; all k
+    slices have length n when n >= 1, so no null padding occurs).
     """
     toks = tokens(text)
     n = F.size(toks) - (k - 1)
-    return F.when(
-        n >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    out = F.slice(toks, 1, n)
+    for i in range(2, k + 1):
+        out = F.zip_with(
+            out,
+            F.slice(toks, i, n),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    # guarded because slice's length argument must be non-negative
+    # (n < 1 for short docs)
+    return F.when(n >= 1, out).otherwise(F.array().cast("array<string>"))
 
 
 import hashlib as _hashlib
@@ -1049,11 +1061,23 @@ def winnow_fingerprints(df, id_col: str, text_col: str,
     slices), no shuffle; returns (doc, fp) exploded rows with fp the
     winnowed hash — equi-join ready.
     """
-    toks = tokens(F.col(text_col))
-    n_sh = F.size(toks) - (shingle_k - 1)
-    hs = F.transform(
-        shingles(F.col(text_col), shingle_k), lambda s: _base_hash(s)
+    # The shingle-hash array is BOUND to a column before the sliding-
+    # window transform: higher-order-function lambdas are interpreted,
+    # and a non-trivial expression referenced inside the lambda body is
+    # re-evaluated per element — with `hs` inline, every window
+    # position j re-hashed EVERY shingle of the doc (O(n²) md5 calls
+    # per doc; measured 13.6 s -> ~1 s for the sf0.1 fingerprint
+    # build). As an attribute reference the lambda reads the row's
+    # already-computed array in O(1).
+    hashed = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(
+            shingles(F.col(text_col), shingle_k), lambda s: _base_hash(s)
+        ).alias("__hs"),
     )
+    hs = F.col("__hs")
+    n_sh = F.size(hs)  # shingles() is empty below k tokens, so this
+    # matches the old size(tokens) - (k-1) on every branch-relevant value
     n_win = n_sh - (window - 1)
     fps = F.when(
         n_win >= 1,
@@ -1070,7 +1094,7 @@ def winnow_fingerprints(df, id_col: str, text_col: str,
             F.array().cast("array<long>")
         )
     )
-    return df.select(F.col(id_col).alias("doc"), F.explode(fps).alias("fp"))
+    return hashed.select("doc", F.explode(fps).alias("fp"))
 
 
 def winnow_overlap_pairs(df, id_col: str, text_col: str,
@@ -1095,6 +1119,11 @@ def winnow_overlap_pairs(df, id_col: str, text_col: str,
             (F.col("l.fp") == F.col("r.fp")) & (F.col("l.doc") < F.col("r.doc")),
         )
         .groupBy(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
-        .agg(F.countDistinct("l.fp").alias("n_common"))
+        # plain count, not countDistinct: array_distinct in
+        # winnow_fingerprints makes (doc, fp) unique, so a common fp
+        # value contributes exactly ONE join row per pair — the former
+        # countDistinct paid the two-phase distinct-expand aggregation
+        # for a distinctness the input already guarantees
+        .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
