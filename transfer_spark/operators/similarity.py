@@ -98,15 +98,21 @@ def ann_sq_rerank_topk(
     qs = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    _, qq = quantize_int8(F.col("qv"))
+    # scales are bound to columns BEFORE the q transform so the lambda
+    # reads an attribute instead of re-scanning the vector per element
+    # (see quantize_int8's docstring)
+    qscale, _ = quantize_int8(F.col("qv"))
+    qs = qs.select("query_id", "qv", qscale.alias("__qscale"))
+    qq = quantize_int8(F.col("qv"), scale=F.col("__qscale"))[1]
     qs = qs.select("query_id", "qv", qq.cast("array<long>").alias("qq"))
     cs = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
-    cscale, cq = quantize_int8(F.col("cv"))
+    cscale, _ = quantize_int8(F.col("cv"))
+    cs = cs.select("neighbor_id", "cv", cscale.alias("__cscale"))
+    cq = quantize_int8(F.col("cv"), scale=F.col("__cscale"))[1]
     cs = cs.select(
-        "neighbor_id", "cv",
-        cscale.alias("__cscale"), cq.cast("array<long>").alias("cq"),
+        "neighbor_id", "cv", "__cscale", cq.cast("array<long>").alias("cq")
     )
     int_dot = F.aggregate(
         F.zip_with(F.col("qq"), F.col("cq"), lambda a, b: a * b),
@@ -695,7 +701,9 @@ def kmeans_centroids(
     return cent
 
 
-def quantize_int8(vec: Column) -> tuple[Column, Column]:
+def quantize_int8(
+    vec: Column, scale: Column | None = None
+) -> tuple[Column, Column]:
     """Symmetric per-vector int8 quantization: q_i = floor(x_i/scale*127
     + 0.5), scale = max|x_i| — the storage form large embedding corpora
     actually ship (4x smaller than float32, dot products stay rank-
@@ -706,11 +714,19 @@ def quantize_int8(vec: Column) -> tuple[Column, Column]:
     half-even rounding of doubles is not. No clamp needed: |x| <= scale
     means x/scale*127 + 0.5 lands in [-126.5, 127.5), whose floor stays
     within int8 range.
+
+    Pass a pre-bound ``scale`` column when quantizing row volumes: the
+    q transform's lambda re-evaluates body expressions per element, so
+    the inline array_max scan runs dim times per row (O(dim²)) unless
+    the caller binds it to a column first (an attribute read is O(1)).
+    The returned scale is always the computed one, so
+    ``scale, q = quantize_int8(v)`` keeps working for one-off use.
     """
     xd = vec.cast("array<double>")
-    scale = F.array_max(F.transform(xd, F.abs))
-    q = F.transform(xd, lambda x: F.floor(x / scale * F.lit(127.0) + F.lit(0.5)))
-    return scale, q
+    computed = F.array_max(F.transform(xd, F.abs))
+    s = computed if scale is None else scale
+    q = F.transform(xd, lambda x: F.floor(x / s * F.lit(127.0) + F.lit(0.5)))
+    return computed, q
 
 
 def dequant_sq_error(vec: Column, q: Column, scale: Column) -> Column:
@@ -1356,11 +1372,18 @@ def power_iteration_top_component(
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
             )
+            # dot is BOUND to a column before the rank-1 transform: a
+            # HOF lambda re-evaluates non-trivial body expressions per
+            # element, so the inline form re-folded the O(dim) dot for
+            # every one of the dim outputs — O(dim²) per row per
+            # iteration. As an attribute the lambda reads it in O(1).
             contrib = base.select(
+                "xm", dot.alias("__dot")
+            ).select(
                 F.posexplode(
                     F.transform(
                         F.col("xm"),
-                        lambda x: dot.cast("decimal(38,0)") * x,
+                        lambda x: F.col("__dot").cast("decimal(38,0)") * x,
                     )
                 ).alias("j", "c")
             )
@@ -1431,10 +1454,16 @@ def power_iteration_second_component(
                 F.zip_with(F.col("xm"), ulit, lambda a, b: a * b),
                 F.lit(0).cast("long"), lambda acc, x: acc + x,
             )
-            contrib = base.select(F.posexplode(
-                F.transform(F.col("xm"),
-                            lambda x: dot.cast("decimal(38,0)") * x)
-            ).alias("j", "c"))
+            # bind dot before the transform (see the top-component
+            # note: inline it re-folds O(dim) per element)
+            contrib = base.select("xm", dot.alias("__dot")).select(
+                F.posexplode(
+                    F.transform(
+                        F.col("xm"),
+                        lambda x: F.col("__dot").cast("decimal(38,0)") * x,
+                    )
+                ).alias("j", "c")
+            )
             return contrib.groupBy("j").agg(F.sum("c").alias("w"))
 
         for _ in range(iters - 1):

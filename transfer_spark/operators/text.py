@@ -270,16 +270,24 @@ def gopher_quality_flags(df, id_col: str, text_col: str,
 
 
 def bigram_expr(text: Column) -> Column:
-    """Array of space-joined adjacent token pairs (empty under 2 tokens;
-    guarded because sequence(1, n) descends when n < 1)."""
+    """Array of space-joined adjacent token pairs (empty under 2 tokens).
+
+    zip_with over two shifted slices, NOT transform(sequence(1, n-1),
+    i -> element_at(toks, i) ...): higher-order-function lambdas are
+    interpreted and re-evaluate non-trivial body expressions per
+    element, so the transform form re-split the text TWICE per bigram
+    position (O(n²) per doc — the shingles() lesson, operators/
+    dedupe.py). zip_with evaluates its array arguments once; output is
+    string-identical (both slices have length n-1 when n >= 2, so no
+    null padding occurs)."""
     toks = tokens(text)
+    n = F.size(toks) - 1
     return F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
+        n >= 1,
+        F.zip_with(
+            F.slice(toks, 1, n),
+            F.slice(toks, 2, n),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
 

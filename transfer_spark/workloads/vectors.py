@@ -470,12 +470,24 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruction error. Pure codegen per row — embarrassingly parallel,
     no shuffle at any scale."""
     emb = _emb(spark, sf_dir)
-    scale, q = S.quantize_int8(F.col("embedding"))
-    return emb.select(
+    # bind scale, then q, each to a column before the next expression
+    # uses it: HOF lambdas re-evaluate body expressions per element, so
+    # the former one-select form re-ran the array_max scan inside the q
+    # transform (O(dim²)/row) and re-quantized inside the error fold
+    scale, _ = S.quantize_int8(F.col("embedding"))
+    b1 = emb.select("vec_id", "embedding", scale.alias("__scale"))
+    q = S.quantize_int8(F.col("embedding"), scale=F.col("__scale"))[1]
+    b2 = b1.select("vec_id", "embedding", "__scale", q.alias("__q"))
+    return b2.select(
         "vec_id",
-        F.round(scale, 6).alias("scale"),
-        F.array_join(q.cast("array<string>"), ",").alias("q_csv"),
-        F.round(S.dequant_sq_error(F.col("embedding"), q, scale), 9).alias("sq_err"),
+        F.round(F.col("__scale"), 6).alias("scale"),
+        F.array_join(F.col("__q").cast("array<string>"), ",").alias("q_csv"),
+        F.round(
+            S.dequant_sq_error(
+                F.col("embedding"), F.col("__q"), F.col("__scale")
+            ),
+            9,
+        ).alias("sq_err"),
     )
 
 
