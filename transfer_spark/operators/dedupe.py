@@ -117,61 +117,55 @@ def neardup_clusters(
     :func:`neardup_clusters_star` (O(log n) alternating rounds); the
     fixed point is identical and tested equivalent.
     """
+    from pyspark.sql import Observation
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .cache()
     )
+    # Eager checkpoint, not cache: every round rebinds labels to its own
+    # checkpoint below, so lineage stays one join deep and there is no
+    # CacheManager entry to leak (the r10/ADVICE-r11 class this loop
+    # used to manage by hand with an every-5-rounds truncation).
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     for it in range(max_iters):
-        if it and it % 5 == 0:
-            # truncate lineage: each round's cache shortcuts RECOMPUTE
-            # but the logical plan still chains one join per round —
-            # at depth 20+ analysis/optimization time dominates and a
-            # cache eviction would replay the whole chain.
-            # localCheckpoint(eager) pins the rows and resets the plan
-            # to a scan of them (executor-local blocks — acceptable for
-            # an intermediate both paths can rebuild from `pairs`).
-            # Unpersist the CACHED frame before rebinding: the eager
-            # checkpoint has already materialized its own blocks, and
-            # the end-of-round unpersist below targets whatever `labels`
-            # points at — rebinding first would leave the round's cache
-            # entry unreachable and leaking one entry per cadence round
-            # (ADVICE r11: the r10 leak class, reintroduced here).
-            _cp = labels.localCheckpoint(eager=True)
-            labels.unpersist(blocking=False)
-            labels = _cp
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nmin"))
         )
+        # The moved count rides the round's checkpoint job as an
+        # observation (min-label only decreases, so moved ⇔ the
+        # neighbor min undercuts the current label) — the former shape
+        # ran a separate old-vs-new label JOIN + limit(1) count per
+        # round just to detect the fixed point (guide §1/§5: never
+        # re-derive a scalar the materializing action already saw).
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nmin"), F.col("cluster_id")),
                 ).alias("cluster_id"),
+                (F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                 < F.col("cluster_id")).alias("__moved"),
             )
-            .cache()
+            .observe(
+                obs, F.count(F.when(F.col("__moved"), 1)).alias("n_moved")
+            )
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.drop("__moved")
+        if int(obs.get["n_moved"]) == 0:
             break
     else:
         raise RuntimeError(
@@ -179,17 +173,11 @@ def neardup_clusters(
             "components wider than that would be silently split — raise "
             "max_iters or use large-star/small-star for deep graphs"
         )
-    # Hand the result over as an eager localCheckpoint (doc-grain rows,
-    # two longs each) and release BOTH internal caches before returning.
-    # Returning the cached labels frame itself leaked one CacheManager
-    # entry per invocation (r10 verdict: entries never GC, and plan-
-    # equality dedup across calls broke once upstream pair builders
-    # embedded per-run checkpoint RDD ids); checkpoint blocks, by
-    # contrast, are ContextCleaner-collected with the returned frame.
-    out = labels.select(
-        F.col("id").alias("doc_id"), "cluster_id"
-    ).localCheckpoint(eager=True)
-    labels.unpersist(blocking=False)
+    # labels is already checkpoint-backed (doc-grain rows, two longs
+    # each; ContextCleaner-collected with the returned frame — the r10
+    # cache-leak contract), so the return is a pure projection of the
+    # last round's blocks. Only the edge cache needs releasing.
+    out = labels.select(F.col("id").alias("doc_id"), "cluster_id")
     edges.unpersist(blocking=False)
     return out
 
