@@ -984,35 +984,34 @@ def neardup_clusters_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
 
-    def _sig(e: DataFrame):
-        # ANSI-safe: decimal sum can't overflow on summed 64-bit hashes
-        return tuple(
-            _canon(e)
-            .agg(
-                F.count(F.lit(1)),
-                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
-            )
-            .collect()[0]
-        )
+    from pyspark.sql import Observation
 
-    edges = (
+    def _ckpt_with_sig(e: DataFrame):
+        """Materialize the CANONICAL edge set and read its convergence
+        signature (row count + order-free hash sum; decimal so the
+        summed 64-bit hashes can't overflow under ANSI) off the same
+        checkpoint job as an Observation — the former shape cached each
+        round and ran a separate canon+agg+collect job per round for
+        the signature (guide §1/§5). Checkpoint-backed rounds also keep
+        lineage one round deep, retiring the hand-rolled every-5-rounds
+        truncation and its cache-leak hazard. Large-star symmetrizes
+        its input, so canonicalizing the loop state is orientation-
+        neutral: the fixed point is unchanged."""
+        obs = Observation()
+        out = _canon(e).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("x"),
+        ).localCheckpoint(eager=True)
+        row = obs.get
+        return out, (row["n"], row["x"])
+
+    edges, sig = _ckpt_with_sig(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .cache()
     )
-    sig = _sig(edges)
     for it in range(max_iters):
-        if it and it % 5 == 0:
-            # see neardup_clusters: checkpoint first, THEN release the
-            # cache the loop variable pointed at, so the cadence round's
-            # cache entry doesn't leak when the name is rebound.
-            _cp = edges.localCheckpoint(eager=True)
-            edges.unpersist(blocking=False)
-            edges = _cp
-        nxt = _small_star(_large_star(edges)).cache()
-        nsig = _sig(nxt)
-        edges.unpersist()
+        nxt, nsig = _ckpt_with_sig(_small_star(_large_star(edges)))
         edges = nxt
         if nsig == sig:
             break
@@ -1023,16 +1022,12 @@ def neardup_clusters_star(
             "alternating rounds — at O(log n) convergence that indicates "
             "a bug or an adversarial graph, not normal data"
         )
+    # edges is checkpoint-backed (no caches anywhere in the loop), so
+    # the result is a plain derivation of the last round's blocks —
+    # ContextCleaner-collected with the returned frame
     labels = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
     centers = edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
-    # eager checkpoint BEFORE releasing the edge cache: the result is
-    # doc-grain tiny and already computed (the signature collect forced
-    # it), so this pins the rows without a CacheManager entry; without
-    # it, consuming the returned frame after the unpersist would replay
-    # the final star round from lineage.
-    out = labels.union(centers).distinct().localCheckpoint(eager=True)
-    edges.unpersist(blocking=False)
-    return out
+    return labels.union(centers).distinct()
 
 
 def winnow_fingerprints(df, id_col: str, text_col: str,

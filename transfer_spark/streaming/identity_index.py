@@ -102,28 +102,51 @@ class IncrementalIdentityIndex:
         """Follow the redirect chain to each label's current root. Chains
         grow at most one hop per batch between compactions; hitting the
         bound means compaction has been skipped pathologically long —
-        raise rather than return stale labels."""
-        redirects = self._redirects()
-        if redirects.isEmpty():
+        raise rather than return stale labels.
+
+        The chain closes DRIVER-SIDE: the redirect table is bounded
+        metadata by construction (one row per dethroned label — the same
+        boundedness that justified broadcasting it), so one collect +
+        a dict walk replaces the former per-hop join/count loop, which
+        paid one Spark job per hop AND re-evaluated the whole chained
+        join plan at every hop (guide §1.2: the driver should do
+        metadata work). Resolution is then ONE broadcast join against
+        the fully-closed mapping — identical fixed point, since the
+        iterative form applied the same min-per-old_label step to
+        convergence."""
+        if not self._redirects_exist():
             return df
-        r = F.broadcast(
-            redirects.groupBy("old_label").agg(F.min("new_label").alias("__nl"))
+        rows = (
+            self._redirects()
+            .groupBy("old_label")
+            .agg(F.min("new_label").alias("__nl"))
+            .collect()  # bounded: one row per dethroned label
         )
-        for _ in range(max_hops):
-            stepped = df.join(
-                r, df[label_col] == r["old_label"], "left"
-            ).select(
-                *[c for c in df.columns if c != label_col],
-                F.coalesce("__nl", F.col(label_col)).alias(label_col),
+        if not rows:
+            return df
+        step = {int(r["old_label"]): int(r["__nl"]) for r in rows}
+        closed: dict[int, int] = {}
+        for k in step:
+            cur, hops = k, 0
+            while cur in step:
+                cur = step[cur]
+                hops += 1
+                if hops > max_hops:
+                    raise RuntimeError(
+                        f"redirect chain deeper than {max_hops} hops — "
+                        "run compact()"
+                    )
+            closed[k] = cur
+        mapping = F.broadcast(
+            self.spark.createDataFrame(
+                sorted(closed.items()), "old_label long, __nl long"
             )
-            moved = stepped.join(
-                r, stepped[label_col] == r["old_label"], "left_semi"
-            ).limit(1).count()
-            df = stepped
-            if moved == 0:
-                return df
-        raise RuntimeError(
-            f"redirect chain deeper than {max_hops} hops — run compact()"
+        )
+        return df.join(
+            mapping, df[label_col] == mapping["old_label"], "left"
+        ).select(
+            *[c for c in df.columns if c != label_col],
+            F.coalesce("__nl", F.col(label_col)).alias(label_col),
         )
 
     # -- the per-batch step ---------------------------------------------
