@@ -1,7 +1,8 @@
-"""Dump ``explain("formatted")`` for bench queries to plans/r13/.
+"""Dump ``explain("formatted")`` for bench queries to plans/<round>/.
 
 Usage: python scripts/dump_plans.py before|after [query ...]
 Defaults to the 34 bench queries (HEADLINE + LLM_HEADLINE) at sf0.1.
+Round dir from $SPARK_GRAFT_PLANS_ROUND (default r14).
 """
 
 from __future__ import annotations
@@ -22,7 +23,9 @@ def main() -> int:
     from transfer_spark.workloads import QUERIES
 
     names = sys.argv[2:] or (HEADLINE + LLM_HEADLINE)
-    out_dir = os.path.join(REPO, "plans", "r13")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump-plans")
     spark.sparkContext.setLogLevel("ERROR")

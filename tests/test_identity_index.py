@@ -96,6 +96,44 @@ def test_redirect_chain_bound_raises(spark):
         idx._resolve(m, "label", max_hops=0)
 
 
+def test_redirect_cycle_raises_corruption_not_compact(spark):
+    """A redirect cycle (possible only if the new_label < old_label
+    invariant is violated, i.e. a corrupt store) must surface as its own
+    corruption error — through r13 it burned the hop budget and raised
+    the misleading 'run compact()' hint (ADVICE r13). A long-but-acyclic
+    chain still raises the compact hint based on TOTAL depth even when
+    memoization short-cuts the walk."""
+    idx = IncrementalIdentityIndex(
+        spark, tempfile.mkdtemp(prefix="ididx_"), n_buckets=8
+    )
+    idx.process_batch(_edges(spark, [(1, 2)]))
+    # corrupt store: 10 -> 11 -> 10
+    spark.createDataFrame(
+        [(10, 11), (11, 10)], "old_label long, new_label long"
+    ).write.mode("append").parquet(idx.redirects_path)
+    m = spark.read.parquet(idx.members_path).drop(idx.BUCKET_COL)
+    with pytest.raises(RuntimeError, match="cycle"):
+        idx._resolve(m, "label", max_hops=20)
+
+    # acyclic 3-deep chain: depth bound still enforced end-to-end
+    idx2 = IncrementalIdentityIndex(
+        spark, tempfile.mkdtemp(prefix="ididx_"), n_buckets=8
+    )
+    idx2.process_batch(_edges(spark, [(1, 2)]))
+    spark.createDataFrame(
+        [(30, 20), (20, 10), (10, 5)], "old_label long, new_label long"
+    ).write.mode("append").parquet(idx2.redirects_path)
+    m2 = spark.read.parquet(idx2.members_path).drop(idx2.BUCKET_COL)
+    with pytest.raises(RuntimeError, match="compact"):
+        idx2._resolve(m2, "label", max_hops=2)
+    # and a generous bound resolves the full closure correctly
+    got = {
+        r.node: r.label
+        for r in idx2._resolve(m2, "label", max_hops=5).collect()
+    }
+    assert got == {1: 1, 2: 1}
+
+
 def test_labels_empty_store(spark):
     idx = IncrementalIdentityIndex(
         spark, tempfile.mkdtemp(prefix="ididx_"), n_buckets=8

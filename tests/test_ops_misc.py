@@ -683,6 +683,26 @@ def test_bm25_index_stats_are_driver_side_and_guard_torn_adds(spark, tmp_path):
         idx.topk(["spark"], k=5)
 
 
+def test_bm25_index_guards_orphan_stats(spark, tmp_path):
+    """The inverse tear: a stats file whose segment has no postings
+    (stale file from a partial removal) is refused instead of silently
+    inflating n_docs/sum_dl and deflating avgdl (ADVICE r13)."""
+    import os
+
+    import pytest
+
+    from transfer_spark.operators.text_index import SEG_COL, Bm25Index
+    from transfer_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = Bm25Index(spark, str(tmp_path / "bm25o"), n_buckets=16)
+    idx.build(docs, "doc_id", "text")
+    with open(os.path.join(idx.stats_path, f"{SEG_COL}=9.json"), "w") as f:
+        f.write('{"n_docs": 1000000, "sum_dl": 99999999}')
+    with pytest.raises(RuntimeError, match="no postings"):
+        idx.topk(["spark"], k=5)
+
+
 def test_content_digest_distinguishes_null_positions(spark):
     """(x, NULL, y) and (x, y, NULL) must digest differently — the case
     concat_ws-style canonicalization collapses."""

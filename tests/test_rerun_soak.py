@@ -58,7 +58,13 @@ HAND_FALSE_POSITIVES = {"dedupe_span_scrub", "embedding_neardup_lsh",
                         # partition (operators/dedupe.py::dup_spans) —
                         # the eager localCheckpoint + join-back the
                         # discovery used to find was removed outright
-                        "dedupe_dup_spans"}
+                        "dedupe_dup_spans",
+                        # became cache-stateless in r14: the markov
+                        # power iteration runs driver-side on the two
+                        # bounded chain collects (operators/temporal.py
+                        # ::markov_removal_attribution) — the per-round
+                        # caches and checkpoints were removed outright
+                        "events_attribution_markov"}
 
 # `pretraining_corpus_pipeline_v2` has its own rerun pin (plus
 # byte-identical-result check) in

@@ -98,12 +98,11 @@ def ann_sq_rerank_topk(
     qs = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    # scales are bound to columns BEFORE the q transform so the lambda
-    # reads an attribute instead of re-scanning the vector per element
-    # (see quantize_int8's docstring)
-    qscale, _ = quantize_int8(F.col("qv"))
-    qs = qs.select("query_id", "qv", qscale.alias("__qscale"))
-    qq = quantize_int8(F.col("qv"), scale=F.col("__qscale"))[1]
+    # query side: the scale has no downstream use, so a projected
+    # __qscale column would be single-reference and the optimizer
+    # collapses it straight back into the lambda (ADVICE r13) — the
+    # let-bound default form of quantize_int8 is the collapse-proof way
+    qq = quantize_int8(F.col("qv"))[1]
     qs = qs.select("query_id", "qv", qq.cast("array<long>").alias("qq"))
     cs = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
@@ -715,17 +714,33 @@ def quantize_int8(
     means x/scale*127 + 0.5 lands in [-126.5, 127.5), whose floor stays
     within int8 range.
 
-    Pass a pre-bound ``scale`` column when quantizing row volumes: the
-    q transform's lambda re-evaluates body expressions per element, so
-    the inline array_max scan runs dim times per row (O(dim²)) unless
-    the caller binds it to a column first (an attribute read is O(1)).
-    The returned scale is always the computed one, so
-    ``scale, q = quantize_int8(v)`` keeps working for one-off use.
+    The q transform's lambda re-evaluates body expressions per element,
+    so an inline array_max scan would run dim times per row (O(dim²)).
+    When no ``scale`` is passed, the computed scale is LET-BOUND via a
+    single-element outer transform: the per-element lambda reads a
+    lambda *variable* (O(1)) and, because the binding lives inside one
+    expression rather than a single-use projected column, no project
+    collapse can ever re-inline the scan (ADVICE r13: a scale bound to
+    a single-use column in the enclosing select gets collapsed right
+    back by the optimizer). Callers that already carry the scale as a
+    real output column may still pass it to share that column.
     """
     xd = vec.cast("array<double>")
     computed = F.array_max(F.transform(xd, F.abs))
-    s = computed if scale is None else scale
-    q = F.transform(xd, lambda x: F.floor(x / s * F.lit(127.0) + F.lit(0.5)))
+    if scale is None:
+        q = F.element_at(
+            F.transform(
+                F.array(computed),
+                lambda s: F.transform(
+                    xd, lambda x: F.floor(x / s * F.lit(127.0) + F.lit(0.5))
+                ),
+            ),
+            1,
+        )
+    else:
+        q = F.transform(
+            xd, lambda x: F.floor(x / scale * F.lit(127.0) + F.lit(0.5))
+        )
     return computed, q
 
 

@@ -48,15 +48,20 @@ def markov_removal_attribution(
     Numerics are engine-exact: transition mass stays as integer counts,
     conversion probabilities are ppm BIGINTs, and each power-iteration
     step is ``(conv*1e6 + Σ cnt·p) DIV tot`` — integer sums are
-    order-insensitive and Spark ``DIV`` == DuckDB ``//``, so a 12-step
-    iteration matches an unrolled SQL oracle bit-for-bit.
+    order-insensitive, Python ints are exact at any width, and the
+    driver-side ``_sqldiv`` reproduces SQL ``DIV`` (truncate toward
+    zero, NULL on zero divisor), so the 12-step iteration matches an
+    unrolled SQL oracle bit-for-bit.
 
-    Scale shape: ONE lag window over the event stream + two hash aggs
-    build the chain (that is the only data-grain work); the iteration
-    runs on the (removed-variant × state) frame — tens of rows
-    regardless of input size — with the chain frames cached and the
-    vector frame localCheckpoint'ed every few rounds to bound plan
-    depth, like the CC loop."""
+    Scale shape (r14, guide §1.2/§5): ONE lag window over the event
+    stream + two hash aggs build the chain — that is the only
+    data-grain work. The chain statistics are dimension-grain by
+    construction (one row per (channel, channel) pair; the pre-r14
+    form already crossed them into broadcast variants), so they are
+    collected — two bounded collects — and the (removed-variant ×
+    state) power iteration runs DRIVER-SIDE: the pre-r14 Spark-side
+    loop paid ~70 jobs of per-iteration join/agg scheduling plus
+    periodic checkpoints to iterate over tens of rows."""
     w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
     lagd = df.select(
         user_col,
@@ -69,11 +74,11 @@ def markov_removal_attribution(
     mids = lagd.filter(
         F.col("from_s").isNotNull() & (F.col("from_s") != conv)
     ).select("from_s", "to_s")
-    cnts = (
+    cnt_rows = (
         starts.unionByName(mids)
         .groupBy("from_s", "to_s")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .cache()
+        .collect()  # bounded: one row per observed (state, state) pair
     )
     tot_ch = (
         df.filter(F.col(type_col) != conv)
@@ -84,107 +89,59 @@ def markov_removal_attribution(
         df.agg(F.countDistinct(user_col).cast("long").alias("tot"))
         .select(F.lit("START").alias("state"), "tot")
     )
-    conv_cnt = cnts.filter(F.col("to_s") == conv).select(
-        F.col("from_s").alias("state"), F.col("cnt").alias("conv_cnt")
-    )
-    states0 = (
-        tot_ch.unionByName(tot_start)
-        .join(conv_cnt, "state", "left")
-        .fillna(0, ["conv_cnt"])
-        .cache()
-    )
-    variants = (
-        states0.filter(F.col("state") != "START")
-        .select(F.col("state").alias("removed"))
-        .unionByName(
-            df.sparkSession.range(1).select(F.lit("__base__").alias("removed"))
+    tot_rows = tot_ch.unionByName(tot_start).collect()  # bounded: states
+
+    cnt = {(r["from_s"], r["to_s"]): int(r["cnt"]) for r in cnt_rows}
+    tot = {r["state"]: int(r["tot"]) for r in tot_rows}
+    conv_cnt = {s: cnt.get((s, conv), 0) for s in tot}
+    channels = sorted(s for s in tot if s != "START")
+
+    def _sqldiv(a: int, b: int) -> int | None:
+        # SQL DIV: truncate toward zero; x DIV 0 is NULL (non-ANSI)
+        if b == 0:
+            return None
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def _iterate(removed: str | None) -> int:
+        p = {s: 0 for s in tot if s != removed}
+        for _ in range(k):
+            p = {
+                s: _sqldiv(
+                    conv_cnt[s] * 1_000_000
+                    + sum(
+                        c * p[t]
+                        for (f, t), c in cnt.items()
+                        if f == s and t != conv and t in p
+                    ),
+                    tot[s],
+                )
+                for s in p
+            }
+        return p["START"]
+
+    p_base = _iterate(None)
+    effects = []
+    for ch in channels:
+        p_rem = _iterate(ch)
+        effects.append(
+            (ch, p_base, p_rem, _sqldiv((p_base - p_rem) * 1_000_000, p_base))
         )
-    )
-    states = (
-        variants.crossJoin(states0)
-        .filter(F.col("state") != F.col("removed"))
-        .localCheckpoint(eager=True)
-    )
-    trans = (
-        variants.crossJoin(cnts.filter(F.col("to_s") != conv))
-        .filter(
-            (F.col("from_s") != F.col("removed"))
-            & (F.col("to_s") != F.col("removed"))
+    eff_total = sum(e for (_, _, _, e) in effects if e is not None)
+    rows = [
+        (
+            ch,
+            p_base_ppm,
+            p_rem,
+            e,
+            None if e is None else _sqldiv(e * 1_000_000, eff_total),
         )
-        .localCheckpoint(eager=True)
-    )
-    # both checkpoints above truncate lineage, so the chain caches no
-    # longer feed anything downstream — release them here rather than
-    # leak one CacheManager entry each per invocation (entries never GC)
-    cnts.unpersist(blocking=False)
-    states0.unpersist(blocking=False)
-    p = states.select("removed", "state", F.lit(0).cast("long").alias("p_ppm"))
-    for i in range(k):
-        if i and i % 2 == 0:
-            # the vector frame is ~25 rows; eager checkpointing is
-            # near-free and keeps the per-iteration task binary small
-            # (at cadence 4 the serialized plan reached ~16 MB)
-            p = p.localCheckpoint(eager=True)
-        p_in = p.select(
-            "removed", F.col("state").alias("to_s"), "p_ppm"
-        )
-        contrib = (
-            trans.join(F.broadcast(p_in), ["removed", "to_s"])
-            .groupBy("removed", F.col("from_s").alias("state"))
-            # cnt (event-scale) × p_ppm (≤1e6) brushes int64 when total
-            # transitions pass ~1e13 — the CAST is on the OPERAND so the
-            # multiply itself runs in decimal (ADVICE r9: a product-level
-            # cast still wraps in int64 first); published p_ppm re-grains
-            # to BIGINT below as before
-            .agg(
-                F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("p_ppm"))
-                .alias("c")
-            )
-        )
-        p = states.join(F.broadcast(contrib), ["removed", "state"], "left").select(
-            "removed",
-            "state",
-            F.expr(
-                "CAST((CAST(conv_cnt AS DECIMAL(38,0)) * 1000000"
-                " + COALESCE(c, CAST(0 AS DECIMAL(38,0))))"
-                " DIV tot AS BIGINT)"
-            ).alias("p_ppm"),
-        )
-    # eager checkpoint (a handful of rows), not cache: the returned plan
-    # reads `fin` twice (base + effects) and the operator can't release
-    # a cache after return — checkpoint blocks GC with the result frame
-    fin = (
-        p.filter(F.col("state") == "START")
-        .select("removed", "p_ppm")
-        .localCheckpoint(eager=True)
-    )
-    base = fin.filter(F.col("removed") == "__base__").select(
-        F.col("p_ppm").alias("p_base_ppm")
-    )
-    eff = (
-        fin.filter(F.col("removed") != "__base__")
-        .crossJoin(F.broadcast(base))
-        .select(
-            F.col("removed").alias("channel"),
-            "p_base_ppm",
-            F.col("p_ppm").alias("p_removed_ppm"),
-            F.expr(
-                "CAST(((p_base_ppm - p_ppm) * 1000000) DIV p_base_ppm"
-                " AS BIGINT)"
-            ).alias("removal_effect_ppm"),
-        )
-    )
-    tot_eff = eff.agg(
-        F.sum("removal_effect_ppm").cast("long").alias("eff_total")
-    )
-    return eff.crossJoin(F.broadcast(tot_eff)).select(
-        "channel",
-        "p_base_ppm",
-        "p_removed_ppm",
-        "removal_effect_ppm",
-        F.expr(
-            "CAST((removal_effect_ppm * 1000000) DIV eff_total AS BIGINT)"
-        ).alias("attribution_ppm"),
+        for (ch, p_base_ppm, p_rem, e) in effects
+    ]
+    return df.sparkSession.createDataFrame(
+        rows,
+        "channel string, p_base_ppm long, p_removed_ppm long, "
+        "removal_effect_ppm long, attribution_ppm long",
     )
 
 

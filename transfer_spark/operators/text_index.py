@@ -100,29 +100,42 @@ class Bm25Index:
         os.replace(tmp, out)  # atomic (CURRENT-pointer discipline)
 
     def _read_stats(self) -> tuple[int, int]:
-        """Summed (n_docs, sum_dl) across segments. Refuses a segment
-        with postings but no stats file (a torn add) — the former
-        parquet store silently summed whatever rows existed, which
-        would mis-scale avgdl without a trace."""
+        """Summed (n_docs, sum_dl) across segments. Refuses BOTH tears:
+        a segment with postings but no stats file (torn add — the former
+        parquet store silently summed whatever rows existed, which would
+        mis-scale avgdl without a trace) and a stats file whose segment
+        has no postings (torn removal / stale file — silently summing it
+        inflates n_docs and sum_dl, deflating avgdl; ADVICE r13)."""
         import json
 
+        segs = set(self._segments())
         n_docs = sum_dl = 0
         have: set[int] = set()
         if os.path.exists(self.stats_path):
             for name in os.listdir(self.stats_path):
                 if not (name.startswith(f"{SEG_COL}=") and name.endswith(".json")):
                     continue
+                seg = int(name.split("=", 1)[1].removesuffix(".json"))
+                have.add(seg)
+                if seg not in segs:
+                    continue  # counted below as an orphan, not summed
                 with open(os.path.join(self.stats_path, name)) as f:
                     row = json.load(f)
                 n_docs += int(row["n_docs"])
                 sum_dl += int(row["sum_dl"])
-                have.add(int(name.split("=", 1)[1].removesuffix(".json")))
-        missing = set(self._segments()) - have
+        missing = segs - have
         if missing:
             raise RuntimeError(
                 f"bm25 index at {self.path}: segments {sorted(missing)} "
                 "have postings but no stats file (torn add?) — rebuild "
                 "or re-add those segments"
+            )
+        extra = have - segs
+        if extra:
+            raise RuntimeError(
+                f"bm25 index at {self.path}: stats files for segments "
+                f"{sorted(extra)} have no postings (torn removal or "
+                "stale files?) — remove them or rebuild the index"
             )
         return n_docs, sum_dl
 

@@ -125,18 +125,41 @@ class IncrementalIdentityIndex:
         if not rows:
             return df
         step = {int(r["old_label"]): int(r["__nl"]) for r in rows}
+        # Memoized closure: each label is walked once (O(n) total, not
+        # O(n·chain)), revisits within one walk are a CYCLE (corrupt
+        # redirect store — the new_label < old_label invariant rules
+        # cycles out by construction) and get their own error instead of
+        # masquerading as the chain-depth raise (ADVICE r13). The depth
+        # memo keeps the raise semantics exactly: a chain whose TOTAL
+        # depth exceeds max_hops raises even when its suffix was already
+        # closed through a shorter walk.
         closed: dict[int, int] = {}
+        depth: dict[int, int] = {}
         for k in step:
-            cur, hops = k, 0
-            while cur in step:
+            path: list[int] = []
+            on_path: set[int] = set()
+            cur = k
+            while cur in step and cur not in closed:
+                path.append(cur)
+                on_path.add(cur)
                 cur = step[cur]
-                hops += 1
-                if hops > max_hops:
+                if cur in on_path:
+                    raise RuntimeError(
+                        f"redirect cycle through label {cur} — redirect "
+                        "store is corrupt (new_label < old_label "
+                        "invariant violated)"
+                    )
+            base_root = closed.get(cur, cur)
+            base_depth = depth.get(cur, 0)
+            for i, n in enumerate(reversed(path), start=1):
+                d = base_depth + i
+                if d > max_hops:
                     raise RuntimeError(
                         f"redirect chain deeper than {max_hops} hops — "
                         "run compact()"
                     )
-            closed[k] = cur
+                closed[n] = base_root
+                depth[n] = d
         mapping = F.broadcast(
             self.spark.createDataFrame(
                 sorted(closed.items()), "old_label long, __nl long"
