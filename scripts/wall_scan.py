@@ -1,0 +1,80 @@
+"""Spark-side wall scan over the whole registry: time every
+workloads.QUERIES entry end-to-end with the noop sink (no DuckDB, no
+collect), min-of-N, and write a JSON ranking. This is the r14
+measure-first pass: the bench covers 34 entries; this covers all 319 so
+the optimization budget goes to the actual top of the distribution.
+
+Usage: python scripts/wall_scan.py [SF_DIR] [RUNS] [OUT_JSON] [name ...]
+Defaults: /root/testdata/sf0.1, 2 runs, plans/r14/WALL_SCAN.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    out_path = (
+        sys.argv[3]
+        if len(sys.argv) > 3
+        else os.path.join(REPO, "plans", "r14", "WALL_SCAN.json")
+    )
+    from transfer_spark.session import get_spark
+    from transfer_spark.workloads import QUERIES
+
+    names = sys.argv[4:] or sorted(QUERIES)
+    spark = get_spark("wall-scan")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JIT warm-up
+
+    walls: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    t_start = time.time()
+    for i, name in enumerate(names):
+        fn, _oracle = QUERIES[name]
+        best = float("inf")
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                spark.sparkContext.setJobDescription(f"wall-scan: {name}")
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            walls[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = str(exc)[:300]
+        finally:
+            spark.sparkContext.setJobDescription(None)
+        if (i + 1) % 25 == 0:
+            print(
+                f"  {i + 1}/{len(names)} entries, {time.time() - t_start:.0f}s",
+                file=sys.stderr,
+            )
+    ranked = dict(sorted(walls.items(), key=lambda kv: -kv[1]))
+    out = {
+        "sf_dir": sf_dir,
+        "runs": runs,
+        "total_sec": round(sum(walls.values()), 1),
+        "walls": ranked,
+        "errors": errors,
+    }
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    for name, wall in list(ranked.items())[:40]:
+        print(f"{wall:8.2f}  {name}")
+    print(f"total {out['total_sec']}s over {len(walls)} entries; "
+          f"{len(errors)} errors -> {out_path}")
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -51,17 +51,31 @@ def ann_bruteforce_topk(
 
     Returns (query_id, neighbor_id, rank); ties break on neighbor id.
     """
+    # Per-side norms bound below the join (r14): the cosine's two norm
+    # folds are per-row, not per-pair — see bitext_margin_mine.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("__qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("__cn"),
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            (
+                _dot(
+                    F.col("qv").cast("array<double>"),
+                    F.col("cv").cast("array<double>"),
+                )
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -164,6 +178,12 @@ def _margin_rescore(
     has >= 1 ranked row and k >= 1, so the conditional sums are total
     exactly as the old inner joins were.
     """
+    # Window order is chosen so same-key windows share one exchange
+    # (guide §2.4): sid block (rf, skf) → tid block (rb, skb, then the
+    # margin projection, then the tid-side argmax rank r2 — a project
+    # preserves the tid partitioning, so r2 re-sorts but does NOT
+    # re-shuffle) → sid block (r1). Three pair-frame exchanges; the
+    # pre-r14 order (sid → tid → margin → sid → tid) paid a fourth.
     wf = Window.partitionBy("sid").orderBy(F.desc("cq"), F.asc("tid"))
     wb = Window.partitionBy("tid").orderBy(F.desc("cq"), F.asc("sid"))
     m = (
@@ -192,8 +212,8 @@ def _margin_rescore(
     w1 = Window.partitionBy("sid").orderBy(F.desc("margin_ppm"), F.asc("tid"))
     w2 = Window.partitionBy("tid").orderBy(F.desc("margin_ppm"), F.asc("sid"))
     return (
-        m.withColumn("r1", F.row_number().over(w1))
-        .withColumn("r2", F.row_number().over(w2))
+        m.withColumn("r2", F.row_number().over(w2))
+        .withColumn("r1", F.row_number().over(w1))
         .filter(
             (F.col("r1") == 1) & (F.col("r2") == 1)
             & (F.col("margin_ppm") >= margin_threshold_ppm)
@@ -238,14 +258,37 @@ def bitext_margin_mine(
     margin rescoring runs on the candidate set only; the top-k
     neighbor sums are per-endpoint aggregates either way.
     """
-    s = src.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
-    t = tgt.select(F.col(id_col).alias("tid"), F.col(vec_col).alias("tv"))
+    # Per-side norms are bound BEFORE the cross product (r14): cosine()
+    # inline would re-fold both O(dim) norm aggregates once per PAIR —
+    # 3 array folds per pair where one (the dot) is fundamental. The
+    # bound columns live below the join, so no project collapse can
+    # re-inline them (a join blocks CollapseProject, unlike the
+    # single-use select binding of ADVICE r13). Arithmetic is unchanged
+    # term for term: dot / (sn * tn), double all the way.
+    s = src.select(
+        F.col(id_col).alias("sid"),
+        F.col(vec_col).alias("sv"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("__sn"),
+    )
+    t = tgt.select(
+        F.col(id_col).alias("tid"),
+        F.col(vec_col).alias("tv"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("__tn"),
+    )
     scored = (
         F.broadcast(s)
         .join(t)
         .select(
             "sid", "tid",
-            F.floor(cosine(F.col("sv"), F.col("tv")) * 1e9 + F.lit(0.5))
+            F.floor(
+                _dot(
+                    F.col("sv").cast("array<double>"),
+                    F.col("tv").cast("array<double>"),
+                )
+                / (F.col("__sn") * F.col("__tn"))
+                * 1e9
+                + F.lit(0.5)
+            )
             .cast("long").alias("cq"),
         )
     )
@@ -284,10 +327,30 @@ def bitext_margin_mine_lsh(
     off a shared scan. The exact form remains the verifier
     (test_ops_misc pins LSH-vs-exact pair recovery on the dense slice).
     """
-    s = src.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
-    t = tgt.select(F.col(id_col).alias("tid"), F.col(vec_col).alias("tv"))
+    # Same per-side norm binding as the exact miner (r14): the cosine's
+    # two norm folds are per-row quantities, so they are computed once
+    # per row below the bucket equi-join instead of once per candidate
+    # pair; the dot fold per pair is the fundamental cost.
+    s = src.select(
+        F.col(id_col).alias("sid"),
+        F.col(vec_col).alias("sv"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("__sn"),
+    )
+    t = tgt.select(
+        F.col(id_col).alias("tid"),
+        F.col(vec_col).alias("tv"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("__tn"),
+    )
     cq = (
-        F.floor(cosine(F.col("sv"), F.col("tv")) * 1e9 + F.lit(0.5))
+        F.floor(
+            _dot(
+                F.col("sv").cast("array<double>"),
+                F.col("tv").cast("array<double>"),
+            )
+            / (F.col("__sn") * F.col("__tn"))
+            * 1e9
+            + F.lit(0.5)
+        )
         .cast("long")
         .alias("cq")
     )
