@@ -1721,23 +1721,47 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
+    # r14, guide §2.5: the blocking key is LOW-cardinality (25 nations),
+    # so the pair-generation join had at most 25 non-empty partitions —
+    # the Levenshtein compute (the whole cost: Σ block² pairs) ran on 25
+    # cores regardless of cluster size. Salt the join: the b side gets a
+    # deterministic per-row bucket (xxhash64, retry-safe), the a side
+    # explodes over all buckets (replicating the SMALL per-block factor,
+    # not the pairs) — every pair is still produced exactly once, now
+    # across n_salt× more partitions.
+    n_salt = max(8, spark.sparkContext.defaultParallelism)
     a = c.select(
         F.col("c_custkey").alias("ka"), F.col("c_name").alias("na"),
         F.col("c_nationkey").alias("nk"),
+    ).withColumn(
+        "sl", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
     b = c.select(
         F.col("c_custkey").alias("kb"), F.col("c_name").alias("nb"),
         F.col("c_nationkey").alias("nk"),
+    ).withColumn(
+        "sl", F.pmod(F.xxhash64("kb"), F.lit(n_salt)).cast("int")
     )
-    pairs = a.join(b, "nk").filter(F.col("ka") < F.col("kb"))
+    # shuffle_hash pin: without it AQE broadcasts one (tiny-bytes) side
+    # and probes the other as the raw single-file scan — ONE task doing
+    # every Levenshtein, the exact serialization the salt exists to
+    # break. The shuffled-hash build side is the per-(block, salt) b
+    # slice, bounded by construction.
+    pairs = a.join(b.hint("shuffle_hash"), ["nk", "sl"]).filter(
+        F.col("ka") < F.col("kb")
+    )
+    # Banded Levenshtein (r14, guide §1.2 per-task work): the report
+    # only classifies d <= 2, so the bounded form levenshtein(na, nb, 2)
+    # — O(len·k) instead of O(len²) per pair, -1 when the distance
+    # exceeds the bound — decides the same predicate exactly.
     return (
         pairs.select(
-            "nk", F.levenshtein(F.col("na"), F.col("nb")).alias("d")
+            "nk", F.levenshtein(F.col("na"), F.col("nb"), 2).alias("d")
         )
         .groupBy("nk")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.sum(F.when(F.col("d") <= 2, 1).otherwise(0)).alias("n_matches"),
+            F.sum(F.when(F.col("d") >= 0, 1).otherwise(0)).alias("n_matches"),
         )
         .withColumnRenamed("nk", "nationkey")
     )
