@@ -643,43 +643,61 @@ class StreamingCorpusIngest:
             .distinct()
             .collect()  # bounded: one value per affected partition
         )
+        if not affected:
+            return {"partitions": [], "removed": 0}
         from pyspark.sql import Observation
 
-        removed = 0
+        # ONE keep-set materialization over the affected partitions +
+        # ONE dynamic-partition-overwrite write for the whole store
+        # (r14, guide §1.2/§6): the former loop paid checkpoint + write
+        # jobs PER affected partition — a spread deletion request (the
+        # normal shape: ids hash across every bucket) made erasure cost
+        # 2·n_partitions jobs of fixed overhead. Counts and the
+        # kept-partition set ride the checkpoint as an Observation; the
+        # read-fully-before-rewrite contract is unchanged because the
+        # eager checkpoint materializes every surviving row of every
+        # affected partition before any directory is touched.
+        sub = store.filter(F.col(part_col).isin([*affected]))
+        obs = Observation()
+        marked = (
+            sub.join(
+                F.broadcast(ids),
+                sub[doc_col] == F.col("__erase_doc"),
+                "left",
+            )
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n_total"),
+                F.count(
+                    F.when(F.col("__erase_doc").isNull(), 1)
+                ).alias("n_keep"),
+                F.collect_set(
+                    F.when(
+                        F.col("__erase_doc").isNull(), F.col(part_col)
+                    )
+                ).alias("kept_parts"),
+            )
+            .localCheckpoint(eager=True)  # read fully before rewrite
+        )
+        n_keep = int(obs.get["n_keep"])
+        removed = int(obs.get["n_total"]) - n_keep
+        kept_parts = set(obs.get["kept_parts"])
+        keep = marked.filter(F.col("__erase_doc").isNull()).drop(
+            "__erase_doc"
+        )
+        if kept_parts:
+            (
+                keep.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(part_col)
+                .parquet(path)
+            )
+        # partitions whose every row was erased produce no dynamic
+        # overwrite — delete the directory outright (an empty parquet
+        # overwrite leaves a _SUCCESS-only dir that breaks inference)
         for pv in affected:
-            pdir = os.path.join(path, f"{part_col}={pv}")
-            rows = self.spark.read.parquet(pdir)
-            # left join + null-filter ≡ the former left_anti, but the
-            # kept/removed counts ride the checkpoint job as an
-            # observation (ids are DISTINCT, so the join never fans
-            # out) — the former layout ran two extra count jobs per
-            # affected partition over frames the checkpoint action had
-            # already read (guide §1/§5)
-            obs = Observation()
-            marked = (
-                rows.join(
-                    F.broadcast(ids),
-                    rows[doc_col] == F.col("__erase_doc"),
-                    "left",
-                )
-                .observe(
-                    obs,
-                    F.count(F.lit(1)).alias("n_total"),
-                    F.count(
-                        F.when(F.col("__erase_doc").isNull(), 1)
-                    ).alias("n_keep"),
-                )
-                .localCheckpoint(eager=True)  # read fully before rewrite
-            )
-            n_keep = int(obs.get["n_keep"])
-            removed += int(obs.get["n_total"]) - n_keep
-            keep = marked.filter(F.col("__erase_doc").isNull()).drop(
-                "__erase_doc"
-            )
-            if n_keep:
-                keep.write.mode("overwrite").parquet(pdir)
-            else:
-                self.fs.rmtree(pdir)
+            if pv not in kept_parts:
+                self.fs.rmtree(os.path.join(path, f"{part_col}={pv}"))
         return {"partitions": affected, "removed": removed}
 
     def erasure_residual(self, ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
