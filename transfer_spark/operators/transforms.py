@@ -261,15 +261,15 @@ def json_schema_profile(df: DataFrame, json_col: str) -> DataFrame:
     Scale shape: explode is per (row, key) — bounded by document width,
     not corpus size — then ONE hash aggregate on the key dimension.
     Everything is codegen; no Python, no driver-side schema state.
+    ONE parse per document (r14, guide §1.2): from_json into
+    map<string,string> renders every scalar unquoted exactly like the
+    former per-key get_json_object chain, which re-parsed the whole
+    document once per key (document-width × corpus parses).
     """
-    keyed = df.select(
-        F.col(json_col).alias("__j"),
-        F.explode(F.json_object_keys(F.col(json_col))).alias("key"),
-    )
-    v = F.expr("get_json_object(__j, concat('$.', key))")
-    classified = keyed.select(
-        "key",
-        v.alias("v"),
+    classified = df.select(
+        F.explode(
+            F.from_json(F.col(json_col), "map<string,string>")
+        ).alias("key", "v"),
     ).select(
         "key",
         F.col("v").isNull().cast("long").alias("is_null"),

@@ -3399,19 +3399,30 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the part co-purchase graph — the classic
     distributed graph statistic (clustering/community density).
 
-    Scale shape: edges come from a self equi-join on the basket key
-    (fan-out bounded by basket size); each edge is stored ONCE in
-    canonical a<b orientation, so the triangle join is the standard
-    ordered two-path + closing-edge equi-join (a<b<c), never an
-    all-pairs product. Both joins key on vertex ids; at volume the
-    known refinement is degree-ordering the orientation so high-degree
-    hubs sit on the small side."""
+    Scale shape (r14): edges come from a self equi-join on the basket
+    key (fan-out bounded by basket size); each edge is stored ONCE in
+    canonical a<b orientation. Counting is compact-forward: triangles
+    per edge = |N⁺(u) ∩ N⁺(v)| over per-vertex out-neighbor lists —
+    the two-path + closing-edge join form materialized Σ out-deg²
+    wedge rows (49M from 1.2M edges at sf0.1, measured) and shuffled
+    them into the closing join; the adjacency form joins edges against
+    the vertex-grain list table twice and intersects JVM-side, so the
+    heaviest shuffle is the edge list itself. List width is out-degree,
+    bounded by max basket co-occurrence; at hub-skewed volumes the
+    known refinement is degree-ordering the orientation first (measured
+    here: degrees are near-uniform, 49.3M→49.2M wedges — no help)."""
     baskets = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
     a, b = baskets.alias("a"), baskets.alias("b")
+    # Eager checkpoint (r14, guide §5): the returned plan reads `edges`
+    # FOUR times (three triangle-join legs + the edge count) and Spark
+    # does not dedupe aliased subtrees — the basket self-join and both
+    # distincts ran four times each (17 shuffle exchanges). The edge
+    # set is canonical-orientation part pairs: bounded by Σ basket²,
+    # orders of magnitude below the lineitem scan it derives from.
     edges = (
         a.join(
             b,
@@ -3420,17 +3431,23 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    adj = edges.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    au = adj.select(F.col("u").alias("ju"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("u").alias("jv"), F.col("nbrs").alias("nv"))
     tri = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
-        .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
-        )
+        edges.join(au, F.col("u") == F.col("ju"))
+        .join(av, F.col("v") == F.col("jv"))
+        # both lists hold DISTINCT ids (edges is distinct), so the
+        # intersection size is order-free — collect_list's row order
+        # cannot move the count
+        .select(F.size(F.array_intersect("nu", "nv")).alias("c"))
     )
     return tri.agg(
-        F.count(F.lit(1)).alias("n_triangles"),
+        # coalesce: a triangle-free graph must publish 0 like the old
+        # count(*) form, not a NULL sum
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles"),
     ).crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
 
 

@@ -332,7 +332,18 @@ def q_json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     number and string (`v` → promoted to string, the accumulator's
     rule), and an always-null key (`note` → `invalid`: retained but
     never DDL'd, columns.go:258-278)."""
-    o = read_table(spark, sf_dir, "orders")
+    from transfer_spark.session import spread_if_narrow
+
+    # project to the three source columns, THEN spread (r14, guide
+    # §2.3/§2.5): the JSON build + parse is per-row heavy and the local
+    # orders scan is one task; the spread shuffles three narrow columns
+    # so the parse parallelizes (skipped at production width)
+    o = spread_if_narrow(
+        spark,
+        read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        ),
+    )
     return T.json_schema_profile(
         o.select(_drift_json_spark().alias("j")), "j"
     )
