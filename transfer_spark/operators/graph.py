@@ -38,11 +38,18 @@ def pagerank(
     once (true for undirected graphs); dangling-mass redistribution is
     deliberately out of scope for that reason.
 
-    Builds one lazy plan with ``iterations`` join+agg rounds — Catalyst
-    sees the whole chain, and at scale each round reuses the same
-    src-hash partitioning. Deterministic given the edge multiset; the
-    caller rounds for cross-engine compares (double-sum ordering).
+    The edge frame is materialized ONCE (eager checkpoint, r14 guide
+    §5): it feeds the degree table plus every iteration's fan-out join,
+    and Spark does not dedupe aliased subtrees — a caller handing in a
+    derived edge list (the basket self-join) paid its build once per
+    round. Each round is then one join+agg over the materialized edges;
+    at scale every round reuses the same src-hash partitioning.
+    Deterministic given the edge multiset; the caller rounds for
+    cross-engine compares (double-sum ordering).
     """
+    edges = edges.select(
+        F.col(src), F.col(dst)
+    ).localCheckpoint(eager=True)
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
     ranks = deg.select(F.col(src).alias("node"), F.lit(1.0).alias("pr"))
     for it in range(iterations):
@@ -88,9 +95,12 @@ def label_propagation(
     from pyspark.sql import Window
 
     w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    # materialized once (r14): e feeds the label init plus one join per
+    # round — without the checkpoint a derived edge list rebuilds per
+    # round (Spark does not dedupe aliased subtrees)
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
-    )
+    ).localCheckpoint(eager=True)
     labels = (
         e.select(F.col("src").alias("node"))
         .distinct()

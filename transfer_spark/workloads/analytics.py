@@ -958,6 +958,12 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transfer_spark.operators import graph as G
 
     edges = _copurchase_edges(spark, sf_dir)
+    # labels is read twice (one leg per endpoint) but deliberately NOT
+    # checkpointed: with the edge frame materialized inside
+    # label_propagation the duplicated LPA evaluation is window-only,
+    # and a measured r14 variant matrix (none 5.7 / e-only 4.1 /
+    # labels-only 4.8 / both 4.8 s) showed the eager labels
+    # materialization serializes more than the re-evaluation costs.
     labels = G.label_propagation(edges, iterations=2, weight="w")
     lab_s = labels.select(
         F.col("node").alias("src"), F.col("label").alias("cs")
