@@ -603,7 +603,11 @@ def ann_ivf_topk(
     map-side combine; the candidate join is an equi-join on centroid id.
     """
     v = F.col(vec_col).cast("array<double>")
-    e = corpus.select(F.col(id_col).alias("nid"), v.alias("nv"))
+    # per-row norms bound below the joins (r14): cosine() inline
+    # re-folds each side's norm once per PAIR — see bitext_margin_mine
+    e = corpus.select(
+        F.col(id_col).alias("nid"), v.alias("nv"), _norm(v).alias("__nn")
+    )
     cent = (
         centroids
         if centroids is not None
@@ -611,33 +615,55 @@ def ann_ivf_topk(
             F.col(id_col).alias("cid"), v.alias("cv")
         )
     )
+    cent = cent.select("cid", "cv", _norm(F.col("cv")).alias("__cn"))
     # inverted lists: nearest centroid per corpus vector (ties -> lowest cid)
     assign = (
         e.crossJoin(F.broadcast(cent))
         .select(
-            "nid", "nv",
+            "nid", "nv", "__nn",
             F.struct(
-                cosine(F.col("nv"), F.col("cv")).alias("cos"),
+                (
+                    _dot(F.col("nv"), F.col("cv"))
+                    / (F.col("__nn") * F.col("__cn"))
+                ).alias("cos"),
                 (-F.col("cid")).alias("ncid"),
             ).alias("key"),
             "cid",
         )
         .groupBy("nid")
         .agg(
-            F.max_by(F.struct(F.col("cid").alias("c"), F.col("nv").alias("v")), F.col("key")).alias("s")
+            F.max_by(
+                F.struct(
+                    F.col("cid").alias("c"),
+                    F.col("nv").alias("v"),
+                    F.col("__nn").alias("n"),
+                ),
+                F.col("key"),
+            ).alias("s")
         )
-        .select("nid", F.col("s.c").alias("cid"), F.col("s.v").alias("nv"))
+        .select(
+            "nid", F.col("s.c").alias("cid"), F.col("s.v").alias("nv"),
+            F.col("s.n").alias("__nn"),
+        )
     )
-    q = queries.select(F.col(id_col).alias("query_id"), v.alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), v.alias("qv"), _norm(v).alias("__qn")
+    )
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("pcos").desc(), F.col("cid")
     )
     probe = (
         q.crossJoin(F.broadcast(cent))
-        .select("query_id", "qv", "cid", cosine(F.col("qv"), F.col("cv")).alias("pcos"))
+        .select(
+            "query_id", "qv", "__qn", "cid",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("pcos"),
+        )
         .withColumn("prank", F.row_number().over(w_probe))
         .filter(F.col("prank") <= n_probe)
-        .select("query_id", "qv", "cid")
+        .select("query_id", "qv", "__qn", "cid")
     )
     scored = (
         F.broadcast(probe)
@@ -646,7 +672,10 @@ def ann_ivf_topk(
         .select(
             "query_id",
             F.col("nid").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("nv")).alias("cos"),
+            (
+                _dot(F.col("qv"), F.col("nv"))
+                / (F.col("__qn") * F.col("__nn"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -721,23 +750,27 @@ def kmeans_centroids(
     no SQL oracle; pinned by a unit test against numpy k-means with the
     same init (test_ops_misc.py).
     """
+    # per-row norm bound once below the assignment join (r14): cosine()
+    # inline re-folds norm(v) once per CENTROID per row (k× per row per
+    # iteration) and norm(cv) once per row; both are per-row/per-centroid
+    # quantities — see bitext_margin_mine
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).withColumn("__vn", _norm(F.col("v")))
     cent = v.filter(F.col("id") < k).select(
-        F.col("id").alias("cid"), F.col("v").alias("cv")
+        F.col("id").alias("cid"), F.col("v").alias("cv"),
+        F.col("__vn").alias("__cn"),
     )
-    for it in range(n_iters):
-        if it and it % 5 == 0:
-            # centroids are k x dim rows; eager localCheckpoint resets
-            # the per-iteration plan chain for deep Lloyd runs
-            cent = cent.localCheckpoint(eager=True)
+    for _it in range(n_iters):
         assign = (
             v.crossJoin(F.broadcast(cent))
             .select(
                 "id", "v", "cid",
                 F.struct(
-                    cosine(F.col("v"), F.col("cv")).alias("cos"),
+                    (
+                        _dot(F.col("v"), F.col("cv"))
+                        / (F.col("__vn") * F.col("__cn"))
+                    ).alias("cos"),
                     (-F.col("cid")).alias("ncid"),
                 ).alias("key"),
             )
@@ -759,8 +792,17 @@ def kmeans_centroids(
                     lambda s: s["m"],
                 ).alias("cv")
             )
+            # k x dim rows: the eager checkpoint is near-free and (a)
+            # stops iteration i+1's plan from re-embedding iteration
+            # i's whole chain (each embedding re-scans the corpus) and
+            # (b) lets MULTIPLE consumers of the returned frame (e.g.
+            # ann_ivf_topk broadcasts it into both the assignment and
+            # the probe) reuse the training instead of re-running it
+            # per reference (r14, guide §5)
+            .withColumn("__cn", _norm(F.col("cv")))
+            .localCheckpoint(eager=True)
         )
-    return cent
+    return cent.select("cid", "cv")
 
 
 def quantize_int8(

@@ -17,7 +17,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from transfer_spark.operators.similarity import cosine, kmeans_centroids
+from transfer_spark.operators.similarity import (
+    _dot,
+    _norm,
+    cosine,
+    kmeans_centroids,
+)
 
 
 class IvfIndex:
@@ -53,18 +58,32 @@ class IvfIndex:
         the exact index only within quantization error (recall pinned
         in tests)."""
         v = F.col(vec_col).cast("array<double>")
-        e = corpus.select(F.col(id_col).alias("nid"), v.alias("nv"))
+        # per-row norms bound below the assignment join (r14): cosine()
+        # inline re-folds norm(nv) once per centroid per row — see
+        # similarity.bitext_margin_mine
+        e = corpus.select(
+            F.col(id_col).alias("nid"), v.alias("nv"), _norm(v).alias("__nn")
+        )
         cent = (
             centroids
             if centroids is not None
             else kmeans_centroids(corpus, id_col, vec_col, k=k, n_iters=n_iters)
         )
         assign = (
-            e.crossJoin(F.broadcast(cent))
+            e.crossJoin(
+                F.broadcast(
+                    cent.select(
+                        "cid", "cv", _norm(F.col("cv")).alias("__cn")
+                    )
+                )
+            )
             .select(
                 "nid", "nv",
                 F.struct(
-                    cosine(F.col("nv"), F.col("cv")).alias("cos"),
+                    (
+                        _dot(F.col("nv"), F.col("cv"))
+                        / (F.col("__nn") * F.col("__cn"))
+                    ).alias("cos"),
                     (-F.col("cid")).alias("ncid"),
                 ).alias("key"),
                 "cid",
@@ -111,18 +130,33 @@ class IvfIndex:
         is bounded by n_probe × |queries| (collected as a tiny list) and
         the list scan prunes to those partitions."""
         v = F.col(vec_col).cast("array<double>")
-        q = queries.select(F.col(id_col).alias("query_id"), v.alias("qv"))
+        # per-row norms bound below the joins (r14) — see build()
+        q = queries.select(
+            F.col(id_col).alias("query_id"), v.alias("qv"),
+            _norm(v).alias("__qn"),
+        )
         cent = self.centroids()
         w_probe = Window.partitionBy("query_id").orderBy(
             F.col("pcos").desc(), F.col("cid")
         )
         probe = (
-            q.crossJoin(F.broadcast(cent))
-            .select("query_id", "qv", "cid",
-                    cosine(F.col("qv"), F.col("cv")).alias("pcos"))
+            q.crossJoin(
+                F.broadcast(
+                    cent.select(
+                        "cid", "cv", _norm(F.col("cv")).alias("__cn")
+                    )
+                )
+            )
+            .select(
+                "query_id", "qv", "__qn", "cid",
+                (
+                    _dot(F.col("qv"), F.col("cv"))
+                    / (F.col("__qn") * F.col("__cn"))
+                ).alias("pcos"),
+            )
             .withColumn("prank", F.row_number().over(w_probe))
             .filter(F.col("prank") <= n_probe)
-            .select("query_id", "qv", "cid")
+            .select("query_id", "qv", "__qn", "cid")
         )
         cids = [r[0] for r in probe.select("cid").distinct().collect()]
         lists = self.spark.read.parquet(self.lists_path).filter(
@@ -134,6 +168,9 @@ class IvfIndex:
                 lambda x: x.cast("double") * F.col("scale") / F.lit(127.0),
             )
             lists = lists.select("cid", "nid", nv.alias("nv"))
+        lists = lists.select(
+            "cid", "nid", "nv", _norm(F.col("nv")).alias("__nn")
+        )
         scored = (
             F.broadcast(probe)
             .join(lists, "cid")
@@ -141,7 +178,10 @@ class IvfIndex:
             .select(
                 "query_id",
                 F.col("nid").alias("neighbor_id"),
-                cosine(F.col("qv"), F.col("nv")).alias("cos"),
+                (
+                    _dot(F.col("qv"), F.col("nv"))
+                    / (F.col("__qn") * F.col("__nn"))
+                ).alias("cos"),
             )
         )
         w = Window.partitionBy("query_id").orderBy(
