@@ -57,6 +57,20 @@ HEADLINE = [
     "multimodal_image_meta",
 ]
 
+# r14 extras: the four biggest round-14 optimization targets that were
+# never bench-visible (the round's registry-wide wall scan found the
+# top of the distribution OUTSIDE the two frozen lists). Timed with the
+# identical min-of-N noop methodology but published under separate
+# `extra_queries` / `extra_total` fields so `value` stays the exact sum
+# of the frozen `queries` dict and the cross-round headline trend line
+# is untouched.
+R14_EXTRAS = [
+    "events_attribution_markov",
+    "entity_blocking_fuzzy_match",
+    "json_schema_drift",
+    "graph_triangle_count",
+]
+
 # Second headline (frozen round 7): the LLM-training-data center of mass
 # — span-level dedup, decontamination, packing, importance resampling,
 # retrieval indexes, corpus ingest. Tracked as its own total so the
@@ -185,6 +199,7 @@ def main() -> None:
 
     timings = _run_set(HEADLINE)
     llm_timings = _run_set(LLM_HEADLINE)
+    extra_timings = _run_set(R14_EXTRAS)
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     llm_total = round(
@@ -260,6 +275,9 @@ def main() -> None:
                 "queries": timings,
                 "llm_total": llm_total,
                 "llm_queries": llm_timings,
+                "extra_total": _tot(extra_timings),
+                "extra_queries": extra_timings,
+                "extra_queries_calibrated2": _cal2(extra_timings),
                 "calib_shuffle_sec": calib,
                 "calib_ref_sec": CALIB_REF_SEC,
                 "calib_overhead_sec": calib_overhead,

@@ -209,6 +209,10 @@ class IncrementalIdentityIndex:
                 )
                 .filter(F.col("u") != F.col("v"))
                 .distinct()
+                # batch-bound frame, materialized once (r14): isEmpty()
+                # and the star-CC loop's first round otherwise each
+                # re-evaluate the resolve-join chain
+                .localCheckpoint(eager=True)
             )
             if contracted.isEmpty():
                 canon = self.spark.createDataFrame([], "cid long, canon long")
